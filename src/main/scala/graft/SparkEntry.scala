@@ -1,13 +1,59 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries are contributed by the per-family modules in graft.queries. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Engine session settings the queries rely on. ANSI must be off: the
+    * reference uses non-strict casts and null-on-zero division (SURVEY
+    * §1.2); Spark 4 defaults ANSI on. Safe to set at runtime. */
+  def tune(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.ts is parquet TIMESTAMP(NANOS): Spark has no ns type; read as
+    // a nanos LONG and convert explicitly (ts div 1000 → µs).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  private val modules: Seq[QueryModule] = Seq(
+    Relational, Windows, TextQueries, MultimodalQueries)
+
+  private lazy val registry: Seq[Q] = modules.flatMap(_.all)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises scan → broadcast dim join → fact join → agg → window rank. */
+  def entry(spark: SparkSession): DataFrame = {
+    tune(spark)
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    import org.apache.spark.sql.expressions.Window
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(graft.ops.Cols.moneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .withColumn("rank_in_year", rank().over(
+        Window.partitionBy("yr").orderBy(col("revenue").desc)))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        tune(s); q.run(s, dir)
+      }
+    }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

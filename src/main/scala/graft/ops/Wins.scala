@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window combinators — SURVEY.md §2.5. The dominant operator family of the
+  * reference: every feature builder is `expr.over(partitionBy(key) orderBy
+  * time)`.
+  *
+  * Critical semantic: Polars `rolling_*(window_size=n, min_samples=m)` yields
+  * null until m non-null samples are inside the frame
+  * (ref: src/mf_etl/silver/features_base.py:174-198). Spark's frame aggs
+  * return partial-window values instead, so every rolling helper here takes a
+  * `minSamples` guard implemented as `when(count(x) over frame >= m, agg)`.
+  * `count` skips nulls, matching Polars' definition of "samples".
+  */
+object Wins {
+
+  /** Trailing row frame of length n ending at the current row. */
+  def trailing(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(1L - n, 0)
+
+  /** Cumulative frame: unbounded preceding → current row. */
+  def cum(w: WindowSpec): WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, 0)
+
+  private def guarded(c: Column, w: WindowSpec, n: Int, minSamples: Int)(
+      agg: Column => Column): Column = {
+    val f = trailing(w, n)
+    if (minSamples <= 1) agg(c).over(f)
+    else when(count(c).over(f) >= minSamples, agg(c).over(f))
+  }
+
+  def rollingMean(c: Column, w: WindowSpec, n: Int, minSamples: Int): Column =
+    guarded(c, w, n, minSamples)(avg)
+
+  /** Population std (ddof=0) — the reference always uses ddof=0. */
+  def rollingStd(c: Column, w: WindowSpec, n: Int, minSamples: Int): Column =
+    guarded(c, w, n, minSamples)(stddev_pop)
+
+  def rollingMin(c: Column, w: WindowSpec, n: Int, minSamples: Int): Column =
+    guarded(c, w, n, minSamples)(min)
+
+  def rollingMax(c: Column, w: WindowSpec, n: Int, minSamples: Int): Column =
+    guarded(c, w, n, minSamples)(max)
+
+  def rollingSum(c: Column, w: WindowSpec, n: Int, minSamples: Int): Column =
+    guarded(c, w, n, minSamples)(sum)
+
+  /** Exact rolling median (ref: dollar-vol liquidity floor,
+    * src/mf_etl/backtest/execution_realism.py:166-183). Spark's `median`
+    * refuses window frames; `percentile(x, 0.5)` is the same exact
+    * interpolated statistic and is frame-capable. */
+  def rollingMedian(c: Column, w: WindowSpec, n: Int, minSamples: Int): Column =
+    guarded(c, w, n, minSamples)(x => percentile(x, lit(0.5)))
+
+  /** 1-based position of the row within its partition (ordered). */
+  def rowIdx(w: WindowSpec): Column = row_number().over(w)
+
+  /** Bars since the last row where `event` was true (inclusive of the event
+    * row = 0); null before the first event.
+    * Ref: src/mf_etl/gold/event_grammar_v1.py:32-46. */
+  def barsSince(event: Column, w: WindowSpec): Column = {
+    val idx = row_number().over(w)
+    val lastEventIdx =
+      last(when(event, idx), ignoreNulls = true).over(cum(w))
+    idx - lastEventIdx
+  }
+
+  /** Gaps-and-islands run id: increments whenever `value` changes (first row
+    * of the partition starts run 1).
+    * Ref: src/mf_etl/gold/features_v1.py:290-313. */
+  def runId(value: Column, w: WindowSpec): Column = {
+    val changed =
+      when(lag(value, 1).over(w).isNull || value =!= lag(value, 1).over(w), 1)
+        .otherwise(0)
+    sum(changed).over(cum(w))
+  }
+
+  /** Forward fill: last non-null value at or before the current row. */
+  def forwardFill(c: Column, w: WindowSpec): Column =
+    last(c, ignoreNulls = true).over(cum(w))
+
+  /** State transition code prev*base + cur (null on the first row).
+    * Ref: src/mf_etl/gold/features_v1.py:306-311. */
+  def transitionCode(state: Column, w: WindowSpec, base: Int = 10): Column =
+    lag(state, 1).over(w) * base + state
+
+  /** Zero-cross up: x > 0 while previous x <= 0
+    * (ref: src/mf_etl/silver/indicators_twiggs.py:162-163). */
+  def zeroCrossUp(c: Column, w: WindowSpec): Column =
+    c > 0 && lag(c, 1).over(w) <= 0
+
+  def zeroCrossDown(c: Column, w: WindowSpec): Column =
+    c < 0 && lag(c, 1).over(w) >= 0
+
+  /** 3-bar pivot low: lag2 > lag1 && lag1 < current
+    * (ref: src/mf_etl/gold/event_grammar_v1.py:148-165). */
+  def pivotLow(c: Column, w: WindowSpec): Column =
+    lag(c, 2).over(w) > lag(c, 1).over(w) && lag(c, 1).over(w) < c
+
+  def pivotHigh(c: Column, w: WindowSpec): Column =
+    lag(c, 2).over(w) < lag(c, 1).over(w) && lag(c, 1).over(w) > c
+
+  /** Duplicate-within-key flag (ref: src/mf_etl/validate/rules.py:144-150). */
+  def isDuplicated(partition: Seq[Column]): Column =
+    count(lit(1)).over(Window.partitionBy(partition: _*)) > 1
+}

@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.Cols._
+
+/** Scans, filters, projections, joins, aggregations, sorts, set ops —
+  * SURVEY.md §2.1 (S3-S5, S10), §2.2 (P1-P16), §2.3 (J1-J11), §2.4
+  * (A1-A15), §2.6 (O1-O5) exercised over the driver's TPC-H-ish tables.
+  *
+  * Scale notes: all dimension joins (`nation`, `region`, small maps) are
+  * explicit `broadcast()`; fact-fact joins shuffle on their equi-keys and
+  * rely on AQE for skew; aggregates are single-pass multi-aggregate calls
+  * (partial aggregation map-side).
+  */
+object Relational extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // S3/S4/P1/P2/O1/O2: pruned scan → pushed filter → projection → sort/limit
+    Q("q_scan_project", Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber LIMIT 500""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp")
+          && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    },
+
+    // A1: grouped counts
+    Q("q_count_by", Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A2/A3: grouped stats battery — sum/avg (decimal-exact), min/max,
+    // n_unique, stddev_pop(ddof=0), exact interpolated quantiles
+    Q("q_agg_stats", Some("""
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             count(DISTINCT l_orderkey) AS n_orders,
+             round(stddev_pop(l_discount), 9) AS sd_disc,
+             round(quantile_cont(l_discount, 0.25), 9) AS p25_disc,
+             round(quantile_cont(l_discount, 0.75), 9) AS p75_disc,
+             round(median(l_quantity), 9) AS med_qty
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          moneyAvg(col("l_extendedprice")).as("avg_price"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          round(stddev_pop(col("l_discount")), 9).as("sd_disc"),
+          round(percentile(col("l_discount"), lit(0.25)), 9).as("p25_disc"),
+          round(percentile(col("l_discount"), lit(0.75)), 9).as("p75_disc"),
+          round(median(col("l_quantity")), 9).as("med_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A4/A5/A6: conditional aggregates + hit rate + non-null count
+    // (ref: src/mf_etl/backtest/metrics.py:102-154)
+    Q("q_cond_agg", Some("""
+      SELECT l_returnflag,
+             count(*) AS n,
+             count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc,
+             CAST(SUM(CASE WHEN l_discount > 0.05
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS gross_disc,
+             CAST(SUM(CASE WHEN l_discount > 0.05
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               / count(CASE WHEN l_discount > 0.05 THEN 1 END) AS avg_disc_price,
+             CAST(count(CASE WHEN l_quantity > 25 THEN 1 END) AS DOUBLE)
+               / count(*) AS hit_rate_qty,
+             count(l_extendedprice) AS n_nonnull
+      FROM lineitem GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val disc = col("l_discount") > 0.05
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          countIf(disc).as("n_disc"),
+          moneySumIf(disc, col("l_extendedprice")).as("gross_disc"),
+          moneyAvgIf(disc, col("l_extendedprice")).as("avg_disc_price"),
+          hitRate(col("l_quantity") > 25).as("hit_rate_qty"),
+          count(col("l_extendedprice")).as("n_nonnull"))
+        .orderBy("l_returnflag")
+    },
+
+    // A7: dedupe keep-last by sort (manifest-style, ref:
+    // src/mf_etl/ingest/manifest.py:183-186) — latest order per customer
+    Q("q_dedupe_last", Some("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      ORDER BY o_custkey""")) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"))
+        .orderBy("o_custkey")
+    },
+
+    // A8: global no-key aggregate (date bounds, totals)
+    Q("q_global_bounds", Some("""
+      SELECT count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+             CAST(min(o_orderdate) AS DATE) AS first_date,
+             CAST(max(o_orderdate) AS DATE) AS last_date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders""")) { (s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        to_date(min(col("o_orderdate"))).as("first_date"),
+        to_date(max(col("o_orderdate"))).as("last_date"),
+        moneySum(col("o_totalprice")).as("total"))
+    },
+
+    // A9: share-of-total within grouped result
+    // (ref: src/mf_etl/research_hmm/diagnostics.py:90-94)
+    Q("q_share_of_total", Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(count(*) AS DOUBLE) / SUM(count(*)) OVER () AS share
+      FROM orders GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
+        .orderBy("o_orderstatus")
+    },
+
+    // A10: group by derived year (ref: src/mf_etl/bronze/sanity_checks.py:117)
+    Q("q_group_year", Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy("yr")
+    },
+
+    // A15/O2: top-k per metric after sort (ref: _top_rows,
+    // src/mf_etl/bronze/sanity_checks.py:138-145)
+    Q("q_topk", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")) { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // J3: broadcast dimension enrichment chain customer⟕nation⟕region
+    Q("q_join_enrich", Some("""
+      SELECT r.r_name, n.n_name, count(*) AS n_cust,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer c
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // J8: fact-fact equi-join with differing key names, then rollup
+    // Revenue: cast inputs to DECIMAL *before* multiplying — a double
+    // product cast to decimal rounds differently across engines (Spark
+    // rounds the shortest decimal repr, DuckDB the binary value); exact
+    // decimal arithmetic end-to-end is engine- and order-independent.
+    Q("q_join_facts", Some("""
+      SELECT o.o_orderpriority, count(*) AS n,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // J11/O5: set difference both directions via anti-join
+    // (ref: src/mf_etl/bronze/sanity_checks.py:256-259)
+    Q("q_anti_join", Some("""
+      SELECT c_custkey AS cust, 'NO_ORDERS' AS side FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT DISTINCT o_custkey AS cust, 'NO_CUSTOMER' AS side FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      ORDER BY side, cust""")) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val noOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey").as("cust"), lit("NO_ORDERS").as("side"))
+      val noCust = o.join(c, col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .select(col("o_custkey").as("cust"), lit("NO_CUSTOMER").as("side"))
+        .distinct()
+      noOrders.unionByName(noCust).orderBy("side", "cust")
+    },
+
+    // J1: manifest NEW/CHANGED/UNCHANGED classification — left join current
+    // snapshot vs previous + when-chain (ref: src/mf_etl/ingest/manifest.py:
+    // 155-199). "Previous" = orders with key%3!=0; fingerprint drifts for
+    // key%5==0.
+    Q("q_manifest_classify", Some("""
+      WITH prev AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS fingerprint
+        FROM orders WHERE o_orderkey % 3 <> 0)
+      SELECT cur.o_orderkey,
+             CASE WHEN prev.fingerprint IS NULL THEN 'NEW'
+                  WHEN prev.fingerprint <> cur.o_totalprice THEN 'CHANGED'
+                  ELSE 'UNCHANGED' END AS manifest_status
+      FROM orders cur LEFT JOIN prev ON cur.o_orderkey = prev.o_orderkey
+      ORDER BY cur.o_orderkey""")) { (s, dir) =>
+      val cur = t(s, dir, "orders")
+      val prev = cur.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("fingerprint"))
+      cur.join(prev, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          when(col("fingerprint").isNull, "NEW")
+            .when(col("fingerprint") =!= col("o_totalprice"), "CHANGED")
+            .otherwise("UNCHANGED").as("manifest_status"))
+        .orderBy("o_orderkey")
+    },
+
+    // P4/P12/J5: dict mapping with default + when-chain classing
+    // (ref: src/mf_etl/backtest/adapters.py:85-89, state_mapping.py:86-98)
+    Q("q_map_default", Some("""
+      SELECT o_orderkey,
+             CASE o_orderpriority
+               WHEN '1-URGENT' THEN 'FAST' WHEN '2-HIGH' THEN 'FAST'
+               WHEN '5-LOW' THEN 'SLOW' ELSE 'NORMAL' END AS speed,
+             CASE WHEN o_totalprice >= 300000 THEN 'BIG'
+                  WHEN o_totalprice >= 100000 THEN 'MID'
+                  ELSE 'SMALL' END AS bucket
+      FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+      val speedMap = Map("1-URGENT" -> "FAST", "2-HIGH" -> "FAST",
+        "5-LOW" -> "SLOW")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          coalesce(element_at(typedLit(speedMap), col("o_orderpriority")),
+            lit("NORMAL")).as("speed"),
+          when(col("o_totalprice") >= 300000, "BIG")
+            .when(col("o_totalprice") >= 100000, "MID")
+            .otherwise("SMALL").as("bucket"))
+        .orderBy("o_orderkey")
+    },
+
+    // P3/P5/P6/P8/P10/P11/P19: scalar-function battery — safe division,
+    // greatest/least, coalesce, string ops, concat_ws, format_string, math
+    Q("q_scalar_battery", Some("""
+      SELECT p_partkey,
+             round(CASE WHEN abs(p_size) > 0.000000000001
+                   THEN p_retailprice / p_size END, 9) AS price_per_size,
+             greatest(p_size, 10) AS size_floor,
+             least(p_size, 40) AS size_cap,
+             upper(p_brand) AS brand_u,
+             lpad(CAST(p_size AS VARCHAR), 6, '0') AS size_pad,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             printf('P_%d', p_partkey) AS part_tag,
+             round(ln(1 + p_retailprice), 9) AS log_price,
+             round(sqrt(abs(p_retailprice)), 9) AS sqrt_price,
+             round(pow(p_retailprice, 0.25), 9) AS pow_price
+      FROM part ORDER BY p_partkey""")) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        round(safeDiv(col("p_retailprice"), col("p_size")), 9)
+          .as("price_per_size"),
+        greatest(col("p_size"), lit(10)).as("size_floor"),
+        least(col("p_size"), lit(40)).as("size_cap"),
+        upper(col("p_brand")).as("brand_u"),
+        lpad(col("p_size").cast("string"), 6, "0").as("size_pad"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        format_string("P_%d", col("p_partkey")).as("part_tag"),
+        round(log1p(col("p_retailprice")), 9).as("log_price"),
+        round(sqrt(abs(col("p_retailprice"))), 9).as("sqrt_price"),
+        round(pow(col("p_retailprice"), lit(0.25)), 9).as("pow_price"))
+        .orderBy("p_partkey")
+    },
+
+    // O3: deterministic portable sampling — multiplicative-hash order
+    // (engine-defined replacement for Polars sample(seed), SURVEY §7.5.4)
+    Q("q_det_sample", Some("""
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE ((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000000007
+            < 50000000""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(((col("l_orderkey") * 8 + col("l_linenumber"))
+          * lit(2654435761L)) % 1000000007L < 50000000L)
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // O4: vertical concat with relaxed schema (supertype union,
+    // ref: src/mf_etl/gold/features_pipeline.py:670-673)
+    Q("q_union_relaxed", Some("""
+      SELECT * FROM (
+        SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status,
+               NULL AS qty
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL BY NAME
+        SELECT l_orderkey * 1000 + l_linenumber AS k, NULL AS price,
+               NULL AS status, l_quantity AS qty
+        FROM lineitem WHERE l_orderkey % 500 = 0)
+      ORDER BY k""")) { (s, dir) =>
+      val a = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      val b = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .select((col("l_orderkey") * 1000 + col("l_linenumber")).as("k"),
+          col("l_quantity").as("qty"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("k")
+    },
+
+    // A14: rank-to-[0,1] + dense rank over a small aggregate table
+    // (ref: src/mf_etl/backtest/sensitivity_aggregate.py:21-64)
+    Q("q_rank_norm", Some("""
+      WITH m AS (
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1)
+      SELECT o_orderpriority, n, total,
+             round(percent_rank() OVER (ORDER BY total), 9) AS total_pr,
+             dense_rank() OVER (ORDER BY n DESC) AS n_rank
+      FROM m ORDER BY o_orderpriority""")) { (s, dir) =>
+      val m = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      m.withColumn("total_pr",
+          round(percent_rank().over(Window.orderBy("total")), 9))
+        .withColumn("n_rank", dense_rank().over(Window.orderBy(col("n").desc)))
+        .orderBy("o_orderpriority")
+    }
+  )
+}

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.{Dedup, Similarity, TextOps}
+
+/** LLM-training-data-pipeline operators over `documents` and `embeddings`:
+  * text analysis (tokens, quality, language-ID, fingerprints), dedup
+  * (exact, n-gram Jaccard, MinHash+LSH, SimHash), and similarity search
+  * (brute-force cosine top-k, LSH-bucketed ANN). All signatures use
+  * portable md5-derived hashes, so every operator — including MinHash and
+  * SimHash — has an exact SQL oracle.
+  */
+object TextQueries extends QueryModule {
+
+  /** DuckDB shingle CTE mirroring TextOps.shingles(text, 3). */
+  private val shingleCte = """
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2),
+        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+
+  /** Portable 60-bit md5 hash mod prime, SQL side. */
+  private def hsql(e: String) =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT % 1000000007"
+
+  private val stop = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+  def all: Seq[Q] = Seq(
+
+    // Token counting (whitespace + distinct + long-token regex-ish count)
+    Q("q_t_tokens", Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '), x -> len(x) >= 5))
+               AS n_long,
+             length(text) AS n_chars_calc
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          size(filter(toks, x => length(x) >= 5)).as("n_long"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring battery (length/stopword/digit ratios → score)
+    Q("q_t_quality", Some(s"""
+      WITH b AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t,
+               length(text) AS nc FROM documents)
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             round(CAST(nc - (len(t) - 1) AS DOUBLE) / len(t), 9)
+               AS mean_tok_len,
+             round(CAST(len(list_filter(t, x -> x IN $stop)) AS DOUBLE)
+               / len(t), 9) AS stop_ratio,
+             round(CAST(nc - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE) / nc, 9) AS digit_ratio,
+             round(0.4 * (CAST(least(nc, 400) AS DOUBLE) / 400.0)
+               + 0.4 * (1.0 - CAST(nc - length(regexp_replace(text, '[0-9]',
+                   '', 'g')) AS DOUBLE) / nc)
+               + 0.2 * least((CAST(len(list_filter(t, x -> x IN $stop))
+                   AS DOUBLE) / len(t)) * 4.0, 1.0), 9) AS quality_score
+      FROM b ORDER BY doc_id""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextOps.qualityFeatures(col("text")): _*)
+        .orderBy("doc_id")
+    },
+
+    // Language-ID marker heuristic vs labeled lang
+    Q("q_t_langid", Some {
+      val scoreCols = TextOps.LangMarkers.map { case (l, ms) =>
+        val in = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+        s"len(list_filter(t, x -> x IN $in)) AS score_$l"
+      }.mkString(",\n             ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pred = langs.map(l => s"WHEN score_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""
+      WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                 FROM documents),
+      sc AS (SELECT doc_id, lang,
+             $scoreCols
+             FROM b)
+      SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+             $pred AS predicted,
+             ($pred) = lang AS is_correct
+      FROM sc ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(Seq(col("doc_id"), col("lang"))
+          ++ TextOps.langScores(col("text")): _*)
+      scored
+        .withColumn("predicted", TextOps.predictedLang)
+        .withColumn("is_correct", col("predicted") === col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Content fingerprint + exact-dup flags (canonical keeper = min doc_id)
+    Q("q_t_fingerprint", Some("""
+      SELECT doc_id, md5(text) AS fp,
+             count(*) OVER (PARTITION BY md5(text)) AS dup_n,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Dedup.exactDups(t(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // n-gram Jaccard near-dup pairs with shingle-frequency pruning
+    Q("q_d_jaccard", Some(s"""
+      WITH $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY 1)
+               WHERE c <= 10),
+      pr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+      shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, inter, s1.n_sh AS n1, s2.n_sh AS n2,
+             round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 9)
+               AS jaccard
+      FROM shared
+      JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 9)
+            >= 0.04
+      ORDER BY d1, d2""")) { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, maxFreq = 10,
+          minJaccard = 0.04)
+        .orderBy("d1", "d2")
+    },
+
+    // MinHash + LSH banding candidate pairs with estimated similarity
+    Q("q_d_minhash", Some {
+      val minCols = TextOps.MinHashParams.zipWithIndex.map {
+        case ((a, b), k) => s"min((h2 * $a + $b) % 1000000007) AS m$k"
+      }.mkString(",\n               ")
+      val bandKeys = (0 until 4).map(bd =>
+        s"m${2 * bd} || '_' || m${2 * bd + 1} AS b$bd").mkString(", ")
+      val bandCase = (0 until 4).map(bd =>
+        s"WHEN $bd THEN b$bd").mkString("CASE band_idx ", " ", " END")
+      val agree = (0 until 8).map(j =>
+        s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH $shingleCte,
+      h AS (SELECT doc_id, ${hsql("sh")} AS h2 FROM sh),
+      sig AS (SELECT doc_id,
+               $minCols
+              FROM h GROUP BY 1),
+      bands AS (SELECT doc_id, $bandKeys FROM sig),
+      bx AS (SELECT doc_id, band_idx, $bandCase AS key
+             FROM bands, range(4) r(band_idx)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.key = b.key
+          AND a.doc_id < b.doc_id)
+      SELECT d1, d2, CAST(($agree) AS DOUBLE) / 8 AS est_sim
+      FROM pairs JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id
+      ORDER BY d1, d2"""
+    }) { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3)
+        .orderBy("d1", "d2")
+    },
+
+    // SimHash near-dup pairs blocked on 4-bit chunks
+    Q("q_d_simhash", Some {
+      val bitSums = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n               ")
+      val sigSum = (0 until 16).map(j =>
+        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, ${hsql("tok")} AS h FROM toks),
+      sums AS (SELECT doc_id,
+               $bitSums
+              FROM h GROUP BY 1),
+      sig AS (SELECT doc_id, CAST($sigSum AS BIGINT) AS simhash FROM sums),
+      chunks AS (SELECT doc_id, simhash, c AS chunk_idx,
+                        (simhash >> (c * 4)) % 16 AS chunk
+                 FROM sig, range(4) r(c)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+          AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
+      ORDER BY d1, d2"""
+    }) { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("d1", "d2")
+    },
+
+    // Brute-force cosine top-5 for query vectors (vec_id < 8)
+    Q("q_e_cosine_topk", Some("""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
+      q AS (SELECT * FROM ex WHERE vec_id < 8),
+      dots AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vid, sum(q.x * e.x) AS dot
+        FROM q JOIN ex e ON q.i = e.i AND q.vec_id <> e.vec_id
+        GROUP BY 1, 2),
+      cosd AS (
+        SELECT qid, vid, round(dot / (nq.nrm * nv.nrm), 6) AS cos_sim
+        FROM dots JOIN norms nq ON qid = nq.vec_id
+                  JOIN norms nv ON vid = nv.vec_id)
+      SELECT qid, vid, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC, vid) AS rnk FROM cosd)
+      WHERE rnk <= 5 ORDER BY qid, rnk""")) { (s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), col("vec_id") < 8, 5)
+        .select("qid", "vid", "cos_sim", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // Per-label centroid geometry (posexplode → per-dim means → norms)
+    Q("q_e_centroids", Some("""
+      WITH ex AS (
+        SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      cent AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+      norms AS (SELECT label, vec_id, sqrt(sum(x*x)) AS nrm
+                FROM ex GROUP BY 1, 2)
+      SELECT c.label, n.n_vecs,
+             round(sqrt(sum(c.m * c.m)), 6) AS centroid_norm,
+             any_value(n.mean_norm) AS mean_norm
+      FROM cent c JOIN (
+        SELECT label, count(*) AS n_vecs, round(avg(nrm), 6) AS mean_norm
+        FROM norms GROUP BY 1) n ON c.label = n.label
+      GROUP BY 1, 2 ORDER BY 1""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val ex = e.select(col("label"), col("vec_id"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      val cent = ex.groupBy("label", "i").agg(avg("x").as("m"))
+      val norms = e.select(col("label"), col("vec_id"),
+        Similarity.norm(col("v")).as("nrm"))
+      val perLabel = norms.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), round(avg("nrm"), 6).as("mean_norm"))
+      cent.groupBy("label")
+        .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"))
+        .join(perLabel, Seq("label"))
+        .select("label", "n_vecs", "centroid_norm", "mean_norm")
+        .orderBy("label")
+    },
+
+    // LSH-bucketed ANN (sign hyperplanes, bucket equi-join, top-5/bucket)
+    Q("q_e_ann_lsh", Some(s"""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, j, sum(x * (CASE WHEN
+          ${hsql("'hp_' || j || '_' || i")} % 2 = 0
+          THEN 1.0 ELSE -1.0 END)) AS p
+        FROM ex, range(8) rj(j) GROUP BY 1, 2),
+      buckets AS (
+        SELECT vec_id, CAST(sum(CASE WHEN p > 0
+          THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1),
+      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
+      q AS (SELECT vec_id AS qid, bucket FROM buckets WHERE vec_id < 32),
+      cand AS (
+        SELECT q.qid, b.vec_id AS vid FROM q JOIN buckets b
+          ON q.bucket = b.bucket AND q.qid <> b.vec_id),
+      dots AS (
+        SELECT c.qid, c.vid, sum(qe.x * ve.x) AS dot
+        FROM cand c JOIN ex qe ON qe.vec_id = c.qid
+                    JOIN ex ve ON ve.vec_id = c.vid AND qe.i = ve.i
+        GROUP BY 1, 2),
+      cosd AS (
+        SELECT qid, vid, round(dot / (nq.nrm * nv.nrm), 6) AS cos_sim
+        FROM dots JOIN norms nq ON qid = nq.vec_id
+                  JOIN norms nv ON vid = nv.vec_id)
+      SELECT qid, vid, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC, vid) AS rnk FROM cosd)
+      WHERE rnk <= 5 ORDER BY qid, rnk""")) { (s, dir) =>
+      Similarity.annLsh(t(s, dir, "embeddings"), col("vec_id") < 32, 5)
+        .select("qid", "vid", "cos_sim", "rnk")
+        .orderBy("qid", "rnk")
+    }
+  )
+}

@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication operators: exact (content-hash), n-gram Jaccard
+  * with frequency pruning, MinHash+LSH banding, SimHash+chunk blocking.
+  *
+  * Everything here is candidate-pair generation via equi-joins on derived
+  * keys — never a cross product — so each operator is one shuffle on the
+  * blocking key and scales linearly in corpus size (hot keys are dropped by
+  * the frequency filter, the classic guard against quadratic blowup on
+  * boilerplate shingles).
+  */
+object Dedup {
+  import TextOps._
+
+  /** Exact duplicate detection: md5 content fingerprint; the lowest doc_id
+    * in each group is the canonical keeper. */
+  def exactDups(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp")
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .withColumn("dup_n", count(lit(1)).over(w))
+      .withColumn("keep_id", min("doc_id").over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  /** (doc_id, shingle) exploded distinct word-n-gram table. */
+  def shingleTable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingles(col("text"), n)).as("sh"))
+
+  /** Frequency-pruned n-gram Jaccard candidate pairs: shingles occurring in
+    * more than `maxFreq` docs are dropped (boilerplate guard), remaining
+    * shared shingles produce candidate pairs, similarity =
+    * |shared| / (|A| + |B| - |shared|) over the doc's full shingle sets. */
+  def jaccardPairs(docs: DataFrame, n: Int, maxFreq: Int,
+      minJaccard: Double): DataFrame = {
+    val sh = shingleTable(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= maxFreq)
+    val pruned = sh.join(rare.select("sh"), Seq("sh"))
+    val shared = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")), 9))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+  }
+
+  /** MinHash signature per doc: min over shingle hashes of the k fixed
+    * affine permutations (TextOps.MinHashParams). */
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
+    val h = shingleTable(docs, n).withColumn("h2", hashMod(col("sh")))
+    val aggs = MinHashParams.zipWithIndex.map { case ((a, b), k) =>
+      minhashCol(col("h2"), a, b).as(s"m$k")
+    }
+    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the minhash signature (bands of `rowsPerBand`),
+    * candidate pairs sharing any band key, with estimated similarity =
+    * fraction of agreeing minhash components. */
+  def minhashLshPairs(docs: DataFrame, n: Int,
+      rowsPerBand: Int = 2): DataFrame = {
+    val k = MinHashParams.size
+    val nBands = k / rowsPerBand
+    val sigs = minhashSignatures(docs, n).cache()
+    val bandKey = (band: Int) => concat_ws("_",
+      (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(j => col(s"m$j")): _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_idx"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.key"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val agree = (0 until k).map(j =>
+      when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(sigs.as("a"), col("d1") === col("a.doc_id"))
+      .join(sigs.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"),
+        (agree.cast("double") / k).as("est_sim"))
+  }
+
+  /** SimHash near-dup pairs: 16-bit signatures, blocked on 4-bit chunks
+    * (pigeonhole: hamming<=3 pairs share at least one chunk), exact hamming
+    * filter. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhash16(docs, col("doc_id"), col("text")).cache()
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_idx"),
+          (shiftright(col("simhash"), c * 4) % 16).as("chunk"))): _*))
+        .as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk_idx"),
+        col("ck.chunk"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx")
+          && col("a.chunk") === col("b.chunk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * Baseline: brute-force cosine top-k (query side broadcast, one pass over
+  * the corpus — no shuffle of the big side). Scale path: LSH sign-bucketing
+  * with deterministic pseudo-random hyperplanes so only same-bucket pairs
+  * are compared (bucket join instead of cross product).
+  */
+object Similarity {
+
+  /** Cast an array<float> embedding to array<double> for stable math. */
+  def asDouble(emb: Column): Column = emb.cast("array<double>")
+
+  /** Sequential-order dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (filtered by
+    * `queryPred`), the k nearest corpus vectors (self excluded). Ranking is
+    * done on the 6-decimal-rounded similarity with id tie-break so results
+    * are reproducible across engines and cluster runs. */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Number of sign-hyperplane LSH bits. Hyperplane j component i is
+    * derived from a portable hash of (j,i) → {-1,+1}, so the bucketing is
+    * reproducible in SQL and across runs. */
+  val LshBits = 8
+
+  def hyperplaneSign(j: Int, i: Column): Column = {
+    val h = TextOps.hashMod(concat_ws("_", lit("hp"), lit(j), i))
+    when(h % 2 === 0, 1.0).otherwise(-1.0)
+  }
+
+  /** LSH sign-bucket key for each embedding: bit j = (v · hp_j) > 0. */
+  def lshBucket(emb: Column): Column = {
+    val v = asDouble(emb)
+    (0 until LshBits).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * hyperplaneSign(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: candidate pairs share a bucket; exact cosine is
+    * computed only within buckets. Returns (qid, vid, cos_sim, rnk). */
+  def annLsh(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      lshBucket(col("embedding")).as("bucket"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q),
+        col("qbucket") === col("bucket") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting,
+  * shingling, MinHash/LSH and SimHash near-dup signatures.
+  *
+  * All hashes are *portable*: token/shingle → first 15 hex digits of md5 →
+  * int64 (`conv(hex,16,10)`), reduced mod a 31-bit prime. The same
+  * arithmetic is expressible in ANSI SQL, so every signature is
+  * oracle-checkable and cluster-deterministic (no JVM hashCode, no
+  * partition-order dependence).
+  */
+object TextOps {
+
+  val HashPrime = 1000000007L
+
+  /** Deterministic 60-bit hash of a string via md5 (portable across
+    * engines). */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Hash reduced into [0, HashPrime). */
+  def hashMod(c: Column): Column = md5Hash64(c) % HashPrime
+
+  /** Whitespace tokens (single-space split — empty tokens preserved,
+    * consistent with the SQL oracle's string_split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct), space-joined. Requires >= n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash permutation parameters (fixed seed — part of the engine's
+    * public contract, mirrored into the SQL oracle). */
+  val MinHashParams: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (214013L, 2531011L), (134775813L, 1L),
+    (22695477L, 1L), (69069L, 362437L), (1664525L, 1013904223L),
+    (48271L, 11L), (16807L, 7L))
+
+  /** One minhash value: min over shingle hashes of (a*h + b) mod p. */
+  def minhashCol(hashed: Column, a: Long, b: Long): Column =
+    min((hashed * a + b) % HashPrime)
+
+  /** SimHash over 16 bits of the portable token hash: bit j of the
+    * signature is 1 iff sum over tokens of ±1 (by bit j of token hash) > 0.
+    */
+  def simhash16(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"),
+      explode(array_distinct(tokens(text))).as("tok"))
+      .withColumn("h", hashMod(col("tok")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 16).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality-score battery: token counts, mean token length, stopword and
+    * digit ratios, and a weighted quality score in [0,1]. All ratios are
+    * integer-count divisions → bit-exact vs the oracle. */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val nChars = length(text)
+    val nSpaces = nTok - 1
+    val meanTokLen = (nChars - nSpaces).cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val nDigits = nChars - length(regexp_replace(text, "[0-9]", ""))
+    val digitRatio = nDigits.cast("double") / nChars
+    val lenScore = least(nChars, lit(400)).cast("double") / 400.0
+    val score = round(
+      lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - digitRatio)
+        + lit(0.2) * least(stopRatio * 4.0, lit(1.0)), 9)
+    Seq(nTok.as("n_tokens"), round(meanTokLen, 9).as("mean_tok_len"),
+      round(stopRatio, 9).as("stop_ratio"),
+      round(digitRatio, 9).as("digit_ratio"), score.as("quality_score"))
+  }
+
+  /** Marker-token language-ID heuristic: score = count of language-marker
+    * tokens; argmax with fixed tie order en>de>es>fr>zh. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  def langScores(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    LangMarkers.map { case (lang, markers) =>
+      size(filter(toks, t => t.isin(markers: _*))).as(s"score_$lang")
+    }
+  }
+
+  /** Predicted language from the marker scores (strict argmax, first wins
+    * ties in LangMarkers order). */
+  def predictedLang: Column = {
+    val scores = LangMarkers.map { case (l, _) => (l, col(s"score_$l")) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
+      coalesce(acc, when(s === best, lit(l)))
+    }
+  }
+}

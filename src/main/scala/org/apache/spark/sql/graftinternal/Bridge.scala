@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftinternal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal door into `private[sql]` Column <-> Expression conversion for the
+  * graft engine's custom Catalyst expressions (Spark 4.x moved `Column` to a
+  * ColumnNode facade; `ExpressionUtils` is the classic-session converter).
+  * This is the only file outside the `graft` namespace.
+  */
+object Bridge {
+  def col(e: Expression): Column = ExpressionUtils.column(e)
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}
