@@ -20,7 +20,7 @@ object SparkEntry {
   }
 
   private val modules: Seq[QueryModule] = Seq(
-    Relational, Windows, TextQueries, MultimodalQueries)
+    Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 
