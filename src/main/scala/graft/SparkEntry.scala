@@ -20,7 +20,8 @@ object SparkEntry {
   }
 
   private val modules: Seq[QueryModule] = Seq(
-    Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries)
+    Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
+    BacktestQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

@@ -120,7 +120,9 @@ object Engine {
   def tradesSql(cfg: Config): String = {
     val fee = cfg.feeBps / 10000.0
     s"""
-      sb AS (
+      sb AS MATERIALIZED (
+        -- MATERIALIZED: the sim recursion below joins sb per iteration;
+        -- without it DuckDB re-executes the full signals chain each time.
         SELECT ticker, bar_ts, bar_id, open, high, low, close,
                flow_state_code AS state_code,
                coalesce(entry_signal, false) AS entry_signal,
@@ -148,35 +150,38 @@ object Engine {
         FROM sb WHERE rn = 1
         UNION ALL
         SELECT b.ticker, b.rn, b.n_bars, b.bar_ts, b.close,
-               -- post-entry position (a then b)
+               -- post-entry position (a then b); aliases are new_* so the
+               -- lateral references below can't shadow r.* columns
                CASE WHEN r.pend_exit IS NOT NULL AND r.pos <> 0
                  THEN (CASE WHEN r.pend_entry <> 0 THEN r.pend_entry
                             ELSE 0 END)
                  WHEN r.pos = 0 THEN r.pend_entry
-                 ELSE r.pos END AS pos,
+                 ELSE r.pos END AS new_pos,
                CASE WHEN r.pos = 0 AND r.pend_entry <> 0 THEN b.rn
                     WHEN r.pos <> 0 AND r.pend_exit IS NULL
-                      THEN r.entry_rn END AS entry_rn,
+                      THEN r.entry_rn END AS new_entry_rn,
                CASE WHEN r.pos = 0 AND r.pend_entry <> 0 THEN b.open
                     WHEN r.pos <> 0 AND r.pend_exit IS NULL
-                      THEN r.entry_price END AS entry_price,
+                      THEN r.entry_price END AS new_entry_price,
                CASE WHEN r.pos = 0 AND r.pend_entry <> 0 THEN b.bar_ts
                     WHEN r.pos <> 0 AND r.pend_exit IS NULL
-                      THEN r.entry_ts END AS entry_ts,
+                      THEN r.entry_ts END AS new_entry_ts,
                CASE WHEN r.pos = 0 AND r.pend_entry <> 0 THEN b.high
                     WHEN r.pos <> 0 AND r.pend_exit IS NULL
-                      THEN greatest(r.mx, b.high) END AS mx,
+                      THEN greatest(r.mx, b.high) END AS new_mx,
                CASE WHEN r.pos = 0 AND r.pend_entry <> 0 THEN b.low
                     WHEN r.pos <> 0 AND r.pend_exit IS NULL
-                      THEN least(r.mn, b.low) END AS mn,
-               CASE WHEN pos = 0 AND b.entry_signal AND b.signal_side <> 0
-                 THEN b.signal_side ELSE 0 END AS pend_entry,
-               CASE WHEN pos <> 0 AND
-                      ((pos = 1 AND b.state_code IN (3, 4)) OR
-                       (pos = -1 AND b.state_code IN (1, 2)))
+                      THEN least(r.mn, b.low) END AS new_mn,
+               CASE WHEN new_pos = 0 AND b.entry_signal
+                      AND b.signal_side <> 0
+                 THEN b.signal_side ELSE 0 END AS new_pend_entry,
+               CASE WHEN new_pos <> 0 AND
+                      ((new_pos = 1 AND b.state_code IN (3, 4)) OR
+                       (new_pos = -1 AND b.state_code IN (1, 2)))
                     THEN 'STATE_EXIT'
-                    WHEN pos <> 0 AND b.rn - entry_rn >= ${cfg.holdBars}
-                    THEN 'HORIZON' END AS pend_exit,
+                    WHEN new_pos <> 0
+                      AND b.rn - new_entry_rn >= ${cfg.holdBars}
+                    THEN 'HORIZON' END AS new_pend_exit,
                CASE WHEN r.pend_exit IS NOT NULL AND r.pos <> 0
                  THEN r.pos END AS e_side,
                CASE WHEN r.pend_exit IS NOT NULL AND r.pos <> 0
@@ -212,13 +217,12 @@ object Engine {
                side, entry_rn, exit_rn, entry_ts, exit_ts,
                entry_price, exit_price, exit_reason,
                exit_rn - entry_rn AS hold_bars,
-               round(side * (exit_price / entry_price - 1), 9) AS gross_ret,
-               round(side * (exit_price / entry_price - 1)
-                 - ${2 * fee}, 9) AS net_ret,
-               round(CASE WHEN side = 1 THEN mx / entry_price - 1
-                 ELSE 1 - mn / entry_price END, 9) AS mfe,
-               round(CASE WHEN side = 1 THEN mn / entry_price - 1
-                 ELSE 1 - mx / entry_price END, 9) AS mae
+               side * (exit_price / entry_price - 1) AS gross_ret,
+               side * (exit_price / entry_price - 1) - ${2 * fee} AS net_ret,
+               CASE WHEN side = 1 THEN mx / entry_price - 1
+                 ELSE 1 - mn / entry_price END AS mfe,
+               CASE WHEN side = 1 THEN mn / entry_price - 1
+                 ELSE 1 - mx / entry_price END AS mae
         FROM raw_trades)"""
   }
 }

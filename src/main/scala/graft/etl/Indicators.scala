@@ -88,7 +88,9 @@ object Indicators {
                (2 * close - trh - trl) / greatest(trh - trl,
                  0.000000000001) AS pos
         FROM pre),
-      pre3 AS (
+      pre3 AS MATERIALIZED (
+        -- MATERIALIZED: referenced from the recursive term below; without
+        -- it DuckDB re-executes this whole chain once per iteration.
         SELECT *, pos * volume AS ad, pos * abs(tr_range) AS tti_num,
                abs(tr_range) AS tti_den
         FROM pre2),

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, Similarity, TextOps}
+
+/** Text/dedup/similarity operator semantics on hand-built fixtures. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exactDups: identical texts share fingerprint, lowest id kept") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exactDups(d).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("is_dup")).toSeq ==
+      Seq(false, true, false))
+    assert(out(0).getAs[String]("fp") == out(1).getAs[String]("fp"))
+  }
+
+  test("shingles: distinct word 3-grams in order") {
+    val got = docs(1L -> "a b c d c d")
+      .select(TextOps.shingles(col("text"), 3)).head.getSeq[String](0)
+    assert(got.toSet == Set("a b c", "b c d", "c d c", "d c d"))
+  }
+
+  test("jaccardPairs finds near-identical docs, skips unrelated") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tomorrow",
+      3L -> "completely different words appear in this text here now")
+    val out = Dedup.jaccardPairs(d, n = 3, maxFreq = 10, minJaccard = 0.3)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("d1") == 1L
+      && out.head.getAs[Long]("d2") == 2L)
+    assert(out.head.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("minhash signatures identical for identical docs") {
+    val d = docs(1L -> "w1 w2 w3 w4 w5", 2L -> "w1 w2 w3 w4 w5",
+      3L -> "v1 v2 v3 v4 v5")
+    val sig = Dedup.minhashSignatures(d, 3).orderBy("doc_id").collect()
+    val s = (i: Int) => (0 until 8).map(k => sig(i).getAs[Long](s"m$k"))
+    assert(s(0) == s(1) && s(0) != s(2))
+    val pairs = Dedup.minhashLshPairs(d, 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("d1") == 1L
+      && r.getAs[Long]("d2") == 2L
+      && r.getAs[Double]("est_sim") == 1.0))
+  }
+
+  test("simhash: identical docs at hamming 0, found by chunk blocking") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta")
+    val out = Dedup.simhashPairs(d, maxHamming = 3).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("cosineTopK: nearest neighbor of a vector is its duplicate") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(e, col("vec_id") === 0, 2)
+      .orderBy("rnk").collect()
+    assert(out(0).getAs[Long]("vid") == 1L)
+    assert(out(0).getAs[Double]("cos_sim") > 0.99)
+    assert(out(1).getAs[Long]("vid") == 2L)
+  }
+}

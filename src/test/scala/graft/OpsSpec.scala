@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Cols, Wins}
+
+/** Core combinator semantics: NaN→null normalization, safe division,
+  * Polars-style min_samples rolling guards, bars-since, run ids. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("safeDiv: null on ~zero denominator, value otherwise") {
+    val df = Seq((10.0, 2.0), (1.0, 0.0), (1.0, 1e-15)).toDF("n", "d")
+    val out = df.select(Cols.safeDiv(col("n"), col("d"))).collect()
+    assert(out(0).getDouble(0) == 5.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
+  test("finiteOrNull: NaN and ±Inf → null; finite passes") {
+    val df = Seq(1.5, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity).toDF("x")
+    val out = df.select(Cols.finiteOrNull(col("x"))).collect()
+    assert(out(0).getDouble(0) == 1.5)
+    assert((1 to 3).forall(out(_).isNullAt(0)))
+  }
+
+  test("NaN would otherwise poison avg — the reference-critical case") {
+    val df = Seq(1.0, Double.NaN, 3.0).toDF("x")
+    val bad = df.agg(avg($"x")).head.getDouble(0)
+    assert(bad.isNaN) // Spark default includes NaN
+    val good = df.agg(avg(Cols.finiteOrNull($"x"))).head.getDouble(0)
+    assert(good == 2.0) // normalized matches Polars finite-only mean
+  }
+
+  test("rolling mean with min_samples=n yields null for first n-1 rows") {
+    val df = (1 to 6).map(i => ("t", i.toLong, i.toDouble))
+      .toDF("k", "ts", "v")
+    val w = Window.partitionBy("k").orderBy("ts")
+    val out = df.select(Wins.rollingMean(col("v"), w, 3, 3)).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2).contains(2.0) && out(5).contains(5.0))
+  }
+
+  test("rolling count skips nulls (min_samples counts samples)") {
+    val df = Seq(("t", 1L, Some(1.0)), ("t", 2L, None), ("t", 3L, Some(3.0)))
+      .toDF("k", "ts", "v")
+    val w = Window.partitionBy("k").orderBy("ts")
+    val out = df.select(Wins.rollingMean(col("v"), w, 3, 3)).collect()
+    assert(out.forall(_.isNullAt(0))) // never 3 non-null samples
+  }
+
+  test("barsSince: 0 at event, counts up, null before first event") {
+    val df = Seq(("t", 1L, false), ("t", 2L, true), ("t", 3L, false),
+      ("t", 4L, false), ("t", 5L, true)).toDF("k", "ts", "ev")
+    val w = Window.partitionBy("k").orderBy("ts")
+    val out = df.select(Wins.barsSince(col("ev"), w)).collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(out.toSeq == Seq(-1, 0, 1, 2, 0))
+  }
+
+  test("runId + run length reproduce gaps-and-islands") {
+    val df = Seq(("t", 1L, "a"), ("t", 2L, "a"), ("t", 3L, "b"),
+      ("t", 4L, "a")).toDF("k", "ts", "s")
+    val w = Window.partitionBy("k").orderBy("ts")
+    val out = df.select(Wins.runId(col("s"), w)).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1, 1, 2, 3))
+  }
+}
