@@ -21,7 +21,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
-    BacktestQueries)
+    BacktestQueries, IngestQueries, ResearchQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

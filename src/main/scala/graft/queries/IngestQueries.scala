@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Bronze
+
+/** Bronze ingest surface (SURVEY §2.1 S2, §2.2 P7-P9/P18, §2.3 J1):
+  * delimited-line parsing with pad/truncate reject semantics, non-strict
+  * casts, normalization, the 10-flag quality battery, and manifest
+  * NEW/CHANGED/UNCHANGED classification — all oracle-checked against
+  * stooq-style lines synthesized deterministically from `lineitem` (the
+  * same synthesis runs on both engines, including corruption variants:
+  * <>-wrapped tickers, bad timeframes, negative volume, swapped high/low,
+  * missing fields).
+  */
+object IngestQueries extends QueryModule {
+
+  /** Spark-side line synthesis from lineitem. */
+  private def rawLines(li: DataFrame): DataFrame = {
+    val t0 = concat(lit("S"), col("l_suppkey") % 100)
+    val t = when(col("l_orderkey") % 7 === 0, concat(lit("<"), t0, lit(">")))
+      .otherwise(t0)
+    val per = when(col("l_orderkey") % 13 === 0, lit("W")).otherwise(lit("D"))
+    val d = date_format(col("l_shipdate"), "yyyyMMdd")
+    val tm = lit("000000")
+    // integer-cent price strings via floor: printf('%.2f') rounds exact
+    // halves differently across engines (Java HALF_UP vs C half-even)
+    val base = col("l_extendedprice") / 100
+    def cents(m: Double) =
+      floor(base * m).cast("long").cast("string")
+    val o = cents(100); val h0 = cents(102); val l0 = cents(98)
+    val c = cents(101)
+    val swap = col("l_orderkey") % 31 === 0
+    val h = when(swap, l0).otherwise(h0)
+    val l = when(swap, h0).otherwise(l0)
+    val v = when(col("l_orderkey") % 89 === 0, lit("-100"))
+      .otherwise((col("l_quantity") * 100).cast("long").cast("string"))
+    val full = concat_ws(",", t, per, d, tm, o, h, l, c, v, lit("0"))
+    val short = concat_ws(",", t, per, d, tm, o, h, l, c, v)
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata (dup rows
+    // exist); salt the line number with a content hash so the ordering key
+    // is total — identical lines collide harmlessly (identical output).
+    li.select(
+      when(col("l_orderkey") % 97 === 0, short).otherwise(full).as("line"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("ln0"))
+      .select(col("line"),
+        (col("ln0") * 1000000007L
+          + graft.text.TextOps.hashMod(col("line"))).as("source_line_no"))
+  }
+
+  /** SQL mirror of rawLines → CTE `lines`. */
+  private val linesSql = """
+    lines0 AS (
+      SELECT l_orderkey * 8 + l_linenumber AS ln0,
+             CASE WHEN l_orderkey % 97 = 0
+               THEN concat_ws(',', t, per, d, tm, o, h, l, c, v)
+               ELSE concat_ws(',', t, per, d, tm, o, h, l, c, v, '0')
+             END AS line
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey % 7 = 0 THEN '<' || t0 || '>'
+                    ELSE t0 END AS t,
+               CASE WHEN l_orderkey % 13 = 0 THEN 'W' ELSE 'D' END AS per,
+               strftime(l_shipdate, '%Y%m%d') AS d, '000000' AS tm,
+               CAST(CAST(floor(l_extendedprice / 100 * 100) AS BIGINT)
+                 AS VARCHAR) AS o,
+               CASE WHEN l_orderkey % 31 = 0
+                 THEN CAST(CAST(floor(l_extendedprice / 100 * 98) AS BIGINT)
+                   AS VARCHAR)
+                 ELSE CAST(CAST(floor(l_extendedprice / 100 * 102) AS BIGINT)
+                   AS VARCHAR)
+               END AS h,
+               CASE WHEN l_orderkey % 31 = 0
+                 THEN CAST(CAST(floor(l_extendedprice / 100 * 102) AS BIGINT)
+                   AS VARCHAR)
+                 ELSE CAST(CAST(floor(l_extendedprice / 100 * 98) AS BIGINT)
+                   AS VARCHAR)
+               END AS l,
+               CAST(CAST(floor(l_extendedprice / 100 * 101) AS BIGINT)
+                 AS VARCHAR) AS c,
+               CASE WHEN l_orderkey % 89 = 0 THEN '-100'
+                 ELSE CAST(CAST(l_quantity * 100 AS BIGINT) AS VARCHAR)
+               END AS v
+        FROM (SELECT *, 'S' || (l_suppkey % 100) AS t0 FROM lineitem))),
+    lines AS (
+      SELECT line,
+             ln0 * 1000000007
+               + ('0x' || substring(md5(line), 1, 15))::BIGINT % 1000000007
+               AS source_line_no
+      FROM lines0)"""
+
+  /** SQL mirror of Bronze.parseLines + qualityFlags → CTE `bronze`. */
+  private val parseSql = """
+    p0 AS (
+      SELECT source_line_no, string_split(line, ',') AS parts FROM lines),
+    p1 AS (
+      SELECT source_line_no,
+             len(parts) AS n_fields,
+             len(parts) <> 10 AS q_parse_error,
+             upper(trim(regexp_replace(parts[1], '[<>]', '', 'g')))
+               AS ticker,
+             CASE WHEN upper(parts[2]) = 'D' THEN 'D1' ELSE 'UNKNOWN' END
+               AS timeframe,
+             CAST(try_strptime(parts[3], '%Y%m%d') AS DATE) AS trade_date,
+             epoch_us(try_strptime(parts[3]
+               || lpad(coalesce(parts[4], '0'), 6, '0'),
+               '%Y%m%d%H%M%S')) AS trade_dt_us,
+             TRY_CAST(parts[5] AS DOUBLE) AS open,
+             TRY_CAST(parts[6] AS DOUBLE) AS high,
+             TRY_CAST(parts[7] AS DOUBLE) AS low,
+             TRY_CAST(parts[8] AS DOUBLE) AS close,
+             TRY_CAST(parts[9] AS DOUBLE) AS volume,
+             TRY_CAST(parts[10] AS BIGINT) AS openint
+      FROM p0),
+    p2 AS (
+      SELECT *,
+             (open IS NULL OR high IS NULL OR low IS NULL OR close IS NULL
+              OR volume IS NULL OR trade_date IS NULL
+              OR ticker IS NULL OR trim(ticker) = '') AS q_missing_field,
+             timeframe = 'UNKNOWN' AS q_bad_timeframe,
+             (open <= 0 OR high <= 0 OR low <= 0 OR close <= 0)
+               AS q_nonpositive_price,
+             high < low AS q_high_lt_low,
+             (open > high OR open < low OR close > high OR close < low)
+               AS q_ohlc_outside_hl,
+             volume < 0 AS q_negative_volume,
+             count(*) OVER (PARTITION BY ticker, trade_date) > 1
+               AS q_duplicate_ticker_date,
+             (high - low) > close * 0.5 AS q_suspicious_bar,
+             coalesce(date_diff('day',
+               lag(trade_date) OVER (PARTITION BY ticker
+                 ORDER BY trade_date, source_line_no), trade_date) > 7,
+               false) AS q_gap_in_calendar
+      FROM p1),
+    bronze AS (
+      SELECT *,
+             (CASE WHEN coalesce(q_parse_error, false) THEN 1 ELSE 0 END
+              + CASE WHEN coalesce(q_missing_field, false) THEN 1 ELSE 0 END
+              + CASE WHEN coalesce(q_bad_timeframe, false) THEN 1 ELSE 0 END
+              + CASE WHEN coalesce(q_nonpositive_price, false) THEN 1 ELSE 0 END
+              + CASE WHEN coalesce(q_high_lt_low, false) THEN 1 ELSE 0 END
+              + CASE WHEN coalesce(q_ohlc_outside_hl, false) THEN 1 ELSE 0 END
+              + CASE WHEN coalesce(q_negative_volume, false) THEN 1 ELSE 0 END
+              + CASE WHEN coalesce(q_duplicate_ticker_date, false) THEN 1 ELSE 0 END
+             )::BIGINT AS quality_error_count,
+             (CASE WHEN coalesce(q_suspicious_bar, false) THEN 1 ELSE 0 END
+              + CASE WHEN coalesce(q_gap_in_calendar, false) THEN 1 ELSE 0 END
+             )::BIGINT AS quality_warn_count
+      FROM p2)"""
+
+  private val outCols = Seq("source_line_no", "n_fields", "ticker",
+    "timeframe", "trade_date", "trade_dt_us", "open", "high", "low",
+    "close", "volume", "openint", "q_parse_error", "q_missing_field",
+    "q_bad_timeframe", "q_nonpositive_price", "q_high_lt_low",
+    "q_ohlc_outside_hl", "q_negative_volume", "q_duplicate_ticker_date",
+    "q_suspicious_bar", "q_gap_in_calendar", "quality_error_count",
+    "quality_warn_count")
+
+  private def bronzeDf(s: SparkSession, dir: String): DataFrame =
+    Bronze.qualityFlags(
+      Bronze.parseLines(rawLines(t(s, dir, "lineitem"))),
+      tiebreak = Seq("source_line_no"))
+      .withColumn("trade_dt_us", unix_micros(col("trade_dt")))
+
+  def all: Seq[Q] = Seq(
+
+    Q("q_bronze_parse", Some(s"""
+      WITH $linesSql,
+      $parseSql
+      SELECT ${outCols.mkString(", ")},
+             quality_error_count = 0 AS is_valid_row_chk
+      FROM bronze ORDER BY source_line_no""")) { (s, dir) =>
+      bronzeDf(s, dir)
+        .withColumn("is_valid_row_chk", col("is_valid_row"))
+        .select((outCols :+ "is_valid_row_chk").map(col): _*)
+        .orderBy("source_line_no")
+    },
+
+    // Bronze sanity rollup (ref: bronze/sanity_checks.py:117-126):
+    // per-ticker-year validity stats over the parsed output
+    Q("q_bronze_sanity", Some(s"""
+      WITH $linesSql,
+      $parseSql
+      SELECT ticker, CAST(year(trade_date) AS INT) AS yr,
+             count(*) AS n_rows,
+             count(CASE WHEN quality_error_count = 0 THEN 1 END) AS n_valid,
+             count(CASE WHEN q_suspicious_bar THEN 1 END) AS n_suspicious,
+             round(CAST(count(CASE WHEN quality_error_count = 0 THEN 1 END)
+               AS DOUBLE) / count(*), 9) AS valid_rate
+      FROM bronze
+      WHERE trade_date IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      import graft.ops.Cols.countIf
+      bronzeDf(s, dir)
+        .filter(col("trade_date").isNotNull)
+        .groupBy(col("ticker"), year(col("trade_date")).as("yr"))
+        .agg(count(lit(1)).as("n_rows"),
+          countIf(col("quality_error_count") === 0).as("n_valid"),
+          countIf(col("q_suspicious_bar")).as("n_suspicious"),
+          round(countIf(col("quality_error_count") === 0).cast("double")
+            / count(lit(1)), 9).as("valid_rate"))
+        .orderBy("ticker", "yr")
+    }
+  )
+}
