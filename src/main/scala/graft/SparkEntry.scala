@@ -21,7 +21,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
-    BacktestQueries, IngestQueries, ResearchQueries)
+    BacktestQueries, IngestQueries, ResearchQueries, MlQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Clustering, Hmm}
+
+/** ML state-discovery surface (SURVEY §2.9 M2/M3/M5/M6): MLlib KMeans
+  * (best-of-seeds), GaussianMixture with prob/entropy, clustering metrics
+  * (silhouette + Davies-Bouldin), and the custom Gaussian HMM
+  * (driver fit, distributed Viterbi decode). Iterative, seeded model fits
+  * have no SQL equivalent → rows-only driver checks; semantics are locked
+  * by ScalaTest specs instead.
+  */
+object MlQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    Q("q_kmeans_clusters", None) { (s, dir) =>
+      val emb = Clustering.withFeatures(t(s, dir, "embeddings"), "embedding")
+      val (labeled, _) = Clustering.kmeansBest(emb, k = 8, nInit = 3,
+        maxIter = 20, baseSeed = 42L)
+      labeled.select(col("vec_id"), col("label"), col("cluster"))
+        .orderBy("vec_id")
+    },
+
+    Q("q_gmm_clusters", None) { (s, dir) =>
+      val emb = Clustering.withFeatures(t(s, dir, "embeddings"), "embedding")
+      Clustering.gmm(emb, k = 5, maxIter = 30, seed = 42L)
+        .select(col("vec_id"), col("cluster"),
+          round(col("prob_max"), 6).as("prob_max"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy("vec_id")
+    },
+
+    Q("q_cluster_metrics", None) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val emb = Clustering.withFeatures(t(s, dir, "embeddings"), "embedding")
+      val (labeled, cost) = Clustering.kmeansBest(emb, k = 8, nInit = 2,
+        maxIter = 20, baseSeed = 42L)
+      val sil = Clustering.silhouette(labeled, sampleMax = 200000)
+      val db = Clustering.daviesBouldin(labeled)
+      Seq((cost, sil, db)).toDF("kmeans_cost", "silhouette",
+        "davies_bouldin")
+    },
+
+    Q("q_hmm_decode", None) { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("string").as("key"),
+        expr("ts div 1000").as("ts"),
+        array(col("value")).as("features"))
+      val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000)
+      val model = Hmm.fit(seqs, k = 3, nIter = 30)
+      Hmm.decode(ev, model)
+        .groupBy("key", "hmm_state").count()
+        .orderBy("key", "hmm_state")
+    }
+  )
+}
