@@ -21,7 +21,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
-    BacktestQueries, IngestQueries, ResearchQueries, MlQueries)
+    BacktestQueries, IngestQueries, ResearchQueries, MlQueries,
+    ValidationQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 
