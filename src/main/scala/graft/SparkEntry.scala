@@ -22,7 +22,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
     BacktestQueries, IngestQueries, ResearchQueries, MlQueries,
-    ValidationQueries)
+    ValidationQueries, BacktestQueries2)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

@@ -23,6 +23,43 @@ object Bronze {
     * TICKER,PER,DATE,TIME,OPEN,HIGH,LOW,CLOSE,VOL,OPENINT. */
   val NFields = 10
 
+  /** Recursive raw-file discovery (ref: src/mf_etl/ingest/discover.py:
+    * 21-62): all *.txt under root, exchange inferred from the path,
+    * ticker hint from the filename, size/mtime for the fingerprint.
+    * Driver-side Hadoop FS listing — the manifest is small (one row per
+    * file); the heavy read happens later in one spark.read over the
+    * selected paths. */
+  def discoverFiles(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(root), true)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (p.endsWith(".txt")) {
+        val name = f.getPath.getName
+        val lower = p.toLowerCase
+        val exchange =
+          if (lower.contains("nasdaq")) "NASDAQ"
+          else if (lower.contains("nyse")) "NYSE"
+          else "UNKNOWN"
+        val tickerHint = name.stripSuffix(".txt").toUpperCase
+        rows += ((p, name, exchange, tickerHint, f.getLen,
+          f.getModificationTime))
+      }
+    }
+    rows.toSeq.toDF("source_file", "source_file_name", "exchange",
+        "ticker_hint", "file_size_bytes", "file_mtime_ms")
+      .withColumn("fingerprint",
+        concat_ws("|", col("source_file"), col("file_size_bytes"),
+          col("file_mtime_ms")))
+  }
+
   /** Parse raw delimited lines (already split-ready) into typed bronze
     * rows + quality columns. Input: `line` string column + any passthrough
     * identity columns. Malformed rows (wrong field count) are kept with

@@ -67,6 +67,24 @@ object Clustering {
       .setPredictionCol("cluster").evaluate(df)
   }
 
+  /** Adjusted Rand Index between two labelings (ref: pairwise ARI across
+    * seeds, src/mf_etl/research/pipeline.py:831-853). The contingency
+    * table is a distributed groupBy; the closed form runs on its (k×k)
+    * collect. */
+  def adjustedRandIndex(df: DataFrame, colA: String, colB: String): Double = {
+    def c2(x: Long): Double = x.toDouble * (x - 1) / 2
+    val cont = df.groupBy(colA, colB).count().collect()
+      .map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val n = cont.map(_._3).sum
+    val sumIj = cont.map(c => c2(c._3)).sum
+    val sumA = cont.groupBy(_._1).values.map(g => c2(g.map(_._3).sum)).sum
+    val sumB = cont.groupBy(_._2).values.map(g => c2(g.map(_._3).sum)).sum
+    val expected = sumA * sumB / c2(n)
+    val maxIdx = (sumA + sumB) / 2
+    if (math.abs(maxIdx - expected) < 1e-12) 1.0
+    else (sumIj - expected) / (maxIdx - expected)
+  }
+
   /** Davies-Bouldin index as small aggregations over (cluster, features)
     * (clustering.py: DB score; no MLlib equivalent). */
   def daviesBouldin(labeled: DataFrame): Double = {

@@ -105,4 +105,17 @@ object Wins {
   /** Duplicate-within-key flag (ref: src/mf_etl/validate/rules.py:144-150). */
   def isDuplicated(partition: Seq[Column]): Column =
     count(lit(1)).over(Window.partitionBy(partition: _*)) > 1
+
+  /** Rolling mode with most-recent tiebreak over a trailing window
+    * (ref: HMM display smoothing,
+    * src/mf_etl/apps/overlay_viewer/hmm_display.py:47-70): argmax of
+    * (count, recency) over the frame values — pure array expressions. */
+  def rollingModeRecent(c: Column, w: WindowSpec, n: Int): Column = {
+    val vals = collect_list(c).over(trailing(w, n))
+    array_max(transform(array_distinct(vals), v =>
+      struct(
+        size(filter(vals, x => x === v)).as("cnt"),
+        (-array_position(reverse(vals), v)).as("npos"),
+        v.as("v")))).getField("v")
+  }
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.backtest.{Engine, Grid, Metrics, Signals}
+import graft.etl.{EventGrammar, Indicators, MarketData}
+import graft.ops.Cols
+
+/** Backtest analytics extensions: trade-edge metrics (M12), rank-blend
+  * robustness scoring (M13), symbol-master rollup, and the sensitivity
+  * grid (driver loop over combos — rows-only, each combo re-runs the
+  * typed simulator).
+  */
+object BacktestQueries2 extends QueryModule {
+
+  private val Mode = "state_entry"
+  private val Confirm = 2
+  private val Cfg = Engine.Config(holdBars = 10, feeBps = 5.0)
+
+  private def chain: String =
+    s"""${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      ${Signals.sql(Mode, Confirm)},
+      ${Engine.tradesSql(Cfg)}"""
+
+  private def tradesDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Engine.simulate(
+      Signals.generate(EventGrammar.build(Indicators.twiggs(
+        MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm),
+      Cfg).toDF()
+
+  def all: Seq[Q] = Seq(
+
+    // M12: per-symbol trade-edge metrics battery
+    Q("q_bt_edge", Some(s"""
+      WITH RECURSIVE $chain,
+      nb AS (SELECT ticker, count(*) AS n_bars FROM signals GROUP BY 1)
+      SELECT t.ticker,
+             count(*) AS n_trades,
+             round(avg(t.net_ret), 9) AS mean_ret,
+             round(CASE WHEN abs(avg(t.net_ret)) > 0.000000000001
+               THEN stddev_pop(t.net_ret) / abs(avg(t.net_ret)) END, 6)
+               AS ret_cv,
+             round(quantile_cont(t.net_ret, 0.1), 6) AS p10_ret,
+             round(quantile_cont(t.net_ret, 0.9), 6) AS p90_ret,
+             round(CASE WHEN count(CASE WHEN t.net_ret < 0 THEN 1 END) > 0
+               THEN sqrt(CAST(SUM(CASE WHEN t.net_ret < 0
+                 THEN t.net_ret * t.net_ret ELSE 0 END) AS DOUBLE)
+                 / count(CASE WHEN t.net_ret < 0 THEN 1 END)) END, 6)
+               AS downside_std,
+             round(min(t.net_ret), 9) AS worst,
+             round(max(t.net_ret), 9) AS best,
+             round(CAST(count(*) AS DOUBLE) * 1000
+               / any_value(nb.n_bars), 6) AS trades_per_1000_rows
+      FROM trades t JOIN nb ON t.ticker = nb.ticker
+      GROUP BY t.ticker ORDER BY t.ticker""")) { (s, dir) =>
+      val trades = tradesDf(s, dir)
+      val sig = Signals.generate(EventGrammar.build(Indicators.twiggs(
+        MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
+      val nb = sig.groupBy("ticker").agg(count(lit(1)).as("n_bars"))
+      val neg = col("net_ret") < 0
+      trades.join(nb, Seq("ticker"))
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n_trades"),
+          round(avg("net_ret"), 9).as("mean_ret"),
+          round(Cols.safeDiv(stddev_pop(col("net_ret")),
+            abs(avg(col("net_ret")))), 6).as("ret_cv"),
+          round(percentile(col("net_ret"), lit(0.1)), 6).as("p10_ret"),
+          round(percentile(col("net_ret"), lit(0.9)), 6).as("p90_ret"),
+          round(when(Cols.countIf(neg) > 0,
+            sqrt(sum(when(neg, col("net_ret") * col("net_ret"))
+              .otherwise(0.0)).cast("double") / Cols.countIf(neg))), 6)
+            .as("downside_std"),
+          round(min("net_ret"), 9).as("worst"),
+          round(max("net_ret"), 9).as("best"),
+          round(count(lit(1)).cast("double") * 1000 / first(col("n_bars")),
+            6).as("trades_per_1000_rows"))
+        .orderBy("ticker")
+    },
+
+    // M13: robustness score — rank-normalized weighted blend over the
+    // per-symbol metric table (expectancy .4, downside .3, activity .3)
+    Q("q_bt_robustness", Some(s"""
+      WITH RECURSIVE $chain,
+      m AS (
+        SELECT ticker, count(*) AS n_trades, avg(net_ret) AS expectancy,
+               coalesce(stddev_pop(CASE WHEN net_ret < 0 THEN net_ret END),
+                 0.0) AS downside
+        FROM trades GROUP BY 1),
+      r AS (
+        SELECT ticker, n_trades,
+               percent_rank() OVER (ORDER BY expectancy) AS pr_exp,
+               percent_rank() OVER (ORDER BY downside DESC) AS pr_down,
+               percent_rank() OVER (ORDER BY n_trades) AS pr_act
+        FROM m)
+      SELECT ticker, n_trades,
+             round(greatest(least(100 * (0.4 * pr_exp + 0.3 * pr_down
+               + 0.3 * pr_act), 100.0), 0.0), 6) AS robustness
+      FROM r ORDER BY ticker""")) { (s, dir) =>
+      val m = tradesDf(s, dir).groupBy("ticker")
+        .agg(count(lit(1)).as("n_trades"),
+          avg("net_ret").as("expectancy"),
+          coalesce(stddev_pop(when(col("net_ret") < 0, col("net_ret"))),
+            lit(0.0)).as("downside"))
+      val r = m
+        .withColumn("pr_exp",
+          percent_rank().over(Window.orderBy("expectancy")))
+        .withColumn("pr_down",
+          percent_rank().over(Window.orderBy(col("downside").desc)))
+        .withColumn("pr_act",
+          percent_rank().over(Window.orderBy("n_trades")))
+      r.select(col("ticker"), col("n_trades"),
+          round(Cols.clip(lit(100) * (lit(0.4) * col("pr_exp")
+            + lit(0.3) * col("pr_down") + lit(0.3) * col("pr_act")),
+            0.0, 100.0), 6).as("robustness"))
+        .orderBy("ticker")
+    },
+
+    // Symbol master rollup (ref: src/mf_etl/bronze/symbol_master.py)
+    Q("q_symbol_master", Some(s"""
+      WITH ${MarketData.barsSql}
+      SELECT ticker, count(*) AS n_bars,
+             min(bar_ts) AS first_ts, max(bar_ts) AS max_ts,
+             round(CAST(SUM(CAST(close AS DECIMAL(18,2))) AS DOUBLE)
+               / count(close), 9) AS avg_close,
+             round(min(close), 9) AS min_close,
+             round(max(close), 9) AS max_close,
+             CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_volume
+      FROM bars GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      MarketData.barsFromEvents(t(s, dir, "events"))
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("n_bars"),
+          min("bar_ts").as("first_ts"), max("bar_ts").as("max_ts"),
+          round(Cols.moneyAvg(col("close")), 9).as("avg_close"),
+          round(min("close"), 9).as("min_close"),
+          round(max("close"), 9).as("max_close"),
+          Cols.moneySum(col("volume")).as("total_volume"))
+        .orderBy("ticker")
+    },
+
+    // Sensitivity grid: driver loop over combos (rows-only — each combo
+    // re-runs the typed simulator; caps mirror the reference's 500)
+    Q("q_bt_grid", None) { (s, dir) =>
+      val gram = EventGrammar.build(Indicators.twiggs(
+        MarketData.barsFromEvents(t(s, dir, "events")))).cache()
+      val cs = Grid.combos(Seq("state_entry", "state_transition_entry"),
+        Seq(1, 2), Seq(5, 10), Seq(5.0))
+      Grid.run(gram, cs)
+        .select(col("mode"), col("confirm_bars"), col("hold_bars"),
+          col("fee_bps"), col("n_trades"), col("win_rate"),
+          col("expectancy"), col("profit_factor"))
+        .orderBy("mode", "confirm_bars", "hold_bars")
+    }
+  )
+}

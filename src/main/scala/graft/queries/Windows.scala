@@ -273,6 +273,35 @@ object Windows extends QueryModule {
         .orderBy("user_id")
     },
 
+    // W18: rolling mode with most-recent tiebreak (state display smoothing)
+    Q("q_w_rolling_mode", Some(s"""
+      WITH $base,
+      coded AS (
+        SELECT *, CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+          WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS tc
+        FROM base),
+      rolled AS (
+        SELECT user_id, event_id, rn,
+               list(tc) OVER (PARTITION BY user_id ORDER BY eus, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+        FROM coded)
+      SELECT user_id, event_id, rn,
+             list_aggregate(list_transform(list_distinct(vals), v ->
+               {'cnt': len(list_filter(vals, x -> x = v)),
+                'npos': -list_position(list_reverse(vals), v),
+                'v': v}), 'max').v AS mode_7
+      FROM rolled ORDER BY user_id, rn""")) { (s, dir) =>
+      import graft.ops.Wins
+      val b = sparkBase(s, dir).withColumn("tc",
+        when(col("event_type") === "click", 1)
+          .when(col("event_type") === "error", 2)
+          .when(col("event_type") === "purchase", 3)
+          .when(col("event_type") === "signup", 4).otherwise(5))
+      b.select(col("user_id"), col("event_id"), col("rn"),
+          Wins.rollingModeRecent(col("tc"), wOrd, 7).as("mode_7"))
+        .orderBy("user_id", "rn")
+    },
+
     // W15: Wilder EMA (alpha=1/21, warmup 21) as a native Catalyst running
     // window function; oracle = recursive CTE reproducing the identical
     // recursion y_t = y_{t-1} + a*(x_t - y_{t-1}) — bit-identical arithmetic
