@@ -17,13 +17,17 @@ object BacktestQueries extends QueryModule {
   private val Confirm = 2
   private val Cfg = Engine.Config(holdBars = 10, feeBps = 5.0)
 
+  // signals stay uncached (wide frame; pruning beats reuse) — only the
+  // small trades result is stage-cached below
   private def signalsDf(s: SparkSession, dir: String): DataFrame =
     Signals.generate(
       EventGrammar.build(Indicators.twiggs(
         MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
 
   private def tradesDf(s: SparkSession, dir: String): DataFrame =
-    Engine.simulate(signalsDf(s, dir), Cfg).toDF()
+    Stage.cached(s, dir, "trades") {
+      Engine.simulate(signalsDf(s, dir), Cfg).toDF()
+    }
 
   /** Shared oracle prelude: bars → twiggs recursion → grammar → signals. */
   private def chain: String =

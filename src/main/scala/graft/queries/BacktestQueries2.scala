@@ -25,10 +25,12 @@ object BacktestQueries2 extends QueryModule {
       ${Engine.tradesSql(Cfg)}"""
 
   private def tradesDf(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Engine.simulate(
-      Signals.generate(EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm),
-      Cfg).toDF()
+    Stage.cached(s, dir, "trades") {
+      Engine.simulate(
+        Signals.generate(EventGrammar.build(Indicators.twiggs(
+          MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm),
+        Cfg).toDF()
+    }
 
   def all: Seq[Q] = Seq(
 
@@ -143,8 +145,14 @@ object BacktestQueries2 extends QueryModule {
     // Sensitivity grid: driver loop over combos (rows-only — each combo
     // re-runs the typed simulator; caps mirror the reference's 500)
     Q("q_bt_grid", None) { (s, dir) =>
-      val gram = EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events")))).cache()
+      // slim projection cached: the 8 grid combos only need the signal
+      // machine's inputs, not the full grammar width
+      val gram = Stage.cached(s, dir, "grammar_slim") {
+        EventGrammar.build(Indicators.twiggs(
+          MarketData.barsFromEvents(t(s, dir, "events"))))
+          .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
+            "close", "flow_state_code")
+      }
       val cs = Grid.combos(Seq("state_entry", "state_transition_entry"),
         Seq(1, 2), Seq(5, 10), Seq(5.0))
       Grid.run(gram, cs)

@@ -23,7 +23,13 @@ object MlQueries extends QueryModule {
     },
 
     Q("q_gmm_clusters", None) { (s, dir) =>
-      val emb = Clustering.withFeatures(t(s, dir, "embeddings"), "embedding")
+      // MLlib GMM is full-covariance (reference: diagonal); at 64 dims the
+      // covariance estimate goes numerically asymmetric — fit on the first
+      // 16 dims (documented divergence, SURVEY §7.4)
+      val emb = Clustering.withFeatures(
+        t(s, dir, "embeddings")
+          .withColumn("embedding", slice(col("embedding"), 1, 16)),
+        "embedding")
       Clustering.gmm(emb, k = 5, maxIter = 30, seed = 42L)
         .select(col("vec_id"), col("cluster"),
           round(col("prob_max"), 6).as("prob_max"),

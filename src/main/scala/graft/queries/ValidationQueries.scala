@@ -15,6 +15,9 @@ import graft.ops.{Cols, Wins}
   */
 object ValidationQueries extends QueryModule {
 
+  // NOT stage-cached: caching the wide grammar frame defeats per-query
+  // column pruning (each consumer needs ~10 of its 60+ columns) and costs
+  // more to materialize than the pruned recompute.
   private def gramBars(s: SparkSession, dir: String): DataFrame =
     EventGrammar.build(Indicators.twiggs(
       MarketData.barsFromEvents(t(s, dir, "events"))))

@@ -84,6 +84,19 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(Clustering.adjustedRandIndex(rnd, "la", "lb")) < 0.2)
   }
 
+  test("S9: atomic JSON run-summary artifact round-trips") {
+    import graft.etl.RunArtifacts
+    val p = Files.createTempDirectory("graft-json")
+      .resolve("run_summary.json").toString
+    RunArtifacts.writeJson(p, Map(
+      "run_id" -> "r1", "rows" -> 6000L, "ok" -> true,
+      "rate" -> 0.95, "notes" -> Seq("a", "b"),
+      "nested" -> Map("k" -> 1)))
+    val txt = Files.readString(java.nio.file.Paths.get(p))
+    assert(txt.contains("\"rows\": 6000") && txt.contains("\"ok\": true"))
+    assert(txt.contains("\"nested\": {\"k\": 1}"))
+  }
+
   test("W18: rolling mode picks most frequent, most-recent tiebreak") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Wins
