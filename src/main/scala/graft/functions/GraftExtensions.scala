@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's custom expressions for SQL
+  * users (`spark.sql("... wilder_ema(x, 0.05, 21) OVER (...)")`).
+  * Install via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("wilder_ema"),
+      new ExpressionInfo(classOf[WilderEma].getName, "wilder_ema"),
+      GraftExtensions.wilderBuilder))
+  }
+}
+
+object GraftExtensions {
+
+  private[functions] val wilderBuilder: Seq[Expression] => Expression = {
+    case Seq(c, a, m) => WilderEma(c, a, m)
+    case other => throw new IllegalArgumentException(
+      s"wilder_ema(value, alpha, min_samples) — got ${other.size} args")
+  }
+
+  /** Register into an already-built session (extensions only apply at
+    * session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftinternal.Bridge.registerFunction(
+      spark, "wilder_ema", wilderBuilder)
+}
