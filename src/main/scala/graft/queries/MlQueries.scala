@@ -12,13 +12,22 @@ import graft.ml.{Clustering, Hmm}
   */
 object MlQueries extends QueryModule {
 
+  /** KMeans fit shared between the labeling and metrics queries (the fit
+    * is the expensive part; the labeled frame is narrow). */
+  private def kmeansLabeled(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Stage.cached(s, dir, "kmeans_labeled") {
+      val emb = Clustering.withFeatures(t(s, dir, "embeddings"),
+        "embedding")
+      Clustering.kmeansBest(emb, k = 8, nInit = 3, maxIter = 20,
+        baseSeed = 42L)._1
+    }
+
   def all: Seq[Q] = Seq(
 
     Q("q_kmeans_clusters", None) { (s, dir) =>
-      val emb = Clustering.withFeatures(t(s, dir, "embeddings"), "embedding")
-      val (labeled, _) = Clustering.kmeansBest(emb, k = 8, nInit = 3,
-        maxIter = 20, baseSeed = 42L)
-      labeled.select(col("vec_id"), col("label"), col("cluster"))
+      MlQueries.kmeansLabeled(s, dir)
+        .select(col("vec_id"), col("label"), col("cluster"))
         .orderBy("vec_id")
     },
 
@@ -40,13 +49,10 @@ object MlQueries extends QueryModule {
     Q("q_cluster_metrics", None) { (s, dir) =>
       val spark = s
       import spark.implicits._
-      val emb = Clustering.withFeatures(t(s, dir, "embeddings"), "embedding")
-      val (labeled, cost) = Clustering.kmeansBest(emb, k = 8, nInit = 2,
-        maxIter = 20, baseSeed = 42L)
+      val labeled = MlQueries.kmeansLabeled(s, dir)
       val sil = Clustering.silhouette(labeled, sampleMax = 200000)
       val db = Clustering.daviesBouldin(labeled)
-      Seq((cost, sil, db)).toDF("kmeans_cost", "silhouette",
-        "davies_bouldin")
+      Seq((sil, db)).toDF("silhouette", "davies_bouldin")
     },
 
     Q("q_hmm_decode", None) { (s, dir) =>
