@@ -142,6 +142,19 @@ object BacktestQueries2 extends QueryModule {
         .orderBy("ticker")
     },
 
+    // Walk-forward: rolling test windows over the causal state frame
+    Q("q_bt_walk_forward", None) { (s, dir) =>
+      import graft.backtest.WalkForward
+      val sig = Signals.generate(EventGrammar.build(Indicators.twiggs(
+        MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
+      val bounds = sig.agg(min("bar_ts"), max("bar_ts")).head
+      val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
+      WalkForward.run(sig, ss, Cfg)
+        .select(col("split_idx"), col("test_start_ts"), col("test_end_ts"),
+          col("n_trades"), col("win_rate"), col("expectancy"))
+        .orderBy("split_idx")
+    },
+
     // Sensitivity grid: driver loop over combos (rows-only — each combo
     // re-runs the typed simulator; caps mirror the reference's 500)
     Q("q_bt_grid", None) { (s, dir) =>
