@@ -31,18 +31,24 @@ object MlQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // Diagonal-covariance GMM — the reference's covariance_type=diag
+    // semantics (custom EM; MLlib is full-covariance only and goes
+    // numerically asymmetric at 64 dims)
     Q("q_gmm_clusters", None) { (s, dir) =>
-      // MLlib GMM is full-covariance (reference: diagonal); at 64 dims the
-      // covariance estimate goes numerically asymmetric — fit on the first
-      // 16 dims (documented divergence, SURVEY §7.4)
-      val emb = Clustering.withFeatures(
-        t(s, dir, "embeddings")
-          .withColumn("embedding", slice(col("embedding"), 1, 16)),
-        "embedding")
-      Clustering.gmm(emb, k = 5, maxIter = 30, seed = 42L)
-        .select(col("vec_id"), col("cluster"),
+      val spark = s
+      import spark.implicits._
+      val in = t(s, dir, "embeddings").select(
+        col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("features"))
+      val data = in.as[(Long, Array[Double])].collect().sortBy(_._1)
+        .map(_._2)
+      val (model, ll) = graft.ml.DiagGmm.fit(data, k = 5, nIter = 60)
+      graft.ml.DiagGmm.transform(in, model)
+        .select(col("id").as("vec_id"), col("cluster"),
           round(col("prob_max"), 6).as("prob_max"),
           round(col("entropy"), 6).as("entropy"))
+        .withColumn("bic", round(lit(
+          graft.ml.DiagGmm.bic(ll, 5, model.d, data.length)), 3))
         .orderBy("vec_id")
     },
 
