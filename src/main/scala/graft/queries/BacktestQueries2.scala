@@ -145,8 +145,13 @@ object BacktestQueries2 extends QueryModule {
     // Walk-forward: rolling test windows over the causal state frame
     Q("q_bt_walk_forward", None) { (s, dir) =>
       import graft.backtest.WalkForward
-      val sig = Signals.generate(EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
+      // slim cached projection: 4 split sims share one chain computation
+      val sig = Stage.cached(s, dir, "signals_slim") {
+        Signals.generate(EventGrammar.build(Indicators.twiggs(
+          MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
+          .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
+            "close", "flow_state_code", "entry_signal", "signal_side")
+      }
       val bounds = sig.agg(min("bar_ts"), max("bar_ts")).head
       val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
       WalkForward.run(sig, ss, Cfg)
