@@ -354,6 +354,70 @@ object Relational extends QueryModule {
       a.unionByName(b, allowMissingColumns = true).orderBy("k")
     },
 
+    // Multi-way join + agg + top-k (TPC-H Q3 shape): shipping priority
+    Q("q_ship_priority", Some("""
+      SELECT l.l_orderkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+             CAST(o.o_orderdate AS DATE) AS order_date
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 3 ORDER BY revenue DESC, l_orderkey LIMIT 20""")) {
+      (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate"))
+          .as("order_date"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
+    // 5-way star join (TPC-H Q5 shape): revenue by nation via supplier
+    Q("q_nation_volume", Some("""
+      SELECT n.n_name,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_items
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
     // A14: rank-to-[0,1] + dense rank over a small aggregate table
     // (ref: src/mf_etl/backtest/sensitivity_aggregate.py:21-64)
     Q("q_rank_norm", Some("""
