@@ -1,19 +1,24 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gaussian HMM with diagonal covariance — custom implementation (MLlib
-  * has no HMM): Baum-Welch EM fit + Viterbi decode
+  * has no HMM): Baum-Welch EM fit + Viterbi decode + posterior smoothing
   * (ref: src/mf_etl/research_hmm/hmm_model.py:31-104,
   * src/mf_etl/research_hmm/decode.py:146-156,
   * src/mf_etl/research_hmm/sequence_builder.py:33-110).
   *
-  * Scale design: the model is tiny (k states × d features); sequences are
-  * per-ticker and bounded, so FIT collects capped per-ticker sequences to
-  * the driver (exactly like the reference's in-memory hmmlearn fit), while
-  * DECODE runs distributed — the fitted model broadcasts and each ticker's
-  * Viterbi pass is an independent `flatMapGroups` task.
+  * Scale design: the model is tiny (k states × d features); the FIT input
+  * is a bounded, deterministically-capped sample assembled distributedly
+  * (per-key row cap + min-length filter + global points budget — all
+  * enforced BEFORE anything reaches the driver, so driver memory is
+  * O(points budget · d) no matter how large the input is). DECODE runs
+  * fully distributed — the fitted model broadcasts and each key's Viterbi
+  * pass is an independent `flatMapGroups` task. This mirrors the
+  * reference's contract (in-memory hmmlearn fit over filtered sequences,
+  * decode over everything) while staying safe at cluster scale.
   */
 object Hmm {
 
@@ -21,12 +26,21 @@ object Hmm {
     logA: Array[Array[Double]], means: Array[Array[Double]],
     vars: Array[Array[Double]]) extends Serializable
 
+  /** Fit diagnostics alongside the model (ref hmm_model.py:79-95). */
+  case class FitResult(model: Model, logLik: Double, nIterUsed: Int,
+    converged: Boolean, nObs: Long, nSeqs: Int) extends Serializable
+
   private val MinVar = 1e-6
 
   private def logSumExp(xs: Array[Double]): Double = {
-    val m = xs.max
-    if (m.isNegInfinity) Double.NegativeInfinity
-    else m + math.log(xs.map(x => math.exp(x - m)).sum)
+    var m = Double.NegativeInfinity
+    var i = 0
+    while (i < xs.length) { if (xs(i) > m) m = xs(i); i += 1 }
+    if (m.isNegInfinity) return Double.NegativeInfinity
+    var acc = 0.0
+    i = 0
+    while (i < xs.length) { acc += math.exp(xs(i) - m); i += 1 }
+    m + math.log(acc)
   }
 
   /** Diagonal-Gaussian log density of observation x under state s. */
@@ -62,55 +76,95 @@ object Hmm {
       means, Array.fill(k)(gVar.clone()))
   }
 
-  /** Baum-Welch fit over per-key sequences (driver-side, like the
-    * reference's hmmlearn call; sequences are pre-capped). */
-  def fit(seqs: Seq[Array[Array[Double]]], k: Int, nIter: Int = 50,
-      tol: Double = 1e-3): Model = {
+  /** Baum-Welch fit over per-key sequences (driver-side over the bounded
+    * sample, like the reference's hmmlearn call). Hot loops are `while`
+    * with reused scratch buffers — no per-cell allocation. */
+  def fitResult(seqs: Seq[Array[Array[Double]]], k: Int, nIter: Int = 50,
+      tol: Double = 1e-3): FitResult = {
     var m = init(k, seqs)
     var prevLl = Double.NegativeInfinity
+    var ll = Double.NegativeInfinity
     var it = 0
     var done = false
+    val buf = new Array[Double](k)
     while (it < nIter && !done) {
-      // accumulators
       val piAcc = Array.fill(k)(0.0)
       val aAcc = Array.fill(k, k)(0.0)
       val muAcc = Array.fill(k, m.d)(0.0)
       val vAcc = Array.fill(k, m.d)(0.0)
       val gSum = Array.fill(k)(0.0)
-      var ll = 0.0
+      ll = 0.0
       for (seq <- seqs if seq.nonEmpty) {
         val t = seq.length
-        val lb = Array.tabulate(t, k)((i, s) => logB(m, s, seq(i)))
+        val lb = Array.ofDim[Double](t, k)
+        var i = 0
+        while (i < t) {
+          var s = 0
+          while (s < k) { lb(i)(s) = logB(m, s, seq(i)); s += 1 }
+          i += 1
+        }
         // forward
         val alpha = Array.ofDim[Double](t, k)
-        for (s <- 0 until k) alpha(0)(s) = m.logPi(s) + lb(0)(s)
-        for (i <- 1 until t; s <- 0 until k)
-          alpha(i)(s) = logSumExp(Array.tabulate(k)(p =>
-            alpha(i - 1)(p) + m.logA(p)(s))) + lb(i)(s)
+        var s = 0
+        while (s < k) { alpha(0)(s) = m.logPi(s) + lb(0)(s); s += 1 }
+        i = 1
+        while (i < t) {
+          s = 0
+          while (s < k) {
+            var p = 0
+            while (p < k) { buf(p) = alpha(i - 1)(p) + m.logA(p)(s); p += 1 }
+            alpha(i)(s) = logSumExp(buf) + lb(i)(s)
+            s += 1
+          }
+          i += 1
+        }
         // backward
         val beta = Array.ofDim[Double](t, k)
-        for (i <- t - 2 to 0 by -1; s <- 0 until k)
-          beta(i)(s) = logSumExp(Array.tabulate(k)(q =>
-            m.logA(s)(q) + lb(i + 1)(q) + beta(i + 1)(q)))
+        i = t - 2
+        while (i >= 0) {
+          s = 0
+          while (s < k) {
+            var q = 0
+            while (q < k) {
+              buf(q) = m.logA(s)(q) + lb(i + 1)(q) + beta(i + 1)(q); q += 1
+            }
+            beta(i)(s) = logSumExp(buf)
+            s += 1
+          }
+          i -= 1
+        }
         val seqLl = logSumExp(alpha(t - 1))
         ll += seqLl
         // gamma / xi accumulation
-        for (i <- 0 until t) {
-          val g = Array.tabulate(k)(s => alpha(i)(s) + beta(i)(s) - seqLl)
-          for (s <- 0 until k) {
-            val w = math.exp(g(s))
+        i = 0
+        while (i < t) {
+          s = 0
+          while (s < k) {
+            val w = math.exp(alpha(i)(s) + beta(i)(s) - seqLl)
             if (i == 0) piAcc(s) += w
             gSum(s) += w
-            for (j <- 0 until m.d) {
-              muAcc(s)(j) += w * seq(i)(j)
-              vAcc(s)(j) += w * seq(i)(j) * seq(i)(j)
+            var j = 0
+            while (j < m.d) {
+              val x = seq(i)(j)
+              muAcc(s)(j) += w * x
+              vAcc(s)(j) += w * x * x
+              j += 1
             }
+            s += 1
           }
           if (i < t - 1) {
-            for (s <- 0 until k; q <- 0 until k)
-              aAcc(s)(q) += math.exp(alpha(i)(s) + m.logA(s)(q)
-                + lb(i + 1)(q) + beta(i + 1)(q) - seqLl)
+            s = 0
+            while (s < k) {
+              var q = 0
+              while (q < k) {
+                aAcc(s)(q) += math.exp(alpha(i)(s) + m.logA(s)(q)
+                  + lb(i + 1)(q) + beta(i + 1)(q) - seqLl)
+                q += 1
+              }
+              s += 1
+            }
           }
+          i += 1
         }
       }
       // M-step
@@ -132,8 +186,20 @@ object Hmm {
       prevLl = ll
       it += 1
     }
-    m
+    FitResult(m, ll, it, done, seqs.map(_.length.toLong).sum, seqs.size)
   }
+
+  def fit(seqs: Seq[Array[Array[Double]]], k: Int, nIter: Int = 50,
+      tol: Double = 1e-3): Model = fitResult(seqs, k, nIter, tol).model
+
+  /** Free-parameter count of a diag-covariance Gaussian HMM:
+    * (k-1) initial + k(k-1) transition + 2kd emission. */
+  def numParams(k: Int, d: Int): Int = (k - 1) + k * (k - 1) + 2 * k * d
+
+  /** BIC = -2·ll + p·ln(n) — lower is better (standard model-selection
+    * criterion for the reference's 4..8-component sweep). */
+  def bic(ll: Double, k: Int, d: Int, n: Long): Double =
+    -2.0 * ll + numParams(k, d) * math.log(n.toDouble)
 
   /** Viterbi decode of one sequence → most likely state path. */
   def viterbi(m: Model, seq: Array[Array[Double]]): Array[Int] = {
@@ -157,6 +223,36 @@ object Hmm {
     path
   }
 
+  /** Posterior state probabilities gamma(t)(s) = P(state_t = s | seq) via
+    * forward-backward (ref decode.py:146-156 `predict_proba`). */
+  def posterior(m: Model, seq: Array[Array[Double]]): Array[Array[Double]] = {
+    val t = seq.length
+    if (t == 0) return Array.empty
+    val k = m.k
+    val lb = Array.tabulate(t, k)((i, s) => logB(m, s, seq(i)))
+    val alpha = Array.ofDim[Double](t, k)
+    val beta = Array.ofDim[Double](t, k)
+    val buf = new Array[Double](k)
+    for (s <- 0 until k) alpha(0)(s) = m.logPi(s) + lb(0)(s)
+    for (i <- 1 until t; s <- 0 until k) {
+      var p = 0
+      while (p < k) { buf(p) = alpha(i - 1)(p) + m.logA(p)(s); p += 1 }
+      alpha(i)(s) = logSumExp(buf) + lb(i)(s)
+    }
+    for (i <- t - 2 to 0 by -1; s <- 0 until k) {
+      var q = 0
+      while (q < k) {
+        buf(q) = m.logA(s)(q) + lb(i + 1)(q) + beta(i + 1)(q); q += 1
+      }
+      beta(i)(s) = logSumExp(buf)
+    }
+    Array.tabulate(t) { i =>
+      val g = Array.tabulate(k)(s => alpha(i)(s) + beta(i)(s))
+      val z = logSumExp(g)
+      g.map(x => math.exp(x - z))
+    }
+  }
+
   /** Distributed decode: broadcast model, per-key ordered Viterbi.
     * Input: (key, ts, features array). Output adds `hmm_state`. */
   def decode(df: DataFrame, m: Model): DataFrame = {
@@ -175,19 +271,73 @@ object Hmm {
     }.toDF("key", "ts", "hmm_state")
   }
 
-  /** Collect per-key ordered sequences for driver-side fit (capped rows
-    * per key and minimum sequence length, like the reference). */
-  def collectSequences(df: DataFrame, minLen: Int,
-      maxPerKey: Int): Seq[Array[Array[Double]]] = {
+  /** Distributed decode with posterior confidence: Viterbi state plus
+    * posterior max-probability and entropy per row (the reference's
+    * `hmm_state_prob_max` / `hmm_state_entropy`, decode.py:120-125). */
+  def decodePosterior(df: DataFrame, m: Model): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("key").cast("string"), col("ts").cast("long"),
-        col("features").cast("array<double>"))
+    val bc = spark.sparkContext.broadcast(m)
+    val in = df.select(col("key").cast("string"), col("ts").cast("long"),
+      col("features").cast("array<double>"))
       .as[(String, Long, Array[Double])]
+    in.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val xs = rows.map(_._3)
+      val model = bc.value
+      val path = viterbi(model, xs)
+      val gam = posterior(model, xs)
+      rows.indices.iterator.map { i =>
+        val g = gam(i)
+        val pMax = g.max
+        var ent = 0.0
+        var s = 0
+        while (s < model.k) {
+          if (g(s) > 1e-300) ent -= g(s) * math.log(g(s)); s += 1
+        }
+        (k, rows(i)._2, path(i), pMax, ent)
+      }
+    }.toDF("key", "ts", "hmm_state", "prob_max", "entropy")
+  }
+
+  /** Assemble per-key ordered sequences for the driver-side fit, with ALL
+    * capping enforced distributedly BEFORE collect:
+    *   1. per-key cap — `row_number() <= maxPerKey` in (ts) order;
+    *   2. min-length filter — keys with < minLen capped rows are dropped
+    *      (ref sequence_builder.py:49-58 drops short tickers);
+    *   3. global budget — keys admitted in deterministic key order until
+    *      `maxTotalPoints` capped rows are spent (the key that crosses the
+    *      budget is kept whole, so the hard bound is
+    *      maxTotalPoints + maxPerKey — mirrors the reference bounding its
+    *      bootstrap inputs per state).
+    * Only the surviving frame is collected; sequences come back assembled
+    * per key (grouped + time-sorted on executors) in sorted-key order for
+    * run-to-run determinism. The budget window ranks only the per-key
+    * length table (#keys rows), so its single-task sort is negligible.
+    */
+  def collectSequences(df: DataFrame, minLen: Int, maxPerKey: Int,
+      maxTotalPoints: Long = 500000L): Seq[Array[Array[Double]]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col("key").cast("string"), col("ts").cast("long"),
+      col("features").cast("array<double>"))
+    val capped = typed
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("key").orderBy("ts")))
+      .where(col("rn") <= maxPerKey)
+      .drop("rn")
+    val admitted = capped.groupBy("key").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minLen)
+      .withColumn("cum", sum("n").over(Window.orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") - col("n") < maxTotalPoints)
+      .select("key")
+    capped.join(broadcast(admitted), Seq("key"))
+      .as[(String, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.toArray.sortBy(_._2).map(_._3)))
       .collect()
-      .groupBy(_._1).values
-      .map(g => g.sortBy(_._2).take(maxPerKey).map(_._3))
-      .toSeq
-      .filter(_.length >= minLen)
+      .sortBy(_._1)
+      .iterator.map(_._2).toSeq
   }
 }

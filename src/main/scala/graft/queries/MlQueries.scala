@@ -12,6 +12,18 @@ import graft.ml.{Clustering, Hmm}
   */
 object MlQueries extends QueryModule {
 
+  /** Deterministic cap on rows collected for the driver-side GMM fit
+    * (the reference caps its silhouette input at 200k; same idea). */
+  val GmmFitCap = 200000
+
+  /** Shared HMM input projection: per-user value series from `events`. */
+  private[queries] def hmmInput(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    t(s, dir, "events").select(
+      col("user_id").cast("string").as("key"),
+      expr("ts div 1000").as("ts"),
+      array(col("value")).as("features"))
+
   /** KMeans fit shared between the labeling and metrics queries (the fit
     * is the expensive part; the labeled frame is narrow). */
   private def kmeansLabeled(s: org.apache.spark.sql.SparkSession,
@@ -40,7 +52,11 @@ object MlQueries extends QueryModule {
       val in = t(s, dir, "embeddings").select(
         col("vec_id").cast("long").as("id"),
         col("embedding").cast("array<double>").as("features"))
-      val data = in.as[(Long, Array[Double])].collect().sortBy(_._1)
+      // fit input is a bounded, deterministic sample (first FitCap ids via
+      // distributed top-k) — mirrors the reference capping silhouette at
+      // 200k rows; TRANSFORM below still labels every row
+      val data = in.orderBy("id").limit(MlQueries.GmmFitCap)
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
         .map(_._2)
       val (model, ll) = graft.ml.DiagGmm.fit(data, k = 5, nIter = 60)
       graft.ml.DiagGmm.transform(in, model)
@@ -62,11 +78,12 @@ object MlQueries extends QueryModule {
     },
 
     Q("q_hmm_decode", None) { (s, dir) =>
-      val ev = t(s, dir, "events").select(
-        col("user_id").cast("string").as("key"),
-        expr("ts div 1000").as("ts"),
-        array(col("value")).as("features"))
-      val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000)
+      val ev = MlQueries.hmmInput(s, dir)
+      // fit over a distributedly-capped sample (per-key cap + global
+      // points budget enforced BEFORE collect); decode stays distributed
+      // over the full input
+      val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000,
+        maxTotalPoints = 50000L)
       val model = Hmm.fit(seqs, k = 3, nIter = 30)
       Hmm.decode(ev, model)
         .groupBy("key", "hmm_state").count()

@@ -186,8 +186,12 @@ object Windows extends QueryModule {
         FROM base
         WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)),
       islands AS (
-        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY eus, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        -- CAST: DuckDB sum(INTEGER) yields HUGEINT, which the Arrow driver
+        -- path renders as double and breaks the value hash vs Spark's bigint
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+          ORDER BY eus, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS island_id
         FROM flagged)
       SELECT user_id, event_id, rn, event_type, island_id,
              row_number() OVER (PARTITION BY user_id, island_id
@@ -217,8 +221,11 @@ object Windows extends QueryModule {
                 AND lag(x, 1) OVER w > x THEN 1 ELSE 0 END AS ph
         FROM sig
         WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id))
-      SELECT user_id, sum(up) AS n_cross_up, sum(dn) AS n_cross_down,
-             sum(pl) AS n_pivot_low, sum(ph) AS n_pivot_high
+      SELECT user_id,
+             CAST(sum(up) AS BIGINT) AS n_cross_up,
+             CAST(sum(dn) AS BIGINT) AS n_cross_down,
+             CAST(sum(pl) AS BIGINT) AS n_pivot_low,
+             CAST(sum(ph) AS BIGINT) AS n_pivot_high
       FROM ev GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
       val x = col("value") - 250.0
       val b = sparkBase(s, dir).withColumn("x", x)
