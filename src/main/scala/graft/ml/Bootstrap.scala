@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bootstrap confidence intervals
@@ -49,6 +49,257 @@ object Bootstrap {
           (floor(lit(ciLo) * nBoot) + 1).cast("int")), 9).as("ci_lo"),
         round(element_at(col("boot_means"),
           (floor(lit(ciHi) * nBoot) + 1).cast("int")), 9).as("ci_hi"))
+  }
+
+  // ---- full bootstrap battery (ref bootstrap.py:38-373) ----------------
+  //
+  // Moving-block + iid modes, mean/median/hit-rate CIs, pairwise state
+  // mean-diff CIs. Same portable-LCG index scheme as meanCi, so every
+  // draw is reproducible across engines: draw b, slot i samples index
+  // LCG(b·n+i) mod n (iid), or block j of draw b starts at
+  // LCG(b·blockCount+j) mod (n-L+1) (block mode, ref
+  // _sample_block_bootstrap). CI bounds use np.quantile's linear
+  // interpolation at positions precomputed on the driver, so Spark and
+  // the DuckDB oracle embed bit-identical constants.
+  //
+  // Divergence from the reference (documented like the r1 sampling note):
+  // the reference threads one numpy Generator through all states
+  // sequentially; we give each (state, draw) an independent deterministic
+  // LCG stream — same estimator, portable + cluster-order-independent.
+
+  /** np.quantile linear-interpolation position over a sorted length-m
+    * array: (0-based floor index, fraction). */
+  private def qpos(q: Double, m: Int): (Int, Double) = {
+    val pos = q * (m - 1)
+    val lo = math.floor(pos).toInt
+    (lo, pos - lo)
+  }
+
+  private def ciAt(sorted: Column, q: Double, m: Int): Column = {
+    val (lo, frac) = qpos(q, m)
+    if (frac == 0.0) element_at(sorted, lo + 1)
+    else element_at(sorted, lo + 1) +
+      lit(frac) * (element_at(sorted, lo + 2) - element_at(sorted, lo + 1))
+  }
+
+  private def ciAtSql(arr: String, q: Double, m: Int): String = {
+    val (lo, frac) = qpos(q, m)
+    if (frac == 0.0) s"$arr[${lo + 1}]"
+    else s"($arr[${lo + 1}] + $frac * ($arr[${lo + 2}] - $arr[${lo + 1}]))"
+  }
+
+  /** DuckDB round-at-9 with Spark's exact-decimal semantics: DuckDB's
+    * native round(x,9) multiplies by 1e9 first, and the FP drift flips
+    * values sitting within an ulp of a .5 decimal boundary (median CIs —
+    * averages of two doubles — land there often). Routing through
+    * DECIMAL(38,18) keeps the double's full shortest decimal repr (no
+    * double-rounding at an intermediate digit), so the round at 9
+    * matches Spark's BigDecimal HALF_UP; CAST back to DOUBLE for the
+    * driver's Arrow hash. */
+  private def r9Sql(e: String): String =
+    s"CAST(round(CAST(($e) AS DECIMAL(38,18)), 9) AS DOUBLE)"
+
+  /** Exact median of a pre-sorted array of n elements (np.median). */
+  private def medianOfSorted(ms: Column, n: Column): Column =
+    when(n % 2 === 1, element_at(ms, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(ms, (n / 2).cast("int"))
+        + element_at(ms, (n / 2 + 1).cast("int"))) / 2.0)
+
+  private def medianOfSortedSql(ms: String, n: String): String =
+    s"""CASE WHEN $n % 2 = 1 THEN $ms[CAST(($n + 1) // 2 AS BIGINT)]
+        ELSE ($ms[CAST($n // 2 AS BIGINT)]
+              + $ms[CAST($n // 2 + 1 AS BIGINT)]) / 2.0 END"""
+
+  private def iidDraws(vals: Column, n: Column, nBoot: Int): Column =
+    transform(sequence(lit(0), lit(nBoot - 1)), b =>
+      transform(sequence(lit(0L), n - 1), i =>
+        element_at(vals,
+          (((b.cast("long") * n + i) * A + C) % M % n + 1).cast("int"))))
+
+  private def iidDrawsSql(vals: String, n: String, nBoot: Int): String =
+    s"""list_transform(range($nBoot), b ->
+          list_transform(range($n), i ->
+            $vals[CAST(((b * $n + i) * $A + $C) % $M % $n AS BIGINT) + 1]))"""
+
+  private def blockDraws(vals: Column, n: Column, bl: Int,
+      nBoot: Int): Column = {
+    val bc = floor((n + (bl - 1)) / bl).cast("long")
+    val startsMax = n - bl + 1
+    transform(sequence(lit(0), lit(nBoot - 1)), b =>
+      slice(
+        flatten(transform(sequence(lit(0L), bc - 1), j =>
+          slice(vals,
+            (((b.cast("long") * bc + j) * A + C) % M % startsMax + 1)
+              .cast("int"),
+            lit(bl)))),
+        lit(1), n.cast("int")))
+  }
+
+  private def blockDrawsSql(vals: String, n: String, bl: Int,
+      nBoot: Int): String = {
+    val bc = s"(($n + ${bl - 1}) // $bl)"
+    val start = s"CAST(((b * $bc + j) * $A + $C) % $M % ($n - $bl + 1)" +
+      s" AS BIGINT)"
+    s"""list_transform(range($nBoot), b ->
+          list_slice(
+            flatten(list_transform(range($bc), j ->
+              list_slice($vals, $start + 1, $start + $bl))),
+            1, $n))"""
+  }
+
+  /** Per-group bootstrap battery: mean/median/hit-rate observed values +
+    * percentile CIs from nBoot resamples. `mode` = "iid" | "block"
+    * (moving-block of length `blockLength`, falling back to iid when the
+    * group is shorter than one block — ref _sample_block_bootstrap).
+    * `ordCols` fixes the in-group order (time order, so block resampling
+    * preserves serial correlation). */
+  def statsCi(df: DataFrame, key: String, valueCol: String,
+      ordCols: Seq[String], nBoot: Int, mode: String = "iid",
+      blockLength: Int = 10, ciLo: Double = 0.025,
+      ciHi: Double = 0.975): DataFrame = {
+    val ordered = transform(
+      sort_array(collect_list(struct(
+        (ordCols.map(col) :+ col(valueCol).as("v")): _*))),
+      x => x.getField("v"))
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(key)
+      .agg(ordered.as("vals"), count(col(valueCol)).as("n"))
+    val n = col("n")
+    val draws =
+      if (mode == "block" && blockLength > 1)
+        when(n > blockLength, blockDraws(col("vals"), n, blockLength, nBoot))
+          .otherwise(iidDraws(col("vals"), n, nBoot))
+      else iidDraws(col("vals"), n, nBoot)
+    def meanOf(x: Column) =
+      aggregate(x, lit(0.0), (acc, e) => acc + e, acc => acc / n)
+    def hitOf(x: Column) =
+      aggregate(x, lit(0.0),
+        (acc, e) => acc + when(e > 0, 1.0).otherwise(0.0), acc => acc / n)
+    def medOf(x: Column) = medianOfSorted(array_sort(x), n)
+    grouped
+      .withColumn("rs", draws)
+      .withColumn("mean_d", sort_array(transform(col("rs"), meanOf(_))))
+      .withColumn("med_d", sort_array(transform(col("rs"), medOf(_))))
+      .withColumn("hit_d", sort_array(transform(col("rs"), hitOf(_))))
+      .select(col(key), n,
+        round(meanOf(col("vals")), 9).as("mean_obs"),
+        round(ciAt(col("mean_d"), ciLo, nBoot), 9).as("mean_ci_lo"),
+        round(ciAt(col("mean_d"), ciHi, nBoot), 9).as("mean_ci_hi"),
+        round(medOf(col("vals")), 9).as("median_obs"),
+        round(ciAt(col("med_d"), ciLo, nBoot), 9).as("median_ci_lo"),
+        round(ciAt(col("med_d"), ciHi, nBoot), 9).as("median_ci_hi"),
+        round(hitOf(col("vals")), 9).as("hit_rate_obs"),
+        round(ciAt(col("hit_d"), ciLo, nBoot), 9).as("hit_rate_ci_lo"),
+        round(ciAt(col("hit_d"), ciHi, nBoot), 9).as("hit_rate_ci_hi"))
+  }
+
+  /** SQL mirror of statsCi over a relation `bv(key, ord…, v)` → CTE
+    * `bstats`. `ord` is the ORDER BY column list fixing in-group order. */
+  def sqlStats(key: String, ord: String, nBoot: Int,
+      mode: String = "iid", blockLength: Int = 10, ciLo: Double = 0.025,
+      ciHi: Double = 0.975): String = {
+    val draws =
+      if (mode == "block" && blockLength > 1)
+        s"""CASE WHEN n > $blockLength
+            THEN ${blockDrawsSql("vals", "n", blockLength, nBoot)}
+            ELSE ${iidDrawsSql("vals", "n", nBoot)} END"""
+      else iidDrawsSql("vals", "n", nBoot)
+    val meanL = "r -> list_aggregate(r, 'sum') / n"
+    val hitL = """r -> list_aggregate(list_transform(r, e ->
+        CASE WHEN e > 0 THEN 1.0 ELSE 0.0 END), 'sum') / n"""
+    val medL = s"r -> ${medianOfSortedSql("list_sort(r)", "n")}"
+    s"""
+      bsorted AS (
+        SELECT $key, list(v ORDER BY $ord) AS vals, count(v) AS n
+        FROM bv GROUP BY 1),
+      bres AS (
+        SELECT $key, n, vals, $draws AS rs FROM bsorted),
+      bdist AS (
+        SELECT $key, n, vals,
+               list_sort(list_transform(rs, $meanL)) AS mean_d,
+               list_sort(list_transform(rs, $medL)) AS med_d,
+               list_sort(list_transform(rs, $hitL)) AS hit_d
+        FROM bres),
+      bstats AS (
+        SELECT $key, n,
+               ${r9Sql("list_aggregate(vals, 'sum') / n")} AS mean_obs,
+               ${r9Sql(ciAtSql("mean_d", ciLo, nBoot))} AS mean_ci_lo,
+               ${r9Sql(ciAtSql("mean_d", ciHi, nBoot))} AS mean_ci_hi,
+               ${r9Sql(medianOfSortedSql("list_sort(vals)", "n"))}
+                 AS median_obs,
+               ${r9Sql(ciAtSql("med_d", ciLo, nBoot))} AS median_ci_lo,
+               ${r9Sql(ciAtSql("med_d", ciHi, nBoot))} AS median_ci_hi,
+               ${r9Sql("""list_aggregate(list_transform(vals, e ->
+                 CASE WHEN e > 0 THEN 1.0 ELSE 0.0 END), 'sum') / n""")}
+                 AS hit_rate_obs,
+               ${r9Sql(ciAtSql("hit_d", ciLo, nBoot))} AS hit_rate_ci_lo,
+               ${r9Sql(ciAtSql("hit_d", ciHi, nBoot))} AS hit_rate_ci_hi
+        FROM bdist)"""
+  }
+
+  /** Pairwise state mean-difference CIs (ref bootstrap.py:316-345):
+    * per-state iid bootstrap mean distributions, draws paired by index
+    * across states, percentile CI of the difference + sign consistency. */
+  def pairwiseDiffCi(df: DataFrame, key: String, valueCol: String,
+      nBoot: Int, ciLo: Double = 0.025, ciHi: Double = 0.975): DataFrame = {
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(key)
+      .agg(sort_array(collect_list(col(valueCol))).as("vals"),
+        count(col(valueCol)).as("n"))
+    def meanOf(x: Column, n: Column) =
+      aggregate(x, lit(0.0), (acc, e) => acc + e, acc => acc / n)
+    val withDist = grouped.select(col(key), col("n"),
+      transform(iidDraws(col("vals"), col("n"), nBoot),
+        r => meanOf(r, col("n"))).as("dist"))
+    val a = withDist.select(col(key).as("state_a"), col("n").as("n_a"),
+      col("dist").as("dist_a"))
+    val b = withDist.select(col(key).as("state_b"), col("n").as("n_b"),
+      col("dist").as("dist_b"))
+    val diff = zip_with(col("dist_a"), col("dist_b"), (x, y) => x - y)
+    val diffLo = round(ciAt(col("sd"), ciLo, nBoot), 9)
+    val diffHi = round(ciAt(col("sd"), ciHi, nBoot), 9)
+    a.join(b, col("state_a") < col("state_b"))
+      .withColumn("diff", diff)
+      .withColumn("sd", sort_array(col("diff")))
+      .select(col("state_a"), col("state_b"), col("n_a"), col("n_b"),
+        round(aggregate(col("diff"), lit(0.0), (acc, e) => acc + e,
+          acc => acc / nBoot), 9).as("diff_mean_obs"),
+        diffLo.as("diff_ci_lo"),
+        diffHi.as("diff_ci_hi"),
+        (diffLo > 0 || diffHi < 0).as("diff_sign_consistent"))
+  }
+
+  /** SQL mirror of pairwiseDiffCi over `bv(key, v)` → CTE `bpair`. */
+  def sqlPairwise(key: String, nBoot: Int, ciLo: Double = 0.025,
+      ciHi: Double = 0.975): String = {
+    val lo = ciAtSql("sd", ciLo, nBoot)
+    val hi = ciAtSql("sd", ciHi, nBoot)
+    s"""
+      psorted AS (
+        SELECT $key, list(v ORDER BY v) AS vals, count(v) AS n
+        FROM bv GROUP BY 1),
+      pdist AS (
+        SELECT $key, n,
+               list_transform(${iidDrawsSql("vals", "n", nBoot)},
+                 r -> list_aggregate(r, 'sum') / n) AS dist
+        FROM psorted),
+      pdiff AS (
+        SELECT a.$key AS state_a, b.$key AS state_b,
+               a.n AS n_a, b.n AS n_b,
+               list_transform(range($nBoot),
+                 i -> a.dist[i + 1] - b.dist[i + 1]) AS diff,
+               list_sort(list_transform(range($nBoot),
+                 i -> a.dist[i + 1] - b.dist[i + 1])) AS sd
+        FROM pdist a JOIN pdist b ON a.$key < b.$key),
+      bpair AS (
+        SELECT state_a, state_b, n_a, n_b,
+               ${r9Sql(s"list_aggregate(diff, 'sum') / $nBoot")}
+                 AS diff_mean_obs,
+               ${r9Sql(lo)} AS diff_ci_lo,
+               ${r9Sql(hi)} AS diff_ci_hi,
+               (${r9Sql(lo)} > 0 OR ${r9Sql(hi)} < 0)
+                 AS diff_sign_consistent
+        FROM pdiff)"""
   }
 
   /** SQL mirror over a (key, value) relation named `bv` → CTE `boot`. */

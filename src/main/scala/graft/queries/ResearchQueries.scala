@@ -62,6 +62,60 @@ object ResearchQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // M7 full battery: moving-block bootstrap (block_length 10) with
+    // mean/median/hit-rate CIs per flow state over fwd_ret_10
+    // (ref validation/bootstrap.py:98-125 block resampler, 232-292 stats)
+    Q("q_bootstrap_block", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      ${ForwardLabels.sql},
+      bv AS (
+        SELECT g.flow_state_code AS state, g.ticker, g.bar_ts, g.bar_id,
+               f.fwd_ret_10 AS v
+        FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)
+        WHERE f.fwd_ret_10 IS NOT NULL),
+      ${Bootstrap.sqlStats("state", "ticker, bar_ts, bar_id", nBoot = 200,
+        mode = "block", blockLength = 10)}
+      SELECT * FROM bstats ORDER BY state""")) { (s, dir) =>
+      val bars = MarketData.barsFromEvents(t(s, dir, "events"))
+      val gram = EventGrammar.build(Indicators.twiggs(bars))
+      val fwd = ForwardLabels.oracleProjection(ForwardLabels.build(bars))
+      val keys = Seq("ticker", "bar_ts", "bar_id")
+      val bv = gram.select((keys :+ "flow_state_code").map(col): _*)
+        .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
+        .filter(col("fwd_ret_10").isNotNull)
+        .withColumnRenamed("flow_state_code", "state")
+      Bootstrap.statsCi(bv, "state", "fwd_ret_10", keys, nBoot = 200,
+          mode = "block", blockLength = 10)
+        .orderBy("state")
+    },
+
+    // M7 pairwise: state-vs-state mean-difference CIs with sign
+    // consistency (ref validation/bootstrap.py:316-345)
+    Q("q_bootstrap_pairwise", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      ${ForwardLabels.sql},
+      bv AS (
+        SELECT g.flow_state_code AS state, f.fwd_ret_10 AS v
+        FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)
+        WHERE f.fwd_ret_10 IS NOT NULL),
+      ${Bootstrap.sqlPairwise("state", nBoot = 200)}
+      SELECT * FROM bpair ORDER BY state_a, state_b""")) { (s, dir) =>
+      val bars = MarketData.barsFromEvents(t(s, dir, "events"))
+      val gram = EventGrammar.build(Indicators.twiggs(bars))
+      val fwd = ForwardLabels.oracleProjection(ForwardLabels.build(bars))
+      val keys = Seq("ticker", "bar_ts", "bar_id")
+      val bv = gram.select((keys :+ "flow_state_code").map(col): _*)
+        .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
+        .filter(col("fwd_ret_10").isNotNull)
+        .withColumnRenamed("flow_state_code", "state")
+      Bootstrap.pairwiseDiffCi(bv, "state", "fwd_ret_10", nBoot = 200)
+        .orderBy("state_a", "state_b")
+    },
+
     // Profiles: forward-outcome stats per flow state (A2-A6 + J9)
     Q("q_profiles", Some(s"""
       WITH RECURSIVE ${MarketData.barsSql},
