@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ml.{Clustering, Hmm}
+import graft.etl.{EventGrammar, Indicators, MarketData}
+import graft.ops.Wins
 
 /** ML state-discovery surface (SURVEY §2.9 M2/M3/M5/M6): MLlib KMeans
   * (best-of-seeds), GaussianMixture with prob/entropy, clustering metrics
@@ -75,6 +78,143 @@ object MlQueries extends QueryModule {
       val sil = Clustering.silhouette(labeled, sampleMax = 200000)
       val db = Clustering.daviesBouldin(labeled)
       Seq((sil, db)).toDF("silhouette", "davies_bouldin")
+    },
+
+    // M6 diagnostics, transition table: counts + row-normalized
+    // probabilities over the per-ticker state sequence (ref
+    // research_hmm/diagnostics.py:29-53). Runs on the SQL-expressible
+    // grammar state code so the whole table is oracle-checkable (the
+    // same operator applies verbatim to decoded hmm_state rows).
+    Q("q_hmm_transitions", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      tr AS (
+        SELECT * FROM (
+          SELECT lag(flow_state_code) OVER (PARTITION BY ticker
+                   ORDER BY bar_ts, bar_id) AS state_prev,
+                 flow_state_code AS state
+          FROM grammar)
+        WHERE state_prev IS NOT NULL),
+      tc AS (
+        SELECT state_prev, state, count(*) AS transition_count
+        FROM tr GROUP BY 1, 2)
+      SELECT state_prev, state, transition_count,
+             round(CAST(transition_count AS DOUBLE)
+               / sum(transition_count) OVER (PARTITION BY state_prev), 9)
+               AS transition_probability
+      FROM tc ORDER BY state_prev, state""")) { (s, dir) =>
+      val gram = EventGrammar.build(Indicators.twiggs(
+        MarketData.barsFromEvents(t(s, dir, "events"))))
+      val w = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
+      val tc = gram
+        .select(lag("flow_state_code", 1).over(w).as("state_prev"),
+          col("flow_state_code").as("state"))
+        .filter(col("state_prev").isNotNull)
+        .groupBy("state_prev", "state")
+        .agg(count(lit(1)).as("transition_count"))
+      tc.withColumn("transition_probability",
+          round(col("transition_count").cast("double")
+            / sum("transition_count").over(Window.partitionBy("state_prev")),
+            9))
+        .orderBy("state_prev", "state")
+    },
+
+    // M6 diagnostics, dwell-time stats: per-state run-length distribution
+    // (ref research_hmm/diagnostics.py:66-88)
+    Q("q_hmm_dwell", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      flagged AS (
+        SELECT ticker, bar_ts, bar_id, flow_state_code,
+               CASE WHEN lag(flow_state_code) OVER wd IS NULL
+                 OR flow_state_code <> lag(flow_state_code) OVER wd
+                 THEN 1 ELSE 0 END AS chg
+        FROM grammar
+        WINDOW wd AS (PARTITION BY ticker ORDER BY bar_ts, bar_id)),
+      islands AS (
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY ticker
+          ORDER BY bar_ts, bar_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS island_id
+        FROM flagged),
+      runs AS (
+        SELECT ticker, island_id, any_value(flow_state_code) AS state,
+               count(*) AS dwell_length
+        FROM islands GROUP BY 1, 2)
+      SELECT state, count(*) AS dwell_count,
+             round(avg(dwell_length), 9) AS dwell_mean,
+             round(median(dwell_length), 9) AS dwell_median,
+             round(quantile_cont(dwell_length, 0.1), 9) AS dwell_p10,
+             round(quantile_cont(dwell_length, 0.9), 9) AS dwell_p90,
+             max(dwell_length) AS max_dwell
+      FROM runs GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val gram = EventGrammar.build(Indicators.twiggs(
+        MarketData.barsFromEvents(t(s, dir, "events"))))
+      val w = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
+      val runs = gram
+        .withColumn("island_id", Wins.runId(col("flow_state_code"), w))
+        .groupBy("ticker", "island_id")
+        .agg(first("flow_state_code").as("state"),
+          count(lit(1)).as("dwell_length"))
+      runs.groupBy("state")
+        .agg(count(lit(1)).as("dwell_count"),
+          round(avg("dwell_length"), 9).as("dwell_mean"),
+          round(median(col("dwell_length")), 9).as("dwell_median"),
+          round(percentile(col("dwell_length"), lit(0.1)), 9)
+            .as("dwell_p10"),
+          round(percentile(col("dwell_length"), lit(0.9)), 9)
+            .as("dwell_p90"),
+          max("dwell_length").as("max_dwell"))
+        .orderBy("state")
+    },
+
+    // M6 model selection: fit sweep across component counts with
+    // log-likelihood, BIC, and state-concentration diagnostics (ref
+    // research_hmm/pipeline.py:791-858 hmm-sweep; BIC is the standard
+    // criterion over the same per-k loglik). Iterative seeded fit →
+    // rows-only; semantics locked by HmmSpec.
+    Q("q_hmm_sweep", None) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val ev = MlQueries.hmmInput(s, dir)
+      val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000,
+        maxTotalPoints = 20000L)
+      val rows = (4 to 8).map { k =>
+        val fr = Hmm.fitResult(seqs, k, nIter = 30)
+        // decode stays distributed; only the k-row share table collects
+        val st = Hmm.decode(ev, fr.model)
+          .groupBy("hmm_state").count().collect()
+          .map(r => r.getAs[Long]("count"))
+        val total = st.sum.toDouble
+        val shares = st.map(_ / total)
+        (k, fr.nObs, fr.nSeqs, fr.logLik, fr.logLik / fr.nObs,
+          Hmm.bic(fr.logLik, k, fr.model.d, fr.nObs), fr.nIterUsed,
+          fr.converged, shares.max, 1.0 / shares.map(x => x * x).sum)
+      }
+      rows.toDF("n_components", "rows_fit", "sequences_fit",
+        "train_loglik", "loglik_per_obs", "bic", "n_iter_used",
+        "converged", "largest_state_share", "effective_state_count")
+        .orderBy("n_components")
+    },
+
+    // M6 posterior confidence: distributed posterior decode → per-state
+    // prob_max / entropy stats (ref diagnostics.py:96-110
+    // state_confidence_stats; decode.py predict_proba path)
+    Q("q_hmm_posterior", None) { (s, dir) =>
+      val ev = MlQueries.hmmInput(s, dir)
+      val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000,
+        maxTotalPoints = 50000L)
+      val model = Hmm.fit(seqs, k = 3, nIter = 30)
+      Hmm.decodePosterior(ev, model)
+        .groupBy("hmm_state")
+        .agg(count(lit(1)).as("n"),
+          round(avg("prob_max"), 9).as("prob_max_mean"),
+          round(max("prob_max"), 9).as("prob_max_max"),
+          round(avg("entropy"), 9).as("entropy_mean"),
+          round(median(col("entropy")), 9).as("entropy_median"))
+        .orderBy("hmm_state")
     },
 
     Q("q_hmm_decode", None) { (s, dir) =>

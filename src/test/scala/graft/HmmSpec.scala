@@ -45,6 +45,51 @@ class HmmSpec extends SparkSpec {
       s"means ${ms.toSeq}")
   }
 
+  test("posterior rows are distributions and match viterbi on easy data") {
+    val (obs, _) = synthSeq(200, 3)
+    val model = Hmm.fit(Seq(obs), k = 2, nIter = 40)
+    val gam = Hmm.posterior(model, obs)
+    assert(gam.length == 200)
+    gam.foreach { g =>
+      assert(math.abs(g.sum - 1.0) < 1e-9, s"posterior sums to ${g.sum}")
+      assert(g.forall(p => p >= 0 && p <= 1))
+    }
+    val path = Hmm.viterbi(model, obs)
+    val agree = gam.map(_.zipWithIndex.maxBy(_._1)._2).zip(path)
+      .count { case (a, b) => a == b }.toDouble / 200
+    assert(agree > 0.9, s"posterior argmax vs viterbi agreement $agree")
+  }
+
+  test("fitResult reports loglik/iterations; BIC penalizes parameters") {
+    val data = (0 until 5).map(s => synthSeq(150, s + 1))
+    val fr = Hmm.fitResult(data.map(_._1), k = 2, nIter = 40)
+    assert(fr.nObs == 750 && fr.nSeqs == 5)
+    assert(fr.logLik.isFinite && fr.nIterUsed > 0)
+    // (k-1) + k(k-1) + 2kd
+    assert(Hmm.numParams(2, 1) == 7)
+    assert(Hmm.numParams(3, 2) == 20)
+    // same loglik, more params -> larger (worse) BIC
+    assert(Hmm.bic(fr.logLik, 3, 1, fr.nObs)
+      > Hmm.bic(fr.logLik, 2, 1, fr.nObs))
+  }
+
+  test("decodePosterior emits valid confidence columns") {
+    val s = spark
+    import s.implicits._
+    val (obs, _) = synthSeq(100, 9)
+    val rows = obs.zipWithIndex.map { case (x, i) => ("k1", i.toLong, x) }
+    val df = rows.toSeq.toDF("key", "ts", "features")
+    val model = Hmm.fit(Seq(obs), k = 2, nIter = 20)
+    val out = Hmm.decodePosterior(df, model).collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val pMax = r.getAs[Double]("prob_max")
+      val ent = r.getAs[Double]("entropy")
+      assert(pMax > 0 && pMax <= 1.0 + 1e-12)
+      assert(ent >= -1e-12 && ent <= math.log(2) + 1e-9)
+    }
+  }
+
   test("distributed decode matches local viterbi per key") {
     val s = spark
     import s.implicits._
