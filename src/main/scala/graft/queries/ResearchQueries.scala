@@ -194,6 +194,143 @@ object ResearchQueries extends QueryModule {
         .orderBy("state")
     },
 
+    // M8 transition-matrix stability: overlapping day windows (length 7,
+    // step 2) → per-window transition matrix vs the global matrix →
+    // Frobenius distance over the union of (prev,next) keys
+    // (ref validation/stability.py:72-111 transition matrices + Frobenius,
+    // 278-300 per-window loop)
+    Q("q_stability_tm", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      sbase AS (
+        SELECT ticker, bar_ts, bar_id, flow_state_code AS state,
+               CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(to_timestamp(bar_ts / 1000000) AS DATE)) AS INT)
+                 AS day
+        FROM grammar),
+      sbounds AS (SELECT min(day) AS min_day, max(day) AS max_day
+                  FROM sbase),
+      swin AS (
+        SELECT CAST(unnest(range(0, (max_day - min_day) // 2 + 1)) AS INT)
+                 AS window_seq,
+               min_day
+        FROM sbounds),
+      swin2 AS (
+        SELECT window_seq,
+               min_day + window_seq * 2 AS start_day,
+               min_day + window_seq * 2 + 6 AS end_day
+        FROM swin),
+      wrows AS (
+        SELECT w.window_seq, w.start_day, w.end_day,
+               b.ticker, b.bar_ts, b.bar_id, b.state
+        FROM swin2 w JOIN sbase b ON b.day BETWEEN w.start_day
+          AND w.end_day),
+      ltr AS (
+        SELECT * FROM (
+          SELECT window_seq,
+                 lag(state) OVER (PARTITION BY window_seq, ticker
+                   ORDER BY bar_ts, bar_id) AS sp,
+                 state AS sc
+          FROM wrows) WHERE sp IS NOT NULL),
+      lmat AS (
+        SELECT window_seq, sp, sc, count(*) AS cnt
+        FROM ltr GROUP BY 1, 2, 3),
+      lnorm AS (
+        SELECT *, CAST(cnt AS DOUBLE)
+          / sum(cnt) OVER (PARTITION BY window_seq, sp) AS lprob
+        FROM lmat),
+      lcnt AS (
+        SELECT window_seq, CAST(sum(cnt) AS BIGINT) AS transition_count
+        FROM lmat GROUP BY 1),
+      gtr AS (
+        SELECT * FROM (
+          SELECT lag(state) OVER (PARTITION BY ticker
+                   ORDER BY bar_ts, bar_id) AS sp,
+                 state AS sc
+          FROM sbase) WHERE sp IS NOT NULL),
+      gmat AS (
+        SELECT sp, sc, CAST(count(*) AS DOUBLE)
+          / sum(count(*)) OVER (PARTITION BY sp) AS gprob
+        FROM gtr GROUP BY 1, 2),
+      wkeys AS (SELECT DISTINCT window_seq, start_day, end_day FROM wrows),
+      gw AS (
+        SELECT w.window_seq, g.sp, g.sc, g.gprob
+        FROM wkeys w CROSS JOIN gmat g),
+      fj AS (
+        SELECT coalesce(gw.window_seq, l.window_seq) AS window_seq,
+               coalesce(gw.gprob, 0.0) AS g, coalesce(l.lprob, 0.0) AS l
+        FROM gw FULL JOIN lnorm l
+          ON gw.window_seq = l.window_seq AND gw.sp = l.sp
+            AND gw.sc = l.sc),
+      sfrob AS (
+        SELECT window_seq,
+               round(sqrt(sum((g - l) * (g - l))), 9)
+                 AS frobenius_distance
+        FROM fj GROUP BY 1)
+      SELECT w.window_seq, w.start_day, w.end_day,
+             coalesce(c.transition_count, 0) AS transition_count,
+             f.frobenius_distance
+      FROM wkeys w
+      LEFT JOIN lcnt c USING (window_seq)
+      JOIN sfrob f USING (window_seq)
+      ORDER BY w.window_seq""")) { (s, dir) =>
+      val gram = EventGrammar.build(Indicators.twiggs(
+        MarketData.barsFromEvents(t(s, dir, "events"))))
+      val base = gram.select(col("ticker"), col("bar_ts"), col("bar_id"),
+        col("flow_state_code").as("state"),
+        datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
+          lit("2024-01-01").cast("date")).as("day"))
+      val windows = base
+        .agg(min("day").as("min_day"), max("day").as("max_day"))
+        .select(explode(sequence(lit(0),
+          ((col("max_day") - col("min_day")) / 2).cast("int")))
+          .as("window_seq"), col("min_day"))
+        .select(col("window_seq"),
+          (col("min_day") + col("window_seq") * 2).as("start_day"))
+        .withColumn("end_day", col("start_day") + 6)
+      val wrows = base.join(broadcast(windows),
+        col("day").between(col("start_day"), col("end_day")))
+      val wW = Window.partitionBy("window_seq", "ticker")
+        .orderBy("bar_ts", "bar_id")
+      val lmat = wrows
+        .select(col("window_seq"), lag("state", 1).over(wW).as("sp"),
+          col("state").as("sc"))
+        .filter(col("sp").isNotNull)
+        .groupBy("window_seq", "sp", "sc").agg(count(lit(1)).as("cnt"))
+      val lnorm = lmat.withColumn("lprob", col("cnt").cast("double")
+        / sum("cnt").over(Window.partitionBy("window_seq", "sp")))
+      val lcnt = lmat.groupBy("window_seq")
+        .agg(sum("cnt").as("transition_count"))
+      val gW = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
+      val gmat = base
+        .select(lag("state", 1).over(gW).as("sp"), col("state").as("sc"))
+        .filter(col("sp").isNotNull)
+        .groupBy("sp", "sc").agg(count(lit(1)).as("gcnt"))
+        .withColumn("gprob", col("gcnt").cast("double")
+          / sum("gcnt").over(Window.partitionBy("sp")))
+        .select("sp", "sc", "gprob")
+      val wkeys = wrows.select("window_seq", "start_day", "end_day")
+        .distinct()
+      val gw = wkeys.select("window_seq").crossJoin(broadcast(gmat))
+      val fj = gw.join(lnorm.select("window_seq", "sp", "sc", "lprob"),
+          Seq("window_seq", "sp", "sc"), "full_outer")
+        .select(col("window_seq"),
+          coalesce(col("gprob"), lit(0.0)).as("g"),
+          coalesce(col("lprob"), lit(0.0)).as("l"))
+      val frob = fj.groupBy("window_seq")
+        .agg(round(sqrt(sum((col("g") - col("l"))
+          * (col("g") - col("l")))), 9).as("frobenius_distance"))
+      wkeys
+        .join(lcnt, Seq("window_seq"), "left")
+        .join(frob, Seq("window_seq"))
+        .select(col("window_seq"), col("start_day"), col("end_day"),
+          coalesce(col("transition_count"), lit(0L))
+            .as("transition_count"),
+          col("frobenius_distance"))
+        .orderBy("window_seq")
+    },
+
     // M10 scorecard: sample/stability/consistency components → weighted
     // confidence 0-100 → A/B/C grade
     Q("q_scorecard", Some(s"""
