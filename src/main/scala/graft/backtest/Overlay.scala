@@ -48,21 +48,141 @@ object Overlay {
       Cols.hitRate(col("overlay_covered")).as("coverage_rate"),
       Cols.hitRate(col("policy_allowed")).as("allow_rate"))
 
-  /** Execution-realism filter: block reasons in precedence order
-    * LIQUIDITY > PRICE_FLOOR > WARMUP; `exec_allowed` + first reason. */
+  /** Execution-realism filter with full reference parity
+    * (ref execution_realism.py:208-468):
+    *  - liquidity: rolling-MEDIAN dollar volume, window=minSamples=20,
+    *    so the first 19 bars are null → liquidity fail (null fails);
+    *  - volatility: raw series = (high-low)/close (range_pct fallback;
+    *    an `atr_pct_14` input column would take precedence in the
+    *    reference), with unit AUTO-DETECT from the series' own median/
+    *    p90 — median>1 or p90>1 ⇒ the series is in percent points ⇒
+    *    divide by 100 (ref _detect_vol_unit); the threshold normalizes
+    *    the same way (input>1 ⇒ /100, ref _normalize_vol_threshold);
+    *  - warmup: cumulative bar count < warmupBars;
+    *  - price floor: close < minPrice.
+    * Reason: >1 failing filter → 'multiple_reasons', else fixed
+    * precedence price_floor > liquidity_floor > vol_cap > warmup,
+    * else 'none'. `exec_allowed` = no filter fails.
+    * The unit-detect aggregate is one tiny broadcast row — no extra
+    * shuffle of the bar frame. */
   def executionRealism(bars: DataFrame, minDollarVol: Double,
-      minPrice: Double, warmupBars: Int): DataFrame = {
+      minPrice: Double, warmupBars: Int,
+      maxVolPct: Option[Double] = None, dvWindow: Int = 20): DataFrame = {
     val w = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
-    bars
-      .withColumn("dollar_vol", col("close") * col("volume"))
+    val withCols = bars
+      .withColumn("exec_dollar_vol",
+        when(col("volume").isNotNull, col("close") * col("volume")))
       .withColumn("dv_med_20",
-        Wins.rollingMedian(col("dollar_vol"), w, 20, 1))
-      .withColumn("bars_seen_x", count(lit(1)).over(Wins.cum(w)))
+        Wins.rollingMedian(col("exec_dollar_vol"), w, dvWindow, dvWindow))
+      .withColumn("exec_history_bars", count(lit(1)).over(Wins.cum(w)))
+      .withColumn("exec_vol_raw",
+        when(col("close") > 0, (col("high") - col("low")) / col("close")))
+    val vstats = withCols.agg(
+      median(col("exec_vol_raw")).as("vmed"),
+      percentile(col("exec_vol_raw"), lit(0.9)).as("vp90"))
+    val thrDec = maxVolPct.map(v => if (v > 1.0) v / 100.0 else v)
+    val volFail = thrDec match {
+      case Some(th) =>
+        col("exec_vol_pct").isNull || col("exec_vol_pct") > th
+      case None => lit(false)
+    }
+    val nf = Seq("f_price", "f_liq", "f_vol", "f_warm")
+      .map(c => col(c).cast("int")).reduce(_ + _)
+    withCols.crossJoin(broadcast(vstats))
+      .withColumn("vol_divisor",
+        when(col("vmed") > 1.0 || col("vp90") > 1.0, 100.0).otherwise(1.0))
+      .withColumn("exec_vol_pct", col("exec_vol_raw") / col("vol_divisor"))
+      .withColumn("f_price", col("close") < minPrice)
+      .withColumn("f_liq",
+        col("dv_med_20").isNull || col("dv_med_20") < minDollarVol)
+      .withColumn("f_vol", volFail)
+      .withColumn("f_warm", col("exec_history_bars") < warmupBars)
+      .withColumn("n_fail", nf)
       .withColumn("exec_reason",
-        when(col("dv_med_20") < minDollarVol, "LIQUIDITY")
-          .when(col("close") < minPrice, "PRICE_FLOOR")
-          .when(col("bars_seen_x") < warmupBars, "WARMUP"))
-      .withColumn("exec_allowed", col("exec_reason").isNull)
-      .drop("bars_seen_x")
+        when(col("n_fail") > 1, "multiple_reasons")
+          .when(col("f_price"), "price_floor")
+          .when(col("f_liq"), "liquidity_floor")
+          .when(col("f_vol"), "vol_cap")
+          .when(col("f_warm"), "warmup")
+          .otherwise("none"))
+      .withColumn("exec_allowed", col("n_fail") === 0)
+      .drop("vmed", "vp90")
+  }
+
+  /** SQL mirror of executionRealism over CTE `bars` → CTE `exec_realism`
+    * with (ticker, bar_ts, bar_id, dv_med_20, vol_pct, exec_reason,
+    * exec_allowed). */
+  def realismSql(minDollarVol: Double, minPrice: Double, warmupBars: Int,
+      maxVolPct: Option[Double], dvWindow: Int = 20): String = {
+    val thr = maxVolPct.map(v => if (v > 1.0) v / 100.0 else v)
+    val volFail = thr.map(t => s"(vol_pct IS NULL OR vol_pct > $t)")
+      .getOrElse("false")
+    s"""
+      er0 AS (
+        SELECT ticker, bar_ts, bar_id, close,
+               CASE WHEN count(close * volume) OVER wdv >= $dvWindow
+                 THEN median(close * volume) OVER wdv END AS dv_med_20,
+               count(*) OVER wcum AS hist,
+               CASE WHEN close > 0 THEN (high - low) / close END AS vol_raw
+        FROM bars
+        WINDOW wdv AS (PARTITION BY ticker ORDER BY bar_ts, bar_id
+                 ROWS BETWEEN ${dvWindow - 1} PRECEDING AND CURRENT ROW),
+               wcum AS (PARTITION BY ticker ORDER BY bar_ts, bar_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      vstats AS (SELECT median(vol_raw) AS vmed,
+                        quantile_cont(vol_raw, 0.9) AS vp90 FROM er0),
+      er1 AS (
+        SELECT e.*, CASE WHEN s.vmed > 1.0 OR s.vp90 > 1.0
+                 THEN 100.0 ELSE 1.0 END AS vol_div
+        FROM er0 e CROSS JOIN vstats s),
+      er2 AS (
+        SELECT *, vol_raw / vol_div AS vol_pct,
+               (close < $minPrice) AS f_price,
+               (dv_med_20 IS NULL OR dv_med_20 < $minDollarVol) AS f_liq,
+               $volFail AS f_vol,
+               (hist < $warmupBars) AS f_warm
+        FROM er1),
+      er3 AS (
+        SELECT *, (CAST(f_price AS INT) + CAST(f_liq AS INT)
+               + CAST(f_vol AS INT) + CAST(f_warm AS INT)) AS nf
+        FROM er2),
+      exec_realism AS (
+        SELECT ticker, bar_ts, bar_id, dv_med_20, vol_pct,
+               CASE WHEN nf > 1 THEN 'multiple_reasons'
+                    WHEN f_price THEN 'price_floor'
+                    WHEN f_liq THEN 'liquidity_floor'
+                    WHEN f_vol THEN 'vol_cap'
+                    WHEN f_warm THEN 'warmup'
+                    ELSE 'none' END AS exec_reason,
+               nf = 0 AS exec_allowed
+        FROM er3)"""
+  }
+
+  /** Suppressed-signal reason table (ref _reason_table): all five block
+    * reasons enumerated (zero rows included), with suppressed counts and
+    * shares of suppressed / of all rows. `df` needs `entry_signal`,
+    * `exec_allowed`, `exec_reason`. */
+  def reasonTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reasons = Seq("liquidity_floor", "multiple_reasons", "price_floor",
+      "vol_cap", "warmup").toDF("reason")
+    val sup = df.filter(col("entry_signal") && !col("exec_allowed"))
+      .groupBy(col("exec_reason").as("reason"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = df.agg(count(lit(1)).as("n_rows"),
+      Cols.countIf(col("entry_signal") && !col("exec_allowed"))
+        .as("n_suppressed"))
+    reasons.join(sup, Seq("reason"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("reason"),
+        coalesce(col("cnt"), lit(0L)).as("suppressed_signal_count"),
+        round(when(col("n_suppressed") > 0,
+          coalesce(col("cnt"), lit(0L)).cast("double")
+            / col("n_suppressed")).otherwise(0.0), 9)
+          .as("suppressed_signal_share"),
+        round(coalesce(col("cnt"), lit(0L)).cast("double")
+          / col("n_rows"), 9).as("row_share_total"))
+      .orderBy("reason")
   }
 }

@@ -170,35 +170,70 @@ object ValidationQueries extends QueryModule {
       Overlay.coverageStats(ov).withColumn("n_dup_keys", lit(nDup))
     },
 
-    // Execution realism: liquidity/price/warmup gate with precedence
+    // Execution realism: price/liquidity/vol-cap/warmup gate with
+    // volume-unit auto-detect and full reason precedence
+    // (ref backtest/execution_realism.py:208-468)
     Q("q_exec_realism", Some(s"""
       WITH ${MarketData.barsSql},
-      er0 AS (
-        SELECT ticker, bar_ts, bar_id, close,
-               close * volume AS dollar_vol,
-               median(close * volume) OVER (PARTITION BY ticker
-                 ORDER BY bar_ts, bar_id
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS dv_med_20,
-               count(*) OVER (PARTITION BY ticker ORDER BY bar_ts, bar_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS bars_seen
-        FROM bars),
-      er AS (
-        SELECT ticker, bar_ts, bar_id,
-               round(dv_med_20, 6) AS dv_med_20,
-               CASE WHEN dv_med_20 < 500000 THEN 'LIQUIDITY'
-                    WHEN close < 5 THEN 'PRICE_FLOOR'
-                    WHEN bars_seen < 21 THEN 'WARMUP' END AS exec_reason
-        FROM er0)
-      SELECT ticker, bar_ts, bar_id, dv_med_20, exec_reason,
-             exec_reason IS NULL AS exec_allowed
-      FROM er ORDER BY ticker, bar_ts, bar_id""")) { (s, dir) =>
+      ${Overlay.realismSql(minDollarVol = 500000, minPrice = 5,
+        warmupBars = 21, maxVolPct = Some(8.0))}
+      SELECT ticker, bar_ts, bar_id,
+             round(dv_med_20, 6) AS dv_med_20,
+             round(vol_pct, 9) AS exec_vol_pct,
+             exec_reason, exec_allowed
+      FROM exec_realism ORDER BY ticker, bar_ts, bar_id""")) { (s, dir) =>
       Overlay.executionRealism(MarketData.barsFromEvents(t(s, dir, "events")),
-          minDollarVol = 500000, minPrice = 5, warmupBars = 21)
+          minDollarVol = 500000, minPrice = 5, warmupBars = 21,
+          maxVolPct = Some(8.0))
         .select(col("ticker"), col("bar_ts"), col("bar_id"),
           round(col("dv_med_20"), 6).as("dv_med_20"),
+          round(col("exec_vol_pct"), 9).as("exec_vol_pct"),
           col("exec_reason"), col("exec_allowed"))
         .orderBy("ticker", "bar_ts", "bar_id")
+    },
+
+    // Suppressed-signal reason distribution (ref _reason_table): entry
+    // signals killed by the realism gate, per block reason, all five
+    // reasons enumerated
+    Q("q_exec_reasons", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      ${graft.backtest.Signals.sql("state_entry", 2)},
+      ${Overlay.realismSql(minDollarVol = 500000, minPrice = 5,
+        warmupBars = 21, maxVolPct = Some(8.0))},
+      je AS (
+        SELECT s.ticker, s.entry_signal, e.exec_reason, e.exec_allowed
+        FROM signals s JOIN exec_realism e USING (ticker, bar_ts, bar_id)),
+      reasons(reason) AS (VALUES ('liquidity_floor'), ('multiple_reasons'),
+        ('price_floor'), ('vol_cap'), ('warmup')),
+      sup AS (
+        SELECT exec_reason AS reason, count(*) AS cnt
+        FROM je WHERE entry_signal AND NOT exec_allowed GROUP BY 1),
+      tot AS (
+        SELECT count(*) AS n_rows,
+               count(CASE WHEN entry_signal AND NOT exec_allowed
+                 THEN 1 END) AS n_sup
+        FROM je)
+      SELECT r.reason,
+             coalesce(s.cnt, 0) AS suppressed_signal_count,
+             round(CASE WHEN t.n_sup > 0
+               THEN CAST(coalesce(s.cnt, 0) AS DOUBLE) / t.n_sup
+               ELSE 0.0 END, 9) AS suppressed_signal_share,
+             round(CAST(coalesce(s.cnt, 0) AS DOUBLE) / t.n_rows, 9)
+               AS row_share_total
+      FROM reasons r LEFT JOIN sup s USING (reason) CROSS JOIN tot t
+      ORDER BY r.reason""")) { (s, dir) =>
+      val bars = MarketData.barsFromEvents(t(s, dir, "events"))
+      val sig = graft.backtest.Signals.generate(gramBars(s, dir),
+        "state_entry", 2)
+      val er = Overlay.executionRealism(bars, minDollarVol = 500000,
+        minPrice = 5, warmupBars = 21, maxVolPct = Some(8.0))
+      val je = sig.select(col("ticker"), col("bar_ts"), col("bar_id"),
+          col("entry_signal"))
+        .join(er.select("ticker", "bar_ts", "bar_id", "exec_reason",
+          "exec_allowed"), Seq("ticker", "bar_ts", "bar_id"))
+      Overlay.reasonTable(je)
     },
 
     // M11: hardening policy — ALLOW/WATCH/BLOCK from bootstrap CI signs
