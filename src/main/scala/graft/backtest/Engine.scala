@@ -116,8 +116,9 @@ object Engine {
   }
 
   /** Oracle SQL: the same per-bar contract as a single recursive CTE per
-    * ticker over the `signals` CTE (Signals.sql). Emits CTE `trades`. */
-  def tradesSql(cfg: Config): String = {
+    * ticker over the `src` CTE (default `signals`, Signals.sql shape).
+    * Emits CTE `trades`. */
+  def tradesSql(cfg: Config, src: String = "signals"): String = {
     val fee = cfg.feeBps / 10000.0
     s"""
       sb AS MATERIALIZED (
@@ -130,7 +131,7 @@ object Engine {
                CAST(row_number() OVER (PARTITION BY ticker
                  ORDER BY bar_ts, bar_id) AS INT) AS rn,
                CAST(count(*) OVER (PARTITION BY ticker) AS INT) AS n_bars
-        FROM signals),
+        FROM $src),
       sim AS (
         SELECT ticker, rn, n_bars, bar_ts, close,
                0 AS pos, CAST(NULL AS INT) AS entry_rn,

@@ -17,6 +17,11 @@ object BacktestQueries2 extends QueryModule {
   private val Confirm = 2
   private val Cfg = Engine.Config(holdBars = 10, feeBps = 5.0)
 
+  /** Grid combos shared by the Spark runner and the per-combo oracle. */
+  val GridCombos: Seq[Grid.Combo] =
+    Grid.combos(Seq("state_entry", "state_transition_entry"),
+      Seq(1, 2), Seq(5, 10), Seq(5.0))
+
   private def chain: String =
     s"""${MarketData.barsSql},
       ${Indicators.twiggsSql},
@@ -142,8 +147,42 @@ object BacktestQueries2 extends QueryModule {
         .orderBy("ticker")
     },
 
-    // Walk-forward: rolling test windows over the causal state frame
-    Q("q_bt_walk_forward", None) { (s, dir) =>
+    // Walk-forward: rolling test windows over the causal state frame.
+    // Oracle: one recursive-CTE sim per split over the window-filtered
+    // signal frame (split bounds derived from the data in SQL exactly
+    // like WalkForward.splits' integer arithmetic), UNION'd.
+    Q("q_bt_walk_forward", Some {
+      // shared chain hoisted to top level ONCE: DuckDB merges the window
+      // scopes of WITH RECURSIVE union branches, so the chain's WINDOW w
+      // may appear only once; branches hold just the per-split recursion
+      val splits = (0 until 4).map { i =>
+        val endExpr = if (i == 3) "hi" else s"lo + ${i + 1} * step"
+        val whereEnd =
+          if (i == 3) "wb.hi" else s"wb.lo + ${i + 1} * wb.step"
+        s"""
+        (WITH RECURSIVE
+         win AS (
+           SELECT s.* FROM signals s, wb
+           WHERE s.bar_ts > wb.lo + $i * wb.step
+             AND s.bar_ts <= $whereEnd),
+         ${Engine.tradesSql(Cfg, src = "win")},
+         ${Metrics.summarySql(Seq.empty)}
+         SELECT $i AS split_idx,
+                (SELECT lo + $i * step FROM wb) AS test_start_ts,
+                (SELECT $endExpr FROM wb) AS test_end_ts,
+                n_trades, win_rate, expectancy
+         FROM summary)"""
+      }
+      s"""WITH RECURSIVE ${MarketData.barsSql},
+         ${Indicators.twiggsSql},
+         ${EventGrammar.grammarSql},
+         ${Signals.sql(Mode, Confirm)},
+         wb AS (SELECT min(bar_ts) AS lo, max(bar_ts) AS hi,
+                       (max(bar_ts) - min(bar_ts)) // 4 AS step
+                FROM signals)
+         SELECT * FROM (${splits.mkString(" UNION ALL ")})
+         ORDER BY split_idx"""
+    }) { (s, dir) =>
       import graft.backtest.WalkForward
       // slim cached projection: 4 split sims share one chain computation
       val sig = Stage.cached(s, dir, "signals_slim") {
@@ -160,9 +199,30 @@ object BacktestQueries2 extends QueryModule {
         .orderBy("split_idx")
     },
 
-    // Sensitivity grid: driver loop over combos (rows-only — each combo
-    // re-runs the typed simulator; caps mirror the reference's 500)
-    Q("q_bt_grid", None) { (s, dir) =>
+    // Sensitivity grid: driver loop over combos (each combo re-runs the
+    // typed simulator; caps mirror the reference's 500). Oracle: one
+    // recursive-CTE sim per combo, UNION'd.
+    Q("q_bt_grid", Some {
+      // chain hoisted once (see q_bt_walk_forward note); per-combo
+      // branches carry their own signals + sim recursions
+      val per = BacktestQueries2.GridCombos.map { c =>
+        s"""
+        (WITH RECURSIVE
+         ${Signals.sql(c.mode, c.confirmBars)},
+         ${Engine.tradesSql(Engine.Config(c.holdBars, c.feeBps))},
+         ${Metrics.summarySql(Seq.empty)}
+         SELECT '${c.mode}' AS mode, ${c.confirmBars} AS confirm_bars,
+                ${c.holdBars} AS hold_bars,
+                CAST(${c.feeBps} AS DOUBLE) AS fee_bps,
+                n_trades, win_rate, expectancy, profit_factor
+         FROM summary)"""
+      }
+      s"""WITH RECURSIVE ${MarketData.barsSql},
+         ${Indicators.twiggsSql},
+         ${EventGrammar.grammarSql}
+         SELECT * FROM (${per.mkString(" UNION ALL ")})
+         ORDER BY mode, confirm_bars, hold_bars"""
+    }) { (s, dir) =>
       // slim projection cached: the 8 grid combos only need the signal
       // machine's inputs, not the full grammar width
       val gram = Stage.cached(s, dir, "grammar_slim") {
@@ -171,9 +231,7 @@ object BacktestQueries2 extends QueryModule {
           .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
             "close", "flow_state_code")
       }
-      val cs = Grid.combos(Seq("state_entry", "state_transition_entry"),
-        Seq(1, 2), Seq(5, 10), Seq(5.0))
-      Grid.run(gram, cs)
+      Grid.run(gram, BacktestQueries2.GridCombos)
         .select(col("mode"), col("confirm_bars"), col("hold_bars"),
           col("fee_bps"), col("n_trades"), col("win_rate"),
           col("expectancy"), col("profit_factor"))
