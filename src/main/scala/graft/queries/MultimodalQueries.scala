@@ -46,8 +46,17 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     },
 
-    // Batched partition-wise extraction (mapInPandas-shaped); rows-only.
-    Q("q_m_batch_features", None) { (s, dir) =>
+    // Batched partition-wise extraction (mapInPandas-shaped). The stub
+    // checksum is a deterministic byte fold, so it oracles as a character
+    // code-point fold (documents are ASCII → bytes ≡ code points).
+    Q("q_m_batch_features", Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
       Multimodal.extractFeaturesBatched(
           Multimodal.withPayload(t(s, dir, "documents")), batchSize = 64)
         .orderBy("doc_id")
