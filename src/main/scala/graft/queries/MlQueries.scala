@@ -104,8 +104,7 @@ object MlQueries extends QueryModule {
                / sum(transition_count) OVER (PARTITION BY state_prev), 9)
                AS transition_probability
       FROM tc ORDER BY state_prev, state""")) { (s, dir) =>
-      val gram = EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events"))))
+      val gram = Stage.slimGrammar(s, dir)
       val w = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
       val tc = gram
         .select(lag("flow_state_code", 1).over(w).as("state_prev"),
@@ -150,8 +149,7 @@ object MlQueries extends QueryModule {
              round(quantile_cont(dwell_length, 0.9), 9) AS dwell_p90,
              max(dwell_length) AS max_dwell
       FROM runs GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val gram = EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events"))))
+      val gram = Stage.slimGrammar(s, dir)
       val w = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
       val runs = gram
         .withColumn("island_id", Wins.runId(col("flow_state_code"), w))

@@ -78,9 +78,8 @@ object ResearchQueries extends QueryModule {
       ${Bootstrap.sqlStats("state", "ticker, bar_ts, bar_id", nBoot = 200,
         mode = "block", blockLength = 10)}
       SELECT * FROM bstats ORDER BY state""")) { (s, dir) =>
-      val bars = MarketData.barsFromEvents(t(s, dir, "events"))
-      val gram = EventGrammar.build(Indicators.twiggs(bars))
-      val fwd = ForwardLabels.oracleProjection(ForwardLabels.build(bars))
+      val gram = Stage.slimGrammar(s, dir)
+      val fwd = Stage.slimFwd(s, dir)
       val keys = Seq("ticker", "bar_ts", "bar_id")
       val bv = gram.select((keys :+ "flow_state_code").map(col): _*)
         .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
@@ -104,9 +103,8 @@ object ResearchQueries extends QueryModule {
         WHERE f.fwd_ret_10 IS NOT NULL),
       ${Bootstrap.sqlPairwise("state", nBoot = 200)}
       SELECT * FROM bpair ORDER BY state_a, state_b""")) { (s, dir) =>
-      val bars = MarketData.barsFromEvents(t(s, dir, "events"))
-      val gram = EventGrammar.build(Indicators.twiggs(bars))
-      val fwd = ForwardLabels.oracleProjection(ForwardLabels.build(bars))
+      val gram = Stage.slimGrammar(s, dir)
+      val fwd = Stage.slimFwd(s, dir)
       val keys = Seq("ticker", "bar_ts", "bar_id")
       val bv = gram.select((keys :+ "flow_state_code").map(col): _*)
         .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
@@ -133,9 +131,8 @@ object ResearchQueries extends QueryModule {
                / count(f.fwd_ret_10) AS hit_rate
       FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)
       GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val bars = MarketData.barsFromEvents(t(s, dir, "events"))
-      val gram = EventGrammar.build(Indicators.twiggs(bars))
-      val fwd = ForwardLabels.oracleProjection(ForwardLabels.build(bars))
+      val gram = Stage.slimGrammar(s, dir)
+      val fwd = Stage.slimFwd(s, dir)
       val keys = Seq("ticker", "bar_ts", "bar_id")
       gram.select((keys :+ "flow_state_code").map(col): _*)
         .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
@@ -176,8 +173,7 @@ object ResearchQueries extends QueryModule {
                THEN covar_pop(win, share) / var_pop(win) END, 9)
                AS share_slope
       FROM shares GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val gram = EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events"))))
+      val gram = Stage.slimGrammar(s, dir)
       val wins = gram.select(
         datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
           lit("2024-01-01").cast("date")).as("win"),
@@ -275,8 +271,7 @@ object ResearchQueries extends QueryModule {
       LEFT JOIN lcnt c USING (window_seq)
       JOIN sfrob f USING (window_seq)
       ORDER BY w.window_seq""")) { (s, dir) =>
-      val gram = EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events"))))
+      val gram = Stage.slimGrammar(s, dir)
       val base = gram.select(col("ticker"), col("bar_ts"), col("bar_id"),
         col("flow_state_code").as("state"),
         datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
@@ -365,8 +360,7 @@ object ResearchQueries extends QueryModule {
              CASE WHEN confidence >= 70 THEN 'A'
                   WHEN confidence >= 40 THEN 'B' ELSE 'C' END AS grade
       FROM scored ORDER BY state""")) { (s, dir) =>
-      val gram = EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events"))))
+      val gram = Stage.slimGrammar(s, dir)
       val wins = gram.select(
         datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
           lit("2024-01-01").cast("date")).as("win"),

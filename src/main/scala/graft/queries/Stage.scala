@@ -7,7 +7,15 @@ import org.apache.spark.storage.StorageLevel
   * frame): several registered queries consume the same upstream chain;
   * without this each query re-runs indicators + grammar + the simulator.
   * Mirrors the reference's staged-artifact reuse (each layer persisted
-  * once, consumed many times) — here as cached in-memory stages. */
+  * once, consumed many times) — here as cached in-memory stages.
+  *
+  * Only SLIM projections are cached: the wide grammar frame stays
+  * uncached so per-query column pruning still reaches the scan; the
+  * cached frames are a handful of narrow columns (keys + state + close),
+  * which is what every downstream consumer actually reads. `clear()` is
+  * the per-run eviction hook (called by the Verify/Bench mains) so a
+  * long-lived session doesn't accumulate persisted frames.
+  */
 object Stage {
 
   private val cache =
@@ -19,4 +27,34 @@ object Stage {
     cache.getOrElseUpdate(
       (System.identityHashCode(spark), dir, name),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and drop every cached stage (end-of-run eviction). */
+  def clear(): Unit = {
+    cache.values.foreach(_.unpersist(blocking = false))
+    cache.clear()
+  }
+
+  /** Slim grammar projection shared by the validation/research/ML
+    * harness (~12 queries): one hash exchange on ticker builds the
+    * indicators→grammar chain ONCE; consumers prune from seven narrow
+    * columns instead of re-running the chain per query. */
+  def slimGrammar(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "slim_grammar") {
+      graft.etl.EventGrammar.build(graft.etl.Indicators.twiggs(
+        graft.etl.MarketData.barsFromEvents(
+          spark.read.parquet(s"$dir/events.parquet"))))
+        .select("ticker", "bar_ts", "bar_id", "flow_state_code",
+          "flow_state_label", "tmf_event_activity_20", "close")
+    }
+
+  /** Slim forward-label projection (keys + fwd_ret_10), shared by the
+    * profile/bootstrap/hardening queries. */
+  def slimFwd(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "slim_fwd") {
+      val bars = graft.etl.MarketData.barsFromEvents(
+        spark.read.parquet(s"$dir/events.parquet"))
+      graft.etl.ForwardLabels.oracleProjection(
+          graft.etl.ForwardLabels.build(bars))
+        .select("ticker", "bar_ts", "bar_id", "fwd_ret_10")
+    }
 }

@@ -15,12 +15,10 @@ import graft.ops.{Cols, Wins}
   */
 object ValidationQueries extends QueryModule {
 
-  // NOT stage-cached: caching the wide grammar frame defeats per-query
-  // column pruning (each consumer needs ~10 of its 60+ columns) and costs
-  // more to materialize than the pruned recompute.
+  // Shared SLIM cached grammar projection (the wide frame stays uncached
+  // so pruning still works; consumers only ever read these 7 columns).
   private def gramBars(s: SparkSession, dir: String): DataFrame =
-    EventGrammar.build(Indicators.twiggs(
-      MarketData.barsFromEvents(t(s, dir, "events"))))
+    Stage.slimGrammar(s, dir)
 
   private val W = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
 
@@ -57,12 +55,10 @@ object ValidationQueries extends QueryModule {
       SELECT CAST(tc AS INT) AS tc, rel_bar, count(*) AS n,
              round(avg(rel_ret), 6) AS mean_rel_ret
       FROM path GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
-      val bars = MarketData.barsFromEvents(t(s, dir, "events"))
+      // close rides on the slim grammar frame — no bars re-join needed
       val rb = gramBars(s, dir)
         .select(col("ticker"), col("bar_ts"), col("bar_id"),
-          col("flow_state_code"))
-        .join(bars.select("ticker", "bar_ts", "bar_id", "close"),
-          Seq("ticker", "bar_ts", "bar_id"))
+          col("flow_state_code"), col("close"))
         .withColumn("rn", row_number().over(W))
       val prev = lag("flow_state_code", 1).over(W)
       val ev = rb
@@ -254,9 +250,8 @@ object ValidationQueries extends QueryModule {
                   WHEN ci_lo > 0 OR ci_hi < 0 THEN 'ALLOW'
                   ELSE 'WATCH' END AS hardening_class
       FROM boot ORDER BY state""")) { (s, dir) =>
-      val bars = MarketData.barsFromEvents(t(s, dir, "events"))
       val gram = gramBars(s, dir)
-      val fwd = ForwardLabels.oracleProjection(ForwardLabels.build(bars))
+      val fwd = Stage.slimFwd(s, dir)
       val keys = Seq("ticker", "bar_ts", "bar_id")
       val bv = gram.select((keys :+ "flow_state_code").map(col): _*)
         .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
