@@ -148,6 +148,36 @@ object Bronze {
           .otherwise("UNCHANGED"))
   }
 
+  /** Incremental selection (bronze/pipeline.py:98-117
+    * _select_files_for_processing): classified manifest sorted by
+    * source_file; a single-status filter wins over the default
+    * NEW+CHANGED incremental filter; `full` processes everything;
+    * optional head-limit after sorting (deterministic). */
+  def selectForProcessing(classified: DataFrame,
+      onlyStatus: Option[String] = None, full: Boolean = false,
+      limit: Option[Int] = None): DataFrame = {
+    val base = classified.orderBy("source_file")
+    val filtered = onlyStatus match {
+      case Some(st) => base.filter(col("manifest_status") === st)
+      case None if !full =>
+        base.filter(col("manifest_status").isin("NEW", "CHANGED"))
+      case None => base
+    }
+    limit.map(filtered.limit).getOrElse(filtered)
+  }
+
+  /** Stable-manifest promotion (ingest/manifest.py:247-262 +
+    * bronze/pipeline.py:147-151 _should_promote_manifest): the classified
+    * current manifest becomes the next stable ledger, but ONLY on
+    * complete runs — partial (limit) or filtered (only_status) or
+    * dry runs must not mark unprocessed files up-to-date. */
+  def promoteManifest(classified: DataFrame, dryRun: Boolean = false,
+      limit: Option[Int] = None,
+      onlyStatus: Option[String] = None): Option[DataFrame] =
+    if (!dryRun && limit.isEmpty && onlyStatus.isEmpty)
+      Some(classified.drop("prev_fingerprint"))
+    else None
+
   /** Partitioned bronze sink: exchange/prefix/ticker hive layout
     * (ref: bronze/writer.py:221-228) — partition pruning makes
     * single-ticker reads free. */

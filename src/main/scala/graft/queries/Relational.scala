@@ -262,6 +262,87 @@ object Relational extends QueryModule {
         .orderBy("o_orderkey")
     },
 
+    // J1 full lifecycle: classify → incremental NEW+CHANGED selection →
+    // stable-manifest promote → re-classify against the promoted ledger
+    // (all UNCHANGED on an identical second run). Previous side carries a
+    // stale duplicate per file (%7) to exercise keep-latest dedupe.
+    // (ref ingest/manifest.py:155-262, bronze/pipeline.py:98-151)
+    Q("q_manifest_promote", Some("""
+      WITH cur AS (
+        SELECT printf('f_%09d', o_orderkey) AS source_file,
+               o_totalprice AS fingerprint, 1000 AS discovered_ts
+        FROM orders),
+      prev AS (
+        SELECT printf('f_%09d', o_orderkey) AS source_file,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS fingerprint,
+               500 AS discovered_ts
+        FROM orders WHERE o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT printf('f_%09d', o_orderkey), -1.0, 100
+        FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0),
+      p1 AS (
+        SELECT source_file, fingerprint AS prev_fingerprint FROM (
+          SELECT *, row_number() OVER (PARTITION BY source_file
+            ORDER BY discovered_ts DESC) AS rn FROM prev) WHERE rn = 1),
+      c1 AS (
+        SELECT cur.*, CASE WHEN p1.prev_fingerprint IS NULL THEN 'NEW'
+                 WHEN p1.prev_fingerprint <> cur.fingerprint
+                   THEN 'CHANGED'
+                 ELSE 'UNCHANGED' END AS manifest_status
+        FROM cur LEFT JOIN p1 USING (source_file)),
+      stable AS (
+        SELECT source_file, fingerprint, discovered_ts FROM c1),
+      p2 AS (
+        SELECT source_file, fingerprint AS prev_fingerprint FROM (
+          SELECT *, row_number() OVER (PARTITION BY source_file
+            ORDER BY discovered_ts DESC) AS rn FROM stable) WHERE rn = 1),
+      c2 AS (
+        SELECT cur.*, CASE WHEN p2.prev_fingerprint IS NULL THEN 'NEW'
+                 WHEN p2.prev_fingerprint <> cur.fingerprint
+                   THEN 'CHANGED'
+                 ELSE 'UNCHANGED' END AS manifest_status
+        FROM cur LEFT JOIN p2 USING (source_file)),
+      rounds AS (
+        SELECT 1 AS round, manifest_status FROM c1
+        UNION ALL
+        SELECT 2 AS round, manifest_status FROM c2),
+      mcounts AS (
+        SELECT round, manifest_status, count(*) AS n
+        FROM rounds GROUP BY 1, 2)
+      SELECT round, manifest_status, n,
+             CAST(sum(CASE WHEN manifest_status IN ('NEW', 'CHANGED')
+               THEN n ELSE 0 END) OVER (PARTITION BY round) AS BIGINT)
+               AS n_selected
+      FROM mcounts ORDER BY round, manifest_status""")) { (s, dir) =>
+      import graft.etl.Bronze
+      val orders = t(s, dir, "orders")
+      val sf = format_string("f_%09d", col("o_orderkey"))
+      val cur = orders.select(sf.as("source_file"),
+        col("o_totalprice").as("fingerprint"),
+        lit(1000L).as("discovered_ts"))
+      val prev = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(sf.as("source_file"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("fingerprint"),
+          lit(500L).as("discovered_ts"))
+        .unionByName(orders
+          .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+          .select(sf.as("source_file"), lit(-1.0).as("fingerprint"),
+            lit(100L).as("discovered_ts")))
+      val c1 = Bronze.classifyManifest(cur, prev)
+      // complete run → the classified manifest promotes to stable
+      val stable = Bronze.promoteManifest(c1).get
+      val c2 = Bronze.classifyManifest(cur, stable)
+      val both = c1.select(lit(1).as("round"), col("manifest_status"))
+        .unionByName(c2.select(lit(2).as("round"), col("manifest_status")))
+      both.groupBy("round", "manifest_status").agg(count(lit(1)).as("n"))
+        .withColumn("n_selected",
+          sum(when(col("manifest_status").isin("NEW", "CHANGED"), col("n"))
+            .otherwise(0L)).over(Window.partitionBy("round")))
+        .orderBy("round", "manifest_status")
+    },
+
     // P4/P12/J5: dict mapping with default + when-chain classing
     // (ref: src/mf_etl/backtest/adapters.py:85-89, state_mapping.py:86-98)
     Q("q_map_default", Some("""

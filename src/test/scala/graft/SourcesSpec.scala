@@ -25,6 +25,34 @@ class SourcesSpec extends SparkSpec {
     assert(got.forall(_.getAs[String]("fingerprint").contains("|")))
   }
 
+  test("J1 lifecycle: selection filters, promote gating, rerun unchanged") {
+    val cur = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+      .toDF("source_file", "fingerprint")
+      .withColumn("discovered_ts", lit(10L))
+    // b carries a stale duplicate (ts=1) — keep-latest must pick fp 9.9
+    val prev = Seq(("a", 1.0, 5L), ("b", 9.9, 5L), ("b", 2.0, 1L))
+      .toDF("source_file", "fingerprint", "discovered_ts")
+    val c1 = Bronze.classifyManifest(cur, prev)
+    val m = c1.select("source_file", "manifest_status")
+      .as[(String, String)].collect().toMap
+    assert(m == Map("a" -> "UNCHANGED", "b" -> "CHANGED", "c" -> "NEW"))
+    assert(Bronze.selectForProcessing(c1)
+      .select("source_file").as[String].collect().toSeq == Seq("b", "c"))
+    assert(Bronze.selectForProcessing(c1, onlyStatus = Some("CHANGED"))
+      .select("source_file").as[String].collect().toSeq == Seq("b"))
+    assert(Bronze.selectForProcessing(c1, full = true, limit = Some(2))
+      .select("source_file").as[String].collect().toSet == Set("a", "b"))
+    // partial/filtered/dry runs must NOT promote
+    assert(Bronze.promoteManifest(c1, limit = Some(1)).isEmpty)
+    assert(Bronze.promoteManifest(c1, onlyStatus = Some("CHANGED")).isEmpty)
+    assert(Bronze.promoteManifest(c1, dryRun = true).isEmpty)
+    // complete run promotes; identical rerun classifies all UNCHANGED
+    val stable = Bronze.promoteManifest(c1).get
+    val c2 = Bronze.classifyManifest(cur, stable)
+    assert(c2.filter(col("manifest_status") =!= "UNCHANGED").count() == 0)
+    assert(Bronze.selectForProcessing(c2).count() == 0)
+  }
+
   test("S2: parse keeps malformed rows flagged with nulls padded") {
     val df = Seq(
       ("AAPL.US,D,20240102,000000,185.64,186.95,183.82,185.14,52164500,0"),
