@@ -326,6 +326,659 @@ object ResearchQueries extends QueryModule {
         .orderBy("window_seq")
     },
 
+    // M10 full-fidelity scorecard (ref validation/scorecards.py:28-232):
+    // bootstrap mean/hit CIs + CI-WIDTH component + pairwise-separation
+    // share + rolling-stability sign consistency & CVs → weighted
+    // confidence (sample .2, ci_width .25, sign .2, stability .25,
+    // separation .1) + notes, sorted by confidence desc
+    Q("q_scorecard_full", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      ${ForwardLabels.sql},
+      bv AS (
+        SELECT g.flow_state_code AS state, g.ticker, g.bar_ts, g.bar_id,
+               f.fwd_ret_10 AS v
+        FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)
+        WHERE f.fwd_ret_10 IS NOT NULL),
+      ${Bootstrap.sqlStats("state", "ticker, bar_ts, bar_id", nBoot = 200)},
+      ${Bootstrap.sqlPairwise("state", nBoot = 200)},
+      psh AS (
+        SELECT state,
+               avg(CASE WHEN sig THEN 1.0 ELSE 0.0 END) AS separation_share
+        FROM (SELECT state_a AS state, diff_sign_consistent AS sig
+              FROM bpair
+              UNION ALL
+              SELECT state_b AS state, diff_sign_consistent AS sig
+              FROM bpair)
+        GROUP BY 1),
+      swins AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(to_timestamp(g.bar_ts / 1000000) AS DATE)) AS INT)
+                 AS win,
+               g.flow_state_code AS state, f.fwd_ret_10 AS v
+        FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)),
+      sws AS (SELECT win, state, count(*) AS wn, avg(v) AS mret
+              FROM swins GROUP BY 1, 2),
+      sshare AS (
+        SELECT *, CAST(wn AS DOUBLE) / sum(wn) OVER (PARTITION BY win)
+          AS share
+        FROM sws),
+      sstab AS (
+        SELECT state,
+               avg(CASE WHEN mret > 0 THEN 1.0
+                        WHEN mret IS NOT NULL THEN 0.0 END)
+                 AS sign_stability,
+               stddev_pop(mret) / (abs(avg(mret)) + 1e-12) AS ret_mean_cv,
+               avg(share) AS state_share_mean,
+               stddev_pop(share) / (abs(avg(share)) + 1e-12) AS share_cv
+        FROM sshare GROUP BY 1),
+      nref AS (SELECT greatest(1.0, floor(quantile_cont(n, 0.9)))
+                 AS n_ref FROM bstats),
+      sc AS (
+        SELECT b.state, b.n AS n_rows, b.mean_obs AS fwd_ret_10_mean,
+               b.mean_ci_lo AS fwd_ret_10_ci_lo,
+               b.mean_ci_hi AS fwd_ret_10_ci_hi,
+               b.mean_ci_hi - b.mean_ci_lo AS ci_width,
+               b.hit_rate_obs AS hit_rate,
+               (b.mean_ci_lo > 0 OR b.mean_ci_hi < 0)
+                 AS sign_confidence_flag,
+               s.sign_stability, s.ret_mean_cv, s.state_share_mean,
+               s.share_cv,
+               coalesce(p.separation_share, 0.0) AS separation_share,
+               r.n_ref
+        FROM bstats b
+        LEFT JOIN sstab s USING (state)
+        LEFT JOIN psh p USING (state)
+        CROSS JOIN nref r),
+      scored AS (
+        SELECT *,
+               least(1.0, ln(1 + n_rows) / ln(1 + n_ref))
+                 AS sample_component,
+               greatest(0.0, 1 - least(ci_width, 0.2) / 0.2)
+                 AS ci_component,
+               CASE WHEN sign_confidence_flag THEN 1.0 ELSE 0.0 END
+                 AS sign_component,
+               0.5 * coalesce(greatest(least(sign_stability, 1.0), 0.0),
+                 0.0)
+                 + 0.5 * coalesce(greatest(0.0,
+                     1 - least(ret_mean_cv, 3.0) / 3.0), 0.0)
+                 AS stability_component,
+               greatest(least(separation_share, 1.0), 0.0)
+                 AS separation_component
+        FROM sc),
+      noted AS (
+        SELECT *, concat_ws(',',
+                 CASE WHEN n_rows < 500 THEN 'low_sample' END,
+                 CASE WHEN ci_width > 0.04 THEN 'wide_ci' END,
+                 CASE WHEN NOT sign_confidence_flag
+                   THEN 'sign_uncertain' END,
+                 CASE WHEN ret_mean_cv > 1.5 THEN 'unstable_returns' END)
+                 AS notes_raw
+        FROM scored)
+      SELECT state, n_rows, fwd_ret_10_mean, fwd_ret_10_ci_lo,
+             fwd_ret_10_ci_hi, round(ci_width, 9) AS ci_width, hit_rate,
+             sign_confidence_flag,
+             round(sign_stability, 9) AS stability_sign_consistency,
+             round(ret_mean_cv, 9) AS ret_mean_cv,
+             round(state_share_mean, 9) AS state_share_mean,
+             round(share_cv, 9) AS state_share_cv,
+             round(separation_share, 9) AS pairwise_diff_significant_share,
+             round(100 * (0.2 * sample_component + 0.25 * ci_component
+               + 0.2 * sign_component + 0.25 * stability_component
+               + 0.1 * separation_component), 3) AS confidence_score,
+             CASE WHEN length(notes_raw) = 0 THEN 'ok' ELSE notes_raw END
+               AS notes
+      FROM noted ORDER BY confidence_score DESC, state""")) { (s, dir) =>
+      val gram = Stage.slimGrammar(s, dir)
+      val fwd = Stage.slimFwd(s, dir)
+      val keys = Seq("ticker", "bar_ts", "bar_id")
+      val joined = gram.select((keys :+ "flow_state_code").map(col): _*)
+        .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
+      val bv = joined.filter(col("fwd_ret_10").isNotNull)
+        .withColumnRenamed("flow_state_code", "state")
+      val stats = Bootstrap.statsCi(bv, "state", "fwd_ret_10", keys,
+        nBoot = 200)
+      val pair = Bootstrap.pairwiseDiffCi(bv, "state", "fwd_ret_10",
+        nBoot = 200)
+      val psh = pair.select(col("state_a").as("state"),
+          col("diff_sign_consistent").as("sig"))
+        .unionByName(pair.select(col("state_b").as("state"),
+          col("diff_sign_consistent").as("sig")))
+        .groupBy("state")
+        .agg(avg(when(col("sig"), 1.0).otherwise(0.0))
+          .as("separation_share"))
+      val wins = joined.select(
+        datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
+          lit("2024-01-01").cast("date")).as("win"),
+        col("flow_state_code").as("state"), col("fwd_ret_10").as("v"))
+      val sws = wins.groupBy("win", "state")
+        .agg(count(lit(1)).as("wn"), avg("v").as("mret"))
+      val sshare = sws.withColumn("share",
+        col("wn").cast("double") / sum("wn").over(Window.partitionBy("win")))
+      val sstab = sshare.groupBy("state").agg(
+        avg(when(col("mret") > 0, 1.0)
+          .when(col("mret").isNotNull, 0.0)).as("sign_stability"),
+        (stddev_pop(col("mret")) / (abs(avg(col("mret"))) + 1e-12))
+          .as("ret_mean_cv"),
+        avg("share").as("state_share_mean"),
+        (stddev_pop(col("share")) / (abs(avg(col("share"))) + 1e-12))
+          .as("share_cv"))
+      val nref = stats.agg(
+        greatest(lit(1.0), floor(percentile(col("n"), lit(0.9))))
+          .as("n_ref"))
+      val sc = stats.select(col("state"), col("n").as("n_rows"),
+          col("mean_obs"), col("mean_ci_lo"), col("mean_ci_hi"),
+          (col("mean_ci_hi") - col("mean_ci_lo")).as("ci_width"),
+          col("hit_rate_obs"),
+          (col("mean_ci_lo") > 0 || col("mean_ci_hi") < 0)
+            .as("sign_confidence_flag"))
+        .join(sstab, Seq("state"), "left")
+        .join(psh.withColumnRenamed("separation_share", "sep0"),
+          Seq("state"), "left")
+        .withColumn("separation_share", coalesce(col("sep0"), lit(0.0)))
+        .crossJoin(broadcast(nref))
+      val clip01 = (c: org.apache.spark.sql.Column) =>
+        greatest(least(c, lit(1.0)), lit(0.0))
+      val scored = sc
+        .withColumn("sample_component",
+          least(lit(1.0), log(lit(1) + col("n_rows"))
+            / log(lit(1) + col("n_ref"))))
+        .withColumn("ci_component",
+          greatest(lit(0.0),
+            lit(1) - least(col("ci_width"), lit(0.2)) / 0.2))
+        .withColumn("sign_component",
+          when(col("sign_confidence_flag"), 1.0).otherwise(0.0))
+        .withColumn("stability_component",
+          lit(0.5) * coalesce(clip01(col("sign_stability")), lit(0.0))
+            + lit(0.5) * coalesce(greatest(lit(0.0),
+                lit(1) - least(col("ret_mean_cv"), lit(3.0)) / 3.0),
+                lit(0.0)))
+        .withColumn("separation_component", clip01(col("separation_share")))
+        .withColumn("notes_raw", concat_ws(",",
+          when(col("n_rows") < 500, "low_sample"),
+          when(col("ci_width") > 0.04, "wide_ci"),
+          when(!col("sign_confidence_flag"), "sign_uncertain"),
+          when(col("ret_mean_cv") > 1.5, "unstable_returns")))
+      scored.select(col("state"), col("n_rows"),
+          col("mean_obs").as("fwd_ret_10_mean"),
+          col("mean_ci_lo").as("fwd_ret_10_ci_lo"),
+          col("mean_ci_hi").as("fwd_ret_10_ci_hi"),
+          round(col("ci_width"), 9).as("ci_width"),
+          col("hit_rate_obs").as("hit_rate"),
+          col("sign_confidence_flag"),
+          round(col("sign_stability"), 9)
+            .as("stability_sign_consistency"),
+          round(col("ret_mean_cv"), 9).as("ret_mean_cv"),
+          round(col("state_share_mean"), 9).as("state_share_mean"),
+          round(col("share_cv"), 9).as("state_share_cv"),
+          round(col("separation_share"), 9)
+            .as("pairwise_diff_significant_share"),
+          round(lit(100) * (lit(0.2) * col("sample_component")
+            + lit(0.25) * col("ci_component")
+            + lit(0.2) * col("sign_component")
+            + lit(0.25) * col("stability_component")
+            + lit(0.1) * col("separation_component")), 3)
+            .as("confidence_score"),
+          when(length(col("notes_raw")) === 0, "ok")
+            .otherwise(col("notes_raw")).as("notes"))
+        .orderBy(col("confidence_score").desc, col("state"))
+    },
+
+    // M11 full hardening policy (ref validation/cluster_hardening.py:
+    // 199-439 + cluster_qa.py:199-260, thresholds settings.yaml
+    // cluster_hardening): QA labels (LOW_N, LOW_OCCUPANCY,
+    // WINDOW_DRIFT_HIGH, MEAN_NEAR_ZERO_CV_INFLATION, WIDE_CI,
+    // SIGN_FLIP_ACROSS_WINDOWS, TRANSITIONS_TOO_SPARSE,
+    // LIKELY_OUTLIER_WINDOW), 7-component weighted tradability score with
+    // per-label penalties, hard-fail rules, ALLOW/WATCH/BLOCK + reasons,
+    // direction hints and dense ranks. Transitions counted on
+    // state-CHANGE events (the event-study transition table).
+    Q("q_cluster_hardening_full", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      ${ForwardLabels.sql},
+      bv AS (
+        SELECT g.flow_state_code AS state, g.ticker, g.bar_ts, g.bar_id,
+               f.fwd_ret_10 AS v
+        FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)
+        WHERE f.fwd_ret_10 IS NOT NULL),
+      ${Bootstrap.sqlStats("state", "ticker, bar_ts, bar_id", nBoot = 200)},
+      ${Bootstrap.sqlPairwise("state", nBoot = 200)},
+      psh AS (
+        SELECT state,
+               avg(CASE WHEN sig THEN 1.0 ELSE 0.0 END) AS separation_share
+        FROM (SELECT state_a AS state, diff_sign_consistent AS sig
+              FROM bpair
+              UNION ALL
+              SELECT state_b AS state, diff_sign_consistent AS sig
+              FROM bpair)
+        GROUP BY 1),
+      swins AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(to_timestamp(g.bar_ts / 1000000) AS DATE)) AS INT)
+                 AS win,
+               g.flow_state_code AS state, f.fwd_ret_10 AS v
+        FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)),
+      sws AS (SELECT win, state, count(*) AS wn, avg(v) AS mret
+              FROM swins GROUP BY 1, 2),
+      sshare AS (
+        SELECT *, CAST(wn AS DOUBLE) / sum(wn) OVER (PARTITION BY win)
+          AS share
+        FROM sws),
+      sstab AS (
+        SELECT state,
+               avg(CASE WHEN mret > 0 THEN 1.0
+                        WHEN mret IS NOT NULL THEN 0.0 END)
+                 AS sign_stability,
+               stddev_pop(mret) / (abs(avg(mret)) + 1e-12) AS ret_mean_cv,
+               avg(share) AS state_share_mean
+        FROM sshare GROUP BY 1),
+      nref AS (SELECT greatest(1.0, floor(quantile_cont(n, 0.9)))
+                 AS n_ref FROM bstats),
+      confd AS (
+        -- scorecard confidence (weights .2/.25/.2/.25/.1, scorecards.py)
+        SELECT b.state, b.n AS n_rows, b.mean_obs,
+               b.mean_ci_lo, b.mean_ci_hi,
+               b.mean_ci_hi - b.mean_ci_lo AS ci_width,
+               b.hit_rate_obs AS hit_rate,
+               (b.mean_ci_lo > 0 OR b.mean_ci_hi < 0)
+                 AS sign_confidence_flag,
+               s.sign_stability, s.ret_mean_cv, s.state_share_mean,
+               round(100 * (
+                 0.2 * least(1.0, ln(1 + b.n) / ln(1 + r.n_ref))
+                 + 0.25 * greatest(0.0,
+                     1 - least(b.mean_ci_hi - b.mean_ci_lo, 0.2) / 0.2)
+                 + 0.2 * (CASE WHEN b.mean_ci_lo > 0 OR b.mean_ci_hi < 0
+                     THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (0.5 * coalesce(greatest(least(
+                       s.sign_stability, 1.0), 0.0), 0.0)
+                     + 0.5 * coalesce(greatest(0.0,
+                         1 - least(s.ret_mean_cv, 3.0) / 3.0), 0.0))
+                 + 0.1 * greatest(least(coalesce(p.separation_share, 0.0),
+                     1.0), 0.0)), 3) AS confidence_score
+        FROM bstats b
+        LEFT JOIN sstab s USING (state)
+        LEFT JOIN psh p USING (state)
+        CROSS JOIN nref r),
+      wd AS (
+        SELECT state, win, mret,
+               avg(mret) OVER (PARTITION BY state) AS m_avg,
+               stddev_pop(mret) OVER (PARTITION BY state) AS m_std,
+               count(mret) OVER (PARTITION BY state) AS m_cnt
+        FROM sws),
+      wstats AS (
+        SELECT state, CAST(count(*) AS BIGINT) AS window_count,
+               max(mret) AS best_window, min(mret) AS worst_window,
+               max(mret) - min(mret) AS drift_span,
+               max(CASE WHEN m_cnt >= 4 AND m_std > 0
+                 AND abs(mret - m_avg) > 2.0 * m_std THEN 1 ELSE 0 END)
+                 = 1 AS likely_outlier
+        FROM wd GROUP BY 1),
+      wsign AS (
+        SELECT state, win,
+               CASE WHEN mret > 0 THEN 1 ELSE -1 END AS sgn
+        FROM sws WHERE mret IS NOT NULL AND mret <> 0),
+      wflips AS (
+        SELECT state,
+               CAST(count(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                 THEN 1 END) AS BIGINT) AS sign_flip_count
+        FROM (SELECT state, sgn,
+                lag(sgn) OVER (PARTITION BY state ORDER BY win) AS prev
+              FROM wsign)
+        GROUP BY 1),
+      ttr AS (
+        SELECT * FROM (
+          SELECT lag(flow_state_code) OVER (PARTITION BY ticker
+                   ORDER BY bar_ts, bar_id) AS sp,
+                 flow_state_code AS sc
+          FROM grammar)
+        WHERE sp IS NOT NULL AND sp <> sc),
+      tcnt AS (
+        SELECT state, CAST(count(*) AS BIGINT) AS transition_event_count
+        FROM (SELECT sp AS state FROM ttr
+              UNION ALL SELECT sc AS state FROM ttr)
+        GROUP BY 1),
+      hmax AS (SELECT max(n_rows) AS max_n,
+                      max(state_share_mean) AS max_share FROM confd),
+      cihard AS (SELECT quantile_cont(ci_width, 0.8) AS ci_hard
+                 FROM confd),
+      qa AS (
+        SELECT c.*,
+               coalesce(w.window_count, 0) AS window_count,
+               coalesce(f.sign_flip_count, 0) AS sign_flip_count,
+               w.best_window, w.worst_window, w.drift_span,
+               coalesce(t.transition_event_count, 0)
+                 AS transition_event_count,
+               h.max_n, h.max_share, ch.ci_hard,
+               (c.n_rows < 200) AS qa_low_n,
+               (c.state_share_mean < 0.03) AS qa_low_occ,
+               (c.ret_mean_cv > 6.0) AS qa_drift,
+               (c.ret_mean_cv > 6.0 AND abs(c.mean_obs) <= 0.001)
+                 AS qa_near_zero,
+               (c.ci_width >= ch.ci_hard) AS qa_wide_ci,
+               (c.sign_stability < 0.55) AS qa_sign_flip,
+               (coalesce(t.transition_event_count, 0) < 40) AS qa_sparse,
+               coalesce(w.likely_outlier, false) AS qa_outlier
+        FROM confd c
+        LEFT JOIN wstats w USING (state)
+        LEFT JOIN wflips f USING (state)
+        LEFT JOIN tcnt t USING (state)
+        CROSS JOIN hmax h CROSS JOIN cihard ch),
+      scored AS (
+        SELECT *,
+               100 * (0.15 * least(1.0, ln(1 + n_rows) / ln(1 + max_n))
+                 + 0.15 * least(1.0, state_share_mean / max_share)
+                 + 0.2 * (CASE WHEN sign_confidence_flag
+                     THEN 1.0 ELSE 0.0 END)
+                 + 0.15 * greatest(0.0,
+                     1 - ci_width / greatest(ci_hard, 1e-12))
+                 + 0.15 * greatest(least(sign_stability, 1.0), 0.0)
+                 + 0.1 * greatest(0.0, 1 - ret_mean_cv / 6.0)
+                 + 0.1 * greatest(least(confidence_score / 100.0, 1.0),
+                     0.0)) AS base_score,
+               (CASE WHEN qa_low_n THEN 20.0 ELSE 0.0 END
+                 + CASE WHEN qa_low_occ THEN 20.0 ELSE 0.0 END
+                 + CASE WHEN qa_near_zero THEN 15.0 ELSE 0.0 END
+                 + CASE WHEN qa_wide_ci THEN 15.0 ELSE 0.0 END
+                 + CASE WHEN qa_sign_flip THEN 20.0 ELSE 0.0 END
+                 + CASE WHEN qa_drift THEN 15.0 ELSE 0.0 END
+                 + CASE WHEN qa_outlier THEN 10.0 ELSE 0.0 END
+                 + CASE WHEN qa_sparse THEN 10.0 ELSE 0.0 END)
+                 AS risk_penalty
+        FROM qa),
+      hardf AS (
+        SELECT *,
+               greatest(least(base_score - risk_penalty, 100.0), 0.0)
+                 AS score,
+               (qa_low_n OR qa_low_occ OR ret_mean_cv > 6.0
+                 OR sign_stability < 0.55
+                 OR (ci_width > ci_hard AND NOT sign_confidence_flag)
+                 OR (qa_sign_flip AND qa_wide_ci AND qa_outlier))
+                 AS hard_fail
+        FROM scored),
+      classed AS (
+        SELECT *,
+               CASE WHEN hard_fail OR score < 45.0 THEN 'BLOCK'
+                    WHEN score >= 70.0 AND sign_confidence_flag
+                      AND NOT qa_wide_ci AND NOT qa_sign_flip THEN 'ALLOW'
+                    ELSE 'WATCH' END AS class_label,
+               CASE WHEN mean_ci_lo > 0 AND mean_ci_hi > 0 THEN 1
+                    WHEN mean_ci_lo < 0 AND mean_ci_hi < 0 THEN -1
+                    ELSE 0 END AS directional_edge_sign
+        FROM hardf)
+      SELECT state, n_rows,
+             mean_obs AS fwd_ret_10_mean,
+             mean_ci_lo AS fwd_ret_10_ci_lo,
+             mean_ci_hi AS fwd_ret_10_ci_hi,
+             round(ci_width, 9) AS ci_width, hit_rate,
+             sign_confidence_flag,
+             round(sign_stability, 9) AS stability_sign_consistency,
+             round(ret_mean_cv, 9) AS ret_mean_cv,
+             round(state_share_mean, 9) AS state_share_mean,
+             confidence_score, window_count, sign_flip_count,
+             round(worst_window, 9) AS worst_window_fwd_ret_10,
+             round(best_window, 9) AS best_window_fwd_ret_10,
+             round(drift_span, 9) AS drift_span,
+             transition_event_count, directional_edge_sign,
+             CASE WHEN directional_edge_sign > 0 THEN 'LONG_BIAS'
+                  WHEN directional_edge_sign < 0 THEN 'SHORT_BIAS'
+                  ELSE 'UNCONFIRMED' END AS allow_direction_hint,
+             risk_penalty,
+             round(score, 3) AS tradability_score,
+             class_label,
+             concat_ws(',',
+               CASE WHEN qa_outlier THEN 'LIKELY_OUTLIER_WINDOW' END,
+               CASE WHEN qa_low_n THEN 'LOW_N' END,
+               CASE WHEN qa_low_occ THEN 'LOW_OCCUPANCY' END,
+               CASE WHEN qa_near_zero
+                 THEN 'MEAN_NEAR_ZERO_CV_INFLATION' END,
+               CASE WHEN qa_sign_flip THEN 'SIGN_FLIP_ACROSS_WINDOWS' END,
+               CASE WHEN qa_sparse THEN 'TRANSITIONS_TOO_SPARSE' END,
+               CASE WHEN qa_wide_ci THEN 'WIDE_CI' END,
+               CASE WHEN qa_drift THEN 'WINDOW_DRIFT_HIGH' END)
+               AS qa_labels,
+             concat_ws(',',
+               CASE WHEN qa_low_n THEN 'HARD_LOW_N' END,
+               CASE WHEN qa_low_occ THEN 'HARD_LOW_OCCUPANCY' END,
+               CASE WHEN ret_mean_cv > 6.0 THEN 'HARD_HIGH_RET_CV' END,
+               CASE WHEN sign_stability < 0.55
+                 THEN 'HARD_LOW_SIGN_CONSISTENCY' END,
+               CASE WHEN ci_width > ci_hard AND NOT sign_confidence_flag
+                 THEN 'HARD_WIDE_CI_WITHOUT_SIGN_CONF' END,
+               CASE WHEN qa_sign_flip AND qa_wide_ci AND qa_outlier
+                 THEN 'HARD_SEVERE_QA_COMBINATION' END,
+               CASE WHEN NOT hard_fail AND score < 45.0
+                 THEN 'BLOCK_LOW_SCORE' END,
+               CASE WHEN class_label = 'ALLOW'
+                 THEN 'ALLOW_SCORE_AND_STABILITY_OK' END,
+               CASE WHEN class_label = 'WATCH'
+                 THEN 'WATCH_MIXED_SIGNALS' END) AS reasons,
+             CAST(dense_rank() OVER (ORDER BY ci_width)
+               AS INT) AS ci_relative_rank,
+             CAST(dense_rank() OVER (ORDER BY state_share_mean DESC)
+               AS INT) AS occupancy_rank,
+             CAST(dense_rank() OVER (ORDER BY sign_stability DESC)
+               AS INT) AS stability_rank
+      FROM classed
+      ORDER BY class_label, tradability_score DESC, state""")) { (s, dir) =>
+      val gram = Stage.slimGrammar(s, dir)
+      val fwd = Stage.slimFwd(s, dir)
+      val keys = Seq("ticker", "bar_ts", "bar_id")
+      val joined = gram.select((keys :+ "flow_state_code").map(col): _*)
+        .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
+      val bv = joined.filter(col("fwd_ret_10").isNotNull)
+        .withColumnRenamed("flow_state_code", "state")
+      val stats = Bootstrap.statsCi(bv, "state", "fwd_ret_10", keys,
+        nBoot = 200)
+      val pair = Bootstrap.pairwiseDiffCi(bv, "state", "fwd_ret_10",
+        nBoot = 200)
+      val psh = pair.select(col("state_a").as("state"),
+          col("diff_sign_consistent").as("sig"))
+        .unionByName(pair.select(col("state_b").as("state"),
+          col("diff_sign_consistent").as("sig")))
+        .groupBy("state")
+        .agg(avg(when(col("sig"), 1.0).otherwise(0.0))
+          .as("separation_share"))
+      val wins = joined.select(
+        datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
+          lit("2024-01-01").cast("date")).as("win"),
+        col("flow_state_code").as("state"), col("fwd_ret_10").as("v"))
+      val sws = wins.groupBy("win", "state")
+        .agg(count(lit(1)).as("wn"), avg("v").as("mret"))
+      val sshare = sws.withColumn("share",
+        col("wn").cast("double") / sum("wn").over(Window.partitionBy("win")))
+      val sstab = sshare.groupBy("state").agg(
+        avg(when(col("mret") > 0, 1.0)
+          .when(col("mret").isNotNull, 0.0)).as("sign_stability"),
+        (stddev_pop(col("mret")) / (abs(avg(col("mret"))) + 1e-12))
+          .as("ret_mean_cv"),
+        avg("share").as("state_share_mean"))
+      val nref = stats.agg(
+        greatest(lit(1.0), floor(percentile(col("n"), lit(0.9))))
+          .as("n_ref"))
+      val clip01 = (c: org.apache.spark.sql.Column) =>
+        greatest(least(c, lit(1.0)), lit(0.0))
+      val ciW = col("mean_ci_hi") - col("mean_ci_lo")
+      val signFlag = col("mean_ci_lo") > 0 || col("mean_ci_hi") < 0
+      val confidence = round(lit(100) * (
+        lit(0.2) * least(lit(1.0),
+          log(lit(1) + col("n")) / log(lit(1) + col("n_ref")))
+          + lit(0.25) * greatest(lit(0.0),
+              lit(1) - least(ciW, lit(0.2)) / 0.2)
+          + lit(0.2) * when(signFlag, 1.0).otherwise(0.0)
+          + lit(0.25) * (lit(0.5)
+              * coalesce(clip01(col("sign_stability")), lit(0.0))
+              + lit(0.5) * coalesce(greatest(lit(0.0),
+                  lit(1) - least(col("ret_mean_cv"), lit(3.0)) / 3.0),
+                  lit(0.0)))
+          + lit(0.1) * clip01(coalesce(col("separation_share"),
+              lit(0.0)))), 3)
+      val confd = stats
+        .join(sstab, Seq("state"), "left")
+        .join(psh, Seq("state"), "left")
+        .crossJoin(broadcast(nref))
+        .select(col("state"), col("n").as("n_rows"), col("mean_obs"),
+          col("mean_ci_lo"), col("mean_ci_hi"), ciW.as("ci_width"),
+          col("hit_rate_obs").as("hit_rate"),
+          signFlag.as("sign_confidence_flag"),
+          col("sign_stability"), col("ret_mean_cv"),
+          col("state_share_mean"),
+          confidence.as("confidence_score"))
+      val wAvg = Window.partitionBy("state")
+      val wstats = sws
+        .withColumn("m_avg", avg("mret").over(wAvg))
+        .withColumn("m_std", stddev_pop(col("mret")).over(wAvg))
+        .withColumn("m_cnt", count(col("mret")).over(wAvg))
+        .groupBy("state")
+        .agg(count(lit(1)).as("window_count"),
+          max("mret").as("best_window"), min("mret").as("worst_window"),
+          (max("mret") - min("mret")).as("drift_span"),
+          (max(when(col("m_cnt") >= 4 && col("m_std") > 0
+            && abs(col("mret") - col("m_avg")) > lit(2.0) * col("m_std"),
+            1).otherwise(0)) === 1).as("likely_outlier"))
+      val wflips = sws
+        .filter(col("mret").isNotNull && col("mret") =!= 0)
+        .select(col("state"), col("win"),
+          when(col("mret") > 0, 1).otherwise(-1).as("sgn"))
+        .withColumn("prev", lag("sgn", 1)
+          .over(Window.partitionBy("state").orderBy("win")))
+        .groupBy("state")
+        .agg(Cols.countIf(col("prev").isNotNull
+          && col("sgn") =!= col("prev")).as("sign_flip_count"))
+      val gW = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
+      val ttr = gram
+        .select(lag("flow_state_code", 1).over(gW).as("sp"),
+          col("flow_state_code").as("sc"))
+        .filter(col("sp").isNotNull && col("sp") =!= col("sc"))
+      val tcnt = ttr.select(col("sp").as("state"))
+        .unionByName(ttr.select(col("sc").as("state")))
+        .groupBy("state")
+        .agg(count(lit(1)).as("transition_event_count"))
+      val hmax = confd.agg(max("n_rows").as("max_n"),
+        max("state_share_mean").as("max_share"),
+        percentile(col("ci_width"), lit(0.8)).as("ci_hard"))
+      val qa = confd
+        .join(wstats, Seq("state"), "left")
+        .join(wflips, Seq("state"), "left")
+        .join(tcnt, Seq("state"), "left")
+        .crossJoin(broadcast(hmax))
+        .withColumn("window_count",
+          coalesce(col("window_count"), lit(0L)))
+        .withColumn("sign_flip_count",
+          coalesce(col("sign_flip_count"), lit(0L)))
+        .withColumn("transition_event_count",
+          coalesce(col("transition_event_count"), lit(0L)))
+        .withColumn("qa_low_n", col("n_rows") < 200)
+        .withColumn("qa_low_occ", col("state_share_mean") < 0.03)
+        .withColumn("qa_drift", col("ret_mean_cv") > 6.0)
+        .withColumn("qa_near_zero",
+          col("ret_mean_cv") > 6.0 && abs(col("mean_obs")) <= 0.001)
+        .withColumn("qa_wide_ci", col("ci_width") >= col("ci_hard"))
+        .withColumn("qa_sign_flip", col("sign_stability") < 0.55)
+        .withColumn("qa_sparse", col("transition_event_count") < 40)
+        .withColumn("qa_outlier",
+          coalesce(col("likely_outlier"), lit(false)))
+      def pen(c: String, v: Double) =
+        when(col(c), v).otherwise(0.0)
+      val scored = qa
+        .withColumn("base_score", lit(100) * (
+          lit(0.15) * least(lit(1.0),
+            log(lit(1) + col("n_rows")) / log(lit(1) + col("max_n")))
+            + lit(0.15) * least(lit(1.0),
+                col("state_share_mean") / col("max_share"))
+            + lit(0.2) * when(col("sign_confidence_flag"), 1.0)
+                .otherwise(0.0)
+            + lit(0.15) * greatest(lit(0.0),
+                lit(1) - col("ci_width")
+                  / greatest(col("ci_hard"), lit(1e-12)))
+            + lit(0.15) * clip01(col("sign_stability"))
+            + lit(0.1) * greatest(lit(0.0),
+                lit(1) - col("ret_mean_cv") / 6.0)
+            + lit(0.1) * clip01(col("confidence_score") / 100.0)))
+        .withColumn("risk_penalty",
+          pen("qa_low_n", 20) + pen("qa_low_occ", 20)
+            + pen("qa_near_zero", 15) + pen("qa_wide_ci", 15)
+            + pen("qa_sign_flip", 20) + pen("qa_drift", 15)
+            + pen("qa_outlier", 10) + pen("qa_sparse", 10))
+        .withColumn("score",
+          greatest(least(col("base_score") - col("risk_penalty"),
+            lit(100.0)), lit(0.0)))
+        .withColumn("hard_fail",
+          col("qa_low_n") || col("qa_low_occ")
+            || col("ret_mean_cv") > 6.0 || col("sign_stability") < 0.55
+            || (col("ci_width") > col("ci_hard")
+                && !col("sign_confidence_flag"))
+            || (col("qa_sign_flip") && col("qa_wide_ci")
+                && col("qa_outlier")))
+        .withColumn("class_label",
+          when(col("hard_fail") || col("score") < 45.0, "BLOCK")
+            .when(col("score") >= 70.0 && col("sign_confidence_flag")
+              && !col("qa_wide_ci") && !col("qa_sign_flip"), "ALLOW")
+            .otherwise("WATCH"))
+        .withColumn("directional_edge_sign",
+          when(col("mean_ci_lo") > 0 && col("mean_ci_hi") > 0, 1)
+            .when(col("mean_ci_lo") < 0 && col("mean_ci_hi") < 0, -1)
+            .otherwise(0))
+      scored.select(col("state"), col("n_rows"),
+          col("mean_obs").as("fwd_ret_10_mean"),
+          col("mean_ci_lo").as("fwd_ret_10_ci_lo"),
+          col("mean_ci_hi").as("fwd_ret_10_ci_hi"),
+          round(col("ci_width"), 9).as("ci_width"), col("hit_rate"),
+          col("sign_confidence_flag"),
+          round(col("sign_stability"), 9)
+            .as("stability_sign_consistency"),
+          round(col("ret_mean_cv"), 9).as("ret_mean_cv"),
+          round(col("state_share_mean"), 9).as("state_share_mean"),
+          col("confidence_score"), col("window_count"),
+          col("sign_flip_count"),
+          round(col("worst_window"), 9).as("worst_window_fwd_ret_10"),
+          round(col("best_window"), 9).as("best_window_fwd_ret_10"),
+          round(col("drift_span"), 9).as("drift_span"),
+          col("transition_event_count"), col("directional_edge_sign"),
+          when(col("directional_edge_sign") > 0, "LONG_BIAS")
+            .when(col("directional_edge_sign") < 0, "SHORT_BIAS")
+            .otherwise("UNCONFIRMED").as("allow_direction_hint"),
+          col("risk_penalty"),
+          round(col("score"), 3).as("tradability_score"),
+          col("class_label"),
+          concat_ws(",",
+            when(col("qa_outlier"), "LIKELY_OUTLIER_WINDOW"),
+            when(col("qa_low_n"), "LOW_N"),
+            when(col("qa_low_occ"), "LOW_OCCUPANCY"),
+            when(col("qa_near_zero"), "MEAN_NEAR_ZERO_CV_INFLATION"),
+            when(col("qa_sign_flip"), "SIGN_FLIP_ACROSS_WINDOWS"),
+            when(col("qa_sparse"), "TRANSITIONS_TOO_SPARSE"),
+            when(col("qa_wide_ci"), "WIDE_CI"),
+            when(col("qa_drift"), "WINDOW_DRIFT_HIGH")).as("qa_labels"),
+          concat_ws(",",
+            when(col("qa_low_n"), "HARD_LOW_N"),
+            when(col("qa_low_occ"), "HARD_LOW_OCCUPANCY"),
+            when(col("ret_mean_cv") > 6.0, "HARD_HIGH_RET_CV"),
+            when(col("sign_stability") < 0.55,
+              "HARD_LOW_SIGN_CONSISTENCY"),
+            when(col("ci_width") > col("ci_hard")
+              && !col("sign_confidence_flag"),
+              "HARD_WIDE_CI_WITHOUT_SIGN_CONF"),
+            when(col("qa_sign_flip") && col("qa_wide_ci")
+              && col("qa_outlier"), "HARD_SEVERE_QA_COMBINATION"),
+            when(!col("hard_fail") && col("score") < 45.0,
+              "BLOCK_LOW_SCORE"),
+            when(col("class_label") === "ALLOW",
+              "ALLOW_SCORE_AND_STABILITY_OK"),
+            when(col("class_label") === "WATCH",
+              "WATCH_MIXED_SIGNALS")).as("reasons"),
+          dense_rank().over(Window.orderBy("ci_width"))
+            .as("ci_relative_rank"),
+          dense_rank().over(Window.orderBy(col("state_share_mean").desc))
+            .as("occupancy_rank"),
+          dense_rank().over(Window.orderBy(col("sign_stability").desc))
+            .as("stability_rank"))
+        .orderBy(col("class_label"), col("tradability_score").desc,
+          col("state"))
+    },
+
     // M10 scorecard: sample/stability/consistency components → weighted
     // confidence 0-100 → A/B/C grade
     Q("q_scorecard", Some(s"""
