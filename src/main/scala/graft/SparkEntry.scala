@@ -22,7 +22,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
     BacktestQueries, IngestQueries, ResearchQueries, MlQueries,
-    ValidationQueries, BacktestQueries2)
+    ValidationQueries, BacktestQueries2, CompareQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 
