@@ -1,6 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+// ORACLE CONTRACT NOTE: the engine warms up on the count of NON-NULL
+// inputs (Polars min_samples semantics), while every SQL oracle gates on
+// row number (rn >= period). These agree only on null-free series — which
+// the bar pipeline guarantees (close/volume are parsed-and-validated
+// before indicators run). A null-bearing series would warm up later here
+// than in the oracle; that is the engine-correct behavior.
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.expressions.WindowSpec

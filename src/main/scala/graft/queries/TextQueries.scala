@@ -293,6 +293,46 @@ object TextQueries extends QueryModule {
       Similarity.annLsh(t(s, dir, "embeddings"), col("vec_id") < 32, 5)
         .select("qid", "vid", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // Corpus-vs-corpus ANN pairs (the near-dup shape: no broadcastable
+    // query side — bucket equi-join with a hot-bucket cap)
+    Q("q_e_ann_pairs", Some(s"""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, j, sum(x * (CASE WHEN
+          ${hsql("'hp_' || j || '_' || i")} % 2 = 0
+          THEN 1.0 ELSE -1.0 END)) AS p
+        FROM ex, range(8) rj(j) GROUP BY 1, 2),
+      buckets AS (
+        SELECT vec_id, CAST(sum(CASE WHEN p > 0
+          THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1),
+      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
+      bsz AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY 1),
+      bk AS (SELECT b.* FROM buckets b JOIN bsz USING (bucket)
+             WHERE bsz.bn <= 256),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT p.id_a, p.id_b, sum(ae.x * be.x) AS dot
+        FROM pairs p JOIN ex ae ON ae.vec_id = p.id_a
+                     JOIN ex be ON be.vec_id = p.id_b AND ae.i = be.i
+        GROUP BY 1, 2),
+      cosd AS (
+        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dots JOIN norms na ON id_a = na.vec_id
+                  JOIN norms nb ON id_b = nb.vec_id)
+      SELECT id_a, id_b, cos_sim FROM cosd
+      WHERE cos_sim >= 0.0 ORDER BY id_a, id_b""")) { (s, dir) =>
+      Similarity.annSelfJoinPairs(t(s, dir, "embeddings"),
+          maxBucket = 256, simFloor = 0.0)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -63,6 +63,32 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Corpus-vs-corpus ANN pair generation — the near-dup-dedup shape
+    * where the "query set" IS the corpus, so nothing can broadcast:
+    * both sides shuffle on the bucket key (plain equi-join → sort-merge
+    * at scale), pairs are ordered (id_a < id_b) to halve the work, and
+    * over-full buckets (degenerate hyperplanes / duplicate-heavy data)
+    * are dropped via `maxBucket` — the same hot-key guard as
+    * Dedup.jaccard's maxFreq. Cost is Σ bucket² bounded by
+    * maxBucket · corpus, not corpus². */
+  def annSelfJoinPairs(emb: DataFrame, maxBucket: Int,
+      simFloor: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      lshBucket(col("embedding")).as("bucket"))
+    val sized = e
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val a = sized.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("bucket"))
+    val b = sized.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= simFloor)
+  }
+
   /** ANN via LSH buckets: candidate pairs share a bucket; exact cosine is
     * computed only within buckets. Returns (qid, vid, cos_sim, rnk). */
   def annLsh(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
