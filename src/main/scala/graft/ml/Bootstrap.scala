@@ -152,40 +152,115 @@ object Bootstrap {
     * (moving-block of length `blockLength`, falling back to iid when the
     * group is shorter than one block — ref _sample_block_bootstrap).
     * `ordCols` fixes the in-group order (time order, so block resampling
-    * preserves serial correlation). */
+    * preserves serial correlation). Groups larger than `maxPoints` are
+    * first reduced to a deterministic stride sample of that size — the
+    * reference's max_points_per_state=50k bound (rng.choice there; an
+    * order-preserving stride here so it stays portable and keeps the
+    * serial structure block mode needs). Stats are over the sample; the
+    * output `n` stays the true non-null count, like the reference. */
   def statsCi(df: DataFrame, key: String, valueCol: String,
       ordCols: Seq[String], nBoot: Int, mode: String = "iid",
       blockLength: Int = 10, ciLo: Double = 0.025,
-      ciHi: Double = 0.975): DataFrame = {
+      ciHi: Double = 0.975, maxPoints: Int = 50000): DataFrame = {
     val ordered = transform(
       sort_array(collect_list(struct(
         (ordCols.map(col) :+ col(valueCol).as("v")): _*))),
       x => x.getField("v"))
-    val grouped = df.filter(col(valueCol).isNotNull)
+    val grouped0 = df.filter(col(valueCol).isNotNull)
       .groupBy(key)
-      .agg(ordered.as("vals"), count(col(valueCol)).as("n"))
-    val n = col("n")
-    val draws =
-      if (mode == "block" && blockLength > 1)
-        when(n > blockLength, blockDraws(col("vals"), n, blockLength, nBoot))
-          .otherwise(iidDraws(col("vals"), n, nBoot))
-      else iidDraws(col("vals"), n, nBoot)
+      .agg(ordered.as("vals0"), count(col(valueCol)).as("n"))
+    val grouped = grouped0
+      .withColumn("vals",
+        when(col("n") > maxPoints,
+          transform(sequence(lit(0L), lit(maxPoints - 1L)),
+            j => element_at(col("vals0"),
+              floor(j * col("n") / maxPoints).cast("int") + 1)))
+          .otherwise(col("vals0")))
+      .withColumn("m", least(col("n"), lit(maxPoints.toLong)))
+      .drop("vals0")
+    val n = col("m")
     def meanOf(x: Column) =
       aggregate(x, lit(0.0), (acc, e) => acc + e, acc => acc / n)
     def hitOf(x: Column) =
       aggregate(x, lit(0.0),
         (acc, e) => acc + when(e > 0, 1.0).otherwise(0.0), acc => acc / n)
-    def medOf(x: Column) = medianOfSorted(array_sort(x), n)
-    grouped
-      .withColumn("rs", draws)
-      .withColumn("mean_d", sort_array(transform(col("rs"), meanOf(_))))
-      .withColumn("med_d", sort_array(transform(col("rs"), medOf(_))))
-      .withColumn("hit_d", sort_array(transform(col("rs"), hitOf(_))))
-      .select(col(key), n,
+    // Parallelism shape: one row per (group, draw) — with a handful of
+    // groups, per-group rows would keep only #groups cores busy; the
+    // explode + repartition spreads the nBoot resamples across the whole
+    // cluster, then the tiny per-group dist arrays reassemble. The
+    // per-draw stats run as a typed kernel (plain JVM loops — the
+    // interpreted expression path is ~10× slower for 200×50k lookups);
+    // the LCG index stream and the ascending-order fold are bit-identical
+    // to the SQL oracle, which remains the semantic contract.
+    val perDraw = grouped
+      .select(col(key), col("m"), col("vals"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .repartition(col(key), col("b"))
+    val inSchema = perDraw.schema
+    val keyField = inSchema.head
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      keyField,
+      org.apache.spark.sql.types.StructField("dm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("dmed",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("dh",
+        org.apache.spark.sql.types.DoubleType)))
+    val bl = blockLength
+    val useBlock = mode == "block" && blockLength > 1
+    val statRows = perDraw.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.getSeq[Double](2).toArray
+        val m = vals.length
+        val b = r.getInt(3).toLong
+        val draw = new Array[Double](m)
+        if (useBlock && m > bl) {
+          val bc = (m + bl - 1) / bl
+          val startsMax = m - bl + 1
+          var pos = 0
+          var j = 0L
+          while (pos < m) {
+            val start = (((b * bc + j) * A + C) % M % startsMax).toInt
+            var t = 0
+            while (t < bl && pos < m) {
+              draw(pos) = vals(start + t); pos += 1; t += 1
+            }
+            j += 1
+          }
+        } else {
+          var i = 0
+          while (i < m) {
+            draw(i) = vals((((b * m + i) * A + C) % M % m).toInt)
+            i += 1
+          }
+        }
+        java.util.Arrays.sort(draw)
+        var s = 0.0
+        var hits = 0.0
+        var i = 0
+        while (i < m) {
+          s += draw(i)
+          if (draw(i) > 0) hits += 1.0
+          i += 1
+        }
+        val med =
+          if (m % 2 == 1) draw((m + 1) / 2 - 1)
+          else (draw(m / 2 - 1) + draw(m / 2)) / 2.0
+        org.apache.spark.sql.Row(r.get(0), s / m, med, hits / m)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val stats = statRows
+      .groupBy(key)
+      .agg(sort_array(collect_list(col("dm"))).as("mean_d"),
+        sort_array(collect_list(col("dmed"))).as("med_d"),
+        sort_array(collect_list(col("dh"))).as("hit_d"))
+    grouped.join(stats, Seq(key))
+      .select(col(key), col("n"),
         round(meanOf(col("vals")), 9).as("mean_obs"),
         round(ciAt(col("mean_d"), ciLo, nBoot), 9).as("mean_ci_lo"),
         round(ciAt(col("mean_d"), ciHi, nBoot), 9).as("mean_ci_hi"),
-        round(medOf(col("vals")), 9).as("median_obs"),
+        round(medianOfSorted(array_sort(col("vals")), n), 9)
+          .as("median_obs"),
         round(ciAt(col("med_d"), ciLo, nBoot), 9).as("median_ci_lo"),
         round(ciAt(col("med_d"), ciHi, nBoot), 9).as("median_ci_hi"),
         round(hitOf(col("vals")), 9).as("hit_rate_obs"),
@@ -197,40 +272,51 @@ object Bootstrap {
     * `bstats`. `ord` is the ORDER BY column list fixing in-group order. */
   def sqlStats(key: String, ord: String, nBoot: Int,
       mode: String = "iid", blockLength: Int = 10, ciLo: Double = 0.025,
-      ciHi: Double = 0.975): String = {
+      ciHi: Double = 0.975, maxPoints: Int = 50000): String = {
     val draws =
       if (mode == "block" && blockLength > 1)
-        s"""CASE WHEN n > $blockLength
-            THEN ${blockDrawsSql("vals", "n", blockLength, nBoot)}
-            ELSE ${iidDrawsSql("vals", "n", nBoot)} END"""
-      else iidDrawsSql("vals", "n", nBoot)
-    val meanL = "r -> list_aggregate(r, 'sum') / n"
-    val hitL = """r -> list_aggregate(list_transform(r, e ->
-        CASE WHEN e > 0 THEN 1.0 ELSE 0.0 END), 'sum') / n"""
-    val medL = s"r -> ${medianOfSortedSql("list_sort(r)", "n")}"
+        s"""CASE WHEN m > $blockLength
+            THEN ${blockDrawsSql("vals", "m", blockLength, nBoot)}
+            ELSE ${iidDrawsSql("vals", "m", nBoot)} END"""
+      else iidDrawsSql("vals", "m", nBoot)
+    val meanL = "ms -> list_aggregate(ms, 'sum') / m"
+    val hitL = """ms -> list_aggregate(list_transform(ms, e ->
+        CASE WHEN e > 0 THEN 1.0 ELSE 0.0 END), 'sum') / m"""
     s"""
-      bsorted AS (
-        SELECT $key, list(v ORDER BY $ord) AS vals, count(v) AS n
+      bsorted0 AS (
+        SELECT $key, list(v ORDER BY $ord) AS vals0, count(v) AS n
         FROM bv GROUP BY 1),
+      bsorted AS (
+        SELECT $key, n, least(n, $maxPoints) AS m,
+               CASE WHEN n > $maxPoints
+                 THEN list_transform(range($maxPoints), j ->
+                   vals0[CAST((j * n) // $maxPoints AS BIGINT) + 1])
+                 ELSE vals0 END AS vals
+        FROM bsorted0),
       bres AS (
-        SELECT $key, n, vals, $draws AS rs FROM bsorted),
+        SELECT $key, n, m, vals,
+               list_transform($draws, r -> list_sort(r)) AS rss
+        FROM bsorted),
       bdist AS (
-        SELECT $key, n, vals,
-               list_sort(list_transform(rs, $meanL)) AS mean_d,
-               list_sort(list_transform(rs, $medL)) AS med_d,
-               list_sort(list_transform(rs, $hitL)) AS hit_d
+        -- all three dists read the per-draw SORTED resample; sums fold
+        -- the ascending order (identical fp order to the engine)
+        SELECT $key, n, m, vals,
+               list_sort(list_transform(rss, $meanL)) AS mean_d,
+               list_sort(list_transform(rss,
+                 ms -> ${medianOfSortedSql("ms", "m")})) AS med_d,
+               list_sort(list_transform(rss, $hitL)) AS hit_d
         FROM bres),
       bstats AS (
         SELECT $key, n,
-               ${r9Sql("list_aggregate(vals, 'sum') / n")} AS mean_obs,
+               ${r9Sql("list_aggregate(vals, 'sum') / m")} AS mean_obs,
                ${r9Sql(ciAtSql("mean_d", ciLo, nBoot))} AS mean_ci_lo,
                ${r9Sql(ciAtSql("mean_d", ciHi, nBoot))} AS mean_ci_hi,
-               ${r9Sql(medianOfSortedSql("list_sort(vals)", "n"))}
+               ${r9Sql(medianOfSortedSql("list_sort(vals)", "m"))}
                  AS median_obs,
                ${r9Sql(ciAtSql("med_d", ciLo, nBoot))} AS median_ci_lo,
                ${r9Sql(ciAtSql("med_d", ciHi, nBoot))} AS median_ci_hi,
                ${r9Sql("""list_aggregate(list_transform(vals, e ->
-                 CASE WHEN e > 0 THEN 1.0 ELSE 0.0 END), 'sum') / n""")}
+                 CASE WHEN e > 0 THEN 1.0 ELSE 0.0 END), 'sum') / m""")}
                  AS hit_rate_obs,
                ${r9Sql(ciAtSql("hit_d", ciLo, nBoot))} AS hit_rate_ci_lo,
                ${r9Sql(ciAtSql("hit_d", ciHi, nBoot))} AS hit_rate_ci_hi
@@ -239,18 +325,56 @@ object Bootstrap {
 
   /** Pairwise state mean-difference CIs (ref bootstrap.py:316-345):
     * per-state iid bootstrap mean distributions, draws paired by index
-    * across states, percentile CI of the difference + sign consistency. */
+    * across states, percentile CI of the difference + sign consistency.
+    * Same (group, draw)-grained parallel shape and 50k stride cap as
+    * statsCi. */
   def pairwiseDiffCi(df: DataFrame, key: String, valueCol: String,
-      nBoot: Int, ciLo: Double = 0.025, ciHi: Double = 0.975): DataFrame = {
+      nBoot: Int, ciLo: Double = 0.025, ciHi: Double = 0.975,
+      maxPoints: Int = 50000): DataFrame = {
     val grouped = df.filter(col(valueCol).isNotNull)
       .groupBy(key)
-      .agg(sort_array(collect_list(col(valueCol))).as("vals"),
-        count(col(valueCol)).as("n"))
-    def meanOf(x: Column, n: Column) =
-      aggregate(x, lit(0.0), (acc, e) => acc + e, acc => acc / n)
-    val withDist = grouped.select(col(key), col("n"),
-      transform(iidDraws(col("vals"), col("n"), nBoot),
-        r => meanOf(r, col("n"))).as("dist"))
+      .agg(sort_array(collect_list(col(valueCol))).as("vals0"),
+        count(col(valueCol)).as("n0"))
+      .withColumn("vals",
+        when(col("n0") > maxPoints,
+          transform(sequence(lit(0L), lit(maxPoints - 1L)),
+            j => element_at(col("vals0"),
+              floor(j * col("n0") / maxPoints).cast("int") + 1)))
+          .otherwise(col("vals0")))
+      .withColumn("n", least(col("n0"), lit(maxPoints.toLong)))
+      .drop("vals0")
+    // typed kernel per (group, draw): resample mean summed in DRAW order
+    // (matches sqlPairwise's fold order)
+    val perDraw = grouped
+      .select(col(key), col("n0"), col("vals"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .repartition(col(key), col("b"))
+    val inSchema = perDraw.schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema.head, inSchema(1),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("dm",
+        org.apache.spark.sql.types.DoubleType)))
+    val dmRows = perDraw.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.getSeq[Double](2).toArray
+        val m = vals.length
+        val b = r.getInt(3).toLong
+        var s = 0.0
+        var i = 0
+        while (i < m) {
+          s += vals((((b * m + i) * A + C) % M % m).toInt)
+          i += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), r.get(1), b.toInt, s / m)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val withDist = dmRows
+      .groupBy(key)
+      .agg(first(col("n0")).as("n"),
+        transform(sort_array(collect_list(struct(col("b"), col("dm")))),
+          x => x.getField("dm")).as("dist"))
     val a = withDist.select(col(key).as("state_a"), col("n").as("n_a"),
       col("dist").as("dist_a"))
     val b = withDist.select(col(key).as("state_b"), col("n").as("n_b"),
@@ -271,17 +395,24 @@ object Bootstrap {
 
   /** SQL mirror of pairwiseDiffCi over `bv(key, v)` → CTE `bpair`. */
   def sqlPairwise(key: String, nBoot: Int, ciLo: Double = 0.025,
-      ciHi: Double = 0.975): String = {
+      ciHi: Double = 0.975, maxPoints: Int = 50000): String = {
     val lo = ciAtSql("sd", ciLo, nBoot)
     val hi = ciAtSql("sd", ciHi, nBoot)
     s"""
-      psorted AS (
-        SELECT $key, list(v ORDER BY v) AS vals, count(v) AS n
+      psorted0 AS (
+        SELECT $key, list(v ORDER BY v) AS vals0, count(v) AS n
         FROM bv GROUP BY 1),
+      psorted AS (
+        SELECT $key, n, least(n, $maxPoints) AS m,
+               CASE WHEN n > $maxPoints
+                 THEN list_transform(range($maxPoints), j ->
+                   vals0[CAST((j * n) // $maxPoints AS BIGINT) + 1])
+                 ELSE vals0 END AS vals
+        FROM psorted0),
       pdist AS (
         SELECT $key, n,
-               list_transform(${iidDrawsSql("vals", "n", nBoot)},
-                 r -> list_aggregate(r, 'sum') / n) AS dist
+               list_transform(${iidDrawsSql("vals", "m", nBoot)},
+                 r -> list_aggregate(r, 'sum') / m) AS dist
         FROM psorted),
       pdiff AS (
         SELECT a.$key AS state_a, b.$key AS state_b,

@@ -14,6 +14,33 @@ import graft.ops.Cols
   */
 object ResearchQueries extends QueryModule {
 
+  private val BvKeys = Seq("ticker", "bar_ts", "bar_id")
+
+  /** (state, keys, fwd_ret_10) non-null forward-outcome frame shared by
+    * the bootstrap/scorecard/hardening family. */
+  private[queries] def bvFrame(s: SparkSession, dir: String): DataFrame =
+    Stage.slimGrammar(s, dir)
+      .select((BvKeys :+ "flow_state_code").map(col): _*)
+      .join(Stage.slimFwd(s, dir)
+        .select((BvKeys :+ "fwd_ret_10").map(col): _*), BvKeys)
+      .filter(col("fwd_ret_10").isNotNull)
+      .withColumnRenamed("flow_state_code", "state")
+
+  /** iid bootstrap stats (nBoot 200) — tiny per-state table, cached and
+    * shared by q_scorecard_full / q_cluster_hardening_full. */
+  private[queries] def bootStats(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "boot_stats") {
+      Bootstrap.statsCi(bvFrame(s, dir), "state", "fwd_ret_10", BvKeys,
+        nBoot = 200)
+    }
+
+  /** Pairwise mean-diff CIs (nBoot 200) — shared likewise. */
+  private[queries] def bootPair(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "boot_pair") {
+      Bootstrap.pairwiseDiffCi(bvFrame(s, dir), "state", "fwd_ret_10",
+        nBoot = 200)
+    }
+
   def all: Seq[Q] = Seq(
 
     // M1 per-key robust scaler (median/IQR) with clip — J4 params join
@@ -78,14 +105,8 @@ object ResearchQueries extends QueryModule {
       ${Bootstrap.sqlStats("state", "ticker, bar_ts, bar_id", nBoot = 200,
         mode = "block", blockLength = 10)}
       SELECT * FROM bstats ORDER BY state""")) { (s, dir) =>
-      val gram = Stage.slimGrammar(s, dir)
-      val fwd = Stage.slimFwd(s, dir)
-      val keys = Seq("ticker", "bar_ts", "bar_id")
-      val bv = gram.select((keys :+ "flow_state_code").map(col): _*)
-        .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
-        .filter(col("fwd_ret_10").isNotNull)
-        .withColumnRenamed("flow_state_code", "state")
-      Bootstrap.statsCi(bv, "state", "fwd_ret_10", keys, nBoot = 200,
+      Bootstrap.statsCi(ResearchQueries.bvFrame(s, dir), "state",
+          "fwd_ret_10", Seq("ticker", "bar_ts", "bar_id"), nBoot = 200,
           mode = "block", blockLength = 10)
         .orderBy("state")
     },
@@ -103,15 +124,7 @@ object ResearchQueries extends QueryModule {
         WHERE f.fwd_ret_10 IS NOT NULL),
       ${Bootstrap.sqlPairwise("state", nBoot = 200)}
       SELECT * FROM bpair ORDER BY state_a, state_b""")) { (s, dir) =>
-      val gram = Stage.slimGrammar(s, dir)
-      val fwd = Stage.slimFwd(s, dir)
-      val keys = Seq("ticker", "bar_ts", "bar_id")
-      val bv = gram.select((keys :+ "flow_state_code").map(col): _*)
-        .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
-        .filter(col("fwd_ret_10").isNotNull)
-        .withColumnRenamed("flow_state_code", "state")
-      Bootstrap.pairwiseDiffCi(bv, "state", "fwd_ret_10", nBoot = 200)
-        .orderBy("state_a", "state_b")
+      ResearchQueries.bootPair(s, dir).orderBy("state_a", "state_b")
     },
 
     // Profiles: forward-outcome stats per flow state (A2-A6 + J9)
@@ -437,10 +450,8 @@ object ResearchQueries extends QueryModule {
         .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
       val bv = joined.filter(col("fwd_ret_10").isNotNull)
         .withColumnRenamed("flow_state_code", "state")
-      val stats = Bootstrap.statsCi(bv, "state", "fwd_ret_10", keys,
-        nBoot = 200)
-      val pair = Bootstrap.pairwiseDiffCi(bv, "state", "fwd_ret_10",
-        nBoot = 200)
+      val stats = ResearchQueries.bootStats(s, dir)
+      val pair = ResearchQueries.bootPair(s, dir)
       val psh = pair.select(col("state_a").as("state"),
           col("diff_sign_consistent").as("sig"))
         .unionByName(pair.select(col("state_b").as("state"),
@@ -770,10 +781,8 @@ object ResearchQueries extends QueryModule {
         .join(fwd.select((keys :+ "fwd_ret_10").map(col): _*), keys)
       val bv = joined.filter(col("fwd_ret_10").isNotNull)
         .withColumnRenamed("flow_state_code", "state")
-      val stats = Bootstrap.statsCi(bv, "state", "fwd_ret_10", keys,
-        nBoot = 200)
-      val pair = Bootstrap.pairwiseDiffCi(bv, "state", "fwd_ret_10",
-        nBoot = 200)
+      val stats = ResearchQueries.bootStats(s, dir)
+      val pair = ResearchQueries.bootPair(s, dir)
       val psh = pair.select(col("state_a").as("state"),
           col("diff_sign_consistent").as("sig"))
         .unionByName(pair.select(col("state_b").as("state"),
