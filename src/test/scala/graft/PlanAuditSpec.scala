@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan invariants for the scale-critical operators — the
+  * ARCHITECTURE.md claims, locked as tests. Runs against the driver's
+  * sf0.001 parquet (read-only). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_project pushes filters and prunes the scan") {
+    val p = planOf("q_scan_project")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("IsNotNull"), "expected pushed IsNotNull")
+    // pruned read schema: the query needs 5 source columns of 11
+    val read = "ReadSchema:.*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_comment"),
+      s"scan not pruned: $read")
+  }
+
+  test("q_join_enrich keeps dimension joins broadcast") {
+    val p = planOf("q_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), "dim join not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_e_ann_pairs: bucket equi-join, never a cross product") {
+    val p = planOf("q_e_ann_pairs")
+    assert(!p.contains("CartesianProduct"),
+      "ANN pair generation degenerated to a cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "ANN pair generation degenerated to a nested-loop join")
+  }
+
+  test("q_d_jaccard: candidate pairs via equi-join, no cross product") {
+    val p = planOf("q_d_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("slim grammar stage is cache-shared across consumers") {
+    // materialize the shared stage, then any consumer must read the
+    // InMemory relation instead of rebuilding the chain
+    graft.queries.Stage.slimGrammar(spark, dir).count()
+    val p = planOf("q_hmm_transitions")
+    assert(p.contains("InMemoryTableScan"),
+      "consumer did not reuse the cached slim grammar stage")
+    graft.queries.Stage.clear()
+  }
+
+  test("bootstrap statsCi parallelizes per (group, draw)") {
+    val s = spark
+    import s.implicits._
+    val bv = Seq((1, 1L, 1.0), (1, 2L, -2.0), (1, 3L, 3.0),
+      (2, 1L, 0.5), (2, 2L, 1.5)).toDF("state", "ts", "v")
+    val df = graft.ml.Bootstrap.statsCi(bv, "state", "v", Seq("ts"),
+      nBoot = 8)
+    val p = df.queryExecution.executedPlan.toString
+    // the explode + repartition exchange is the per-draw parallel shape
+    assert(p.contains("Exchange hashpartitioning"),
+      "per-draw repartition missing")
+    assert(df.count() == 2)
+  }
+}
