@@ -7,6 +7,50 @@ import graft.streaming.StreamingIngest
   * stream (AvailableNow) must equal the same program run in batch. */
 class StreamingSpec extends SparkSpec {
 
+  test("stateful streaming signals match batch across micro-batches") {
+    import graft.streaming.StreamingSignals
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val gram = graft.queries.Stage.slimGrammar(spark, dir)
+      .select("ticker", "bar_ts", "bar_id", "flow_state_code")
+    // split the state-labeled bars into two time-ordered files so the
+    // confirm streak must survive a micro-batch boundary
+    val cut = gram.agg(
+      percentile_approx(col("bar_ts"), lit(0.5), lit(1000)))
+      .head.getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sig")
+    gram.filter(col("bar_ts") <= cut).coalesce(1)
+      .write.parquet(streamDir.resolve("part1").toString)
+    gram.filter(col("bar_ts") > cut).coalesce(1)
+      .write.parquet(streamDir.resolve("part2").toString)
+    val schema = gram.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force >= 2 micro-batches
+      .parquet(s"$streamDir/part*")
+    val out = StreamingSignals.signals(
+      StreamingSignals.fromFrame(src), "state_entry", 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sig_stream_test").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sig_stream_test")
+      .select("ticker", "bar_ts", "bar_id", "state_streak",
+        "entry_signal", "signal_side")
+    val batch = graft.backtest.Signals.generate(
+        graft.etl.EventGrammar.build(graft.etl.Indicators.twiggs(
+          graft.etl.MarketData.barsFromEvents(
+            spark.read.parquet(s"$dir/events.parquet")))),
+        "state_entry", 2)
+      .select(col("ticker"), col("bar_ts"), col("bar_id"),
+        col("state_streak"), col("entry_signal"),
+        coalesce(col("signal_side"), lit(0)).as("signal_side"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "streaming signals diverge from batch")
+    graft.queries.Stage.clear()
+  }
+
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
     // nanos ts → batch-read the schema, convert to a typed ts column
