@@ -295,6 +295,17 @@ object TextQueries extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // IVF-Flat ANN: seeded KMeans coarse quantizer, nProbe nearest cells
+    // per query, exact cosine inside probed cells (rows-only — the fit is
+    // iterative/seeded; exactness at nProbe=nCells locked by
+    // SimilaritySpec)
+    Q("q_e_ann_ivf", None) { (s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
+          k = 5, nCells = 16, nProbe = 4)
+        .select("qid", "vid", "cos_sim", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // Corpus-vs-corpus ANN pairs (the near-dup shape: no broadcastable
     // query side — bucket equi-join with a hot-bucket cap)
     Q("q_e_ann_pairs", Some(s"""

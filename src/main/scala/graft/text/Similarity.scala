@@ -89,6 +89,51 @@ object Similarity {
       .filter(col("cos_sim") >= simFloor)
   }
 
+  /** IVF ANN (the coarse-quantizer scale path): a seeded KMeans fit
+    * partitions the corpus into `nCells` inverted lists; each query
+    * probes its `nProbe` nearest centroids (tiny broadcast table) and
+    * computes exact cosine only inside the probed cells — the classic
+    * IVF-Flat contract. With nProbe = nCells this is exactly brute
+    * force (locked by SimilaritySpec); smaller nProbe trades recall for
+    * a corpus/nCells·nProbe candidate set. At cluster scale the corpus
+    * is hash-partitioned by cell, queries shuffle only to their probed
+    * cells. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
+      nProbe: Int, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val fe = graft.ml.Clustering.withFeatures(e, "v")
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setMaxIter(20).setSeed(seed)
+      .setFeaturesCol("features").fit(fe)
+    val assigned = model.transform(fe)
+      .withColumnRenamed("prediction", "cell")
+      .select("vec_id", "v", "cell")
+    val centDf = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "cv")
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probe = q.crossJoin(broadcast(centDf))
+      .withColumn("d2",
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("cell"))))
+      .filter(col("prnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val scored = probe
+      .join(assigned.select(col("vec_id").as("vid"), col("v"),
+        col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** ANN via LSH buckets: candidate pairs share a bucket; exact cosine is
     * computed only within buckets. Returns (qid, vid, cos_sim, rnk). */
   def annLsh(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
