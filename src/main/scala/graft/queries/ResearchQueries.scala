@@ -41,6 +41,23 @@ object ResearchQueries extends QueryModule {
         nBoot = 200)
     }
 
+  /** Per-(day-window, state) counts and forward-return means — the tiny
+    * (#windows × #states) table every stability/scorecard/hardening
+    * consumer re-derives; built once per run. */
+  private[queries] def dayWindows(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "day_windows") {
+      Stage.slimGrammar(s, dir)
+        .select((BvKeys :+ "flow_state_code").map(col): _*)
+        .join(Stage.slimFwd(s, dir)
+          .select((BvKeys :+ "fwd_ret_10").map(col): _*), BvKeys)
+        .select(
+          datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
+            lit("2024-01-01").cast("date")).as("win"),
+          col("flow_state_code").as("state"), col("fwd_ret_10").as("v"))
+        .groupBy("win", "state")
+        .agg(count(lit(1)).as("wn"), avg("v").as("mret"))
+    }
+
   def all: Seq[Q] = Seq(
 
     // M1 per-key robust scaler (median/IQR) with clip — J4 params join
@@ -459,12 +476,7 @@ object ResearchQueries extends QueryModule {
         .groupBy("state")
         .agg(avg(when(col("sig"), 1.0).otherwise(0.0))
           .as("separation_share"))
-      val wins = joined.select(
-        datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
-          lit("2024-01-01").cast("date")).as("win"),
-        col("flow_state_code").as("state"), col("fwd_ret_10").as("v"))
-      val sws = wins.groupBy("win", "state")
-        .agg(count(lit(1)).as("wn"), avg("v").as("mret"))
+      val sws = ResearchQueries.dayWindows(s, dir)
       val sshare = sws.withColumn("share",
         col("wn").cast("double") / sum("wn").over(Window.partitionBy("win")))
       val sstab = sshare.groupBy("state").agg(
@@ -790,12 +802,7 @@ object ResearchQueries extends QueryModule {
         .groupBy("state")
         .agg(avg(when(col("sig"), 1.0).otherwise(0.0))
           .as("separation_share"))
-      val wins = joined.select(
-        datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
-          lit("2024-01-01").cast("date")).as("win"),
-        col("flow_state_code").as("state"), col("fwd_ret_10").as("v"))
-      val sws = wins.groupBy("win", "state")
-        .agg(count(lit(1)).as("wn"), avg("v").as("mret"))
+      val sws = ResearchQueries.dayWindows(s, dir)
       val sshare = sws.withColumn("share",
         col("wn").cast("double") / sum("wn").over(Window.partitionBy("win")))
       val sstab = sshare.groupBy("state").agg(
