@@ -22,6 +22,25 @@ object BacktestQueries2 extends QueryModule {
     Grid.combos(Seq("state_entry", "state_transition_entry"),
       Seq(1, 2), Seq(5, 10), Seq(5.0))
 
+  private def gramSlim(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Stage.cached(s, dir, "grammar_slim") {
+      EventGrammar.build(Indicators.twiggs(
+        MarketData.barsFromEvents(t(s, dir, "events"))))
+        .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
+          "close", "flow_state_code")
+    }
+
+  /** Per-combo simulated trades, cached — q_bt_grid and
+    * q_bt_robustness_v2 share the 8 sims (trades are tiny frames). */
+  private def comboTrades(s: org.apache.spark.sql.SparkSession,
+      dir: String, c: Grid.Combo) =
+    Stage.cached(s, dir,
+      s"trades_${c.mode}_${c.confirmBars}_${c.holdBars}_${c.feeBps}") {
+      Engine.simulate(
+        Signals.generate(gramSlim(s, dir), c.mode, c.confirmBars),
+        Engine.Config(c.holdBars, c.feeBps)).toDF()
+    }
+
   private def chain: String =
     s"""${MarketData.barsSql},
       ${Indicators.twiggsSql},
@@ -235,17 +254,9 @@ object BacktestQueries2 extends QueryModule {
                   100.0), 0.0), 6) AS robustness_score_v2
          FROM v1s ORDER BY mode, confirm_bars, hold_bars"""
     }) { (s, dir) =>
-      val gram = Stage.cached(s, dir, "grammar_slim") {
-        EventGrammar.build(Indicators.twiggs(
-          MarketData.barsFromEvents(t(s, dir, "events"))))
-          .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
-            "close", "flow_state_code")
-      }
       val combos = BacktestQueries2.GridCombos.zipWithIndex.map {
         case (c, i) =>
-          val trades = Engine.simulate(
-            Signals.generate(gram, c.mode, c.confirmBars),
-            Engine.Config(c.holdBars, c.feeBps)).toDF()
+          val trades = BacktestQueries2.comboTrades(s, dir, c)
           val m = trades.agg(
             count(lit(1)).as("trade_count"),
             avg("net_ret").as("expectancy"),
@@ -408,13 +419,14 @@ object BacktestQueries2 extends QueryModule {
     }) { (s, dir) =>
       // slim projection cached: the 8 grid combos only need the signal
       // machine's inputs, not the full grammar width
-      val gram = Stage.cached(s, dir, "grammar_slim") {
-        EventGrammar.build(Indicators.twiggs(
-          MarketData.barsFromEvents(t(s, dir, "events"))))
-          .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
-            "close", "flow_state_code")
+      val results = BacktestQueries2.GridCombos.map { c =>
+        Metrics.summary(BacktestQueries2.comboTrades(s, dir, c), Seq.empty)
+          .withColumn("mode", lit(c.mode))
+          .withColumn("confirm_bars", lit(c.confirmBars))
+          .withColumn("hold_bars", lit(c.holdBars))
+          .withColumn("fee_bps", lit(c.feeBps))
       }
-      Grid.run(gram, BacktestQueries2.GridCombos)
+      results.reduce(_.unionByName(_))
         .select(col("mode"), col("confirm_bars"), col("hold_bars"),
           col("fee_bps"), col("n_trades"), col("win_rate"),
           col("expectancy"), col("profit_factor"))
