@@ -7,6 +7,36 @@ import graft.ops.{Cols, Wins}
 /** Core combinator semantics: NaN→null normalization, safe division,
   * Polars-style min_samples rolling guards, bars-since, run ids. */
 class OpsSpec extends SparkSpec {
+
+  test("execution realism auto-detects percent-point volatility units") {
+    import graft.backtest.Overlay
+    val s = spark
+    import s.implicits._
+    // ranges ~5% of close expressed as price units → (high-low)/close is
+    // DECIMAL (~0.05): divisor 1. Scaling the range 100× (synthetic
+    // percent-point series: median > 1) must flip the divisor to 100.
+    def bars(scale: Double) = (1 to 60).map { i =>
+      val close = 100.0 + i
+      ("T1", i.toLong, i.toLong, close, close + 0.05 * close * scale,
+        close - 0.0, close, 1000.0)
+    }.toDF("ticker", "bar_ts", "bar_id", "open", "high", "low", "close",
+      "volume")
+    val dec = Overlay.executionRealism(bars(1.0), minDollarVol = 1,
+      minPrice = 1, warmupBars = 1, maxVolPct = Some(8.0))
+    val pct = Overlay.executionRealism(bars(100.0), minDollarVol = 1,
+      minPrice = 1, warmupBars = 1, maxVolPct = Some(8.0))
+    assert(dec.select("vol_divisor").head.getDouble(0) == 1.0)
+    assert(pct.select("vol_divisor").head.getDouble(0) == 100.0)
+    // after normalization both series sit below the 0.08 threshold on
+    // every bar → no vol_cap blocks in either
+    assert(dec.filter(col("exec_reason") === "vol_cap").count() == 0)
+    assert(pct.filter(col("exec_reason") === "vol_cap").count() == 0)
+    // identical normalized vol series ⇒ identical eligibility
+    val a = dec.select("bar_id", "exec_allowed")
+    val b = pct.select("bar_id", "exec_allowed")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   import spark.implicits._
 
   test("safeDiv: null on ~zero denominator, value otherwise") {
