@@ -166,36 +166,51 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
-    // SimHash near-dup pairs blocked on 4-bit chunks
+    // SimHash near-dup pairs: 64-bit signatures (4 salted hashes × 16
+    // bits), blocked on 16-bit bands — 4·2^16 blocking keys, pigeonhole
+    // recall for hamming <= 3
     Q("q_d_simhash", Some {
-      val bitSums = (0 until 16).map(j =>
-        s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+      val hashCols = (0 until 4).map(c =>
+        s"${hsql(s"'s${c}_' || tok")} AS h$c").mkString(",\n               ")
+      val bitSums = (for (c <- 0 until 4; j <- 0 until 16) yield
+        s"sum(CASE WHEN (h$c >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s${c}_$j")
         .mkString(",\n               ")
-      val sigSum = (0 until 16).map(j =>
-        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      val bands = (0 until 4).map { c =>
+        val sum = (0 until 16).map(j =>
+          s"CASE WHEN s${c}_$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"CAST($sum AS BIGINT) AS b$c"
+      }.mkString(",\n              ")
+      val bandCase = (0 until 4).map(c => s"WHEN $c THEN b$c")
+        .mkString("CASE c ", " ", " END")
+      val hamming = (0 until 4).map(c =>
+        s"bit_count(xor(a.b$c, b.b$c))").mkString(" + ")
       s"""
       WITH toks AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         FROM documents),
-      h AS (SELECT doc_id, ${hsql("tok")} AS h FROM toks),
+      h AS (SELECT doc_id,
+               $hashCols
+            FROM toks),
       sums AS (SELECT doc_id,
                $bitSums
               FROM h GROUP BY 1),
-      sig AS (SELECT doc_id, CAST($sigSum AS BIGINT) AS simhash FROM sums),
-      chunks AS (SELECT doc_id, simhash, c AS chunk_idx,
-                        (simhash >> (c * 4)) % 16 AS chunk
-                 FROM sig, range(4) r(c)),
+      sig AS (SELECT doc_id,
+              $bands
+              FROM sums),
+      keyed AS (SELECT doc_id, b0, b1, b2, b3, c AS band_idx,
+                       $bandCase AS band
+                FROM sig, range(4) r(c)),
       pairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM chunks a JOIN chunks b
-          ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+               CAST($hamming AS INT) AS hamming
+        FROM keyed a JOIN keyed b
+          ON a.band_idx = b.band_idx AND a.band = b.band
           AND a.doc_id < b.doc_id)
-      SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
+      SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
       ORDER BY d1, d2"""
     }) { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
-        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
         .orderBy("d1", "d2")
     },
 

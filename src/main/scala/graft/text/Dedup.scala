@@ -96,25 +96,31 @@ object Dedup {
         (agree.cast("double") / k).as("est_sim"))
   }
 
-  /** SimHash near-dup pairs: 16-bit signatures, blocked on 4-bit chunks
-    * (pigeonhole: hamming<=3 pairs share at least one chunk), exact hamming
-    * filter. */
+  /** SimHash near-dup pairs: 64-bit signatures as four 16-bit bands,
+    * blocked on (band_idx, band_value) — a 4·2^16 key space, so per-key
+    * bucket sizes stay tiny at corpus scale. Pigeonhole: any pair at
+    * hamming ≤ 3 agrees on at least one full band, so recall is perfect
+    * at that radius; the exact hamming filter then trims band-collision
+    * false positives. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = simhash16(docs, col("doc_id"), col("text")).cache()
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk_idx"),
-          (shiftright(col("simhash"), c * 4) % 16).as("chunk"))): _*))
-        .as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk_idx"),
-        col("ck.chunk"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx")
-          && col("a.chunk") === col("b.chunk")
+    require(maxHamming < SimHashBands,
+      s"banded blocking only guarantees recall for hamming < $SimHashBands")
+    val sigs = simhash64(docs, col("doc_id"), col("text")).cache()
+    val bandCols = (0 until SimHashBands).map(c => col(s"b$c"))
+    val keyed = sigs.select(col("doc_id") +: bandCols :+
+      explode(array((0 until SimHashBands).map(c =>
+        struct(lit(c).as("band_idx"), col(s"b$c").as("band"))): _*))
+        .as("bk"): _*)
+      .select(col("doc_id") +: bandCols :+ col("bk.band_idx")
+        :+ col("bk.band"): _*)
+    val hamming = (0 until SimHashBands).map(c =>
+      bit_count(col(s"a.b$c").bitwiseXOR(col(s"b.b$c")))).reduce(_ + _)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band") === col("b.band")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .as("hamming"))
+        hamming.cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

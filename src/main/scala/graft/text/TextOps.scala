@@ -48,22 +48,40 @@ object TextOps {
   def minhashCol(hashed: Column, a: Long, b: Long): Column =
     min((hashed * a + b) % HashPrime)
 
-  /** SimHash over 16 bits of the portable token hash: bit j of the
-    * signature is 1 iff sum over tokens of ±1 (by bit j of token hash) > 0.
-    */
-  def simhash16(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = df.select(id.as("doc_id"),
-      explode(array_distinct(tokens(text))).as("tok"))
-      .withColumn("h", hashMod(col("tok")))
-    val bitSums = (0 until 16).map { j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1))
-        .as(s"b$j")
+  /** 64-bit SimHash, materialized as four 16-bit band values `b0..b3`.
+    *
+    * Band c's bit j is 1 iff the ±1 vote sum over distinct tokens (by bit
+    * j of the band's salted token hash `hashMod("s{c}_" ++ tok)`) is
+    * positive. Four independent salted hashes supply 4×16 well-mixed bits
+    * (the mod-prime hash only has ~30 uniform low bits, so one hash can't
+    * feed all 64), and keeping bands as separate small ints avoids signed
+    * 64-bit shift arithmetic entirely — every step mirrors into ANSI SQL.
+    *
+    * Blocking on (band_idx, band_value) gives a `4 · 2^16` key space; by
+    * pigeonhole any pair at hamming ≤ 3 agrees on at least one full band,
+    * so banded candidate generation has perfect recall at that radius —
+    * unlike the previous 16-bit/4-bit-chunk scheme whose 64 total keys
+    * went near-quadratic at corpus scale. */
+  val SimHashBandBits = 16
+  val SimHashBands = 4
+
+  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val hashes = (0 until SimHashBands).map { c =>
+      hashMod(concat(lit(s"s${c}_"), col("tok"))).as(s"h$c")
     }
+    val tok = df.select(id.as("doc_id"),
+        explode(array_distinct(tokens(text))).as("tok"))
+      .select(col("doc_id") +: hashes: _*)
+    val bitSums = for (c <- 0 until SimHashBands; j <- 0 until SimHashBandBits)
+      yield sum(when(shiftright(col(s"h$c"), j) % 2 === 1, 1).otherwise(-1))
+        .as(s"s${c}_$j")
     val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 16).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("simhash"))
+    val bands = (0 until SimHashBands).map { c =>
+      (0 until SimHashBandBits).map { j =>
+        when(col(s"s${c}_$j") > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _).as(s"b$c")
+    }
+    sums.select(col("doc_id") +: bands: _*)
   }
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")

@@ -49,10 +49,41 @@ class DedupSpec extends SparkSpec {
       && r.getAs[Double]("est_sim") == 1.0))
   }
 
-  test("simhash: identical docs at hamming 0, found by chunk blocking") {
+  test("simhash: identical docs at hamming 0, found by band blocking") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta")
     val out = Dedup.simhashPairs(d, maxHamming = 3).collect()
     assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("simhash: banded blocking has perfect recall at hamming <= 3") {
+    // mutate a base doc token-by-token so signatures land at a spread of
+    // hamming distances; banded candidates must equal brute force <= 3
+    // 200-token base so single-token swaps flip only the small-margin
+    // bits (hamming ~0-6); doc 1 is an exact dup of doc 0 (hamming 0)
+    val base = (1 to 200).map(i => s"tok$i")
+    val d = docs((0L until 12L).map { i =>
+      val swaps = math.max(0, i.toInt - 1)
+      val txt = (base.drop(swaps)
+        ++ (0 until swaps).map(j => s"mut${i}_$j")).mkString(" ")
+      i -> txt
+    }: _*)
+    val sigs = TextOps.simhash64(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until TextOps.SimHashBands).map(c => r.getAs[Long](s"b$c")))
+      .toMap
+    val brute = for {
+      a <- sigs.keys.toSeq; b <- sigs.keys.toSeq if a < b
+      h = sigs(a).zip(sigs(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h)
+    val banded = Dedup.simhashPairs(d, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(banded == brute.toSet,
+      s"banded=$banded brute=${brute.toSet}")
+    assert(brute.nonEmpty, "fixture produced no close pairs — weak test")
   }
 
   test("cosineTopK: nearest neighbor of a vector is its duplicate") {

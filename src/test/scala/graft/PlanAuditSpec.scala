@@ -35,6 +35,18 @@ class PlanAuditSpec extends SparkSpec {
       "ANN pair generation degenerated to a nested-loop join")
   }
 
+  test("q_d_simhash: 16-bit band blocking, key space >= 2^16, equi-join") {
+    import graft.text.TextOps
+    // the blocking-key space (band_idx × band_value) must be wide enough
+    // that per-key bucket sizes stay sub-linear at corpus scale
+    val keySpace = TextOps.SimHashBands.toLong << TextOps.SimHashBandBits
+    assert(keySpace >= (1L << 16),
+      s"simhash blocking key space $keySpace below 2^16 — near-quadratic")
+    val p = planOf("q_d_simhash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_d_jaccard: candidate pairs via equi-join, no cross product") {
     val p = planOf("q_d_jaccard")
     assert(!p.contains("CartesianProduct"))
