@@ -311,40 +311,63 @@ object TextQueries extends QueryModule {
     },
 
     // IVF-Flat ANN: seeded KMeans coarse quantizer, nProbe nearest cells
-    // per query, exact cosine inside probed cells (rows-only — the fit is
-    // iterative/seeded; exactness at nProbe=nCells locked by
-    // SimilaritySpec)
-    Q("q_e_ann_ivf", None) { (s, dir) =>
+    // per query, exact cosine inside probed cells. Run at nProbe = nCells
+    // the IVF contract makes it exactly brute force, so the brute-force
+    // SQL IS its oracle — the full KMeans/assign/probe machinery is
+    // driver-verified (probe-limited recall is locked by SimilaritySpec).
+    Q("q_e_ann_ivf", Some("""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
+      q AS (SELECT * FROM ex WHERE vec_id < 32),
+      dots AS (
+        SELECT q.vec_id AS qid, e.vec_id AS vid, sum(q.x * e.x) AS dot
+        FROM q JOIN ex e ON q.i = e.i AND q.vec_id <> e.vec_id
+        GROUP BY 1, 2),
+      cosd AS (
+        SELECT qid, vid, round(dot / (nq.nrm * nv.nrm), 6) AS cos_sim
+        FROM dots JOIN norms nq ON qid = nq.vec_id
+                  JOIN norms nv ON vid = nv.vec_id)
+      SELECT qid, vid, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cos_sim DESC, vid) AS rnk FROM cosd)
+      WHERE rnk <= 5 ORDER BY qid, rnk""")) { (s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
-          k = 5, nCells = 16, nProbe = 4)
+          k = 5, nCells = 16, nProbe = 16)
         .select("qid", "vid", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
     },
 
     // Corpus-vs-corpus ANN pairs (the near-dup shape: no broadcastable
-    // query side — bucket equi-join with a hot-bucket cap)
+    // query side — banded bucket equi-join with a hot-bucket cap;
+    // 2 OR-amplification bands driver-verify the banded path)
     Q("q_e_ann_pairs", Some(s"""
       WITH ex AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings),
       proj AS (
-        SELECT vec_id, j, sum(x * (CASE WHEN
+        SELECT vec_id, j // 8 AS band_idx, j % 8 AS bit,
+               sum(x * (CASE WHEN
           ${hsql("'hp_' || j || '_' || i")} % 2 = 0
           THEN 1.0 ELSE -1.0 END)) AS p
-        FROM ex, range(8) rj(j) GROUP BY 1, 2),
+        FROM ex, range(16) rj(j) GROUP BY 1, 2, 3),
       buckets AS (
-        SELECT vec_id, CAST(sum(CASE WHEN p > 0
-          THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-        FROM proj GROUP BY 1),
+        SELECT vec_id, band_idx, CAST(sum(CASE WHEN p > 0
+          THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1, 2),
       norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
-      bsz AS (SELECT bucket, count(*) AS bn FROM buckets GROUP BY 1),
-      bk AS (SELECT b.* FROM buckets b JOIN bsz USING (bucket)
+      bsz AS (SELECT band_idx, bucket, count(*) AS bn
+              FROM buckets GROUP BY 1, 2),
+      bk AS (SELECT b.* FROM buckets b JOIN bsz USING (band_idx, bucket)
              WHERE bsz.bn <= 256),
       pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bk a JOIN bk b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id),
       dots AS (
         SELECT p.id_a, p.id_b, sum(ae.x * be.x) AS dot
         FROM pairs p JOIN ex ae ON ae.vec_id = p.id_a
@@ -357,8 +380,44 @@ object TextQueries extends QueryModule {
       SELECT id_a, id_b, cos_sim FROM cosd
       WHERE cos_sim >= 0.0 ORDER BY id_a, id_b""")) { (s, dir) =>
       Similarity.annSelfJoinPairs(t(s, dir, "embeddings"),
-          maxBucket = 256, simFloor = 0.0)
+          maxBucket = 256, simFloor = 0.0, bits = 8, nBands = 2)
         .orderBy("id_a", "id_b")
+    },
+
+    // Hot-bucket-guard observability: per-band occupancy + the fraction
+    // of docs the maxBucket cap would drop (the silent-recall-loss alarm)
+    Q("q_e_ann_stats", Some(s"""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, j // 8 AS band_idx, j % 8 AS bit,
+               sum(x * (CASE WHEN
+          ${hsql("'hp_' || j || '_' || i")} % 2 = 0
+          THEN 1.0 ELSE -1.0 END)) AS p
+        FROM ex, range(16) rj(j) GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT vec_id, band_idx, CAST(sum(CASE WHEN p > 0
+          THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1, 2),
+      bsz AS (SELECT band_idx, bucket, count(*) AS bn
+              FROM buckets GROUP BY 1, 2)
+      SELECT CAST(band_idx AS BIGINT) AS band_idx,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(bn) AS BIGINT) AS n_docs,
+             CAST(max(bn) AS BIGINT) AS max_bucket,
+             CAST(sum(CASE WHEN bn > 24 THEN bn ELSE 0 END) AS BIGINT)
+               AS dropped_docs,
+             round(CAST(sum(CASE WHEN bn > 24 THEN bn ELSE 0 END) AS DOUBLE)
+               / sum(bn), 9) AS dropped_frac
+      FROM bsz GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Similarity.annBucketStats(t(s, dir, "embeddings"),
+          maxBucket = 24, bits = 8, nBands = 2)
+        .withColumn("band_idx", col("band_idx").cast("long"))
+        .select("band_idx", "n_buckets", "n_docs", "max_bucket",
+          "dropped_docs", "dropped_frac")
+        .orderBy("band_idx")
     }
   )
 }

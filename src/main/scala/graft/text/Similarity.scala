@@ -41,9 +41,9 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Number of sign-hyperplane LSH bits. Hyperplane j component i is
-    * derived from a portable hash of (j,i) → {-1,+1}, so the bucketing is
-    * reproducible in SQL and across runs. */
+  /** Default number of sign-hyperplane LSH bits. Hyperplane j component i
+    * is derived from a portable hash of (j,i) → {-1,+1}, so the bucketing
+    * is reproducible in SQL and across runs. */
   val LshBits = 8
 
   def hyperplaneSign(j: Int, i: Column): Column = {
@@ -51,16 +51,33 @@ object Similarity {
     when(h % 2 === 0, 1.0).otherwise(-1.0)
   }
 
-  /** LSH sign-bucket key for each embedding: bit j = (v · hp_j) > 0. */
-  def lshBucket(emb: Column): Column = {
+  /** Sign-bucket key for band `band` of an LSH family with `bits` bits
+    * per band: bit j = (v · hp_{band·bits+j}) > 0. Distinct bands use
+    * disjoint hyperplane indices, giving independent hash functions for
+    * OR-amplification. */
+  def lshBucketBand(emb: Column, bits: Int, band: Int): Column = {
     val v = asDouble(emb)
-    (0 until LshBits).map { j =>
+    (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * hyperplaneSign(j, i)),
+          (x, i) => x * hyperplaneSign(band * bits + j, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** LSH sign-bucket key for each embedding (band 0 of the family). */
+  def lshBucket(emb: Column): Column = lshBucketBand(emb, LshBits, 0)
+
+  /** Bucket-space width sized to the corpus: enough bits that the mean
+    * bucket occupancy n / 2^bits ≈ `targetBucket`, never below the
+    * LshBits floor. This is the knob that keeps Σ bucket² (the pair-join
+    * cost) linear in n as the corpus grows 100× — a fixed 8-bit space
+    * saturates and either explodes cost or (with the hot-bucket cap)
+    * silently drops recall. */
+  def autoBits(n: Long, targetBucket: Int = 64): Int = {
+    val cells = math.max(1.0, n.toDouble / math.max(1, targetBucket))
+    math.max(LshBits, math.ceil(math.log(cells) / math.log(2.0)).toInt)
   }
 
   /** Corpus-vs-corpus ANN pair generation — the near-dup-dedup shape
@@ -71,22 +88,63 @@ object Similarity {
     * are dropped via `maxBucket` — the same hot-key guard as
     * Dedup.jaccard's maxFreq. Cost is Σ bucket² bounded by
     * maxBucket · corpus, not corpus². */
-  def annSelfJoinPairs(emb: DataFrame, maxBucket: Int,
-      simFloor: Double): DataFrame = {
+  def annSelfJoinPairs(emb: DataFrame, maxBucket: Int, simFloor: Double,
+      bits: Int = LshBits, nBands: Int = 1): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
-      lshBucket(col("embedding")).as("bucket"))
+        explode(array((0 until nBands).map(band =>
+          struct(lit(band).as("band_idx"),
+            lshBucketBand(col("embedding"), bits, band).as("bucket"))): _*))
+          .as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.band_idx"), col("bk.bucket"))
     val sized = e
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band_idx", "bucket")))
       .filter(col("bn") <= maxBucket).drop("bn")
     val a = sized.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("bucket"))
+      col("band_idx"), col("bucket"))
     val b = sized.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("bucket"))
-    a.join(b, Seq("bucket"))
+      col("band_idx"), col("bucket"))
+    val scored = a.join(b, Seq("band_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= simFloor)
+    // a pair can collide in several bands — dedupe only when that's
+    // possible (the extra exchange is wasted with a single band)
+    if (nBands > 1) scored.distinct() else scored
+  }
+
+  /** Corpus-size-adaptive variant: one `count()` action sizes the bucket
+    * space (autoBits), banded OR-amplification restores the recall that
+    * narrower per-band buckets would otherwise lose. This is the entry
+    * point a 100-TB dedup job should use. */
+  def annSelfJoinPairsAuto(emb: DataFrame, maxBucket: Int, simFloor: Double,
+      nBands: Int = 4, targetBucket: Int = 64): DataFrame =
+    annSelfJoinPairs(emb, maxBucket, simFloor,
+      autoBits(emb.count(), targetBucket), nBands)
+
+  /** Per-band bucket occupancy and the fraction of documents the
+    * `maxBucket` hot-bucket guard drops — surfaced as data instead of
+    * silently filtered, so a production run can alarm on recall loss
+    * (dropped_frac → 1 means the bucket space is saturated and `bits`
+    * must grow). */
+  def annBucketStats(emb: DataFrame, maxBucket: Int,
+      bits: Int = LshBits, nBands: Int = 1): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        explode(array((0 until nBands).map(band =>
+          struct(lit(band).as("band_idx"),
+            lshBucketBand(col("embedding"), bits, band).as("bucket"))): _*))
+          .as("bk"))
+      .select(col("vec_id"), col("bk.band_idx"), col("bk.bucket"))
+    e.groupBy("band_idx", "bucket").agg(count(lit(1)).as("bn"))
+      .groupBy("band_idx").agg(
+        count(lit(1)).as("n_buckets"),
+        sum("bn").as("n_docs"),
+        max("bn").as("max_bucket"),
+        sum(when(col("bn") > maxBucket, col("bn")).otherwise(0L))
+          .as("dropped_docs"))
+      .withColumn("dropped_frac",
+        round(col("dropped_docs").cast("double") / col("n_docs"), 9))
   }
 
   /** IVF ANN (the coarse-quantizer scale path): a seeded KMeans fit

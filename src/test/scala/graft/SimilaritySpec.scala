@@ -21,6 +21,51 @@ class SimilaritySpec extends SparkSpec {
       "full-probe IVF must equal brute force")
   }
 
+  test("banded auto-bits LSH keeps near-dup recall at two corpus sizes") {
+    import spark.implicits._
+    // planted near-identical pairs (cos ≈ 1) must all be recovered by the
+    // banded self-join at both corpus sizes; autoBits must widen the
+    // bucket space as the corpus grows (the 100× contract)
+    def corpus(n: Int, nDup: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(7)
+      val base = (0 until n).map { i =>
+        (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+      }
+      val dups = (0 until nDup).map { i =>
+        val src = base(i)._2
+        ((n + i).toLong, src.map(x => x * (1.0f + 1e-6f * rnd.nextInt(3))))
+      }
+      (base ++ dups).toDF("vec_id", "embedding")
+    }
+    for (n <- Seq(200, 2000)) {
+      val nDup = 20
+      val got = Similarity.annSelfJoinPairsAuto(corpus(n, nDup),
+          maxBucket = 1000000, simFloor = 0.99, nBands = 4,
+          targetBucket = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      val planted = (0 until nDup).map(i => (i.toLong, (n + i).toLong)).toSet
+      assert(planted.subsetOf(got),
+        s"n=$n: missing planted pairs ${planted -- got}")
+    }
+    assert(Similarity.autoBits(200, 4) < Similarity.autoBits(2000, 4),
+      "bucket space must widen with corpus size")
+    assert(Similarity.autoBits(100, 64) == Similarity.LshBits,
+      "small corpora keep the floor width")
+  }
+
+  test("annBucketStats surfaces the dropped-doc fraction per band") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val stats = Similarity.annBucketStats(emb, maxBucket = 24,
+        bits = 8, nBands = 2).orderBy("band_idx").collect()
+    assert(stats.length == 2)
+    stats.foreach { r =>
+      val frac = r.getAs[Double]("dropped_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("n_docs") == emb.count())
+    }
+  }
+
   test("partial-probe IVF returns k ranked candidates bounded by exact") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pred = col("vec_id") < 16
