@@ -22,7 +22,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
     BacktestQueries, IngestQueries, ResearchQueries, MlQueries,
-    ValidationQueries, BacktestQueries2, CompareQueries)
+    ValidationQueries, BacktestQueries2, CompareQueries,
+    ProductionQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

@@ -24,10 +24,11 @@ object BacktestQueries extends QueryModule {
       EventGrammar.build(Indicators.twiggs(
         MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
 
+  // the default combo is also a grid combo: share one cached trade frame
+  // across this module and the grid/robustness/candidate family
   private def tradesDf(s: SparkSession, dir: String): DataFrame =
-    Stage.cached(s, dir, "trades") {
-      Engine.simulate(signalsDf(s, dir), Cfg).toDF()
-    }
+    BacktestQueries2.comboTrades(s, dir,
+      graft.backtest.Grid.Combo(Mode, Confirm, Cfg.holdBars, Cfg.feeBps))
 
   /** Shared oracle prelude: bars → twiggs recursion → grammar → signals. */
   private def chain: String =

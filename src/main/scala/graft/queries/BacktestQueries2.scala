@@ -22,7 +22,8 @@ object BacktestQueries2 extends QueryModule {
     Grid.combos(Seq("state_entry", "state_transition_entry"),
       Seq(1, 2), Seq(5, 10), Seq(5.0))
 
-  private def gramSlim(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def gramSlim(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
     Stage.cached(s, dir, "grammar_slim") {
       EventGrammar.build(Indicators.twiggs(
         MarketData.barsFromEvents(t(s, dir, "events"))))
@@ -32,7 +33,7 @@ object BacktestQueries2 extends QueryModule {
 
   /** Per-combo simulated trades, cached — q_bt_grid and
     * q_bt_robustness_v2 share the 8 sims (trades are tiny frames). */
-  private def comboTrades(s: org.apache.spark.sql.SparkSession,
+  private[queries] def comboTrades(s: org.apache.spark.sql.SparkSession,
       dir: String, c: Grid.Combo) =
     Stage.cached(s, dir,
       s"trades_${c.mode}_${c.confirmBars}_${c.holdBars}_${c.feeBps}") {
@@ -48,12 +49,194 @@ object BacktestQueries2 extends QueryModule {
       ${Signals.sql(Mode, Confirm)},
       ${Engine.tradesSql(Cfg)}"""
 
+  /** The default combo IS a grid combo — share its cached trades with the
+    * grid/robustness family instead of re-running the chain under a
+    * second cache key. */
   private def tradesDf(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Stage.cached(s, dir, "trades") {
-      Engine.simulate(
-        Signals.generate(EventGrammar.build(Indicators.twiggs(
-          MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm),
-        Cfg).toDF()
+    comboTrades(s, dir, Grid.Combo(Mode, Confirm, Cfg.holdBars, Cfg.feeBps))
+
+  /** Portable combo id — also the candidate pack's selection tiebreak. */
+  private[queries] def comboId(c: Grid.Combo): String =
+    s"${c.mode}_c${c.confirmBars}_h${c.holdBars}_f${c.feeBps.toInt}"
+
+  /** Oracle CTE chain for the scored combo frame (ends in CTE
+    * `combo_scored`): per-combo metrics → stable rank-to-[0,1] scores →
+    * v1/v2 robustness, all output columns rounded. Prefix with the
+    * bars/twiggs/grammar chain. Shared by q_bt_robustness_v2 and the
+    * production candidate pack. */
+  private[queries] def comboScoredSql: String = {
+    val per = GridCombos.zipWithIndex.map { case (c, i) =>
+      s"""
+        (WITH RECURSIVE
+         ${Signals.sql(c.mode, c.confirmBars)},
+         ${Engine.tradesSql(Engine.Config(c.holdBars, c.feeBps))},
+         ${Metrics.portfolioSql},
+         m AS (
+           SELECT count(*) AS trade_count,
+                  avg(net_ret) AS expectancy,
+                  CASE WHEN abs(sum(CASE WHEN NOT (net_ret > 0)
+                      THEN net_ret END)) > 0.000000000001
+                    THEN sum(CASE WHEN net_ret > 0 THEN net_ret END)
+                      / abs(sum(CASE WHEN NOT (net_ret > 0)
+                          THEN net_ret END)) END AS profit_factor,
+                  stddev_pop(net_ret) AS return_std,
+                  stddev_pop(CASE WHEN net_ret < 0 THEN net_ret END)
+                    AS downside_std,
+                  CASE WHEN abs(avg(net_ret)) > 0.000000000001
+                    THEN stddev_pop(net_ret) / abs(avg(net_ret)) END
+                    AS ret_cv
+           FROM trades),
+         dd AS (SELECT min(drawdown) AS max_drawdown FROM portfolio)
+         SELECT $i AS combo_idx, '${c.mode}' AS mode,
+                ${c.confirmBars} AS confirm_bars,
+                ${c.holdBars} AS hold_bars,
+                CAST(${c.feeBps} AS DOUBLE) AS fee_bps,
+                '${comboId(c)}' AS combo_id,
+                m.*, dd.max_drawdown
+         FROM m CROSS JOIN dd)"""
+    }
+    s"""combos AS (${per.mkString(" UNION ALL ")}),
+         ranked AS (
+           SELECT *,
+             count(expectancy) OVER () AS nv_exp,
+             row_number() OVER (ORDER BY expectancy DESC NULLS LAST,
+               combo_idx) AS r_exp,
+             count(profit_factor) OVER () AS nv_pf,
+             row_number() OVER (ORDER BY profit_factor DESC NULLS LAST,
+               combo_idx) AS r_pf,
+             count(max_drawdown) OVER () AS nv_dd,
+             row_number() OVER (ORDER BY abs(max_drawdown) ASC NULLS LAST,
+               combo_idx) AS r_dd,
+             count(return_std) OVER () AS nv_std,
+             row_number() OVER (ORDER BY return_std ASC NULLS LAST,
+               combo_idx) AS r_std,
+             count(ret_cv) OVER () AS nv_cv,
+             row_number() OVER (ORDER BY ret_cv ASC NULLS LAST,
+               combo_idx) AS r_cv,
+             count(downside_std) OVER () AS nv_tail,
+             row_number() OVER (ORDER BY downside_std ASC NULLS LAST,
+               combo_idx) AS r_tail,
+             count(fee_bps) OVER () AS nv_cost,
+             row_number() OVER (ORDER BY fee_bps ASC NULLS LAST,
+               combo_idx) AS r_cost
+           FROM combos),
+         scored AS (
+           SELECT *,
+             CASE WHEN expectancy IS NULL THEN 0.0 ELSE
+               1 - CAST(r_exp - 1 AS DOUBLE)
+                 / greatest(nv_exp - 1, 1) END AS s_exp,
+             CASE WHEN profit_factor IS NULL THEN 0.0 ELSE
+               1 - CAST(r_pf - 1 AS DOUBLE)
+                 / greatest(nv_pf - 1, 1) END AS s_pf,
+             CASE WHEN max_drawdown IS NULL THEN 0.0 ELSE
+               1 - CAST(r_dd - 1 AS DOUBLE)
+                 / greatest(nv_dd - 1, 1) END AS s_dd,
+             CASE WHEN return_std IS NULL THEN 0.0 ELSE
+               1 - CAST(r_std - 1 AS DOUBLE)
+                 / greatest(nv_std - 1, 1) END AS s_std,
+             CASE WHEN ret_cv IS NULL THEN 0.0 ELSE
+               1 - CAST(r_cv - 1 AS DOUBLE)
+                 / greatest(nv_cv - 1, 1) END AS s_cv,
+             CASE WHEN downside_std IS NULL THEN 0.0 ELSE
+               1 - CAST(r_tail - 1 AS DOUBLE)
+                 / greatest(nv_tail - 1, 1) END AS s_tail,
+             CASE WHEN fee_bps IS NULL THEN 0.0 ELSE
+               1 - CAST(r_cost - 1 AS DOUBLE)
+                 / greatest(nv_cost - 1, 1) END AS s_cost,
+             0.7 * least(CAST(trade_count AS DOUBLE) / 100.0, 1.0)
+               + 0.3 AS s_hyg
+           FROM ranked),
+         v1s AS (
+           SELECT *,
+             100.0 * (0.30 * s_exp + 0.20 * s_pf + 0.20 * s_dd
+               + 0.15 * s_std + 0.10 * s_cost + 0.05 * s_hyg) AS v1_raw
+           FROM scored),
+         combo_scored AS (
+           SELECT combo_idx, combo_id, mode, confirm_bars, hold_bars,
+                fee_bps, trade_count,
+                round(expectancy, 9) AS expectancy,
+                round(profit_factor, 6) AS profit_factor,
+                round(ret_cv, 6) AS ret_cv,
+                round(max_drawdown, 9) AS max_drawdown,
+                round(greatest(least(v1_raw, 100.0), 0.0), 6)
+                  AS robustness_score_v1,
+                round(greatest(least(
+                  0.70 * greatest(least(v1_raw, 100.0), 0.0)
+                    + 15.0 * s_cv + 10.0 * s_tail + 5.0 * s_cost
+                    - CASE WHEN trade_count = 0 THEN 20.0 ELSE 0.0 END,
+                  100.0), 0.0), 6) AS robustness_score_v2
+           FROM v1s)"""
+  }
+
+  /** Scored combo frame (the Spark twin of `comboScoredSql`), cached —
+    * the 8 per-combo sims come from the shared comboTrades cache; the
+    * ranking windows run over an 8-row frame. */
+  private[queries] def comboScored(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    Stage.cached(s, dir, "combo_scored") {
+      val combos = GridCombos.zipWithIndex.map { case (c, i) =>
+        val trades = comboTrades(s, dir, c)
+        val m = trades.agg(
+          count(lit(1)).as("trade_count"),
+          avg("net_ret").as("expectancy"),
+          Cols.safeDiv(sum(when(col("net_ret") > 0, col("net_ret"))),
+            abs(sum(when(!(col("net_ret") > 0), col("net_ret")))))
+            .as("profit_factor"),
+          stddev_pop(col("net_ret")).as("return_std"),
+          stddev_pop(when(col("net_ret") < 0, col("net_ret")))
+            .as("downside_std"),
+          Cols.safeDiv(stddev_pop(col("net_ret")),
+            abs(avg(col("net_ret")))).as("ret_cv"))
+        val dd = Metrics.portfolio(trades)
+          .agg(min("drawdown").as("max_drawdown"))
+        m.crossJoin(dd)
+          .withColumn("combo_idx", lit(i))
+          .withColumn("combo_id", lit(comboId(c)))
+          .withColumn("mode", lit(c.mode))
+          .withColumn("confirm_bars", lit(c.confirmBars))
+          .withColumn("hold_bars", lit(c.holdBars))
+          .withColumn("fee_bps", lit(c.feeBps))
+      }
+      val all = combos.reduce(_.unionByName(_))
+      val W = Window.partitionBy()
+      def score(c: org.apache.spark.sql.Column, desc: Boolean) = {
+        val ord = if (desc) Seq(c.desc_nulls_last, col("combo_idx"))
+          else Seq(c.asc_nulls_last, col("combo_idx"))
+        val rn = row_number().over(Window.orderBy(ord: _*))
+        val nv = count(c).over(W)
+        when(c.isNull, 0.0).otherwise(
+          lit(1) - (rn - 1).cast("double") / greatest(nv - 1, lit(1)))
+      }
+      val scored = all
+        .withColumn("s_exp", score(col("expectancy"), desc = true))
+        .withColumn("s_pf", score(col("profit_factor"), desc = true))
+        .withColumn("s_dd", score(abs(col("max_drawdown")), desc = false))
+        .withColumn("s_std", score(col("return_std"), desc = false))
+        .withColumn("s_cv", score(col("ret_cv"), desc = false))
+        .withColumn("s_tail", score(col("downside_std"), desc = false))
+        .withColumn("s_cost", score(col("fee_bps"), desc = false))
+        .withColumn("s_hyg",
+          lit(0.7) * least(col("trade_count").cast("double") / 100.0,
+            lit(1.0)) + 0.3)
+        .withColumn("v1_raw", lit(100.0) * (lit(0.30) * col("s_exp")
+          + lit(0.20) * col("s_pf") + lit(0.20) * col("s_dd")
+          + lit(0.15) * col("s_std") + lit(0.10) * col("s_cost")
+          + lit(0.05) * col("s_hyg")))
+        .withColumn("v1", greatest(least(col("v1_raw"), lit(100.0)),
+          lit(0.0)))
+      scored.select(col("combo_idx"), col("combo_id"), col("mode"),
+        col("confirm_bars"), col("hold_bars"), col("fee_bps"),
+        col("trade_count"),
+        round(col("expectancy"), 9).as("expectancy"),
+        round(col("profit_factor"), 6).as("profit_factor"),
+        round(col("ret_cv"), 6).as("ret_cv"),
+        round(col("max_drawdown"), 9).as("max_drawdown"),
+        round(col("v1"), 6).as("robustness_score_v1"),
+        round(greatest(least(lit(0.70) * col("v1")
+          + lit(15.0) * col("s_cv") + lit(10.0) * col("s_tail")
+          + lit(5.0) * col("s_cost")
+          - when(col("trade_count") === 0, 20.0).otherwise(0.0),
+          lit(100.0)), lit(0.0)), 6).as("robustness_score_v2"))
     }
 
   def all: Seq[Q] = Seq(
@@ -82,9 +265,11 @@ object BacktestQueries2 extends QueryModule {
       FROM trades t JOIN nb ON t.ticker = nb.ticker
       GROUP BY t.ticker ORDER BY t.ticker""")) { (s, dir) =>
       val trades = tradesDf(s, dir)
-      val sig = Signals.generate(EventGrammar.build(Indicators.twiggs(
-        MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
-      val nb = sig.groupBy("ticker").agg(count(lit(1)).as("n_bars"))
+      // signals are 1:1 with grammar rows, so the bar-count side table
+      // reads the cached slim grammar stage instead of rebuilding the
+      // indicators→grammar→signals chain
+      val nb = gramSlim(s, dir).groupBy("ticker")
+        .agg(count(lit(1)).as("n_bars"))
       val neg = col("net_ret") < 0
       trades.join(nb, Seq("ticker"))
         .groupBy("ticker")
@@ -151,170 +336,20 @@ object BacktestQueries2 extends QueryModule {
     // blend (.30/.20/.20/.15/.10/.05) and v2 fragility adjustment
     // (0.70·v1 + 15·retcv + 10·tail + 5·cost − 20·zero-trade), clip
     // 0-100. Slippage is 0 here, so cost = fee_bps; nan warnings are 0.
-    Q("q_bt_robustness_v2", Some {
-      val per = BacktestQueries2.GridCombos.zipWithIndex.map {
-        case (c, i) =>
-          s"""
-        (WITH RECURSIVE
-         ${Signals.sql(c.mode, c.confirmBars)},
-         ${Engine.tradesSql(Engine.Config(c.holdBars, c.feeBps))},
-         ${Metrics.portfolioSql},
-         m AS (
-           SELECT count(*) AS trade_count,
-                  avg(net_ret) AS expectancy,
-                  CASE WHEN abs(sum(CASE WHEN NOT (net_ret > 0)
-                      THEN net_ret END)) > 0.000000000001
-                    THEN sum(CASE WHEN net_ret > 0 THEN net_ret END)
-                      / abs(sum(CASE WHEN NOT (net_ret > 0)
-                          THEN net_ret END)) END AS profit_factor,
-                  stddev_pop(net_ret) AS return_std,
-                  stddev_pop(CASE WHEN net_ret < 0 THEN net_ret END)
-                    AS downside_std,
-                  CASE WHEN abs(avg(net_ret)) > 0.000000000001
-                    THEN stddev_pop(net_ret) / abs(avg(net_ret)) END
-                    AS ret_cv
-           FROM trades),
-         dd AS (SELECT min(drawdown) AS max_drawdown FROM portfolio)
-         SELECT $i AS combo_idx, '${c.mode}' AS mode,
-                ${c.confirmBars} AS confirm_bars,
-                ${c.holdBars} AS hold_bars,
-                CAST(${c.feeBps} AS DOUBLE) AS fee_bps,
-                m.*, dd.max_drawdown
-         FROM m CROSS JOIN dd)"""
-      }
-      s"""WITH RECURSIVE ${MarketData.barsSql},
+    Q("q_bt_robustness_v2", Some(s"""
+      WITH RECURSIVE ${MarketData.barsSql},
          ${Indicators.twiggsSql},
          ${EventGrammar.grammarSql},
-         combos AS (${per.mkString(" UNION ALL ")}),
-         ranked AS (
-           SELECT *,
-             count(expectancy) OVER () AS nv_exp,
-             row_number() OVER (ORDER BY expectancy DESC NULLS LAST,
-               combo_idx) AS r_exp,
-             count(profit_factor) OVER () AS nv_pf,
-             row_number() OVER (ORDER BY profit_factor DESC NULLS LAST,
-               combo_idx) AS r_pf,
-             count(max_drawdown) OVER () AS nv_dd,
-             row_number() OVER (ORDER BY abs(max_drawdown) ASC NULLS LAST,
-               combo_idx) AS r_dd,
-             count(return_std) OVER () AS nv_std,
-             row_number() OVER (ORDER BY return_std ASC NULLS LAST,
-               combo_idx) AS r_std,
-             count(ret_cv) OVER () AS nv_cv,
-             row_number() OVER (ORDER BY ret_cv ASC NULLS LAST,
-               combo_idx) AS r_cv,
-             count(downside_std) OVER () AS nv_tail,
-             row_number() OVER (ORDER BY downside_std ASC NULLS LAST,
-               combo_idx) AS r_tail,
-             count(fee_bps) OVER () AS nv_cost,
-             row_number() OVER (ORDER BY fee_bps ASC NULLS LAST,
-               combo_idx) AS r_cost
-           FROM combos),
-         scored AS (
-           SELECT *,
-             CASE WHEN expectancy IS NULL THEN 0.0 ELSE
-               1 - CAST(r_exp - 1 AS DOUBLE)
-                 / greatest(nv_exp - 1, 1) END AS s_exp,
-             CASE WHEN profit_factor IS NULL THEN 0.0 ELSE
-               1 - CAST(r_pf - 1 AS DOUBLE)
-                 / greatest(nv_pf - 1, 1) END AS s_pf,
-             CASE WHEN max_drawdown IS NULL THEN 0.0 ELSE
-               1 - CAST(r_dd - 1 AS DOUBLE)
-                 / greatest(nv_dd - 1, 1) END AS s_dd,
-             CASE WHEN return_std IS NULL THEN 0.0 ELSE
-               1 - CAST(r_std - 1 AS DOUBLE)
-                 / greatest(nv_std - 1, 1) END AS s_std,
-             CASE WHEN ret_cv IS NULL THEN 0.0 ELSE
-               1 - CAST(r_cv - 1 AS DOUBLE)
-                 / greatest(nv_cv - 1, 1) END AS s_cv,
-             CASE WHEN downside_std IS NULL THEN 0.0 ELSE
-               1 - CAST(r_tail - 1 AS DOUBLE)
-                 / greatest(nv_tail - 1, 1) END AS s_tail,
-             CASE WHEN fee_bps IS NULL THEN 0.0 ELSE
-               1 - CAST(r_cost - 1 AS DOUBLE)
-                 / greatest(nv_cost - 1, 1) END AS s_cost,
-             0.7 * least(CAST(trade_count AS DOUBLE) / 100.0, 1.0)
-               + 0.3 AS s_hyg
-           FROM ranked),
-         v1s AS (
-           SELECT *,
-             100.0 * (0.30 * s_exp + 0.20 * s_pf + 0.20 * s_dd
-               + 0.15 * s_std + 0.10 * s_cost + 0.05 * s_hyg) AS v1_raw
-           FROM scored)
+         ${BacktestQueries2.comboScoredSql}
          SELECT mode, confirm_bars, hold_bars, fee_bps, trade_count,
-                round(expectancy, 9) AS expectancy,
-                round(profit_factor, 6) AS profit_factor,
-                round(max_drawdown, 9) AS max_drawdown,
-                round(greatest(least(v1_raw, 100.0), 0.0), 6)
-                  AS robustness_score_v1,
-                round(greatest(least(
-                  0.70 * greatest(least(v1_raw, 100.0), 0.0)
-                    + 15.0 * s_cv + 10.0 * s_tail + 5.0 * s_cost
-                    - CASE WHEN trade_count = 0 THEN 20.0 ELSE 0.0 END,
-                  100.0), 0.0), 6) AS robustness_score_v2
-         FROM v1s ORDER BY mode, confirm_bars, hold_bars"""
-    }) { (s, dir) =>
-      val combos = BacktestQueries2.GridCombos.zipWithIndex.map {
-        case (c, i) =>
-          val trades = BacktestQueries2.comboTrades(s, dir, c)
-          val m = trades.agg(
-            count(lit(1)).as("trade_count"),
-            avg("net_ret").as("expectancy"),
-            Cols.safeDiv(sum(when(col("net_ret") > 0, col("net_ret"))),
-              abs(sum(when(!(col("net_ret") > 0), col("net_ret")))))
-              .as("profit_factor"),
-            stddev_pop(col("net_ret")).as("return_std"),
-            stddev_pop(when(col("net_ret") < 0, col("net_ret")))
-              .as("downside_std"),
-            Cols.safeDiv(stddev_pop(col("net_ret")),
-              abs(avg(col("net_ret")))).as("ret_cv"))
-          val dd = Metrics.portfolio(trades)
-            .agg(min("drawdown").as("max_drawdown"))
-          m.crossJoin(dd)
-            .withColumn("combo_idx", lit(i))
-            .withColumn("mode", lit(c.mode))
-            .withColumn("confirm_bars", lit(c.confirmBars))
-            .withColumn("hold_bars", lit(c.holdBars))
-            .withColumn("fee_bps", lit(c.feeBps))
-      }
-      val all = combos.reduce(_.unionByName(_))
-      val W = Window.partitionBy()
-      def score(c: org.apache.spark.sql.Column, desc: Boolean) = {
-        val ord = if (desc) Seq(c.desc_nulls_last, col("combo_idx"))
-          else Seq(c.asc_nulls_last, col("combo_idx"))
-        val rn = row_number().over(Window.orderBy(ord: _*))
-        val nv = count(c).over(W)
-        when(c.isNull, 0.0).otherwise(
-          lit(1) - (rn - 1).cast("double") / greatest(nv - 1, lit(1)))
-      }
-      val scored = all
-        .withColumn("s_exp", score(col("expectancy"), desc = true))
-        .withColumn("s_pf", score(col("profit_factor"), desc = true))
-        .withColumn("s_dd", score(abs(col("max_drawdown")), desc = false))
-        .withColumn("s_std", score(col("return_std"), desc = false))
-        .withColumn("s_cv", score(col("ret_cv"), desc = false))
-        .withColumn("s_tail", score(col("downside_std"), desc = false))
-        .withColumn("s_cost", score(col("fee_bps"), desc = false))
-        .withColumn("s_hyg",
-          lit(0.7) * least(col("trade_count").cast("double") / 100.0,
-            lit(1.0)) + 0.3)
-        .withColumn("v1_raw", lit(100.0) * (lit(0.30) * col("s_exp")
-          + lit(0.20) * col("s_pf") + lit(0.20) * col("s_dd")
-          + lit(0.15) * col("s_std") + lit(0.10) * col("s_cost")
-          + lit(0.05) * col("s_hyg")))
-        .withColumn("v1", greatest(least(col("v1_raw"), lit(100.0)),
-          lit(0.0)))
-      scored.select(col("mode"), col("confirm_bars"), col("hold_bars"),
-          col("fee_bps"), col("trade_count"),
-          round(col("expectancy"), 9).as("expectancy"),
-          round(col("profit_factor"), 6).as("profit_factor"),
-          round(col("max_drawdown"), 9).as("max_drawdown"),
-          round(col("v1"), 6).as("robustness_score_v1"),
-          round(greatest(least(lit(0.70) * col("v1")
-            + lit(15.0) * col("s_cv") + lit(10.0) * col("s_tail")
-            + lit(5.0) * col("s_cost")
-            - when(col("trade_count") === 0, 20.0).otherwise(0.0),
-            lit(100.0)), lit(0.0)), 6).as("robustness_score_v2"))
+                expectancy, profit_factor, max_drawdown,
+                robustness_score_v1, robustness_score_v2
+         FROM combo_scored
+         ORDER BY mode, confirm_bars, hold_bars""")) { (s, dir) =>
+      BacktestQueries2.comboScored(s, dir)
+        .select("mode", "confirm_bars", "hold_bars", "fee_bps",
+          "trade_count", "expectancy", "profit_factor", "max_drawdown",
+          "robustness_score_v1", "robustness_score_v2")
         .orderBy("mode", "confirm_bars", "hold_bars")
     },
 

@@ -63,6 +63,17 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("q_bt_edge bar-count side reuses the cached slim grammar stage") {
+    graft.queries.Stage.clear()
+    // populate the shared grammar_slim stage (any grid consumer does)
+    SparkEntry.queries("q_bt_grid")(spark, dir).count()
+    val p = planOf("q_bt_edge")
+    assert(p.contains("InMemoryTableScan"),
+      "q_bt_edge rebuilt the indicators→grammar chain instead of " +
+        "reading the cached slim stage")
+    graft.queries.Stage.clear()
+  }
+
   test("bootstrap statsCi parallelizes per (group, draw)") {
     val s = spark
     import s.implicits._
