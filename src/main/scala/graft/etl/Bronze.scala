@@ -73,9 +73,11 @@ object Bronze {
       .withColumn("n_fields", size(parts))
       .withColumn("q_parse_error", col("n_fields") =!= NFields)
       // normalize (transform/normalize.py:100-132): strip <>, upper,
-      // non-strict casts → null on failure
+      // non-strict casts → null on failure. translate (a char-map scan)
+      // instead of regexp_replace: same semantics for fixed chars,
+      // ~2× cheaper in the hot parse path
       .withColumn("ticker",
-        upper(trim(regexp_replace(f(0), "[<>]", ""))))
+        upper(trim(translate(f(0), "<>", ""))))
       .withColumn("timeframe",
         when(upper(f(1)) === "D", "D1").otherwise("UNKNOWN"))
       .withColumn("trade_date", to_date(f(2), "yyyyMMdd"))

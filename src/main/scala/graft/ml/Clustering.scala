@@ -23,16 +23,30 @@ object Clustering {
       array_to_vector(col(arrayCol).cast("array<double>")))
 
   /** KMeans best-of-nInit seeds by training cost
-    * (clustering.py: n_init=20 emulation). Returns (labeled df, cost). */
+    * (clustering.py: n_init=20 emulation). Returns (labeled df, cost).
+    *
+    * The seeded fits are independent, so they are submitted as
+    * concurrent Spark jobs from a driver thread pool — on a cluster the
+    * scheduler interleaves their stages instead of idling between
+    * sequential fits. Result order is preserved, so the best-cost
+    * tiebreak (first seed wins) is unchanged. */
   def kmeansBest(df: DataFrame, k: Int, nInit: Int, maxIter: Int,
       baseSeed: Long): (DataFrame, Double) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     val feat = df.cache()
-    val fits = (0 until nInit).map { i =>
-      val km = new KMeans().setK(k).setMaxIter(maxIter)
-        .setSeed(baseSeed + i).setFeaturesCol("features")
-      val model = km.fit(feat)
-      (model, model.summary.trainingCost)
-    }
+    feat.count() // materialize once so concurrent fits share the cache
+    val fits = Await.result(
+      Future.traverse((0 until nInit).toList) { i =>
+        Future {
+          val km = new KMeans().setK(k).setMaxIter(maxIter)
+            .setSeed(baseSeed + i).setFeaturesCol("features")
+          val model = km.fit(feat)
+          (model, model.summary.trainingCost)
+        }
+      }, Duration.Inf)
     val (best, cost) = fits.minBy(_._2)
     (best.transform(feat).withColumnRenamed("prediction", "cluster"), cost)
   }

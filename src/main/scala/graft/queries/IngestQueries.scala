@@ -97,7 +97,7 @@ object IngestQueries extends QueryModule {
       SELECT source_line_no,
              len(parts) AS n_fields,
              len(parts) <> 10 AS q_parse_error,
-             upper(trim(regexp_replace(parts[1], '[<>]', '', 'g')))
+             upper(trim(translate(parts[1], '<>', '')))
                AS ticker,
              CASE WHEN upper(parts[2]) = 'D' THEN 'D1' ELSE 'UNKNOWN' END
                AS timeframe,
@@ -156,6 +156,10 @@ object IngestQueries extends QueryModule {
     "q_suspicious_bar", "q_gap_in_calendar", "quality_error_count",
     "quality_warn_count")
 
+  // NOT stage-cached: caching would force materialization of every
+  // parsed column and defeat the per-query column pruning that keeps
+  // q_bronze_parse's count nearly free — each consumer prunes its own
+  // slice of the parse instead
   private def bronzeDf(s: SparkSession, dir: String): DataFrame =
     Bronze.qualityFlags(
       Bronze.parseLines(rawLines(t(s, dir, "lineitem"))),

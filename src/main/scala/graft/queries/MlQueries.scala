@@ -179,18 +179,27 @@ object MlQueries extends QueryModule {
       val ev = MlQueries.hmmInput(s, dir)
       val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000,
         maxTotalPoints = 20000L)
-      val rows = (4 to 8).map { k =>
-        val fr = Hmm.fitResult(seqs, k, nIter = 30)
-        // decode stays distributed; only the k-row share table collects
-        val st = Hmm.decode(ev, fr.model)
-          .groupBy("hmm_state").count().collect()
-          .map(r => r.getAs[Long]("count"))
-        val total = st.sum.toDouble
-        val shares = st.map(_ / total)
-        (k, fr.nObs, fr.nSeqs, fr.logLik, fr.logLik / fr.nObs,
-          Hmm.bic(fr.logLik, k, fr.model.d, fr.nObs), fr.nIterUsed,
-          fr.converged, shares.max, 1.0 / shares.map(x => x * x).sum)
-      }
+      // the per-k fits are independent driver-local EMs (plus one small
+      // decode job each) — run them on a thread pool; traverse keeps
+      // result order so the output is unchanged
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val rows = Await.result(Future.traverse((4 to 8).toList) { k =>
+        Future {
+          val fr = Hmm.fitResult(seqs, k, nIter = 30)
+          // decode stays distributed; only the k-row share table collects
+          val st = Hmm.decode(ev, fr.model)
+            .groupBy("hmm_state").count().collect()
+            .map(r => r.getAs[Long]("count"))
+          val total = st.sum.toDouble
+          val shares = st.map(_ / total)
+          (k, fr.nObs, fr.nSeqs, fr.logLik, fr.logLik / fr.nObs,
+            Hmm.bic(fr.logLik, k, fr.model.d, fr.nObs), fr.nIterUsed,
+            fr.converged, shares.max, 1.0 / shares.map(x => x * x).sum)
+        }
+      }, Duration.Inf)
       rows.toDF("n_components", "rows_fit", "sequences_fit",
         "train_loglik", "loglik_per_obs", "bic", "n_iter_used",
         "converged", "largest_state_share", "effective_state_count")
