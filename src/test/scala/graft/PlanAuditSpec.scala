@@ -74,6 +74,51 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("AQE splits a skewed ticker partition in sort-merge joins") {
+    // SURVEY §7.5.6: pathological ticker skew in partitionBy("ticker")
+    // shuffles is handled by AQE's skew-join split — locked here on a
+    // fixture where one ticker holds ~99% of rows
+    val s = spark
+    import s.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16384")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val skewed = (1 to 60000).map(i =>
+        (if (i % 100 == 0) s"T${i % 7}" else "HOT", i.toLong))
+        .toDF("ticker", "v")
+      val dim = (Seq("HOT") ++ (0 until 7).map(i => s"T$i"))
+        .zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("ticker", "w")
+      val j = skewed.join(dim, Seq("ticker"))
+      // collect() executes THIS DataFrame's queryExecution (count()
+      // would build a separate one and leave this plan unexecuted)
+      assert(j.collect().length == 60000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split did not engage:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bootstrap statsCi parallelizes per (group, draw)") {
     val s = spark
     import s.implicits._
