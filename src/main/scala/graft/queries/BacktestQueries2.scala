@@ -414,12 +414,7 @@ object BacktestQueries2 extends QueryModule {
     }) { (s, dir) =>
       import graft.backtest.WalkForward
       // slim cached projection: 4 split sims share one chain computation
-      val sig = Stage.cached(s, dir, "signals_slim") {
-        Signals.generate(EventGrammar.build(Indicators.twiggs(
-          MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
-          .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
-            "close", "flow_state_code", "entry_signal", "signal_side")
-      }
+      val sig = Stage.slimSignals(s, dir)
       val bounds = sig.agg(min("bar_ts"), max("bar_ts")).head
       val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
       WalkForward.run(sig, ss, Cfg)

@@ -167,12 +167,7 @@ object CompareQueries extends QueryModule {
                 round(run_b - run_a, 9) AS delta_b_minus_a
          FROM mrows ORDER BY metric"""
     }) { (s, dir) =>
-      val sig = Stage.cached(s, dir, "signals_slim") {
-        Signals.generate(EventGrammar.build(Indicators.twiggs(
-          MarketData.barsFromEvents(t(s, dir, "events")))), Mode, Confirm)
-          .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
-            "close", "flow_state_code", "entry_signal", "signal_side")
-      }
+      val sig = Stage.slimSignals(s, dir)
       def run(tag: String, hold: Int) =
         Metrics.summary(Engine.simulate(sig,
           Engine.Config(hold, 5.0)).toDF(), Seq.empty)

@@ -184,8 +184,7 @@ object MlQueries extends QueryModule {
       // result order so the output is unchanged
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
+      implicit val ec = graft.ops.Pools.jobs
       val rows = Await.result(Future.traverse((4 to 8).toList) { k =>
         Future {
           val fr = Hmm.fitResult(seqs, k, nIter = 30)

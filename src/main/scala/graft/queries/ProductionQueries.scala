@@ -103,13 +103,29 @@ object ProductionQueries extends QueryModule {
     val bounds = gram.agg(min("bar_ts"), max("bar_ts")).head
     val lo = bounds.getLong(0)
     val cut = lo + (0.5 * (bounds.getLong(1) - lo)).toLong
-    BacktestQueries2.GridCombos
+    val combos = BacktestQueries2.GridCombos
       .filter(c => selected(BacktestQueries2.comboId(c)))
-      .map { c =>
+    // the per-combo fresh-window sims are independent; cache them as
+    // stages and materialize concurrently so the rerun's wall time is
+    // one sim, not the sum
+    val trades = combos.map { c =>
+      c -> Stage.cached(s, dir,
+        s"rerun_trades_${BacktestQueries2.comboId(c)}") {
         val sig = Signals.generate(gram, c.mode, c.confirmBars)
           .filter(col("bar_ts") > cut)
-        val tr = Engine.simulate(sig,
-          Engine.Config(c.holdBars, c.feeBps)).toDF()
+        Engine.simulate(sig, Engine.Config(c.holdBars, c.feeBps)).toDF()
+      }
+    }
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = graft.ops.Pools.jobs
+      Await.result(
+        Future.traverse(trades)(t => Future { t._2.count(); () }),
+        Duration.Inf)
+    }
+    trades
+      .map { case (c, tr) =>
         tr.agg(
             count(lit(1)).as("observed_trades"),
             round(avg("net_ret"), 9).as("observed_expectancy"),

@@ -57,4 +57,15 @@ object Stage {
           graft.etl.ForwardLabels.build(bars))
         .select("ticker", "bar_ts", "bar_id", "fwd_ret_10")
     }
+
+  /** Slim signal frame for the default combo (state_entry, confirm 2),
+    * built over the cached slim grammar stage — shared by walk-forward
+    * and the run-compare family. */
+  def slimSignals(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "signals_slim") {
+      graft.backtest.Signals.generate(
+          BacktestQueries2.gramSlim(spark, dir), "state_entry", 2)
+        .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
+          "close", "flow_state_code", "entry_signal", "signal_side")
+    }
 }
