@@ -26,6 +26,31 @@ object TextQueries extends QueryModule {
 
   private val stop = "('the', 'a', 'of', 'and', 'to', 'in')"
 
+  /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
+    * candidate pairs (`mh_pairs`); shared by q_d_minhash and
+    * q_d_components. */
+  private def minhashCtes: String = {
+    val minCols = TextOps.MinHashParams.zipWithIndex.map {
+      case ((a, b), k) => s"min((h2 * $a + $b) % 1000000007) AS m$k"
+    }.mkString(",\n               ")
+    val bandKeys = (0 until 4).map(bd =>
+      s"m${2 * bd} || '_' || m${2 * bd + 1} AS b$bd").mkString(", ")
+    val bandCase = (0 until 4).map(bd =>
+      s"WHEN $bd THEN b$bd").mkString("CASE band_idx ", " ", " END")
+    s"""$shingleCte,
+      h AS (SELECT doc_id, ${hsql("sh")} AS h2 FROM sh),
+      sig AS (SELECT doc_id,
+               $minCols
+              FROM h GROUP BY 1),
+      bands AS (SELECT doc_id, $bandKeys FROM sig),
+      bx AS (SELECT doc_id, band_idx, $bandCase AS key
+             FROM bands, range(4) r(band_idx)),
+      mh_pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.key = b.key
+          AND a.doc_id < b.doc_id)"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // Token counting (whitespace + distinct + long-token regex-ish count)
@@ -136,34 +161,58 @@ object TextQueries extends QueryModule {
 
     // MinHash + LSH banding candidate pairs with estimated similarity
     Q("q_d_minhash", Some {
-      val minCols = TextOps.MinHashParams.zipWithIndex.map {
-        case ((a, b), k) => s"min((h2 * $a + $b) % 1000000007) AS m$k"
-      }.mkString(",\n               ")
-      val bandKeys = (0 until 4).map(bd =>
-        s"m${2 * bd} || '_' || m${2 * bd + 1} AS b$bd").mkString(", ")
-      val bandCase = (0 until 4).map(bd =>
-        s"WHEN $bd THEN b$bd").mkString("CASE band_idx ", " ", " END")
       val agree = (0 until 8).map(j =>
         s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
       s"""
-      WITH $shingleCte,
-      h AS (SELECT doc_id, ${hsql("sh")} AS h2 FROM sh),
-      sig AS (SELECT doc_id,
-               $minCols
-              FROM h GROUP BY 1),
-      bands AS (SELECT doc_id, $bandKeys FROM sig),
-      bx AS (SELECT doc_id, band_idx, $bandCase AS key
-             FROM bands, range(4) r(band_idx)),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.key = b.key
-          AND a.doc_id < b.doc_id)
+      WITH $minhashCtes
       SELECT d1, d2, CAST(($agree) AS DOUBLE) / 8 AS est_sim
-      FROM pairs JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id
+      FROM mh_pairs
+      JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id
       ORDER BY d1, d2"""
     }) { (s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3)
         .orderBy("d1", "d2")
+    },
+
+    // Duplicate-cluster assignment: connected components over the union
+    // of exact-fingerprint star edges and MinHash candidate pairs —
+    // min-label propagation on the Spark side, recursive-CTE transitive
+    // closure as the oracle; every doc gets (component, size, keeper)
+    Q("q_d_components", Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      fp_star AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents),
+      fp_pairs AS (
+        SELECT keep AS d1, doc_id AS d2 FROM fp_star
+        WHERE doc_id <> keep),
+      all_pairs AS (
+        SELECT d1, d2 FROM mh_pairs UNION SELECT d1, d2 FROM fp_pairs),
+      edges AS (
+        SELECT d1 AS a, d2 AS b FROM all_pairs
+        UNION SELECT d2, d1 FROM all_pairs),
+      reach (a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS comp_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id)
+      SELECT doc_id, comp_id,
+             count(*) OVER (PARTITION BY comp_id) AS cluster_size,
+             doc_id = comp_id AS is_canonical
+      FROM comp ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+      val star = docs.select(col("doc_id"),
+        min("doc_id").over(w).as("keep"))
+      val fpPairs = star.filter(col("doc_id") =!= col("keep"))
+        .select(col("keep").as("d1"), col("doc_id").as("d2"))
+      val pairs = Dedup.minhashLshPairs(docs, n = 3).select("d1", "d2")
+        .unionByName(fpPairs).distinct()
+      Dedup.connectedComponents(docs, pairs).orderBy("doc_id")
     },
 
     // SimHash near-dup pairs: 64-bit signatures (4 salted hashes × 16
@@ -212,6 +261,50 @@ object TextQueries extends QueryModule {
     }) { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
         .orderBy("d1", "d2")
+    },
+
+    // TF-IDF keyword extraction: smoothed idf, length-normalized tf,
+    // top-3 terms per doc (rounded-score + term tie-break so ranking is
+    // reproducible across engines). One term-keyed shuffle for df, one
+    // doc-keyed window for top-k — linear at corpus scale.
+    Q("q_t_tfidf", Some("""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+      dfreq AS (SELECT term, count(*) AS df FROM
+        (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, f.df,
+               round((CAST(t.tf AS DOUBLE) / dl.n_tok)
+                 * (ln((nn.n + 1.0) / (f.df + 1.0)) + 1.0), 9) AS tfidf
+        FROM tf t JOIN dl USING (doc_id) JOIN dfreq f USING (term)
+        CROSS JOIN nn)
+      SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, term) AS rnk FROM scored)
+      WHERE rnk <= 3 ORDER BY doc_id, rnk""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tk = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val dfreq = tk.distinct().groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dl, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(nn))
+        .withColumn("tfidf",
+          round((col("tf").cast("double") / col("n_tok"))
+            * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 9))
+      scored
+        .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
     },
 
     // Brute-force cosine top-5 for query vectors (vec_id < 8)

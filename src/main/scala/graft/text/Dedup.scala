@@ -96,6 +96,53 @@ object Dedup {
         (agree.cast("double") / k).as("est_sim"))
   }
 
+  /** Distributed connected components over a near-dup pair graph via
+    * iterative min-label ("HashMin") propagation: every doc starts as
+    * its own component; each round every doc adopts the minimum label
+    * among itself and its neighbors. One shuffle per round, converges in
+    * O(component diameter) rounds — duplicate clusters are shallow, so
+    * this is 2-4 rounds in practice — with an early stop on a
+    * changed-count action. This is how you turn pairwise dedup
+    * candidates into keeper/duplicate assignments at corpus scale
+    * without ever collecting the graph.
+    *
+    * Returns one row per doc in `docs`: (doc_id, comp_id, cluster_size,
+    * is_canonical) where comp_id is the component's minimum doc_id. */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().cache()
+    var labels = docs.select(col("doc_id"))
+      .withColumn("comp", col("doc_id")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("b"), col("comp")), Seq("b"))
+        .groupBy("a").agg(min("comp").as("nbr_min"))
+      val next = labels
+        .join(nbr.select(col("a").as("doc_id"), col("nbr_min")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+            .as("comp"),
+          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("chg"))
+        .cache()
+      changed = next.filter(col("chg")).count()
+      labels.unpersist(blocking = false)
+      labels = next.drop("chg")
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    val w = Window.partitionBy("comp")
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("comp").as("comp_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures as four 16-bit bands,
     * blocked on (band_idx, band_value) — a 4·2^16 key space, so per-key
     * bucket sizes stay tiny at corpus scale. Pigeonhole: any pair at

@@ -86,6 +86,22 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture produced no close pairs — weak test")
   }
 
+  test("connectedComponents: chains collapse to min label, singletons " +
+      "stay canonical") {
+    val d = docs((0L to 9L).map(i => i -> s"doc $i"): _*)
+    // chain 0-1-2-3-4 (diameter 4 → needs several propagation rounds),
+    // pair 6-7, singletons 5, 8, 9
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+      .toDF("d1", "d2")
+    val out = Dedup.connectedComponents(d, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("comp_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    (0L to 4L).foreach(i => assert(out(i) == (0L, 5L, i == 0L)))
+    assert(out(6L) == (6L, 2L, true) && out(7L) == (6L, 2L, false))
+    Seq(5L, 8L, 9L).foreach(i => assert(out(i) == (i, 1L, true)))
+  }
+
   test("cosineTopK: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
