@@ -51,23 +51,46 @@ object Similarity {
     when(h % 2 === 0, 1.0).otherwise(-1.0)
   }
 
+  /** Driver-side twin of `hyperplaneSign`: identical md5-mod-prime
+    * arithmetic (first 15 hex digits of md5("hp_j_i") as a 60-bit int,
+    * mod 1000000007, parity → ±1), evaluated once per (plane, dim)
+    * instead of once per ROW × plane × dim. The hyperplane matrix is a
+    * constant — computing ~5M md5s per query inside an interpreted
+    * higher-order function was the ANN family's real hot spot. */
+  def hyperplaneSignConst(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp_${j}_$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % TextOps.HashPrime % 2 == 0)
+      1.0
+    else -1.0
+  }
+
   /** Sign-bucket key for band `band` of an LSH family with `bits` bits
-    * per band: bit j = (v · hp_{band·bits+j}) > 0. Distinct bands use
-    * disjoint hyperplane indices, giving independent hash functions for
-    * OR-amplification. */
-  def lshBucketBand(emb: Column, bits: Int, band: Int): Column = {
+    * per band: bit j = (v · hp_{band·bits+j}) > 0, with the hyperplane
+    * signs as a constant literal matrix (`dim` components). Distinct
+    * bands use disjoint hyperplane indices, giving independent hash
+    * functions for OR-amplification. */
+  def lshBucketBand(emb: Column, bits: Int, band: Int,
+      dim: Int): Column = {
     val v = asDouble(emb)
     (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * hyperplaneSign(band * bits + j, i)),
+      val plane = band * bits + j
+      val hp = array((0 until dim)
+        .map(i => lit(hyperplaneSignConst(plane, i))): _*)
+      val proj = aggregate(zip_with(v, hp, (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
   }
 
+  /** Embedding dimensionality probe — one bounded head() action. */
+  def embDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head.getInt(0)
+
   /** LSH sign-bucket key for each embedding (band 0 of the family). */
-  def lshBucket(emb: Column): Column = lshBucketBand(emb, LshBits, 0)
+  def lshBucket(emb: Column, dim: Int): Column =
+    lshBucketBand(emb, LshBits, 0, dim)
 
   /** Bucket-space width sized to the corpus: enough bits that the mean
     * bucket occupancy n / 2^bits ≈ `targetBucket`, never below the
@@ -93,7 +116,8 @@ object Similarity {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
         explode(array((0 until nBands).map(band =>
           struct(lit(band).as("band_idx"),
-            lshBucketBand(col("embedding"), bits, band).as("bucket"))): _*))
+            lshBucketBand(col("embedding"), bits, band,
+              embDim(emb)).as("bucket"))): _*))
           .as("bk"))
       .select(col("vec_id"), col("v"), col("bk.band_idx"), col("bk.bucket"))
     val sized = e
@@ -133,7 +157,8 @@ object Similarity {
     val e = emb.select(col("vec_id"),
         explode(array((0 until nBands).map(band =>
           struct(lit(band).as("band_idx"),
-            lshBucketBand(col("embedding"), bits, band).as("bucket"))): _*))
+            lshBucketBand(col("embedding"), bits, band,
+              embDim(emb)).as("bucket"))): _*))
           .as("bk"))
       .select(col("vec_id"), col("bk.band_idx"), col("bk.bucket"))
     e.groupBy("band_idx", "bucket").agg(count(lit(1)).as("bn"))
@@ -196,7 +221,7 @@ object Similarity {
     * computed only within buckets. Returns (qid, vid, cos_sim, rnk). */
   def annLsh(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
-      lshBucket(col("embedding")).as("bucket"))
+      lshBucket(col("embedding"), embDim(emb)).as("bucket"))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("bucket").as("qbucket"))
