@@ -21,6 +21,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // build shared stage caches with all cores before the sequential
+    // dump loop (skipped when a query filter is given — dev runs
+    // shouldn't pay a full warmup)
+    if (only.isEmpty)
+      try graft.queries.Warmup.prewarm(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] prewarm failed: ${e.getMessage}")
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>

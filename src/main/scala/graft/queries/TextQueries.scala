@@ -263,6 +263,89 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // Corpus curation end-to-end: the C4-style selection pipeline —
+    // quality gates (token count / quality score / digit ratio), exact
+    // dedup keeper, then a quality-ranked token budget (60% of surviving
+    // tokens). The global ranked budget is inherently a total order; at
+    // cluster scale it runs as one final sort over the pre-filtered
+    // survivor set (every upstream gate is embarrassingly parallel).
+    Q("q_corpus_curate", Some {
+      val scoreCols = TextOps.LangMarkers.map { case (l, ms) =>
+        val in = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+        s"len(list_filter(t, x -> x IN $in)) AS score_$l"
+      }.mkString(",\n             ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pred = langs.map(l => s"WHEN score_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""
+      WITH b AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS t,
+               length(text) AS nc FROM documents),
+      feat AS (
+        SELECT doc_id, lang,
+             len(t) AS n_tokens,
+             round(CAST(nc - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE) / nc, 9) AS digit_ratio,
+             round(0.4 * (CAST(least(nc, 400) AS DOUBLE) / 400.0)
+               + 0.4 * (1.0 - CAST(nc - length(regexp_replace(text, '[0-9]',
+                   '', 'g')) AS DOUBLE) / nc)
+               + 0.2 * least((CAST(len(list_filter(t, x -> x IN $stop))
+                   AS DOUBLE) / len(t)) * 4.0, 1.0), 9) AS quality_score,
+             $scoreCols
+        FROM b),
+      pr AS (SELECT *, $pred AS predicted FROM feat),
+      fp AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents),
+      surv AS (
+        SELECT p.doc_id, p.lang, p.predicted, p.n_tokens, p.quality_score
+        FROM pr p JOIN fp ON p.doc_id = fp.doc_id
+        WHERE fp.doc_id = fp.keep_id
+          AND p.n_tokens >= 10 AND p.quality_score >= 0.5
+          AND p.digit_ratio <= 0.3),
+      bud AS (SELECT CAST(floor(0.6 * sum(n_tokens)) AS BIGINT) AS budget
+              FROM surv),
+      ranked AS (
+        SELECT *,
+          CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+            AS BIGINT) AS rnk,
+          CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM surv)
+      SELECT doc_id, lang, predicted, n_tokens, quality_score, rnk,
+             cum_tokens
+      FROM ranked, bud WHERE cum_tokens <= bud.budget ORDER BY rnk"""
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val feat = docs.select(
+        Seq(col("doc_id"), col("lang"))
+          ++ TextOps.qualityFeatures(col("text"))
+          ++ TextOps.langScores(col("text")): _*)
+        .withColumn("predicted", TextOps.predictedLang)
+      val keepW = Window.partitionBy(md5(col("text").cast("binary")))
+      val fp = docs.select(col("doc_id"),
+        min("doc_id").over(keepW).as("keep_id"))
+      val surv = feat.join(fp, Seq("doc_id"))
+        .filter(col("doc_id") === col("keep_id")
+          && col("n_tokens") >= 10 && col("quality_score") >= 0.5
+          && col("digit_ratio") <= 0.3)
+        .select("doc_id", "lang", "predicted", "n_tokens", "quality_score")
+      val bud = surv.agg(
+        floor(lit(0.6) * sum("n_tokens")).cast("long").as("budget"))
+      val ordW = Window.orderBy(col("quality_score").desc, col("doc_id"))
+      val ranked = surv
+        .withColumn("rnk", row_number().over(ordW).cast("long"))
+        .withColumn("cum_tokens",
+          sum("n_tokens").over(ordW.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("long"))
+      ranked.crossJoin(broadcast(bud))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select("doc_id", "lang", "predicted", "n_tokens",
+          "quality_score", "rnk", "cum_tokens")
+        .orderBy("rnk")
+    },
+
     // TF-IDF keyword extraction: smoothed idf, length-normalized tf,
     // top-3 terms per doc (rounded-score + term tie-break so ranking is
     // reproducible across engines). One term-keyed shuffle for df, one
@@ -363,6 +446,48 @@ object TextQueries extends QueryModule {
         .join(perLabel, Seq("label"))
         .select("label", "n_vecs", "centroid_norm", "mean_norm")
         .orderBy("label")
+    },
+
+    // Symmetric int8 embedding quantization audit: per-vector scale
+    // (127/max|x|), portable round-half-up (floor(x+0.5)) quantize →
+    // dequantize, reconstruction RMSE + max abs error — the storage-
+    // compression check a 100-TB embedding pipeline runs before
+    // switching dtypes. Pure per-vector aggregation, no shuffle beyond
+    // the vec_id group.
+    Q("q_e_quantize", Some("""
+      WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      mx AS (SELECT vec_id, max(abs(x)) AS maxabs, count(*) AS n_dims
+             FROM ex GROUP BY 1),
+      qd AS (
+        SELECT e.vec_id, mx.n_dims, 127.0 / mx.maxabs AS scale,
+               e.x,
+               greatest(-127.0, least(127.0,
+                 floor(e.x * (127.0 / mx.maxabs) + 0.5))) AS q
+        FROM ex e JOIN mx ON e.vec_id = mx.vec_id
+        WHERE mx.maxabs > 0)
+      SELECT vec_id, CAST(any_value(n_dims) AS BIGINT) AS n_dims,
+             round(any_value(scale), 9) AS scale,
+             round(sqrt(avg(pow(x - q / scale, 2))), 9) AS rmse,
+             round(max(abs(x - q / scale)), 9) AS max_abs_err
+      FROM qd GROUP BY vec_id ORDER BY vec_id""")) { (s, dir) =>
+      val ex = t(s, dir, "embeddings").select(col("vec_id"),
+        explode(Similarity.asDouble(col("embedding"))).as("x"))
+      val mx = ex.groupBy("vec_id").agg(max(abs(col("x"))).as("maxabs"),
+        count(lit(1)).as("n_dims"))
+      val qd = ex.join(mx, "vec_id").filter(col("maxabs") > 0)
+        .withColumn("scale", lit(127.0) / col("maxabs"))
+        .withColumn("q", greatest(lit(-127.0),
+          least(lit(127.0), floor(col("x") * col("scale") + 0.5))))
+      qd.groupBy("vec_id").agg(
+          first("n_dims").as("n_dims"),
+          round(first("scale"), 9).as("scale"),
+          round(sqrt(avg(pow(col("x") - col("q") / col("scale"), 2))), 9)
+            .as("rmse"),
+          round(max(abs(col("x") - col("q") / col("scale"))), 9)
+            .as("max_abs_err"))
+        .orderBy("vec_id")
     },
 
     // LSH-bucketed ANN (sign hyperplanes, bucket equi-join, top-5/bucket)
