@@ -51,6 +51,40 @@ class StreamingSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("streaming exact dedup drops repeated fingerprints across " +
+      "micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    // duplicate content arrives in a LATER micro-batch; state-backed
+    // dropDuplicates must still suppress it (cross-batch dedup state)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "unique one"))
+    val b2 = Seq((4L, "alpha beta"), (5L, "epsilon zeta"),
+      (6L, "gamma delta"))
+    import spark.implicits._
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("part1").toString)
+    b2.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("part2").toString)
+    val src = spark.readStream
+      .schema(b1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/part*")
+    val deduped = src
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .dropDuplicates("fp")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream_test").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.table("dedup_stream_test")
+      .select("doc_id").as[Long].collect().toSet
+    // exactly one doc per distinct text survives; ids 4 and 6 (late
+    // duplicates) must be dropped
+    assert(kept.intersect(Set(4L, 6L)).isEmpty,
+      s"late duplicates not dropped: $kept")
+    assert(kept.size == 4, s"expected 4 distinct docs, got $kept")
+  }
+
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
     // nanos ts → batch-read the schema, convert to a typed ts column
