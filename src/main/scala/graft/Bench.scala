@@ -4,7 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle/spill on tmpfs when available: local-mode shuffle files on
+    // the root disk are the first thing to degrade under back-to-back
+    // heavy runs
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+      else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", localDir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

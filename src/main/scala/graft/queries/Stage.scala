@@ -22,11 +22,19 @@ object Stage {
     scala.collection.concurrent.TrieMap.empty[(Int, String, String),
       DataFrame]
 
+  /** Memoized, lineage-truncated stage. localCheckpoint (eager,
+    * MEMORY_AND_DISK blocks) instead of persist(): a persisted frame
+    * keeps its FULL logical plan, so every downstream transformation
+    * re-analyzes the whole upstream chain and wide consumers (hardening,
+    * candidate rerun) were spending 10s+ of pure driver-side analysis
+    * per query build. Checkpointing collapses the stage to a LogicalRDD
+    * leaf — consumers plan against an O(1) tree, and CacheManager
+    * plan-matching cost disappears with it. */
   def cached(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
     cache.getOrElseUpdate(
       (System.identityHashCode(spark), dir, name),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+      build.localCheckpoint())
 
   /** Unpersist and drop every cached stage (end-of-run eviction). */
   def clear(): Unit = {

@@ -37,7 +37,7 @@ object Dedup {
     * |shared| / (|A| + |B| - |shared|) over the doc's full shingle sets. */
   def jaccardPairs(docs: DataFrame, n: Int, maxFreq: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingleTable(docs, n).cache()
+    val sh = shingleTable(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
       .filter(col("freq") <= maxFreq)
@@ -74,7 +74,7 @@ object Dedup {
       rowsPerBand: Int = 2): DataFrame = {
     val k = MinHashParams.size
     val nBands = k / rowsPerBand
-    val sigs = minhashSignatures(docs, n).cache()
+    val sigs = minhashSignatures(docs, n)
     val bandKey = (band: Int) => concat_ws("_",
       (band * rowsPerBand until (band + 1) * rowsPerBand)
         .map(j => col(s"m$j")): _*)
@@ -113,25 +113,39 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct().cache()
+    // localCheckpoint after every round: the new label frame references
+    // the previous one TWICE (neighbor-min join + pointer-jump join), so
+    // without lineage truncation the logical plan doubles per round and
+    // Catalyst analysis goes exponential — the classic iterative-Spark
+    // trap. Checkpointing keeps each round's plan O(1).
     var labels = docs.select(col("doc_id"))
-      .withColumn("comp", col("doc_id")).cache()
+      .withColumn("comp", col("doc_id")).localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       val nbr = edges
         .join(labels.select(col("doc_id").as("b"), col("comp")), Seq("b"))
         .groupBy("a").agg(min("comp").as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbr.select(col("a").as("doc_id"), col("nbr_min")),
           Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("comp").as("comp0"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+            .as("comp1"))
+      // pointer jump: adopt the label's own label (comp(comp(d))) —
+      // labels are monotone non-increasing, so this halves the distance
+      // a min has to travel and turns O(diameter) rounds into O(log d)
+      val next = stepped
+        .join(labels.select(col("doc_id").as("comp1"),
+          col("comp").as("parent")), Seq("comp1"), "left")
+        .select(col("doc_id"),
+          least(col("comp1"), coalesce(col("parent"), col("comp1")))
             .as("comp"),
-          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("chg"))
-        .cache()
+          col("comp0"))
+        .withColumn("chg", col("comp") < col("comp0"))
+        .localCheckpoint()
       changed = next.filter(col("chg")).count()
-      labels.unpersist(blocking = false)
-      labels = next.drop("chg")
+      labels = next.select("doc_id", "comp")
       it += 1
     }
     edges.unpersist(blocking = false)
@@ -152,7 +166,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashBands,
       s"banded blocking only guarantees recall for hamming < $SimHashBands")
-    val sigs = simhash64(docs, col("doc_id"), col("text")).cache()
+    val sigs = simhash64(docs, col("doc_id"), col("text"))
     val bandCols = (0 until SimHashBands).map(c => col(s"b$c"))
     val keyed = sigs.select(col("doc_id") +: bandCols :+
       explode(array((0 until SimHashBands).map(c =>

@@ -58,7 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     // InMemory relation instead of rebuilding the chain
     graft.queries.Stage.slimGrammar(spark, dir).count()
     val p = planOf("q_hmm_transitions")
-    assert(p.contains("InMemoryTableScan"),
+    assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
       "consumer did not reuse the cached slim grammar stage")
     graft.queries.Stage.clear()
   }
@@ -68,7 +68,7 @@ class PlanAuditSpec extends SparkSpec {
     // populate the shared grammar_slim stage (any grid consumer does)
     SparkEntry.queries("q_bt_grid")(spark, dir).count()
     val p = planOf("q_bt_edge")
-    assert(p.contains("InMemoryTableScan"),
+    assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
       "q_bt_edge rebuilt the indicators→grammar chain instead of " +
         "reading the cached slim stage")
     graft.queries.Stage.clear()
