@@ -263,6 +263,124 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // Unigram log-probability scoring (the cheap stand-in for a
+    // perplexity quality filter): corpus-level add-1-smoothed unigram
+    // model, per-doc mean and min token log-prob. Model fit is one
+    // token-keyed count; scoring is a broadcast-sized join at real
+    // vocab sizes.
+    Q("q_t_unigram_lp", Some("""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+                     CAST(count(*) AS DOUBLE) AS v FROM cnt)
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln((c + 1.0) / (tot.n + tot.v))), 9)
+               AS avg_logprob,
+             round(min(ln((c + 1.0) / (tot.n + tot.v))), 9)
+               AS min_logprob
+      FROM tk t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
+      GROUP BY t.doc_id ORDER BY t.doc_id""")) { (s, dir) =>
+      val tk = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val cnt = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").cast("double").as("n"),
+        count(lit(1)).cast("double").as("v"))
+      val lp = log((col("c") + 1.0) / (col("n") + col("v")))
+      tk.join(cnt, "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          round(avg(lp), 9).as("avg_logprob"),
+          round(min(lp), 9).as("min_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // Document chunking for context windows: 64-token chunks with
+    // 8-token overlap (stride 56). Pure per-doc arithmetic + explode —
+    // embarrassingly parallel at corpus scale; spans are emitted as
+    // token offsets, not text copies.
+    Q("q_t_chunks", Some("""
+      WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               greatest(1, (n_tokens - 8 + 55) // 56) AS n_chunks
+        FROM d),
+      ch AS (
+        SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * 56 AS BIGINT) AS start_tok,
+               CAST(least(i * 56 + 64, n_tokens) AS BIGINT) AS end_tok
+        FROM c, unnest(range(n_chunks)) r(i))
+      SELECT doc_id, chunk_idx, start_tok, end_tok,
+             end_tok - start_tok AS n_chunk_tokens,
+             CAST(end_tok = n_tokens AS BOOLEAN) AS is_last
+      FROM ch ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+      val C = 64; val O = 8; val stride = C - O
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val c = d.withColumn("n_chunks",
+        greatest(lit(1), floor((col("n_tokens") - O + stride - 1)
+          / lit(stride.toDouble)).cast("int")))
+      c.select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+          (col("i") * stride).cast("long").as("start_tok"),
+          least(col("i") * stride + C, col("n_tokens")).cast("long")
+            .as("end_tok"),
+          col("n_tokens"))
+        .withColumn("n_chunk_tokens", col("end_tok") - col("start_tok"))
+        .withColumn("is_last", col("end_tok") === col("n_tokens"))
+        .select("doc_id", "chunk_idx", "start_tok", "end_tok",
+          "n_chunk_tokens", "is_last")
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Context-window packing: docs packed into fixed 2048-token bins by
+    // cumulative offset (deterministic doc_id order) — the sample-
+    // packing shape; per-bin occupancy + fill rate. The cumulative sum
+    // is one global window over a doc-count-sized frame; everything
+    // else is a bin-keyed aggregate.
+    Q("q_t_pack", Some("""
+      WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM d),
+      binned AS (
+        SELECT *, CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id
+        FROM cum)
+      SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(min(doc_id) AS BIGINT) AS first_doc,
+             CAST(max(doc_id) AS BIGINT) AS last_doc,
+             round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 9) AS fill_rate
+      FROM binned GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val target = 2048
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val binned = d
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("bin_id",
+          floor((col("cum_tokens") - col("n_tokens"))
+            / lit(target.toDouble)).cast("long"))
+      binned.groupBy("bin_id").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          min("doc_id").cast("long").as("first_doc"),
+          max("doc_id").cast("long").as("last_doc"),
+          round(sum("n_tokens").cast("double") / target, 9)
+            .as("fill_rate"))
+        .orderBy("bin_id")
+    },
+
     // Corpus curation end-to-end: the C4-style selection pipeline —
     // quality gates (token count / quality score / digit ratio), exact
     // dedup keeper, then a quality-ranked token budget (60% of surviving
