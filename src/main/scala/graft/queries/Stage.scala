@@ -36,7 +36,10 @@ object Stage {
       (System.identityHashCode(spark), dir, name),
       build.localCheckpoint())
 
-  /** Unpersist and drop every cached stage (end-of-run eviction). */
+  /** Drop every memoized stage (end-of-run eviction). Checkpointed
+    * block storage is released by the ContextCleaner once the dropped
+    * DataFrame references are GC'd; unpersist() additionally clears any
+    * CacheManager entries (e.g. the CC edge cache). */
   def clear(): Unit = {
     cache.values.foreach(_.unpersist(blocking = false))
     cache.clear()

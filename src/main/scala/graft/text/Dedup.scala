@@ -37,7 +37,7 @@ object Dedup {
     * |shared| / (|A| + |B| - |shared|) over the doc's full shingle sets. */
   def jaccardPairs(docs: DataFrame, n: Int, maxFreq: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingleTable(docs, n)
+    val sh = shingleTable(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
       .filter(col("freq") <= maxFreq)
@@ -74,7 +74,7 @@ object Dedup {
       rowsPerBand: Int = 2): DataFrame = {
     val k = MinHashParams.size
     val nBands = k / rowsPerBand
-    val sigs = minhashSignatures(docs, n)
+    val sigs = minhashSignatures(docs, n).cache()
     val bandKey = (band: Int) => concat_ws("_",
       (band * rowsPerBand until (band + 1) * rowsPerBand)
         .map(j => col(s"m$j")): _*)
@@ -166,7 +166,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimHashBands,
       s"banded blocking only guarantees recall for hamming < $SimHashBands")
-    val sigs = simhash64(docs, col("doc_id"), col("text"))
+    val sigs = simhash64(docs, col("doc_id"), col("text")).cache()
     val bandCols = (0 until SimHashBands).map(c => col(s"b$c"))
     val keyed = sigs.select(col("doc_id") +: bandCols :+
       explode(array((0 until SimHashBands).map(c =>
