@@ -74,6 +74,21 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("q_t_tfidf: df join stays an equi-join, no cartesian blowup") {
+    val p = planOf("q_t_tfidf")
+    // the one-row corpus-count broadcast is a legitimate
+    // BroadcastNestedLoopJoin; only an unbroadcast cartesian is a bug
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "tf/df join lost its equi-join shape")
+  }
+
+  test("q_d_components: edge joins never degenerate to cross products") {
+    val p = planOf("q_d_components")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("AQE splits a skewed ticker partition in sort-merge joins") {
     // SURVEY §7.5.6: pathological ticker skew in partitionBy("ticker")
     // shuffles is handled by AQE's skew-join split — locked here on a
