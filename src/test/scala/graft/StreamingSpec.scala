@@ -85,6 +85,40 @@ class StreamingSpec extends SparkSpec {
     assert(kept.size == 4, s"expected 4 distinct docs, got $kept")
   }
 
+  test("streaming MinHash near-dup flags late near-duplicates against " +
+      "earlier claimants") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"w$i") :+ "changed").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    // batch 1: original + unrelated; batch 2: near-dup of the original
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-nd")
+    Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("part1").toString)
+    Seq((30L, nearDup)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("part2").toString)
+    val src = spark.readStream
+      .schema(Seq((1L, "x")).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/part*")
+    val q = StreamingDedup.nearDupMatches(src, n = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nd_stream_test").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val matches = spark.table("nd_stream_test")
+      .select("doc_id", "first_doc").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch-2 near-dup must match the batch-1 original on at least
+    // one band; the unrelated doc must never be flagged
+    assert(matches.contains((30L, 10L)),
+      s"late near-dup not flagged: $matches")
+    assert(!matches.exists(m => m._1 == 20L || m._2 == 20L),
+      s"unrelated doc flagged: $matches")
+  }
+
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
     // nanos ts → batch-read the schema, convert to a typed ts column
