@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,60 @@ object Wins {
   /** Duplicate-within-key flag (ref: src/mf_etl/validate/rules.py:144-150). */
   def isDuplicated(partition: Seq[Column]): Column =
     count(lit(1)).over(Window.partitionBy(partition: _*)) > 1
+
+  /** Distributed global cumulative sum (and optional global rank) over a
+    * total order — the scale-safe replacement for an unpartitioned
+    * `Window.orderBy(...)`, which Spark executes as ONE task holding the
+    * entire input. Two-pass distributed prefix sum instead:
+    *
+    *   1. range-partition on the order columns (the same parallel exchange
+    *      a global sort uses) and stamp `spark_partition_id()`;
+    *   2. aggregate per-partition value sums + row counts — ONE tiny row
+    *      per partition — and scan them on the driver into exclusive
+    *      prefix offsets (bounded by the partition count, not the data);
+    *   3. broadcast the offsets back and add a partition-LOCAL cumulative
+    *      window (`partitionBy(pid)` — embarrassingly parallel).
+    *
+    * Output is identical to the single-task window for any total order
+    * (range partition ids are monotone in the order columns). The
+    * repartitioned input is localCheckpoint'ed so the offsets job and the
+    * downstream consumer read the SAME materialized partitioning —
+    * range-partition sampling is otherwise re-evaluated per job and the
+    * pid↔offset pairing could drift between the two passes.
+    *
+    * `valueCol` is summed as LONG (the callers accumulate token counts);
+    * `outRank` additionally emits the 1-based global row number.
+    */
+  def globalCumSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+      outCum: String, outRank: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pid = "__gcs_pid"
+    val v = "__gcs_v"
+    val parts = df
+      .withColumn(v, valueCol.cast("long"))
+      .repartitionByRange(orderCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint()
+    val totals = parts.groupBy(col(pid))
+      .agg(coalesce(sum(v), lit(0L)).as("s"), count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accS = 0L
+    var accC = 0L
+    val offsets = totals.map { case (p, s, c) =>
+      val row = (p, accS, accC); accS += s; accC += c; row
+    }.toSeq
+    val offsDf = offsets.toDF(pid, "__gcs_soff", "__gcs_roff")
+    val wLoc = Window.partitionBy(col(pid)).orderBy(orderCols: _*)
+    val withCum = parts.join(broadcast(offsDf), Seq(pid))
+      .withColumn(outCum, sum(col(v)).over(cum(wLoc)) + col("__gcs_soff"))
+    outRank.fold(withCum) { rn =>
+      withCum.withColumn(rn,
+        row_number().over(wLoc).cast("long") + col("__gcs_roff"))
+    }.drop(pid, v, "__gcs_soff", "__gcs_roff")
+  }
 
   /** Rolling mode with most-recent tiebreak over a trailing window
     * (ref: HMM display smoothing,

@@ -341,8 +341,10 @@ object TextQueries extends QueryModule {
     // Context-window packing: docs packed into fixed 2048-token bins by
     // cumulative offset (deterministic doc_id order) — the sample-
     // packing shape; per-bin occupancy + fill rate. The cumulative sum
-    // is one global window over a doc-count-sized frame; everything
-    // else is a bin-keyed aggregate.
+    // runs as a distributed two-pass prefix sum (Wins.globalCumSum):
+    // range-partition, per-partition totals, broadcast offsets — never
+    // a single-task global window; everything else is a bin-keyed
+    // aggregate.
     Q("q_t_pack", Some("""
       WITH d AS (
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -364,10 +366,8 @@ object TextQueries extends QueryModule {
       val target = 2048
       val d = t(s, dir, "documents").select(col("doc_id"),
         size(TextOps.tokens(col("text"))).as("n_tokens"))
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val binned = d
-        .withColumn("cum_tokens", sum("n_tokens").over(w))
+      val binned = graft.ops.Wins
+        .globalCumSum(d, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
         .withColumn("bin_id",
           floor((col("cum_tokens") - col("n_tokens"))
             / lit(target.toDouble)).cast("long"))
@@ -384,9 +384,11 @@ object TextQueries extends QueryModule {
     // Corpus curation end-to-end: the C4-style selection pipeline —
     // quality gates (token count / quality score / digit ratio), exact
     // dedup keeper, then a quality-ranked token budget (60% of surviving
-    // tokens). The global ranked budget is inherently a total order; at
-    // cluster scale it runs as one final sort over the pre-filtered
-    // survivor set (every upstream gate is embarrassingly parallel).
+    // tokens). The ranked budget needs a total ORDER but not a single
+    // task: rank + cumulative tokens come from the distributed two-pass
+    // prefix sum (Wins.globalCumSum) over (quality desc, doc_id), so
+    // every stage — gates, keeper, budget — stays embarrassingly
+    // parallel.
     Q("q_corpus_curate", Some {
       val scoreCols = TextOps.LangMarkers.map { case (l, ms) =>
         val in = ms.map(m => s"'$m'").mkString("(", ", ", ")")
@@ -451,12 +453,9 @@ object TextQueries extends QueryModule {
         .select("doc_id", "lang", "predicted", "n_tokens", "quality_score")
       val bud = surv.agg(
         floor(lit(0.6) * sum("n_tokens")).cast("long").as("budget"))
-      val ordW = Window.orderBy(col("quality_score").desc, col("doc_id"))
-      val ranked = surv
-        .withColumn("rnk", row_number().over(ordW).cast("long"))
-        .withColumn("cum_tokens",
-          sum("n_tokens").over(ordW.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).cast("long"))
+      val ranked = graft.ops.Wins.globalCumSum(surv,
+        Seq(col("quality_score").desc, col("doc_id")), col("n_tokens"),
+        "cum_tokens", outRank = Some("rnk"))
       ranked.crossJoin(broadcast(bud))
         .filter(col("cum_tokens") <= col("budget"))
         .select("doc_id", "lang", "predicted", "n_tokens",

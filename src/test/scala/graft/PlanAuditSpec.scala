@@ -89,6 +89,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_t_pack / q_corpus_curate: no single-task global window") {
+    // VERDICT r3 items 1-2: the token prefix sums must run as the
+    // distributed two-pass pattern (Wins.globalCumSum), never an
+    // unpartitioned Window — which Spark executes as ONE task over the
+    // whole corpus. A windowspecdefinition whose FIRST argument is a
+    // sort order (no partition columns before the ordering) is exactly
+    // that single-task shape.
+    val unpartitioned = raw"windowspecdefinition\([^,)]*(?: ASC | DESC )".r
+    for (q <- Seq("q_t_pack", "q_corpus_curate")) {
+      val p = planOf(q)
+      assert(p.contains("windowspecdefinition"),
+        s"$q: expected a (partitioned) window in the plan")
+      assert(unpartitioned.findFirstIn(p).isEmpty,
+        s"$q: unpartitioned global window (single task at scale):\n" +
+          unpartitioned.findFirstIn(p).getOrElse(""))
+    }
+  }
+
   test("AQE splits a skewed ticker partition in sort-merge joins") {
     // SURVEY §7.5.6: pathological ticker skew in partitionBy("ticker")
     // shuffles is handled by AQE's skew-join split — locked here on a
