@@ -52,6 +52,23 @@ object NightlyOps {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** RFC-4180 quoting: a field containing a comma, quote, or newline is
+    * wrapped and its quotes doubled — a label or combo id with a comma
+    * must not corrupt the row. */
+  private def csv(fields: Seq[Any]): String =
+    fields.map { f =>
+      val s = String.valueOf(f)
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }.mkString(",")
+
+  /** `Files.list`/`Files.walk` hold an open directory handle until
+    * closed — leak-free iteration for a long-lived driver. */
+  private def withStream[A, B](s: java.util.stream.Stream[A])(
+      f: java.util.stream.Stream[A] => B): B =
+    try f(s) finally s.close()
+
   /** Run the nightly ops composition against `sfDir`, writing artifacts
     * under `artifactsRoot`. `coverageMode` is `warn_only` (a failing
     * coverage gate demotes to WARN with a recorded warning) or
@@ -123,13 +140,13 @@ object NightlyOps {
       "observed_expectancy,observed_profit_factor,observed_ret_cv," +
       "observed_trades,n_flags,coverage_status"
     val reportLines = rerunRows.map { r =>
-      Seq(r.getAs[String]("label"), r.getAs[String]("combo_id"),
+      csv(Seq(r.getAs[String]("label"), r.getAs[String]("combo_id"),
         r.getAs[String]("drift_status"),
         Option(r.getAs[Any]("observed_expectancy")).getOrElse(""),
         Option(r.getAs[Any]("observed_profit_factor")).getOrElse(""),
         Option(r.getAs[Any]("observed_ret_cv")).getOrElse(""),
         r.getAs[Long]("observed_trades"), r.getAs[Long]("n_flags"),
-        coverageStatus).mkString(",")
+        coverageStatus))
     }
     atomicWrite(outDir.resolve("nightly_ops_report.csv"),
       (reportHeader +: reportLines.toSeq).mkString("", "\n", "\n"))
@@ -138,8 +155,8 @@ object NightlyOps {
     val ledger = Paths.get(artifactsRoot, DefaultLedgerRelPath)
     val ledgerHeader = "built_ts,run_id,ops_status,coverage_status," +
       "candidate_count,n_warnings"
-    val row = Seq(asOfTag, runId, opsStatus, coverageStatus,
-      rerunRows.length, warnings.length).mkString(",")
+    val row = csv(Seq(asOfTag, runId, opsStatus, coverageStatus,
+      rerunRows.length, warnings.length))
     val existing =
       if (Files.exists(ledger)) Files.readString(ledger).stripLineEnd
       else ledgerHeader
@@ -147,13 +164,16 @@ object NightlyOps {
 
     // 5. keep-last-N pruning of ops run dirs (ref --keep-last-n)
     val runsRoot = Paths.get(artifactsRoot, "ops_runs")
-    val runDirs = Files.list(runsRoot).iterator().asScala
-      .filter(p => Files.isDirectory(p)
-        && p.getFileName.toString.matches("ops-.*_nightly_ops_v1"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val runDirs = withStream(Files.list(runsRoot)) {
+      _.iterator().asScala
+        .filter(p => Files.isDirectory(p)
+          && p.getFileName.toString.matches("ops-.*_nightly_ops_v1"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
     runDirs.dropRight(keepLastN).foreach { dir =>
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.delete(_))
+      withStream(Files.walk(dir)) {
+        _.iterator().asScala.toSeq.reverse.foreach(Files.delete(_))
+      }
     }
 
     Result(runId, outDir.toString, opsStatus, coverageStatus,

@@ -102,7 +102,10 @@ object ProductionQueries extends QueryModule {
     val gram = BacktestQueries2.gramSlim(s, dir)
     val bounds = gram.agg(min("bar_ts"), max("bar_ts")).head
     val lo = bounds.getLong(0)
-    val cut = lo + (0.5 * (bounds.getLong(1) - lo)).toLong
+    // floor, matching the oracle's CAST(floor(...) AS BIGINT) — plain
+    // toLong truncation and DuckDB's round-to-nearest BIGINT cast would
+    // place an odd-span boundary bar on different sides
+    val cut = lo + math.floor(0.5 * (bounds.getLong(1) - lo)).toLong
     val combos = BacktestQueries2.GridCombos
       .filter(c => selected(BacktestQueries2.comboId(c)))
     // the per-combo fresh-window sims are independent; cache them as
@@ -136,7 +139,19 @@ object ProductionQueries extends QueryModule {
             round(graft.ops.Cols.safeDiv(stddev_pop(col("net_ret")),
               abs(avg(col("net_ret")))), 6).as("observed_ret_cv"))
           .withColumn("combo_id", lit(BacktestQueries2.comboId(c)))
-      }.reduce(_.unionByName(_))
+      }.reduceOption(_.unionByName(_)).getOrElse {
+        // empty pack (every combo below even the relaxed floor): the
+        // oracle returns zero rows, and NightlyOps' empty-pack handling
+        // depends on the rerun query returning empty, not throwing
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("observed_trades", LongType),
+            StructField("observed_expectancy", DoubleType),
+            StructField("observed_profit_factor", DoubleType),
+            StructField("observed_ret_cv", DoubleType),
+            StructField("combo_id", StringType))))
+      }
   }
 
   def all: Seq[Q] = Seq(
@@ -192,8 +207,8 @@ object ProductionQueries extends QueryModule {
       s"""
       WITH RECURSIVE $prefixSql,
       $packSql,
-      wb AS (SELECT min(bar_ts) + CAST(0.5 * (max(bar_ts) - min(bar_ts))
-               AS BIGINT) AS cut FROM grammar),
+      wb AS (SELECT min(bar_ts) + CAST(floor(0.5 * (max(bar_ts)
+               - min(bar_ts))) AS BIGINT) AS cut FROM grammar),
       obs AS (${obsBlocks.mkString(" UNION ALL ")}),
       j AS (
         SELECT p.label, p.combo_id,

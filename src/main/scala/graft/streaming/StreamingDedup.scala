@@ -22,6 +22,15 @@ import graft.text.TextOps
   * index, and the doc that first claimed the key. Downstream policy
   * (drop, cluster, review) aggregates per doc; same-batch ties break by
   * doc id so replays are deterministic.
+  *
+  * State sizing at corpus scale: the claimant index IS the dedup state,
+  * so it never expires (NoTimeout is by design) and grows one LONG per
+  * distinct (band, key) — far beyond executor heap at 100 TB. Run it on
+  * the disk-backed RocksDB state store
+  * (`spark.sql.streaming.stateStore.providerClass =
+  * ...state.RocksDBStateStoreProvider`), which keeps working-set memory
+  * bounded and checkpoints incrementally; StreamingSpec locks the
+  * operator green on that provider.
   */
 object StreamingDedup {
 
@@ -49,19 +58,26 @@ object StreamingDedup {
   }
 
   /** docs(doc_id, text) stream → (doc_id, band_idx, first_doc) match
-    * stream. State: first claimant per band key. */
+    * stream. State: first claimant per (band_idx, band_key) — the SAME
+    * composite the batch minhashLshPairs joins on; keying by the key
+    * string alone would let equal keys in different bands collide. Docs
+    * shorter than the shingle width have no signature (every component
+    * would be null and the keys would all collapse to ""), so they are
+    * excluded up front, matching the batch operator. */
   def nearDupMatches(docs: DataFrame, n: Int): Dataset[Match] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bands = docs
+      .filter(size(TextOps.shingles(col("text"), n)) > 0)
       .select(col("doc_id"),
         explode(bandKeys(col("text"), n)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
       .as[BandRow]
-    bands.groupByKey(_.band_key)
+    bands.groupByKey(r => (r.band_idx, r.band_key))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
+        (_: (Int, String), rows: Iterator[BandRow],
+            state: GroupState[Long]) =>
           val sorted = rows.toArray.sortBy(_.doc_id)
           val out = scala.collection.mutable.ArrayBuffer.empty[Match]
           var first = state.getOption.getOrElse(-1L)

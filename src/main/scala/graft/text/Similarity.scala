@@ -25,17 +25,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine from a precomputed per-row norm on each side: identical
+    * float arithmetic to `cosine` (dot / (na·nb), same op order), but
+    * the norms are computed once per ROW instead of once per PAIR —
+    * with interpreted higher-order functions that removes two of the
+    * three array traversals in every pair scoring. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred`), the k nearest corpus vectors (self excluded). Ranking is
     * done on the 6-decimal-rounded similarity with id tie-break so results
     * are reproducible across engines and cluster runs. */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val q = e.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("vid"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -74,7 +85,7 @@ object Similarity {
   def lshBucketBand(emb: Column, bits: Int, band: Int,
       dim: Int): Column = {
     val v = asDouble(emb)
-    (0 until bits).map { j =>
+    val key = (0 until bits).map { j =>
       val plane = band * bits + j
       val hp = array((0 until dim)
         .map(i => lit(hyperplaneSignConst(plane, i))): _*)
@@ -82,6 +93,11 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+    // a row whose dimensionality differs from the probed `dim` would be
+    // null-padded by zip_with, its projections would all go null, and
+    // every such row would silently collapse into bucket 0 — give it a
+    // NULL bucket instead, which drops out of every bucket equi-join
+    when(size(v) === dim, key)
   }
 
   /** Embedding dimensionality probe — one bounded head() action. */
@@ -113,25 +129,32 @@ object Similarity {
     * maxBucket · corpus, not corpus². */
   def annSelfJoinPairs(emb: DataFrame, maxBucket: Int, simFloor: Double,
       bits: Int = LshBits, nBands: Int = 1): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+    val dim = embDim(emb) // ONE probe action, shared by every band
+    val e = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("embedding"))
+      .withColumn("nrm", norm(col("v"))) // per ROW, before the band explode
+      .select(col("vec_id"), col("v"), col("nrm"),
         explode(array((0 until nBands).map(band =>
           struct(lit(band).as("band_idx"),
             lshBucketBand(col("embedding"), bits, band,
-              embDim(emb)).as("bucket"))): _*))
+              dim).as("bucket"))): _*))
           .as("bk"))
-      .select(col("vec_id"), col("v"), col("bk.band_idx"), col("bk.bucket"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bk.band_idx"), col("bk.bucket"))
     val sized = e
       .withColumn("bn",
         count(lit(1)).over(Window.partitionBy("band_idx", "bucket")))
       .filter(col("bn") <= maxBucket).drop("bn")
     val a = sized.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("band_idx"), col("bucket"))
+      col("nrm").as("na"), col("band_idx"), col("bucket"))
     val b = sized.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("band_idx"), col("bucket"))
+      col("nrm").as("nb"), col("band_idx"), col("bucket"))
     val scored = a.join(b, Seq("band_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= simFloor)
     // a pair can collide in several bands — dedupe only when that's
     // possible (the extra exchange is wasted with a single band)
@@ -154,11 +177,12 @@ object Similarity {
     * must grow). */
   def annBucketStats(emb: DataFrame, maxBucket: Int,
       bits: Int = LshBits, nBands: Int = 1): DataFrame = {
+    val dim = embDim(emb) // ONE probe action, shared by every band
     val e = emb.select(col("vec_id"),
         explode(array((0 until nBands).map(band =>
           struct(lit(band).as("band_idx"),
             lshBucketBand(col("embedding"), bits, band,
-              embDim(emb)).as("bucket"))): _*))
+              dim).as("bucket"))): _*))
           .as("bk"))
       .select(col("vec_id"), col("bk.band_idx"), col("bk.bucket"))
     e.groupBy("band_idx", "bucket").agg(count(lit(1)).as("bn"))
@@ -192,12 +216,14 @@ object Similarity {
     val assigned = model.transform(fe)
       .withColumnRenamed("prediction", "cell")
       .select("vec_id", "v", "cell")
+      .withColumn("nrm", norm(col("v")))
     val centDf = spark.createDataFrame(
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toArray) })
       .toDF("cell", "cv")
     val q = assigned.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val probe = q.crossJoin(broadcast(centDf))
       .withColumn("d2",
         aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
@@ -205,13 +231,14 @@ object Similarity {
       .withColumn("prnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2"), col("cell"))))
       .filter(col("prnk") <= nProbe)
-      .select(col("qid"), col("qv"), col("cell"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cell"))
     val scored = probe
       .join(assigned.select(col("vec_id").as("vid"), col("v"),
-        col("cell")), Seq("cell"))
+        col("nrm"), col("cell")), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -222,13 +249,15 @@ object Similarity {
   def annLsh(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
       lshBucket(col("embedding"), embDim(emb)).as("bucket"))
+      .withColumn("nrm", norm(col("v")))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("bucket").as("qbucket"))
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
     val scored = e.join(broadcast(q),
         col("qbucket") === col("bucket") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("vid"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

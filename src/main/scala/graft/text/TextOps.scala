@@ -32,9 +32,14 @@ object TextOps {
   /** Word n-gram shingles (distinct), space-joined. Requires >= n tokens. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    // sub-n-token docs have NO shingles: the oracle's range(len - n + 1)
+    // is empty there, but Spark's sequence(0, size - n) would count DOWN
+    // through negative indices and error inside slice — guard explicitly
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash permutation parameters (fixed seed — part of the engine's

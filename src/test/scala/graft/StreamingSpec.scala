@@ -86,37 +86,55 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming MinHash near-dup flags late near-duplicates against " +
-      "earlier claimants") {
+      "earlier claimants (RocksDB state store)") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamingDedup
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = ((1 to 39).map(i => s"w$i") :+ "changed").mkString(" ")
     val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
-    // batch 1: original + unrelated; batch 2: near-dup of the original
+    // batch 1: original + unrelated + a sub-shingle-width doc; batch 2:
+    // near-dup of the original + another short doc. Short docs have no
+    // signature (empty shingle array) and must never be flagged — under
+    // a band_key-only state they'd all collapse to key "" and match
+    // each other.
     val streamDir = java.nio.file.Files.createTempDirectory("graft-nd")
-    Seq((10L, base), (20L, unrelated)).toDF("doc_id", "text").coalesce(1)
+    Seq((10L, base), (20L, unrelated), (40L, "hi there"))
+      .toDF("doc_id", "text").coalesce(1)
       .write.parquet(streamDir.resolve("part1").toString)
-    Seq((30L, nearDup)).toDF("doc_id", "text").coalesce(1)
+    Seq((30L, nearDup), (50L, "bye now")).toDF("doc_id", "text").coalesce(1)
       .write.parquet(streamDir.resolve("part2").toString)
     val src = spark.readStream
       .schema(Seq((1L, "x")).toDF("doc_id", "text").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$streamDir/part*")
-    val q = StreamingDedup.nearDupMatches(src, n = 3)
-      .writeStream.outputMode("append").format("memory")
-      .queryName("nd_stream_test").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the claimant index never expires — at corpus scale it must live on
+    // the disk-backed RocksDB store, so the spec locks that provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingDedup.nearDupMatches(src, n = 3)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("nd_stream_test").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
     val matches = spark.table("nd_stream_test")
       .select("doc_id", "first_doc").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // the batch-2 near-dup must match the batch-1 original on at least
-    // one band; the unrelated doc must never be flagged
+    // one band; the unrelated and short docs must never be flagged
     assert(matches.contains((30L, 10L)),
       s"late near-dup not flagged: $matches")
     assert(!matches.exists(m => m._1 == 20L || m._2 == 20L),
       s"unrelated doc flagged: $matches")
+    assert(!matches.exists(m => Set(40L, 50L)(m._1) || Set(40L, 50L)(m._2)),
+      s"short (signature-less) doc flagged: $matches")
   }
 
   test("windowed counts over file stream match batch computation") {
