@@ -65,9 +65,13 @@ object Overlay {
     * else 'none'. `exec_allowed` = no filter fails.
     * The unit-detect aggregate is one tiny broadcast row — no extra
     * shuffle of the bar frame. */
-  def executionRealism(bars: DataFrame, minDollarVol: Double,
-      minPrice: Double, warmupBars: Int,
-      maxVolPct: Option[Double] = None, dvWindow: Int = 20): DataFrame = {
+  /** Threshold-FREE per-bar realism features: rolling-median dollar
+    * volume, cumulative history bars, and the unit-normalized volatility
+    * series. Split out so the single-profile gate and the calibration
+    * sweep share ONE feature pass — the sweep applies its 280 threshold
+    * combos on top of this frame instead of recomputing the windows per
+    * combo (the reference re-runs the whole filter per combo). */
+  def realismFeatures(bars: DataFrame, dvWindow: Int = 20): DataFrame = {
     val w = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
     val withCols = bars
       .withColumn("exec_dollar_vol",
@@ -80,7 +84,21 @@ object Overlay {
     val vstats = withCols.agg(
       median(col("exec_vol_raw")).as("vmed"),
       percentile(col("exec_vol_raw"), lit(0.9)).as("vp90"))
-    val thrDec = maxVolPct.map(v => if (v > 1.0) v / 100.0 else v)
+    withCols.crossJoin(broadcast(vstats))
+      .withColumn("vol_divisor",
+        when(col("vmed") > 1.0 || col("vp90") > 1.0, 100.0).otherwise(1.0))
+      .withColumn("exec_vol_pct", col("exec_vol_raw") / col("vol_divisor"))
+      .drop("vmed", "vp90")
+  }
+
+  /** Normalize a max-vol threshold the way the reference does: an input
+    * above 1 is percent points and becomes a decimal. */
+  def volThresholdDecimal(v: Double): Double = if (v > 1.0) v / 100.0 else v
+
+  def executionRealism(bars: DataFrame, minDollarVol: Double,
+      minPrice: Double, warmupBars: Int,
+      maxVolPct: Option[Double] = None, dvWindow: Int = 20): DataFrame = {
+    val thrDec = maxVolPct.map(volThresholdDecimal)
     val volFail = thrDec match {
       case Some(th) =>
         col("exec_vol_pct").isNull || col("exec_vol_pct") > th
@@ -88,10 +106,7 @@ object Overlay {
     }
     val nf = Seq("f_price", "f_liq", "f_vol", "f_warm")
       .map(c => col(c).cast("int")).reduce(_ + _)
-    withCols.crossJoin(broadcast(vstats))
-      .withColumn("vol_divisor",
-        when(col("vmed") > 1.0 || col("vp90") > 1.0, 100.0).otherwise(1.0))
-      .withColumn("exec_vol_pct", col("exec_vol_raw") / col("vol_divisor"))
+    realismFeatures(bars, dvWindow)
       .withColumn("f_price", col("close") < minPrice)
       .withColumn("f_liq",
         col("dv_med_20").isNull || col("dv_med_20") < minDollarVol)
@@ -106,18 +121,11 @@ object Overlay {
           .when(col("f_warm"), "warmup")
           .otherwise("none"))
       .withColumn("exec_allowed", col("n_fail") === 0)
-      .drop("vmed", "vp90")
   }
 
-  /** SQL mirror of executionRealism over CTE `bars` → CTE `exec_realism`
-    * with (ticker, bar_ts, bar_id, dv_med_20, vol_pct, exec_reason,
-    * exec_allowed). */
-  def realismSql(minDollarVol: Double, minPrice: Double, warmupBars: Int,
-      maxVolPct: Option[Double], dvWindow: Int = 20): String = {
-    val thr = maxVolPct.map(v => if (v > 1.0) v / 100.0 else v)
-    val volFail = thr.map(t => s"(vol_pct IS NULL OR vol_pct > $t)")
-      .getOrElse("false")
-    s"""
+  /** SQL mirror of realismFeatures over CTE `bars` → CTE `erf` with
+    * (ticker, bar_ts, bar_id, close, dv_med_20, hist, vol_pct). */
+  def realismFeaturesSql(dvWindow: Int = 20): String = s"""
       er0 AS (
         SELECT ticker, bar_ts, bar_id, close,
                CASE WHEN count(close * volume) OVER wdv >= $dvWindow
@@ -135,13 +143,25 @@ object Overlay {
         SELECT e.*, CASE WHEN s.vmed > 1.0 OR s.vp90 > 1.0
                  THEN 100.0 ELSE 1.0 END AS vol_div
         FROM er0 e CROSS JOIN vstats s),
+      erf AS (SELECT *, vol_raw / vol_div AS vol_pct FROM er1)"""
+
+  /** SQL mirror of executionRealism over CTE `bars` → CTE `exec_realism`
+    * with (ticker, bar_ts, bar_id, dv_med_20, vol_pct, exec_reason,
+    * exec_allowed). */
+  def realismSql(minDollarVol: Double, minPrice: Double, warmupBars: Int,
+      maxVolPct: Option[Double], dvWindow: Int = 20): String = {
+    val thr = maxVolPct.map(volThresholdDecimal)
+    val volFail = thr.map(t => s"(vol_pct IS NULL OR vol_pct > $t)")
+      .getOrElse("false")
+    s"""
+      ${realismFeaturesSql(dvWindow)},
       er2 AS (
-        SELECT *, vol_raw / vol_div AS vol_pct,
+        SELECT *,
                (close < $minPrice) AS f_price,
                (dv_med_20 IS NULL OR dv_med_20 < $minDollarVol) AS f_liq,
                $volFail AS f_vol,
                (hist < $warmupBars) AS f_warm
-        FROM er1),
+        FROM erf),
       er3 AS (
         SELECT *, (CAST(f_price AS INT) + CAST(f_liq AS INT)
                + CAST(f_vol AS INT) + CAST(f_warm AS INT)) AS nf

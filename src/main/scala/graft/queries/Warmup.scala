@@ -43,9 +43,13 @@ object Warmup {
           () => Stage.slimSignals(spark, dir).count(),
           () => ResearchQueries.bootStats(spark, dir).count(),
           () => ResearchQueries.bootPair(spark, dir).count(),
-          () => ResearchQueries.dayWindows(spark, dir).count()))
+          () => ResearchQueries.dayWindows(spark, dir).count(),
+          () => CalibrationQueries.calBase(spark, dir).count()))
 
-    // phase 3: the scored combo frame (needs all 8 sims)
-    phase(Seq(() => BacktestQueries2.comboScored(spark, dir).count()))
+    // phase 3: the scored combo frame (needs all 8 sims) + the
+    // calibration sweep grid (needs the calibration base)
+    phase(Seq(
+      () => BacktestQueries2.comboScored(spark, dir).count(),
+      () => CalibrationQueries.calGrid(spark, dir).count()))
   }
 }

@@ -107,6 +107,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_exec_calibration: grid joins by broadcast, one pass over bars") {
+    // the 280-combo sweep must be the broadcast-grid shape (one pass,
+    // map-side partial agg), never a shuffled cartesian of bars × grid
+    val p = planOf("q_exec_calibration")
+    assert(!p.contains("CartesianProduct"),
+      "calibration sweep degenerated to an unbroadcast cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin") || p.contains("ExistingRDD"),
+      "combo grid not broadcast")
+  }
+
   test("AQE splits a skewed ticker partition in sort-merge joins") {
     // SURVEY §7.5.6: pathological ticker skew in partitionBy("ticker")
     // shuffles is handled by AQE's skew-join split — locked here on a
