@@ -63,13 +63,28 @@ object BacktestQueries2 extends QueryModule {
     * `combo_scored`): per-combo metrics → stable rank-to-[0,1] scores →
     * v1/v2 robustness, all output columns rounded. Prefix with the
     * bars/twiggs/grammar chain. Shared by q_bt_robustness_v2 and the
-    * production candidate pack. */
-  private[queries] def comboScoredSql: String = {
+    * production candidate pack.
+    *
+    * `entryGate` (hybrid-eval runs): SQL boolean over a LEFT-joined
+    * policy row `p` (CTE `pol` must exist upstream) AND'ed into
+    * entry_signal before simulation; None = ungated baseline. `cteName`
+    * renames the final CTE so several gated variants can coexist in one
+    * WITH chain. */
+  private[queries] def comboScoredSql(entryGate: Option[String] = None,
+      cteName: String = "combo_scored"): String = {
     val per = GridCombos.zipWithIndex.map { case (c, i) =>
+      val gateCtes = entryGate.map(g => s"""
+         gated AS (
+           SELECT s.* REPLACE ((s.entry_signal AND $g) AS entry_signal)
+           FROM signals s LEFT JOIN pol p
+             ON s.ticker = p.ticker AND s.bar_ts = p.bar_ts
+               AND s.bar_id = p.bar_id),""").getOrElse("")
+      val src = if (entryGate.isDefined) "gated" else "signals"
       s"""
         (WITH RECURSIVE
-         ${Signals.sql(c.mode, c.confirmBars)},
-         ${Engine.tradesSql(Engine.Config(c.holdBars, c.feeBps))},
+         ${Signals.sql(c.mode, c.confirmBars)},$gateCtes
+         ${Engine.tradesSql(Engine.Config(c.holdBars, c.feeBps),
+            src = src)},
          ${Metrics.portfolioSql},
          m AS (
            SELECT count(*) AS trade_count,
@@ -95,8 +110,9 @@ object BacktestQueries2 extends QueryModule {
                 m.*, dd.max_drawdown
          FROM m CROSS JOIN dd)"""
     }
-    s"""combos AS (${per.mkString(" UNION ALL ")}),
-         ranked AS (
+    val p = if (cteName == "combo_scored") "" else s"${cteName}_"
+    s"""${p}combos AS (${per.mkString(" UNION ALL ")}),
+         ${p}ranked AS (
            SELECT *,
              count(expectancy) OVER () AS nv_exp,
              row_number() OVER (ORDER BY expectancy DESC NULLS LAST,
@@ -119,8 +135,8 @@ object BacktestQueries2 extends QueryModule {
              count(fee_bps) OVER () AS nv_cost,
              row_number() OVER (ORDER BY fee_bps ASC NULLS LAST,
                combo_idx) AS r_cost
-           FROM combos),
-         scored AS (
+           FROM ${p}combos),
+         ${p}scored AS (
            SELECT *,
              CASE WHEN expectancy IS NULL THEN 0.0 ELSE
                1 - CAST(r_exp - 1 AS DOUBLE)
@@ -145,18 +161,19 @@ object BacktestQueries2 extends QueryModule {
                  / greatest(nv_cost - 1, 1) END AS s_cost,
              0.7 * least(CAST(trade_count AS DOUBLE) / 100.0, 1.0)
                + 0.3 AS s_hyg
-           FROM ranked),
-         v1s AS (
+           FROM ${p}ranked),
+         ${p}v1s AS (
            SELECT *,
              100.0 * (0.30 * s_exp + 0.20 * s_pf + 0.20 * s_dd
                + 0.15 * s_std + 0.10 * s_cost + 0.05 * s_hyg) AS v1_raw
-           FROM scored),
-         combo_scored AS (
+           FROM ${p}scored),
+         $cteName AS (
            SELECT combo_idx, combo_id, mode, confirm_bars, hold_bars,
                 fee_bps, trade_count,
                 round(expectancy, 9) AS expectancy,
                 round(profit_factor, 6) AS profit_factor,
                 round(ret_cv, 6) AS ret_cv,
+                round(downside_std, 9) AS downside_std,
                 round(max_drawdown, 9) AS max_drawdown,
                 round(greatest(least(v1_raw, 100.0), 0.0), 6)
                   AS robustness_score_v1,
@@ -165,7 +182,82 @@ object BacktestQueries2 extends QueryModule {
                     + 15.0 * s_cv + 10.0 * s_tail + 5.0 * s_cost
                     - CASE WHEN trade_count = 0 THEN 20.0 ELSE 0.0 END,
                   100.0), 0.0), 6) AS robustness_score_v2
-           FROM v1s)"""
+           FROM ${p}v1s)"""
+  }
+
+  /** Per-combo metric row (trade stats ⨯ equity max drawdown) — the `m`
+    * block of the oracle, reused per hybrid-eval run variant. */
+  private[queries] def comboMetricsRow(
+      trades: org.apache.spark.sql.DataFrame, c: Grid.Combo,
+      i: Int): org.apache.spark.sql.DataFrame = {
+    val m = trades.agg(
+      count(lit(1)).as("trade_count"),
+      avg("net_ret").as("expectancy"),
+      Cols.safeDiv(sum(when(col("net_ret") > 0, col("net_ret"))),
+        abs(sum(when(!(col("net_ret") > 0), col("net_ret")))))
+        .as("profit_factor"),
+      stddev_pop(col("net_ret")).as("return_std"),
+      stddev_pop(when(col("net_ret") < 0, col("net_ret")))
+        .as("downside_std"),
+      Cols.safeDiv(stddev_pop(col("net_ret")),
+        abs(avg(col("net_ret")))).as("ret_cv"))
+    val dd = Metrics.portfolio(trades)
+      .agg(min("drawdown").as("max_drawdown"))
+    m.crossJoin(dd)
+      .withColumn("combo_idx", lit(i))
+      .withColumn("combo_id", lit(comboId(c)))
+      .withColumn("mode", lit(c.mode))
+      .withColumn("confirm_bars", lit(c.confirmBars))
+      .withColumn("hold_bars", lit(c.holdBars))
+      .withColumn("fee_bps", lit(c.feeBps))
+  }
+
+  /** Rank-to-[0,1] v1/v2 robustness scoring over a combo metric frame —
+    * the Spark twin of the oracle's ranked→scored→v1s chain. The frame
+    * is grid-sized (8 rows), so the unpartitioned ranking windows are
+    * trivially bounded. */
+  private[queries] def scoreCombos(all: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val W = Window.partitionBy()
+    def score(c: org.apache.spark.sql.Column, desc: Boolean) = {
+      val ord = if (desc) Seq(c.desc_nulls_last, col("combo_idx"))
+        else Seq(c.asc_nulls_last, col("combo_idx"))
+      val rn = row_number().over(Window.orderBy(ord: _*))
+      val nv = count(c).over(W)
+      when(c.isNull, 0.0).otherwise(
+        lit(1) - (rn - 1).cast("double") / greatest(nv - 1, lit(1)))
+    }
+    val scored = all
+      .withColumn("s_exp", score(col("expectancy"), desc = true))
+      .withColumn("s_pf", score(col("profit_factor"), desc = true))
+      .withColumn("s_dd", score(abs(col("max_drawdown")), desc = false))
+      .withColumn("s_std", score(col("return_std"), desc = false))
+      .withColumn("s_cv", score(col("ret_cv"), desc = false))
+      .withColumn("s_tail", score(col("downside_std"), desc = false))
+      .withColumn("s_cost", score(col("fee_bps"), desc = false))
+      .withColumn("s_hyg",
+        lit(0.7) * least(col("trade_count").cast("double") / 100.0,
+          lit(1.0)) + 0.3)
+      .withColumn("v1_raw", lit(100.0) * (lit(0.30) * col("s_exp")
+        + lit(0.20) * col("s_pf") + lit(0.20) * col("s_dd")
+        + lit(0.15) * col("s_std") + lit(0.10) * col("s_cost")
+        + lit(0.05) * col("s_hyg")))
+      .withColumn("v1", greatest(least(col("v1_raw"), lit(100.0)),
+        lit(0.0)))
+    scored.select(col("combo_idx"), col("combo_id"), col("mode"),
+      col("confirm_bars"), col("hold_bars"), col("fee_bps"),
+      col("trade_count"),
+      round(col("expectancy"), 9).as("expectancy"),
+      round(col("profit_factor"), 6).as("profit_factor"),
+      round(col("ret_cv"), 6).as("ret_cv"),
+      round(col("downside_std"), 9).as("downside_std"),
+      round(col("max_drawdown"), 9).as("max_drawdown"),
+      round(col("v1"), 6).as("robustness_score_v1"),
+      round(greatest(least(lit(0.70) * col("v1")
+        + lit(15.0) * col("s_cv") + lit(10.0) * col("s_tail")
+        + lit(5.0) * col("s_cost")
+        - when(col("trade_count") === 0, 20.0).otherwise(0.0),
+        lit(100.0)), lit(0.0)), 6).as("robustness_score_v2"))
   }
 
   /** Scored combo frame (the Spark twin of `comboScoredSql`), cached —
@@ -174,69 +266,9 @@ object BacktestQueries2 extends QueryModule {
   private[queries] def comboScored(
       s: org.apache.spark.sql.SparkSession, dir: String) =
     Stage.cached(s, dir, "combo_scored") {
-      val combos = GridCombos.zipWithIndex.map { case (c, i) =>
-        val trades = comboTrades(s, dir, c)
-        val m = trades.agg(
-          count(lit(1)).as("trade_count"),
-          avg("net_ret").as("expectancy"),
-          Cols.safeDiv(sum(when(col("net_ret") > 0, col("net_ret"))),
-            abs(sum(when(!(col("net_ret") > 0), col("net_ret")))))
-            .as("profit_factor"),
-          stddev_pop(col("net_ret")).as("return_std"),
-          stddev_pop(when(col("net_ret") < 0, col("net_ret")))
-            .as("downside_std"),
-          Cols.safeDiv(stddev_pop(col("net_ret")),
-            abs(avg(col("net_ret")))).as("ret_cv"))
-        val dd = Metrics.portfolio(trades)
-          .agg(min("drawdown").as("max_drawdown"))
-        m.crossJoin(dd)
-          .withColumn("combo_idx", lit(i))
-          .withColumn("combo_id", lit(comboId(c)))
-          .withColumn("mode", lit(c.mode))
-          .withColumn("confirm_bars", lit(c.confirmBars))
-          .withColumn("hold_bars", lit(c.holdBars))
-          .withColumn("fee_bps", lit(c.feeBps))
-      }
-      val all = combos.reduce(_.unionByName(_))
-      val W = Window.partitionBy()
-      def score(c: org.apache.spark.sql.Column, desc: Boolean) = {
-        val ord = if (desc) Seq(c.desc_nulls_last, col("combo_idx"))
-          else Seq(c.asc_nulls_last, col("combo_idx"))
-        val rn = row_number().over(Window.orderBy(ord: _*))
-        val nv = count(c).over(W)
-        when(c.isNull, 0.0).otherwise(
-          lit(1) - (rn - 1).cast("double") / greatest(nv - 1, lit(1)))
-      }
-      val scored = all
-        .withColumn("s_exp", score(col("expectancy"), desc = true))
-        .withColumn("s_pf", score(col("profit_factor"), desc = true))
-        .withColumn("s_dd", score(abs(col("max_drawdown")), desc = false))
-        .withColumn("s_std", score(col("return_std"), desc = false))
-        .withColumn("s_cv", score(col("ret_cv"), desc = false))
-        .withColumn("s_tail", score(col("downside_std"), desc = false))
-        .withColumn("s_cost", score(col("fee_bps"), desc = false))
-        .withColumn("s_hyg",
-          lit(0.7) * least(col("trade_count").cast("double") / 100.0,
-            lit(1.0)) + 0.3)
-        .withColumn("v1_raw", lit(100.0) * (lit(0.30) * col("s_exp")
-          + lit(0.20) * col("s_pf") + lit(0.20) * col("s_dd")
-          + lit(0.15) * col("s_std") + lit(0.10) * col("s_cost")
-          + lit(0.05) * col("s_hyg")))
-        .withColumn("v1", greatest(least(col("v1_raw"), lit(100.0)),
-          lit(0.0)))
-      scored.select(col("combo_idx"), col("combo_id"), col("mode"),
-        col("confirm_bars"), col("hold_bars"), col("fee_bps"),
-        col("trade_count"),
-        round(col("expectancy"), 9).as("expectancy"),
-        round(col("profit_factor"), 6).as("profit_factor"),
-        round(col("ret_cv"), 6).as("ret_cv"),
-        round(col("max_drawdown"), 9).as("max_drawdown"),
-        round(col("v1"), 6).as("robustness_score_v1"),
-        round(greatest(least(lit(0.70) * col("v1")
-          + lit(15.0) * col("s_cv") + lit(10.0) * col("s_tail")
-          + lit(5.0) * col("s_cost")
-          - when(col("trade_count") === 0, 20.0).otherwise(0.0),
-          lit(100.0)), lit(0.0)), 6).as("robustness_score_v2"))
+      scoreCombos(GridCombos.zipWithIndex.map { case (c, i) =>
+        comboMetricsRow(comboTrades(s, dir, c), c, i)
+      }.reduce(_.unionByName(_)))
     }
 
   def all: Seq[Q] = Seq(
@@ -340,7 +372,7 @@ object BacktestQueries2 extends QueryModule {
       WITH RECURSIVE ${MarketData.barsSql},
          ${Indicators.twiggsSql},
          ${EventGrammar.grammarSql},
-         ${BacktestQueries2.comboScoredSql}
+         ${BacktestQueries2.comboScoredSql()}
          SELECT mode, confirm_bars, hold_bars, fee_bps, trade_count,
                 expectancy, profit_factor, max_drawdown,
                 robustness_score_v1, robustness_score_v2

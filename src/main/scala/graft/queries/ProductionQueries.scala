@@ -38,7 +38,7 @@ object ProductionQueries extends QueryModule {
     s"""${MarketData.barsSql},
       ${Indicators.twiggsSql},
       ${EventGrammar.grammarSql},
-      ${BacktestQueries2.comboScoredSql}"""
+      ${BacktestQueries2.comboScoredSql()}"""
 
   /** Pack-selection CTEs over `combo_scored` → CTEs `elig` (with the
     * relaxed threshold as `used`) and `pack` (one row per candidate). */

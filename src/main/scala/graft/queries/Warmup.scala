@@ -47,9 +47,13 @@ object Warmup {
           () => CalibrationQueries.calBase(spark, dir).count()))
 
     // phase 3: the scored combo frame (needs all 8 sims) + the
-    // calibration sweep grid (needs the calibration base)
+    // calibration sweep grid (needs the calibration base) + the hybrid
+    // runs' scored grids (each materializes its own gated sims
+    // concurrently)
     phase(Seq(
       () => BacktestQueries2.comboScored(spark, dir).count(),
-      () => CalibrationQueries.calGrid(spark, dir).count()))
+      () => CalibrationQueries.calGrid(spark, dir).count())
+      ++ HybridQueries.Runs.map(r =>
+        () => HybridQueries.runScored(spark, dir, r).count()))
   }
 }
