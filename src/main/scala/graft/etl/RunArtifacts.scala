@@ -32,13 +32,33 @@ object RunArtifacts {
 
   /** Atomic JSON write: tmp file + move (ref: tmp + os.replace atomic
     * visibility, src/mf_etl/bronze/writer.py:60-83). */
-  def writeJson(path: String, payload: Map[String, Any]): Unit = {
+  def writeJson(path: String, payload: Map[String, Any]): Unit =
+    writeText(path, render(payload))
+
+  /** Atomic text write (same tmp + move discipline). */
+  def writeText(path: String, content: String): Unit = {
     val target = Paths.get(path)
     Option(target.getParent).foreach(Files.createDirectories(_))
     val tmp = Paths.get(path + ".tmp")
-    Files.writeString(tmp, render(payload))
+    Files.writeString(tmp, content)
     Files.move(tmp, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** RFC-4180 CSV field quoting (commas/quotes/newlines in a field must
+    * not corrupt the row). */
+  def csvLine(fields: Seq[Any]): String =
+    fields.map { f =>
+      val s = if (f == null) "" else String.valueOf(f)
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }.mkString(",")
+
+  /** Atomic CSV write with a header row. */
+  def writeCsv(path: String, header: Seq[String],
+      rows: Seq[Seq[Any]]): Unit =
+    writeText(path,
+      (csvLine(header) +: rows.map(csvLine)).mkString("", "\n", "\n"))
 }
