@@ -38,12 +38,152 @@ object MlQueries extends QueryModule {
         baseSeed = 42L)._1
     }
 
+  /** Nearest-centroid assignment against the deterministic first-k-ids
+    * seed centroids: ONE bounded collect for the k×d literal matrix,
+    * then a broadcast-constant argmin pass — shared by q_kmeans_assign
+    * and q_cluster_assign_metrics. Argmin ranks the 6-decimal-rounded
+    * squared distance with centroid-id tiebreak (cross-engine
+    * determinism for near-equidistant points). */
+  private[queries] def seedAssigned(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 8) = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val v = col("embedding").cast("array<double>")
+    val dists = cents.map { case (cid, cv) =>
+      val cvLit = array(cv.map(lit): _*)
+      struct(
+        round(aggregate(zip_with(v, cvLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x), 6).as("d2"),
+        lit(cid).as("cid"))
+    }
+    val best = array_min(array(dists.toSeq: _*))
+    emb.select(col("vec_id"), col("embedding"),
+      best.getField("cid").as("cluster"), best.getField("d2").as("dist2"))
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("q_kmeans_clusters", None) { (s, dir) =>
       MlQueries.kmeansLabeled(s, dir)
         .select(col("vec_id"), col("label"), col("cluster"))
         .orderBy("vec_id")
+    },
+
+    // The deterministic HALF of the KMeans pipeline, oracled: iterative
+    // fits are seeded and engine-specific (rows-only above), but GIVEN
+    // fixed centroids the assignment step is pure math. Centroids =
+    // the first k embeddings (deterministic seeding), collected once as
+    // a literal matrix and broadcast — at corpus scale this is the
+    // standard one-pass nearest-centroid labeling. Ranking uses the
+    // ROUNDED distance with centroid-id tiebreak so near-equidistant
+    // points label identically across engines.
+    Q("q_kmeans_assign", Some("""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, i, x AS y FROM ex WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               round(sum((e.x - c.y) * (e.x - c.y)), 6) AS d2
+        FROM ex e JOIN c ON e.i = c.i GROUP BY 1, 2),
+      a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rn FROM d)
+      SELECT vec_id, CAST(cid AS INT) AS cluster, d2 AS dist2
+      FROM a WHERE rn = 1 ORDER BY vec_id""")) { (s, dir) =>
+      MlQueries.seedAssigned(s, dir)
+        .select("vec_id", "cluster", "dist2").orderBy("vec_id")
+    },
+
+    // Fixed-label clustering metrics, oracled: per-cluster sizes,
+    // intra-cluster mean (Euclidean) distance to the assigned-cluster
+    // mean, worst Davies-Bouldin ratio per cluster, and the DB index —
+    // deterministic SQL once the labels are fixed, unlike the sampled
+    // silhouette in q_cluster_metrics.
+    Q("q_cluster_assign_metrics", Some("""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, i, x AS y FROM ex WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               round(sum((e.x - c.y) * (e.x - c.y)), 6) AS d2
+        FROM ex e JOIN c ON e.i = c.i GROUP BY 1, 2),
+      a AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+      m AS (
+        SELECT a.cluster, e.i, avg(e.x) AS mu
+        FROM a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+      pd AS (
+        SELECT a.vec_id, a.cluster,
+               sqrt(sum((e.x - m.mu) * (e.x - m.mu))) AS dist
+        FROM a JOIN ex e USING (vec_id)
+        JOIN m ON m.cluster = a.cluster AND m.i = e.i
+        GROUP BY 1, 2),
+      sstat AS (
+        SELECT cluster, count(*) AS n_points, avg(dist) AS intra
+        FROM pd GROUP BY 1),
+      cd AS (
+        SELECT mi.cluster AS ci, mj.cluster AS cj,
+               sqrt(sum((mi.mu - mj.mu) * (mi.mu - mj.mu))) AS mdist
+        FROM m mi JOIN m mj ON mi.i = mj.i AND mi.cluster <> mj.cluster
+        GROUP BY 1, 2),
+      ratio AS (
+        SELECT cd.ci AS cluster,
+               max((si.intra + sj.intra) / cd.mdist) AS db_ratio
+        FROM cd JOIN sstat si ON si.cluster = cd.ci
+        JOIN sstat sj ON sj.cluster = cd.cj
+        GROUP BY 1)
+      SELECT s.cluster, s.n_points, round(s.intra, 6) AS intra_mean_dist,
+             round(r.db_ratio, 6) AS db_ratio,
+             round(avg(r.db_ratio) OVER (), 6) AS db_index
+      FROM sstat s JOIN ratio r USING (cluster)
+      ORDER BY s.cluster""")) { (s, dir) =>
+      val assigned = MlQueries.seedAssigned(s, dir)
+        .select(col("vec_id"), col("cluster"),
+          col("embedding").cast("array<double>").as("v"))
+      val dims = assigned.select(col("cluster"), posexplode(col("v")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      val m = dims.groupBy("cluster", "i").agg(avg("x").as("mu"))
+      val pd = assigned
+        .select(col("vec_id"), col("cluster"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .join(m, Seq("cluster", "i"))
+        .groupBy("vec_id", "cluster")
+        .agg(sqrt(sum((col("x") - col("mu")) * (col("x") - col("mu"))))
+          .as("dist"))
+      val sstat = pd.groupBy("cluster")
+        .agg(count(lit(1)).as("n_points"), avg("dist").as("intra"))
+      val mi = m.select(col("cluster").as("ci"), col("i"),
+        col("mu").as("mu_i"))
+      val mj = m.select(col("cluster").as("cj"), col("i"),
+        col("mu").as("mu_j"))
+      val cd = mi.join(mj, Seq("i")).filter(col("ci") =!= col("cj"))
+        .groupBy("ci", "cj")
+        .agg(sqrt(sum((col("mu_i") - col("mu_j"))
+          * (col("mu_i") - col("mu_j")))).as("mdist"))
+      val si = sstat.select(col("cluster").as("ci"),
+        col("intra").as("intra_i"))
+      val sj = sstat.select(col("cluster").as("cj"),
+        col("intra").as("intra_j"))
+      val ratio = cd.join(si, Seq("ci")).join(sj, Seq("cj"))
+        .groupBy(col("ci").as("cluster"))
+        .agg(max((col("intra_i") + col("intra_j")) / col("mdist"))
+          .as("db_ratio"))
+      sstat.join(ratio, Seq("cluster"))
+        .select(col("cluster"), col("n_points"),
+          round(col("intra"), 6).as("intra_mean_dist"),
+          round(col("db_ratio"), 6).as("db_ratio"),
+          round(avg(col("db_ratio")).over(Window.partitionBy()), 6)
+            .as("db_index"))
+        .orderBy("cluster")
     },
 
     // Diagonal-covariance GMM — the reference's covariance_type=diag
