@@ -17,6 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("wilder_ema"),
       new ExpressionInfo(classOf[WilderEma].getName, "wilder_ema"),
       GraftExtensions.wilderBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      GraftExtensions.vecDotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[VecSqDist].getName, "vec_sqdist"),
+      GraftExtensions.vecSqDistBuilder))
   }
 }
 
@@ -28,9 +36,26 @@ object GraftExtensions {
       s"wilder_ema(value, alpha, min_samples) — got ${other.size} args")
   }
 
+  private[functions] val vecDotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecDot(a, b)
+    case other => throw new IllegalArgumentException(
+      s"vec_dot(a, b) — got ${other.size} args")
+  }
+
+  private[functions] val vecSqDistBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecSqDist(a, b)
+    case other => throw new IllegalArgumentException(
+      s"vec_sqdist(a, b) — got ${other.size} args")
+  }
+
   /** Register into an already-built session (extensions only apply at
     * session construction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftinternal.Bridge.registerFunction(
       spark, "wilder_ema", wilderBuilder)
+    org.apache.spark.sql.graftinternal.Bridge.registerFunction(
+      spark, "vec_dot", vecDotBuilder)
+    org.apache.spark.sql.graftinternal.Bridge.registerFunction(
+      spark, "vec_sqdist", vecSqDistBuilder)
+  }
 }

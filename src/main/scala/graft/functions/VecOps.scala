@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftinternal.Bridge
+import org.apache.spark.sql.types._
+
+/** Native vector fold expressions for the embedding-similarity hot path.
+  *
+  * The ANN family originally scored pairs through interpreted
+  * higher-order functions (`aggregate(zip_with(a, b, (x,y) => x*y), …)`)
+  * — no codegen, one closure call per element per pair. These
+  * expressions run the same index-ordered fold as a tight generated
+  * loop inside whole-stage codegen (and a `while` loop in interpreted
+  * eval), with HOF-identical semantics so every oracle stays bit-exact:
+  * sequential left-to-right accumulation from 0.0, null result when the
+  * inputs differ in length (zip_with would null-pad) or any element is
+  * null.
+  */
+abstract class VecFold extends BinaryExpression {
+
+  /** Per-element contribution, e.g. x*y for dot. */
+  protected def combine(x: Double, y: Double): Double
+  /** Java source of the contribution over element vars `x`/`y`. */
+  protected def combineJava(x: String, y: String): String
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires array<double> inputs, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc = acc + combine(x.getDouble(i), y.getDouble(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        final int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) {
+              ${ev.isNull} = true;
+              break;
+            }
+            final double $x = $a.getDouble($i);
+            final double $y = $b.getDouble($i);
+            $acc += ${combineJava(x, y)};
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $acc;
+          }
+        }
+      """
+    })
+}
+
+/** Σ aᵢ·bᵢ — the cosine numerator. */
+case class VecDot(left: Expression, right: Expression) extends VecFold {
+  override protected def combine(x: Double, y: Double): Double = x * y
+  override protected def combineJava(x: String, y: String): String =
+    s"$x * $y"
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDot = copy(newLeft, newRight)
+}
+
+/** Σ (aᵢ−bᵢ)² — squared Euclidean distance (IVF probe, centroid
+  * assignment). */
+case class VecSqDist(left: Expression, right: Expression) extends VecFold {
+  override protected def combine(x: Double, y: Double): Double =
+    (x - y) * (x - y)
+  override protected def combineJava(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override def prettyName: String = "vec_sqdist"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecSqDist = copy(newLeft, newRight)
+}
+
+object VecOps {
+  def dot(a: Column, b: Column): Column =
+    Bridge.col(VecDot(Bridge.expr(a), Bridge.expr(b)))
+
+  def sqDist(a: Column, b: Column): Column =
+    Bridge.col(VecSqDist(Bridge.expr(a), Bridge.expr(b)))
+}

@@ -57,8 +57,7 @@ object MlQueries extends QueryModule {
     val dists = cents.map { case (cid, cv) =>
       val cvLit = array(cv.map(lit): _*)
       struct(
-        round(aggregate(zip_with(v, cvLit, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x), 6).as("d2"),
+        round(graft.functions.VecOps.sqDist(v, cvLit), 6).as("d2"),
         lit(cid).as("cid"))
     }
     val best = array_min(array(dists.toSeq: _*))

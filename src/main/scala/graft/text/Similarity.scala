@@ -16,12 +16,16 @@ object Similarity {
   /** Cast an array<float> embedding to array<double> for stable math. */
   def asDouble(emb: Column): Column = emb.cast("array<double>")
 
-  /** Sequential-order dot product of two equal-length double arrays. */
+  /** Sequential-order dot product of two equal-length double arrays —
+    * a native codegen'd expression (graft.functions.VecDot) with
+    * HOF-identical semantics (left-to-right fold from 0.0, null on
+    * length mismatch or null element), so the interpreted
+    * aggregate/zip_with pair it replaced hashes identically. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecOps.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** ‖a‖ via the native self-dot (same sequential Σx² fold). */
+  def norm(a: Column): Column = sqrt(graft.functions.VecOps.dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -89,8 +93,7 @@ object Similarity {
       val plane = band * bits + j
       val hp = array((0 until dim)
         .map(i => lit(hyperplaneSignConst(plane, i))): _*)
-      val proj = aggregate(zip_with(v, hp, (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.functions.VecOps.dot(v, hp)
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
     // a row whose dimensionality differs from the probed `dim` would be
@@ -226,8 +229,7 @@ object Similarity {
         col("nrm").as("qnrm"))
     val probe = q.crossJoin(broadcast(centDf))
       .withColumn("d2",
-        aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
+        graft.functions.VecOps.sqDist(col("qv"), col("cv")))
       .withColumn("prnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2"), col("cell"))))
       .filter(col("prnk") <= nProbe)
