@@ -125,6 +125,127 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition metrics: top-token share, distinct-token
+    // ratio, duplicate-bigram fraction, and the repetitiveness flag —
+    // the "repeated content" quality gate of a training-data pipeline.
+    // One shuffle keyed by (doc_id, term) then doc_id; the bigram stats
+    // are pure per-doc array programs.
+    Q("q_t_repetition", Some("""
+      WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+      tk AS (SELECT doc_id, unnest(t) AS term FROM b),
+      tf AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+      ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    CAST(count(*) AS BIGINT) AS n_distinct,
+                    CAST(max(c) AS BIGINT) AS top_c
+             FROM tf GROUP BY 1),
+      bg AS (SELECT doc_id,
+                    CAST(len(list_distinct(list_transform(
+                      range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])))
+                      AS BIGINT) AS n_bg_distinct
+             FROM b)
+      SELECT ts.doc_id, ts.n_tokens, ts.n_distinct,
+             round(CAST(ts.top_c AS DOUBLE) / ts.n_tokens, 9)
+               AS top_token_share,
+             round(CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens, 9)
+               AS distinct_ratio,
+             CASE WHEN ts.n_tokens >= 2 THEN
+               round(1.0 - CAST(bg.n_bg_distinct AS DOUBLE)
+                 / (ts.n_tokens - 1), 9) END AS dup_bigram_frac,
+             (round(CAST(ts.top_c AS DOUBLE) / ts.n_tokens, 9) > 0.2
+               OR coalesce(CASE WHEN ts.n_tokens >= 2 THEN
+                    round(1.0 - CAST(bg.n_bg_distinct AS DOUBLE)
+                      / (ts.n_tokens - 1), 9) END, 0.0) > 0.5)
+               AS is_repetitive
+      FROM ts JOIN bg ON ts.doc_id = bg.doc_id
+      ORDER BY ts.doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tk = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val ts = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"))
+      val bg = docs.select(col("doc_id"),
+        size(TextOps.shingles(col("text"), 2)).cast("long")
+          .as("n_bg_distinct"))
+      val topShare = round(col("top_c").cast("double") / col("n_tokens"), 9)
+      val dupBg = when(col("n_tokens") >= 2,
+        round(lit(1.0) - col("n_bg_distinct").cast("double")
+          / (col("n_tokens") - 1), 9))
+      ts.join(bg, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          topShare.as("top_token_share"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 9)
+            .as("distinct_ratio"),
+          dupBg.as("dup_bigram_frac"),
+          (topShare > 0.2 || coalesce(dupBg, lit(0.0)) > 0.5)
+            .as("is_repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // End-to-end per-doc curation decision table: exact-dup keeper ∪
+    // MinHash near-dup ∪ quality gates folded into one keep/drop
+    // decision with a precedence-ordered reason — the operator a
+    // production corpus pipeline actually materializes per document.
+    Q("q_t_dedup_policy", Some(s"""
+      WITH $minhashCtes,
+      fp AS (
+        SELECT doc_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+                 AS exact_dup
+        FROM documents),
+      nd AS (SELECT DISTINCT d2 AS doc_id FROM mh_pairs),
+      qf AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               round(0.4 * (CAST(least(nc, 400) AS DOUBLE) / 400.0)
+                 + 0.4 * (1.0 - CAST(nc - length(regexp_replace(text,
+                     '[0-9]', '', 'g')) AS DOUBLE) / nc)
+                 + 0.2 * least((CAST(len(list_filter(t, x -> x IN $stop))
+                     AS DOUBLE) / len(t)) * 4.0, 1.0), 9) AS quality_score,
+               round(CAST(nc - length(regexp_replace(text, '[0-9]', '',
+                 'g')) AS DOUBLE) / nc, 9) AS digit_ratio
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS t,
+                     length(text) AS nc FROM documents)),
+      dec AS (
+        SELECT f.doc_id, f.exact_dup,
+               nd.doc_id IS NOT NULL AS near_dup,
+               (q.n_tokens >= 10 AND q.quality_score >= 0.5
+                 AND q.digit_ratio <= 0.3) AS quality_pass
+        FROM fp f LEFT JOIN nd ON f.doc_id = nd.doc_id
+        JOIN qf q ON f.doc_id = q.doc_id)
+      SELECT doc_id, exact_dup, near_dup, quality_pass,
+             CASE WHEN exact_dup THEN 'drop_exact_dup'
+                  WHEN near_dup THEN 'drop_near_dup'
+                  WHEN NOT quality_pass THEN 'drop_quality'
+                  ELSE 'keep' END AS decision
+      FROM dec ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val fp = Dedup.exactDups(docs)
+        .select(col("doc_id"), col("is_dup").as("exact_dup"))
+      val nd = Dedup.minhashLshPairs(docs, n = 3)
+        .select(col("d2").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      val qf = docs
+        .select(col("doc_id") +: TextOps.qualityFeatures(col("text")): _*)
+        .select("doc_id", "n_tokens", "quality_score", "digit_ratio")
+      fp.join(nd, Seq("doc_id"), "left")
+        .join(qf, "doc_id")
+        .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
+        .withColumn("quality_pass",
+          col("n_tokens") >= 10 && col("quality_score") >= 0.5
+            && col("digit_ratio") <= 0.3)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("quality_pass"),
+          when(col("exact_dup"), "drop_exact_dup")
+            .when(col("near_dup"), "drop_near_dup")
+            .when(!col("quality_pass"), "drop_quality")
+            .otherwise("keep").as("decision"))
+        .orderBy("doc_id")
+    },
+
     // Content fingerprint + exact-dup flags (canonical keeper = min doc_id)
     Q("q_t_fingerprint", Some("""
       SELECT doc_id, md5(text) AS fp,
