@@ -23,7 +23,7 @@ object SparkEntry {
     Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
     BacktestQueries, IngestQueries, ResearchQueries, MlQueries,
     ValidationQueries, BacktestQueries2, CompareQueries,
-    ProductionQueries, CalibrationQueries, HybridQueries)
+    ProductionQueries, CalibrationQueries, HybridQueries, CurationQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

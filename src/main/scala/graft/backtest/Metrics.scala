@@ -2,7 +2,6 @@ package graft.backtest
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.ops.Cols
 
 /** Trade metrics (ref: src/mf_etl/backtest/metrics.py:26-204): headline
@@ -82,15 +81,19 @@ object Metrics {
   def portfolio(trades: DataFrame): DataFrame = {
     val byBar = trades.groupBy("exit_rn")
       .agg(count(lit(1)).as("n_exits"), avg(col("net_ret")).as("mean_ret"))
-    val w = Window.orderBy("exit_rn")
-    val cumW = w.rowsBetween(Window.unboundedPreceding, 0)
-    byBar
-      // clamp at -99%: synthetic bars can move >100% in one step; a real
-      // equity curve is undefined past total loss (same guard in the SQL)
-      .withColumn("equity",
-        exp(sum(log(lit(1) + greatest(col("mean_ret"), lit(-0.99))))
-          .over(cumW)))
-      .withColumn("peak", max("equity").over(cumW))
+    // clamp at -99%: synthetic bars can move >100% in one step; a real
+    // equity curve is undefined past total loss (same guard in the SQL).
+    // The log-space prefix sum + running peak run as the distributed
+    // two-pass scan (Wins.globalCumSumMax), never an unpartitioned
+    // window — exact DECIMAL accumulation keeps the result independent
+    // of the partition layout; exp is monotone, so the running max of
+    // cum_log IS the running equity peak.
+    val logRet = log(lit(1) + greatest(col("mean_ret"), lit(-0.99)))
+    graft.ops.Wins
+      .globalCumSumMax(byBar, Seq(col("exit_rn")), logRet,
+        "cum_log", "peak_log")
+      .withColumn("equity", exp(col("cum_log").cast("double")))
+      .withColumn("peak", exp(col("peak_log").cast("double")))
       .withColumn("drawdown", col("equity") / col("peak") - 1)
       .select(col("exit_rn"), col("n_exits"),
         round(col("mean_ret"), 9).as("mean_ret"),
@@ -99,25 +102,29 @@ object Metrics {
         round(col("drawdown"), 9).as("drawdown"))
   }
 
-  /** SQL mirror over CTE `trades` → CTE `portfolio`. */
+  /** SQL mirror over CTE `trades` → CTE `portfolio`. The cum sum runs in
+    * DECIMAL(38,18) exactly like the Spark side, so both engines compute
+    * the identical prefix regardless of evaluation order. */
   val portfolioSql: String = """
       by_bar AS (
         SELECT exit_rn, count(*) AS n_exits, avg(net_ret) AS mean_ret
         FROM trades GROUP BY 1),
       eq AS (
-        SELECT *, exp(sum(ln(1 + greatest(mean_ret, -0.99)))
+        SELECT *, sum(CAST(ln(1 + greatest(mean_ret, -0.99))
+            AS DECIMAL(38,18)))
           OVER (ORDER BY exit_rn
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS equity
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_log
         FROM by_bar),
       portfolio AS (
         SELECT exit_rn, n_exits,
                round(mean_ret, 9) AS mean_ret,
-               round(equity, 9) AS equity,
-               round(max(equity) OVER (ORDER BY exit_rn
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
-                 AS peak,
-               round(equity / max(equity) OVER (ORDER BY exit_rn
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 9)
-                 AS drawdown
+               round(exp(CAST(cum_log AS DOUBLE)), 9) AS equity,
+               round(exp(CAST(max(cum_log) OVER (ORDER BY exit_rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)), 9) AS peak,
+               round(exp(CAST(cum_log AS DOUBLE))
+                 / exp(CAST(max(cum_log) OVER (ORDER BY exit_rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)) - 1, 9) AS drawdown
         FROM eq)"""
 }

@@ -160,6 +160,61 @@ object Wins {
     }.drop(pid, v, "__gcs_soff", "__gcs_roff")
   }
 
+  /** Distributed global cumulative sum PLUS running maximum of that sum,
+    * exact in DECIMAL(38,18) — the scale-safe replacement for the
+    * equity-curve shape `sum(x) over (order by t)` + `max(cum) over
+    * (order by t)` (both single-task as unpartitioned windows). Same
+    * two-pass structure as [[globalCumSum]]; decimal arithmetic makes the
+    * result independent of the partition layout (double summation would
+    * re-associate across partition boundaries).
+    *
+    * `valueCol` must be non-null (cast to DECIMAL(38,18) internally);
+    * `outCum` is the global prefix sum, `outPeak` its running max.
+    */
+  def globalCumSumMax(df: DataFrame, orderCols: Seq[Column],
+      valueCol: Column, outCum: String, outPeak: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pid = "__gcs_pid"
+    val v = "__gcs_v"
+    val lc = "__gcs_lc"
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val zero = java.math.BigDecimal.ZERO.setScale(18)
+    val parts = df
+      .withColumn(v, coalesce(valueCol.cast(dec), lit(zero).cast(dec)))
+      .repartitionByRange(orderCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col(pid)).orderBy(orderCols: _*)
+    val local = parts.withColumn(lc, sum(col(v)).over(cum(wLoc)))
+    val totals = local.groupBy(col(pid))
+      .agg(sum(col(v)).as("s"), max(col(lc)).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1), r.getDecimal(2)))
+      .sortBy(_._1)
+    // driver prefix scan over one tiny row per partition: exclusive sum
+    // offset + exclusive peak (max completed cum over earlier partitions)
+    var accS = java.math.BigDecimal.ZERO
+    var peak: java.math.BigDecimal = null
+    val offsets = totals.map { case (p, s, m) =>
+      val row = (p, accS, peak)
+      val partPeak = accS.add(m)
+      if (peak == null || partPeak.compareTo(peak) > 0) peak = partPeak
+      accS = accS.add(s)
+      row
+    }.toSeq
+    val offsDf = offsets.toDF(pid, "__gcs_soff", "__gcs_poff")
+    val locPeak = "__gcs_locpeak"
+    val withCum = local.join(broadcast(offsDf), Seq(pid))
+      .withColumn(outCum, (col(lc) + col("__gcs_soff")).cast(dec))
+      .withColumn(locPeak, max(col(outCum)).over(cum(wLoc)))
+      .withColumn(outPeak,
+        when(col("__gcs_poff").isNull, col(locPeak))
+          .otherwise(greatest(col(locPeak), col("__gcs_poff").cast(dec)))
+          .cast(dec))
+    withCum.drop(pid, v, lc, "__gcs_soff", "__gcs_poff", locPeak)
+  }
+
   /** Rolling mode with most-recent tiebreak over a trailing window
     * (ref: HMM display smoothing,
     * src/mf_etl/apps/overlay_viewer/hmm_display.py:47-70): argmax of

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextOps
+
+/** Corpus-curation operators beyond the dedup/similarity families: eval-set
+  * decontamination, stratified deterministic sampling, and source-mixture
+  * reweighting — the remaining steps a large-scale training-data pipeline
+  * runs between raw crawl and tokenizer.
+  *
+  * Scale shapes: decontamination is an equi-join of corpus n-grams against
+  * a broadcast-sized benchmark n-gram set (eval suites are tiny next to the
+  * corpus); stratified sampling is one per-stratum hash-ordered rank;
+  * mixture reweighting is a per-source aggregate crossed with a one-row
+  * broadcast total.
+  */
+object CurationQueries extends QueryModule {
+
+  /** Contamination n-gram width. 8-token grams make incidental collisions
+    * vanishingly rare (GPT-3/Llama decontamination uses 8-13); any shared
+    * gram ⇒ near-verbatim overlap with the benchmark. */
+  private val ContamN = 8
+
+  /** DuckDB 8-gram shingle CTE mirroring TextOps.shingles(text, 8):
+    * list_transform over range(len-7) is empty for sub-8-token docs,
+    * matching the Spark-side guard. */
+  private val sh8Cte = {
+    val joined = (1 to ContamN).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""
+    sh8 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(len(t) - ${ContamN - 1}), i -> $joined))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Eval-set decontamination: docs with doc_id % 20 == 0 stand in for a
+    // held-out benchmark; every other doc is scored by how many of its
+    // distinct 8-grams appear verbatim in the benchmark set. One shared
+    // gram flags the doc (the GPT-3 rule). The benchmark gram set is
+    // broadcast — at 100 TB the corpus side streams through one
+    // map-side-joined pass, no shuffle of the corpus grams.
+    Q("q_t_decontaminate", Some(s"""
+      WITH $sh8Cte,
+      bench AS (SELECT DISTINCT sh FROM sh8 WHERE doc_id % 20 = 0),
+      tr AS (SELECT * FROM sh8 WHERE doc_id % 20 <> 0),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+      hits AS (SELECT t.doc_id, count(*) AS n_hit
+               FROM tr t JOIN bench b ON t.sh = b.sh GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(s.n_sh, 0) AS n_sh,
+             coalesce(h.n_hit, 0) AS n_hit,
+             CASE WHEN coalesce(s.n_sh, 0) > 0
+               THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_sh, 9)
+             END AS contaminated_frac,
+             coalesce(h.n_hit, 0) > 0 AS is_contaminated
+      FROM documents d
+      LEFT JOIN sizes s ON d.doc_id = s.doc_id
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 20 <> 0
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), ContamN)).as("sh"))
+      val bench = sh.filter(col("doc_id") % 20 === 0)
+        .select("sh").distinct()
+      val train = sh.filter(col("doc_id") % 20 =!= 0)
+      val sizes = train.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"))
+      val hits = train.join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(sizes, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          when(coalesce(col("n_sh"), lit(0L)) > 0,
+            round(coalesce(col("n_hit"), lit(0L)).cast("double")
+              / col("n_sh"), 9)).as("contaminated_frac"),
+          (coalesce(col("n_hit"), lit(0L)) > 0).as("is_contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified deterministic sampling: exactly k docs per language by
+    // portable md5 order — reproducible across runs/clusters (no RNG, no
+    // partition-order dependence). Exact-k needs the per-stratum rank
+    // (one shuffle on lang); for FRACTION-based sampling the O(1)
+    // hash-threshold filter (q_det_sample) is the scale path.
+    Q("q_t_sample_strat", Some("""
+      SELECT * FROM (
+        SELECT doc_id, lang, source, md5('smp' || doc_id) AS smp_key,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('smp' || doc_id), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 25
+      ORDER BY lang, rk""")) { (s, dir) =>
+      val key = md5(concat(lit("smp"), col("doc_id").cast("string"))
+        .cast("binary"))
+      val w = Window.partitionBy(col("lang")).orderBy(key, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          key.as("smp_key"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 25)
+        .orderBy("lang", "rk")
+    },
+
+    // Source-mixture reweighting: per-source token mass vs a uniform
+    // target share → capped upsampling weight and expected post-resample
+    // tokens (the "domain mixing" step before tokenization). Exact
+    // long-count arithmetic throughout; the totals are a one-row
+    // broadcast.
+    Q("q_t_source_mix", Some("""
+      WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT sum(n_tokens) AS tot_tokens,
+                     count(*) AS n_sources FROM per_src)
+      SELECT source, n_docs, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / tot_tokens, 9) AS cur_share,
+             round(1.0 / n_sources, 9) AS target_share,
+             round(least(3.0, (1.0 / n_sources)
+               / (CAST(n_tokens AS DOUBLE) / tot_tokens)), 9) AS weight,
+             CAST(round(n_tokens * least(3.0, (1.0 / n_sources)
+               / (CAST(n_tokens AS DOUBLE) / tot_tokens)), 0) AS BIGINT)
+               AS exp_tokens
+      FROM per_src, tot
+      ORDER BY source""")) { (s, dir) =>
+      val perSrc = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).as("n_tokens"))
+      val tot = perSrc.agg(sum("n_tokens").as("tot_tokens"),
+        count(lit(1)).as("n_sources"))
+      val curShare = col("n_tokens").cast("double") / col("tot_tokens")
+      val targetShare = lit(1.0) / col("n_sources")
+      val weight = least(lit(3.0), targetShare / curShare)
+      perSrc.join(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(curShare, 9).as("cur_share"),
+          round(targetShare, 9).as("target_share"),
+          round(weight, 9).as("weight"),
+          round(col("n_tokens") * weight, 0).cast("long").as("exp_tokens"))
+        .orderBy("source")
+    }
+  )
+}

@@ -89,15 +89,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q_t_pack / q_corpus_curate: no single-task global window") {
-    // VERDICT r3 items 1-2: the token prefix sums must run as the
-    // distributed two-pass pattern (Wins.globalCumSum), never an
-    // unpartitioned Window — which Spark executes as ONE task over the
-    // whole corpus. A windowspecdefinition whose FIRST argument is a
-    // sort order (no partition columns before the ordering) is exactly
-    // that single-task shape.
+  test("q_t_pack / q_corpus_curate / q_bt_portfolio: " +
+      "no single-task global window") {
+    // VERDICT r3 items 1-2 + the r4 equity-curve generalization: global
+    // prefix scans must run as the distributed two-pass pattern
+    // (Wins.globalCumSum / globalCumSumMax), never an unpartitioned
+    // Window — which Spark executes as ONE task over the whole input. A
+    // windowspecdefinition whose FIRST argument is a sort order (no
+    // partition columns before the ordering) is exactly that
+    // single-task shape.
     val unpartitioned = raw"windowspecdefinition\([^,)]*(?: ASC | DESC )".r
-    for (q <- Seq("q_t_pack", "q_corpus_curate")) {
+    for (q <- Seq("q_t_pack", "q_corpus_curate", "q_bt_portfolio")) {
       val p = planOf(q)
       assert(p.contains("windowspecdefinition"),
         s"$q: expected a (partitioned) window in the plan")
