@@ -205,8 +205,15 @@ object Wins {
     }.toSeq
     val offsDf = offsets.toDF(pid, "__gcs_soff", "__gcs_poff")
     val locPeak = "__gcs_locpeak"
+    // adding two DECIMAL(38,18)s would need precision 39, so Spark
+    // rounds the sum to (38,17) — a real 1e-18-level error. Cast the
+    // operands down to (37,18) (18 integer digits of headroom is far
+    // beyond any accumulated magnitude here) so the addition is exact
+    // in (38,18).
+    val dec37 = org.apache.spark.sql.types.DecimalType(37, 18)
     val withCum = local.join(broadcast(offsDf), Seq(pid))
-      .withColumn(outCum, (col(lc) + col("__gcs_soff")).cast(dec))
+      .withColumn(outCum,
+        (col(lc).cast(dec37) + col("__gcs_soff").cast(dec37)).cast(dec))
       .withColumn(locPeak, max(col(outCum)).over(cum(wLoc)))
       .withColumn(outPeak,
         when(col("__gcs_poff").isNull, col(locPeak))

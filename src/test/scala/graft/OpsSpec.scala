@@ -96,4 +96,29 @@ class OpsSpec extends SparkSpec {
     val out = df.select(Wins.runId(col("s"), w)).collect().map(_.getLong(0))
     assert(out.toSeq == Seq(1, 1, 2, 3))
   }
+
+  test("globalCumSumMax matches the single-window reference bit-exactly") {
+    val s = spark
+    import s.implicits._
+    // signed values force the running peak to move non-monotonically;
+    // 500 rows across 4 range partitions exercise every offset path
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 2 - 1))
+      .toDF("k", "v")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val got = Wins
+      .globalCumSumMax(df, Seq(col("k")), col("v"), "cum", "peak")
+      .select(col("k"), col("cum"), col("peak"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2)))
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df
+      .withColumn("cum", sum(col("v").cast(dec)).over(w).cast(dec))
+      .withColumn("peak", max(col("cum")).over(w))
+      .select(col("k"), col("cum"), col("peak"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2)))
+    assert(got.length == 500)
+    assert(got.toSeq == ref.toSeq)
+  }
 }
