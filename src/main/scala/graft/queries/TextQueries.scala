@@ -840,6 +840,74 @@ object TextQueries extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup-style semantic dedup: ANN near-dup pairs above a cosine
+    // threshold → connected components → one canonical keeper per
+    // embedding cluster. Same banded bucket equi-join as q_e_ann_pairs
+    // (nothing all-pairs) + the same min-label/pointer-jump components
+    // as q_d_components — composition, not new machinery. τ = 0.35 is
+    // scaled to the synthetic random embeddings (max observed cosine
+    // ≈ 0.49); production embedding spaces use τ ≈ 0.95.
+    Q("q_e_semantic_dedup", Some(s"""
+      WITH RECURSIVE ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, j // 8 AS band_idx, j % 8 AS bit,
+               sum(x * (CASE WHEN
+          ${hsql("'hp_' || j || '_' || i")} % 2 = 0
+          THEN 1.0 ELSE -1.0 END)) AS p
+        FROM ex, range(16) rj(j) GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT vec_id, band_idx, CAST(sum(CASE WHEN p > 0
+          THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1, 2),
+      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
+      bsz AS (SELECT band_idx, bucket, count(*) AS bn
+              FROM buckets GROUP BY 1, 2),
+      bk AS (SELECT b.* FROM buckets b JOIN bsz USING (band_idx, bucket)
+             WHERE bsz.bn <= 256),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT p.id_a, p.id_b, sum(ae.x * be.x) AS dot
+        FROM cand p JOIN ex ae ON ae.vec_id = p.id_a
+                    JOIN ex be ON be.vec_id = p.id_b AND ae.i = be.i
+        GROUP BY 1, 2),
+      sem AS (
+        SELECT id_a AS d1, id_b AS d2
+        FROM dots JOIN norms na ON id_a = na.vec_id
+                  JOIN norms nb ON id_b = nb.vec_id
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35),
+      edges AS (
+        SELECT d1 AS a, d2 AS b FROM sem UNION SELECT d2, d1 FROM sem),
+      reach (a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT v.vec_id,
+               least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS comp_id
+        FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+        GROUP BY v.vec_id)
+      SELECT vec_id, comp_id,
+             count(*) OVER (PARTITION BY comp_id) AS cluster_size,
+             vec_id = comp_id AS is_canonical
+      FROM comp ORDER BY vec_id""")) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.annSelfJoinPairs(emb, maxBucket = 256,
+          simFloor = 0.35, bits = 8, nBands = 2)
+        .select(col("id_a").as("d1"), col("id_b").as("d2"))
+      Dedup.connectedComponents(
+          emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("comp_id"),
+          col("cluster_size"), col("is_canonical"))
+        .orderBy("vec_id")
+    },
+
     // Hot-bucket-guard observability: per-band occupancy + the fraction
     // of docs the maxBucket cap would drop (the silent-recall-loss alarm)
     Q("q_e_ann_stats", Some(s"""
