@@ -107,6 +107,60 @@ object CurationQueries extends QueryModule {
         .orderBy("lang", "rk")
     },
 
+    // Span-level duplicate detection (RefinedWeb-style): fingerprint
+    // every non-overlapping 16-token block and flag blocks whose content
+    // repeats anywhere in the corpus — the paragraph-dedup signal that
+    // doc-level fingerprints miss (boilerplate headers, quoted chunks).
+    // Blocks group on their md5 fingerprint (fixed 128-bit key, not the
+    // span text) — one block-keyed shuffle, one doc-keyed aggregate.
+    Q("q_t_span_dup", Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      blk AS (
+        SELECT doc_id, md5(unnest(list_transform(range(len(t) // 16),
+          i -> array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' '))))
+          AS fp
+        FROM b),
+      cnt AS (SELECT fp, count(*) AS c FROM blk GROUP BY 1),
+      per AS (
+        SELECT k.doc_id, count(*) AS n_blocks,
+               count(CASE WHEN c >= 2 THEN 1 END) AS n_dup_blocks
+        FROM blk k JOIN cnt USING (fp) GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(n_blocks, 0) AS n_blocks,
+             coalesce(n_dup_blocks, 0) AS n_dup_blocks,
+             CASE WHEN coalesce(n_blocks, 0) > 0
+               THEN round(CAST(coalesce(n_dup_blocks, 0) AS DOUBLE)
+                 / n_blocks, 9) END AS dup_frac,
+             coalesce(n_dup_blocks, 0) > 0 AS has_dup_span
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val nb = floor(size(toks) / lit(16)).cast("int")
+      // sub-16-token docs have no blocks; sequence(0, -1) would count
+      // down, so guard like TextOps.shingles does
+      val blocks = when(nb >= 1,
+        transform(sequence(lit(0), nb - 1),
+          i => md5(concat_ws(" ", slice(toks, i * 16 + 1, lit(16)))
+            .cast("binary")))).otherwise(array().cast("array<string>"))
+      val blk = docs.select(col("doc_id"), explode(blocks).as("fp"))
+      val cnt = blk.groupBy("fp").agg(count(lit(1)).as("c"))
+      val per = blk.join(cnt, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("c") >= 2, 1)).as("n_dup_blocks"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+          coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
+          when(coalesce(col("n_blocks"), lit(0L)) > 0,
+            round(coalesce(col("n_dup_blocks"), lit(0L)).cast("double")
+              / col("n_blocks"), 9)).as("dup_frac"),
+          (coalesce(col("n_dup_blocks"), lit(0L)) > 0).as("has_dup_span"))
+        .orderBy("doc_id")
+    },
+
     // Source-mixture reweighting: per-source token mass vs a uniform
     // target share → capped upsampling weight and expected post-resample
     // tokens (the "domain mixing" step before tokenization). Exact
