@@ -170,6 +170,11 @@ object Wins {
     *
     * `valueCol` must be non-null (cast to DECIMAL(38,18) internally);
     * `outCum` is the global prefix sum, `outPeak` its running max.
+    *
+    * NOTE: like [[globalCumSum]] this is EAGER — the checkpoint and the
+    * per-partition-totals collect run at DataFrame-construction time
+    * (inherent to the two-pass shape). Callers constructing many of
+    * these (per-combo metrics) pay one small distributed job pair each.
     */
   def globalCumSumMax(df: DataFrame, orderCols: Seq[Column],
       valueCol: Column, outCum: String, outPeak: String): DataFrame = {
@@ -180,13 +185,20 @@ object Wins {
     val lc = "__gcs_lc"
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     val zero = java.math.BigDecimal.ZERO.setScale(18)
-    val parts = df
+    val mlc = "__gcs_mlc"
+    val wLoc = Window.partitionBy(col(pid)).orderBy(orderCols: _*)
+    // checkpoint AFTER the local windows so (a) the offsets job and the
+    // output pass read the same materialized range partitioning and
+    // (b) the per-partition sort+scan runs exactly once. The local
+    // running max rides the same window stage: running-max(lc + soff)
+    // = running-max(lc) + soff, so no post-checkpoint window is needed.
+    val local = df
       .withColumn(v, coalesce(valueCol.cast(dec), lit(zero).cast(dec)))
       .repartitionByRange(orderCols: _*)
       .withColumn(pid, spark_partition_id())
+      .withColumn(lc, sum(col(v)).over(cum(wLoc)))
+      .withColumn(mlc, max(col(lc)).over(cum(wLoc)))
       .localCheckpoint()
-    val wLoc = Window.partitionBy(col(pid)).orderBy(orderCols: _*)
-    val local = parts.withColumn(lc, sum(col(v)).over(cum(wLoc)))
     val totals = local.groupBy(col(pid))
       .agg(sum(col(v)).as("s"), max(col(lc)).as("m"))
       .collect()
@@ -204,22 +216,23 @@ object Wins {
       row
     }.toSeq
     val offsDf = offsets.toDF(pid, "__gcs_soff", "__gcs_poff")
-    val locPeak = "__gcs_locpeak"
     // adding two DECIMAL(38,18)s would need precision 39, so Spark
     // rounds the sum to (38,17) — a real 1e-18-level error. Cast the
     // operands down to (37,18) (18 integer digits of headroom is far
     // beyond any accumulated magnitude here) so the addition is exact
     // in (38,18).
     val dec37 = org.apache.spark.sql.types.DecimalType(37, 18)
+    def plus(a: Column, b: Column): Column =
+      (a.cast(dec37) + b.cast(dec37)).cast(dec)
     val withCum = local.join(broadcast(offsDf), Seq(pid))
-      .withColumn(outCum,
-        (col(lc).cast(dec37) + col("__gcs_soff").cast(dec37)).cast(dec))
-      .withColumn(locPeak, max(col(outCum)).over(cum(wLoc)))
+      .withColumn(outCum, plus(col(lc), col("__gcs_soff")))
       .withColumn(outPeak,
-        when(col("__gcs_poff").isNull, col(locPeak))
-          .otherwise(greatest(col(locPeak), col("__gcs_poff").cast(dec)))
+        when(col("__gcs_poff").isNull,
+          plus(col(mlc), col("__gcs_soff")))
+          .otherwise(greatest(plus(col(mlc), col("__gcs_soff")),
+            col("__gcs_poff").cast(dec)))
           .cast(dec))
-    withCum.drop(pid, v, lc, "__gcs_soff", "__gcs_poff", locPeak)
+    withCum.drop(pid, v, lc, mlc, "__gcs_soff", "__gcs_poff")
   }
 
   /** Rolling mode with most-recent tiebreak over a trailing window

@@ -39,9 +39,11 @@ object CurationQueries extends QueryModule {
     // Eval-set decontamination: docs with doc_id % 20 == 0 stand in for a
     // held-out benchmark; every other doc is scored by how many of its
     // distinct 8-grams appear verbatim in the benchmark set. One shared
-    // gram flags the doc (the GPT-3 rule). The benchmark gram set is
-    // broadcast — at 100 TB the corpus side streams through one
-    // map-side-joined pass, no shuffle of the corpus grams.
+    // gram flags the doc (the GPT-3 rule). The gram equi-join is left to
+    // the optimizer: a REAL eval suite is a fixed few-MB set that AQE
+    // broadcasts (corpus streams through map-side, zero corpus-gram
+    // shuffle); the fixture's %20 slice is corpus-proportional, where a
+    // forced broadcast would be the wrong hint at scale.
     Q("q_t_decontaminate", Some(s"""
       WITH $sh8Cte,
       bench AS (SELECT DISTINCT sh FROM sh8 WHERE doc_id % 20 = 0),
@@ -69,7 +71,7 @@ object CurationQueries extends QueryModule {
       val train = sh.filter(col("doc_id") % 20 =!= 0)
       val sizes = train.groupBy("doc_id")
         .agg(count(lit(1)).as("n_sh"))
-      val hits = train.join(broadcast(bench), Seq("sh"))
+      val hits = train.join(bench, Seq("sh"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
       docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
         .join(sizes, Seq("doc_id"), "left")
@@ -86,9 +88,13 @@ object CurationQueries extends QueryModule {
 
     // Stratified deterministic sampling: exactly k docs per language by
     // portable md5 order — reproducible across runs/clusters (no RNG, no
-    // partition-order dependence). Exact-k needs the per-stratum rank
-    // (one shuffle on lang); for FRACTION-based sampling the O(1)
-    // hash-threshold filter (q_det_sample) is the scale path.
+    // partition-order dependence). Two-phase top-k so no task ever holds
+    // a whole stratum: phase 1 ranks within (input partition, lang) and
+    // keeps k per cell — bounded by the partition size — phase 2 ranks
+    // the <= k·numPartitions survivors per lang. Identical output to the
+    // single-window form (phase 1 keeps a superset of the global top-k).
+    // For FRACTION-based sampling the O(1) hash-threshold filter
+    // (q_det_sample) is the scale path.
     Q("q_t_sample_strat", Some("""
       SELECT * FROM (
         SELECT doc_id, lang, source, md5('smp' || doc_id) AS smp_key,
@@ -99,11 +105,19 @@ object CurationQueries extends QueryModule {
       ORDER BY lang, rk""")) { (s, dir) =>
       val key = md5(concat(lit("smp"), col("doc_id").cast("string"))
         .cast("binary"))
-      val w = Window.partitionBy(col("lang")).orderBy(key, col("doc_id"))
-      t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          key.as("smp_key"), row_number().over(w).as("rk"))
+          key.as("smp_key"), spark_partition_id().as("__p"))
+      val w1 = Window.partitionBy(col("__p"), col("lang"))
+        .orderBy(col("smp_key"), col("doc_id"))
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(col("smp_key"), col("doc_id"))
+      base
+        .withColumn("__rk1", row_number().over(w1))
+        .filter(col("__rk1") <= 25)
+        .withColumn("rk", row_number().over(w2))
         .filter(col("rk") <= 25)
+        .select("doc_id", "lang", "source", "smp_key", "rk")
         .orderBy("lang", "rk")
     },
 

@@ -24,6 +24,46 @@ object TextQueries extends QueryModule {
   private def hsql(e: String) =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT % 1000000007"
 
+  /** Shared banded-LSH CTE prefix (mirrors Similarity.lshBucketBand at
+    * bits=8, nBands=2): per-dim explode → hyperplane projections →
+    * per-band sign buckets → bucket occupancy. ONE definition so the
+    * ann-pairs / semantic-dedup / bucket-stats oracles can never drift
+    * from each other. */
+  private def annBucketCtes: String = s"""
+      ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, j // 8 AS band_idx, j % 8 AS bit,
+               sum(x * (CASE WHEN
+          ${hsql("'hp_' || j || '_' || i")} % 2 = 0
+          THEN 1.0 ELSE -1.0 END)) AS p
+        FROM ex, range(16) rj(j) GROUP BY 1, 2, 3),
+      buckets AS (
+        SELECT vec_id, band_idx, CAST(sum(CASE WHEN p > 0
+          THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1, 2),
+      bsz AS (SELECT band_idx, bucket, count(*) AS bn
+              FROM buckets GROUP BY 1, 2)"""
+
+  /** …plus hot-bucket cap → banded candidate equi-join → per-pair dots
+    * (mirrors Similarity.annSelfJoinPairs at maxBucket=256). */
+  private def annPairCtes: String = s"""$annBucketCtes,
+      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
+      bk AS (SELECT b.* FROM buckets b JOIN bsz USING (band_idx, bucket)
+             WHERE bsz.bn <= 256),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT p.id_a, p.id_b, sum(ae.x * be.x) AS dot
+        FROM pairs p JOIN ex ae ON ae.vec_id = p.id_a
+                     JOIN ex be ON be.vec_id = p.id_b AND ae.i = be.i
+        GROUP BY 1, 2)"""
+
   private val stop = "('the', 'a', 'of', 'and', 'to', 'in')"
 
   /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
@@ -800,35 +840,7 @@ object TextQueries extends QueryModule {
     // query side — banded bucket equi-join with a hot-bucket cap;
     // 2 OR-amplification bands driver-verify the banded path)
     Q("q_e_ann_pairs", Some(s"""
-      WITH ex AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings),
-      proj AS (
-        SELECT vec_id, j // 8 AS band_idx, j % 8 AS bit,
-               sum(x * (CASE WHEN
-          ${hsql("'hp_' || j || '_' || i")} % 2 = 0
-          THEN 1.0 ELSE -1.0 END)) AS p
-        FROM ex, range(16) rj(j) GROUP BY 1, 2, 3),
-      buckets AS (
-        SELECT vec_id, band_idx, CAST(sum(CASE WHEN p > 0
-          THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
-        FROM proj GROUP BY 1, 2),
-      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
-      bsz AS (SELECT band_idx, bucket, count(*) AS bn
-              FROM buckets GROUP BY 1, 2),
-      bk AS (SELECT b.* FROM buckets b JOIN bsz USING (band_idx, bucket)
-             WHERE bsz.bn <= 256),
-      pairs AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bk a JOIN bk b
-          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-          AND a.vec_id < b.vec_id),
-      dots AS (
-        SELECT p.id_a, p.id_b, sum(ae.x * be.x) AS dot
-        FROM pairs p JOIN ex ae ON ae.vec_id = p.id_a
-                     JOIN ex be ON be.vec_id = p.id_b AND ae.i = be.i
-        GROUP BY 1, 2),
+      WITH $annPairCtes,
       cosd AS (
         SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
         FROM dots JOIN norms na ON id_a = na.vec_id
@@ -848,35 +860,7 @@ object TextQueries extends QueryModule {
     // scaled to the synthetic random embeddings (max observed cosine
     // ≈ 0.49); production embedding spaces use τ ≈ 0.95.
     Q("q_e_semantic_dedup", Some(s"""
-      WITH RECURSIVE ex AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings),
-      proj AS (
-        SELECT vec_id, j // 8 AS band_idx, j % 8 AS bit,
-               sum(x * (CASE WHEN
-          ${hsql("'hp_' || j || '_' || i")} % 2 = 0
-          THEN 1.0 ELSE -1.0 END)) AS p
-        FROM ex, range(16) rj(j) GROUP BY 1, 2, 3),
-      buckets AS (
-        SELECT vec_id, band_idx, CAST(sum(CASE WHEN p > 0
-          THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
-        FROM proj GROUP BY 1, 2),
-      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
-      bsz AS (SELECT band_idx, bucket, count(*) AS bn
-              FROM buckets GROUP BY 1, 2),
-      bk AS (SELECT b.* FROM buckets b JOIN bsz USING (band_idx, bucket)
-             WHERE bsz.bn <= 256),
-      cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bk a JOIN bk b
-          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-          AND a.vec_id < b.vec_id),
-      dots AS (
-        SELECT p.id_a, p.id_b, sum(ae.x * be.x) AS dot
-        FROM cand p JOIN ex ae ON ae.vec_id = p.id_a
-                    JOIN ex be ON be.vec_id = p.id_b AND ae.i = be.i
-        GROUP BY 1, 2),
+      WITH RECURSIVE $annPairCtes,
       sem AS (
         SELECT id_a AS d1, id_b AS d2
         FROM dots JOIN norms na ON id_a = na.vec_id
@@ -911,22 +895,7 @@ object TextQueries extends QueryModule {
     // Hot-bucket-guard observability: per-band occupancy + the fraction
     // of docs the maxBucket cap would drop (the silent-recall-loss alarm)
     Q("q_e_ann_stats", Some(s"""
-      WITH ex AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings),
-      proj AS (
-        SELECT vec_id, j // 8 AS band_idx, j % 8 AS bit,
-               sum(x * (CASE WHEN
-          ${hsql("'hp_' || j || '_' || i")} % 2 = 0
-          THEN 1.0 ELSE -1.0 END)) AS p
-        FROM ex, range(16) rj(j) GROUP BY 1, 2, 3),
-      buckets AS (
-        SELECT vec_id, band_idx, CAST(sum(CASE WHEN p > 0
-          THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
-        FROM proj GROUP BY 1, 2),
-      bsz AS (SELECT band_idx, bucket, count(*) AS bn
-              FROM buckets GROUP BY 1, 2)
+      WITH $annBucketCtes
       SELECT CAST(band_idx AS BIGINT) AS band_idx,
              CAST(count(*) AS BIGINT) AS n_buckets,
              CAST(sum(bn) AS BIGINT) AS n_docs,
