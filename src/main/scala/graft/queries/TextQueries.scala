@@ -458,6 +458,60 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Bigram-LM scoring — the next rung of the perplexity-quality-filter
+    // ladder above q_t_unigram_lp: add-1-smoothed conditional
+    // P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V), per-doc mean and min log-prob
+    // over its bigrams. Same scale shape as the unigram scorer: one
+    // bigram-keyed and one token-keyed count shuffle, vocab total
+    // broadcast; scoring is two count-table equi-joins.
+    Q("q_t_bigram_lp", Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tk AS (SELECT doc_id, unnest(t) AS tok FROM b),
+      c1 AS (SELECT tok, count(*) AS c1 FROM tk GROUP BY 1),
+      voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(t) - 1), i -> t[i+1]))
+                 AS w1,
+               unnest(list_transform(range(len(t) - 1),
+                 i -> t[i+1] || ' ' || t[i+2])) AS bg
+        FROM b),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+      sc AS (
+        SELECT g.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + voc.v)) AS lp
+        FROM bg g JOIN c2 ON g.bg = c2.bg
+                  JOIN c1 ON g.w1 = c1.tok
+        CROSS JOIN voc)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(lp), 9) AS avg_logprob2,
+             round(min(lp), 9) AS min_logprob2
+      FROM sc GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val b = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val tk = b.select(col("doc_id"), explode(col("t")).as("tok"))
+      val c1 = tk.groupBy("tok").agg(count(lit(1)).as("c1"))
+      val voc = c1.agg(count(lit(1)).cast("double").as("v"))
+      // sub-2-token docs have no bigrams (sequence would count down)
+      val bgArr = when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)).as("bg"))))
+        .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+      val bg = b.select(col("doc_id"), explode(bgArr).as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
+      bg.join(c2, "bg").join(c1, col("w1") === col("tok"))
+        .crossJoin(broadcast(voc))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          round(avg(lp), 9).as("avg_logprob2"),
+          round(min(lp), 9).as("min_logprob2"))
+        .orderBy("doc_id")
+    },
+
     // Document chunking for context windows: 64-token chunks with
     // 8-token overlap (stride 56). Pure per-doc arithmetic + explode —
     // embarrassingly parallel at corpus scale; spans are emitted as
