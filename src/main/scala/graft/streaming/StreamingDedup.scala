@@ -57,6 +57,20 @@ object StreamingDedup {
     }: _*)
   }
 
+  /** Watermark-bounded exact dedup — the bounded-state alternative to
+    * the ever-growing claimant index: when re-ingestion duplicates only
+    * arrive within a known lateness horizon (retries, at-least-once
+    * upstreams), `dropDuplicatesWithinWatermark` keeps a fingerprint's
+    * state only until the event-time watermark passes it + `delay`.
+    * State is O(distinct docs per horizon), not O(corpus) — no RocksDB
+    * requirement; the tradeoff is that a duplicate arriving beyond the
+    * horizon is re-admitted (StreamingSpec locks both behaviors). */
+  def exactDedupWithinWatermark(docs: DataFrame, tsCol: String,
+      delay: String): DataFrame =
+    docs.withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** docs(doc_id, text) stream → (doc_id, band_idx, first_doc) match
     * stream. State: first claimant per (band_idx, band_key) — the SAME
     * composite the batch minhashLshPairs joins on; keying by the key

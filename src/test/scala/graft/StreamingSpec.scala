@@ -85,6 +85,46 @@ class StreamingSpec extends SparkSpec {
     assert(kept.size == 4, s"expected 4 distinct docs, got $kept")
   }
 
+  test("watermark-bounded dedup: suppresses in-horizon duplicates, " +
+      "re-admits after state expiry") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    // batch 1: original at t0. batch 2 (within the 10s horizon): a
+    // duplicate at t0+5 — must be dropped — plus an unrelated doc at
+    // t0+1000 that advances the watermark far past t0+10, expiring the
+    // original's state. batch 3: the same content again at t0+1010 —
+    // must be RE-ADMITTED (state expired), the contract that bounds
+    // state to the lateness horizon instead of the corpus.
+    // MemoryStream + processAllAvailable gives DETERMINISTIC micro-batch
+    // boundaries (the file source may coalesce same-aged files into one
+    // batch, which would collapse the horizon semantics under test)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, String, Long)],
+        spark.sqlContext)
+    val src = mem.toDF.toDF("doc_id", "text", "sec")
+      .withColumn("ts_t", timestamp_seconds(col("sec")))
+    val q = StreamingDedup
+      .exactDedupWithinWatermark(src, "ts_t", "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wmd_stream_test")
+      .start()
+    // base offset keeps event times above the initial (epoch) watermark
+    mem.addData((1L, "alpha beta", 10000L))
+    q.processAllAvailable()
+    mem.addData((2L, "alpha beta", 10005L), (3L, "advance doc", 11000L))
+    q.processAllAvailable()
+    mem.addData((4L, "alpha beta", 11010L))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("wmd_stream_test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(2L), s"in-horizon duplicate not dropped: $kept")
+    assert(kept.contains(4L),
+      s"post-expiry duplicate not re-admitted (state unbounded?): $kept")
+    assert(kept == Set(1L, 3L, 4L), s"unexpected keep set: $kept")
+  }
+
   test("streaming MinHash near-dup flags late near-duplicates against " +
       "earlier claimants (RocksDB state store)") {
     import org.apache.spark.sql.streaming.Trigger
