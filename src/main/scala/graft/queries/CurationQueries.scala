@@ -175,6 +175,67 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Corpus observability battery: the one-row stats dashboard a
+    // curation run reports — doc/token/vocab totals, exact interpolated
+    // doc-length quantiles, type-token ratio. Two count shuffles (per-doc
+    // lengths + vocab) feeding a global aggregate.
+    Q("q_t_corpus_stats", Some("""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      per AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+      voc AS (SELECT count(DISTINCT tok) AS v,
+                     CAST(count(*) AS BIGINT) AS total FROM tk)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             voc.total AS total_tokens,
+             CAST(voc.v AS BIGINT) AS vocab_size,
+             CAST(voc.total AS DOUBLE) / count(*) AS avg_doc_tokens,
+             round(quantile_cont(n, 0.5), 9) AS p50_tokens,
+             round(quantile_cont(n, 0.9), 9) AS p90_tokens,
+             round(quantile_cont(n, 0.99), 9) AS p99_tokens,
+             round(CAST(voc.v AS DOUBLE) / voc.total, 9)
+               AS type_token_ratio
+      FROM per, voc GROUP BY voc.total, voc.v""")) { (s, dir) =>
+      val tk = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val per = tk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val voc = tk.agg(countDistinct(col("tok")).as("v"),
+        count(lit(1)).as("total"))
+      per.crossJoin(broadcast(voc))
+        .groupBy("total", "v")
+        .agg(count(lit(1)).as("n_docs"),
+          round(percentile(col("n"), lit(0.5)), 9).as("p50_tokens"),
+          round(percentile(col("n"), lit(0.9)), 9).as("p90_tokens"),
+          round(percentile(col("n"), lit(0.99)), 9).as("p99_tokens"))
+        .select(col("n_docs"), col("total").as("total_tokens"),
+          col("v").as("vocab_size"),
+          (col("total").cast("double") / col("n_docs"))
+            .as("avg_doc_tokens"),
+          col("p50_tokens"), col("p90_tokens"), col("p99_tokens"),
+          round(col("v").cast("double") / col("total"), 9)
+            .as("type_token_ratio"))
+    },
+
+    // Lang × source crosstab via pivot — the corpus-composition matrix
+    // (one aggregate shuffle; the pivoted lang domain is fixed and
+    // declared, so no extra distinct-values job runs).
+    Q("q_t_lang_pivot", Some("""
+      SELECT source,
+             count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+             count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+             count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+             count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+             count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+      FROM documents GROUP BY 1 ORDER BY source""")) { (s, dir) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val piv = t(s, dir, "documents")
+        .groupBy("source").pivot("lang", langs)
+        .agg(count(lit(1)))
+      piv.select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy("source")
+    },
+
     // Source-mixture reweighting: per-source token mass vs a uniform
     // target share → capped upsampling weight and expected post-resample
     // tokens (the "domain mixing" step before tokenization). Exact

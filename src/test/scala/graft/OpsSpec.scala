@@ -97,6 +97,27 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1, 1, 2, 3))
   }
 
+  test("globalCumSum (long) matches the single-window reference + rank") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map(i => (i.toLong, rnd.nextInt(50).toLong))
+      .toDF("k", "v")
+    val got = Wins
+      .globalCumSum(df, Seq(col("k")), col("v"), "cum", Some("rn"))
+      .select("k", "cum", "rn").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df
+      .withColumn("cum", sum("v").over(w))
+      .withColumn("rn", row_number().over(
+        Window.orderBy("k")).cast("long"))
+      .select("k", "cum", "rn").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 400)
+    assert(got.toSeq == ref.toSeq)
+  }
+
   test("globalCumSumMax matches the single-window reference bit-exactly") {
     val s = spark
     import s.implicits._
