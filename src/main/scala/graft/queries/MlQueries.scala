@@ -210,6 +210,25 @@ object MlQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // HDBSCAN (M4, ref clustering.py:184-203): min_cluster_size =
+    // max(5, n_clusters-hint 8), min_samples = None → min_cluster_size;
+    // like the reference's library call, prediction only on the
+    // (deterministically capped) fit matrix — density clustering of a
+    // structureless uniform corpus legitimately labels most points -1
+    Q("q_hdbscan_clusters", None) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val in = t(s, dir, "embeddings").select(
+        col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("features"))
+      val data = in.orderBy("id").limit(MlQueries.GmmFitCap)
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val labels = graft.ml.Hdbscan.fitPredict(
+        data.map(_._2), minClusterSize = 8)
+      data.map(_._1).zip(labels).toSeq.toDF("vec_id", "cluster")
+        .orderBy("vec_id")
+    },
+
     Q("q_cluster_metrics", None) { (s, dir) =>
       val spark = s
       import spark.implicits._
