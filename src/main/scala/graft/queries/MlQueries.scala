@@ -19,6 +19,13 @@ object MlQueries extends QueryModule {
     * (the reference caps its silhouette input at 200k; same idea). */
   val GmmFitCap = 200000
 
+  /** HDBSCAN fit cap — smaller than GmmFitCap because the MST build is
+    * O(n²) distance evaluations (≈4×10^8 at 20k, seconds; 200k would
+    * be hours). The reference's library call has the same single-node
+    * O(n log n)-to-O(n²) reality; a user needing more points samples
+    * first, exactly as with the silhouette cap. */
+  val HdbscanFitCap = 20000
+
   /** Shared HMM input projection: per-user value series from `events`. */
   private[queries] def hmmInput(s: org.apache.spark.sql.SparkSession,
       dir: String) =
@@ -221,7 +228,7 @@ object MlQueries extends QueryModule {
       val in = t(s, dir, "embeddings").select(
         col("vec_id").cast("long").as("id"),
         col("embedding").cast("array<double>").as("features"))
-      val data = in.orderBy("id").limit(MlQueries.GmmFitCap)
+      val data = in.orderBy("id").limit(MlQueries.HdbscanFitCap)
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       val labels = graft.ml.Hdbscan.fitPredict(
         data.map(_._2), minClusterSize = 8)

@@ -113,6 +113,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("new curation/similarity queries keep equi-join + partitioned-" +
+      "window shapes") {
+    // the corpus-scale additions must never degenerate to a cross
+    // product of the corpus with itself, and any window must be
+    // partitioned (the one-row totals broadcasts legitimately appear
+    // as BroadcastNestedLoopJoin — only CartesianProduct is a bug)
+    val unpartitioned = raw"windowspecdefinition\([^,)]*(?: ASC | DESC )".r
+    for (q <- Seq("q_t_decontaminate", "q_t_span_dup", "q_t_bigram_lp",
+        "q_t_sample_strat", "q_e_semantic_dedup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      assert(unpartitioned.findFirstIn(p).isEmpty,
+        s"$q: unpartitioned global window (single task at scale)")
+    }
+  }
+
   test("q_exec_calibration: grid joins by broadcast, one pass over bars") {
     // the 280-combo sweep must be the broadcast-grid shape (one pass,
     // map-side partial agg), never a shuffled cartesian of bars × grid
