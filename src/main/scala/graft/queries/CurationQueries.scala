@@ -2,20 +2,35 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.text.TextOps
 
 /** Corpus-curation operators beyond the dedup/similarity families: eval-set
-  * decontamination, stratified deterministic sampling, and source-mixture
-  * reweighting — the remaining steps a large-scale training-data pipeline
-  * runs between raw crawl and tokenizer.
+  * decontamination, stratified deterministic sampling, source-mixture
+  * reweighting, PII scan/redaction, blocklist filtering, and
+  * temperature-flattened language mixing — the remaining steps a
+  * large-scale training-data pipeline runs between raw crawl and tokenizer.
   *
   * Scale shapes: decontamination is an equi-join of corpus n-grams against
   * a broadcast-sized benchmark n-gram set (eval suites are tiny next to the
   * corpus); stratified sampling is one per-stratum hash-ordered rank;
   * mixture reweighting is a per-source aggregate crossed with a one-row
-  * broadcast total.
+  * broadcast total; PII and blocklist scans are pure per-doc column
+  * programs (zero shuffles — they stream through the scan).
   */
 object CurationQueries extends QueryModule {
+
+  /** PII regexes — the common subset of Java regex (Spark) and RE2
+    * (DuckDB): no back-references, no lookaround, so both engines match
+    * identically. */
+  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhonePat = """\d{3}-\d{3}-\d{4}"""
+  private val Ipv4Pat = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+
+  /** Blocklist for the C4-style bad-word gate (fixture terms drawn from
+    * the synthetic vocabulary so the gate actually fires; production swaps
+    * in the real denylist — semantics identical). */
+  private val Blocked = Seq("slow", "big")
 
   /** Contamination n-gram width. 8-token grams make incidental collisions
     * vanishingly rare (GPT-3/Llama decontamination uses 8-13); any shared
@@ -274,6 +289,161 @@ object CurationQueries extends QueryModule {
           round(weight, 9).as("weight"),
           round(col("n_tokens") * weight, 0).cast("long").as("exp_tokens"))
         .orderBy("source")
+    },
+
+    // PII scan + redaction: per-doc counts of emails / phone numbers /
+    // IPv4 addresses and the redacted text length — the privacy-scrub
+    // step (Dolma/FineWeb style) every released corpus runs. The
+    // synthetic corpus contains no PII, so a deterministic
+    // fixture-enrichment step (identical expression on both sides)
+    // plants patterns first; production runs the same scan on raw text.
+    // Pure per-doc column program: zero shuffles, streams with the scan.
+    Q("q_t_pii", Some(s"""
+      WITH enr AS (
+        SELECT doc_id,
+               text
+               || (CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id
+                     || '@example.com' ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+                     || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                     || '-'
+                     || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0 THEN ' host 10.'
+                     || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+                     || '.' || ((doc_id * 7) % 256) ELSE '' END) AS etext
+        FROM documents),
+      sc AS (
+        SELECT doc_id, etext,
+               len(regexp_extract_all(etext, '$EmailPat')) AS n_emails,
+               len(regexp_extract_all(etext, '$PhonePat')) AS n_phones,
+               len(regexp_extract_all(etext, '$Ipv4Pat')) AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(etext,
+                 '$EmailPat', '<EMAIL>', 'g'),
+                 '$PhonePat', '<PHONE>', 'g'),
+                 '$Ipv4Pat', '<IP>', 'g') AS red
+        FROM enr)
+      SELECT doc_id,
+             CAST(n_emails AS BIGINT) AS n_emails,
+             CAST(n_phones AS BIGINT) AS n_phones,
+             CAST(n_ips AS BIGINT) AS n_ips,
+             CAST(n_emails + n_phones + n_ips AS BIGINT) AS n_pii,
+             (n_emails + n_phones + n_ips) > 0 AS has_pii,
+             length(etext) AS n_chars_raw,
+             length(red) AS n_chars_redacted
+      FROM sc ORDER BY doc_id""")) { (s, dir) =>
+      val id = col("doc_id")
+      val enriched = concat(col("text"),
+        when(id % 5 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" call 555-"),
+          lpad(((id * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((id * 31) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" host 10."),
+          (id % 256).cast("string"), lit("."),
+          ((id * 3) % 256).cast("string"), lit("."),
+          ((id * 7) % 256).cast("string"))).otherwise(lit("")))
+      val nEmails = regexp_count(col("etext"), lit(EmailPat))
+      val nPhones = regexp_count(col("etext"), lit(PhonePat))
+      val nIps = regexp_count(col("etext"), lit(Ipv4Pat))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        col("etext"), EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"), Ipv4Pat, "<IP>")
+      t(s, dir, "documents")
+        .select(id, enriched.as("etext"))
+        .select(id,
+          nEmails.cast("long").as("n_emails"),
+          nPhones.cast("long").as("n_phones"),
+          nIps.cast("long").as("n_ips"),
+          (nEmails + nPhones + nIps).cast("long").as("n_pii"),
+          ((nEmails + nPhones + nIps) > 0).as("has_pii"),
+          length(col("etext")).as("n_chars_raw"),
+          length(redacted).as("n_chars_redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Blocklist (bad-word) gate: C4 drops any doc containing a denylist
+    // term; per-doc hit count, ratio, and the first offending term for
+    // explainability. The list is a tiny executor-local literal set —
+    // an array filter beats a join (nothing to shuffle or broadcast).
+    Q("q_t_blocklist", Some {
+      val inSet = Blocked.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      f AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               list_filter(t, x -> x IN $inSet) AS bl
+        FROM b)
+      SELECT doc_id, n_tokens,
+             len(bl) AS n_blocked,
+             round(CAST(len(bl) AS DOUBLE) / n_tokens, 9) AS blocked_ratio,
+             bl[1] AS first_blocked,
+             len(bl) = 0 AS is_clean
+      FROM f ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val bl = filter(toks, x => x.isin(Blocked: _*))
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"), bl.as("bl"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("bl")).cast("long").as("n_blocked"),
+          round(size(col("bl")).cast("double") / col("n_tokens"), 9)
+            .as("blocked_ratio"),
+          get(col("bl"), lit(0)).as("first_blocked"),
+          (size(col("bl")) === 0).as("is_clean"))
+        .orderBy("doc_id")
+    },
+
+    // Temperature-flattened language mixing (XLM-R/mT5 style): sampling
+    // shares q_l ∝ p_l^α with α = 0.5 — sqrt is exactly rounded in IEEE
+    // 754 on both engines, and the cross-language normalizer sums through
+    // DECIMAL(38,9), so the result is bit-stable regardless of partition
+    // or combine order (the SURVEY §7.5 money-sum convention applied to
+    // a float normalizer). Tiny per-lang aggregate + one-row broadcast.
+    Q("q_t_mix_temperature", Some("""
+      WITH per AS (
+        SELECT lang, count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY 1),
+      sq AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9)
+                 AS DECIMAL(38,9)) AS sq
+        FROM per),
+      tot AS (SELECT sum(n_tokens) AS tot_tokens, sum(sq) AS tot_sq
+              FROM sq)
+      SELECT lang, n_docs, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / tot_tokens, 9) AS cur_share,
+             round(CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE), 9)
+               AS temp_share,
+             round((CAST(sq AS DOUBLE) / CAST(tot_sq AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / tot_tokens), 9) AS weight,
+             CAST(round(n_tokens * ((CAST(sq AS DOUBLE)
+               / CAST(tot_sq AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / tot_tokens)), 0) AS BIGINT)
+               AS exp_tokens
+      FROM sq, tot ORDER BY lang""")) { (s, dir) =>
+      val per = t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).as("n_tokens"))
+        .withColumn("sq",
+          round(sqrt(col("n_tokens").cast("double")), 9)
+            .cast(DecimalType(38, 9)))
+      val tot = per.agg(sum("n_tokens").as("tot_tokens"),
+        sum("sq").as("tot_sq"))
+      val curShare = col("n_tokens").cast("double") / col("tot_tokens")
+      val tempShare = col("sq").cast("double") / col("tot_sq").cast("double")
+      val weight = tempShare / curShare
+      per.join(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(curShare, 9).as("cur_share"),
+          round(tempShare, 9).as("temp_share"),
+          round(weight, 9).as("weight"),
+          round(col("n_tokens") * weight, 0).cast("long").as("exp_tokens"))
+        .orderBy("lang")
     }
   )
 }

@@ -121,11 +121,25 @@ class PlanAuditSpec extends SparkSpec {
     // as BroadcastNestedLoopJoin — only CartesianProduct is a bug)
     val unpartitioned = raw"windowspecdefinition\([^,)]*(?: ASC | DESC )".r
     for (q <- Seq("q_t_decontaminate", "q_t_span_dup", "q_t_bigram_lp",
-        "q_t_sample_strat", "q_e_semantic_dedup")) {
+        "q_t_sample_strat", "q_e_semantic_dedup", "q_t_mix_temperature")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
       assert(unpartitioned.findFirstIn(p).isEmpty,
         s"$q: unpartitioned global window (single task at scale)")
+    }
+  }
+
+  test("q_t_pii / q_t_blocklist are map-only: no shuffle before the sort") {
+    // per-doc scans must stream with the parquet scan — any hash
+    // exchange, join, or aggregate means the column program picked up a
+    // spurious shuffle (the final orderBy's range exchange is the only
+    // legitimate one)
+    for (q <- Seq("q_t_pii", "q_t_blocklist")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q: unexpected hash exchange in a per-doc column program")
+      assert(!p.contains("Join"), s"$q: unexpected join")
+      assert(!p.contains("windowspecdefinition"), s"$q: unexpected window")
     }
   }
 
