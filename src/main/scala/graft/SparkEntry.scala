@@ -23,7 +23,8 @@ object SparkEntry {
     Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
     BacktestQueries, IngestQueries, ResearchQueries, MlQueries,
     ValidationQueries, BacktestQueries2, CompareQueries,
-    ProductionQueries, CalibrationQueries, HybridQueries, CurationQueries)
+    ProductionQueries, CalibrationQueries, HybridQueries, CurationQueries,
+    EventQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

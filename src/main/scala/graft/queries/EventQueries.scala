@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.Cols
+
+/** Event-stream analytics over the `events` table — the operators a
+  * clickstream/telemetry warehouse runs at trillion-event scale:
+  * gap-based sessionization, semi-structured JSON property extraction,
+  * staged conversion funnels, and cohort retention.
+  *
+  * Scale shapes: sessionization is ONE hash exchange on `user_id` — the
+  * gap flag, session index (running sum), and the per-session aggregate
+  * all ride that single partitioning (Spark accepts a subset
+  * partitioning for the (user_id, sess_idx) aggregate). The funnel is
+  * the same single exchange: three stacked unbounded per-user window
+  * minima, a per-user rollup, then a one-row global aggregate crossed
+  * with a 4-row literal stage frame. Retention shuffles twice more, but
+  * only AFTER per-user reduction (the (cohort, offset) table is bounded
+  * by days², not events). JSON extraction is a pure column program that
+  * streams with the scan into a 5-row aggregate.
+  */
+object EventQueries extends QueryModule {
+
+  /** Session gap: a new session starts after 6 h of inactivity (chosen
+    * against the fixture's inter-event gap distribution — median ≈ 7 h —
+    * so both single- and multi-event sessions occur; production tunes
+    * this per product, the shape is identical). */
+  private val GapUs = 6L * 3600 * 1000000
+
+  private def evBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"), col("event_type"), col("value"),
+      expr("ts div 1000").as("eus"))
+
+  def all: Seq[Q] = Seq(
+
+    // Gap-based sessionization: flag gap > threshold, running-sum the
+    // flags into a per-user session index, aggregate per session.
+    // (user_id, eus) is unique in the fixture at every SF (verified), so
+    // min_by/arg_max on eus are deterministic.
+    Q("q_ev_sessions", Some(s"""
+      WITH base AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS eus
+        FROM events),
+      g AS (
+        SELECT *, CASE WHEN lag(eus) OVER w IS NULL
+                         OR eus - lag(eus) OVER w > $GapUs
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)),
+      sx AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+          ORDER BY eus, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        FROM g)
+      SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+             count(*) AS n_events,
+             min(eus) AS start_us, max(eus) AS end_us,
+             (max(eus) - min(eus)) / 1000000.0 AS duration_sec,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             count(DISTINCT event_type) AS n_types,
+             arg_min(event_type, eus) AS first_et,
+             arg_max(event_type, eus) AS last_et
+      FROM sx GROUP BY user_id, sess_idx
+      ORDER BY user_id, sess_idx""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      evBase(s, dir)
+        .withColumn("new_sess",
+          when(lag("eus", 1).over(w).isNull ||
+            col("eus") - lag("eus", 1).over(w) > GapUs, 1).otherwise(0))
+        .withColumn("sess_idx", sum("new_sess").over(cum))
+        .groupBy("user_id", "sess_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("eus").as("start_us"), max("eus").as("end_us"),
+          ((max("eus") - min("eus")) / 1000000.0).as("duration_sec"),
+          Cols.moneySum(col("value")).as("sum_value"),
+          countDistinct("event_type").as("n_types"),
+          min_by(col("event_type"), col("eus")).as("first_et"),
+          max_by(col("event_type"), col("eus")).as("last_et"))
+        .orderBy("user_id", "sess_idx")
+    },
+
+    // Semi-structured property extraction: parse `props` JSON per row
+    // (codegen'd JsonPath — no UDF), roll up the extracted metric per
+    // event type. avg is an exact-int ratio, so bit-stable.
+    Q("q_ev_json", Some("""
+      WITH x AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events)
+      SELECT event_type, count(*) AS n, count(k) AS n_k,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(max(k) AS BIGINT) AS max_k,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             round(CAST(sum(k) AS DOUBLE) / count(k), 9) AS avg_k
+      FROM x GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count("k").as("n_k"),
+          min("k").cast("long").as("min_k"),
+          max("k").cast("long").as("max_k"),
+          sum("k").cast("long").as("sum_k"),
+          round(sum("k").cast("double") / count("k"), 9).as("avg_k"))
+        .orderBy("event_type")
+    },
+
+    // Staged conversion funnel view → click → purchase: each step's
+    // first qualifying time must follow the previous step's (stacked
+    // unbounded per-user window minima — one exchange, no sort frames),
+    // then reached-counts and step conversions from a one-row global
+    // aggregate crossed with the literal stage frame (no windows over
+    // the tiny result — array pick instead).
+    Q("q_ev_funnel", Some("""
+      WITH base AS (
+        SELECT user_id, event_type, epoch_us(ts) AS eus FROM events),
+      s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN eus END)
+          OVER (PARTITION BY user_id) AS t_view FROM base),
+      s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND eus >= t_view
+          THEN eus END) OVER (PARTITION BY user_id) AS t_click FROM s1),
+      s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND eus >= t_click
+          THEN eus END) OVER (PARTITION BY user_id) AS t_buy FROM s2),
+      u AS (
+        SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+               max(t_buy) AS t_buy
+        FROM s3 GROUP BY 1),
+      st AS (
+        SELECT user_id,
+               CASE WHEN t_buy IS NOT NULL THEN 3
+                    WHEN t_click IS NOT NULL THEN 2
+                    WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+        FROM u),
+      agg AS (
+        SELECT count(*) AS r0,
+               count(CASE WHEN stage >= 1 THEN 1 END) AS r1,
+               count(CASE WHEN stage >= 2 THEN 1 END) AS r2,
+               count(CASE WHEN stage >= 3 THEN 1 END) AS r3
+        FROM st)
+      SELECT v.stage, v.stage_name,
+             CASE v.stage WHEN 0 THEN r0 WHEN 1 THEN r1 WHEN 2 THEN r2
+               ELSE r3 END AS n_reached,
+             CASE v.stage WHEN 0 THEN NULL
+               WHEN 1 THEN round(CAST(r1 AS DOUBLE) / r0, 9)
+               WHEN 2 THEN round(CAST(r2 AS DOUBLE) / r1, 9)
+               ELSE round(CAST(r3 AS DOUBLE) / r2, 9) END AS conv_from_prev,
+             round(CAST(CASE v.stage WHEN 0 THEN r0 WHEN 1 THEN r1
+               WHEN 2 THEN r2 ELSE r3 END AS DOUBLE) / r0, 9) AS conv_overall
+      FROM (VALUES (0, 'all'), (1, 'view'), (2, 'click'), (3, 'purchase'))
+        AS v(stage, stage_name) CROSS JOIN agg
+      ORDER BY v.stage""")) { (s, dir) =>
+      import s.implicits._
+      val wU = Window.partitionBy("user_id")
+      val staged = evBase(s, dir)
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("eus"))).over(wU))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("eus") >= col("t_view"), col("eus"))).over(wU))
+        .withColumn("t_buy",
+          min(when(col("event_type") === "purchase" &&
+            col("eus") >= col("t_click"), col("eus"))).over(wU))
+        .groupBy("user_id")
+        .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+          max("t_buy").as("t_buy"))
+        .select(
+          when(col("t_buy").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1).otherwise(0).as("stage"))
+      val agg = staged.agg(
+        count(lit(1)).as("r0"),
+        count(when(col("stage") >= 1, 1)).as("r1"),
+        count(when(col("stage") >= 2, 1)).as("r2"),
+        count(when(col("stage") >= 3, 1)).as("r3"))
+      val stages = Seq((0, "all"), (1, "view"), (2, "click"), (3, "purchase"))
+        .toDF("stage", "stage_name")
+      val reached = element_at(
+        array(col("r0"), col("r1"), col("r2"), col("r3")), col("stage") + 1)
+      val prev = element_at(
+        array(col("r0"), col("r1"), col("r2"), col("r3")), col("stage"))
+      stages.crossJoin(broadcast(agg))
+        .select(col("stage"), col("stage_name"),
+          reached.as("n_reached"),
+          when(col("stage") === 0, lit(null).cast("double"))
+            .otherwise(round(reached.cast("double") / prev, 9))
+            .as("conv_from_prev"),
+          round(reached.cast("double") / col("r0"), 9).as("conv_overall"))
+        .orderBy("stage")
+    },
+
+    // Cohort retention: cohort = day of the user's first event; count
+    // distinct active users per (cohort, day offset) and normalize by
+    // the cohort's size. Per-user window + distinct ride one exchange;
+    // the (cohort, offset) rollup shuffles a table bounded by days².
+    Q("q_ev_retention", Some("""
+      WITH base AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      c AS (
+        SELECT *, min(d) OVER (PARTITION BY user_id) AS cohort_d FROM base),
+      ua AS (
+        SELECT DISTINCT user_id, cohort_d,
+               date_diff('day', cohort_d, d) AS day_offset
+        FROM c),
+      agg AS (
+        SELECT cohort_d, day_offset, count(*) AS n_active
+        FROM ua GROUP BY 1, 2),
+      sz AS (
+        SELECT *, max(CASE WHEN day_offset = 0 THEN n_active END)
+          OVER (PARTITION BY cohort_d) AS cohort_size
+        FROM agg)
+      SELECT cohort_d, CAST(day_offset AS INT) AS day_offset, n_active,
+             cohort_size,
+             round(CAST(n_active AS DOUBLE) / cohort_size, 9) AS retention
+      FROM sz ORDER BY cohort_d, day_offset""")) { (s, dir) =>
+      val wU = Window.partitionBy("user_id")
+      t(s, dir, "events")
+        .select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+        .withColumn("cohort_d", min("d").over(wU))
+        .select(col("user_id"), col("cohort_d"),
+          datediff(col("d"), col("cohort_d")).as("day_offset"))
+        .distinct()
+        .groupBy("cohort_d", "day_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .withColumn("cohort_size",
+          max(when(col("day_offset") === 0, col("n_active")))
+            .over(Window.partitionBy("cohort_d")))
+        .select(col("cohort_d"), col("day_offset"), col("n_active"),
+          col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 9)
+            .as("retention"))
+        .orderBy("cohort_d", "day_offset")
+    }
+  )
+}

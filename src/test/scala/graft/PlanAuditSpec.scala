@@ -143,6 +143,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("event analytics ride one user_id exchange; retention stays bounded") {
+    // sessionization and the funnel are single-shuffle: the per-user
+    // windows, the (user_id, sess_idx) / per-user aggregates, and (for
+    // the funnel) the global rollup all ride ONE hashpartitioning on
+    // user_id (subset partitioning satisfies the aggregate's clustering)
+    for (q <- Seq("q_ev_sessions", "q_ev_funnel")) {
+      val p = planOf(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 1, s"$q: expected exactly 1 hash exchange, got $n")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+    }
+    // retention may re-shuffle only AFTER per-user reduction — the
+    // (cohort, offset) rollup and cohort-size window move a table
+    // bounded by days², never the event stream
+    val p = planOf("q_ev_retention")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 3, s"q_ev_retention: $n hash exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_exec_calibration: grid joins by broadcast, one pass over bars") {
     // the 280-combo sweep must be the broadcast-grid shape (one pass,
     // map-side partial agg), never a shuffled cartesian of bars × grid
