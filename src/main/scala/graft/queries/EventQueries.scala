@@ -83,6 +83,41 @@ object EventQueries extends QueryModule {
         .orderBy("user_id", "sess_idx")
     },
 
+    // Native session_window sessionization — the same program runs in
+    // Structured Streaming with a watermark (streaming.EventSessions;
+    // cross-batch merging locked in StreamingSpec). Session end = last
+    // event + gap; split at gap >= threshold (merge is strict-<), which
+    // the oracle mirrors with a >= lag split.
+    Q("q_ev_session_window", Some(s"""
+      WITH base AS (
+        SELECT user_id, value, epoch_us(ts) AS eus FROM events),
+      g AS (
+        SELECT *, CASE WHEN lag(eus) OVER w IS NULL
+                         OR eus - lag(eus) OVER w >= $GapUs
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM base WINDOW w AS (PARTITION BY user_id ORDER BY eus)),
+      sx AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY eus
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        FROM g)
+      SELECT user_id,
+             min(eus) AS win_start_us,
+             max(eus) + $GapUs AS win_end_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sx GROUP BY user_id, sess_idx
+      ORDER BY user_id, win_start_us""")) { (s, dir) =>
+      graft.streaming.EventSessions.sessionize(
+          t(s, dir, "events").withColumn("ts_t",
+            timestamp_micros(expr("ts div 1000"))),
+          "ts_t", "6 hours")
+        .select(col("user_id"),
+          unix_micros(col("win_start")).as("win_start_us"),
+          unix_micros(col("win_end")).as("win_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "win_start_us")
+    },
+
     // Semi-structured property extraction: parse `props` JSON per row
     // (codegen'd JsonPath — no UDF), roll up the extracted metric per
     // event type. avg is an exact-int ratio, so bit-stable.

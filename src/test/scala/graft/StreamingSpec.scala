@@ -177,6 +177,50 @@ class StreamingSpec extends SparkSpec {
       s"short (signature-less) doc flagged: $matches")
   }
 
+  test("session_window sessionization merges across micro-batches and " +
+      "emits only watermark-finalized sessions") {
+    import graft.streaming.EventSessions
+    import spark.implicits._
+    // gap 30s, watermark delay 10s. Batch 1 opens u1 (t=1000,1010) and
+    // u2 (t=1000); batch 2 EXTENDS u1 across the batch boundary
+    // (t=1020 < 1010+30) and advances the watermark via u3 (t=2000);
+    // batch 3 (u4, t=3000) pushes the watermark to 2990, finalizing
+    // u1/u2/u3 (no-data micro-batches flush watermark-passed state).
+    // u1 must come out as ONE 3-event session — the cross-batch merge —
+    // and u4 (end 3030 > watermark 2990, still open) must be withheld.
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Double)],
+        spark.sqlContext)
+    val src = mem.toDF.toDF("user_id", "sec", "value")
+      .withColumn("ts_t", timestamp_seconds(col("sec")))
+      .withWatermark("ts_t", "10 seconds")
+    val q = EventSessions.sessionize(src, "ts_t", "30 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream_test")
+      .start()
+    mem.addData((1L, 1000L, 1.0), (1L, 1010L, 2.0), (2L, 1000L, 5.0))
+    q.processAllAvailable()
+    mem.addData((1L, 1020L, 3.0), (3L, 2000L, 7.0))
+    q.processAllAvailable()
+    mem.addData((4L, 3000L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_stream_test")
+      .select(col("user_id"), unix_seconds(col("win_start")).as("s"),
+        unix_seconds(col("win_end")).as("e"), col("n_events"),
+        col("sum_value"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 1000L, 1050L, 3L, 6.0)),
+      s"u1 session not merged across batches: $out")
+    assert(out.contains((2L, 1000L, 1030L, 1L, 5.0)),
+      s"u2 session missing: $out")
+    assert(out.contains((3L, 2000L, 2030L, 1L, 7.0)),
+      s"watermark-passed session not finalized: $out")
+    assert(!out.exists(_._1 == 4L),
+      s"unfinalized session emitted: $out")
+  }
+
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
     // nanos ts → batch-read the schema, convert to a typed ts column
