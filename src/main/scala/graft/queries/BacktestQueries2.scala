@@ -112,28 +112,43 @@ object BacktestQueries2 extends QueryModule {
     }
     val p = if (cteName == "combo_scored") "" else s"${cteName}_"
     s"""${p}combos AS (${per.mkString(" UNION ALL ")}),
-         ${p}ranked AS (
+         ${rankScoreTailSql(p, cteName)}"""
+  }
+
+  /** The ranked→scored→v1s→final tail of the robustness chain, over an
+    * existing `${p}combos` CTE. `part`: extra grouping columns (e.g.
+    * split_idx, is_hybrid) — every ranking window partitions by them and
+    * they are carried into the final select, so one chain scores many
+    * independent grids at once. */
+  private[queries] def rankScoreTailSql(p: String, cteName: String,
+      part: Seq[String] = Nil): String = {
+    val over0 =
+      if (part.isEmpty) "OVER ()"
+      else s"OVER (PARTITION BY ${part.mkString(", ")})"
+    val pb = if (part.isEmpty) "" else s"PARTITION BY ${part.mkString(", ")} "
+    val carry = part.map(c => s"$c, ").mkString
+    s"""${p}ranked AS (
            SELECT *,
-             count(expectancy) OVER () AS nv_exp,
-             row_number() OVER (ORDER BY expectancy DESC NULLS LAST,
+             count(expectancy) $over0 AS nv_exp,
+             row_number() OVER (${pb}ORDER BY expectancy DESC NULLS LAST,
                combo_idx) AS r_exp,
-             count(profit_factor) OVER () AS nv_pf,
-             row_number() OVER (ORDER BY profit_factor DESC NULLS LAST,
+             count(profit_factor) $over0 AS nv_pf,
+             row_number() OVER (${pb}ORDER BY profit_factor DESC NULLS LAST,
                combo_idx) AS r_pf,
-             count(max_drawdown) OVER () AS nv_dd,
-             row_number() OVER (ORDER BY abs(max_drawdown) ASC NULLS LAST,
-               combo_idx) AS r_dd,
-             count(return_std) OVER () AS nv_std,
-             row_number() OVER (ORDER BY return_std ASC NULLS LAST,
+             count(max_drawdown) $over0 AS nv_dd,
+             row_number() OVER (${pb}ORDER BY abs(max_drawdown) ASC NULLS
+               LAST, combo_idx) AS r_dd,
+             count(return_std) $over0 AS nv_std,
+             row_number() OVER (${pb}ORDER BY return_std ASC NULLS LAST,
                combo_idx) AS r_std,
-             count(ret_cv) OVER () AS nv_cv,
-             row_number() OVER (ORDER BY ret_cv ASC NULLS LAST,
+             count(ret_cv) $over0 AS nv_cv,
+             row_number() OVER (${pb}ORDER BY ret_cv ASC NULLS LAST,
                combo_idx) AS r_cv,
-             count(downside_std) OVER () AS nv_tail,
-             row_number() OVER (ORDER BY downside_std ASC NULLS LAST,
+             count(downside_std) $over0 AS nv_tail,
+             row_number() OVER (${pb}ORDER BY downside_std ASC NULLS LAST,
                combo_idx) AS r_tail,
-             count(fee_bps) OVER () AS nv_cost,
-             row_number() OVER (ORDER BY fee_bps ASC NULLS LAST,
+             count(fee_bps) $over0 AS nv_cost,
+             row_number() OVER (${pb}ORDER BY fee_bps ASC NULLS LAST,
                combo_idx) AS r_cost
            FROM ${p}combos),
          ${p}scored AS (
@@ -168,8 +183,8 @@ object BacktestQueries2 extends QueryModule {
                + 0.15 * s_std + 0.10 * s_cost + 0.05 * s_hyg) AS v1_raw
            FROM ${p}scored),
          $cteName AS (
-           SELECT combo_idx, combo_id, mode, confirm_bars, hold_bars,
-                fee_bps, trade_count,
+           SELECT ${carry}combo_idx, combo_id, mode, confirm_bars,
+                hold_bars, fee_bps, trade_count,
                 round(expectancy, 9) AS expectancy,
                 round(profit_factor, 6) AS profit_factor,
                 round(ret_cv, 6) AS ret_cv,
@@ -214,15 +229,19 @@ object BacktestQueries2 extends QueryModule {
 
   /** Rank-to-[0,1] v1/v2 robustness scoring over a combo metric frame —
     * the Spark twin of the oracle's ranked→scored→v1s chain. The frame
-    * is grid-sized (8 rows), so the unpartitioned ranking windows are
-    * trivially bounded. */
-  private[queries] def scoreCombos(all: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val W = Window.partitionBy()
+    * is grid-sized (8 rows per group), so the ranking windows are
+    * trivially bounded. `partCols`: extra grouping columns (e.g.
+    * split_idx, is_hybrid) — ranks run within each group and the
+    * columns are carried through, so one call scores many independent
+    * grids. */
+  private[queries] def scoreCombos(all: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val W = Window.partitionBy(partCols.map(col): _*)
     def score(c: org.apache.spark.sql.Column, desc: Boolean) = {
       val ord = if (desc) Seq(c.desc_nulls_last, col("combo_idx"))
         else Seq(c.asc_nulls_last, col("combo_idx"))
-      val rn = row_number().over(Window.orderBy(ord: _*))
+      val rn = row_number().over(
+        Window.partitionBy(partCols.map(col): _*).orderBy(ord: _*))
       val nv = count(c).over(W)
       when(c.isNull, 0.0).otherwise(
         lit(1) - (rn - 1).cast("double") / greatest(nv - 1, lit(1)))
@@ -244,7 +263,8 @@ object BacktestQueries2 extends QueryModule {
         + lit(0.05) * col("s_hyg")))
       .withColumn("v1", greatest(least(col("v1_raw"), lit(100.0)),
         lit(0.0)))
-    scored.select(col("combo_idx"), col("combo_id"), col("mode"),
+    scored.select(partCols.map(col) ++ Seq(
+      col("combo_idx"), col("combo_id"), col("mode"),
       col("confirm_bars"), col("hold_bars"), col("fee_bps"),
       col("trade_count"),
       round(col("expectancy"), 9).as("expectancy"),
@@ -257,7 +277,7 @@ object BacktestQueries2 extends QueryModule {
         + lit(15.0) * col("s_cv") + lit(10.0) * col("s_tail")
         + lit(5.0) * col("s_cost")
         - when(col("trade_count") === 0, 20.0).otherwise(0.0),
-        lit(100.0)), lit(0.0)), 6).as("robustness_score_v2"))
+        lit(100.0)), lit(0.0)), 6).as("robustness_score_v2")): _*)
   }
 
   /** Scored combo frame (the Spark twin of `comboScoredSql`), cached —

@@ -22,10 +22,10 @@ import graft.ops.Cols
   * q_policy_overlay already oracles, so the whole report is
   * DuckDB-checkable. The optional FLOW run is covered by the grid
   * itself (its combos span both signal modes). Per-split robustness_v2
-  * would need a full grid per split (64 sims); the WF consistency
-  * score keeps the reference formula with the robustness term's wins
-  * at 0 — exactly what the reference computes when a split's
-  * robustness metric is missing.
+  * runs the full 8-combo grid inside every (split, run) cell — 64
+  * quarter-window sims — sharing ONE signal frame per (gate, mode,
+  * confirm) variant (8 frames total, cached; the sims are concurrent
+  * and the ranking chain scores all cells in one partitioned pass).
   */
 object HybridQueries extends QueryModule {
 
@@ -131,6 +131,63 @@ object HybridQueries extends QueryModule {
               higher = true))
           - when(col("trade_count") === 0, 20.0).otherwise(0.0),
         lit(100.0)), lit(0.0)))
+
+  /** The 4 distinct (mode, confirmBars) signal variants behind the
+    * 8-combo grid — hold/fee don't change the signal frame, so the
+    * walk-forward grids need only 4 signal chains per gate. */
+  private[queries] val SigVariants: Seq[(String, Int)] =
+    BacktestQueries2.GridCombos.map(c => (c.mode, c.confirmBars)).distinct
+  private def variantIdx(c: Grid.Combo): Int =
+    SigVariants.indexOf((c.mode, c.confirmBars))
+  private[queries] val DefIdx = BacktestQueries2.GridCombos.indexOf(DefCombo)
+
+  /** Cached slim signal frame for one (gate, variant) — the input every
+    * split sim of that variant filters from. */
+  private def wfSig(s: SparkSession, dir: String, hybrid: Boolean,
+      mode: String, cb: Int): DataFrame =
+    Stage.cached(s, dir,
+      s"hyb_wf_sig_${if (hybrid) "veto" else "base"}_${mode}_$cb") {
+      val sig =
+        if (hybrid) gatedSignals(s, dir, "block_veto",
+          Grid.Combo(mode, cb, DefCombo.holdBars, DefCombo.feeBps))
+        else Signals.generate(BacktestQueries2.gramSlim(s, dir), mode, cb)
+      sig.select("ticker", "bar_ts", "bar_id", "open", "high", "low",
+        "close", "flow_state_code", "entry_signal", "signal_side")
+    }
+
+  /** 64-row per-(split, run) combo metric frame: 8 combos × 4 splits ×
+    * {baseline, block_veto}. Signal frames are cached per variant and
+    * the 64 quarter-window sims materialize as one concurrent job. */
+  private[queries] def wfMetrics(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "hyb_wf_metrics") {
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec = graft.ops.Pools.jobs
+        Await.result(Future.traverse(for {
+          h <- Seq(false, true); (m, cb) <- SigVariants
+        } yield (h, m, cb)) { case (h, m, cb) =>
+          Future { wfSig(s, dir, h, m, cb).count(); () }
+        }, Duration.Inf)
+      }
+      val bounds = BacktestQueries2.gramSlim(s, dir)
+        .agg(min("bar_ts"), max("bar_ts")).head
+      val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
+      (for {
+        hybrid <- Seq(false, true)
+        (sp, i) <- ss.zipWithIndex
+        (c, ci) <- BacktestQueries2.GridCombos.zipWithIndex
+      } yield {
+        val sig = wfSig(s, dir, hybrid, c.mode, c.confirmBars)
+        val tr = Engine.simulate(
+          sig.filter(col("bar_ts") > sp.testStartTs
+            && col("bar_ts") <= sp.testEndTs),
+          Engine.Config(c.holdBars, c.feeBps)).toDF()
+        BacktestQueries2.comboMetricsRow(tr, c, ci)
+          .withColumn("split_idx", lit(i))
+          .withColumn("is_hybrid", lit(hybrid))
+      }).reduce(_.unionByName(_))
+    }
 
   /** Run-level overlay diagnostics over the default combo's signal
     * frame: coverage match rate and the vetoed-entry share per gate. */
@@ -456,71 +513,98 @@ object HybridQueries extends QueryModule {
     // per-split default-combo sims for both runs, hybrid win counts and
     // mean deltas, and the reference's consistency score
     Q("q_hybrid_wf", Some {
-      def splitBlock(i: Int, gated: Boolean): String = {
+      // one signal chain per (gate, variant) — MATERIALIZED so the 64
+      // split×combo sim cells below filter from 8 computed frames
+      // instead of re-deriving signals per cell
+      def sigChain(k: Int): String = {
+        val (m, cb) = SigVariants(k)
+        s"""
+        sigv_$k AS MATERIALIZED (
+          WITH ${Signals.sql(m, cb)} SELECT * FROM signals),
+        gsig_$k AS MATERIALIZED (
+          SELECT s.* REPLACE ((s.entry_signal AND ${gateSql("block_veto")})
+            AS entry_signal)
+          FROM sigv_$k s LEFT JOIN pol p
+            ON s.ticker = p.ticker AND s.bar_ts = p.bar_ts
+              AND s.bar_id = p.bar_id)"""
+      }
+      def cell(i: Int, hybrid: Boolean, c: Grid.Combo, ci: Int): String = {
+        val src = (if (hybrid) "gsig_" else "sigv_") + variantIdx(c)
         val whereEnd =
           if (i == 3) "wb.hi" else s"wb.lo + ${i + 1} * wb.step"
-        val gateCte = if (gated) s"""
-           gated AS (
-             SELECT s.* REPLACE ((s.entry_signal
-               AND ${gateSql("block_veto")}) AS entry_signal)
-             FROM signals s LEFT JOIN pol p
-               ON s.ticker = p.ticker AND s.bar_ts = p.bar_ts
-                 AND s.bar_id = p.bar_id),""" else ""
-        val src = if (gated) "gated" else "signals"
         s"""
         (WITH RECURSIVE
-         ${Signals.sql(DefCombo.mode, DefCombo.confirmBars)},$gateCte
-         win AS (
-           SELECT g.* FROM $src g, wb
-           WHERE g.bar_ts > wb.lo + $i * wb.step
-             AND g.bar_ts <= $whereEnd),
-         ${Engine.tradesSql(DefCfg, src = "win")}
-         SELECT $i AS split_idx, ${gated} AS is_hybrid,
-                count(*) AS n_trades,
-                round(avg(net_ret), 9) AS expectancy,
-                round(CASE WHEN abs(sum(CASE WHEN NOT (net_ret > 0)
-                    THEN net_ret END)) > 0.000000000001
-                  THEN sum(CASE WHEN net_ret > 0 THEN net_ret END)
-                    / abs(sum(CASE WHEN NOT (net_ret > 0)
-                        THEN net_ret END)) END, 6) AS profit_factor,
-                round(CASE WHEN abs(avg(net_ret)) > 0.000000000001
-                  THEN stddev_pop(net_ret) / abs(avg(net_ret)) END, 6)
-                  AS ret_cv
-         FROM trades)"""
+         win AS (SELECT g.* FROM $src g, wb
+                 WHERE g.bar_ts > wb.lo + $i * wb.step
+                   AND g.bar_ts <= $whereEnd),
+         ${Engine.tradesSql(Engine.Config(c.holdBars, c.feeBps),
+            src = "win")},
+         ${Metrics.portfolioSql},
+         m AS (
+           SELECT count(*) AS trade_count,
+                  avg(net_ret) AS expectancy,
+                  CASE WHEN abs(sum(CASE WHEN NOT (net_ret > 0)
+                      THEN net_ret END)) > 0.000000000001
+                    THEN sum(CASE WHEN net_ret > 0 THEN net_ret END)
+                      / abs(sum(CASE WHEN NOT (net_ret > 0)
+                          THEN net_ret END)) END AS profit_factor,
+                  stddev_pop(net_ret) AS return_std,
+                  stddev_pop(CASE WHEN net_ret < 0 THEN net_ret END)
+                    AS downside_std,
+                  CASE WHEN abs(avg(net_ret)) > 0.000000000001
+                    THEN stddev_pop(net_ret) / abs(avg(net_ret)) END
+                    AS ret_cv
+           FROM trades),
+         dd AS (SELECT min(drawdown) AS max_drawdown FROM portfolio)
+         SELECT $i AS split_idx, $hybrid AS is_hybrid, $ci AS combo_idx,
+                '${BacktestQueries2.comboId(c)}' AS combo_id,
+                '${c.mode}' AS mode, ${c.confirmBars} AS confirm_bars,
+                ${c.holdBars} AS hold_bars,
+                CAST(${c.feeBps} AS DOUBLE) AS fee_bps,
+                m.*, dd.max_drawdown
+         FROM m CROSS JOIN dd)"""
       }
-      val blocks = (0 until 4).flatMap(i =>
-        Seq(splitBlock(i, gated = false), splitBlock(i, gated = true)))
+      val chains = SigVariants.indices.map(sigChain).mkString(",")
+      val cells = (for {
+        h <- Seq(false, true); i <- 0 until 4
+        (c, ci) <- BacktestQueries2.GridCombos.zipWithIndex
+      } yield cell(i, h, c, ci)).mkString(" UNION ALL ")
       s"""
       WITH RECURSIVE $prefixSql,
       $polSql,
       wb AS (SELECT min(bar_ts) AS lo, max(bar_ts) AS hi,
                     (max(bar_ts) - min(bar_ts)) // 4 AS step
              FROM grammar),
-      sm AS (${blocks.mkString(" UNION ALL ")}),
+      $chains,
+      wf_combos AS ($cells),
+      ${BacktestQueries2.rankScoreTailSql("wf_", "wf_cs",
+          Seq("split_idx", "is_hybrid"))},
+      defrows AS (SELECT * FROM wf_cs WHERE combo_idx = $DefIdx),
       j AS (
         SELECT b.split_idx,
                h.expectancy - b.expectancy AS d_exp,
                h.profit_factor - b.profit_factor AS d_pf,
-               h.ret_cv - b.ret_cv AS d_cv
-        FROM (SELECT * FROM sm WHERE NOT is_hybrid) b
-        JOIN (SELECT * FROM sm WHERE is_hybrid) h USING (split_idx)),
+               h.ret_cv - b.ret_cv AS d_cv,
+               h.robustness_score_v2 - b.robustness_score_v2 AS d_v2
+        FROM (SELECT * FROM defrows WHERE NOT is_hybrid) b
+        JOIN (SELECT * FROM defrows WHERE is_hybrid) h USING (split_idx)),
       ovl AS (
-        (WITH RECURSIVE ${Signals.sql(DefCombo.mode, DefCombo.confirmBars)}
-         SELECT round(CASE WHEN count(CASE WHEN s.entry_signal THEN 1 END)
-             > 0
-           THEN CAST(count(CASE WHEN s.entry_signal
-               AND NOT ${gateSql("block_veto")} THEN 1 END) AS DOUBLE)
-             / count(CASE WHEN s.entry_signal THEN 1 END)
-           ELSE 0.0 END, 9) AS veto_share
-         FROM signals s LEFT JOIN pol p
-           ON s.ticker = p.ticker AND s.bar_ts = p.bar_ts
-             AND s.bar_id = p.bar_id))
+        SELECT round(CASE WHEN count(CASE WHEN s.entry_signal THEN 1 END)
+            > 0
+          THEN CAST(count(CASE WHEN s.entry_signal
+              AND NOT ${gateSql("block_veto")} THEN 1 END) AS DOUBLE)
+            / count(CASE WHEN s.entry_signal THEN 1 END)
+          ELSE 0.0 END, 9) AS veto_share
+        FROM sigv_${variantIdx(DefCombo)} s LEFT JOIN pol p
+          ON s.ticker = p.ticker AND s.bar_ts = p.bar_ts
+            AND s.bar_id = p.bar_id)
       SELECT 'hmm' AS source, 'baseline_vs_hybrid' AS comparison,
              count(*) AS split_count,
              count(CASE WHEN d_exp > 0 THEN 1 END)
                AS hybrid_wins_expectancy,
              count(CASE WHEN d_pf > 0 THEN 1 END) AS hybrid_wins_pf,
-             CAST(0 AS BIGINT) AS hybrid_wins_robustness_v2,
+             count(CASE WHEN d_v2 > 0 THEN 1 END)
+               AS hybrid_wins_robustness_v2,
              count(CASE WHEN d_cv < 0 THEN 1 END) AS hybrid_wins_ret_cv,
              round(avg(d_exp), 9) AS avg_delta_expectancy,
              round(avg(d_pf), 6) AS avg_delta_pf,
@@ -533,48 +617,29 @@ object HybridQueries extends QueryModule {
                  AS DOUBLE) / greatest(count(*), 1))
                + 0.20 * (CAST(count(CASE WHEN d_pf > 0 THEN 1 END)
                  AS DOUBLE) / greatest(count(*), 1))
-               + 0.30 * 0.0
+               + 0.30 * (CAST(count(CASE WHEN d_v2 > 0 THEN 1 END)
+                 AS DOUBLE) / greatest(count(*), 1))
                + 0.20 * (CAST(count(CASE WHEN d_cv < 0 THEN 1 END)
                  AS DOUBLE) / greatest(count(*), 1))), 100.0), 0.0), 6)
                AS wf_consistency_score
       FROM j"""
     }) { (s, dir) =>
-      val sigBase = Stage.slimSignals(s, dir)
-      val sigVeto = Stage.cached(s, dir, "hyb_veto_signals_slim") {
-        gatedSignals(s, dir, "block_veto", DefCombo)
-          .select("ticker", "bar_ts", "bar_id", "open", "high", "low",
-            "close", "flow_state_code", "entry_signal", "signal_side")
-      }
-      val bounds = sigBase.agg(min("bar_ts"), max("bar_ts")).head
-      val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
-      def splitMetrics(sig: DataFrame, hybrid: Boolean): DataFrame =
-        ss.zipWithIndex.map { case (sp, i) =>
-          val tr = Engine.simulate(
-            sig.filter(col("bar_ts") > sp.testStartTs
-              && col("bar_ts") <= sp.testEndTs), DefCfg).toDF()
-          tr.agg(count(lit(1)).as("n_trades"),
-              round(avg("net_ret"), 9).as("expectancy"),
-              round(Cols.safeDiv(
-                sum(when(col("net_ret") > 0, col("net_ret"))),
-                abs(sum(when(!(col("net_ret") > 0), col("net_ret"))))), 6)
-                .as("profit_factor"),
-              round(Cols.safeDiv(stddev_pop(col("net_ret")),
-                abs(avg(col("net_ret")))), 6).as("ret_cv"))
-            .withColumn("split_idx", lit(i))
-            .withColumn("is_hybrid", lit(hybrid))
-        }.reduce(_.unionByName(_))
-      val sm = splitMetrics(sigBase, hybrid = false)
-        .unionByName(splitMetrics(sigVeto, hybrid = true))
-      val b = sm.filter(!col("is_hybrid"))
+      val cs = BacktestQueries2.scoreCombos(wfMetrics(s, dir),
+        Seq("split_idx", "is_hybrid"))
+      val defrows = cs.filter(col("combo_idx") === DefIdx)
+      val b = defrows.filter(!col("is_hybrid"))
         .select(col("split_idx"), col("expectancy").as("b_exp"),
-          col("profit_factor").as("b_pf"), col("ret_cv").as("b_cv"))
-      val h = sm.filter(col("is_hybrid"))
+          col("profit_factor").as("b_pf"), col("ret_cv").as("b_cv"),
+          col("robustness_score_v2").as("b_v2"))
+      val h = defrows.filter(col("is_hybrid"))
         .select(col("split_idx"), col("expectancy").as("h_exp"),
-          col("profit_factor").as("h_pf"), col("ret_cv").as("h_cv"))
+          col("profit_factor").as("h_pf"), col("ret_cv").as("h_cv"),
+          col("robustness_score_v2").as("h_v2"))
       val j = b.join(h, "split_idx")
         .select((col("h_exp") - col("b_exp")).as("d_exp"),
           (col("h_pf") - col("b_pf")).as("d_pf"),
-          (col("h_cv") - col("b_cv")).as("d_cv"))
+          (col("h_cv") - col("b_cv")).as("d_cv"),
+          (col("h_v2") - col("b_v2")).as("d_v2"))
       val veto = ovlStats(s, dir).select(
         col("veto_share_veto").as("hyb_veto"))
       def winShare(c: Column) =
@@ -583,6 +648,7 @@ object HybridQueries extends QueryModule {
           count(lit(1)).as("split_count"),
           Cols.countIf(col("d_exp") > 0).as("hybrid_wins_expectancy"),
           Cols.countIf(col("d_pf") > 0).as("hybrid_wins_pf"),
+          Cols.countIf(col("d_v2") > 0).as("hybrid_wins_robustness_v2"),
           Cols.countIf(col("d_cv") < 0).as("hybrid_wins_ret_cv"),
           round(avg("d_exp"), 9).as("avg_delta_expectancy"),
           round(avg("d_pf"), 6).as("avg_delta_pf"),
@@ -590,7 +656,7 @@ object HybridQueries extends QueryModule {
           round(greatest(least(lit(100.0)
             * (lit(0.30) * winShare(Cols.countIf(col("d_exp") > 0))
               + lit(0.20) * winShare(Cols.countIf(col("d_pf") > 0))
-              + lit(0.30) * lit(0.0)
+              + lit(0.30) * winShare(Cols.countIf(col("d_v2") > 0))
               + lit(0.20) * winShare(Cols.countIf(col("d_cv") < 0))),
             lit(100.0)), lit(0.0)), 6).as("wf_consistency_score"))
         .crossJoin(broadcast(veto))
@@ -598,7 +664,7 @@ object HybridQueries extends QueryModule {
           lit("baseline_vs_hybrid").as("comparison"),
           col("split_count"),
           col("hybrid_wins_expectancy"), col("hybrid_wins_pf"),
-          lit(0L).as("hybrid_wins_robustness_v2"),
+          col("hybrid_wins_robustness_v2"),
           col("hybrid_wins_ret_cv"),
           col("avg_delta_expectancy"), col("avg_delta_pf"),
           col("avg_delta_ret_cv"),

@@ -52,7 +52,8 @@ object Warmup {
     // concurrently)
     phase(Seq(
       () => BacktestQueries2.comboScored(spark, dir).count(),
-      () => CalibrationQueries.calGrid(spark, dir).count())
+      () => CalibrationQueries.calGrid(spark, dir).count(),
+      () => HybridQueries.wfMetrics(spark, dir).count())
       ++ HybridQueries.Runs.map(r =>
         () => HybridQueries.runScored(spark, dir, r).count()))
   }
