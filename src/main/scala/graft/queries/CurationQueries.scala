@@ -396,6 +396,46 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Mergeable quantile sketch per language — percentile_approx is the
+    // 100-TB quantile path (Greenwald-Khanna summaries merge
+    // associatively across partitions; the exact `percentile` used by
+    // the stats dashboard needs a per-group sort). At accuracy 10^6 the
+    // rank error n/accuracy is < 1 for any group below a million rows,
+    // so the sketch answer IS the exact inverse-empirical-CDF value at
+    // 1-indexed rank ceil(p*n) — which the oracle computes directly
+    // (verified element-identical; at larger n the guarantee degrades
+    // gracefully to +-n/10^6 ranks).
+    Q("q_t_len_quantiles", Some("""
+      WITH r AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang, max(n) AS n_docs,
+             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+               THEN n_chars END) AS q25,
+             max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+               THEN n_chars END) AS q50,
+             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+               THEN n_chars END) AS q75,
+             max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+               THEN n_chars END) AS q90
+      FROM r GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          percentile_approx(col("n_chars"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)),
+            lit(1000000)).as("qs"))
+        .select(col("lang"), col("n_docs"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"),
+          element_at(col("qs"), 4).as("q90"))
+        .orderBy("lang")
+    },
+
     // Temperature-flattened language mixing (XLM-R/mT5 style): sampling
     // shares q_l ∝ p_l^α with α = 0.5 — sqrt is exactly rounded in IEEE
     // 754 on both engines, and the cross-language normalizer sums through

@@ -173,20 +173,32 @@ object HybridQueries extends QueryModule {
       val bounds = BacktestQueries2.gramSlim(s, dir)
         .agg(min("bar_ts"), max("bar_ts")).head
       val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
-      (for {
-        hybrid <- Seq(false, true)
-        (sp, i) <- ss.zipWithIndex
-        (c, ci) <- BacktestQueries2.GridCombos.zipWithIndex
-      } yield {
-        val sig = wfSig(s, dir, hybrid, c.mode, c.confirmBars)
-        val tr = Engine.simulate(
-          sig.filter(col("bar_ts") > sp.testStartTs
-            && col("bar_ts") <= sp.testEndTs),
-          Engine.Config(c.holdBars, c.feeBps)).toDF()
-        BacktestQueries2.comboMetricsRow(tr, c, ci)
-          .withColumn("split_idx", lit(i))
-          .withColumn("is_hybrid", lit(hybrid))
-      }).reduce(_.unionByName(_))
+      // comboMetricsRow runs the drawdown prefix scan EAGERLY at
+      // construction (globalCumSumMax's pass-1 jobs) — build the 64
+      // cells concurrently or that's 128 serialized driver-blocking
+      // jobs before the union even exists
+      val cells = locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec = graft.ops.Pools.jobs
+        Await.result(Future.traverse(for {
+          hybrid <- Seq(false, true)
+          (sp, i) <- ss.zipWithIndex
+          (c, ci) <- BacktestQueries2.GridCombos.zipWithIndex
+        } yield (hybrid, sp, i, c, ci)) { case (hybrid, sp, i, c, ci) =>
+          Future {
+            val sig = wfSig(s, dir, hybrid, c.mode, c.confirmBars)
+            val tr = Engine.simulate(
+              sig.filter(col("bar_ts") > sp.testStartTs
+                && col("bar_ts") <= sp.testEndTs),
+              Engine.Config(c.holdBars, c.feeBps)).toDF()
+            BacktestQueries2.comboMetricsRow(tr, c, ci)
+              .withColumn("split_idx", lit(i))
+              .withColumn("is_hybrid", lit(hybrid))
+          }
+        }, Duration.Inf)
+      }
+      cells.reduce(_.unionByName(_))
     }
 
   /** Run-level overlay diagnostics over the default combo's signal

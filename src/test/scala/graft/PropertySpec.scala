@@ -90,6 +90,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct stays inside its rsd bound vs exact " +
+      "counts at two corpus sizes") {
+    // HLL++ is the 100-TB cardinality path (constant memory, mergeable
+    // across partitions — countDistinct is a full shuffle of the
+    // distinct values). The estimate must honor its accuracy contract
+    // on real corpus columns: allow 3x the requested rsd.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val tok = docs.select(explode(split(col("text"), " ")).as("t"))
+      val exactDocs = docs.agg(countDistinct("n_chars")).head.getLong(0)
+      val exactTok = tok.agg(countDistinct("t")).head.getLong(0)
+      val rsd = 0.05
+      val approxDocs = docs.agg(
+        approx_count_distinct(col("n_chars"), rsd)).head.getLong(0)
+      val approxTok = tok.agg(
+        approx_count_distinct(col("t"), rsd)).head.getLong(0)
+      def relErr(a: Long, e: Long) = math.abs(a - e).toDouble / e
+      assert(relErr(approxDocs, exactDocs) <= 3 * rsd,
+        s"$sf n_chars: approx $approxDocs vs exact $exactDocs")
+      assert(relErr(approxTok, exactTok) <= 3 * rsd,
+        s"$sf tokens: approx $approxTok vs exact $exactTok")
+    }
+  }
+
   test("SQL wilder_ema registered via GraftExtensions matches Column API") {
     val s = spark
     graft.functions.GraftExtensions.register(s)
