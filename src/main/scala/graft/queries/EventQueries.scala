@@ -229,6 +229,74 @@ object EventQueries extends QueryModule {
         .orderBy("stage")
     },
 
+    // As-of join (graft.ops.TimeJoins.asofJoin): every event picks up
+    // the user's most recent purchase at-or-before it. Spark has no
+    // ASOF operator — the scalable union+window shape runs it as ONE
+    // hash exchange with NO join node (plan-audited); DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    Q("q_ev_asof", Some("""
+      WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS eus, event_type, value
+        FROM events),
+      pur AS (
+        SELECT user_id, eus AS p_eus, value AS p_value
+        FROM base WHERE event_type = 'purchase')
+      SELECT b.user_id, b.event_id, b.eus, b.event_type,
+             p.p_eus, p.p_value,
+             (b.eus - p.p_eus) / 1000000.0 AS staleness_sec
+      FROM base b ASOF LEFT JOIN pur p
+        ON b.user_id = p.user_id AND b.eus >= p.p_eus
+      ORDER BY b.user_id, b.event_id""")) { (s, dir) =>
+      val base = evBase(s, dir)
+      val pur = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("eus").as("p_eus"),
+          col("value").as("p_value"))
+      graft.ops.TimeJoins.asofJoin(
+          base.select("user_id", "event_id", "eus", "event_type"),
+          pur, Seq("user_id"), "eus", "p_eus", Seq("p_value"))
+        .select(col("user_id"), col("event_id"), col("eus"),
+          col("event_type"), col("p_eus"), col("p_value"),
+          ((col("eus") - col("p_eus")) / 1000000.0).as("staleness_sec"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Range join (graft.ops.TimeJoins.rangeJoin): purchases landing
+    // inside the 12 h window after a signup by the same user. The
+    // BETWEEN predicate would plan as a nested loop; binning (1 h bins)
+    // restores a (user, bin) equi-join that finds each pair exactly
+    // once — points map to one bin (plan-audited: no BNLJ/cartesian).
+    Q("q_ev_range_join", Some("""
+      WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS eus, event_type, value
+        FROM events),
+      sgn AS (
+        SELECT user_id, event_id AS signup_id, eus AS lo,
+               eus + 43200000000 AS hi
+        FROM base WHERE event_type = 'signup'),
+      pur AS (
+        SELECT user_id, event_id AS purchase_id, eus AS p_eus, value
+        FROM base WHERE event_type = 'purchase')
+      SELECT p.user_id, s.signup_id, p.purchase_id,
+             (p.p_eus - s.lo) / 1000000.0 AS lag_sec,
+             round(CAST(p.value AS DECIMAL(18,2)), 2) AS value
+      FROM pur p JOIN sgn s
+        ON p.user_id = s.user_id AND p.p_eus BETWEEN s.lo AND s.hi
+      ORDER BY p.user_id, s.signup_id, p.purchase_id""")) { (s, dir) =>
+      val base = evBase(s, dir)
+      val sgn = base.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("eus").as("lo"), (col("eus") + 43200000000L).as("hi"))
+      val pur = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("eus").as("p_eus"), col("value"))
+      graft.ops.TimeJoins.rangeJoin(pur, sgn, Seq("user_id"),
+          "p_eus", "lo", "hi", binWidth = 3600000000L)
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          ((col("p_eus") - col("lo")) / 1000000.0).as("lag_sec"),
+          round(col("value").cast("decimal(18,2)"), 2).as("value"))
+        .orderBy("user_id", "signup_id", "purchase_id")
+    },
+
     // Cohort retention: cohort = day of the user's first event; count
     // distinct active users per (cohort, day offset) and normalize by
     // the cohort's size. Per-user window + distinct ride one exchange;

@@ -163,6 +163,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_ev_asof has NO join node; q_ev_range_join stays an equi-join") {
+    // the as-of join is the union+window shape — one hash exchange,
+    // zero join operators (a Join in this plan means the non-equi
+    // nested-loop formulation crept back in)
+    val asof = planOf("q_ev_asof")
+    assert(!asof.contains("Join"), "as-of join planned a join node")
+    val n = "Exchange hashpartitioning".r.findAllIn(asof).length
+    assert(n == 1, s"q_ev_asof: expected 1 hash exchange, got $n")
+    // the binned range join must plan as a shuffled/broadcast EQUI-join
+    // on (key, bin) — BETWEEN alone would nested-loop
+    val rj = planOf("q_ev_range_join")
+    assert(!rj.contains("CartesianProduct"), "range join cartesian")
+    assert(!rj.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to a nested loop")
+  }
+
   test("q_exec_calibration: grid joins by broadcast, one pass over bars") {
     // the 280-combo sweep must be the broadcast-grid shape (one pass,
     // map-side partial agg), never a shuffled cartesian of bars × grid
