@@ -204,6 +204,44 @@ object IngestQueries extends QueryModule {
           round(countIf(col("quality_error_count") === 0).cast("double")
             / count(lit(1)), 9).as("valid_rate"))
         .orderBy("ticker", "yr")
+    },
+
+    // Small-files compaction planner: assign each file to a merge group
+    // by the bin its global starting byte offset falls in (the
+    // Iceberg/Delta bin-pack shape). The offset is a GLOBAL prefix sum
+    // over a manifest that at 100 TB has millions of rows — computed
+    // with the distributed two-pass Wins.globalCumSum, never a
+    // single-task window (plan-audited). Fixture manifest: one "file"
+    // per document, bytes = n_chars, 4 KiB target groups.
+    Q("q_compact_plan", Some("""
+      WITH f AS (
+        SELECT printf('f%06d.parquet', doc_id) AS path, n_chars AS bytes
+        FROM documents),
+      c AS (
+        SELECT *, sum(bytes) OVER (ORDER BY path
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM f),
+      g AS (
+        SELECT path, bytes,
+               CAST((cum - bytes) // 4096 AS BIGINT) AS group_id
+        FROM c)
+      SELECT path, bytes, group_id,
+             count(*) OVER (PARTITION BY group_id) AS grp_files,
+             CAST(sum(bytes) OVER (PARTITION BY group_id) AS BIGINT)
+               AS grp_bytes
+      FROM g ORDER BY path""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val target = 4096L
+      val f = t(s, dir, "documents").select(
+        format_string("f%06d.parquet", col("doc_id")).as("path"),
+        col("n_chars").as("bytes"))
+      val wG = Window.partitionBy("group_id")
+      graft.ops.Wins.globalCumSum(f, Seq(col("path")), col("bytes"), "cum")
+        .select(col("path"), col("bytes"),
+          floor((col("cum") - col("bytes")) / target).as("group_id"))
+        .withColumn("grp_files", count(lit(1)).over(wG))
+        .withColumn("grp_bytes", sum("bytes").over(wG).cast("long"))
+        .orderBy("path")
     }
   )
 }

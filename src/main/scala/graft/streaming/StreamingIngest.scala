@@ -37,6 +37,15 @@ object StreamingIngest {
         col("window.end").as("win_end"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Stream-static enrichment: broadcast-join each micro-batch against a
+    * slowly-changing dimension frame (the streaming J3). The static side
+    * is re-planned per micro-batch, so at cluster scale a refreshed dim
+    * snapshot is picked up without restarting the query; broadcasting
+    * keeps the stream side shuffle-free. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Run a streaming query to completion over the currently-available
     * input (AvailableNow) into an in-memory table; returns the result.
     * This is the batch-parity harness used by the spec. */

@@ -121,7 +121,8 @@ class PlanAuditSpec extends SparkSpec {
     // as BroadcastNestedLoopJoin — only CartesianProduct is a bug)
     val unpartitioned = raw"windowspecdefinition\([^,)]*(?: ASC | DESC )".r
     for (q <- Seq("q_t_decontaminate", "q_t_span_dup", "q_t_bigram_lp",
-        "q_t_sample_strat", "q_e_semantic_dedup", "q_t_mix_temperature")) {
+        "q_t_sample_strat", "q_e_semantic_dedup", "q_t_mix_temperature",
+        "q_compact_plan")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
       assert(unpartitioned.findFirstIn(p).isEmpty,

@@ -221,6 +221,31 @@ class StreamingSpec extends SparkSpec {
       s"unfinalized session emitted: $out")
   }
 
+  test("stream-static enrichment joins each micro-batch against the " +
+      "dimension without shuffling the stream") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        spark.sqlContext)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = StreamingIngest.enrich(
+      mem.toDF.toDF("user_id", "value"), dim, Seq("user_id"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_stream_test").start()
+    mem.addData((1L, 10.0), (3L, 30.0))
+    q.processAllAvailable()
+    mem.addData((2L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_stream_test")
+      .select("user_id", "value", "tier")
+      .as[(Long, Double, Option[String])].collect().toSet
+    // left semantics: unmatched keys survive with a null tier
+    assert(rows == Set((1L, 10.0, Some("gold")), (3L, 30.0, None),
+      (2L, 20.0, Some("silver"))))
+  }
+
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
     // nanos ts → batch-read the schema, convert to a typed ts column
