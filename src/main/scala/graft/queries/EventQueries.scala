@@ -182,11 +182,17 @@ object EventQueries extends QueryModule {
              CASE v.stage WHEN 0 THEN r0 WHEN 1 THEN r1 WHEN 2 THEN r2
                ELSE r3 END AS n_reached,
              CASE v.stage WHEN 0 THEN NULL
-               WHEN 1 THEN round(CAST(r1 AS DOUBLE) / r0, 9)
-               WHEN 2 THEN round(CAST(r2 AS DOUBLE) / r1, 9)
-               ELSE round(CAST(r3 AS DOUBLE) / r2, 9) END AS conv_from_prev,
-             round(CAST(CASE v.stage WHEN 0 THEN r0 WHEN 1 THEN r1
-               WHEN 2 THEN r2 ELSE r3 END AS DOUBLE) / r0, 9) AS conv_overall
+               WHEN 1 THEN CASE WHEN r0 > 0
+                 THEN round(CAST(r1 AS DOUBLE) / r0, 9) END
+               WHEN 2 THEN CASE WHEN r1 > 0
+                 THEN round(CAST(r2 AS DOUBLE) / r1, 9) END
+               ELSE CASE WHEN r2 > 0
+                 THEN round(CAST(r3 AS DOUBLE) / r2, 9) END
+               END AS conv_from_prev,
+             CASE WHEN r0 > 0
+               THEN round(CAST(CASE v.stage WHEN 0 THEN r0 WHEN 1 THEN r1
+                 WHEN 2 THEN r2 ELSE r3 END AS DOUBLE) / r0, 9)
+               END AS conv_overall
       FROM (VALUES (0, 'all'), (1, 'view'), (2, 'click'), (3, 'purchase'))
         AS v(stage, stage_name) CROSS JOIN agg
       ORDER BY v.stage""")) { (s, dir) =>
@@ -223,9 +229,11 @@ object EventQueries extends QueryModule {
         .select(col("stage"), col("stage_name"),
           reached.as("n_reached"),
           when(col("stage") === 0, lit(null).cast("double"))
-            .otherwise(round(reached.cast("double") / prev, 9))
+            .when(prev > 0, round(reached.cast("double") / prev, 9))
             .as("conv_from_prev"),
-          round(reached.cast("double") / col("r0"), 9).as("conv_overall"))
+          when(col("r0") > 0,
+            round(reached.cast("double") / col("r0"), 9))
+            .as("conv_overall"))
         .orderBy("stage")
     },
 

@@ -90,14 +90,7 @@ object HybridQueries extends QueryModule {
       // one sim, not the sum (same shape as the candidate rerun)
       val trades = BacktestQueries2.GridCombos
         .map(c => (c, gatedTrades(s, dir, c, run)))
-      locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec = graft.ops.Pools.jobs
-        Await.result(
-          Future.traverse(trades)(t => Future { t._2.count(); () }),
-          Duration.Inf)
-      }
+      graft.ops.Pools.awaitAll(trades.map(t => () => { t._2.count(); () }))
       BacktestQueries2.scoreCombos(trades.zipWithIndex.map {
         case ((c, tr), i) => BacktestQueries2.comboMetricsRow(tr, c, i)
       }.reduce(_.unionByName(_)))
@@ -142,10 +135,14 @@ object HybridQueries extends QueryModule {
   private[queries] val DefIdx = BacktestQueries2.GridCombos.indexOf(DefCombo)
 
   /** Cached slim signal frame for one (gate, variant) — the input every
-    * split sim of that variant filters from. */
+    * split sim of that variant filters from. The ungated default
+    * variant IS Stage.slimSignals (same chain, same 10-column select) —
+    * reuse that cache instead of checkpointing a duplicate. */
   private def wfSig(s: SparkSession, dir: String, hybrid: Boolean,
       mode: String, cb: Int): DataFrame =
-    Stage.cached(s, dir,
+    if (!hybrid && mode == DefCombo.mode && cb == DefCombo.confirmBars)
+      Stage.slimSignals(s, dir)
+    else Stage.cached(s, dir,
       s"hyb_wf_sig_${if (hybrid) "veto" else "base"}_${mode}_$cb") {
       val sig =
         if (hybrid) gatedSignals(s, dir, "block_veto",
@@ -160,16 +157,9 @@ object HybridQueries extends QueryModule {
     * the 64 quarter-window sims materialize as one concurrent job. */
   private[queries] def wfMetrics(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "hyb_wf_metrics") {
-      locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec = graft.ops.Pools.jobs
-        Await.result(Future.traverse(for {
-          h <- Seq(false, true); (m, cb) <- SigVariants
-        } yield (h, m, cb)) { case (h, m, cb) =>
-          Future { wfSig(s, dir, h, m, cb).count(); () }
-        }, Duration.Inf)
-      }
+      graft.ops.Pools.awaitAll(for {
+        h <- Seq(false, true); (m, cb) <- SigVariants
+      } yield () => { wfSig(s, dir, h, m, cb).count(); () })
       val bounds = BacktestQueries2.gramSlim(s, dir)
         .agg(min("bar_ts"), max("bar_ts")).head
       val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
@@ -177,27 +167,20 @@ object HybridQueries extends QueryModule {
       // construction (globalCumSumMax's pass-1 jobs) — build the 64
       // cells concurrently or that's 128 serialized driver-blocking
       // jobs before the union even exists
-      val cells = locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec = graft.ops.Pools.jobs
-        Await.result(Future.traverse(for {
-          hybrid <- Seq(false, true)
-          (sp, i) <- ss.zipWithIndex
-          (c, ci) <- BacktestQueries2.GridCombos.zipWithIndex
-        } yield (hybrid, sp, i, c, ci)) { case (hybrid, sp, i, c, ci) =>
-          Future {
-            val sig = wfSig(s, dir, hybrid, c.mode, c.confirmBars)
-            val tr = Engine.simulate(
-              sig.filter(col("bar_ts") > sp.testStartTs
-                && col("bar_ts") <= sp.testEndTs),
-              Engine.Config(c.holdBars, c.feeBps)).toDF()
-            BacktestQueries2.comboMetricsRow(tr, c, ci)
-              .withColumn("split_idx", lit(i))
-              .withColumn("is_hybrid", lit(hybrid))
-          }
-        }, Duration.Inf)
-      }
+      val cells = graft.ops.Pools.awaitAll(for {
+        hybrid <- Seq(false, true)
+        (sp, i) <- ss.zipWithIndex
+        (c, ci) <- BacktestQueries2.GridCombos.zipWithIndex
+      } yield () => {
+        val sig = wfSig(s, dir, hybrid, c.mode, c.confirmBars)
+        val tr = Engine.simulate(
+          sig.filter(col("bar_ts") > sp.testStartTs
+            && col("bar_ts") <= sp.testEndTs),
+          Engine.Config(c.holdBars, c.feeBps)).toDF()
+        BacktestQueries2.comboMetricsRow(tr, c, ci)
+          .withColumn("split_idx", lit(i))
+          .withColumn("is_hybrid", lit(hybrid))
+      })
       cells.reduce(_.unionByName(_))
     }
 

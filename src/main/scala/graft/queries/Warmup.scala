@@ -1,8 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
 
 /** Concurrent materialization of the shared Stage caches.
   *
@@ -23,10 +21,8 @@ object Warmup {
     * memoizes. */
   def prewarm(spark: SparkSession, dir: String): Unit = {
     graft.SparkEntry.tune(spark)
-    implicit val ec: ExecutionContext = graft.ops.Pools.jobs
     def phase(builds: Seq[() => Any]): Unit =
-      Await.result(
-        Future.traverse(builds)(b => Future { b(); () }), Duration.Inf)
+      graft.ops.Pools.awaitAll(builds)
 
     // phase 1: chain roots (one hash exchange each, disjoint inputs)
     phase(Seq(
