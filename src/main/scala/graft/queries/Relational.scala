@@ -517,6 +517,89 @@ object Relational extends QueryModule {
           round(percent_rank().over(Window.orderBy("total")), 9))
         .withColumn("n_rank", dense_rank().over(Window.orderBy(col("n").desc)))
         .orderBy("o_orderpriority")
+    },
+
+    // Pairwise Pearson correlation matrix per group, with every moment
+    // accumulated EXACTLY: the inputs are 2-decimal parquet values, so
+    // round(x*100) is an exact integer, products fit comfortably in
+    // int64, and the sums run through HUGEINT/DECIMAL(38,0) — the
+    // money-sum convention extended to second moments, partition-order
+    // independent. Pearson is scale-invariant, so the x100 scaling
+    // cancels. Only the final corr arithmetic runs in doubles
+    // (identical exact inputs → identical IEEE result on both engines).
+    // Spark's built-in corr() would accumulate doubles in partition
+    // order — unstable under re-layout.
+    Q("q_corr_matrix", Some("""
+      WITH d AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS c
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(q) AS DECIMAL(38,0)) AS sq,
+               CAST(sum(p) AS DECIMAL(38,0)) AS sp,
+               CAST(sum(c) AS DECIMAL(38,0)) AS sc,
+               CAST(sum(q*q) AS DECIMAL(38,0)) AS sqq,
+               CAST(sum(p*p) AS DECIMAL(38,0)) AS spp,
+               CAST(sum(c*c) AS DECIMAL(38,0)) AS scc,
+               CAST(sum(q*p) AS DECIMAL(38,0)) AS sqp,
+               CAST(sum(q*c) AS DECIMAL(38,0)) AS sqc,
+               CAST(sum(p*c) AS DECIMAL(38,0)) AS spc
+        FROM d GROUP BY 1)
+      SELECT l_returnflag, n,
+             round((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)
+                 * CAST(sp AS DOUBLE))
+               / sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+                   * CAST(sq AS DOUBLE))
+                 * (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)
+                   * CAST(sp AS DOUBLE))), 9) AS corr_qty_price,
+             round((n * CAST(sqc AS DOUBLE) - CAST(sq AS DOUBLE)
+                 * CAST(sc AS DOUBLE))
+               / sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+                   * CAST(sq AS DOUBLE))
+                 * (n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+                   * CAST(sc AS DOUBLE))), 9) AS corr_qty_disc,
+             round((n * CAST(spc AS DOUBLE) - CAST(sp AS DOUBLE)
+                 * CAST(sc AS DOUBLE))
+               / sqrt((n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)
+                   * CAST(sp AS DOUBLE))
+                 * (n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+                   * CAST(sc AS DOUBLE))), 9) AS corr_price_disc
+      FROM m ORDER BY l_returnflag""")) { (s, dir) =>
+      val q = round(col("l_quantity") * 100, 0).cast("long")
+      val p = round(col("l_extendedprice") * 100, 0).cast("long")
+      val c = round(col("l_discount") * 100, 0).cast("long")
+      // products fit in long (≤ ~1e14); sums go through DECIMAL(38,0)
+      // BEFORE aggregation — a long sum would overflow silently at scale
+      def sd(x: org.apache.spark.sql.Column) =
+        sum(x.cast("decimal(38,0)"))
+      val m = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), q.as("q"), p.as("p"), c.as("c"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sd(col("q")).as("sq"), sd(col("p")).as("sp"),
+          sd(col("c")).as("sc"),
+          sd(col("q") * col("q")).as("sqq"),
+          sd(col("p") * col("p")).as("spp"),
+          sd(col("c") * col("c")).as("scc"),
+          sd(col("q") * col("p")).as("sqp"),
+          sd(col("q") * col("c")).as("sqc"),
+          sd(col("p") * col("c")).as("spc"))
+      def cor(sxy: String, sx: String, sy: String, sxx: String,
+          syy: String) = round(
+        (col("n") * col(sxy).cast("double")
+          - col(sx).cast("double") * col(sy).cast("double"))
+        / sqrt((col("n") * col(sxx).cast("double")
+            - col(sx).cast("double") * col(sx).cast("double"))
+          * (col("n") * col(syy).cast("double")
+            - col(sy).cast("double") * col(sy).cast("double"))), 9)
+      m.select(col("l_returnflag"), col("n"),
+          cor("sqp", "sq", "sp", "sqq", "spp").as("corr_qty_price"),
+          cor("sqc", "sq", "sc", "sqq", "scc").as("corr_qty_disc"),
+          cor("spc", "sp", "sc", "spp", "scc").as("corr_price_disc"))
+        .orderBy("l_returnflag")
     }
   )
 }
