@@ -396,6 +396,35 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Weighted (PPS) sampling: include each doc with probability
+    // k·w/W, w = token mass — the corpus-curation sampler that keeps
+    // expected TOKEN coverage at k/|corpus| regardless of document
+    // length skew. One broadcast total + a map-only inclusion test;
+    // nothing global, no sort, no top-k — the truly scale-free shape
+    // (Efraimidis-Spirakis top-k needs a global heap). The uniform is
+    // the portable multiplicative hash (q_det_sample convention) and
+    // the test uses only exact-int ops and IEEE mult/div — both engines
+    // agree bit-for-bit, no transcendentals involved.
+    Q("q_t_sample_weighted", Some("""
+      WITH w AS (SELECT sum(n_chars) AS tot FROM documents)
+      SELECT doc_id, n_chars,
+             round(100.0 * n_chars / tot, 9) AS p_inc
+      FROM documents, w
+      WHERE CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE)
+            / 1000000007 < 100.0 * n_chars / tot
+      ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tot = docs.agg(sum("n_chars").as("tot"))
+      val u = ((col("doc_id") * 2654435761L) % 1000000007L)
+        .cast("double") / 1000000007L
+      val p = lit(100.0) * col("n_chars") / col("tot")
+      docs.crossJoin(broadcast(tot))
+        .filter(u < p)
+        .select(col("doc_id"), col("n_chars"),
+          round(p, 9).as("p_inc"))
+        .orderBy("doc_id")
+    },
+
     // Mergeable quantile sketch per language — percentile_approx is the
     // 100-TB quantile path (Greenwald-Khanna summaries merge
     // associatively across partitions; the exact `percentile` used by
