@@ -236,6 +236,48 @@ object MlQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // The deterministic half of the HDBSCAN fit, distributed and
+    // oracle-checked: core distance = distance to the min_samples-th
+    // nearest neighbor, SELF INCLUDED (Hdbscan.scala step 1, min_samples
+    // = min_cluster_size = 8). Quadratic by nature — bounded by the same
+    // fit cap (contiguous ids make the orderBy+limit cap ≡ vec_id <
+    // cap), with the self-join broadcast because the capped side is
+    // small. round(6) like the cosine oracles (absorbs sum-association
+    // order across engines).
+    Q("q_hdbscan_core", Some(s"""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < ${MlQueries.HdbscanFitCap}),
+      d AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               sqrt(sum((a.x - b.x) * (a.x - b.x))) AS dist
+        FROM ex a JOIN ex b ON a.i = b.i GROUP BY 1, 2),
+      r AS (
+        SELECT ia, dist, row_number() OVER (PARTITION BY ia
+          ORDER BY dist, ib) AS rn
+        FROM d)
+      SELECT ia AS vec_id, round(dist, 6) AS core_dist
+      FROM r WHERE rn = 8 ORDER BY vec_id""")) { (s, dir) =>
+      import graft.functions.VecOps
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < MlQueries.HdbscanFitCap)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val pairs = e.select(col("vec_id").as("ia"), col("v").as("va"))
+        .join(broadcast(
+          e.select(col("vec_id").as("ib"), col("v").as("vb"))))
+        .select(col("ia"), col("ib"),
+          sqrt(graft.functions.VecOps.sqDist(col("va"), col("vb"))).as("dist"))
+      val w = Window.partitionBy("ia").orderBy("dist", "ib")
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 8)
+        .select(col("ia").as("vec_id"), round(col("dist"), 6)
+          .as("core_dist"))
+        .orderBy("vec_id")
+    },
+
     Q("q_cluster_metrics", None) { (s, dir) =>
       val spark = s
       import spark.implicits._
