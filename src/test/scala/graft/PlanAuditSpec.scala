@@ -180,6 +180,22 @@ class PlanAuditSpec extends SparkSpec {
       "range join degenerated to a nested loop")
   }
 
+  test("sketch/sampler/corr queries keep single-aggregation shapes") {
+    // PPS sampling: broadcast total + map-only inclusion test — no hash
+    // exchange anywhere (only the broadcast and the final sort)
+    val ws = planOf("q_t_sample_weighted")
+    assert(!ws.contains("Exchange hashpartitioning"),
+      "weighted sampler picked up a hash exchange")
+    assert(ws.contains("BroadcastExchange"), "total not broadcast")
+    // quantile sketch and corr matrix: one grouped aggregation each —
+    // a single hash exchange carrying per-group sketches/moments
+    for (q <- Seq("q_t_len_quantiles", "q_corr_matrix")) {
+      val p = planOf(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 1, s"$q: expected 1 hash exchange, got $n")
+    }
+  }
+
   test("q_exec_calibration: grid joins by broadcast, one pass over bars") {
     // the 280-combo sweep must be the broadcast-grid shape (one pass,
     // map-side partial agg), never a shuffled cartesian of bars × grid
