@@ -41,6 +41,23 @@ def main():
                       f"duck={sorted(dcols)}")
                 n_fail += 1
                 continue
+            # Type parity: the driver's value hash is representation-
+            # sensitive beyond plain int width (HUGEINT and decimal
+            # width/scale mismatches flipped r4's gate despite equal
+            # values under EXCEPT ALL). Allow int-width diffs only.
+            INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+            stypes = dict((r[0], r[1]) for r in con.execute(
+                "DESCRIBE spark_out").fetchall())
+            dtypes = dict((r[0], r[1]) for r in con.execute(
+                "DESCRIBE duck_out").fetchall())
+            tdiff = [(c, stypes[c], dtypes[c]) for c in sorted(stypes)
+                     if stypes[c] != dtypes[c]
+                     and not (stypes[c] in INTS and dtypes[c] in INTS)]
+            if tdiff:
+                print(f"TYPES    {name}: " + "; ".join(
+                    f"{c} spark={s} duck={d}" for c, s, d in tdiff))
+                n_fail += 1
+                continue
             n_s = con.execute("SELECT count(*) FROM spark_out").fetchone()[0]
             n_d = con.execute("SELECT count(*) FROM duck_out").fetchone()[0]
             d1 = con.execute(

@@ -34,10 +34,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness capturing this output keeps only the last ~2000 chars;
+    // the full line above (~4k chars for 130+ queries) loses its head —
+    // and with it the total — in that window. Repeat the headline as a
+    // compact final line (total + slowest queries) that always fits.
+    val top = results.toSeq.sortBy(-_._2).take(40)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - 1},"queries":$top,"sf":"$sfDir"}""")
     graft.queries.Stage.clear()
     spark.stop()
   }

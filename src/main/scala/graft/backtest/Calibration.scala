@@ -329,9 +329,11 @@ object Calibration {
       cal_grid_metrics AS (
         SELECT combo_id, min_price, min_dollar_vol20, max_vol_pct_input,
                CAST(min_history_bars AS BIGINT) AS min_history_bars,
-               sum(cand_before) AS candidate_signals_before,
-               sum(cand_after) AS candidate_signals_after,
-               sum(cand_before) - sum(cand_after)
+               CAST(sum(cand_before) AS BIGINT)
+                 AS candidate_signals_before,
+               CAST(sum(cand_after) AS BIGINT)
+                 AS candidate_signals_after,
+               CAST(sum(cand_before) - sum(cand_after) AS BIGINT)
                  AS suppressed_signal_count,
                round(CAST(sum(rows_eligible) AS DOUBLE)
                  / sum(rows_total), 9) AS eligibility_rate,

@@ -125,14 +125,16 @@ object GoldFeatures {
                     WHEN r.tti IS NOT NULL THEN 0 END AS tti_sign,
                r.tmf_21 - lag(r.tmf_21) OVER (PARTITION BY g.ticker
                  ORDER BY g.bar_ts, g.bar_id) AS slope_1,
-               ${bi("g.ev_tmf_zero_up = true")} * $WZero
+               CAST(${bi("g.ev_tmf_zero_up = true")} * $WZero
                  + ${bi("g.ev_tmf_respect_zero_up = true")} * $WRespect
                  + ${bi("g.ev_tmf_burst_up = true")} * $WBurst
-                 + ${bi("g.ev_tmf_hold_pos = true")} * $WHold AS ls,
-               ${bi("g.ev_tmf_zero_down = true")} * $WZero
+                 + ${bi("g.ev_tmf_hold_pos = true")} * $WHold
+                 AS DOUBLE) AS ls,
+               CAST(${bi("g.ev_tmf_zero_down = true")} * $WZero
                  + ${bi("g.ev_tmf_respect_zero_down = true")} * $WRespect
                  + ${bi("g.ev_tmf_burst_down = true")} * $WBurst
-                 + ${bi("g.ev_tmf_hold_neg = true")} * $WHold AS ss
+                 + ${bi("g.ev_tmf_hold_neg = true")} * $WHold
+                 AS DOUBLE) AS ss
         FROM grammar g JOIN rec5 r USING (ticker, bar_ts, bar_id)),
       gg2 AS (
         SELECT *,

@@ -71,16 +71,32 @@ object TimeJoins {
   /** Interval containment join: every (point, interval) pair of the same
     * key with `loCol <= pointCol <= hiCol` (inclusive both ends), found
     * via the bin equi-join described above. Interval columns keep their
-    * names; rename before calling on collision. */
+    * names; rename before calling on collision.
+    *
+    * Reversed intervals (hi < lo) are dropped up front — they can match
+    * nothing, and a descending `sequence` would only burn rows. A single
+    * interval wider than `maxBinsPerInterval` bins fails the job loudly
+    * (sequence-length error) instead of silently exploding a skewed
+    * task; widen the bin or raise the cap deliberately. */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       pointCol: String, loCol: String, hiCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long, maxBinsPerInterval: Int = 100000): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val pts = points.withColumn("__bin",
       floor(col(pointCol).cast("long") / binWidth))
-    val ivs = intervals.withColumn("__bin",
-      explode(sequence(floor(col(loCol).cast("long") / binWidth),
-        floor(col(hiCol).cast("long") / binWidth))))
+    val loBin = floor(col(loCol).cast("long") / binWidth)
+    val hiBin = floor(col(hiCol).cast("long") / binWidth)
+    val ivs = intervals
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn("__nbins", hiBin - loBin + 1)
+      .withColumn("__bin", explode(when(
+        col("__nbins") <= maxBinsPerInterval, sequence(loBin, hiBin))
+        .otherwise(raise_error(concat(
+          lit(s"rangeJoin: interval spans more than $maxBinsPerInterval "
+            + "bins ("), col("__nbins"),
+          lit(s"); widen binWidth=$binWidth or raise the cap"))))))
+      .drop("__nbins")
     pts.join(ivs, keys :+ "__bin")
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop("__bin")

@@ -259,7 +259,8 @@ object CurationQueries extends QueryModule {
     Q("q_t_source_mix", Some("""
       WITH per_src AS (
         SELECT source, count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS n_tokens
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens
         FROM documents GROUP BY 1),
       tot AS (SELECT sum(n_tokens) AS tot_tokens,
                      count(*) AS n_sources FROM per_src)
@@ -431,9 +432,11 @@ object CurationQueries extends QueryModule {
     // the stats dashboard needs a per-group sort). At accuracy 10^6 the
     // rank error n/accuracy is < 1 for any group below a million rows,
     // so the sketch answer IS the exact inverse-empirical-CDF value at
-    // 1-indexed rank ceil(p*n) — which the oracle computes directly
-    // (verified element-identical; at larger n the guarantee degrades
-    // gracefully to +-n/10^6 ranks).
+    // 1-indexed rank ceil(p*n) — which the oracle computes directly.
+    // Past that bound the sketch is only rank-±n/10^6 (still within
+    // contract), so BOTH sides null the quantiles out above it: the
+    // gate compares exact values exactly where exactness is guaranteed
+    // and stays valid at any SF (ADVICE r4).
     Q("q_t_len_quantiles", Some("""
       WITH r AS (
         SELECT lang, n_chars,
@@ -442,15 +445,20 @@ object CurationQueries extends QueryModule {
                count(*) OVER (PARTITION BY lang) AS n
         FROM documents)
       SELECT lang, max(n) AS n_docs,
-             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
-               THEN n_chars END) AS q25,
-             max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
-               THEN n_chars END) AS q50,
-             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
-               THEN n_chars END) AS q75,
-             max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
-               THEN n_chars END) AS q90
+             CASE WHEN max(n) < 1000000 THEN
+               max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                 THEN n_chars END) END AS q25,
+             CASE WHEN max(n) < 1000000 THEN
+               max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                 THEN n_chars END) END AS q50,
+             CASE WHEN max(n) < 1000000 THEN
+               max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                 THEN n_chars END) END AS q75,
+             CASE WHEN max(n) < 1000000 THEN
+               max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                 THEN n_chars END) END AS q90
       FROM r GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val exact = col("n_docs") < 1000000
       t(s, dir, "documents")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -458,10 +466,10 @@ object CurationQueries extends QueryModule {
             array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)),
             lit(1000000)).as("qs"))
         .select(col("lang"), col("n_docs"),
-          element_at(col("qs"), 1).as("q25"),
-          element_at(col("qs"), 2).as("q50"),
-          element_at(col("qs"), 3).as("q75"),
-          element_at(col("qs"), 4).as("q90"))
+          when(exact, element_at(col("qs"), 1)).as("q25"),
+          when(exact, element_at(col("qs"), 2)).as("q50"),
+          when(exact, element_at(col("qs"), 3)).as("q75"),
+          when(exact, element_at(col("qs"), 4)).as("q90"))
         .orderBy("lang")
     },
 
@@ -474,7 +482,8 @@ object CurationQueries extends QueryModule {
     Q("q_t_mix_temperature", Some("""
       WITH per AS (
         SELECT lang, count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS n_tokens
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens
         FROM documents GROUP BY 1),
       sq AS (
         SELECT lang, n_docs, n_tokens,

@@ -223,8 +223,13 @@ object EventQueries extends QueryModule {
         .toDF("stage", "stage_name")
       val reached = element_at(
         array(col("r0"), col("r1"), col("r2"), col("r3")), col("stage") + 1)
+      // greatest(stage, 1): stage=0 rows never use `prev` (the CaseWhen
+      // short-circuits first), but the index must stay valid for every
+      // row — element_at(…, 0) would be an error under expression
+      // reorder/reuse
       val prev = element_at(
-        array(col("r0"), col("r1"), col("r2"), col("r3")), col("stage"))
+        array(col("r0"), col("r1"), col("r2"), col("r3")),
+        greatest(col("stage"), lit(1)))
       stages.crossJoin(broadcast(agg))
         .select(col("stage"), col("stage_name"),
           reached.as("n_reached"),
@@ -286,7 +291,8 @@ object EventQueries extends QueryModule {
         FROM base WHERE event_type = 'purchase')
       SELECT p.user_id, s.signup_id, p.purchase_id,
              (p.p_eus - s.lo) / 1000000.0 AS lag_sec,
-             round(CAST(p.value AS DECIMAL(18,2)), 2) AS value
+             CAST(round(CAST(p.value AS DECIMAL(18,2)), 2)
+               AS DECIMAL(18,2)) AS value
       FROM pur p JOIN sgn s
         ON p.user_id = s.user_id AND p.p_eus BETWEEN s.lo AND s.hi
       ORDER BY p.user_id, s.signup_id, p.purchase_id""")) { (s, dir) =>
@@ -301,7 +307,8 @@ object EventQueries extends QueryModule {
           "p_eus", "lo", "hi", binWidth = 3600000000L)
         .select(col("user_id"), col("signup_id"), col("purchase_id"),
           ((col("p_eus") - col("lo")) / 1000000.0).as("lag_sec"),
-          round(col("value").cast("decimal(18,2)"), 2).as("value"))
+          round(col("value").cast("decimal(18,2)"), 2)
+            .cast("decimal(18,2)").as("value"))
         .orderBy("user_id", "signup_id", "purchase_id")
     },
 

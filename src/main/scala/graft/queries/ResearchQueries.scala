@@ -701,15 +701,15 @@ object ResearchQueries extends QueryModule {
                  + 0.1 * greatest(0.0, 1 - ret_mean_cv / 6.0)
                  + 0.1 * greatest(least(confidence_score / 100.0, 1.0),
                      0.0)) AS base_score,
-               (CASE WHEN qa_low_n THEN 20.0 ELSE 0.0 END
+               CAST(CASE WHEN qa_low_n THEN 20.0 ELSE 0.0 END
                  + CASE WHEN qa_low_occ THEN 20.0 ELSE 0.0 END
                  + CASE WHEN qa_near_zero THEN 15.0 ELSE 0.0 END
                  + CASE WHEN qa_wide_ci THEN 15.0 ELSE 0.0 END
                  + CASE WHEN qa_sign_flip THEN 20.0 ELSE 0.0 END
                  + CASE WHEN qa_drift THEN 15.0 ELSE 0.0 END
                  + CASE WHEN qa_outlier THEN 10.0 ELSE 0.0 END
-                 + CASE WHEN qa_sparse THEN 10.0 ELSE 0.0 END)
-                 AS risk_penalty
+                 + CASE WHEN qa_sparse THEN 10.0 ELSE 0.0 END
+                 AS DOUBLE) AS risk_penalty
         FROM qa),
       hardf AS (
         SELECT *,
