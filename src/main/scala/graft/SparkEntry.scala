@@ -24,7 +24,7 @@ object SparkEntry {
     BacktestQueries, IngestQueries, ResearchQueries, MlQueries,
     ValidationQueries, BacktestQueries2, CompareQueries,
     ProductionQueries, CalibrationQueries, HybridQueries, CurationQueries,
-    EventQueries)
+    EventQueries, SanityQueries)
 
   private lazy val registry: Seq[Q] = modules.flatMap(_.all)
 

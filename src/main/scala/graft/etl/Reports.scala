@@ -193,4 +193,285 @@ object Reports {
     ReportResult(outDir.toString, Seq("wf_grid_by_split.csv",
       "walkforward_summary.json", "walkforward_report.md"))
   }
+
+  /** Sensitivity grid report (ref backtest/sensitivity_reports.py:24-98
+    * render_grid_report): grid metrics CSV, summary JSON with the best
+    * combo + the grid-sanity verdict, and a markdown report sorted by
+    * robustness v2. */
+  def sensitivityGridReport(spark: SparkSession, sfDir: String,
+      artifactsRoot: String, asOfTag: String): ReportResult = {
+    val q = graft.SparkEntry.queries
+    val grid = q("q_bt_robustness_v2")(spark, sfDir).collect()
+    val sanity = q("q_grid_sanity")(spark, sfDir).head()
+
+    val runId = s"grid-$asOfTag"
+    val outDir = Paths.get(artifactsRoot, "sensitivity_reports",
+      s"${runId}_sensitivity_grid_v1")
+    val header = grid.headOption.map(_.schema.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    RunArtifacts.writeCsv(
+      outDir.resolve("grid_metrics_table.csv").toString,
+      header, grid.toSeq.map(r => header.map(cell(r, _))))
+
+    val ranked = grid.toSeq.sortBy(r =>
+      (-dbl(r, "robustness_score_v2").getOrElse(-1e9),
+        r.getAs[String]("mode"), r.getAs[Int]("confirm_bars"),
+        r.getAs[Int]("hold_bars")))
+    val comboLabel = (r: Row) => s"${r.getAs[String]("mode")}_c" +
+      s"${r.getAs[Int]("confirm_bars")}_h${r.getAs[Int]("hold_bars")}"
+    val summary = Map(
+      "run_id" -> runId, "as_of_tag" -> asOfTag, "sf_dir" -> sfDir,
+      "combos_total" -> grid.length,
+      "zero_trade_combos" ->
+        grid.count(_.getAs[Long]("trade_count") == 0L),
+      "best_combo" -> j(ranked.headOption.map(comboLabel)),
+      "best_robustness_v2" ->
+        j(ranked.headOption.flatMap(dbl(_, "robustness_score_v2"))),
+      "sanity_status" -> sanity.getAs[String]("status"),
+      "non_finite_metric_cells" ->
+        sanity.getAs[Long]("non_finite_metric_cells"))
+    RunArtifacts.writeJson(
+      outDir.resolve("grid_summary.json").toString, summary)
+
+    val report = s"""# Sensitivity Grid Report v1
+       |
+       |## Run
+       |- run_id: $runId
+       |- input: $sfDir
+       |- combos: ${grid.length}, sanity: ${
+            sanity.getAs[String]("status")}
+       |
+       |## Combos by robustness v2
+       |${md(header, ranked.map(r => header.map(cell(r, _))))}
+       |""".stripMargin
+    RunArtifacts.writeText(
+      outDir.resolve("grid_report.md").toString, report)
+
+    ReportResult(outDir.toString, Seq("grid_metrics_table.csv",
+      "grid_summary.json", "grid_report.md"))
+  }
+
+  /** Production Candidate Pack reports (ref
+    * backtest/production_candidates_reports.py:106-128): policy packet
+    * JSON, candidates table CSV, summary JSON, markdown report — the
+    * reference's exact artifact set over the oracle-verified pack. */
+  def productionCandidateReports(spark: SparkSession, sfDir: String,
+      artifactsRoot: String, asOfTag: String): ReportResult = {
+    val q = graft.SparkEntry.queries
+    val pack = q("q_candidate_pack")(spark, sfDir)
+      .orderBy("label").collect()
+
+    val runId = s"candidates-$asOfTag"
+    val outDir = Paths.get(artifactsRoot, "production_candidates",
+      s"${runId}_candidate_pack_v1")
+    val header = pack.headOption.map(_.schema.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+
+    val packet = Map(
+      "pack_version" -> "v1", "run_id" -> runId,
+      "as_of_tag" -> asOfTag, "sf_dir" -> sfDir,
+      "candidates" -> pack.toSeq.map(r => Map(
+        "label" -> r.getAs[String]("label"),
+        "combo_id" -> r.getAs[String]("combo_id"),
+        "mode" -> r.getAs[String]("mode"),
+        "confirm_bars" -> cell(r, "confirm_bars"),
+        "hold_bars" -> cell(r, "hold_bars"),
+        "fee_bps" -> cell(r, "fee_bps"),
+        "robustness_score_v2" -> cell(r, "robustness_score_v2"))))
+    RunArtifacts.writeJson(
+      outDir.resolve("production_policy_packet_v1.json").toString, packet)
+    RunArtifacts.writeCsv(
+      outDir.resolve("production_candidates_table.csv").toString,
+      header, pack.toSeq.map(r => header.map(cell(r, _))))
+    RunArtifacts.writeJson(
+      outDir.resolve("production_candidates_summary.json").toString, Map(
+        "run_id" -> runId, "candidate_count" -> pack.length,
+        "zero_trade_candidates" ->
+          pack.count(_.getAs[Boolean]("zero_trade_combo")),
+        "trade_threshold_used" -> j(pack.headOption.map(
+          cell(_, "selection_trade_threshold_used")))))
+    val report = s"""# Production Candidate Pack v1
+       |
+       |## Run
+       |- run_id: $runId
+       |- input: $sfDir
+       |- candidates: ${pack.length}
+       |
+       |## Candidates
+       |${md(header, pack.toSeq.map(r => header.map(cell(r, _))))}
+       |""".stripMargin
+    RunArtifacts.writeText(
+      outDir.resolve("production_candidate_pack_report.md").toString,
+      report)
+
+    ReportResult(outDir.toString, Seq("production_policy_packet_v1.json",
+      "production_candidates_table.csv",
+      "production_candidates_summary.json",
+      "production_candidate_pack_report.md"))
+  }
+
+  /** Candidate re-run reports (ref
+    * backtest/candidate_rerun_reports.py:85-111): rerun manifest JSON,
+    * candidates table CSV, drift-status summary JSON, markdown report. */
+  def candidateRerunReports(spark: SparkSession, sfDir: String,
+      artifactsRoot: String, asOfTag: String): ReportResult = {
+    val q = graft.SparkEntry.queries
+    val rerun = q("q_candidate_rerun")(spark, sfDir)
+      .orderBy("label").collect()
+
+    val runId = s"rerun-$asOfTag"
+    val outDir = Paths.get(artifactsRoot, "candidate_reruns",
+      s"${runId}_candidate_rerun_v1")
+    val header = rerun.headOption.map(_.schema.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+
+    RunArtifacts.writeJson(
+      outDir.resolve("rerun_manifest.json").toString, Map(
+        "run_id" -> runId, "as_of_tag" -> asOfTag, "sf_dir" -> sfDir,
+        "candidate_count" -> rerun.length,
+        "artifacts" -> Seq("rerun_manifest.json",
+          "rerun_candidates_table.csv", "rerun_summary.json",
+          "rerun_report.md")))
+    RunArtifacts.writeCsv(
+      outDir.resolve("rerun_candidates_table.csv").toString,
+      header, rerun.toSeq.map(r => header.map(cell(r, _))))
+    val statusCounts = rerun.toSeq
+      .groupBy(_.getAs[String]("drift_status"))
+      .map { case (k, v) => k -> v.size }
+    RunArtifacts.writeJson(
+      outDir.resolve("rerun_summary.json").toString, Map(
+        "run_id" -> runId, "candidate_count" -> rerun.length,
+        "drift_status_counts" -> statusCounts,
+        "total_flags" -> rerun.toSeq.map(_.getAs[Long]("n_flags")).sum))
+    val report = s"""# Candidate Re-run Report v1
+       |
+       |## Run
+       |- run_id: $runId
+       |- input: $sfDir
+       |- candidates: ${rerun.length}
+       |- drift statuses: ${statusCounts.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(", ")}
+       |
+       |## Candidates
+       |${md(header, rerun.toSeq.map(r => header.map(cell(r, _))))}
+       |""".stripMargin
+    RunArtifacts.writeText(
+      outDir.resolve("rerun_report.md").toString, report)
+
+    ReportResult(outDir.toString, Seq("rerun_manifest.json",
+      "rerun_candidates_table.csv", "rerun_summary.json",
+      "rerun_report.md"))
+  }
+
+  /** Cluster QA report (ref validation/cluster_qa_reports.py +
+    * cluster_qa.py issue accounting): flagged-states CSV, per-state
+    * best/worst window diagnostics CSV, issue-count summary JSON, and a
+    * markdown report — all from the oracle-verified hardening + QA
+    * window queries. */
+  def clusterQaReport(spark: SparkSession, sfDir: String,
+      artifactsRoot: String, asOfTag: String): ReportResult = {
+    val q = graft.SparkEntry.queries
+    val states = q("q_cluster_hardening_full")(spark, sfDir)
+      .orderBy("state").collect()
+    val windows = q("q_qa_state_windows")(spark, sfDir).collect()
+
+    val runId = s"clusterqa-$asOfTag"
+    val outDir = Paths.get(artifactsRoot, "cluster_qa_reports",
+      s"${runId}_cluster_qa_v1")
+    val flagged = states.toSeq
+      .filter(_.getAs[String]("qa_labels").nonEmpty)
+    val stHeader = states.headOption.map(_.schema.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    RunArtifacts.writeCsv(
+      outDir.resolve("cluster_qa_flagged_states.csv").toString,
+      stHeader, flagged.map(r => stHeader.map(cell(r, _))))
+    val winHeader = windows.headOption.map(_.schema.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    RunArtifacts.writeCsv(
+      outDir.resolve("cluster_qa_state_windows.csv").toString,
+      winHeader, windows.toSeq.map(r => winHeader.map(cell(r, _))))
+
+    // issue_counts (ref cluster_qa.py:73-85): per-label count over the
+    // flagged states' comma-joined label sets
+    val issueCounts = flagged
+      .flatMap(_.getAs[String]("qa_labels").split(',').filter(_.nonEmpty))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    RunArtifacts.writeJson(
+      outDir.resolve("cluster_qa_summary.json").toString, Map(
+        "run_id" -> runId, "as_of_tag" -> asOfTag, "sf_dir" -> sfDir,
+        "states_total" -> states.length,
+        "states_flagged" -> flagged.size,
+        "issue_counts" -> issueCounts))
+
+    val flaggedCols = Seq("state", "class_label", "tradability_score",
+      "qa_labels", "reasons")
+    val report = s"""# Cluster QA Report v1
+       |
+       |## Run
+       |- run_id: $runId
+       |- input: $sfDir
+       |- states: ${states.length}, flagged: ${flagged.size}
+       |
+       |## Issue counts
+       |${issueCounts.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"- $k: $v" }.mkString("\n")}
+       |
+       |## Flagged states
+       |${md(flaggedCols, flagged.map(r => flaggedCols.map(cell(r, _))))}
+       |
+       |## Best/worst windows per state
+       |${md(winHeader,
+            windows.toSeq.map(r => winHeader.map(cell(r, _))), 30)}
+       |""".stripMargin
+    RunArtifacts.writeText(
+      outDir.resolve("cluster_qa_report.md").toString, report)
+
+    ReportResult(outDir.toString, Seq("cluster_qa_flagged_states.csv",
+      "cluster_qa_state_windows.csv", "cluster_qa_summary.json",
+      "cluster_qa_report.md"))
+  }
+
+  /** Bronze quality report (ref validate/reports.py:33-138): the
+    * per-ticker validity/warning/duplicate rollup as CSV + a corpus
+    * summary JSON + markdown. */
+  def bronzeQualityReport(spark: SparkSession, sfDir: String,
+      artifactsRoot: String, asOfTag: String): ReportResult = {
+    val q = graft.SparkEntry.queries
+    val rows = q("q_bronze_quality_report")(spark, sfDir).collect()
+
+    val runId = s"bronzeq-$asOfTag"
+    val outDir = Paths.get(artifactsRoot, "bronze_quality",
+      s"${runId}_bronze_quality_v1")
+    val header = rows.headOption.map(_.schema.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    RunArtifacts.writeCsv(
+      outDir.resolve("bronze_quality_by_ticker.csv").toString,
+      header, rows.toSeq.map(r => header.map(cell(r, _))))
+    RunArtifacts.writeJson(
+      outDir.resolve("bronze_quality_summary.json").toString, Map(
+        "run_id" -> runId, "as_of_tag" -> asOfTag, "sf_dir" -> sfDir,
+        "tickers" -> rows.length,
+        "rows_total" -> rows.toSeq.map(_.getAs[Long]("rows_total")).sum,
+        "rows_invalid" ->
+          rows.toSeq.map(_.getAs[Long]("rows_invalid")).sum,
+        "warnings_total" ->
+          rows.toSeq.map(_.getAs[Long]("warnings_total")).sum))
+    val worst = rows.toSeq.sortBy(r =>
+      (-r.getAs[Long]("rows_invalid"), r.getAs[String]("ticker")))
+    val report = s"""# Bronze Quality Report v1
+       |
+       |## Run
+       |- run_id: $runId
+       |- input: $sfDir
+       |- tickers: ${rows.length}
+       |
+       |## Worst tickers by invalid rows
+       |${md(header, worst.map(r => header.map(cell(r, _))))}
+       |""".stripMargin
+    RunArtifacts.writeText(
+      outDir.resolve("bronze_quality_report.md").toString, report)
+
+    ReportResult(outDir.toString, Seq("bronze_quality_by_ticker.csv",
+      "bronze_quality_summary.json", "bronze_quality_report.md"))
+  }
 }

@@ -206,6 +206,46 @@ object IngestQueries extends QueryModule {
         .orderBy("ticker", "yr")
     },
 
+    // Ticker-level quality report (ref validate/reports.py:33-100
+    // build_ticker_quality_report): the per-ticker validity/warning/
+    // duplicate/suspicious/gap rollup + trade-date range the reference
+    // writes per bronze file — here one aggregate pass over all tickers
+    // (map-side combine; no per-file driver loop).
+    Q("q_bronze_quality_report", Some(s"""
+      WITH $linesSql,
+      $parseSql
+      SELECT ticker,
+             count(*) AS rows_total,
+             count(CASE WHEN quality_error_count = 0 THEN 1 END)
+               AS rows_valid,
+             count(CASE WHEN quality_error_count > 0 THEN 1 END)
+               AS rows_invalid,
+             CAST(sum(quality_warn_count) AS BIGINT) AS warnings_total,
+             count(CASE WHEN q_duplicate_ticker_date THEN 1 END)
+               AS duplicates_count,
+             count(CASE WHEN q_suspicious_bar THEN 1 END)
+               AS suspicious_bars_count,
+             count(CASE WHEN q_gap_in_calendar THEN 1 END)
+               AS gap_rows_count,
+             min(trade_date) AS min_trade_date,
+             max(trade_date) AS max_trade_date
+      FROM bronze GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      import graft.ops.Cols.countIf
+      bronzeDf(s, dir)
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("rows_total"),
+          countIf(col("quality_error_count") === 0).as("rows_valid"),
+          countIf(col("quality_error_count") > 0).as("rows_invalid"),
+          sum(col("quality_warn_count")).cast("long")
+            .as("warnings_total"),
+          countIf(col("q_duplicate_ticker_date")).as("duplicates_count"),
+          countIf(col("q_suspicious_bar")).as("suspicious_bars_count"),
+          countIf(col("q_gap_in_calendar")).as("gap_rows_count"),
+          min(col("trade_date")).as("min_trade_date"),
+          max(col("trade_date")).as("max_trade_date"))
+        .orderBy("ticker")
+    },
+
     // Small-files compaction planner: assign each file to a merge group
     // by the bin its global starting byte offset falls in (the
     // Iceberg/Delta bin-pack shape). The offset is a GLOBAL prefix sum

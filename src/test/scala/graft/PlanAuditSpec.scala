@@ -130,6 +130,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sanity/QA batteries: global aggregates + partitioned windows only") {
+    // q_bt_sanity / q_grid_sanity / q_sanity_gold_audit are single-pass
+    // aggregate batteries (map-side partial agg, one row or one row per
+    // column out); q_qa_state_windows groups once on (win, state) and
+    // windows only within state partitions. None may introduce a
+    // cartesian product or an unpartitioned (single-task) window.
+    val unpartitioned = raw"windowspecdefinition\([^,)]*(?: ASC | DESC )".r
+    for (q <- Seq("q_bt_sanity", "q_grid_sanity", "q_sanity_gold_audit",
+        "q_qa_state_windows")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      assert(unpartitioned.findFirstIn(p).isEmpty,
+        s"$q: unpartitioned global window (single task at scale)")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$q: expected an aggregate battery in the plan")
+    }
+  }
+
   test("q_t_pii / q_t_blocklist are map-only: no shuffle before the sort") {
     // per-doc scans must stream with the parquet scan — any hash
     // exchange, join, or aggregate means the column program picked up a
