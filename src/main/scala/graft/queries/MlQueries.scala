@@ -265,7 +265,12 @@ object MlQueries extends QueryModule {
         .filter(col("vec_id") < MlQueries.HdbscanFitCap)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
+      // pre-partition the point side on ia BEFORE the broadcast cross
+      // join: the join preserves the left's hash(ia) distribution, so
+      // the top-k window below needs NO exchange of the n² pair rows —
+      // only the n-row input shuffles (plan-audited)
       val pairs = e.select(col("vec_id").as("ia"), col("v").as("va"))
+        .repartition(col("ia"))
         .join(broadcast(
           e.select(col("vec_id").as("ib"), col("v").as("vb"))))
         .select(col("ia"), col("ib"),

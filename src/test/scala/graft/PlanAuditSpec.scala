@@ -130,6 +130,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_hdbscan_core: top-k window rides the pre-join partitioning " +
+      "(no n² exchange)") {
+    // the point side is hash-partitioned on ia BEFORE the broadcast
+    // cross join, so the per-point top-k window inherits its required
+    // distribution from the n-row input — the n² pair rows are never
+    // shuffled. Exactly two non-broadcast exchanges may appear: the
+    // n-row pre-partition and the final output sort.
+    val p = planOf("q_hdbscan_core")
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 row exchanges, got $shuffles:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k pushdown (WindowGroupLimit) missing — full n² sort")
+  }
+
   test("sanity/QA batteries: global aggregates + partitioned windows only") {
     // q_bt_sanity / q_grid_sanity / q_sanity_gold_audit are single-pass
     // aggregate batteries (map-side partial agg, one row or one row per
