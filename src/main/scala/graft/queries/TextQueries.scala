@@ -111,6 +111,35 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // BPE-ish token accounting: GPT-2-style pre-tokenizer classes
+    // (letter runs / digit runs / non-space-non-alnum runs) via
+    // regexp_extract_all, plus the ceil(len/4) subword estimate the
+    // packing heuristics use before a real tokenizer pass. Map-only
+    // column program; the regex classes are RE2/Java-portable.
+    Q("q_t_tokens_bpe", Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_word_runs,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]+'))
+               AS n_other_runs,
+             CAST(list_sum(list_transform(
+               regexp_extract_all(text, '[a-zA-Z0-9]+'),
+               x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT)
+               AS est_subword_tokens
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      def runs(pat: String) =
+        regexp_extract_all(col("text"), lit(pat), lit(0))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(runs("[a-zA-Z]+")).as("n_word_runs"),
+          size(runs("[0-9]+")).as("n_digit_runs"),
+          size(runs("[^a-zA-Z0-9 ]+")).as("n_other_runs"),
+          aggregate(
+            transform(runs("[a-zA-Z0-9]+"),
+              x => ceil(length(x) / 4.0).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("est_subword_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Quality scoring battery (length/stopword/digit ratios → score)
     Q("q_t_quality", Some(s"""
       WITH b AS (
