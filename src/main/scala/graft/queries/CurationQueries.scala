@@ -23,9 +23,10 @@ object CurationQueries extends QueryModule {
   /** PII regexes — the common subset of Java regex (Spark) and RE2
     * (DuckDB): no back-references, no lookaround, so both engines match
     * identically. */
-  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  private val PhonePat = """\d{3}-\d{3}-\d{4}"""
-  private val Ipv4Pat = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+  // PII patterns shared with the streaming curation path
+  private val EmailPat = graft.text.TextOps.EmailPat
+  private val PhonePat = graft.text.TextOps.PhonePat
+  private val Ipv4Pat = graft.text.TextOps.Ipv4Pat
 
   /** Blocklist for the C4-style bad-word gate (fixture terms drawn from
     * the synthetic vocabulary so the gate actually fires; production swaps

@@ -17,6 +17,24 @@ object TextOps {
 
   val HashPrime = 1000000007L
 
+  // PII patterns (ref: C4/CCNet-style scrubbing; RE2/Java-portable so
+  // the DuckDB oracle runs the identical regexes)
+  val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePat = """\d{3}-\d{3}-\d{4}"""
+  val Ipv4Pat = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+
+  /** Email/phone/IPv4 occurrence counts, in that order. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailPat)),
+    regexp_count(text, lit(PhonePat)),
+    regexp_count(text, lit(Ipv4Pat)))
+
+  /** Redact all three PII classes with typed placeholders. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      text, EmailPat, "<EMAIL>"),
+      PhonePat, "<PHONE>"), Ipv4Pat, "<IP>")
+
   /** Deterministic 60-bit hash of a string via md5 (portable across
     * engines). */
   def md5Hash64(c: Column): Column =

@@ -85,6 +85,67 @@ class StreamingSpec extends SparkSpec {
     assert(kept.size == 4, s"expected 4 distinct docs, got $kept")
   }
 
+  test("streaming curation: annotations match batch exactly; gate and " +
+      "cross-batch dedup apply") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingCuration
+    import spark.implicits._
+    // b2 carries an exact duplicate of a b1 doc (id 14), a blocklisted
+    // doc (id 15, contains "slow"), and a PII doc (id 16)
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (12L, "a of the and some more filler content words to pass length"),
+      (13L, "der und die berlin words in german text for the marker test"))
+    val b2 = Seq(
+      (14L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (15L, "slow query on the big table of the warehouse the usual story"),
+      (16L, "contact admin@example.org or call 555-123-4567 for the help desk of the team"))
+    val all = b1 ++ b2
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cur")
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("part1").toString)
+    b2.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("part2").toString)
+
+    val src = spark.readStream
+      .schema(b1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/part*")
+    val q = StreamingCuration.curate(src, minQuality = 0.3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curation_stream_test").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("curation_stream_test")
+
+    // batch ≡ stream on the stateless program: same rows → identical
+    // annotation values (the map-only stage has no batch/stream skew)
+    val batchAnno = StreamingCuration
+      .annotate(all.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val streamAnno = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+    for ((id, sr) <- streamAnno; br = batchAnno(id);
+         f <- Seq("quality_score", "lang_pred", "n_pii",
+           "text_redacted", "n_blocked", "fingerprint"))
+      assert(sr.getAs[Any](f) == br.getAs[Any](f),
+        s"doc $id field $f: stream ${sr.getAs[Any](f)} != batch " +
+          s"${br.getAs[Any](f)}")
+
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(14L), "late exact duplicate not suppressed")
+    assert(!kept.contains(15L), "blocklisted doc not dropped")
+    assert(kept.contains(16L), "PII doc must be kept (redacted), not dropped")
+    val red = out.filter(col("doc_id") === 16L)
+      .select("text_redacted").as[String].head()
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>")
+      && !red.contains("admin@example.org"), s"not redacted: $red")
+    // german marker doc routes to 'de'
+    val lang13 = out.filter(col("doc_id") === 13L)
+      .select("lang_pred").as[String].head()
+    assert(lang13 == "de", s"lang_pred: $lang13")
+  }
+
   test("watermark-bounded dedup: suppresses in-horizon duplicates, " +
       "re-admits after state expiry") {
     import graft.streaming.StreamingDedup
