@@ -115,6 +115,51 @@ object Engine {
     }
   }
 
+  case class SimBarK(cell: String, hold_bars: Int, fee_bps: Double,
+    ticker: String, bar_ts: Long, bar_id: Long,
+    open: Double, high: Double, low: Double, close: Double,
+    state_code: Int, entry_signal: Boolean, signal_side: Int)
+
+  case class TradeK(cell: String, ticker: String, pos_seq: Int, side: Int,
+    entry_rn: Int, exit_rn: Int, entry_ts: Long, exit_ts: Long,
+    entry_price: Double, exit_price: Double, exit_reason: String,
+    hold_bars: Int, gross_ret: Double, net_ret: Double,
+    mfe: Double, mae: Double)
+
+  /** Batched multi-config simulation: `cell` names an independent sim
+    * whose per-row `hold_bars`/`fee_bps` config columns are constant
+    * within the cell. ONE shuffle on (cell, ticker) runs every cell's
+    * per-ticker linear scan — N grid/walk-forward sims become one
+    * distributed job instead of N separate jobs (each with its own
+    * shuffle), which is exactly how a 1000-executor cluster wants a
+    * parameter sweep delivered. Per-(cell, ticker) output is identical
+    * to [[simulate]] with that cell's config over that cell's rows. */
+  def simulateKeyed(signals: DataFrame): Dataset[TradeK] = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+    val in = signals.select(col("cell").cast("string").as("cell"),
+      col("hold_bars").cast("int").as("hold_bars"),
+      col("fee_bps").cast("double").as("fee_bps"),
+      col("ticker"), col("bar_ts"), col("bar_id"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("flow_state_code").cast("int").as("state_code"),
+      coalesce(col("entry_signal"), lit(false)).as("entry_signal"),
+      coalesce(col("signal_side"), lit(0)).cast("int").as("signal_side"))
+      .as[SimBarK]
+    in.groupByKey(b => (b.cell, b.ticker)).flatMapGroups { (key, it) =>
+      val (cl, tk) = key
+      val bars = it.toIndexedSeq.sortBy(b => (b.bar_ts, b.bar_id))
+      val cfg = Config(bars.head.hold_bars, bars.head.fee_bps)
+      simulateTicker(tk, bars.map(b => SimBar(b.ticker, b.bar_ts, b.bar_id,
+        b.open, b.high, b.low, b.close, b.state_code, b.entry_signal,
+        b.signal_side)), cfg)
+        .iterator.map(t => TradeK(cl, t.ticker, t.pos_seq, t.side,
+          t.entry_rn, t.exit_rn, t.entry_ts, t.exit_ts, t.entry_price,
+          t.exit_price, t.exit_reason, t.hold_bars, t.gross_ret,
+          t.net_ret, t.mfe, t.mae))
+    }
+  }
+
   /** Oracle SQL: the same per-bar contract as a single recursive CTE per
     * ticker over the `src` CTE (default `signals`, Signals.sql shape).
     * Emits CTE `trades`. */

@@ -102,6 +102,26 @@ object Metrics {
         round(col("drawdown"), 9).as("drawdown"))
   }
 
+  /** Per-cell max drawdown over a keyed trade frame (Engine.simulateKeyed
+    * output) — the batched counterpart of `portfolio(...).agg(min(
+    * drawdown))` per cell: ONE grouped two-pass prefix scan
+    * (Wins.groupedCumSumMax) computes every cell's equity curve in a
+    * single job instead of one eager scan per cell. Identical arithmetic
+    * to [[portfolio]] (same decimal cum-log, same cast/round points), so
+    * per-cell values match the one-cell path exactly. Cells with no
+    * trades are simply absent (left-join and null-fill at the caller). */
+  def maxDrawdownByCell(trades: DataFrame): DataFrame = {
+    val byBar = trades.groupBy("cell", "exit_rn")
+      .agg(avg(col("net_ret")).as("mean_ret"))
+    val logRet = log(lit(1) + greatest(col("mean_ret"), lit(-0.99)))
+    graft.ops.Wins
+      .groupedCumSumMax(byBar, "cell", Seq(col("exit_rn")), logRet,
+        "cum_log", "peak_log")
+      .withColumn("drawdown", round(exp(col("cum_log").cast("double"))
+        / exp(col("peak_log").cast("double")) - 1, 9))
+      .groupBy("cell").agg(min("drawdown").as("max_drawdown"))
+  }
+
   /** SQL mirror over CTE `trades` → CTE `portfolio`. The cum sum runs in
     * DECIMAL(38,18) exactly like the Spark side, so both engines compute
     * the identical prefix regardless of evaluation order. */

@@ -235,6 +235,68 @@ object Wins {
     withCum.drop(pid, v, lc, mlc, "__gcs_soff", "__gcs_poff")
   }
 
+  /** Grouped [[globalCumSumMax]]: an independent exact DECIMAL(38,18)
+    * prefix sum + running max per `groupCol` value, with ALL groups
+    * computed in ONE two-pass distributed job — the batched replacement
+    * for constructing many single-group scans (which cost one eager
+    * checkpoint + offsets collect EACH). Range-partitions on
+    * (group, order) so a large group still spans many partitions; the
+    * per-(group, partition) totals collected to the driver stay bounded
+    * by #groups × #partitions, and each group's offsets are scanned
+    * independently. Output values are bit-identical to running
+    * [[globalCumSumMax]] once per group (same decimal arithmetic, same
+    * cast points). */
+  def groupedCumSumMax(df: DataFrame, groupCol: String,
+      orderCols: Seq[Column], valueCol: Column, outCum: String,
+      outPeak: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pid = "__gcs_pid"
+    val v = "__gcs_v"
+    val lc = "__gcs_lc"
+    val mlc = "__gcs_mlc"
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val zero = java.math.BigDecimal.ZERO.setScale(18)
+    val wLoc = Window.partitionBy(col(groupCol), col(pid))
+      .orderBy(orderCols: _*)
+    val local = df
+      .withColumn(v, coalesce(valueCol.cast(dec), lit(zero).cast(dec)))
+      .repartitionByRange(col(groupCol) +: orderCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .withColumn(lc, sum(col(v)).over(cum(wLoc)))
+      .withColumn(mlc, max(col(lc)).over(cum(wLoc)))
+      .localCheckpoint()
+    val totals = local.groupBy(col(groupCol), col(pid))
+      .agg(sum(col(v)).as("s"), max(col(lc)).as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDecimal(2),
+        r.getDecimal(3)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      var accS = java.math.BigDecimal.ZERO
+      var peak: java.math.BigDecimal = null
+      rows.sortBy(_._2).map { case (_, p, s, m) =>
+        val row = (g, p, accS, peak)
+        val partPeak = accS.add(m)
+        if (peak == null || partPeak.compareTo(peak) > 0) peak = partPeak
+        accS = accS.add(s)
+        row
+      }
+    }
+    val offsDf = offsets.toDF(groupCol, pid, "__gcs_soff", "__gcs_poff")
+    val dec37 = org.apache.spark.sql.types.DecimalType(37, 18)
+    def plus(a: Column, b: Column): Column =
+      (a.cast(dec37) + b.cast(dec37)).cast(dec)
+    val withCum = local.join(broadcast(offsDf), Seq(groupCol, pid))
+      .withColumn(outCum, plus(col(lc), col("__gcs_soff")))
+      .withColumn(outPeak,
+        when(col("__gcs_poff").isNull,
+          plus(col(mlc), col("__gcs_soff")))
+          .otherwise(greatest(plus(col(mlc), col("__gcs_soff")),
+            col("__gcs_poff").cast(dec)))
+          .cast(dec))
+    withCum.drop(pid, v, lc, mlc, "__gcs_soff", "__gcs_poff")
+  }
+
   /** Rolling mode with most-recent tiebreak over a trailing window
     * (ref: HMM display smoothing,
     * src/mf_etl/apps/overlay_viewer/hmm_display.py:47-70): argmax of

@@ -227,6 +227,32 @@ object BacktestQueries2 extends QueryModule {
       .withColumn("fee_bps", lit(c.feeBps))
   }
 
+  /** Batched [[comboMetricsRow]]: per-cell trade stats ⨯ per-cell max
+    * drawdown over an Engine.simulateKeyed trade frame — two distributed
+    * jobs TOTAL for any number of cells (one grouped aggregate, one
+    * grouped prefix scan) instead of one eager scan pair per cell.
+    * `cells` carries one row per expected cell plus its metadata
+    * columns; cells that produced no trades keep trade_count = 0 with
+    * null metrics, exactly like the per-cell agg-over-empty shape. */
+  private[queries] def comboMetricsRowsKeyed(
+      trades: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = trades.groupBy("cell").agg(
+      count(lit(1)).as("trade_count"),
+      avg("net_ret").as("expectancy"),
+      Cols.safeDiv(sum(when(col("net_ret") > 0, col("net_ret"))),
+        abs(sum(when(!(col("net_ret") > 0), col("net_ret")))))
+        .as("profit_factor"),
+      stddev_pop(col("net_ret")).as("return_std"),
+      stddev_pop(when(col("net_ret") < 0, col("net_ret")))
+        .as("downside_std"),
+      Cols.safeDiv(stddev_pop(col("net_ret")),
+        abs(avg(col("net_ret")))).as("ret_cv"))
+    val dd = Metrics.maxDrawdownByCell(trades)
+    cells.join(m, Seq("cell"), "left").join(dd, Seq("cell"), "left")
+      .withColumn("trade_count", coalesce(col("trade_count"), lit(0L)))
+  }
+
   /** Rank-to-[0,1] v1/v2 robustness scoring over a combo metric frame —
     * the Spark twin of the oracle's ranked→scored→v1s chain. The frame
     * is grid-sized (8 rows per group), so the ranking windows are

@@ -72,29 +72,64 @@ object HybridQueries extends QueryModule {
       .withColumn("entry_signal", col("entry_signal") && gateExpr(mode))
       .drop("overlay_covered", "policy_allowed")
 
-  private def gatedTrades(s: SparkSession, dir: String, c: Grid.Combo,
+  /** One run's scored combo grid (8 rows, v1/v2 robustness included).
+    * The baseline IS comboScored (same sims, same scoring); an overlay
+    * run batches its 8 gated sims into ONE keyed simulation over the 4
+    * cached gated signal variants (hold/fee are per-row config, so the
+    * grid needs one shuffle, not 8 jobs) and ONE grouped prefix scan
+    * for the per-combo drawdowns. */
+  private[queries] def runScored(s: SparkSession, dir: String,
       run: Run): DataFrame = run.mode match {
-    case None => BacktestQueries2.comboTrades(s, dir, c)
-    case Some(m) => Stage.cached(s, dir,
-        s"hyb_${m}_trades_${BacktestQueries2.comboId(c)}") {
-      Engine.simulate(gatedSignals(s, dir, m, c),
-        Engine.Config(c.holdBars, c.feeBps)).toDF()
+    case None => BacktestQueries2.comboScored(s, dir)
+    case Some(m) => Stage.cached(s, dir, s"hyb_scored_${run.key}") {
+      val frames = SigVariants.map { case (sm, cb) =>
+        keyedFrame(gatedSig(s, dir, Some(m), sm, cb), sm, cb,
+          cellPrefix = Nil)
+      }
+      val trades = Engine.simulateKeyed(frames.reduce(_.unionByName(_)))
+        .toDF()
+      import s.implicits._
+      val cells = BacktestQueries2.GridCombos.zipWithIndex
+        .map { case (c, ci) => (ci.toString, ci,
+          BacktestQueries2.comboId(c), c.mode, c.confirmBars,
+          c.holdBars, c.feeBps) }
+        .toDF("cell", "combo_idx", "combo_id", "mode", "confirm_bars",
+          "hold_bars", "fee_bps")
+      BacktestQueries2.scoreCombos(
+        BacktestQueries2.comboMetricsRowsKeyed(trades, cells))
     }
   }
 
-  /** One run's scored combo grid (8 rows, v1/v2 robustness included). */
-  private[queries] def runScored(s: SparkSession, dir: String,
-      run: Run): DataFrame =
-    Stage.cached(s, dir, s"hyb_scored_${run.key}") {
-      // materialize the 8 per-combo sims concurrently — wall time of
-      // one sim, not the sum (same shape as the candidate rerun)
-      val trades = BacktestQueries2.GridCombos
-        .map(c => (c, gatedTrades(s, dir, c, run)))
-      graft.ops.Pools.awaitAll(trades.map(t => () => { t._2.count(); () }))
-      BacktestQueries2.scoreCombos(trades.zipWithIndex.map {
-        case ((c, tr), i) => BacktestQueries2.comboMetricsRow(tr, c, i)
-      }.reduce(_.unionByName(_)))
-    }
+  /** Warmup hooks: the (gate × variant) signal stages, buildable as soon
+    * as gramSlim exists — wfMetrics and the overlay grids then read
+    * every frame from cache instead of racing to build the shared ones. */
+  private[queries] def sigBuilds(s: SparkSession,
+      dir: String): Seq[(String, () => Any)] =
+    for {
+      g <- Seq(None, Some("block_veto"), Some("allow_only"))
+      (m, cb) <- SigVariants
+    } yield (s"gatedSig:${g.getOrElse("base")}:${m}_$cb",
+      () => { gatedSig(s, dir, g, m, cb).count(); () })
+
+  /** Tag a signal frame with per-combo cell/config columns: each of the
+    * variant's combos (same signal chain, different hold/fee) becomes
+    * one cell via a 2-element explode. `cellPrefix`: already-computed
+    * leading cell-id columns (e.g. hybrid flag, split idx). */
+  private def keyedFrame(sig: DataFrame, m: String, cb: Int,
+      cellPrefix: Seq[Column]): DataFrame = {
+    val combos = BacktestQueries2.GridCombos.zipWithIndex
+      .filter { case (c, _) => c.mode == m && c.confirmBars == cb }
+    sig.withColumn("__c", explode(array(combos.map { case (c, ci) =>
+        struct(lit(ci).as("ci"), lit(c.holdBars).as("hb"),
+          lit(c.feeBps).as("fb")) }: _*)))
+      .select(
+        concat_ws("|", cellPrefix :+ col("__c.ci"): _*).as("cell"),
+        col("__c.hb").as("hold_bars"), col("__c.fb").as("fee_bps"),
+        col("ticker"), col("bar_ts"), col("bar_id"), col("open"),
+        col("high"), col("low"), col("close"), col("flow_state_code"),
+        col("entry_signal"), col("signal_side"))
+  }
+
 
   /** Min-max normalization with the reference's exact null semantics
     * (_normalize_metric): no finite values → 0.5, null → 0.0,
@@ -134,54 +169,76 @@ object HybridQueries extends QueryModule {
     SigVariants.indexOf((c.mode, c.confirmBars))
   private[queries] val DefIdx = BacktestQueries2.GridCombos.indexOf(DefCombo)
 
-  /** Cached slim signal frame for one (gate, variant) — the input every
-    * split sim of that variant filters from. The ungated default
-    * variant IS Stage.slimSignals (same chain, same 10-column select) —
-    * reuse that cache instead of checkpointing a duplicate. */
-  private def wfSig(s: SparkSession, dir: String, hybrid: Boolean,
+  /** Cached slim signal frame for one (gate, variant) — the input the
+    * grid and walk-forward sims of that variant filter from. The
+    * ungated default variant IS Stage.slimSignals (same chain, same
+    * 10-column select) — reuse that cache instead of checkpointing a
+    * duplicate. */
+  private def gatedSig(s: SparkSession, dir: String, gate: Option[String],
       mode: String, cb: Int): DataFrame =
-    if (!hybrid && mode == DefCombo.mode && cb == DefCombo.confirmBars)
+    if (gate.isEmpty && mode == DefCombo.mode && cb == DefCombo.confirmBars)
       Stage.slimSignals(s, dir)
-    else Stage.cached(s, dir,
-      s"hyb_wf_sig_${if (hybrid) "veto" else "base"}_${mode}_$cb") {
-      val sig =
-        if (hybrid) gatedSignals(s, dir, "block_veto",
+    else Stage.cached(s, dir, {
+      val g = gate match {
+        case None => "base"
+        case Some("block_veto") => "veto"
+        case Some(_) => "allow"
+      }
+      s"hyb_wf_sig_${g}_${mode}_$cb"
+    }) {
+      val sig = gate match {
+        case Some(g) => gatedSignals(s, dir, g,
           Grid.Combo(mode, cb, DefCombo.holdBars, DefCombo.feeBps))
-        else Signals.generate(BacktestQueries2.gramSlim(s, dir), mode, cb)
+        case None =>
+          Signals.generate(BacktestQueries2.gramSlim(s, dir), mode, cb)
+      }
       sig.select("ticker", "bar_ts", "bar_id", "open", "high", "low",
         "close", "flow_state_code", "entry_signal", "signal_side")
     }
 
   /** 64-row per-(split, run) combo metric frame: 8 combos × 4 splits ×
-    * {baseline, block_veto}. Signal frames are cached per variant and
-    * the 64 quarter-window sims materialize as one concurrent job. */
+    * {baseline, block_veto}. The splits are disjoint quarters of
+    * (minTs, maxTs], so each (gate, variant) signal frame is tagged
+    * with its split index and exploded over the variant's two hold
+    * configs — the 64 quarter-window sims then run as ONE keyed
+    * simulation (one shuffle) and the 64 drawdown curves as ONE
+    * grouped prefix scan, instead of 64 jobs + 128 eager scan jobs. */
   private[queries] def wfMetrics(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "hyb_wf_metrics") {
       graft.ops.Pools.awaitAll(for {
-        h <- Seq(false, true); (m, cb) <- SigVariants
-      } yield () => { wfSig(s, dir, h, m, cb).count(); () })
+        g <- Seq(None, Some("block_veto")); (m, cb) <- SigVariants
+      } yield () => { gatedSig(s, dir, g, m, cb).count(); () })
       val bounds = BacktestQueries2.gramSlim(s, dir)
         .agg(min("bar_ts"), max("bar_ts")).head
       val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
-      // comboMetricsRow runs the drawdown prefix scan EAGERLY at
-      // construction (globalCumSumMax's pass-1 jobs) — build the 64
-      // cells concurrently or that's 128 serialized driver-blocking
-      // jobs before the union even exists
-      val cells = graft.ops.Pools.awaitAll(for {
+      val frames = for {
+        hybrid <- Seq(false, true); (m, cb) <- SigVariants
+      } yield {
+        val gate = if (hybrid) Some("block_veto") else None
+        val splitIdx = ss.foldLeft(lit(null).cast("int")) { (acc, sp) =>
+          when(col("bar_ts") > sp.testStartTs
+            && col("bar_ts") <= sp.testEndTs, lit(sp.idx)).otherwise(acc)
+        }
+        keyedFrame(
+          gatedSig(s, dir, gate, m, cb)
+            .withColumn("__split", splitIdx)
+            .filter(col("__split").isNotNull),
+          m, cb,
+          cellPrefix = Seq(lit(if (hybrid) 1 else 0), col("__split")))
+      }
+      val trades = Engine.simulateKeyed(frames.reduce(_.unionByName(_)))
+        .toDF()
+      import s.implicits._
+      val cells = (for {
         hybrid <- Seq(false, true)
-        (sp, i) <- ss.zipWithIndex
+        sp <- ss
         (c, ci) <- BacktestQueries2.GridCombos.zipWithIndex
-      } yield () => {
-        val sig = wfSig(s, dir, hybrid, c.mode, c.confirmBars)
-        val tr = Engine.simulate(
-          sig.filter(col("bar_ts") > sp.testStartTs
-            && col("bar_ts") <= sp.testEndTs),
-          Engine.Config(c.holdBars, c.feeBps)).toDF()
-        BacktestQueries2.comboMetricsRow(tr, c, ci)
-          .withColumn("split_idx", lit(i))
-          .withColumn("is_hybrid", lit(hybrid))
-      })
-      cells.reduce(_.unionByName(_))
+      } yield (s"${if (hybrid) 1 else 0}|${sp.idx}|$ci", ci,
+        BacktestQueries2.comboId(c), c.mode, c.confirmBars, c.holdBars,
+        c.feeBps, sp.idx, hybrid))
+        .toDF("cell", "combo_idx", "combo_id", "mode", "confirm_bars",
+          "hold_bars", "fee_bps", "split_idx", "is_hybrid")
+      BacktestQueries2.comboMetricsRowsKeyed(trades, cells).drop("cell")
     }
 
   /** Run-level overlay diagnostics over the default combo's signal

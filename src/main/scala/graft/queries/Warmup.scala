@@ -18,39 +18,58 @@ object Warmup {
 
   /** Materialize shared stages in dependency order (phases run their
     * members concurrently). Safe to call more than once — Stage.cached
-    * memoizes. */
+    * memoizes. Set GRAFT_WARMUP_TIMES=1 to print per-build wall times
+    * to stderr (profiling aid; builds overlap, so times overstate
+    * exclusive cost). */
   def prewarm(spark: SparkSession, dir: String): Unit = {
     graft.SparkEntry.tune(spark)
-    def phase(builds: Seq[() => Any]): Unit =
-      graft.ops.Pools.awaitAll(builds)
+    val timed = sys.env.get("GRAFT_WARMUP_TIMES").contains("1")
+    def phase(builds: Seq[(String, () => Any)]): Unit =
+      graft.ops.Pools.awaitAll(builds.map { case (name, b) =>
+        () => {
+          val t0 = System.nanoTime()
+          val r = b()
+          if (timed) System.err.println(
+            f"[warmup] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          r
+        }
+      })
 
     // phase 1: chain roots (one hash exchange each, disjoint inputs)
     phase(Seq(
-      () => Stage.slimGrammar(spark, dir).count(),
-      () => Stage.slimFwd(spark, dir).count(),
-      () => BacktestQueries2.gramSlim(spark, dir).count()))
+      "slimGrammar" -> (() => Stage.slimGrammar(spark, dir).count()),
+      "slimFwd" -> (() => Stage.slimFwd(spark, dir).count()),
+      "gramSlim" -> (() => BacktestQueries2.gramSlim(spark, dir).count())))
 
-    // phase 2: consumers of the roots — per-combo sims, bootstrap draw
-    // tables, day windows, the slim signal frame
+    // phase 2: consumers of the roots — per-combo sims, the gated/base
+    // signal variants (shared by the hybrid grid AND walk-forward
+    // families — built once here so phase 3 never races on them),
+    // bootstrap draw tables, day windows, the slim signal frame
     phase(
       BacktestQueries2.GridCombos.map(c =>
-        () => BacktestQueries2.comboTrades(spark, dir, c).count())
+        s"comboTrades:$c" ->
+          (() => BacktestQueries2.comboTrades(spark, dir, c).count()))
         ++ Seq(
-          () => Stage.slimSignals(spark, dir).count(),
-          () => ResearchQueries.bootStats(spark, dir).count(),
-          () => ResearchQueries.bootPair(spark, dir).count(),
-          () => ResearchQueries.dayWindows(spark, dir).count(),
-          () => CalibrationQueries.calBase(spark, dir).count()))
+          "slimSignals" -> (() => Stage.slimSignals(spark, dir).count()),
+          "bootStats" -> (() => ResearchQueries.bootStats(spark, dir).count()),
+          "bootPair" -> (() => ResearchQueries.bootPair(spark, dir).count()),
+          "dayWindows" ->
+            (() => ResearchQueries.dayWindows(spark, dir).count()),
+          "calBase" ->
+            (() => CalibrationQueries.calBase(spark, dir).count()))
+        ++ HybridQueries.sigBuilds(spark, dir))
 
-    // phase 3: the scored combo frame (needs all 8 sims) + the
-    // calibration sweep grid (needs the calibration base) + the hybrid
-    // runs' scored grids (each materializes its own gated sims
-    // concurrently)
+    // phase 3: the scored combo frame (needs all 8 sims; also the
+    // hybrid baseline run) + the calibration sweep grid (needs the
+    // calibration base) + the hybrid overlay grids and walk-forward
+    // cells (each ONE keyed sim over the phase-2 signal stages)
     phase(Seq(
-      () => BacktestQueries2.comboScored(spark, dir).count(),
-      () => CalibrationQueries.calGrid(spark, dir).count(),
-      () => HybridQueries.wfMetrics(spark, dir).count())
-      ++ HybridQueries.Runs.map(r =>
-        () => HybridQueries.runScored(spark, dir, r).count()))
+      "comboScored" ->
+        (() => BacktestQueries2.comboScored(spark, dir).count()),
+      "calGrid" -> (() => CalibrationQueries.calGrid(spark, dir).count()),
+      "wfMetrics" -> (() => HybridQueries.wfMetrics(spark, dir).count()))
+      ++ HybridQueries.Runs.filter(_.mode.isDefined).map(r =>
+        s"runScored:$r" ->
+          (() => HybridQueries.runScored(spark, dir, r).count())))
   }
 }
