@@ -113,4 +113,45 @@ class EngineSpec extends SparkSpec {
     val got = Engine.simulate(df, cfg).collect().toSeq
     assert(got == Engine.simulateTicker("T", bars, cfg))
   }
+
+  test("simulateKeyed matches per-cell simulate on a randomized sweep") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    // 3 cells × distinct (hold, fee) configs over the SAME 4-ticker
+    // random bar series — the batched path must reproduce each cell's
+    // one-config run exactly, including fee arithmetic and exit order
+    val rnd = new scala.util.Random(41)
+    val bars = for {
+      tk <- Seq("A", "B", "C", "D"); i <- 1 to 120
+    } yield {
+      val open = 100 + rnd.nextDouble() * 20
+      val close = open + rnd.nextDouble() * 4 - 2
+      SimBar(tk, i.toLong, i.toLong, open,
+        math.max(open, close) + rnd.nextDouble(),
+        math.min(open, close) - rnd.nextDouble(), close,
+        rnd.nextInt(5), rnd.nextInt(8) == 0, 1 - 2 * rnd.nextInt(2))
+    }
+    val base = bars.toDF().withColumnRenamed("state_code",
+      "flow_state_code")
+    val cfgs = Seq("c0" -> Config(2, 5.0), "c1" -> Config(4, 10.0),
+      "c2" -> Config(7, 0.0))
+    val keyed = cfgs.map { case (cell, c) =>
+      base.withColumn("cell", lit(cell))
+        .withColumn("hold_bars", lit(c.holdBars))
+        .withColumn("fee_bps", lit(c.feeBps))
+    }.reduce(_.unionByName(_))
+    val got = Engine.simulateKeyed(keyed).collect()
+      .groupBy(_.cell).view
+      .mapValues(_.map(t => (t.ticker, t.pos_seq, t.side, t.entry_rn,
+        t.exit_rn, t.entry_price, t.exit_price, t.exit_reason,
+        t.gross_ret, t.net_ret, t.mfe, t.mae)).toSet).toMap
+    cfgs.foreach { case (cell, c) =>
+      val ref = Engine.simulate(base, c).collect()
+        .map(t => (t.ticker, t.pos_seq, t.side, t.entry_rn, t.exit_rn,
+          t.entry_price, t.exit_price, t.exit_reason, t.gross_ret,
+          t.net_ret, t.mfe, t.mae)).toSet
+      assert(got(cell) == ref, s"cell $cell diverged")
+    }
+  }
 }

@@ -142,4 +142,35 @@ class OpsSpec extends SparkSpec {
     assert(got.length == 500)
     assert(got.toSeq == ref.toSeq)
   }
+
+  test("groupedCumSumMax matches per-group globalCumSumMax bit-exactly") {
+    val s = spark
+    import s.implicits._
+    // uneven group sizes (1, ~40, ~460) so one group spans several
+    // range partitions while another occupies a fraction of one —
+    // both offset paths (null peak seed, cross-partition peak carry)
+    // must agree with the one-group scan
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map { i =>
+      val g = if (i == 1) "solo" else if (i % 12 == 0) "mid" else "big"
+      (g, i.toLong, rnd.nextDouble() * 2 - 1)
+    }
+    val df = rows.toDF("g", "k", "v")
+    val got = Wins
+      .groupedCumSumMax(df, "g", Seq(col("k")), col("v"), "cum", "peak")
+      .select(col("g"), col("k"), col("cum"), col("peak"))
+      .orderBy("g", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2),
+        r.getDecimal(3)))
+    val ref = rows.map(_._1).distinct.sorted.flatMap { g =>
+      Wins.globalCumSumMax(df.filter(col("g") === g), Seq(col("k")),
+          col("v"), "cum", "peak")
+        .select(col("g"), col("k"), col("cum"), col("peak"))
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2),
+          r.getDecimal(3)))
+    }
+    assert(got.length == 500)
+    assert(got.toSeq == ref.toSeq)
+  }
 }
