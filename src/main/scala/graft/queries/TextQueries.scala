@@ -364,6 +364,53 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // Incremental (batch-vs-index) dedup: docs with doc_id % 5 = 0 play
+    // the newly-delivered batch, the rest the standing index; each
+    // batch doc is classified exact_dup / near_dup / novel with its
+    // best index match. The oracle mirrors the same fingerprint join,
+    // band-key join, and argmax-similarity tie-break.
+    Q("q_t_incr_dedup", Some {
+      val agree = (0 until 8).map(j =>
+        s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH $minhashCtes,
+      fpb AS (SELECT doc_id, md5(text) AS fp FROM documents
+              WHERE doc_id % 5 = 0),
+      fpi AS (SELECT md5(text) AS fp, min(doc_id) AS ex_id
+              FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      exact AS (SELECT fpb.doc_id, fpi.ex_id
+                FROM fpb LEFT JOIN fpi USING (fp)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bx a JOIN bx b
+                 ON a.band_idx = b.band_idx AND a.key = b.key
+               WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+      sims AS (SELECT d1, d2, CAST(($agree) AS DOUBLE) / 8 AS est
+               FROM cand
+               JOIN sig sa ON d1 = sa.doc_id
+               JOIN sig sb ON d2 = sb.doc_id),
+      best AS (SELECT d1, d2, est, row_number() OVER (
+                 PARTITION BY d1 ORDER BY est DESC, d2) AS rn
+               FROM sims WHERE est >= 0.5)
+      SELECT b.doc_id,
+             CASE WHEN e.ex_id IS NOT NULL THEN 'exact_dup'
+                  WHEN n.d2 IS NOT NULL THEN 'near_dup'
+                  ELSE 'novel' END AS verdict,
+             CASE WHEN e.ex_id IS NOT NULL THEN e.ex_id
+                  ELSE n.d2 END AS match_id,
+             CASE WHEN e.ex_id IS NULL THEN n.est END AS est_sim
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) b
+      LEFT JOIN exact e ON e.doc_id = b.doc_id
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) n ON n.d1 = b.doc_id
+      ORDER BY b.doc_id"""
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalClassify(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          n = 3, minSim = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Duplicate-cluster assignment: connected components over the union
     // of exact-fingerprint star edges and MinHash candidate pairs —
     // min-label propagation on the Spark side, recursive-CTE transitive

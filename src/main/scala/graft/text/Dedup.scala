@@ -96,6 +96,76 @@ object Dedup {
         (agree.cast("double") / k).as("est_sim"))
   }
 
+  /** LSH band-key table (doc_id, band_idx, key) over a minhash
+    * signature frame — the join axis of both self-dedup and
+    * incremental (batch-vs-index) dedup. */
+  private def bandTable(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val nBands = MinHashParams.size / rowsPerBand
+    val bandKey = (band: Int) => concat_ws("_",
+      (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(j => col(s"m$j")): _*)
+    sigs.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_idx"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.key"))
+  }
+
+  /** Incremental corpus dedup: classify each doc of a new `batch`
+    * against an existing `index` corpus (both (doc_id, text)) as
+    * `exact_dup` (identical md5 fingerprint; match = lowest-id index
+    * holder), `near_dup` (shares a MinHash LSH band with an index doc at
+    * estimated similarity ≥ `minSim`; match = highest-similarity index
+    * doc, ties to the lowest id), or `novel`.
+    *
+    * This is the continuous-ingestion shape: at 100 TB you never
+    * re-dedup the whole corpus per delivery — the index side's
+    * fingerprints and signatures are a stored table (computed once,
+    * appended per batch), and each new batch costs one fingerprint
+    * equi-join plus one band-key equi-join of batch-side bands against
+    * the index, both shuffling only on derived keys. Batch×batch pairs
+    * are deliberately out of scope here (run [[minhashLshPairs]] within
+    * the batch for that); the hot-band guard is the same pigeonhole
+    * argument as self-dedup since band keys with many index holders
+    * only multiply candidates linearly in the batch's matches. */
+  def incrementalClassify(index: DataFrame, batch: DataFrame, n: Int,
+      minSim: Double, rowsPerBand: Int = 2): DataFrame = {
+    val k = MinHashParams.size
+    val fp = (d: DataFrame) => d.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"))
+    val exact = fp(batch).join(
+        fp(index).groupBy("fp").agg(min("doc_id").as("ex_id")),
+        Seq("fp"), "left")
+      .select(col("doc_id"), col("ex_id"))
+    val sigB = minhashSignatures(batch, n)
+    val sigI = minhashSignatures(index, n)
+    val cand = bandTable(sigB, rowsPerBand).as("a")
+      .join(bandTable(sigI, rowsPerBand).as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val agree = (0 until k).map(j =>
+      when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0)).reduce(_ + _)
+    val sims = cand.join(sigB.as("a"), col("d1") === col("a.doc_id"))
+      .join(sigI.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"), (agree.cast("double") / k).as("est"))
+      .filter(col("est") >= minSim)
+    val best = sims.withColumn("rn", row_number().over(
+        Window.partitionBy("d1").orderBy(col("est").desc, col("d2"))))
+      .filter(col("rn") === 1)
+      .select(col("d1").as("doc_id"), col("d2").as("nr_id"),
+        col("est"))
+    batch.select("doc_id").join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_id").isNotNull, lit("exact_dup"))
+          .when(col("nr_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("novel")).as("verdict"),
+        when(col("ex_id").isNotNull, col("ex_id"))
+          .otherwise(col("nr_id")).as("match_id"),
+        when(col("ex_id").isNull, col("est")).as("est_sim"))
+  }
+
   /** Distributed connected components over a near-dup pair graph via
     * iterative min-label ("HashMin") propagation: every doc starts as
     * its own component; each round every doc adopts the minimum label

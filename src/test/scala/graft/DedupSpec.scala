@@ -102,6 +102,30 @@ class DedupSpec extends SparkSpec {
     Seq(5L, 8L, 9L).foreach(i => assert(out(i) == (i, 1L, true)))
   }
 
+  test("incrementalClassify: exact beats near, argmax match, novel rest") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val index = docs(
+      10L -> base,
+      11L -> base, // same fp as 10 — exact match must pick min id 10
+      12L -> (base + " with a small tail change here"),
+      13L -> "completely unrelated text about distributed query engines")
+    val batch = docs(
+      1L -> base,                                   // exact dup of 10
+      2L -> (base + " with a small tail change"),   // near dup
+      3L -> "nothing in common with any index doc at all wholly new")
+    val out = Dedup.incrementalClassify(index, batch, n = 3, minSim = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.toString))).toMap
+    assert(out(1L) == ("exact_dup", Some("10")))
+    assert(out(2L)._1 == "near_dup"
+      && Set("10", "11", "12").contains(out(2L)._2.get))
+    assert(out(3L) == ("novel", None))
+    // exact dups share every band too — precedence must still say exact
+    val v1 = Dedup.incrementalClassify(index, batch, 3, 0.5)
+      .filter(col("doc_id") === 1L).head()
+    assert(v1.isNullAt(v1.fieldIndex("est_sim")))
+  }
+
   test("cosineTopK: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
