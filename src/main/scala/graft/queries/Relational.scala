@@ -330,7 +330,10 @@ object Relational extends QueryModule {
           .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
           .select(sf.as("source_file"), lit(-1.0).as("fingerprint"),
             lit(100L).as("discovered_ts")))
-      val c1 = Bronze.classifyManifest(cur, prev)
+      // the classified ledger is one row per file (bounded by manifest
+      // size, not data size) — checkpoint it so round 2 and the union
+      // read it instead of re-running round 1's join chain twice
+      val c1 = Bronze.classifyManifest(cur, prev).localCheckpoint()
       // complete run → the classified manifest promotes to stable
       val stable = Bronze.promoteManifest(c1).get
       val c2 = Bronze.classifyManifest(cur, stable)

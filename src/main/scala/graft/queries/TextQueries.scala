@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.text.{Dedup, Similarity, TextOps}
 
 /** LLM-training-data-pipeline operators over `documents` and `embeddings`:
@@ -12,6 +13,17 @@ import graft.text.{Dedup, Similarity, TextOps}
   * SimHash — has an exact SQL oracle.
   */
 object TextQueries extends QueryModule {
+
+  /** Shared per-doc MinHash signature stage (word-3-gram shingles, 8
+    * components) — the stored artifact every dedup pass starts from:
+    * self-dedup banding, component clustering, the dedup policy, and
+    * the incremental batch classifier all read this one frame instead
+    * of re-exploding the corpus into shingles per query. One row per
+    * doc, so checkpointing it is bounded by corpus cardinality. */
+  private[queries] def docSigs(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "doc_minhash_sigs") {
+      Dedup.minhashSignatures(t(s, dir, "documents"), n = 3)
+    }
 
   /** DuckDB shingle CTE mirroring TextOps.shingles(text, 3). */
   private val shingleCte = """
@@ -294,7 +306,7 @@ object TextQueries extends QueryModule {
       val docs = t(s, dir, "documents")
       val fp = Dedup.exactDups(docs)
         .select(col("doc_id"), col("is_dup").as("exact_dup"))
-      val nd = Dedup.minhashLshPairs(docs, n = 3)
+      val nd = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
         .select(col("d2").as("doc_id")).distinct()
         .withColumn("near_dup", lit(true))
       val qf = docs
@@ -360,7 +372,7 @@ object TextQueries extends QueryModule {
       JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id
       ORDER BY d1, d2"""
     }) { (s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3)
+      Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
         .orderBy("d1", "d2")
     },
 
@@ -404,10 +416,13 @@ object TextQueries extends QueryModule {
       ORDER BY b.doc_id"""
     }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      Dedup.incrementalClassify(
+      val sigs = docSigs(s, dir)
+      Dedup.incrementalClassifyFromSigs(
           docs.filter(col("doc_id") % 5 =!= 0),
           docs.filter(col("doc_id") % 5 === 0),
-          n = 3, minSim = 0.5)
+          sigs.filter(col("doc_id") % 5 =!= 0),
+          sigs.filter(col("doc_id") % 5 === 0),
+          minSim = 0.5)
         .orderBy("doc_id")
     },
 
@@ -447,7 +462,8 @@ object TextQueries extends QueryModule {
         min("doc_id").over(w).as("keep"))
       val fpPairs = star.filter(col("doc_id") =!= col("keep"))
         .select(col("keep").as("d1"), col("doc_id").as("d2"))
-      val pairs = Dedup.minhashLshPairs(docs, n = 3).select("d1", "d2")
+      val pairs = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
+        .select("d1", "d2")
         .unionByName(fpPairs).distinct()
       Dedup.connectedComponents(docs, pairs).orderBy("doc_id")
     },

@@ -39,7 +39,8 @@ object Warmup {
     phase(Seq(
       "slimGrammar" -> (() => Stage.slimGrammar(spark, dir).count()),
       "slimFwd" -> (() => Stage.slimFwd(spark, dir).count()),
-      "gramSlim" -> (() => BacktestQueries2.gramSlim(spark, dir).count())))
+      "gramSlim" -> (() => BacktestQueries2.gramSlim(spark, dir).count()),
+      "docSigs" -> (() => TextQueries.docSigs(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
     // signal variants (shared by the hybrid grid AND walk-forward

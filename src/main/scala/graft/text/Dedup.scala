@@ -71,17 +71,18 @@ object Dedup {
     * candidate pairs sharing any band key, with estimated similarity =
     * fraction of agreeing minhash components. */
   def minhashLshPairs(docs: DataFrame, n: Int,
+      rowsPerBand: Int = 2): DataFrame =
+    minhashLshPairsFromSigs(minhashSignatures(docs, n).cache(),
+      rowsPerBand)
+
+  /** [[minhashLshPairs]] over a precomputed signature frame — at corpus
+    * scale the signatures are a stored per-doc table (one row per doc,
+    * computed once per ingestion), so every dedup pass starts here
+    * instead of re-sharding the corpus into shingles. */
+  def minhashLshPairsFromSigs(sigs: DataFrame,
       rowsPerBand: Int = 2): DataFrame = {
     val k = MinHashParams.size
-    val nBands = k / rowsPerBand
-    val sigs = minhashSignatures(docs, n).cache()
-    val bandKey = (band: Int) => concat_ws("_",
-      (band * rowsPerBand until (band + 1) * rowsPerBand)
-        .map(j => col(s"m$j")): _*)
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band_idx"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx"), col("bk.key"))
+    val bands = bandTable(sigs, rowsPerBand)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.key") === col("b.key")
@@ -128,7 +129,17 @@ object Dedup {
     * argument as self-dedup since band keys with many index holders
     * only multiply candidates linearly in the batch's matches. */
   def incrementalClassify(index: DataFrame, batch: DataFrame, n: Int,
-      minSim: Double, rowsPerBand: Int = 2): DataFrame = {
+      minSim: Double, rowsPerBand: Int = 2): DataFrame =
+    incrementalClassifyFromSigs(index, batch,
+      minhashSignatures(index, n), minhashSignatures(batch, n),
+      minSim, rowsPerBand)
+
+  /** [[incrementalClassify]] over precomputed signature frames — the
+    * index side's signatures are the stored artifact at scale, and the
+    * batch side's can be appended to it after classification. */
+  def incrementalClassifyFromSigs(index: DataFrame, batch: DataFrame,
+      sigI: DataFrame, sigB: DataFrame, minSim: Double,
+      rowsPerBand: Int = 2): DataFrame = {
     val k = MinHashParams.size
     val fp = (d: DataFrame) => d.select(col("doc_id"),
       md5(col("text").cast("binary")).as("fp"))
@@ -136,8 +147,6 @@ object Dedup {
         fp(index).groupBy("fp").agg(min("doc_id").as("ex_id")),
         Seq("fp"), "left")
       .select(col("doc_id"), col("ex_id"))
-    val sigB = minhashSignatures(batch, n)
-    val sigI = minhashSignatures(index, n)
     val cand = bandTable(sigB, rowsPerBand).as("a")
       .join(bandTable(sigI, rowsPerBand).as("b"),
         col("a.band_idx") === col("b.band_idx")
