@@ -78,6 +78,25 @@ object TextQueries extends QueryModule {
 
   private val stop = "('the', 'a', 'of', 'and', 'to', 'in')"
 
+  /** Shared Spark-side duplicate-component stage: connected components
+    * over exact-fingerprint star edges ∪ MinHash band candidate pairs —
+    * the cluster map both the dedup report and the leakage-safe split
+    * derive from. One row per doc. */
+  private[queries] def docComponents(s: SparkSession,
+      dir: String): DataFrame =
+    Stage.cached(s, dir, "doc_components") {
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+      val star = docs.select(col("doc_id"),
+        min("doc_id").over(w).as("keep"))
+      val fpPairs = star.filter(col("doc_id") =!= col("keep"))
+        .select(col("keep").as("d1"), col("doc_id").as("d2"))
+      val pairs = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
+        .select("d1", "d2")
+        .unionByName(fpPairs).distinct()
+      Dedup.connectedComponents(docs, pairs)
+    }
+
   /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
     * candidate pairs (`mh_pairs`); shared by q_d_minhash and
     * q_d_components. */
@@ -102,6 +121,32 @@ object TextQueries extends QueryModule {
         FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.key = b.key
           AND a.doc_id < b.doc_id)"""
   }
+
+  /** Recursive transitive-closure CTEs on top of [[minhashCtes]]:
+    * exact-fingerprint star edges ∪ MinHash candidate pairs → `comp`
+    * (doc_id, comp_id) — the oracle twin of [[docComponents]], shared
+    * by q_d_components and q_t_split_leakfree so the two can't drift. */
+  private def componentCtes: String = s"""$minhashCtes,
+      fp_star AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents),
+      fp_pairs AS (
+        SELECT keep AS d1, doc_id AS d2 FROM fp_star
+        WHERE doc_id <> keep),
+      all_pairs AS (
+        SELECT d1, d2 FROM mh_pairs UNION SELECT d1, d2 FROM fp_pairs),
+      edges AS (
+        SELECT d1 AS a, d2 AS b FROM all_pairs
+        UNION SELECT d2, d1 FROM all_pairs),
+      reach (a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS comp_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id)"""
 
   def all: Seq[Q] = Seq(
 
@@ -431,41 +476,35 @@ object TextQueries extends QueryModule {
     // min-label propagation on the Spark side, recursive-CTE transitive
     // closure as the oracle; every doc gets (component, size, keeper)
     Q("q_d_components", Some(s"""
-      WITH RECURSIVE $minhashCtes,
-      fp_star AS (
-        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-        FROM documents),
-      fp_pairs AS (
-        SELECT keep AS d1, doc_id AS d2 FROM fp_star
-        WHERE doc_id <> keep),
-      all_pairs AS (
-        SELECT d1, d2 FROM mh_pairs UNION SELECT d1, d2 FROM fp_pairs),
-      edges AS (
-        SELECT d1 AS a, d2 AS b FROM all_pairs
-        UNION SELECT d2, d1 FROM all_pairs),
-      reach (a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS comp_id
-        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        GROUP BY d.doc_id)
+      WITH RECURSIVE $componentCtes
       SELECT doc_id, comp_id,
              count(*) OVER (PARTITION BY comp_id) AS cluster_size,
              doc_id = comp_id AS is_canonical
       FROM comp ORDER BY doc_id""")) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val w = Window.partitionBy(md5(col("text").cast("binary")))
-      val star = docs.select(col("doc_id"),
-        min("doc_id").over(w).as("keep"))
-      val fpPairs = star.filter(col("doc_id") =!= col("keep"))
-        .select(col("keep").as("d1"), col("doc_id").as("d2"))
-      val pairs = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
-        .select("d1", "d2")
-        .unionByName(fpPairs).distinct()
-      Dedup.connectedComponents(docs, pairs).orderBy("doc_id")
+      docComponents(s, dir).orderBy("doc_id")
+    },
+
+    // Leakage-safe train/heldout split: assignment hashes the duplicate
+    // COMPONENT id, not the doc id, so every near-dup cluster lands
+    // wholly on one side — the split you must use before eval-set
+    // carve-out or memorization measurement (doc-hash splits leak
+    // near-identical docs across the boundary).
+    Q("q_t_split_leakfree", Some(s"""
+      WITH RECURSIVE $componentCtes,
+      sized AS (
+        SELECT doc_id, comp_id,
+               count(*) OVER (PARTITION BY comp_id) AS cluster_size
+        FROM comp)
+      SELECT doc_id, comp_id, cluster_size,
+             CASE WHEN ${hsql("'split_' || comp_id")} % 10 < 9
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM sized ORDER BY doc_id""")) { (s, dir) =>
+      docComponents(s, dir)
+        .select(col("doc_id"), col("comp_id"), col("cluster_size"),
+          when(TextOps.hashMod(
+              concat(lit("split_"), col("comp_id"))) % 10 < 9,
+            "train").otherwise("heldout").as("split"))
+        .orderBy("doc_id")
     },
 
     // SimHash near-dup pairs: 64-bit signatures (4 salted hashes × 16
