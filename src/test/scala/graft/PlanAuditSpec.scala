@@ -297,4 +297,25 @@ class PlanAuditSpec extends SparkSpec {
       "per-draw repartition missing")
     assert(df.count() == 2)
   }
+
+  test("simulateKeyed: whole sweep is ONE shuffle on (cell, ticker)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    val bars = (1 to 20).map(i => graft.backtest.Engine.SimBar(
+      "T", i.toLong, i.toLong, 100.0, 101.0, 99.0, 100.5, 2,
+      i % 5 == 0, 1)).toDF()
+      .withColumnRenamed("state_code", "flow_state_code")
+    val keyed = Seq(("a", 2, 5.0), ("b", 4, 0.0)).map { case (c, h, f) =>
+      bars.withColumn("cell", lit(c)).withColumn("hold_bars", lit(h))
+        .withColumn("fee_bps", lit(f))
+    }.reduce(_.unionByName(_))
+    val ds = graft.backtest.Engine.simulateKeyed(keyed)
+    assert(ds.count() > 0)
+    // N cells must cost exactly one exchange — per-cell jobs were the
+    // pre-batching shape this audit exists to prevent regressing to
+    val p = ds.queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nShuffles == 1, s"expected 1 shuffle, got $nShuffles:\n$p")
+  }
 }
