@@ -52,6 +52,59 @@ object CurationQueries extends QueryModule {
 
   def all: Seq[Q] = Seq(
 
+    // Cross-source duplication matrix: for every pair of sources that
+    // share at least one verbatim 8-gram, the overlap of their distinct
+    // gram sets (jaccard + containment) — how you detect one crawl/dump
+    // re-serving another's content before mixing them. Scale shape: one
+    // shuffle to distinct (source, gram), then a gram equi-join whose
+    // per-gram fanout is bounded by #sources², never corpus size.
+    Q("q_t_source_overlap", Some(s"""
+      WITH $sh8Cte,
+      ss AS (SELECT DISTINCT d.source, s.sh
+             FROM sh8 s JOIN documents d USING (doc_id)),
+      sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+      inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM ss a JOIN ss b
+          ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared,
+             sa.n_sh AS n_a, sb.n_sh AS n_b,
+             round(CAST(n_shared AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - n_shared), 9) AS jaccard,
+             round(CAST(n_shared AS DOUBLE)
+               / least(sa.n_sh, sb.n_sh), 9) AS containment
+      FROM inter
+      JOIN sizes sa ON source_a = sa.source
+      JOIN sizes sb ON source_b = sb.source
+      ORDER BY source_a, source_b""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ss = docs.select(col("source"),
+          explode(TextOps.shingles(col("text"), ContamN)).as("sh"))
+        .distinct()
+      val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val inter = ss.as("a").join(ss.as("b"),
+          col("a.sh") === col("b.sh")
+            && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("source").as("source_a"),
+          col("n_sh").as("n_a")), Seq("source_a"))
+        .join(sizes.select(col("source").as("source_b"),
+          col("n_sh").as("n_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          round(col("n_shared").cast("double")
+            / (col("n_a") + col("n_b") - col("n_shared")), 9)
+            .as("jaccard"),
+          round(col("n_shared").cast("double")
+            / least(col("n_a"), col("n_b")), 9).as("containment"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Eval-set decontamination: docs with doc_id % 20 == 0 stand in for a
     // held-out benchmark; every other doc is scored by how many of its
     // distinct 8-grams appear verbatim in the benchmark set. One shared
