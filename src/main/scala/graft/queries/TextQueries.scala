@@ -1037,6 +1037,37 @@ object TextQueries extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Dedup-threshold calibration histogram: candidate-pair cosine
+    // similarities in 0.05 bins with a top-down cumulative count — the
+    // curve you read to pick the semantic-dedup τ for a removal budget
+    // ("τ = 0.40 drops N pairs"). The window runs over ~40 bin rows
+    // (already aggregated), not the pair set.
+    Q("q_e_sim_hist", Some(s"""
+      WITH $annPairCtes,
+      cosd AS (
+        SELECT round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dots JOIN norms na ON id_a = na.vec_id
+                  JOIN norms nb ON id_b = nb.vec_id),
+      hist AS (
+        SELECT CAST(floor(cos_sim / 0.05) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM cosd GROUP BY 1)
+      SELECT bin, round(CAST(bin AS DOUBLE) * 0.05, 2) AS bin_lo, n,
+             CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT)
+               AS n_at_or_above
+      FROM hist ORDER BY bin""")) { (s, dir) =>
+      val pairs = Similarity.annSelfJoinPairs(t(s, dir, "embeddings"),
+        maxBucket = 256, simFloor = -1.0, bits = 8, nBands = 2)
+      pairs
+        .select(floor(col("cos_sim") / 0.05).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .select(col("bin"), round(col("bin") * 0.05, 2).as("bin_lo"),
+          col("n"),
+          sum("n").over(Window.orderBy(col("bin").desc)).cast("long")
+            .as("n_at_or_above"))
+        .orderBy("bin")
+    },
+
     // SemDeDup-style semantic dedup: ANN near-dup pairs above a cosine
     // threshold → connected components → one canonical keeper per
     // embedding cluster. Same banded bucket equi-join as q_e_ann_pairs
