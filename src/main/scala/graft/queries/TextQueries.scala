@@ -507,6 +507,52 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Incremental cluster merge: new batch docs (doc_id % 5 = 0) join
+    // the standing index's duplicate clusters WITHOUT recomputing the
+    // corpus graph — the index's components collapse to star edges
+    // (doc → cluster keeper), only batch-involving candidate pairs are
+    // generated, and one fast propagation merges. The oracle is the
+    // FULL-corpus recompute restricted to batch docs: incremental
+    // ingestion must land every doc in exactly the cluster a from-
+    // scratch run would (labels = min doc_id of the merged cluster,
+    // sizes count the whole merged cluster).
+    Q("q_d_components_incr", Some(s"""
+      WITH RECURSIVE $componentCtes,
+      sized AS (
+        SELECT doc_id, comp_id,
+               count(*) OVER (PARTITION BY comp_id) AS cluster_size
+        FROM comp)
+      SELECT doc_id, comp_id, cluster_size FROM sized
+      WHERE doc_id % 5 = 0 ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigs = docSigs(s, dir)
+      val isBatch = col("doc_id") % 5 === 0
+      def fpPairs(d: DataFrame) = {
+        val w = Window.partitionBy(md5(col("text").cast("binary")))
+        d.select(col("doc_id"), min("doc_id").over(w).as("keep"))
+          .filter(col("doc_id") =!= col("keep"))
+          .select(col("keep").as("d1"), col("doc_id").as("d2"))
+      }
+      // standing index state (stored, in production): clusters over the
+      // index corpus alone
+      val idx = docs.filter(!isBatch)
+      val idxPairs = Dedup
+        .minhashLshPairsFromSigs(sigs.filter(col("doc_id") % 5 =!= 0))
+        .select("d1", "d2").unionByName(fpPairs(idx)).distinct()
+      val starEdges = Dedup.connectedComponents(idx, idxPairs)
+        .filter(col("doc_id") =!= col("comp_id"))
+        .select(col("comp_id").as("d1"), col("doc_id").as("d2"))
+      // the ingestion delta: every candidate pair touching a batch doc
+      val batchPairs = Dedup.minhashLshPairsFromSigs(sigs)
+        .select("d1", "d2").unionByName(fpPairs(docs))
+        .filter(col("d1") % 5 === 0 || col("d2") % 5 === 0).distinct()
+      Dedup.connectedComponents(docs,
+          starEdges.unionByName(batchPairs).distinct())
+        .filter(isBatch)
+        .select("doc_id", "comp_id", "cluster_size")
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs: 64-bit signatures (4 salted hashes × 16
     // bits), blocked on 16-bit bands — 4·2^16 blocking keys, pigeonhole
     // recall for hamming <= 3
