@@ -57,7 +57,9 @@ object Warmup {
           "dayWindows" ->
             (() => ResearchQueries.dayWindows(spark, dir).count()),
           "calBase" ->
-            (() => CalibrationQueries.calBase(spark, dir).count()))
+            (() => CalibrationQueries.calBase(spark, dir).count()),
+          "docComponents" ->
+            (() => TextQueries.docComponents(spark, dir).count()))
         ++ HybridQueries.sigBuilds(spark, dir))
 
     // phase 3: the scored combo frame (needs all 8 sims; also the
