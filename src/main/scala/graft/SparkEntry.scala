@@ -14,8 +14,10 @@ object SparkEntry {
   def tune(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark has no ns type; read as
-    // a nanos LONG and convert explicitly (ts div 1000 → µs).
+    // Kept defensively: the fixture has shipped events.ts as both
+    // TIMESTAMP(NANOS) and TIMESTAMP(MICROS). The flag only affects
+    // NANOS columns (read as LONG instead of erroring); MICROS columns
+    // are untouched. graft.etl.EventTime dispatches on the actual type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 

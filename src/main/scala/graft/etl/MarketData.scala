@@ -17,13 +17,12 @@ object MarketData {
 
   /** One bar per event: (ticker, bar_ts, bar_id, open, high, low, close,
     * volume), ordered semantics identical to the reference's
-    * (ticker, trade_date) series. `ts` must be a nanos LONG
-    * (spark.sql.legacy.parquet.nanosAsLong). */
+    * (ticker, trade_date) series. `ts` may be a nanos LONG or a
+    * TIMESTAMP[_NTZ] — EventTime dispatches on the actual schema. */
   def barsFromEvents(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .select(col("user_id").cast("string").as("ticker"),
-        expr("ts div 1000").as("bar_ts"), col("event_id").as("bar_id"),
+        EventTime.micros(events).as("bar_ts"), col("event_id").as("bar_id"),
         col("value").as("close"))
       .withColumn("open",
         coalesce(lag("close", 1).over(

@@ -28,10 +28,12 @@ object EventQueries extends QueryModule {
     * this per product, the shape is identical). */
   private val GapUs = 6L * 3600 * 1000000
 
-  private def evBase(s: org.apache.spark.sql.SparkSession, dir: String) =
-    t(s, dir, "events").select(
+  private def evBase(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = t(s, dir, "events")
+    ev.select(
       col("user_id"), col("event_id"), col("event_type"), col("value"),
-      expr("ts div 1000").as("eus"))
+      graft.etl.EventTime.micros(ev).as("eus"))
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -107,9 +109,9 @@ object EventQueries extends QueryModule {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM sx GROUP BY user_id, sess_idx
       ORDER BY user_id, win_start_us""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
       graft.streaming.EventSessions.sessionize(
-          t(s, dir, "events").withColumn("ts_t",
-            timestamp_micros(expr("ts div 1000"))),
+          ev.withColumn("ts_t", graft.etl.EventTime.typedTs(ev)),
           "ts_t", "6 hours")
         .select(col("user_id"),
           unix_micros(col("win_start")).as("win_start_us"),
@@ -337,9 +339,9 @@ object EventQueries extends QueryModule {
              round(CAST(n_active AS DOUBLE) / cohort_size, 9) AS retention
       FROM sz ORDER BY cohort_d, day_offset""")) { (s, dir) =>
       val wU = Window.partitionBy("user_id")
-      t(s, dir, "events")
-        .select(col("user_id"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+      val ev = t(s, dir, "events")
+      ev.select(col("user_id"),
+          to_date(graft.etl.EventTime.typedTs(ev)).as("d"))
         .withColumn("cohort_d", min("d").over(wU))
         .select(col("user_id"), col("cohort_d"),
           datediff(col("d"), col("cohort_d")).as("day_offset"))

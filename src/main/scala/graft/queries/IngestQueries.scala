@@ -156,15 +156,21 @@ object IngestQueries extends QueryModule {
     "q_suspicious_bar", "q_gap_in_calendar", "quality_error_count",
     "quality_warn_count")
 
-  // NOT stage-cached: caching would force materialization of every
-  // parsed column and defeat the per-query column pruning that keeps
-  // q_bronze_parse's count nearly free — each consumer prunes its own
-  // slice of the parse instead
-  private def bronzeDf(s: SparkSession, dir: String): DataFrame =
-    Bronze.qualityFlags(
-      Bronze.parseLines(rawLines(t(s, dir, "lineitem"))),
-      tiebreak = Seq("source_line_no"))
-      .withColumn("trade_dt_us", unix_micros(col("trade_dt")))
+  // Stage-cached: the three bronze consumers (parse / sanity / quality
+  // report) all read essentially the full parsed row, and the parse is
+  // the expensive part (line synthesis + split + casts + a per-line md5
+  // ordering salt). Re-running it per query cost 3 full passes per
+  // bench run; one checkpoint is bounded by lineitem cardinality and
+  // mirrors the reference's bronze layer — persisted once, consumed by
+  // every downstream validator (ref bronze/sanity_checks.py reads the
+  // written bronze parquet, it never re-parses).
+  private[queries] def bronzeDf(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "bronze_parsed") {
+      Bronze.qualityFlags(
+        Bronze.parseLines(rawLines(t(s, dir, "lineitem"))),
+        tiebreak = Seq("source_line_no"))
+        .withColumn("trade_dt_us", unix_micros(col("trade_dt")))
+    }
 
   def all: Seq[Q] = Seq(
 

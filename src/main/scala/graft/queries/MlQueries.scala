@@ -28,11 +28,13 @@ object MlQueries extends QueryModule {
 
   /** Shared HMM input projection: per-user value series from `events`. */
   private[queries] def hmmInput(s: org.apache.spark.sql.SparkSession,
-      dir: String) =
-    t(s, dir, "events").select(
+      dir: String) = {
+    val ev = t(s, dir, "events")
+    ev.select(
       col("user_id").cast("string").as("key"),
-      expr("ts div 1000").as("ts"),
+      graft.etl.EventTime.micros(ev).as("ts"),
       array(col("value")).as("features"))
+  }
 
   /** KMeans fit shared between the labeling and metrics queries (the fit
     * is the expensive part; the labeled frame is narrow). */

@@ -97,6 +97,19 @@ object TextQueries extends QueryModule {
       Dedup.connectedComponents(docs, pairs)
     }
 
+  /** Shared ANN candidate-pair stage: the banded sign-LSH self-join at
+    * maxBucket=256 / bits=8 / nBands=2 with NO similarity floor — built
+    * once, consumed by q_e_ann_pairs (≥ 0 filter), q_e_sim_hist (full
+    * range), and q_e_semantic_dedup (≥ τ filter). simFloor is a final
+    * filter in Similarity.annSelfJoinPairs, so filtering the floor-free
+    * superset is exactly equivalent. One row per candidate pair —
+    * bounded by Σbucket², which the hot-bucket cap keeps linear. */
+  private[queries] def annPairs(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "ann_pairs") {
+      Similarity.annSelfJoinPairs(t(s, dir, "embeddings"),
+        maxBucket = 256, simFloor = -1.0, bits = 8, nBands = 2)
+    }
+
   /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
     * candidate pairs (`mh_pairs`); shared by q_d_minhash and
     * q_d_components. */
@@ -838,11 +851,17 @@ object TextQueries extends QueryModule {
       val keepW = Window.partitionBy(md5(col("text").cast("binary")))
       val fp = docs.select(col("doc_id"),
         min("doc_id").over(keepW).as("keep_id"))
+      // Materialize the slim survivor frame ONCE: the interpreted HOF
+      // feature battery (qualityFeatures/langScores lambdas — no
+      // codegen) would otherwise run twice, for the budget aggregate AND
+      // for globalCumSum's own checkpoint. One narrow row per surviving
+      // doc, so the checkpoint is bounded by corpus cardinality.
       val surv = feat.join(fp, Seq("doc_id"))
         .filter(col("doc_id") === col("keep_id")
           && col("n_tokens") >= 10 && col("quality_score") >= 0.5
           && col("digit_ratio") <= 0.3)
         .select("doc_id", "lang", "predicted", "n_tokens", "quality_score")
+        .localCheckpoint()
       val bud = surv.agg(
         floor(lit(0.6) * sum("n_tokens")).cast("long").as("budget"))
       val ranked = graft.ops.Wins.globalCumSum(surv,
@@ -1078,8 +1097,7 @@ object TextQueries extends QueryModule {
                   JOIN norms nb ON id_b = nb.vec_id)
       SELECT id_a, id_b, cos_sim FROM cosd
       WHERE cos_sim >= 0.0 ORDER BY id_a, id_b""")) { (s, dir) =>
-      Similarity.annSelfJoinPairs(t(s, dir, "embeddings"),
-          maxBucket = 256, simFloor = 0.0, bits = 8, nBands = 2)
+      annPairs(s, dir).filter(col("cos_sim") >= 0.0)
         .orderBy("id_a", "id_b")
     },
 
@@ -1102,9 +1120,7 @@ object TextQueries extends QueryModule {
              CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT)
                AS n_at_or_above
       FROM hist ORDER BY bin""")) { (s, dir) =>
-      val pairs = Similarity.annSelfJoinPairs(t(s, dir, "embeddings"),
-        maxBucket = 256, simFloor = -1.0, bits = 8, nBands = 2)
-      pairs
+      annPairs(s, dir)
         .select(floor(col("cos_sim") / 0.05).cast("long").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
         .select(col("bin"), round(col("bin") * 0.05, 2).as("bin_lo"),
@@ -1144,8 +1160,7 @@ object TextQueries extends QueryModule {
              vec_id = comp_id AS is_canonical
       FROM comp ORDER BY vec_id""")) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val pairs = Similarity.annSelfJoinPairs(emb, maxBucket = 256,
-          simFloor = 0.35, bits = 8, nBands = 2)
+      val pairs = annPairs(s, dir).filter(col("cos_sim") >= 0.35)
         .select(col("id_a").as("d1"), col("id_b").as("d2"))
       Dedup.connectedComponents(
           emb.select(col("vec_id").as("doc_id")), pairs)

@@ -40,7 +40,9 @@ object Warmup {
       "slimGrammar" -> (() => Stage.slimGrammar(spark, dir).count()),
       "slimFwd" -> (() => Stage.slimFwd(spark, dir).count()),
       "gramSlim" -> (() => BacktestQueries2.gramSlim(spark, dir).count()),
-      "docSigs" -> (() => TextQueries.docSigs(spark, dir).count())))
+      "docSigs" -> (() => TextQueries.docSigs(spark, dir).count()),
+      "annPairs" -> (() => TextQueries.annPairs(spark, dir).count()),
+      "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
     // signal variants (shared by the hybrid grid AND walk-forward

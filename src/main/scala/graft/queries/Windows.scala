@@ -25,15 +25,17 @@ object Windows extends QueryModule {
                                 ORDER BY ts, event_id) AS rn
       FROM events)"""
 
-  /** `ts` arrives as a nanos LONG (spark.sql.legacy.parquet.nanosAsLong —
-    * Spark has no nanosecond timestamp type). `ts div 1000` floors to µs,
-    * matching DuckDB's ns→µs truncation. */
+  /** `ts` is encoding-adaptive (nanos LONG or TIMESTAMP[_NTZ]) —
+    * graft.etl.EventTime dispatches on the actual schema, matching
+    * DuckDB's `epoch_us(ts)` on both. */
   private def sparkBase(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t(s, dir, "events").select(
+    val ev = t(s, dir, "events")
+    val eus = graft.etl.EventTime.micros(ev)
+    ev.select(
       col("user_id"), col("event_id"), col("event_type"), col("value"),
-      expr("ts div 1000").as("eus"),
-      to_date(timestamp_micros(expr("ts div 1000"))).as("d"),
+      eus.as("eus"),
+      to_date(timestamp_micros(eus)).as("d"),
       row_number().over(w).as("rn"))
   }
 

@@ -115,7 +115,9 @@ object TextOps {
   def qualityFeatures(text: Column): Seq[Column] = {
     val toks = tokens(text)
     val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+    // codegen'd marker count (graft.functions.MarkerCount) — the HOF
+    // form size(filter(toks, isin)) is interpreted per token
+    val nStop = graft.functions.TokenOps.markerCount(toks, Stopwords)
     val nChars = length(text)
     val nSpaces = nTok - 1
     val meanTokLen = (nChars - nSpaces).cast("double") / nTok
@@ -143,7 +145,8 @@ object TextOps {
   def langScores(text: Column): Seq[Column] = {
     val toks = tokens(text)
     LangMarkers.map { case (lang, markers) =>
-      size(filter(toks, t => t.isin(markers: _*))).as(s"score_$lang")
+      graft.functions.TokenOps.markerCount(toks, markers)
+        .as(s"score_$lang")
     }
   }
 

@@ -309,11 +309,13 @@ class StreamingSpec extends SparkSpec {
 
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
-    // nanos ts → batch-read the schema, convert to a typed ts column
+    // batch-read the schema, convert ts (encoding-adaptive) to a typed
+    // ts column
     val batchRaw = spark.read.parquet(s"$dir/events.parquet")
     val schema = batchRaw.schema
     val toTyped = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts_t", timestamp_micros(
+        graft.etl.EventTime.typedMicros(schema("ts").dataType)))
     // the file-stream source requires a directory
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
