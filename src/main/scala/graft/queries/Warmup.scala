@@ -61,7 +61,9 @@ object Warmup {
           "calBase" ->
             (() => CalibrationQueries.calBase(spark, dir).count()),
           "docComponents" ->
-            (() => TextQueries.docComponents(spark, dir).count()))
+            (() => TextQueries.docComponents(spark, dir).count()),
+          "idxStarEdges" ->
+            (() => TextQueries.idxStarEdges(spark, dir).count()))
         ++ HybridQueries.sigBuilds(spark, dir))
 
     // phase 3: the scored combo frame (needs all 8 sims; also the

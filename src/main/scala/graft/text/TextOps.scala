@@ -74,11 +74,13 @@ object TextOps {
   /** 64-bit SimHash, materialized as four 16-bit band values `b0..b3`.
     *
     * Band c's bit j is 1 iff the ±1 vote sum over distinct tokens (by bit
-    * j of the band's salted token hash `hashMod("s{c}_" ++ tok)`) is
-    * positive. Four independent salted hashes supply 4×16 well-mixed bits
-    * (the mod-prime hash only has ~30 uniform low bits, so one hash can't
-    * feed all 64), and keeping bands as separate small ints avoids signed
-    * 64-bit shift arithmetic entirely — every step mirrors into ANSI SQL.
+    * j of the band's 16-bit token hash) is positive. All four band hashes
+    * are sliced from ONE md5 digest per token (hex chars [4c, 4c+4) —
+    * 128 uniform bits cover the 64 needed), so signature computation
+    * costs a single md5 pass; the earlier scheme paid four salted md5
+    * calls per token because its mod-prime hash had only ~30 uniform
+    * bits. Keeping bands as separate small ints avoids signed 64-bit
+    * shift arithmetic entirely — every step mirrors into ANSI SQL.
     *
     * Blocking on (band_idx, band_value) gives a `4 · 2^16` key space; by
     * pigeonhole any pair at hamming ≤ 3 agrees on at least one full band,
@@ -89,12 +91,12 @@ object TextOps {
   val SimHashBands = 4
 
   def simhash64(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val hashes = (0 until SimHashBands).map { c =>
-      hashMod(concat(lit(s"s${c}_"), col("tok"))).as(s"h$c")
-    }
     val tok = df.select(id.as("doc_id"),
         explode(array_distinct(tokens(text))).as("tok"))
-      .select(col("doc_id") +: hashes: _*)
+      .withColumn("md5h", md5(col("tok").cast("binary")))
+      .select(col("doc_id") +: (0 until SimHashBands).map(c =>
+        conv(substring(col("md5h"), 4 * c + 1, 4), 16, 10)
+          .cast("long").as(s"h$c")): _*)
     val bitSums = for (c <- 0 until SimHashBands; j <- 0 until SimHashBandBits)
       yield sum(when(shiftright(col(s"h$c"), j) % 2 === 1, 1).otherwise(-1))
         .as(s"s${c}_$j")
