@@ -222,7 +222,9 @@ object SanityQueries extends QueryModule {
         FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)),
       wm AS (
         SELECT win, state, count(*) AS n,
-               round(avg(CASE WHEN isfinite(fr) THEN fr END), 9) AS v,
+               round(CAST(sum(CASE WHEN isfinite(fr)
+                     THEN CAST(fr AS DECIMAL(38,18)) END) AS DOUBLE)
+                 / count(CASE WHEN isfinite(fr) THEN fr END), 9) AS v,
                CASE WHEN count(fr) > 0 THEN
                  round(CAST(count(CASE WHEN fr > 0 THEN 1 END) AS DOUBLE)
                    / count(fr), 6) END AS hit_rate
@@ -240,16 +242,28 @@ object SanityQueries extends QueryModule {
                        AS prev
               FROM ws WHERE v IS NOT NULL AND sign(v) <> 0)
         GROUP BY 1),
-      stt AS (
-        SELECT state, count(*) AS nf, avg(v) AS mv,
-               stddev_pop(v) AS sv
+      stt0 AS (
+        SELECT state, count(*) AS nf,
+               CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+                 AS mv,
+               CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS svv
         FROM ws WHERE v IS NOT NULL GROUP BY 1),
+      stt AS (
+        SELECT state, nf, mv,
+               sqrt(greatest(svv / nf - mv * mv, 0.0)) AS sv
+        FROM stt0),
       dv AS (
         SELECT w.state, max(abs(w.v - s.mv)) AS maxdev
         FROM ws w JOIN stt s USING (state)
         WHERE w.v IS NOT NULL GROUP BY 1),
       shv AS (
-        SELECT state, round(var_pop(share), 9) AS share_variance
+        SELECT state,
+               round((CAST(sum(CAST(share * share AS DECIMAL(38,18)))
+                     AS DOUBLE)
+                 - CAST(sum(CAST(share AS DECIMAL(38,18))) AS DOUBLE)
+                   * CAST(sum(CAST(share AS DECIMAL(38,18))) AS DOUBLE)
+                   / count(*))
+                 / count(*), 9) AS share_variance
         FROM ws GROUP BY 1),
       rk AS (
         SELECT *,
@@ -284,9 +298,15 @@ object SanityQueries extends QueryModule {
           datediff(to_date(timestamp_seconds(col("bar_ts") / 1000000)),
             lit("2024-01-01").cast("date")).as("win"),
           col("fwd_ret_10").as("fr"))
+      // every float aggregate below sums through DECIMAL(38,18) so the
+      // 9-decimal rounding can't flip with aggregation order (plain
+      // double avg/var_pop are order-dependent in BOTH engines — DuckDB
+      // parallel aggregation made this query's hash flaky run-to-run)
+      val frF = Cols.finiteOrNull(col("fr"))
       val wm = base.groupBy("win", "state").agg(
         count(lit(1)).as("n"),
-        round(avg(Cols.finiteOrNull(col("fr"))), 9).as("v"),
+        round(sum(frF.cast("decimal(38,18)")).cast("double")
+          / count(frF), 9).as("v"),
         when(count(col("fr")) > 0,
           round(Cols.countIf(col("fr") > 0).cast("double")
             / count(col("fr")), 6)).as("hit_rate"))
@@ -301,14 +321,28 @@ object SanityQueries extends QueryModule {
         .groupBy("state")
         .agg(Cols.countIf(col("prev").isNotNull &&
           col("prev") =!= col("sgn")).as("sign_flip_count"))
+      // v is 9-dec rounded, so v and v² are EXACT in DECIMAL(38,18):
+      // the decimal sums make mv/sv order-independent; the remaining
+      // double math is scalar (deterministic and engine-identical)
       val stt = ws.filter(col("v").isNotNull).groupBy("state")
-        .agg(count(lit(1)).as("nf"), avg("v").as("mv"),
-          stddev_pop(col("v")).as("sv"))
+        .agg(count(lit(1)).as("nf"),
+          (sum(col("v").cast("decimal(38,18)")).cast("double")
+            / count(lit(1))).as("mv"),
+          sum((col("v") * col("v")).cast("decimal(38,18)"))
+            .cast("double").as("svv"))
+        .withColumn("sv",
+          sqrt(greatest(col("svv") / col("nf") - col("mv") * col("mv"),
+            lit(0.0))))
       val dv = ws.filter(col("v").isNotNull)
         .join(broadcast(stt.select("state", "mv")), "state")
         .groupBy("state").agg(max(abs(col("v") - col("mv"))).as("maxdev"))
+      val shareSum = sum(col("share").cast("decimal(38,18)"))
+        .cast("double")
       val shv = ws.groupBy("state")
-        .agg(round(var_pop(col("share")), 9).as("share_variance"))
+        .agg(round((sum((col("share") * col("share"))
+              .cast("decimal(38,18)")).cast("double")
+            - shareSum * shareSum / count(lit(1)))
+            / count(lit(1)), 9).as("share_variance"))
       val rk = ws
         .withColumn("rn_w", row_number().over(Window.partitionBy("state")
           .orderBy(col("v").asc_nulls_last, col("win"))))
