@@ -1106,6 +1106,50 @@ object TextQueries extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // Product-quantization ANN (Similarity.pqTopK): 4 subspaces × 16
+    // dims, 8 deterministic seed centroids per subspace, encode =
+    // per-subspace argmin, query = ADC table-lookup sum. Every distance
+    // sums per-term through DECIMAL → rounded values are aggregation-
+    // order-free on both engines. 64 f32 dims compress to 4 codes/vec.
+    Q("q_e_pq_topk", Some("""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, i // 16 AS m, i % 16 AS j, x FROM ex),
+      cent AS (
+        SELECT vec_id AS c, m, j, x AS y FROM sub WHERE vec_id < 8),
+      d2 AS (
+        SELECT s.vec_id, s.m, c.c,
+               CAST(sum(CAST((s.x - c.y) * (s.x - c.y) AS DECIMAL(38,18)))
+                 AS DOUBLE) AS d2
+        FROM sub s JOIN cent c ON s.m = c.m AND s.j = c.j
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id AS vid, m, c FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY round(d2, 6), c) AS rn FROM d2) WHERE rn = 1),
+      qd2 AS (
+        SELECT vec_id AS qid, m, c, d2 AS qd2 FROM d2 WHERE vec_id < 32),
+      adc AS (
+        SELECT q.qid, k.vid,
+               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
+                 6) AS adc
+        FROM codes k JOIN qd2 q ON k.m = q.m AND k.c = q.c
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc, vid) AS rnk
+        FROM adc WHERE qid <> vid)
+      SELECT qid, vid, adc, rnk FROM ranked WHERE rnk <= 5
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
+          k = 5, m = 4, subK = 8)
+        .select("qid", "vid", "adc", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // Corpus-vs-corpus ANN pairs (the near-dup shape: no broadcastable
     // query side — banded bucket equi-join with a hot-bucket cap;
     // 2 OR-amplification bands driver-verify the banded path)

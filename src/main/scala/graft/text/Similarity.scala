@@ -246,6 +246,69 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Product-quantization ANN (IVF-PQ's compression half — the standard
+    * way to fit a 100-TB embedding corpus in memory): the vector is cut
+    * into `m` subspaces, each subvector is replaced by the id of its
+    * nearest per-subspace centroid (`subK` codes → log2(subK) bits per
+    * subspace, e.g. 64 f32 dims → 4 bytes), and query-time distance is
+    * ADC: Σ over subspaces of the precomputed query-to-centroid
+    * distance of the stored code — a table lookup per subspace, never a
+    * full-vector scan.
+    *
+    * Codebooks here are the deterministic first-`subK`-ids seed slices
+    * (same convention as `ml.Clustering.seedAssigned`): fully
+    * SQL-expressible, so encode + ADC are oracle-checkable end-to-end;
+    * production swaps in per-subspace KMeans codebooks (ml.Clustering)
+    * without changing any shape. Distances sum per-term through
+    * DECIMAL(38,18), making every rounded value independent of
+    * aggregation order (both engines) — the same hash-stability rule
+    * the QA diagnostics use.
+    *
+    * Scale shape: one explode + a (subspace, dim)-keyed broadcast join
+    * against the m·subK·subDim codebook + one vec-keyed aggregate to
+    * encode (linear, map-side combined); ADC is a (subspace, code)
+    * broadcast join against the 32-query distance table — the corpus
+    * side never shuffles its vectors, only its m-byte codes.
+    * Returns (qid, vid, adc, rnk). */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int = 4,
+      subK: Int = 8): DataFrame = {
+    val dim = embDim(emb)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val sub = emb
+      .select(col("vec_id"),
+        posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+      .select(col("vec_id"), (col("i") / subDim).cast("int").as("m"),
+        (col("i") % subDim).as("j"), col("x"))
+    val cent = sub.filter(col("vec_id") < subK)
+      .select(col("vec_id").as("c"), col("m"), col("j"),
+        col("x").as("y"))
+    // exact squared distance of every (vector, subspace) slice to every
+    // centroid of that subspace — per-term decimal sum, order-free
+    val d2 = sub.join(broadcast(cent), Seq("m", "j"))
+      .groupBy(col("vec_id"), col("m"), col("c"))
+      .agg(sum(((col("x") - col("y")) * (col("x") - col("y")))
+        .cast("decimal(38,18)")).cast("double").as("d2"))
+    // encode: nearest centroid per subspace (rounded-distance +
+    // centroid-id tiebreak, cross-engine deterministic)
+    val codes = d2.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m")
+          .orderBy(round(col("d2"), 6), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("vid"), col("m"), col("c"))
+    // per-query distance tables (m × subK rows per query)
+    val qd2 = d2.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("m"), col("c"),
+        col("d2").as("qd2"))
+    val adc = codes.join(broadcast(qd2), Seq("m", "c"))
+      .groupBy("qid", "vid")
+      .agg(round(sum(col("qd2").cast("decimal(38,18)")).cast("double"), 6)
+        .as("adc"))
+      .filter(col("qid") =!= col("vid"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** ANN via LSH buckets: candidate pairs share a bucket; exact cosine is
     * computed only within buckets. Returns (qid, vid, cos_sim, rnk). */
   def annLsh(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {

@@ -74,6 +74,25 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("ANN pair / bronze parse / index-star stages are cache-shared " +
+      "across their consumers") {
+    graft.queries.Stage.clear()
+    // populate the shared stages through their first consumers (same
+    // memo Warmup fills), then each later consumer must read the
+    // checkpointed stage (ExistingRDD leaf) instead of rebuilding the
+    // LSH self-join / line parse / index CC
+    SparkEntry.queries("q_e_ann_pairs")(spark, dir).count()
+    SparkEntry.queries("q_bronze_parse")(spark, dir).count()
+    SparkEntry.queries("q_d_components_incr")(spark, dir).count()
+    for (q <- Seq("q_e_sim_hist", "q_e_semantic_dedup",
+        "q_bronze_sanity", "q_d_components_incr")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+        s"$q rebuilt its shared stage instead of reading the cache")
+    }
+    graft.queries.Stage.clear()
+  }
+
   test("q_t_tfidf: df join stays an equi-join, no cartesian blowup") {
     val p = planOf("q_t_tfidf")
     // the one-row corpus-count broadcast is a legitimate

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.text.Similarity
 
-/** IVF ANN contracts: probing every cell is exactly brute force; fewer
-  * probes return a subset whose similarities never beat the exact
-  * winners' ranks. */
+/** IVF / PQ ANN contracts: probing every cell is exactly brute force;
+  * fewer probes return a subset whose similarities never beat the exact
+  * winners' ranks; a duplicated vector achieves the minimal possible
+  * ADC distance under product quantization. */
 class SimilaritySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -64,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
       assert(frac >= 0.0 && frac <= 1.0)
       assert(r.getAs[Long]("n_docs") == emb.count())
     }
+  }
+
+  test("PQ: a duplicated vector achieves the minimal possible ADC") {
+    import spark.implicits._
+    // ADC(q, v) = Σ_m qd2(q, m, code_m(v)) ≥ Σ_m min_c qd2(q, m, c),
+    // and a duplicate of q attains that bound (its codes are q's own
+    // argmin codes) — so the dup must appear at rank 1 (ties broken by
+    // id can only put an equal-distance vector first, never a worse one)
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }
+    val dup = Seq((100L, base(9)._2.clone()))
+    val emb = (base ++ dup).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(emb, col("vec_id") === 9, k = 100,
+      m = 4, subK = 8)
+    val dupRow = top.filter(col("vid") === 100L).head
+    val minAdc = top.agg(min("adc")).head.getDouble(0)
+    assert(dupRow.getAs[Double]("adc") == minAdc,
+      "duplicate vector must attain the minimal ADC distance")
   }
 
   test("partial-probe IVF returns k ranked candidates bounded by exact") {
