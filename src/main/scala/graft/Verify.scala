@@ -8,7 +8,7 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     val only = args.drop(2).toSet // optional query-name filter (local dev)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle/spill on tmpfs when available: local-mode shuffle files on
     // the root disk are the first thing to degrade under back-to-back
     // heavy runs
