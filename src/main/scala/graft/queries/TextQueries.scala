@@ -136,6 +136,44 @@ object TextQueries extends QueryModule {
         maxBucket = 256, simFloor = -1.0, bits = 8, nBands = 2)
     }
 
+  /** Shared product-quantization CTE chain (mirrors Similarity.pqTopK
+    * at m=4 / subK=8 / queries vec_id < 32): per-dim explode →
+    * subspace split → seed codebook → exact per-subspace squared
+    * distances (per-term decimal sums) → argmin codes → ADC distances
+    * → rank (`pqranked`). ONE definition so the pq-topk and pq-recall
+    * oracles can never drift from each other. */
+  private def pqCtes: String = """
+      ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, i // 16 AS m, i % 16 AS j, x FROM ex),
+      cent AS (
+        SELECT vec_id AS c, m, j, x AS y FROM sub WHERE vec_id < 8),
+      d2 AS (
+        SELECT s.vec_id, s.m, c.c,
+               CAST(sum(CAST((s.x - c.y) * (s.x - c.y) AS DECIMAL(38,18)))
+                 AS DOUBLE) AS d2
+        FROM sub s JOIN cent c ON s.m = c.m AND s.j = c.j
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id AS vid, m, c FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY round(d2, 6), c) AS rn FROM d2) WHERE rn = 1),
+      qd2 AS (
+        SELECT vec_id AS qid, m, c, d2 AS qd2 FROM d2 WHERE vec_id < 32),
+      adc AS (
+        SELECT q.qid, k.vid,
+               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
+                 6) AS adc
+        FROM codes k JOIN qd2 q ON k.m = q.m AND k.c = q.c
+        GROUP BY 1, 2),
+      pqranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc, vid) AS rnk
+        FROM adc WHERE qid <> vid)"""
+
   /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
     * candidate pairs (`mh_pairs`); shared by q_d_minhash and
     * q_d_components. */
@@ -1111,43 +1149,66 @@ object TextQueries extends QueryModule {
     // per-subspace argmin, query = ADC table-lookup sum. Every distance
     // sums per-term through DECIMAL → rounded values are aggregation-
     // order-free on both engines. 64 f32 dims compress to 4 codes/vec.
-    Q("q_e_pq_topk", Some("""
-      WITH ex AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings),
-      sub AS (
-        SELECT vec_id, i // 16 AS m, i % 16 AS j, x FROM ex),
-      cent AS (
-        SELECT vec_id AS c, m, j, x AS y FROM sub WHERE vec_id < 8),
-      d2 AS (
-        SELECT s.vec_id, s.m, c.c,
-               CAST(sum(CAST((s.x - c.y) * (s.x - c.y) AS DECIMAL(38,18)))
-                 AS DOUBLE) AS d2
-        FROM sub s JOIN cent c ON s.m = c.m AND s.j = c.j
-        GROUP BY 1, 2, 3),
-      codes AS (
-        SELECT vec_id AS vid, m, c FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id, m
-            ORDER BY round(d2, 6), c) AS rn FROM d2) WHERE rn = 1),
-      qd2 AS (
-        SELECT vec_id AS qid, m, c, d2 AS qd2 FROM d2 WHERE vec_id < 32),
-      adc AS (
-        SELECT q.qid, k.vid,
-               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
-                 6) AS adc
-        FROM codes k JOIN qd2 q ON k.m = q.m AND k.c = q.c
-        GROUP BY 1, 2),
-      ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY qid
-          ORDER BY adc, vid) AS rnk
-        FROM adc WHERE qid <> vid)
-      SELECT qid, vid, adc, rnk FROM ranked WHERE rnk <= 5
+    Q("q_e_pq_topk", Some(s"""
+      WITH $pqCtes
+      SELECT qid, vid, adc, rnk FROM pqranked WHERE rnk <= 5
       ORDER BY qid, rnk""")) { (s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
           k = 5, m = 4, subK = 8)
         .select("qid", "vid", "adc", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // PQ recall observability (the quality dial a production PQ
+    // deployment watches before trusting the compressed index):
+    // recall@5 of the ADC ranking against the EXACT squared-L2 top-5 —
+    // same metric family as ADC, so the number isolates quantization
+    // loss, not metric mismatch. Exact distances use the same per-term
+    // decimal sums as the PQ path.
+    Q("q_e_pq_recall", Some(s"""
+      WITH $pqCtes,
+      qfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < 32),
+      d2full AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM ex e JOIN qfull q ON e.i = q.i AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      exact5 AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM d2full) WHERE rn <= 5),
+      pq5 AS (SELECT qid, vid FROM pqranked WHERE rnk <= 5)
+      SELECT e.qid,
+             CAST(count(p.vid) AS BIGINT) AS n_hits,
+             round(CAST(count(p.vid) AS DOUBLE) / 5, 6) AS recall_at_5
+      FROM exact5 e LEFT JOIN pq5 p ON e.qid = p.qid AND e.vid = p.vid
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val ex = emb.select(col("vec_id"),
+        posexplode(Similarity.asDouble(col("embedding")))
+          .as(Seq("i", "x")))
+      val q = ex.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("i").as("qi"),
+          col("x").as("qx"))
+      val d2full = ex.join(broadcast(q),
+          col("i") === col("qi") && col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id").as("vid"))
+        .agg(round(sum(((col("x") - col("qx")) * (col("x") - col("qx")))
+          .cast("decimal(38,18)")).cast("double"), 6).as("d2"))
+      val exact5 = d2full.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
+        .filter(col("rn") <= 5).select("qid", "vid")
+      val pq5 = Similarity.pqTopK(emb, col("vec_id") < 32, k = 5,
+          m = 4, subK = 8)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      exact5.join(pq5, Seq("qid", "vid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hits"),
+          round(count(col("hit")).cast("double") / 5, 6)
+            .as("recall_at_5"))
+        .orderBy("qid")
     },
 
     // Corpus-vs-corpus ANN pairs (the near-dup shape: no broadcastable

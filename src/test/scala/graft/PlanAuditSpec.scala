@@ -93,6 +93,14 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("q_e_pq_topk: codebook and ADC joins stay broadcast equi-joins") {
+    val p = planOf("q_e_pq_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      "PQ codebook/ADC joins lost their broadcast equi-join shape")
+  }
+
   test("q_t_tfidf: df join stays an equi-join, no cartesian blowup") {
     val p = planOf("q_t_tfidf")
     // the one-row corpus-count broadcast is a legitimate
