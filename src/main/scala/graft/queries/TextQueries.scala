@@ -1159,6 +1159,52 @@ object TextQueries extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // IVF-PQ (Similarity.ivfPqTopK): the composed production index —
+    // 8 coarse cells route each query to its 2 nearest cells; only the
+    // PQ codes of vectors in probed cells are ADC-scored. Non-residual
+    // encoding + seed centroids keep the whole path SQL-expressible;
+    // the nProbe=nCells ≡ pqTopK contract is locked in SimilaritySpec.
+    Q("q_e_ann_ivfpq", Some(s"""
+      WITH $pqCtes,
+      cellc AS (
+        SELECT vec_id AS cell, i, x AS y FROM ex WHERE vec_id < 8),
+      celld2 AS (
+        SELECT e.vec_id, c.cell,
+               CAST(sum(CAST((e.x - c.y) * (e.x - c.y)
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM ex e JOIN cellc c ON e.i = c.i GROUP BY 1, 2),
+      cells AS (
+        SELECT vec_id AS vid, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(d2, 6), cell) AS rn FROM celld2)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS qid, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(d2, 6), cell) AS rn
+          FROM celld2 WHERE vec_id < 32)
+        WHERE rn <= 2),
+      cand AS (
+        SELECT p.qid, s.vid FROM probes p JOIN cells s
+          ON p.cell = s.cell AND p.qid <> s.vid),
+      adc2 AS (
+        SELECT ca.qid, ca.vid,
+               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
+                 6) AS adc
+        FROM cand ca JOIN codes k ON k.vid = ca.vid
+             JOIN qd2 q ON q.qid = ca.qid AND q.m = k.m AND q.c = k.c
+        GROUP BY 1, 2),
+      ranked2 AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc, vid) AS rnk FROM adc2)
+      SELECT qid, vid, adc, rnk FROM ranked2 WHERE rnk <= 5
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
+          k = 5, nCells = 8, nProbe = 2, m = 4, subK = 8)
+        .select("qid", "vid", "adc", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // PQ recall observability (the quality dial a production PQ
     // deployment watches before trusting the compressed index):
     // recall@5 of the ADC ranking against the EXACT squared-L2 top-5 —

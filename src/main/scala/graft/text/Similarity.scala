@@ -272,6 +272,20 @@ object Similarity {
     * Returns (qid, vid, adc, rnk). */
   def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int = 4,
       subK: Int = 8): DataFrame = {
+    val (codes, qd2) = pqParts(emb, queryPred, m, subK)
+    val adc = codes.join(broadcast(qd2), Seq("m", "c"))
+      .groupBy("qid", "vid")
+      .agg(round(sum(col("qd2").cast("decimal(38,18)")).cast("double"), 6)
+        .as("adc"))
+      .filter(col("qid") =!= col("vid"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Shared PQ machinery: `codes` (vid, m, c — the encoded corpus) and
+    * `qd2` (qid, m, c, qd2 — per-query subspace distance tables). */
+  private def pqParts(emb: DataFrame, queryPred: Column, m: Int,
+      subK: Int): (DataFrame, DataFrame) = {
     val dim = embDim(emb)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
@@ -300,11 +314,50 @@ object Similarity {
     val qd2 = d2.filter(queryPred)
       .select(col("vec_id").as("qid"), col("m"), col("c"),
         col("d2").as("qd2"))
-    val adc = codes.join(broadcast(qd2), Seq("m", "c"))
+    (codes, qd2)
+  }
+
+  /** IVF-PQ: the composed production index — an IVF coarse quantizer
+    * routes each query to its `nProbe` nearest cells, and only the PQ
+    * codes of vectors in probed cells are ADC-scored (candidate set ≈
+    * corpus · nProbe / nCells instead of the whole corpus). Codebooks
+    * and cell centroids are deterministic seed slices (KMeans-swappable,
+    * non-residual encoding — faiss's by_residual=false variant — so the
+    * whole path stays SQL-expressible). With nProbe = nCells this is
+    * exactly [[pqTopK]] (locked by SimilaritySpec). At cluster scale
+    * the corpus is hash-partitioned by cell and a query shuffles only
+    * its m·subK distance table to its probed cells. */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
+      nProbe: Int, m: Int = 4, subK: Int = 8): DataFrame = {
+    val (codes, qd2) = pqParts(emb, queryPred, m, subK)
+    val ex = emb.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+    val cc = ex.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("i").as("ci"),
+        col("x").as("y"))
+    // full-vector distance of every vector to every cell centroid —
+    // assigns the corpus AND ranks the query's probe order
+    val celld2 = ex.join(broadcast(cc), col("i") === col("ci"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(((col("x") - col("y")) * (col("x") - col("y")))
+        .cast("decimal(38,18)")).cast("double").as("d2"))
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(round(col("d2"), 6), col("cell"))
+    val cells = celld2.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("vid"), col("cell"))
+    val probes = celld2.filter(queryPred)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid")
+    val adc = cand.join(codes, Seq("vid"))
+      .join(broadcast(qd2), Seq("qid", "m", "c"))
       .groupBy("qid", "vid")
       .agg(round(sum(col("qd2").cast("decimal(38,18)")).cast("double"), 6)
         .as("adc"))
-      .filter(col("qid") =!= col("vid"))
     val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
     adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }

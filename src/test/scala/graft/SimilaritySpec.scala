@@ -87,6 +87,18 @@ class SimilaritySpec extends SparkSpec {
       "duplicate vector must attain the minimal ADC distance")
   }
 
+  test("IVF-PQ with nProbe = nCells equals plain PQ") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pred = col("vec_id") < 16
+    val pq = Similarity.pqTopK(emb, pred, 5)
+      .select("qid", "vid", "adc", "rnk")
+    val ivfpq = Similarity.ivfPqTopK(emb, pred, 5, nCells = 8,
+        nProbe = 8)
+      .select("qid", "vid", "adc", "rnk")
+    assert(ivfpq.exceptAll(pq).isEmpty && pq.exceptAll(ivfpq).isEmpty,
+      "full-probe IVF-PQ must equal plain PQ")
+  }
+
   test("partial-probe IVF returns k ranked candidates bounded by exact") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pred = col("vec_id") < 16
