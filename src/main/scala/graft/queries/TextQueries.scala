@@ -136,6 +136,14 @@ object TextQueries extends QueryModule {
         maxBucket = 256, simFloor = -1.0, bits = 8, nBands = 2)
     }
 
+  /** Shared PQ top-5 stage (the ADC ranking both q_e_pq_topk and
+    * q_e_pq_recall read): one row per (query, rank ≤ 5). */
+  private[queries] def pqTop5(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "pq_top5") {
+      Similarity.pqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
+        k = 5, m = 4, subK = 8)
+    }
+
   /** Shared product-quantization CTE chain (mirrors Similarity.pqTopK
     * at m=4 / subK=8 / queries vec_id < 32): per-dim explode →
     * subspace split → seed codebook → exact per-subspace squared
@@ -1153,8 +1161,7 @@ object TextQueries extends QueryModule {
       WITH $pqCtes
       SELECT qid, vid, adc, rnk FROM pqranked WHERE rnk <= 5
       ORDER BY qid, rnk""")) { (s, dir) =>
-      Similarity.pqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
-          k = 5, m = 4, subK = 8)
+      pqTop5(s, dir)
         .select("qid", "vid", "adc", "rnk")
         .orderBy("qid", "rnk")
     },
@@ -1246,8 +1253,7 @@ object TextQueries extends QueryModule {
       val exact5 = d2full.withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
         .filter(col("rn") <= 5).select("qid", "vid")
-      val pq5 = Similarity.pqTopK(emb, col("vec_id") < 32, k = 5,
-          m = 4, subK = 8)
+      val pq5 = pqTop5(s, dir)
         .select(col("qid"), col("vid"), lit(1).as("hit"))
       exact5.join(pq5, Seq("qid", "vid"), "left")
         .groupBy("qid")

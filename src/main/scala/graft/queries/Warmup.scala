@@ -42,6 +42,7 @@ object Warmup {
       "gramSlim" -> (() => BacktestQueries2.gramSlim(spark, dir).count()),
       "docSigs" -> (() => TextQueries.docSigs(spark, dir).count()),
       "annPairs" -> (() => TextQueries.annPairs(spark, dir).count()),
+      "pqTop5" -> (() => TextQueries.pqTop5(spark, dir).count()),
       "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
