@@ -23,7 +23,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_corr_matrix",     // exact integer-cents second moments
     "q_t_mix_temperature", // DECIMAL-normalized mixture shares
     "q_det_sample",      // portable-hash deterministic sampler
-    "q_t_sample_strat")  // exact-k per-stratum portable-hash order
+    "q_t_sample_strat",  // exact-k per-stratum portable-hash order
+    "q_e_pq_topk",       // PQ encode + ADC: per-term DECIMAL distance sums
+    "q_qa_state_windows") // window diagnostics: DECIMAL mean/var sums
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)
