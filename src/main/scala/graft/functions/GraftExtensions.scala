@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_sqdist"),
       new ExpressionInfo(classOf[VecSqDist].getName, "vec_sqdist"),
       GraftExtensions.vecSqDistBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("marker_count"),
+      new ExpressionInfo(classOf[MarkerCount].getName, "marker_count"),
+      GraftExtensions.markerCountBuilder))
   }
 }
 
@@ -48,6 +52,22 @@ object GraftExtensions {
       s"vec_sqdist(a, b) — got ${other.size} args")
   }
 
+  /** marker_count(tokens, 'm1', 'm2', …): the marker set must be
+    * string literals — it becomes the expression's broadcast hash set,
+    * not a per-row argument. */
+  private[functions] val markerCountBuilder: Seq[Expression] => Expression = {
+    case exprs if exprs.size >= 2 =>
+      val markers = exprs.tail.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"marker_count markers must be string literals, got $other")
+      }
+      MarkerCount(exprs.head, markers)
+    case other => throw new IllegalArgumentException(
+      s"marker_count(tokens, marker, ...) — got ${other.size} args")
+  }
+
   /** Register into an already-built session (extensions only apply at
     * session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -57,5 +77,7 @@ object GraftExtensions {
       spark, "vec_dot", vecDotBuilder)
     org.apache.spark.sql.graftinternal.Bridge.registerFunction(
       spark, "vec_sqdist", vecSqDistBuilder)
+    org.apache.spark.sql.graftinternal.Bridge.registerFunction(
+      spark, "marker_count", markerCountBuilder)
   }
 }

@@ -93,8 +93,13 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
-  test("q_e_pq_topk: codebook and ADC joins stay broadcast equi-joins") {
-    val p = planOf("q_e_pq_topk")
+  test("PQ codebook and ADC joins stay broadcast equi-joins") {
+    // audit the operator's BUILD plan — the registered query reads the
+    // cached pq_top5 stage, whose plan is just the checkpoint leaf
+    val p = graft.text.Similarity.pqTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        org.apache.spark.sql.functions.col("vec_id") < 32, k = 5)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin"),

@@ -38,6 +38,14 @@ class TokenOpsSpec extends SparkSpec {
     assert(nr.isNullAt(0))
   }
 
+  test("marker_count is SQL-registered via GraftExtensions") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT marker_count(array('the', 'fox', 'the'), 'the', 'a') AS c")
+      .head
+    assert(r.getInt(0) == 2)
+  }
+
   test("marker_count executes inside whole-stage codegen") {
     val df = spark.range(1, 4)
       .select(TokenOps.markerCount(
