@@ -26,7 +26,7 @@ object StreamingCuration {
   val Blocklist: Seq[String] = Seq("slow", "big")
 
   private def blockedCount(toks: Column): Column =
-    size(filter(toks, t => t.isin(Blocklist: _*)))
+    graft.functions.TokenOps.markerCount(toks, Blocklist)
 
   /** Map-only curation annotations over a `doc_id`/`text` frame:
     * quality features, predicted language, PII counts + redacted text,

@@ -282,6 +282,13 @@ object Similarity {
     adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Batch PQ corpus codes (vid, m, c) — exposed for cross-validating
+    * the streaming per-row encoder against this explode-based batch
+    * formulation (StreamingSpec). */
+  private[graft] def pqCodes(emb: DataFrame, m: Int = 4,
+      subK: Int = 8): DataFrame =
+    pqParts(emb, lit(false), m, subK)._1
+
   /** Shared PQ machinery: `codes` (vid, m, c — the encoded corpus) and
     * `qd2` (qid, m, c, qd2 — per-query subspace distance tables). */
   private def pqParts(emb: DataFrame, queryPred: Column, m: Int,

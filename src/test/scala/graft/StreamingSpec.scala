@@ -345,4 +345,37 @@ class StreamingSpec extends SparkSpec {
       lit(java.sql.Timestamp.from(cutoff)))
     assert(mustHave.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming PQ encode matches the batch encoder's codes") {
+    import graft.streaming.{StreamingEncode, StreamingIngest}
+    val dir = "/root/testdata/sf0.001"
+    val batchEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val codebook = StreamingEncode.seedCodebook(batchEmb, m = 4,
+      subK = 8)
+    // stream the corpus through the stateless per-row encoder
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-pq")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+      streamDir.resolve("embeddings.parquet"))
+    val src = spark.readStream.schema(batchEmb.schema)
+      .parquet(streamDir.toString)
+    val streamed = StreamingIngest.runAvailableNow(
+      StreamingEncode.encode(src, codebook)
+        .select("vec_id", "code_0", "code_1", "code_2", "code_3"),
+      "pq_encode_test")
+    // pivot to (vid, m, c) and compare with the batch explode-based
+    // encoder — two independent formulations of the same argmin (the
+    // per-row codegen fold vs the exploded decimal sum) must agree
+    val streamedCodes = (0 until 4).map(m =>
+        streamed.select(col("vec_id").as("vid"), lit(m).as("m"),
+          col(s"code_$m").cast("int").as("c")))
+      .reduce(_ unionByName _)
+    val batchCodes = graft.text.Similarity.pqCodes(batchEmb)
+      .select(col("vid"), col("m"), col("c").cast("int").as("c"))
+    assert(streamedCodes.exceptAll(batchCodes).isEmpty &&
+      batchCodes.exceptAll(streamedCodes).isEmpty,
+      "streaming per-row PQ codes diverge from the batch encoder")
+    // the encoded stream is stateless map-only: no state rows at all
+    assert(streamed.count() == batchEmb.count())
+  }
 }
