@@ -3,6 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // default 32 = the driver contract's local[32] host; on other
+    // machines set SPARK_GRAFT_CPUS (e.g. to availableProcessors) or
+    // local[32] oversubscribes and skews the numbers
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle/spill on tmpfs when available: local-mode shuffle files on
     // the root disk are the first thing to degrade under back-to-back
@@ -26,9 +29,14 @@ object Bench {
     // headline number stays honest — per-query times then reflect each
     // query's own work instead of whichever cache it populated first
     val w0 = System.nanoTime()
-    try graft.queries.Warmup.prewarm(spark, sfDir)
-    catch { case _: Throwable => }
+    val phases =
+      try graft.queries.Warmup.prewarm(spark, sfDir)
+      catch { case _: Throwable => Seq.empty[(String, Double)] }
     val warm = "warmup_shared_stages" -> (System.nanoTime() - w0) / 1e9
+    // per-phase breakdown rides alongside the total so the driver can
+    // separate stage-build cost from query cost (phases are wall-clock
+    // serial, so they sum to ~the warmup total); the total itself stays
+    // the single number added into "value"
     val results = Map(warm) ++ SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -37,8 +45,10 @@ object Bench {
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val wp = phases.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup":$wp,"queries":$qs,"sf":"$sfDir"}""")
     // The harness capturing this output keeps only the last ~2000 chars;
     // the full line above (~4k chars for 130+ queries) loses its head —
     // and with it the total — in that window. Repeat the headline as a
@@ -46,7 +56,7 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(40)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - 1},"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size - 1},"warmup":$wp,"queries":$top,"sf":"$sfDir"}""")
     graft.queries.Stage.clear()
     spark.stop()
   }

@@ -20,8 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * count as a generated loop over a broadcast-shared hash set inside
   * whole-stage codegen.
   *
-  * Semantics identical to the HOF form (oracle stays bit-exact):
-  * null array → null; null elements never match; duplicates count.
+  * Semantics match the HOF form for NON-NULL arrays (null elements
+  * never match; duplicates count). A null array yields NULL — the
+  * oracle/DuckDB semantics — intentionally diverging from the legacy
+  * `size(filter(null, ...))` = -1 under spark.sql.legacy.sizeOfNull
+  * (TokenOpsSpec documents this divergence).
   */
 case class MarkerCount(child: Expression, markers: Seq[String])
     extends UnaryExpression {

@@ -294,7 +294,7 @@ object EventQueries extends QueryModule {
       SELECT p.user_id, s.signup_id, p.purchase_id,
              (p.p_eus - s.lo) / 1000000.0 AS lag_sec,
              CAST(round(CAST(p.value AS DECIMAL(18,2)), 2)
-               AS DECIMAL(18,2)) AS value
+               AS DOUBLE) AS value
       FROM pur p JOIN sgn s
         ON p.user_id = s.user_id AND p.p_eus BETWEEN s.lo AND s.hi
       ORDER BY p.user_id, s.signup_id, p.purchase_id""")) { (s, dir) =>
@@ -309,8 +309,11 @@ object EventQueries extends QueryModule {
           "p_eus", "lo", "hi", binWidth = 3600000000L)
         .select(col("user_id"), col("signup_id"), col("purchase_id"),
           ((col("p_eus") - col("lo")) / 1000000.0).as("lag_sec"),
+          // Decimal math inside, primitive out (repo hash-stability
+          // rule): a 2-dp value of this magnitude is exact in double,
+          // and the driver's hash is decimal-representation-sensitive.
           round(col("value").cast("decimal(18,2)"), 2)
-            .cast("decimal(18,2)").as("value"))
+            .cast("double").as("value"))
         .orderBy("user_id", "signup_id", "purchase_id")
     },
 

@@ -26,6 +26,90 @@ object MlQueries extends QueryModule {
     * first, exactly as with the silhouette cap. */
   val HdbscanFitCap = 20000
 
+  /** Deterministic cap on the silhouette's all-pairs input — the
+    * reference caps silhouette the same way (clustering.py
+    * silhouette_sample_max); contiguous vec_ids make `vec_id < cap` a
+    * deterministic sample. DB/centroid math is linear and uncapped. */
+  val SilhouetteCap = 500
+
+  /** Oracle for q_cluster_metrics: sklearn-semantics silhouette +
+    * Davies-Bouldin over the seed assignment, every cross-row sum via
+    * DECIMAL(38,18) (exact, order-free), per-pair dim sums decimal too.
+    */
+  private[queries] def clusterMetricsSql: String = s"""
+      WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < $SilhouetteCap),
+      c AS (SELECT vec_id AS cid, i, x AS y FROM ex WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               round(sum((e.x - c.y) * (e.x - c.y)), 6) AS d2
+        FROM ex e JOIN c ON e.i = c.i GROUP BY 1, 2),
+      a AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+      pd AS (
+        SELECT ea.vec_id AS ia, eb.vec_id AS ib,
+               sqrt(CAST(sum(CAST((ea.x - eb.x) * (ea.x - eb.x)
+                 AS DECIMAL(38,18))) AS DOUBLE)) AS dist
+        FROM ex ea JOIN ex eb
+          ON ea.i = eb.i AND ea.vec_id <> eb.vec_id
+        GROUP BY 1, 2),
+      pc AS (
+        SELECT pd.ia, aj.cluster AS cj,
+               CAST(sum(CAST(dist AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+               count(*) AS cnt
+        FROM pd JOIN a aj ON aj.vec_id = pd.ib
+        GROUP BY 1, 2),
+      sil AS (
+        SELECT ai.vec_id,
+               max(CASE WHEN pc.cj = ai.cluster THEN sd / cnt END) AS a_i,
+               min(CASE WHEN pc.cj <> ai.cluster THEN sd / cnt END) AS b_i
+        FROM a ai JOIN pc ON pc.ia = ai.vec_id
+        GROUP BY 1),
+      sv AS (
+        SELECT CASE WHEN a_i IS NULL THEN 0.0
+                    ELSE (b_i - a_i) / greatest(a_i, b_i) END AS s_i
+        FROM sil),
+      m AS (
+        SELECT a.cluster, e.i,
+               CAST(sum(CAST(e.x AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS mu
+        FROM a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+      pdc AS (
+        SELECT a.vec_id, a.cluster,
+               sqrt(CAST(sum(CAST((e.x - m.mu) * (e.x - m.mu)
+                 AS DECIMAL(38,18))) AS DOUBLE)) AS cdist
+        FROM a JOIN ex e USING (vec_id)
+        JOIN m ON m.cluster = a.cluster AND m.i = e.i
+        GROUP BY 1, 2),
+      sstat AS (
+        SELECT cluster, count(*) AS np,
+               CAST(sum(CAST(cdist AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS intra
+        FROM pdc GROUP BY 1),
+      cd AS (
+        SELECT mi.cluster AS ci, mj.cluster AS cj,
+               sqrt(CAST(sum(CAST((mi.mu - mj.mu) * (mi.mu - mj.mu)
+                 AS DECIMAL(38,18))) AS DOUBLE)) AS mdist
+        FROM m mi JOIN m mj
+          ON mi.i = mj.i AND mi.cluster <> mj.cluster
+        GROUP BY 1, 2),
+      ratio AS (
+        SELECT cd.ci AS cluster,
+               max((si.intra + sj.intra) / cd.mdist) AS db_ratio
+        FROM cd JOIN sstat si ON si.cluster = cd.ci
+        JOIN sstat sj ON sj.cluster = cd.cj
+        GROUP BY 1)
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM sv) AS n_points,
+        (SELECT CAST(count(*) AS INT) FROM ratio) AS n_clusters,
+        (SELECT round(CAST(sum(CAST(s_i AS DECIMAL(38,18))) AS DOUBLE)
+           / count(*), 9) FROM sv) AS silhouette,
+        (SELECT round(CAST(sum(CAST(db_ratio AS DECIMAL(38,18)))
+           AS DOUBLE) / count(*), 9) FROM ratio) AS davies_bouldin"""
+
   /** Shared HMM input projection: per-user value series from `events`. */
   private[queries] def hmmInput(s: org.apache.spark.sql.SparkSession,
       dir: String) = {
@@ -285,13 +369,95 @@ object MlQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
-    Q("q_cluster_metrics", None) { (s, dir) =>
-      val spark = s
-      import spark.implicits._
-      val labeled = MlQueries.kmeansLabeled(s, dir)
-      val sil = Clustering.silhouette(labeled, sampleMax = 200000)
-      val db = Clustering.daviesBouldin(labeled)
-      Seq((sil, db)).toDF("silhouette", "davies_bouldin")
+    // M5 promoted from rows-only: sklearn-semantics silhouette (mean
+    // over points of (b-a)/max(a,b), euclidean, self excluded;
+    // singleton clusters → 0) and Davies-Bouldin (mean over clusters of
+    // the worst (S_i+S_j)/M_ij ratio) — both closed-form over the FIXED
+    // seed assignment (ref clustering.py:31-64; the iterative-fit
+    // variant stays rows-only as q_kmeans_clusters). Silhouette is
+    // all-pairs by nature, so it runs on the reference's own
+    // silhouette_sample_max-style deterministic cap (vec_id <
+    // SilhouetteCap); DB is linear. Every cross-row sum goes through
+    // DECIMAL(38,18) per the repo hash-stability rule; per-pair dim
+    // sums are decimal too, so sqrt inputs are bit-identical across
+    // engines.
+    Q("q_cluster_metrics", Some(MlQueries.clusterMetricsSql)) { (s, dir) =>
+      val cap = MlQueries.SilhouetteCap
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < cap)
+      val ev = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val a = MlQueries.seedAssigned(s, dir)
+        .filter(col("vec_id") < cap).select("vec_id", "cluster")
+      def decSum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      // exact per-pair euclidean distance: decimal per-term sum over
+      // dims (order-free; every Add keeps scale 18 exactly — 24,18 +
+      // 32,18 → 33,18 — so this equals DuckDB's SUM(DECIMAL(38,18))
+      // bit-for-bit), sqrt of the identical double on both sides
+      val sqd = aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(32,18)"),
+        (acc, t) => (acc + t.cast("decimal(24,18)"))
+          .cast("decimal(32,18)"))
+      val pairs = ev.select(col("vec_id").as("ia"), col("v").as("va"))
+        .join(broadcast(ev.select(col("vec_id").as("ib"),
+          col("v").as("vb"))), col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          sqrt(sqd.cast("double")).as("dist"))
+      val pc = pairs
+        .join(a.select(col("vec_id").as("ib"), col("cluster").as("cj")),
+          Seq("ib"))
+        .groupBy("ia", "cj")
+        .agg(decSum(col("dist")).as("sd"), count(lit(1)).as("cnt"))
+      val sil = a.select(col("vec_id").as("ia"), col("cluster"))
+        .join(pc, Seq("ia"))
+        .groupBy("ia")
+        .agg(
+          max(when(col("cj") === col("cluster"),
+            col("sd") / col("cnt"))).as("a_i"),
+          min(when(col("cj") =!= col("cluster"),
+            col("sd") / col("cnt"))).as("b_i"))
+        .select(when(col("a_i").isNull, lit(0.0))
+          .otherwise((col("b_i") - col("a_i"))
+            / greatest(col("a_i"), col("b_i"))).as("s_i"))
+      val silRow = sil.agg(
+        count(lit(1)).as("n_points"),
+        round(decSum(col("s_i")) / count(lit(1)), 9).as("silhouette"))
+      val ex = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("i", "x")))
+      val m = a.join(ex, Seq("vec_id")).groupBy("cluster", "i")
+        .agg((decSum(col("x")) / count(lit(1))).as("mu"))
+      val pdc = a.join(ex, Seq("vec_id")).join(m, Seq("cluster", "i"))
+        .groupBy("vec_id", "cluster")
+        .agg(sqrt(decSum((col("x") - col("mu"))
+          * (col("x") - col("mu")))).as("cdist"))
+      val sstat = pdc.groupBy("cluster")
+        .agg(count(lit(1)).as("np"),
+          (decSum(col("cdist")) / count(lit(1))).as("intra"))
+      val mi = m.select(col("cluster").as("ci"), col("i"),
+        col("mu").as("mu_i"))
+      val mj = m.select(col("cluster").as("cj"), col("i"),
+        col("mu").as("mu_j"))
+      val cd = mi.join(mj, Seq("i")).filter(col("ci") =!= col("cj"))
+        .groupBy("ci", "cj")
+        .agg(sqrt(decSum((col("mu_i") - col("mu_j"))
+          * (col("mu_i") - col("mu_j")))).as("mdist"))
+      val ratio = cd
+        .join(sstat.select(col("cluster").as("ci"),
+          col("intra").as("intra_i")), Seq("ci"))
+        .join(sstat.select(col("cluster").as("cj"),
+          col("intra").as("intra_j")), Seq("cj"))
+        .groupBy("ci")
+        .agg(max((col("intra_i") + col("intra_j")) / col("mdist"))
+          .as("db_ratio"))
+      val dbRow = ratio.agg(
+        count(lit(1)).cast("int").as("n_clusters"),
+        round(decSum(col("db_ratio")) / count(lit(1)), 9)
+          .as("davies_bouldin"))
+      silRow.crossJoin(broadcast(dbRow))
+        .select(col("n_points"), col("n_clusters"), col("silhouette"),
+          col("davies_bouldin"))
     },
 
     // M6 diagnostics, transition table: counts + row-normalized
@@ -419,35 +585,191 @@ object MlQueries extends QueryModule {
         .orderBy("n_components")
     },
 
-    // M6 posterior confidence: distributed posterior decode → per-state
-    // prob_max / entropy stats (ref diagnostics.py:96-110
-    // state_confidence_stats; decode.py predict_proba path)
-    Q("q_hmm_posterior", None) { (s, dir) =>
+    // M6 posterior confidence: distributed forward-backward decode →
+    // per-state prob_max / entropy stats (ref diagnostics.py:96-110
+    // state_confidence_stats; decode.py predict_proba path). Decodes
+    // against the PINNED model artifact (PinnedHmm — the reference's
+    // stored-model decode contract), which makes forward-backward a
+    // deterministic dynamic program the oracle expresses as recursive
+    // CTEs. Per-row prob_max/entropy are rounded at 7 decimals BEFORE
+    // aggregation on both sides (identical inputs → exact decimal
+    // means), absorbing any last-ulp libm exp/ln divergence between
+    // engines. The FIT path stays covered by q_hmm_sweep + HmmSpec.
+    Q("q_hmm_posterior", Some(MlQueries.hmmPosteriorSql)) { (s, dir) =>
       val ev = MlQueries.hmmInput(s, dir)
-      val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000,
-        maxTotalPoints = 50000L)
-      val model = Hmm.fit(seqs, k = 3, nIter = 30)
-      Hmm.decodePosterior(ev, model)
+      Hmm.decodePosterior(ev, graft.ml.PinnedHmm.model)
+        .select(col("hmm_state"),
+          round(col("prob_max"), 7).as("pm"),
+          round(col("entropy"), 7).as("ent"))
         .groupBy("hmm_state")
         .agg(count(lit(1)).as("n"),
-          round(avg("prob_max"), 9).as("prob_max_mean"),
-          round(max("prob_max"), 9).as("prob_max_max"),
-          round(avg("entropy"), 9).as("entropy_mean"),
-          round(median(col("entropy")), 9).as("entropy_median"))
+          round(sum(col("pm").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 9).as("prob_max_mean"),
+          round(max("pm"), 9).as("prob_max_max"),
+          round(sum(col("ent").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 9).as("entropy_mean"),
+          round(median(col("ent")), 9).as("entropy_median"))
         .orderBy("hmm_state")
     },
 
-    Q("q_hmm_decode", None) { (s, dir) =>
+    // M6 Viterbi decode against the pinned model artifact
+    // (ref decode.py:146-156 — decode of a model loaded from disk; the
+    // production lifecycle is fit-once/decode-many, so the decode job IS
+    // this shape). Given literal params the whole recursion is IEEE
+    // +,-,*,/ with precomputed log-constants — no libm inside — so the
+    // Spark flatMapGroups Viterbi and the DuckDB recursive-CTE oracle
+    // are bit-identical by construction, promoting this from rows-only
+    // to hash-checked. Distributed: model broadcasts, each key's pass
+    // is an independent task.
+    Q("q_hmm_decode", Some(MlQueries.hmmDecodeSql)) { (s, dir) =>
       val ev = MlQueries.hmmInput(s, dir)
-      // fit over a distributedly-capped sample (per-key cap + global
-      // points budget enforced BEFORE collect); decode stays distributed
-      // over the full input
-      val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000,
-        maxTotalPoints = 50000L)
-      val model = Hmm.fit(seqs, k = 3, nIter = 30)
-      Hmm.decode(ev, model)
-        .groupBy("key", "hmm_state").count()
+      Hmm.decode(ev, graft.ml.PinnedHmm.model)
+        .groupBy("key", "hmm_state").agg(count(lit(1)).as("n"))
         .orderBy("key", "hmm_state")
     }
   )
+
+  // ---- pinned-HMM oracle SQL (generated, constants interpolated) ----
+
+  private def P = graft.ml.PinnedHmm
+
+  /** Exact shortest-round-trip decimal literal of a Java double —
+    * DuckDB parses it back to the identical bits. */
+  private def dlit(x: Double): String = "(" + x.toString + ")"
+
+  /** Inline log-sum-exp over three expressions, replicating
+    * Hmm.logSumExp's exact op order: m = max; m + ln(Σ exp(x_i - m)). */
+  private def lse3(x: String, y: String, z: String): String = {
+    val m = s"greatest($x, $y, $z)"
+    s"($m + ln(exp(($x) - $m) + exp(($y) - $m) + exp(($z) - $m)))"
+  }
+
+  /** Shared CTE block: per-key indexed series + per-state emission
+    * log-densities lb0..2 = -0.5*(log(2πv) + (x-µ)²/v) with the log
+    * constant pinned (libm-free recursion). */
+  private def hmmBaseCtes: String = {
+    val lbs = (0 until P.K).map { s =>
+      s"(-0.5)*(${dlit(P.Lc(s))} + (x - ${dlit(P.Mu(s))})" +
+        s"*(x - ${dlit(P.Mu(s))})/${dlit(P.V(s))}) AS lb$s"
+    }.mkString(",\n               ")
+    s"""base AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS eus,
+               CAST(value AS DOUBLE) AS x
+        FROM events),
+      seq AS (
+        SELECT key, x,
+               row_number() OVER (PARTITION BY key ORDER BY eus) AS i
+        FROM base),
+      nn AS (SELECT key, max(i) AS n FROM seq GROUP BY 1),
+      lb AS (
+        SELECT key, i,
+               $lbs
+        FROM seq)"""
+  }
+
+  /** Viterbi forward + backtrack CTEs (fwd carries the k deltas and the
+    * k argmax backpointers per row; bt walks them back from i = n).
+    * Argmax ties break to the LOWEST state — Hmm.viterbi's first-strict-
+    * maximizer scan — via the same comparison chain. */
+  private def hmmViterbiCtes: String = {
+    def vp(p: Int, s: Int) = s"f.d$p + ${dlit(P.LogA(p)(s))}"
+    val initD = (0 until P.K).map(s =>
+      s"${dlit(P.LogPi(s))} + lb$s AS d$s").mkString(", ")
+    val initP = (0 until P.K).map(s => s"0 AS p$s").mkString(", ")
+    val stepD = (0 until P.K).map(s =>
+      s"greatest(${vp(0, s)}, ${vp(1, s)}, ${vp(2, s)}) + l.lb$s AS d$s")
+      .mkString(",\n             ")
+    val stepP = (0 until P.K).map(s =>
+      s"""CASE WHEN ${vp(2, s)} > ${vp(0, s)} AND ${vp(2, s)} > ${vp(1, s)}
+               THEN 2
+             WHEN ${vp(1, s)} > ${vp(0, s)} THEN 1 ELSE 0 END AS p$s""")
+      .mkString(",\n             ")
+    s"""fwd AS (
+        SELECT key, i, $initD, $initP
+        FROM lb WHERE i = 1
+        UNION ALL
+        SELECT l.key, l.i,
+             $stepD,
+             $stepP
+        FROM fwd f JOIN lb l ON l.key = f.key AND l.i = f.i + 1),
+      bt AS (
+        SELECT f.key, f.i,
+               CASE WHEN f.d2 > f.d0 AND f.d2 > f.d1 THEN 2
+                    WHEN f.d1 > f.d0 THEN 1 ELSE 0 END AS st
+        FROM fwd f JOIN nn ON nn.key = f.key AND f.i = nn.n
+        UNION ALL
+        SELECT b.key, b.i - 1,
+               CASE b.st WHEN 0 THEN f.p0 WHEN 1 THEN f.p1
+                 ELSE f.p2 END AS st
+        FROM bt b JOIN fwd f ON f.key = b.key AND f.i = b.i
+        WHERE b.i > 1)"""
+  }
+
+  private[queries] def hmmDecodeSql: String =
+    s"""WITH RECURSIVE ${hmmBaseCtes},
+      ${hmmViterbiCtes}
+      SELECT key, CAST(st AS INT) AS hmm_state,
+             CAST(count(*) AS BIGINT) AS n
+      FROM bt GROUP BY 1, 2 ORDER BY key, hmm_state"""
+
+  private[queries] def hmmPosteriorSql: String = {
+    def aTo(s: Int) =
+      (0 until P.K).map(p => s"f.a$p + ${dlit(P.LogA(p)(s))}")
+    def bOf(s: Int) =
+      (0 until P.K).map(q => s"${dlit(P.LogA(s)(q))} + l.lb$q + b.b$q")
+    val initA = (0 until P.K).map(s =>
+      s"${dlit(P.LogPi(s))} + lb$s AS a$s").mkString(", ")
+    val stepA = (0 until P.K).map { s =>
+      val c = aTo(s)
+      s"${lse3(c(0), c(1), c(2))} + l.lb$s AS a$s"
+    }.mkString(",\n             ")
+    val initB = (0 until P.K).map(s =>
+      s"CAST(0.0 AS DOUBLE) AS b$s").mkString(", ")
+    val stepB = (0 until P.K).map { s =>
+      val c = bOf(s)
+      s"${lse3(c(0), c(1), c(2))} AS b$s"
+    }.mkString(",\n             ")
+    val z = lse3("g0", "g1", "g2")
+    val entTerms = (0 until P.K).map(s =>
+      s"(CASE WHEN p$s > 1e-300 THEN p$s * ln(p$s) ELSE 0.0 END)")
+      .mkString(" - ")
+    s"""WITH RECURSIVE ${hmmBaseCtes},
+      ${hmmViterbiCtes},
+      alpha AS (
+        SELECT key, i, $initA
+        FROM lb WHERE i = 1
+        UNION ALL
+        SELECT l.key, l.i,
+             $stepA
+        FROM alpha f JOIN lb l ON l.key = f.key AND l.i = f.i + 1),
+      beta AS (
+        SELECT key, n AS i, $initB FROM nn
+        UNION ALL
+        SELECT b.key, b.i - 1,
+             $stepB
+        FROM beta b JOIN lb l ON l.key = b.key AND l.i = b.i
+        WHERE b.i > 1),
+      g AS (
+        SELECT a.key, a.i, a.a0 + b.b0 AS g0, a.a1 + b.b1 AS g1,
+               a.a2 + b.b2 AS g2
+        FROM alpha a JOIN beta b ON b.key = a.key AND b.i = a.i),
+      pr AS (
+        SELECT key, i, exp(g0 - $z) AS p0, exp(g1 - $z) AS p1,
+               exp(g2 - $z) AS p2
+        FROM g),
+      r AS (
+        SELECT pr.key, pr.i, bt.st,
+               round(greatest(p0, p1, p2), 7) AS pm,
+               round(0.0 - $entTerms, 7) AS ent
+        FROM pr JOIN bt ON bt.key = pr.key AND bt.i = pr.i)
+      SELECT CAST(st AS INT) AS hmm_state,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(pm AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*), 9) AS prob_max_mean,
+             round(max(pm), 9) AS prob_max_max,
+             round(CAST(sum(CAST(ent AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*), 9) AS entropy_mean,
+             round(median(ent), 9) AS entropy_median
+      FROM r GROUP BY 1 ORDER BY hmm_state"""
+  }
 }

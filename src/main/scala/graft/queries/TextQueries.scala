@@ -1263,6 +1263,45 @@ object TextQueries extends QueryModule {
         .orderBy("qid")
     },
 
+    // Codebook-quality A/B (VERDICT r6 #4): mean recall@5 of the
+    // seed-slice codebook vs the per-subspace-KMeans codebook, both
+    // against the same exact squared-L2 top-5 ground truth. The KMeans
+    // fit is iterative (no SQL oracle → rows-only driver check);
+    // SimilaritySpec locks the invariant recall(kmeans) ≥ recall(seed),
+    // i.e. the production swap the seed codebooks declare actually
+    // buys recall. Shares the cached pqTop5 stage for the seed side.
+    Q("q_e_pq_recall_cmp", None) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val ex = emb.select(col("vec_id"),
+        posexplode(Similarity.asDouble(col("embedding")))
+          .as(Seq("i", "x")))
+      val q = ex.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("i").as("qi"),
+          col("x").as("qx"))
+      val d2full = ex.join(broadcast(q),
+          col("i") === col("qi") && col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id").as("vid"))
+        .agg(round(sum(((col("x") - col("qx")) * (col("x") - col("qx")))
+          .cast("decimal(38,18)")).cast("double"), 6).as("d2"))
+      val exact5 = d2full.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
+        .filter(col("rn") <= 5).select("qid", "vid")
+      def recallRow(pq5: org.apache.spark.sql.DataFrame,
+          variant: String) =
+        exact5.join(pq5.select(col("qid"), col("vid"), lit(1).as("hit")),
+            Seq("qid", "vid"), "left")
+          .agg(lit(variant).as("codebook"),
+            countDistinct(col("qid")).as("n_queries"),
+            round(count(col("hit")).cast("double")
+              / count(lit(1)), 6).as("recall_at_5"))
+      val seed5 = pqTop5(s, dir)
+      val km5 = Similarity.pqTopKCodebook(emb, col("vec_id") < 32,
+        k = 5, Similarity.kmeansCodebook(emb, m = 4, subK = 8))
+      recallRow(seed5, "seed_slice")
+        .unionByName(recallRow(km5, "kmeans"))
+        .orderBy("codebook")
+    },
+
     // Corpus-vs-corpus ANN pairs (the near-dup shape: no broadcastable
     // query side — banded bucket equi-join with a hot-bucket cap;
     // 2 OR-amplification bands driver-verify the banded path)

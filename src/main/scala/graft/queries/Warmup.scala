@@ -18,13 +18,18 @@ object Warmup {
 
   /** Materialize shared stages in dependency order (phases run their
     * members concurrently). Safe to call more than once — Stage.cached
-    * memoizes. Set GRAFT_WARMUP_TIMES=1 to print per-build wall times
-    * to stderr (profiling aid; builds overlap, so times overstate
+    * memoizes. Returns wall seconds per phase (builds within a phase
+    * overlap, so the phase wall time IS the honest cost unit — the
+    * bench JSON reports these so stage-build cost is separable from
+    * query cost). Set GRAFT_WARMUP_TIMES=1 to print per-build wall
+    * times to stderr (profiling aid; overlapping builds overstate
     * exclusive cost). */
-  def prewarm(spark: SparkSession, dir: String): Unit = {
+  def prewarm(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     graft.SparkEntry.tune(spark)
     val timed = sys.env.get("GRAFT_WARMUP_TIMES").contains("1")
-    def phase(builds: Seq[(String, () => Any)]): Unit =
+    val phaseTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def phase(label: String, builds: Seq[(String, () => Any)]): Unit = {
+      val p0 = System.nanoTime()
       graft.ops.Pools.awaitAll(builds.map { case (name, b) =>
         () => {
           val t0 = System.nanoTime()
@@ -34,9 +39,11 @@ object Warmup {
           r
         }
       })
+      phaseTimes += label -> (System.nanoTime() - p0) / 1e9
+    }
 
     // phase 1: chain roots (one hash exchange each, disjoint inputs)
-    phase(Seq(
+    phase("warmup_p1_roots", Seq(
       "slimGrammar" -> (() => Stage.slimGrammar(spark, dir).count()),
       "slimFwd" -> (() => Stage.slimFwd(spark, dir).count()),
       "gramSlim" -> (() => BacktestQueries2.gramSlim(spark, dir).count()),
@@ -49,7 +56,7 @@ object Warmup {
     // signal variants (shared by the hybrid grid AND walk-forward
     // families — built once here so phase 3 never races on them),
     // bootstrap draw tables, day windows, the slim signal frame
-    phase(
+    phase("warmup_p2_consumers",
       BacktestQueries2.GridCombos.map(c =>
         s"comboTrades:$c" ->
           (() => BacktestQueries2.comboTrades(spark, dir, c).count()))
@@ -71,7 +78,7 @@ object Warmup {
     // hybrid baseline run) + the calibration sweep grid (needs the
     // calibration base) + the hybrid overlay grids and walk-forward
     // cells (each ONE keyed sim over the phase-2 signal stages)
-    phase(Seq(
+    phase("warmup_p3_scored", Seq(
       "comboScored" ->
         (() => BacktestQueries2.comboScored(spark, dir).count()),
       "calGrid" -> (() => CalibrationQueries.calGrid(spark, dir).count()),
@@ -79,5 +86,7 @@ object Warmup {
       ++ HybridQueries.Runs.filter(_.mode.isDefined).map(r =>
         s"runScored:$r" ->
           (() => HybridQueries.runScored(spark, dir, r).count())))
+
+    phaseTimes.toSeq
   }
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VecOps
 
 /** Streaming PQ encoding — the ingestion half of the IVF-PQ lifecycle:
   * new embedding vectors arrive on a stream and are compressed to their
@@ -11,14 +10,17 @@ import graft.functions.VecOps
   * exactly like the MinHash signature index in StreamingDedup).
   *
   * Shape: stateless map-only — per row, `m` argmins over `subK`
-  * codebook literals, each a codegen'd VecOps.sqDist over an array
-  * slice. No shuffle, no watermark, no state: a micro-batch of any
-  * width encodes in one pass, and the same column program runs
-  * identically on a batch frame (locked by StreamingSpec against the
-  * batch encoder's codes).
+  * codebook literals. No shuffle, no watermark, no state: a
+  * micro-batch of any width encodes in one pass, and the same column
+  * program runs identically on a batch frame (locked by StreamingSpec
+  * against the batch encoder's codes).
   *
-  * Tie-breaking matches Similarity.pqTopK's encode: 6-decimal-rounded
-  * distance, lowest centroid id wins.
+  * Encode parity is by CONSTRUCTION, not just fixture-tested: each
+  * subspace distance accumulates per-term through DECIMAL(38,18) —
+  * the identical cast+exact-sum the batch encoder (Similarity.pqParts)
+  * uses — so a streamed standing index can never diverge from a batch
+  * rebuild at a rounding boundary. Tie-breaking matches pqTopK's
+  * encode: 6-decimal-rounded distance, lowest centroid id wins.
   */
 object StreamingEncode {
 
@@ -32,7 +34,7 @@ object StreamingEncode {
     * k-row collect. */
   def seedCodebook(emb: DataFrame, m: Int, subK: Int): Codebook = {
     val rows = emb.filter(col("vec_id") < subK)
-      .select(col("vec_id"),
+      .select(col("vec_id").cast("long"),
         col("embedding").cast("array<double>").as("v"))
       .collect()
       .sortBy(_.getLong(0))
@@ -58,7 +60,19 @@ object StreamingEncode {
       val slice = org.apache.spark.sql.functions.slice(
         v, mi * subDim + 1, subDim)
       val dists = codebook(mi).indices.map { c =>
-        round(VecOps.sqDist(slice, typedlit(codebook(mi)(c).toSeq)), 6)
+        // per-term exact decimal sum == batch pqParts' formulation
+        // (sum(cast((x-y)² as decimal(38,18)))): every Add below keeps
+        // scale 18 with precision headroom (24,18 + 32,18 → 33,18 is
+        // EXACT; the cast back to 32,18 only trims unused integer
+        // digits), so the accumulated value is bit-identical to the
+        // batch encoder's exact scale-18 sum — no rounding anywhere
+        // before the shared round-6 tiebreak
+        val diff2 = zip_with(slice, typedlit(codebook(mi)(c).toSeq),
+          (x, y) => (x - y) * (x - y))
+        round(aggregate(diff2,
+          lit(java.math.BigDecimal.ZERO).cast("decimal(32,18)"),
+          (acc, t) => (acc + t.cast("decimal(24,18)"))
+            .cast("decimal(32,18)")).cast("double"), 6)
       }
       val best = dists.reduce((a, b) => least(a, b))
       // first centroid attaining the min wins (id tiebreak)

@@ -271,8 +271,14 @@ object Similarity {
     * side never shuffles its vectors, only its m-byte codes.
     * Returns (qid, vid, adc, rnk). */
   def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int = 4,
-      subK: Int = 8): DataFrame = {
-    val (codes, qd2) = pqParts(emb, queryPred, m, subK)
+      subK: Int = 8): DataFrame =
+    pqAdcRank(pqParts(emb, queryPred, m, subK), k)
+
+  /** ADC table-lookup ranking over (codes, qd2) — shared by the
+    * seed-codebook and fitted-codebook PQ paths. */
+  private def pqAdcRank(parts: (DataFrame, DataFrame), k: Int)
+      : DataFrame = {
+    val (codes, qd2) = parts
     val adc = codes.join(broadcast(qd2), Seq("m", "c"))
       .groupBy("qid", "vid")
       .agg(round(sum(col("qd2").cast("decimal(38,18)")).cast("double"), 6)
@@ -280,6 +286,61 @@ object Similarity {
       .filter(col("qid") =!= col("vid"))
     val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
     adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Per-subspace KMeans codebook — the production-quality swap the
+    * seed-slice codebooks declare (quantization-MSE-minimizing
+    * centroids; faiss trains PQ codebooks exactly this way). Each of
+    * the `m` fits is an independent seeded MLlib KMeans over that
+    * subspace's slice of the corpus; the returned layout matches
+    * StreamingEncode.Codebook so the same encode/ADC/streaming paths
+    * run unchanged. The fit is iterative (no SQL oracle) — recall
+    * improvement over the seed codebook is driver-checked as a
+    * rows+invariant query (q_e_pq_recall_cmp) and spec-locked. */
+  def kmeansCodebook(emb: DataFrame, m: Int, subK: Int,
+      seed: Long = 42L): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val dim = embDim(emb)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val e = emb.select(asDouble(col("embedding")).as("v")).cache()
+    try {
+      (0 until m).map { mi =>
+        val sub = e.select(
+          slice(col("v"), mi * subDim + 1, subDim).as("sv"))
+        val fe = graft.ml.Clustering.withFeatures(sub, "sv")
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(subK).setMaxIter(20).setSeed(seed)
+          .setFeaturesCol("features").fit(fe)
+        model.clusterCenters.map(_.toArray).toIndexedSeq
+      }
+    } finally e.unpersist()
+  }
+
+  /** PQ ANN against an explicit codebook (e.g. [[kmeansCodebook]]):
+    * identical shape to [[pqTopK]] — the codebook joins as a broadcast
+    * (c, m, j, y) literal table instead of the seed-slice filter, so
+    * encode and ADC stay the same exact-decimal column programs. */
+  def pqTopKCodebook(emb: DataFrame, queryPred: Column, k: Int,
+      codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame =
+    pqAdcRank(pqPartsCodebook(emb, queryPred, codebook), k)
+
+  private def pqPartsCodebook(emb: DataFrame, queryPred: Column,
+      codebook: IndexedSeq[IndexedSeq[Array[Double]]])
+      : (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    val centRows = for {
+      mi <- codebook.indices; c <- codebook(mi).indices
+      j <- 0 until subDim
+    } yield (c.toLong, mi, j, codebook(mi)(c)(j))
+    val cent = spark.createDataFrame(centRows).toDF("c", "m", "j", "y")
+    val sub = emb
+      .select(col("vec_id"),
+        posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+      .select(col("vec_id"), (col("i") / subDim).cast("int").as("m"),
+        (col("i") % subDim).as("j"), col("x"))
+    pqPartsFrom(sub, queryPred, cent)
   }
 
   /** Batch PQ corpus codes (vid, m, c) — exposed for cross-validating
@@ -304,6 +365,13 @@ object Similarity {
     val cent = sub.filter(col("vec_id") < subK)
       .select(col("vec_id").as("c"), col("m"), col("j"),
         col("x").as("y"))
+    pqPartsFrom(sub, queryPred, cent)
+  }
+
+  /** Encode + query-distance-table machinery shared by the seed and
+    * fitted codebook paths. `cent` is the (c, m, j, y) codebook. */
+  private def pqPartsFrom(sub: DataFrame, queryPred: Column,
+      cent: DataFrame): (DataFrame, DataFrame) = {
     // exact squared distance of every (vector, subspace) slice to every
     // centroid of that subspace — per-term decimal sum, order-free
     val d2 = sub.join(broadcast(cent), Seq("m", "j"))

@@ -99,6 +99,46 @@ class SimilaritySpec extends SparkSpec {
       "full-probe IVF-PQ must equal plain PQ")
   }
 
+  test("KMeans codebook cuts PQ quantization distortion vs seed slices") {
+    // the invariant that makes the fitted codebook the production swap:
+    // per-subspace KMeans minimizes within-cluster SSE, so total encode
+    // distortion (Σ over vectors of the min squared distance to a
+    // centroid, per subspace) must come in below 8 arbitrary corpus
+    // slices
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = 4
+    val seedCb = graft.streaming.StreamingEncode.seedCodebook(emb, m, 8)
+    val kmCb = Similarity.kmeansCodebook(emb, m, 8)
+    val vecs = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val subDim = vecs.head.length / m
+    def distortion(cb: IndexedSeq[IndexedSeq[Array[Double]]]): Double =
+      vecs.map { v =>
+        (0 until m).map { mi =>
+          val s = v.slice(mi * subDim, (mi + 1) * subDim)
+          cb(mi).map(c =>
+            c.zip(s).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    val dSeed = distortion(seedCb)
+    val dKm = distortion(kmCb)
+    assert(dKm < dSeed,
+      s"kmeans codebook distortion $dKm must beat seed $dSeed")
+  }
+
+  test("KMeans codebook recall@5 >= seed codebook recall@5 (sf0.01)") {
+    // the q_e_pq_recall_cmp contract: on a corpus large enough for the
+    // fit to see structure (sf0.001's 50 vectors are below that), the
+    // fitted codebook's recall against exact L2 must not trail the
+    // seed slices
+    val cmp = graft.SparkEntry.queries("q_e_pq_recall_cmp")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getAs[String]("codebook") ->
+        r.getAs[Double]("recall_at_5")).toMap
+    assert(cmp("kmeans") >= cmp("seed_slice"),
+      s"recall cmp: $cmp")
+  }
+
   test("partial-probe IVF returns k ranked candidates bounded by exact") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pred = col("vec_id") < 16
