@@ -15,7 +15,8 @@ object Grid {
   case class Combo(mode: String, confirmBars: Int, holdBars: Int,
     feeBps: Double)
 
-  val MaxCombos = 500
+  /** `backtest_sensitivity.max_combos` via Settings (yaml default 500). */
+  def MaxCombos: Int = graft.Settings.sensitivity.maxCombos
 
   /** Cartesian combo expansion, capped like the reference. */
   def combos(modes: Seq[String], confirms: Seq[Int], holds: Seq[Int],

@@ -116,10 +116,12 @@ object Bronze {
         count(lit(1)).over(
           Window.partitionBy("ticker", "trade_date")) > 1)
       .withColumn("q_suspicious_bar",
-        (col("high") - col("low")) > col("close") * 0.5)
+        (col("high") - col("low"))
+          > col("close") * graft.Settings.validation.suspiciousRangePct)
       .withColumn("q_gap_in_calendar",
         coalesce(datediff(col("trade_date"),
-          lag("trade_date", 1).over(w)) > 7, lit(false)))
+          lag("trade_date", 1).over(w))
+            > graft.Settings.validation.gapDaysWarn, lit(false)))
     val hardFlags = Seq("q_parse_error", "q_missing_field",
       "q_bad_timeframe", "q_nonpositive_price", "q_high_lt_low",
       "q_ohlc_outside_hl", "q_negative_volume", "q_duplicate_ticker_date")

@@ -12,16 +12,19 @@ import graft.ops.Wins
   * (slope+level), hold (N consecutive same-sign bars), bars-since counters,
   * rolling activity/asymmetry, and priority state coding S0..S4.
   *
-  * Config constants mirror configs/settings.yaml `event_grammar:`.
+  * Tunables resolve through [[graft.Settings.eventGrammar]] (live `def`s,
+  * so env/sysprop overrides of the configs/settings.yaml `event_grammar:`
+  * keys take effect without recompiling); defaults are the yaml values.
   */
 object EventGrammar {
 
-  val RespectBand = 0.10
-  val RespectFailLookback = 10
-  val BurstSlope = 0.05
-  val BurstLevel = 0.15
-  val HoldBars = 5
-  val PersistLevel = 0.15
+  def RespectBand: Double = graft.Settings.eventGrammar.respectBand
+  def RespectFailLookback: Int = graft.Settings.eventGrammar.respectFailLookback
+  def BurstSlope: Double = graft.Settings.eventGrammar.burstSlopeThreshold
+  def BurstLevel: Double = graft.Settings.eventGrammar.burstAbsThreshold
+  def HoldBars: Int = graft.Settings.eventGrammar.holdBars
+  def PersistLevel: Double =
+    graft.Settings.dbl("event_grammar.persistence_level", 0.15)
 
   import Silver.W
 

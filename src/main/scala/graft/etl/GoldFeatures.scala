@@ -14,7 +14,13 @@ import graft.ops.{Cols, Wins}
   */
 object GoldFeatures {
 
-  val WZero = 1.0; val WRespect = 2.0; val WBurst = 2.0; val WHold = 1.5
+  // score_weights from configs/settings.yaml `gold_features:`, resolved
+  // live through graft.Settings so they are tunable without recompiling
+  def WZero: Double = graft.Settings.goldFeatures.wZero
+  def WRespect: Double = graft.Settings.goldFeatures.wRespect
+  def WBurst: Double = graft.Settings.goldFeatures.wBurst
+  def WHold: Double = graft.Settings.goldFeatures.wHold
+  def RecClip: Int = graft.Settings.goldFeatures.recencyClipBars
 
   import Silver.W
 
@@ -52,19 +58,21 @@ object GoldFeatures {
         col("long_flow_score_20") + col("short_flow_score_20"))
       .withColumn("flow_bias_20",
         Cols.safeDiv(col("delta_flow_20"), col("flow_activity_20")))
-      // recency transforms min(bs,20)/20 (features_v1.py:205-219)
+      // recency transforms min(bs,clip)/clip (features_v1.py:205-219);
+      // clip = gold_features.recency_clip_bars (column names pin the
+      // default-20 schema contract; the clip VALUE is the tunable)
       .withColumn("rec_tmf_zero_up_20",
-        least(col("bs_tmf_zero_up"), lit(20)).cast("double") / 20)
+        least(col("bs_tmf_zero_up"), lit(RecClip)).cast("double") / RecClip)
       .withColumn("rec_tmf_zero_down_20",
-        least(col("bs_tmf_zero_down"), lit(20)).cast("double") / 20)
+        least(col("bs_tmf_zero_down"), lit(RecClip)).cast("double") / RecClip)
       .withColumn("rec_tmf_burst_up_20",
-        least(col("bs_tmf_burst_up"), lit(20)).cast("double") / 20)
+        least(col("bs_tmf_burst_up"), lit(RecClip)).cast("double") / RecClip)
       .withColumn("rec_tmf_burst_down_20",
-        least(col("bs_tmf_burst_down"), lit(20)).cast("double") / 20)
+        least(col("bs_tmf_burst_down"), lit(RecClip)).cast("double") / RecClip)
       .withColumn("rec_tmf_respect_up_20",
-        least(col("bs_tmf_respect_zero_up"), lit(20)).cast("double") / 20)
+        least(col("bs_tmf_respect_zero_up"), lit(RecClip)).cast("double") / RecClip)
       .withColumn("rec_tmf_respect_down_20",
-        least(col("bs_tmf_respect_zero_down"), lit(20)).cast("double") / 20)
+        least(col("bs_tmf_respect_zero_down"), lit(RecClip)).cast("double") / RecClip)
       // burst counts (features_v1.py:261-288)
       .withColumn("long_burst_5",
         Wins.rollingSum(i(col("ev_tmf_burst_up") === true), W, 5, 1)
@@ -166,17 +174,17 @@ object GoldFeatures {
                lf20 + sf20 AS flow_activity_20,
                CASE WHEN abs(lf20 + sf20) > 0.000000000001
                  THEN (lf20 - sf20) / (lf20 + sf20) END AS flow_bias_20,
-               CAST(least(bs_tmf_zero_up, 20) AS DOUBLE) / 20
+               CAST(least(bs_tmf_zero_up, $RecClip) AS DOUBLE) / $RecClip
                  AS rec_tmf_zero_up_20,
-               CAST(least(bs_tmf_zero_down, 20) AS DOUBLE) / 20
+               CAST(least(bs_tmf_zero_down, $RecClip) AS DOUBLE) / $RecClip
                  AS rec_tmf_zero_down_20,
-               CAST(least(bs_tmf_burst_up, 20) AS DOUBLE) / 20
+               CAST(least(bs_tmf_burst_up, $RecClip) AS DOUBLE) / $RecClip
                  AS rec_tmf_burst_up_20,
-               CAST(least(bs_tmf_burst_down, 20) AS DOUBLE) / 20
+               CAST(least(bs_tmf_burst_down, $RecClip) AS DOUBLE) / $RecClip
                  AS rec_tmf_burst_down_20,
-               CAST(least(bs_tmf_respect_zero_up, 20) AS DOUBLE) / 20
+               CAST(least(bs_tmf_respect_zero_up, $RecClip) AS DOUBLE) / $RecClip
                  AS rec_tmf_respect_up_20,
-               CAST(least(bs_tmf_respect_zero_down, 20) AS DOUBLE) / 20
+               CAST(least(bs_tmf_respect_zero_down, $RecClip) AS DOUBLE) / $RecClip
                  AS rec_tmf_respect_down_20,
                CAST(sum(${bi("ev_tmf_burst_up = true")})
                  OVER (${roll(5)}) AS INT) AS long_burst_5,

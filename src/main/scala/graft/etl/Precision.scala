@@ -20,15 +20,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
   */
 object Precision {
 
+  private def parseFloat(s: String): DataType = s.trim.toLowerCase match {
+    case "float32" => FloatType
+    case "float64" => DoubleType
+    case other => throw new IllegalArgumentException(
+      s"precision.*_float must be float32|float64, got '$other'")
+  }
+
   sealed trait Layer { def floatType: DataType; def name: String }
   case object BronzeLayer extends Layer {
-    val floatType: DataType = DoubleType; val name = "bronze"
+    def floatType: DataType = parseFloat(graft.Settings.precision.bronzeFloat)
+    val name = "bronze"
   }
   case object SilverLayer extends Layer {
-    val floatType: DataType = FloatType; val name = "silver"
+    def floatType: DataType = parseFloat(graft.Settings.precision.silverFloat)
+    val name = "silver"
   }
   case object GoldLayer extends Layer {
-    val floatType: DataType = FloatType; val name = "gold"
+    def floatType: DataType = parseFloat(graft.Settings.precision.goldFloat)
+    val name = "gold"
   }
 
   /** Final-projection downcast: every DoubleType column → the layer's
@@ -47,5 +57,7 @@ object Precision {
     * (write_parquet_atomic with the layer dtype map applied). */
   def writeLayer(df: DataFrame, layer: Layer, path: String): Unit =
     withPrecision(df, layer)
-      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+      .write.mode("overwrite")
+      .option("compression", graft.Settings.parquet.compression)
+      .parquet(path)
 }

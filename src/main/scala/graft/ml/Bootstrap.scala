@@ -25,7 +25,8 @@ object Bootstrap {
     * size), percentile CI [lo, hi] + point mean.
     * Draw b, position i uses LCG(b * n + i) % n as the sampled index. */
   def meanCi(df: DataFrame, key: String, valueCol: String, nBoot: Int,
-      ciLo: Double = 0.025, ciHi: Double = 0.975): DataFrame = {
+      ciLo: Double = (1.0 - graft.Settings.validation.bootstrapCi) / 2,
+      ciHi: Double = (1.0 + graft.Settings.validation.bootstrapCi) / 2): DataFrame = {
     val sorted = df
       .filter(col(valueCol).isNotNull)
       .groupBy(key)
@@ -160,8 +161,10 @@ object Bootstrap {
     * output `n` stays the true non-null count, like the reference. */
   def statsCi(df: DataFrame, key: String, valueCol: String,
       ordCols: Seq[String], nBoot: Int, mode: String = "iid",
-      blockLength: Int = 10, ciLo: Double = 0.025,
-      ciHi: Double = 0.975, maxPoints: Int = 50000): DataFrame = {
+      blockLength: Int = graft.Settings.validation.bootstrapBlockLength,
+      ciLo: Double = (1.0 - graft.Settings.validation.bootstrapCi) / 2,
+      ciHi: Double = (1.0 + graft.Settings.validation.bootstrapCi) / 2,
+      maxPoints: Int = 50000): DataFrame = {
     val ordered = transform(
       sort_array(collect_list(struct(
         (ordCols.map(col) :+ col(valueCol).as("v")): _*))),
@@ -271,8 +274,11 @@ object Bootstrap {
   /** SQL mirror of statsCi over a relation `bv(key, ord…, v)` → CTE
     * `bstats`. `ord` is the ORDER BY column list fixing in-group order. */
   def sqlStats(key: String, ord: String, nBoot: Int,
-      mode: String = "iid", blockLength: Int = 10, ciLo: Double = 0.025,
-      ciHi: Double = 0.975, maxPoints: Int = 50000): String = {
+      mode: String = "iid",
+      blockLength: Int = graft.Settings.validation.bootstrapBlockLength,
+      ciLo: Double = (1.0 - graft.Settings.validation.bootstrapCi) / 2,
+      ciHi: Double = (1.0 + graft.Settings.validation.bootstrapCi) / 2,
+      maxPoints: Int = 50000): String = {
     val draws =
       if (mode == "block" && blockLength > 1)
         s"""CASE WHEN m > $blockLength
@@ -329,7 +335,8 @@ object Bootstrap {
     * Same (group, draw)-grained parallel shape and 50k stride cap as
     * statsCi. */
   def pairwiseDiffCi(df: DataFrame, key: String, valueCol: String,
-      nBoot: Int, ciLo: Double = 0.025, ciHi: Double = 0.975,
+      nBoot: Int, ciLo: Double = (1.0 - graft.Settings.validation.bootstrapCi) / 2,
+      ciHi: Double = (1.0 + graft.Settings.validation.bootstrapCi) / 2,
       maxPoints: Int = 50000): DataFrame = {
     val grouped = df.filter(col(valueCol).isNotNull)
       .groupBy(key)
@@ -394,8 +401,10 @@ object Bootstrap {
   }
 
   /** SQL mirror of pairwiseDiffCi over `bv(key, v)` → CTE `bpair`. */
-  def sqlPairwise(key: String, nBoot: Int, ciLo: Double = 0.025,
-      ciHi: Double = 0.975, maxPoints: Int = 50000): String = {
+  def sqlPairwise(key: String, nBoot: Int,
+      ciLo: Double = (1.0 - graft.Settings.validation.bootstrapCi) / 2,
+      ciHi: Double = (1.0 + graft.Settings.validation.bootstrapCi) / 2,
+      maxPoints: Int = 50000): String = {
     val lo = ciAtSql("sd", ciLo, nBoot)
     val hi = ciAtSql("sd", ciHi, nBoot)
     s"""
@@ -434,8 +443,10 @@ object Bootstrap {
   }
 
   /** SQL mirror over a (key, value) relation named `bv` → CTE `boot`. */
-  def sql(key: String, nBoot: Int, ciLo: Double = 0.025,
-      ciHi: Double = 0.975): String = s"""
+  def sql(key: String, nBoot: Int,
+      ciLo: Double = (1.0 - graft.Settings.validation.bootstrapCi) / 2,
+      ciHi: Double = (1.0 + graft.Settings.validation.bootstrapCi) / 2)
+      : String = s"""
       bsorted AS (
         SELECT $key, list(v ORDER BY v) AS vals, count(v) AS n,
                avg(v) AS point_mean

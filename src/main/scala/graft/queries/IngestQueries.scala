@@ -89,8 +89,10 @@ object IngestQueries extends QueryModule {
                AS source_line_no
       FROM lines0)"""
 
-  /** SQL mirror of Bronze.parseLines + qualityFlags → CTE `bronze`. */
-  private val parseSql = """
+  /** SQL mirror of Bronze.parseLines + qualityFlags → CTE `bronze`.
+    * A `def` so the interpolated validation thresholds track Settings
+    * overrides exactly like the engine side. */
+  private def parseSql = s"""
     p0 AS (
       SELECT source_line_no, string_split(line, ',') AS parts FROM lines),
     p1 AS (
@@ -126,10 +128,11 @@ object IngestQueries extends QueryModule {
              volume < 0 AS q_negative_volume,
              count(*) OVER (PARTITION BY ticker, trade_date) > 1
                AS q_duplicate_ticker_date,
-             (high - low) > close * 0.5 AS q_suspicious_bar,
+             (high - low) > close * ${graft.Settings.validation.suspiciousRangePct} AS q_suspicious_bar,
              coalesce(date_diff('day',
                lag(trade_date) OVER (PARTITION BY ticker
-                 ORDER BY trade_date, source_line_no), trade_date) > 7,
+                 ORDER BY trade_date, source_line_no), trade_date)
+                 > ${graft.Settings.validation.gapDaysWarn},
                false) AS q_gap_in_calendar
       FROM p1),
     bronze AS (

@@ -22,6 +22,15 @@ object ValidationQueries extends QueryModule {
 
   private val W = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
 
+  // Event-study window (validation.event_study.window_pre/window_post).
+  // The registered query pins ±5 (fixture sequences are short); the
+  // reference yaml default is 10/20 — overridable either way, and the
+  // oracle SQL interpolates the same defs so both sides always agree.
+  private def EvPre: Int =
+    graft.Settings.int("validation.event_study.window_pre", 5)
+  private def EvPost: Int =
+    graft.Settings.int("validation.event_study.window_post", 5)
+
   def all: Seq[Q] = Seq(
 
     // Q4: transition event study — ±5-bar relative return paths keyed by
@@ -46,7 +55,7 @@ object ValidationQueries extends QueryModule {
             OVER (PARTITION BY ticker ORDER BY rn)),
       offs AS (
         SELECT ticker, ern, base_close, tc,
-               CAST(unnest(range(-5, 6)) AS INT) AS rel_bar
+               CAST(unnest(range(-$EvPre, ${EvPost + 1})) AS INT) AS rel_bar
         FROM ev),
       path AS (
         SELECT o.tc, o.rel_bar, r.close / o.base_close - 1 AS rel_ret
@@ -70,7 +79,7 @@ object ValidationQueries extends QueryModule {
           (col("prev").cast("int") * 10
             + col("flow_state_code").cast("int")).as("tc"))
       val offs = ev.withColumn("rel_bar",
-        explode(sequence(lit(-5), lit(5)))).as("o")
+        explode(sequence(lit(-EvPre), lit(EvPost)))).as("o")
       val rbp = rb.select(col("ticker").as("r_ticker"),
         col("rn").as("r_rn"), col("close").as("r_close")).as("r")
       offs.join(rbp,
