@@ -182,6 +182,47 @@ object TextQueries extends QueryModule {
           ORDER BY adc, vid) AS rnk
         FROM adc WHERE qid <> vid)"""
 
+  /** DuckDB oracle for the IVF-PQ ANN shape — shared verbatim by
+    * q_e_ann_ivfpq (the batch index) and q_e_ann_serve (the streaming
+    * serving column program run in batch mode): both must reproduce the
+    * same bit-exact answer. */
+  private def ivfPqOracle: String = s"""
+      WITH $pqCtes,
+      cellc AS (
+        SELECT vec_id AS cell, i, x AS y FROM ex WHERE vec_id < 8),
+      celld2 AS (
+        SELECT e.vec_id, c.cell,
+               CAST(sum(CAST((e.x - c.y) * (e.x - c.y)
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM ex e JOIN cellc c ON e.i = c.i GROUP BY 1, 2),
+      cells AS (
+        SELECT vec_id AS vid, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(d2, 6), cell) AS rn FROM celld2)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS qid, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY round(d2, 6), cell) AS rn
+          FROM celld2 WHERE vec_id < 32)
+        WHERE rn <= 2),
+      cand AS (
+        SELECT p.qid, s.vid FROM probes p JOIN cells s
+          ON p.cell = s.cell AND p.qid <> s.vid),
+      adc2 AS (
+        SELECT ca.qid, ca.vid,
+               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
+                 6) AS adc
+        FROM cand ca JOIN codes k ON k.vid = ca.vid
+             JOIN qd2 q ON q.qid = ca.qid AND q.m = k.m AND q.c = k.c
+        GROUP BY 1, 2),
+      ranked2 AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc, vid) AS rnk FROM adc2)
+      SELECT qid, vid, adc, rnk FROM ranked2 WHERE rnk <= 5
+      ORDER BY qid, rnk"""
+
+
   /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
     * candidate pairs (`mh_pairs`); shared by q_d_minhash and
     * q_d_components. */
@@ -1171,43 +1212,32 @@ object TextQueries extends QueryModule {
     // PQ codes of vectors in probed cells are ADC-scored. Non-residual
     // encoding + seed centroids keep the whole path SQL-expressible;
     // the nProbe=nCells ≡ pqTopK contract is locked in SimilaritySpec.
-    Q("q_e_ann_ivfpq", Some(s"""
-      WITH $pqCtes,
-      cellc AS (
-        SELECT vec_id AS cell, i, x AS y FROM ex WHERE vec_id < 8),
-      celld2 AS (
-        SELECT e.vec_id, c.cell,
-               CAST(sum(CAST((e.x - c.y) * (e.x - c.y)
-                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
-        FROM ex e JOIN cellc c ON e.i = c.i GROUP BY 1, 2),
-      cells AS (
-        SELECT vec_id AS vid, cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-            ORDER BY round(d2, 6), cell) AS rn FROM celld2)
-        WHERE rn = 1),
-      probes AS (
-        SELECT vec_id AS qid, cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-            ORDER BY round(d2, 6), cell) AS rn
-          FROM celld2 WHERE vec_id < 32)
-        WHERE rn <= 2),
-      cand AS (
-        SELECT p.qid, s.vid FROM probes p JOIN cells s
-          ON p.cell = s.cell AND p.qid <> s.vid),
-      adc2 AS (
-        SELECT ca.qid, ca.vid,
-               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
-                 6) AS adc
-        FROM cand ca JOIN codes k ON k.vid = ca.vid
-             JOIN qd2 q ON q.qid = ca.qid AND q.m = k.m AND q.c = k.c
-        GROUP BY 1, 2),
-      ranked2 AS (
-        SELECT *, row_number() OVER (PARTITION BY qid
-          ORDER BY adc, vid) AS rnk FROM adc2)
-      SELECT qid, vid, adc, rnk FROM ranked2 WHERE rnk <= 5
-      ORDER BY qid, rnk""")) { (s, dir) =>
+    Q("q_e_ann_ivfpq", Some(ivfPqOracle)) { (s, dir) =>
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
           k = 5, nCells = 8, nProbe = 2, m = 4, subK = 8)
+        .select("qid", "vid", "adc", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // The streaming ANN SERVING column program (StreamingAnnServe:
+    // per-row probe ordering + ADC table lookups against the standing
+    // (vid, cell, codes) index), run in batch mode against the SAME
+    // DuckDB oracle as q_e_ann_ivfpq — proving the serving path's
+    // per-row formulation is bit-identical to the batch index's
+    // explode/groupBy formulation, not just fixture-close. The
+    // streaming execution of the identical program is locked in
+    // StreamingSpec.
+    Q("q_e_ann_serve", Some(ivfPqOracle)) { (s, dir) =>
+      import graft.streaming.{StreamingAnnServe, StreamingEncode}
+      val emb = t(s, dir, "embeddings")
+      val cells = StreamingAnnServe.seedCells(emb, nCells = 8)
+      val cb = StreamingEncode.seedCodebook(emb, m = 4, subK = 8)
+      val idx = StreamingAnnServe.indexOf(emb, cells, cb)
+      val cand = StreamingAnnServe.scoreCandidates(
+        emb.filter(col("vec_id") < 32), idx, cells, cb, nProbe = 2)
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+      cand.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
         .select("qid", "vid", "adc", "rnk")
         .orderBy("qid", "rnk")
     },

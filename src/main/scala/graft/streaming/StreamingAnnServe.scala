@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming IVF-PQ query serving — the third piece of the ANN index
+  * lifecycle (batch index build → [[StreamingEncode]] ingestion →
+  * THIS: queries arriving on a stream are answered against the standing
+  * compressed index):
+  *
+  *  - The INDEX is a static frame `(vid, cell, code_0..code_{m-1})` —
+  *    m bytes of PQ payload + a coarse cell id per corpus vector —
+  *    built batch-side by [[indexOf]] (or incrementally appended by
+  *    [[StreamingEncode]]); at 100 TB it is a stored table
+  *    hash-partitioned by `cell`.
+  *  - Each QUERY row maps, statelessly, to its `nProbe` nearest coarse
+  *    cells (explode) plus per-subspace ADC distance tables (m arrays
+  *    of subK doubles) — a pure column program against the broadcast
+  *    cell/codebook literals, no shuffle.
+  *  - A stream-static equi-join on `cell` selects the probed candidates
+  *    (candidate set ≈ corpus·nProbe/nCells, never a full scan), ADC
+  *    scores each via m array lookups, and a per-query top-k emits from
+  *    `flatMapGroupsWithState` (stateless — a query's candidates all
+  *    land in its own micro-batch because the join is stream-static, so
+  *    the group is complete per batch and no state carries over).
+  *
+  * Parity with the batch path is by CONSTRUCTION, not just
+  * fixture-tested: every distance accumulates per-term through exact
+  * DECIMAL(38,18) sums — the identical formulation
+  * `Similarity.ivfPqTopK` uses — with the same round-6 +
+  * lowest-id tiebreaks, so a streamed answer is bit-identical to the
+  * batch answer for the same query vector (locked by StreamingSpec).
+  *
+  * Ref: the reference ships its ANN surfaces as batch CLI commands; the
+  * serving shape here is the standard IVF-PQ online-query path (probe
+  * ordering + ADC) re-expressed as Structured Streaming.
+  */
+object StreamingAnnServe {
+
+  /** Coarse quantizer: nCells full-dimension cell centroids. */
+  type Cells = IndexedSeq[Array[Double]]
+
+  /** Per-query top-k answer row. */
+  case class AnnHit(qid: Long, vid: Long, adc: Double, rnk: Int)
+
+  /** Deterministic seed cell centroids — the first `nCells` vectors of
+    * the batch corpus, matching `Similarity.ivfPqTopK`'s coarse
+    * quantizer convention (KMeans-swappable: any `Cells` works). One
+    * bounded k-row collect. */
+  def seedCells(emb: DataFrame, nCells: Int): Cells = {
+    val rows = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(rows.length == nCells, s"need $nCells cell seed vectors")
+    rows.toIndexedSeq.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Exact squared L2 distance of an array column to a literal vector:
+    * per-term DECIMAL(38,18) accumulation (the repo's hash-stability
+    * convention — aggregation-order-free), returned as an UNROUNDED
+    * double, matching the batch d2 frames. */
+  private def sqDistExact(vec: Column, centroid: Array[Double]): Column = {
+    val diff2 = zip_with(vec, typedlit(centroid.toSeq),
+      (x, y) => (x - y) * (x - y))
+    aggregate(diff2,
+      lit(java.math.BigDecimal.ZERO).cast("decimal(32,18)"),
+      (acc, t) => (acc + t.cast("decimal(24,18)"))
+        .cast("decimal(32,18)")).cast("double")
+  }
+
+  /** Batch index build: `(vid, cell, code_0..code_{m-1})` per corpus
+    * vector — coarse cell by round-6 + lowest-id tiebreak (identical to
+    * `Similarity.ivfPqTopK`'s assignment), PQ codes via
+    * [[StreamingEncode.encode]] (already locked bit-identical to the
+    * batch encoder). Map-only: at 100 TB this is one pass over the
+    * corpus, writing m bytes + a cell id per vector. */
+  def indexOf(emb: DataFrame, cells: Cells,
+      codebook: StreamingEncode.Codebook): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val cellStructs = cells.indices.map { c =>
+      struct(round(sqDistExact(v, cells(c)), 6).as("d"),
+        lit(c).as("cell"))
+    }
+    // array_sort on (d, cell) structs IS the (round-6 distance,
+    // lowest-id) tiebreak ordering
+    val assigned = emb.withColumn("cell",
+      element_at(array_sort(array(cellStructs: _*)), 1)
+        .getField("cell"))
+    StreamingEncode.encode(assigned, codebook)
+      .select(col("vec_id").as("vid") +: col("cell") +:
+        codebook.indices.map(mi => col(s"code_$mi")): _*)
+  }
+
+  /** Stateless per-candidate scoring: each streaming query row
+    * `(vec_id, embedding)` maps to its nProbe probed cells and ADC
+    * tables, joins the static `index` on `cell`, and scores every
+    * candidate. Returns `(qid, vid, adc)` — one row per probed
+    * candidate. Works identically on a batch frame. */
+  def scoreCandidates(queries: DataFrame, index: DataFrame, cells: Cells,
+      codebook: StreamingEncode.Codebook, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cells.length)
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    val v = col("embedding").cast("array<double>")
+    // probe order: nProbe nearest cells by (round-6 d2, cell id)
+    val cellStructs = cells.indices.map { c =>
+      struct(round(sqDistExact(v, cells(c)), 6).as("d"),
+        lit(c).as("cell"))
+    }
+    val probes = slice(array_sort(array(cellStructs: _*)), 1, nProbe)
+    // ADC tables: qd2_mi[c] = exact d2 of the query's mi-slice to
+    // centroid c (unrounded, like the batch qd2 frame)
+    val qd2Cols = (0 until m).map { mi =>
+      val sl = org.apache.spark.sql.functions.slice(
+        v, mi * subDim + 1, subDim)
+      array(codebook(mi).indices.map(c =>
+        sqDistExact(sl, codebook(mi)(c))): _*).as(s"qd2_$mi")
+    }
+    val q = queries.select(
+      col("vec_id").cast("long").as("qid") +:
+        explode(probes).as("pc") +: qd2Cols: _*)
+      .withColumn("cell", col("pc.cell")).drop("pc")
+    // stream-static equi-join on cell, then m table lookups; the sum
+    // casts each looked-up double through DECIMAL(38,18) exactly like
+    // the batch `sum(qd2.cast(decimal(38,18)))` before the round-6
+    val adcTerms = (0 until m).map(mi =>
+      element_at(col(s"qd2_$mi"), col(s"code_$mi") + 1)
+        .cast("decimal(38,18)"))
+    q.join(index, Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(adcTerms.reduce(_ + _).cast("double"), 6).as("adc"))
+  }
+
+  /** Streaming top-k: per-query best `k` candidates by (adc, vid). The
+    * group is complete within one micro-batch (stream-static join), so
+    * the state hook is a pure per-batch top-k — nothing is stored.
+    * Output mode: append. */
+  def serveTopK(queries: DataFrame, index: DataFrame, cells: Cells,
+      codebook: StreamingEncode.Codebook, nProbe: Int, k: Int)
+      : Dataset[AnnHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    scoreCandidates(queries, index, cells, codebook, nProbe)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[Int]) =>
+          rows.toSeq.sortBy { case (_, vid, adc) => (adc, vid) }
+            .take(k).zipWithIndex.map { case ((_, vid, adc), i) =>
+              AnnHit(qid, vid, adc, i + 1)
+            }.iterator
+      }
+  }
+}

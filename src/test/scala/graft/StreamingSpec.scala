@@ -378,4 +378,44 @@ class StreamingSpec extends SparkSpec {
     // the encoded stream is stateless map-only: no state rows at all
     assert(streamed.count() == batchEmb.count())
   }
+
+  test("streaming IVF-PQ serving answers match the batch index " +
+      "bit-for-bit") {
+    import graft.streaming.{StreamingAnnServe, StreamingEncode}
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = StreamingAnnServe.seedCells(emb, nCells = 8)
+    val cb = StreamingEncode.seedCodebook(emb, m = 4, subK = 8)
+    val idx = StreamingAnnServe.indexOf(emb, cells, cb)
+
+    // queries arrive on a stream, split across two micro-batches
+    val qRows = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])](
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Double])],
+        spark.sqlContext)
+    val served = StreamingAnnServe.serveTopK(
+      mem.toDF.toDF("vec_id", "embedding"), idx, cells, cb,
+      nProbe = 2, k = 5)
+    val q = served.writeStream.outputMode("append").format("memory")
+      .queryName("ann_serve_test").start()
+    val (b1, b2) = qRows.splitAt(qRows.length / 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ann_serve_test")
+      .select("qid", "vid", "adc", "rnk")
+    val want = graft.text.Similarity.ivfPqTopK(emb,
+        col("vec_id") < 32, k = 5, nCells = 8, nProbe = 2,
+        m = 4, subK = 8)
+      .select("qid", "vid", "adc", "rnk")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming serving diverges from the batch IVF-PQ answer")
+  }
 }
