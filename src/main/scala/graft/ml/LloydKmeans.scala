@@ -1,0 +1,141 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed Lloyd KMeans — the hash-checkable
+  * counterpart to the MLlib best-of-seeds fit (`Clustering.kmeansBest`,
+  * whose k-means|| init and float summation order make its exact labels
+  * engine-private; the reference has the same caveat with sklearn's RNG,
+  * ref src/mf_etl/research/clustering.py:74-120).
+  *
+  * Every arithmetic step is fixed so an unrolled SQL oracle reproduces
+  * the fit bit-for-bit (the same pinned-model discipline as the HMM
+  * decode oracle and the PQ encode path):
+  *  - init: centroids = the first `k` vectors by id (seed-slice
+  *    convention shared with PQ/IVF);
+  *  - assignment: exact per-term DECIMAL(38,18) squared-L2 sums
+  *    (aggregation-order-free), round-6 + lowest-cluster-id tiebreak;
+  *  - update: per-dimension mean = CAST(exact decimal sum AS DOUBLE) /
+  *    count — one IEEE division on identical inputs in both engines;
+  *  - empty clusters keep their previous centroid.
+  *
+  * Scale shape: the textbook distributed Lloyd — centroids are a
+  * k×dim driver literal broadcast into a map-only assignment pass, and
+  * the update is ONE partial-aggregated groupBy((cluster, dim)) shuffle
+  * per iteration. Nothing driver-side ever holds more than k×dim
+  * doubles. At 100 TB with k=4..1024 this is exactly MLlib's plan per
+  * iteration, minus the nondeterminism.
+  */
+object LloydKmeans {
+
+  /** Exact squared L2 distance of an array column to a literal centroid
+    * (per-term decimal accumulation, unrounded double out). */
+  private def sqDistExact(vec: Column, centroid: Array[Double]): Column = {
+    val diff2 = zip_with(vec, typedlit(centroid.toSeq),
+      (x, y) => (x - y) * (x - y))
+    // acc (32,18) + term (24,18) → (33,18) exact, re-cast trims the
+    // unused integer headroom — scale 18 is never reduced (a naive
+    // (38,18)+(38,18) Add loses a scale digit to Spark's precision cap)
+    aggregate(diff2,
+      lit(java.math.BigDecimal.ZERO).cast("decimal(32,18)"),
+      (acc, t) => (acc + t.cast("decimal(24,18)"))
+        .cast("decimal(32,18)")).cast("double")
+  }
+
+  /** Nearest-centroid id for a vector column: (round-6 distance,
+    * lowest id) tiebreak — the shared cross-engine convention. */
+  private def assignCol(vec: Column, cents: IndexedSeq[Array[Double]])
+      : Column = {
+    val structs = cents.indices.map { c =>
+      struct(round(sqDistExact(vec, cents(c)), 6).as("d"),
+        lit(c).as("cluster"))
+    }
+    element_at(array_sort(array(structs: _*)), 1).getField("cluster")
+  }
+
+  /** Run `iters` Lloyd iterations over `(id, vec)` rows (`vecCol` an
+    * array column). Returns (assignments df `(id, cluster, d2)` for the
+    * FINAL centroids, final centroids). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): (DataFrame, IndexedSeq[Array[Double]]) = {
+    val v = col(vecCol).cast("array<double>")
+    val pts = df.select(col(idCol).cast("long").as("pid"), v.as("v"))
+    // init: seed slice (first k ids)
+    var cents: IndexedSeq[Array[Double]] = pts.filter(col("pid") < k)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toIndexedSeq
+    require(cents.length == k, s"need $k seed vectors with pid < $k")
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val assigned = pts.withColumn("cluster", assignCol(col("v"), cents))
+      // update: one groupBy((cluster, dim)) shuffle; exact decimal sums
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy("cluster", "j")
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double")
+          / count(lit(1))).as("y"))
+        .collect()
+      val next = Array.tabulate(k)(c => cents(c).clone()) // empty keeps prev
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next.toIndexedSeq.map(identity)
+      require(cents.head.length == dim)
+    }
+    val finalAssign = pts
+      .withColumn("cluster", assignCol(col("v"), cents))
+      .select(col("pid"), col("cluster"))
+    (finalAssign, cents)
+  }
+
+  /** Unrolled DuckDB oracle for [[fit]] over the `embeddings` table:
+    * `iters` chained CTE pairs (assign_i, cent_i), ending in CTE
+    * `kassign(pid, cluster)` for the final centroids. Bit-parity holds
+    * because both sides use exact decimal sums, the same round-6 + id
+    * tiebreak, and the same double division. */
+  def oracleSql(k: Int, iters: Int): String = {
+    val init = s"""
+      kpts AS (
+        SELECT vec_id AS pid, generate_subscripts(embedding, 1) - 1 AS j,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      cent_0 AS (
+        SELECT pid AS c, j, x AS y FROM kpts WHERE pid < $k)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""
+      kd_$i AS (
+        SELECT p.pid, c.c,
+               CAST(sum(CAST((p.x - c.y) * (p.x - c.y)
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM kpts p JOIN cent_$p c ON p.j = c.j GROUP BY 1, 2),
+      ka_$i AS (
+        SELECT pid, c AS cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY pid
+            ORDER BY round(d2, 6), c) AS rn FROM kd_$i)
+        WHERE rn = 1),
+      km_$i AS (
+        SELECT a.cluster AS c, p.j,
+               CAST(sum(CAST(p.x AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS y
+        FROM kpts p JOIN ka_$i a USING (pid) GROUP BY 1, 2),
+      cent_$i AS (
+        SELECT prev.c, prev.j, coalesce(m.y, prev.y) AS y
+        FROM cent_$p prev LEFT JOIN km_$i m
+          ON m.c = prev.c AND m.j = prev.j)"""
+    }.mkString(",", ",", "")
+    val fin = s""",
+      kd_fin AS (
+        SELECT p.pid, c.c,
+               CAST(sum(CAST((p.x - c.y) * (p.x - c.y)
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM kpts p JOIN cent_$iters c ON p.j = c.j GROUP BY 1, 2),
+      kassign AS (
+        SELECT pid, c AS cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY pid
+            ORDER BY round(d2, 6), c) AS rn FROM kd_fin)
+        WHERE rn = 1)"""
+    init + steps + fin
+  }
+}

@@ -192,6 +192,30 @@ object MlQueries extends QueryModule {
         .select("vec_id", "cluster", "dist2").orderBy("vec_id")
     },
 
+    // The FULL iterative KMeans fit, oracled: deterministic distributed
+    // Lloyd (ml.LloydKmeans) — seed-slice init, exact-decimal
+    // assignment with round-6 + id tiebreak, exact-decimal centroid
+    // means — against an UNROLLED 6-iteration CTE chain in DuckDB.
+    // This closes the "iterative fits have no oracle" gap for KMeans:
+    // the MLlib best-of-seeds fit stays rows-only (k-means|| init is
+    // engine-private, like sklearn's RNG in the reference), but the
+    // same algorithm run deterministically is now hash-checked
+    // end-to-end. One broadcast-assignment pass + one aggregated
+    // (cluster, dim) shuffle per iteration — MLlib's plan shape.
+    Q("q_kmeans_lloyd", Some(s"""
+      WITH ${graft.ml.LloydKmeans.oracleSql(k = 4, iters = 6)}
+      SELECT pid, CAST(cluster AS INT) AS cluster,
+             count(*) OVER (PARTITION BY cluster) AS cluster_size
+      FROM kassign ORDER BY pid""")) { (s, dir) =>
+      val (assign, _) = graft.ml.LloydKmeans.fit(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 6)
+      assign
+        .withColumn("cluster", col("cluster").cast("int"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster")))
+        .orderBy("pid")
+    },
+
     // Fixed-label clustering metrics, oracled: per-cluster sizes,
     // intra-cluster mean (Euclidean) distance to the assigned-cluster
     // mean, worst Davies-Bouldin ratio per cluster, and the DB index —

@@ -126,9 +126,13 @@ object StreamingAnnServe {
     // stream-static equi-join on cell, then m table lookups; the sum
     // casts each looked-up double through DECIMAL(38,18) exactly like
     // the batch `sum(qd2.cast(decimal(38,18)))` before the round-6
+    // (24,18) terms keep the reduce chain exact at scale 18 — precision
+    // grows one integer digit per Add ((25,18)…(27,18) for m=4) and
+    // never hits Spark's 38 cap, unlike naive (38,18) terms whose first
+    // Add drops to scale 17
     val adcTerms = (0 until m).map(mi =>
       element_at(col(s"qd2_$mi"), col(s"code_$mi") + 1)
-        .cast("decimal(38,18)"))
+        .cast("decimal(24,18)"))
     q.join(index, Seq("cell"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),

@@ -25,7 +25,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_det_sample",      // portable-hash deterministic sampler
     "q_t_sample_strat",  // exact-k per-stratum portable-hash order
     "q_e_pq_topk",       // PQ encode + ADC: per-term DECIMAL distance sums
-    "q_qa_state_windows") // window diagnostics: DECIMAL mean/var sums
+    "q_qa_state_windows", // window diagnostics: DECIMAL mean/var sums
+    "q_kmeans_lloyd",    // iterative fit: DECIMAL assignment + centroid sums
+    "q_e_ann_serve")     // serving ADC: DECIMAL lookups over probed cells
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)
