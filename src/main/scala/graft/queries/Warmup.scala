@@ -50,6 +50,9 @@ object Warmup {
       "docSigs" -> (() => TextQueries.docSigs(spark, dir).count()),
       "annPairs" -> (() => TextQueries.annPairs(spark, dir).count()),
       "pqTop5" -> (() => TextQueries.pqTop5(spark, dir).count()),
+      "exactTop5" -> (() => TextQueries.exactTop5(spark, dir).count()),
+      "annServeIndex" ->
+        (() => TextQueries.annServeIndex(spark, dir).count()),
       "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
@@ -71,7 +74,8 @@ object Warmup {
           "docComponents" ->
             (() => TextQueries.docComponents(spark, dir).count()),
           "idxStarEdges" ->
-            (() => TextQueries.idxStarEdges(spark, dir).count()))
+            (() => TextQueries.idxStarEdges(spark, dir).count()),
+          "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()))
         ++ HybridQueries.sigBuilds(spark, dir))
 
     // phase 3: the scored combo frame (needs all 8 sims; also the

@@ -303,16 +303,24 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val e = emb.select(asDouble(col("embedding")).as("v")).cache()
+    e.count() // materialize once so the concurrent fits share the cache
     try {
-      (0 until m).map { mi =>
-        val sub = e.select(
-          slice(col("v"), mi * subDim + 1, subDim).as("sv"))
-        val fe = graft.ml.Clustering.withFeatures(sub, "sv")
-        val model = new org.apache.spark.ml.clustering.KMeans()
-          .setK(subK).setMaxIter(20).setSeed(seed)
-          .setFeaturesCol("features").fit(fe)
-        model.clusterCenters.map(_.toArray).toIndexedSeq
-      }
+      // the m fits are independent — submit them as concurrent Spark
+      // jobs (same driver-pool pattern as Clustering.kmeansBest) so the
+      // iterative job chains interleave instead of idling the cluster
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = graft.ops.Pools.jobs
+      Await.result(
+        Future.traverse((0 until m).toList) { mi => Future {
+          val sub = e.select(
+            slice(col("v"), mi * subDim + 1, subDim).as("sv"))
+          val fe = graft.ml.Clustering.withFeatures(sub, "sv")
+          val model = new org.apache.spark.ml.clustering.KMeans()
+            .setK(subK).setMaxIter(20).setSeed(seed)
+            .setFeaturesCol("features").fit(fe)
+          model.clusterCenters.map(_.toArray).toIndexedSeq
+        }}, Duration.Inf).toIndexedSeq
     } finally e.unpersist()
   }
 
