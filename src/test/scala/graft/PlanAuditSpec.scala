@@ -93,6 +93,21 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("PQ ground truth, fitted-codebook top-5, and the serving index " +
+      "are cache-shared across their consumers") {
+    graft.queries.Stage.clear()
+    // first consumers populate exactTop5/pqTop5/kmTop5/annServeIndex
+    SparkEntry.queries("q_e_pq_recall")(spark, dir).count()
+    SparkEntry.queries("q_e_ann_serve")(spark, dir).count()
+    for (q <- Seq("q_e_pq_recall", "q_e_pq_recall_cmp", "q_e_ann_serve")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+        s"$q rebuilt its shared PQ/serving stage instead of reading " +
+          "the cache")
+    }
+    graft.queries.Stage.clear()
+  }
+
   test("PQ codebook and ADC joins stay broadcast equi-joins") {
     // audit the operator's BUILD plan — the registered query reads the
     // cached pq_top5 stage, whose plan is just the checkpoint leaf
