@@ -35,6 +35,10 @@ object RunArtifacts {
   def writeJson(path: String, payload: Map[String, Any]): Unit =
     writeText(path, render(payload))
 
+  /** One rendered JSON object (for JSON-lines artifacts readable back
+    * as a DataFrame via spark.read.json). */
+  def writeJsonLine(payload: Map[String, Any]): String = render(payload)
+
   /** Atomic text write (same tmp + move discipline). */
   def writeText(path: String, content: String): Unit = {
     val target = Paths.get(path)

@@ -177,6 +177,136 @@ object IngestQueries extends QueryModule {
 
   def all: Seq[Q] = Seq(
 
+    // S5/S8 CSV reader + writer, oracled end-to-end: write a typed
+    // frame (long/string/double/date) through the CSV sink, read it
+    // back through the CSV source with an EXPLICIT schema + ISO date
+    // parsing, and hash-compare against the parquet original. Doubles
+    // survive because Spark writes shortest-round-trip decimal text;
+    // a lossy writer or a mis-parsed date flips the driver hash.
+    Q("q_csv_roundtrip", Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_csv_rt_${math.abs(dir.hashCode)}"
+      src.write.mode("overwrite").option("header", "true")
+        .option("dateFormat", "yyyy-MM-dd").csv(out)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, " +
+          "o_orderdate DATE, o_orderpriority STRING")
+        .option("header", "true").option("dateFormat", "yyyy-MM-dd")
+        .csv(out)
+        .orderBy("o_orderkey")
+    },
+
+    // S6/S7 hive-partitioned zstd parquet sink, oracled end-to-end:
+    // write year-partitioned, read the directory tree back (partition
+    // values come from directory names), and hash-compare against the
+    // source. A wrong partition encoding, a dropped row, or a
+    // compression/precision mishap in the sink flips the hash.
+    Q("q_sink_roundtrip", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(year(o_orderdate) AS INT) AS o_year
+      FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_sink_rt_${math.abs(dir.hashCode)}"
+      src.write.mode("overwrite").partitionBy("o_year")
+        .option("compression",
+          graft.Settings.parquet.compression)
+        .parquet(out)
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_year").cast("int").as("o_year"))
+        .orderBy("o_orderkey")
+    },
+
+    // S1 file discovery + exchange inference, oracled end-to-end: a
+    // deterministic raw tree is synthesized from the nation table (one
+    // .txt per nation under nasdaq/nyse/other subtrees, plus a decoy
+    // non-txt file that must be ignored), then Bronze.discoverFiles
+    // walks it — recursive listing, path-based exchange inference,
+    // filename ticker hints, byte sizes — and the manifest is
+    // hash-compared against the same derivation straight off parquet.
+    // (source_file paths and mtimes are machine-local → excluded.)
+    Q("q_discover_files", Some("""
+      SELECT lower(replace(n_name, ' ', '_')) || '.txt'
+               AS source_file_name,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'NASDAQ'
+                  WHEN n_nationkey % 3 = 1 THEN 'NYSE'
+                  ELSE 'UNKNOWN' END AS exchange,
+             upper(replace(n_name, ' ', '_')) AS ticker_hint,
+             CAST(length(n_name) + 1 AS BIGINT) AS file_size_bytes
+      FROM nation ORDER BY source_file_name""")) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_discover_${math.abs(dir.hashCode)}")
+      // rebuild the tree from scratch so stale files can't leak in
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(rm(_))
+        Files.deleteIfExists(p)
+      }
+      rm(root)
+      val nations = t(s, dir, "nation")
+        .select("n_nationkey", "n_name").collect() // 25-row dim
+      nations.foreach { r =>
+        val sub = (r.getAs[Number](0).longValue % 3) match {
+          case 0 => "nasdaq stocks/1"
+          case 1 => "nyse stocks/1"
+          case _ => "other/1"
+        }
+        val d = root.resolve(sub)
+        Files.createDirectories(d)
+        val name = r.getString(1).toLowerCase.replace(" ", "_") + ".txt"
+        Files.write(d.resolve(name),
+          (r.getString(1) + "\n").getBytes("UTF-8"))
+      }
+      Files.write(root.resolve("ignore_me.csv"),
+        "decoy\n".getBytes("UTF-8"))
+      graft.etl.Bronze.discoverFiles(s, root.toString)
+        .select("source_file_name", "exchange", "ticker_hint",
+          "file_size_bytes")
+        .orderBy("source_file_name")
+    },
+
+    // S9 JSON run artifacts, oracled end-to-end: the run-summary rows
+    // (per-event-type counts + exact-decimal value totals) are rendered
+    // through RunArtifacts' JSON writer (escaping, shortest-round-trip
+    // doubles, atomic tmp+move), read back with spark.read.json, and
+    // hash-compared against the same aggregation straight off parquet —
+    // a lossy renderer or a broken escape flips the hash.
+    Q("q_artifact_roundtrip", Some("""
+      SELECT event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 6)
+               AS total_value
+      FROM events GROUP BY 1 ORDER BY event_type""")) { (s, dir) =>
+      val summary = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(38,18)")).cast("double"), 6)
+            .as("total_value"))
+        .orderBy("event_type")
+        .collect() // k-row report table (bounded: #event types)
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_json_rt_${math.abs(dir.hashCode)}.json"
+      graft.etl.RunArtifacts.writeText(out, summary.map { r =>
+        graft.etl.RunArtifacts.writeJsonLine(Map(
+          "event_type" -> r.getString(0), "n" -> r.getLong(1),
+          "total_value" -> r.getDouble(2)))
+      }.mkString("\n"))
+      s.read
+        .schema("event_type STRING, n BIGINT, total_value DOUBLE")
+        .json(out)
+        .orderBy("event_type")
+    },
+
     Q("q_bronze_parse", Some(s"""
       WITH $linesSql,
       $parseSql

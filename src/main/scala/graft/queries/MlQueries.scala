@@ -216,6 +216,85 @@ object MlQueries extends QueryModule {
         .orderBy("pid")
     },
 
+    // M9 pairwise ARI, oracled: Adjusted Rand Index between two
+    // DETERMINISTIC labelings (the k=8 seed-centroid assignment of
+    // q_kmeans_assign vs the k=4 Lloyd fit of q_kmeans_lloyd) — the
+    // contingency table is one distributed groupBy; the closed form is
+    // integer combinatorics (pair counts are exact integer-valued
+    // doubles, summed through DECIMAL(38,0) so accumulation order can
+    // never matter) followed by the same three IEEE divisions on both
+    // engines. The driver-side Clustering.adjustedRandIndex (used for
+    // seed-stability sweeps) computes the identical formula.
+    Q("q_cluster_ari", Some(s"""
+      WITH ${graft.ml.LloydKmeans.oracleSql(k = 4, iters = 6)},
+      arx AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      arc AS (SELECT vec_id AS cid, i, x AS y FROM arx WHERE vec_id < 8),
+      ard AS (
+        SELECT e.vec_id, c.cid,
+               round(sum((e.x - c.y) * (e.x - c.y)), 6) AS d2
+        FROM arx e JOIN arc c ON e.i = c.i GROUP BY 1, 2),
+      ara AS (
+        SELECT vec_id, cid AS ca FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cid) AS rn FROM ard) WHERE rn = 1),
+      cont AS (
+        SELECT a.ca, k.cluster AS cb, CAST(count(*) AS DOUBLE) AS nij
+        FROM ara a JOIN kassign k ON a.vec_id = k.pid GROUP BY 1, 2),
+      margin_a AS (
+        SELECT ca, sum(nij) AS na FROM cont GROUP BY 1),
+      margin_b AS (
+        SELECT cb, sum(nij) AS nb FROM cont GROUP BY 1),
+      parts AS (
+        SELECT
+          CAST(sum(CAST(nij * (nij - 1) / 2 AS DECIMAL(38,0)))
+            AS DOUBLE) AS si,
+          CAST(sum(nij) AS DOUBLE) AS n
+        FROM cont),
+      pa AS (
+        SELECT CAST(sum(CAST(na * (na - 1) / 2 AS DECIMAL(38,0)))
+          AS DOUBLE) AS sa FROM margin_a),
+      pb AS (
+        SELECT CAST(sum(CAST(nb * (nb - 1) / 2 AS DECIMAL(38,0)))
+          AS DOUBLE) AS sb FROM margin_b)
+      SELECT
+        CAST(8 AS INT) AS k_a, CAST(4 AS INT) AS k_b,
+        CAST(n AS BIGINT) AS n_points,
+        round(CASE
+          WHEN abs((sa + sb) / 2 - sa * sb / (n * (n - 1) / 2)) < 1e-12
+            THEN 1.0
+          ELSE (si - sa * sb / (n * (n - 1) / 2))
+             / ((sa + sb) / 2 - sa * sb / (n * (n - 1) / 2))
+        END, 9) AS ari
+      FROM parts CROSS JOIN pa CROSS JOIN pb""")) { (s, dir) =>
+      val a = MlQueries.seedAssigned(s, dir)
+        .select(col("vec_id"), col("cluster").as("ca"))
+      val b = graft.ml.LloydKmeans.fit(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 6)
+        ._1.select(col("pid").as("vec_id"), col("cluster").as("cb"))
+      val cont = a.join(b, "vec_id").groupBy("ca", "cb")
+        .agg(count(lit(1)).cast("double").as("nij"))
+      def combSum(c: org.apache.spark.sql.Column) =
+        sum((c * (c - 1) / 2).cast("decimal(38,0)")).cast("double")
+      val parts = cont.agg(combSum(col("nij")).as("si"),
+        sum(col("nij")).cast("double").as("n"))
+      val pa = cont.groupBy("ca").agg(sum("nij").as("na"))
+        .agg(combSum(col("na")).as("sa"))
+      val pb = cont.groupBy("cb").agg(sum("nij").as("nb"))
+        .agg(combSum(col("nb")).as("sb"))
+      val cn = col("n") * (col("n") - 1) / 2
+      val expected = col("sa") * col("sb") / cn
+      val maxIdx = (col("sa") + col("sb")) / 2
+      parts.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
+        .select(lit(8).as("k_a"), lit(4).as("k_b"),
+          col("n").cast("long").as("n_points"),
+          round(when(abs(maxIdx - expected) < 1e-12, 1.0)
+            .otherwise((col("si") - expected) / (maxIdx - expected)), 9)
+            .as("ari"))
+    },
+
     // Fixed-label clustering metrics, oracled: per-cluster sizes,
     // intra-cluster mean (Euclidean) distance to the assigned-cluster
     // mean, worst Davies-Bouldin ratio per cluster, and the DB index —

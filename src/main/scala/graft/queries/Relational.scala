@@ -372,6 +372,45 @@ object Relational extends QueryModule {
         .orderBy("o_orderkey")
     },
 
+    // P14 NaN/±Inf→null normalizer, oracled end-to-end: non-finite
+    // doubles are injected deterministically per row (the parquet
+    // fixtures are all-finite by construction, so the query synthesizes
+    // the pathology it guards against), then Cols.finiteOrNull must
+    // map NaN/+Inf/-Inf to null, pass null through, and leave finite
+    // values bit-untouched.
+    Q("q_nan_normalize", Some("""
+      WITH v AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE l_orderkey % 5
+                 WHEN 0 THEN 'NaN'::DOUBLE
+                 WHEN 1 THEN 'Infinity'::DOUBLE
+                 WHEN 2 THEN '-Infinity'::DOUBLE
+                 WHEN 3 THEN NULL
+                 ELSE l_quantity * 1.5 END AS raw
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_orderkey % 5 AS INT) AS injected_class,
+             CASE WHEN NOT isnan(raw) AND NOT isinf(raw)
+               THEN raw END AS clean,
+             raw IS NOT NULL
+               AND (isnan(raw) OR isinf(raw)) AS was_nonfinite
+      FROM v ORDER BY l_orderkey, l_linenumber""")) { (s, dir) =>
+      val raw = when(col("l_orderkey") % 5 === 0, lit(Double.NaN))
+        .when(col("l_orderkey") % 5 === 1, lit(Double.PositiveInfinity))
+        .when(col("l_orderkey") % 5 === 2, lit(Double.NegativeInfinity))
+        .when(col("l_orderkey") % 5 === 3, lit(null).cast("double"))
+        .otherwise(col("l_quantity") * 1.5)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), raw.as("raw"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey") % 5).cast("int").as("injected_class"),
+          graft.ops.Cols.finiteOrNull(col("raw")).as("clean"),
+          (col("raw").isNotNull && (isnan(col("raw"))
+            || abs(col("raw")) === Double.PositiveInfinity))
+            .as("was_nonfinite"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // P3/P5/P6/P8/P10/P11/P19: scalar-function battery — safe division,
     // greatest/least, coalesce, string ops, concat_ws, format_string, math
     Q("q_scalar_battery", Some("""
