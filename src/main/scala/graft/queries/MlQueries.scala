@@ -158,6 +158,17 @@ object MlQueries extends QueryModule {
       best.getField("cid").as("cluster"), best.getField("d2").as("dist2"))
   }
 
+  /** Shared deterministic Lloyd fit (k=4, iters=6) — consumed by the
+    * hash-checked fit query AND the ARI query; a fitted clustering is a
+    * stored artifact, so it is built once per run like the other
+    * stages. */
+  private[queries] def lloydAssign(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Stage.cached(s, dir, "lloyd_assign") {
+      graft.ml.LloydKmeans.fit(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 6)._1
+    }
+
   def all: Seq[Q] = Seq(
 
     Q("q_kmeans_clusters", None) { (s, dir) =>
@@ -207,9 +218,7 @@ object MlQueries extends QueryModule {
       SELECT pid, CAST(cluster AS INT) AS cluster,
              count(*) OVER (PARTITION BY cluster) AS cluster_size
       FROM kassign ORDER BY pid""")) { (s, dir) =>
-      val (assign, _) = graft.ml.LloydKmeans.fit(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 6)
-      assign
+      lloydAssign(s, dir)
         .withColumn("cluster", col("cluster").cast("int"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster")))
@@ -271,9 +280,8 @@ object MlQueries extends QueryModule {
       FROM parts CROSS JOIN pa CROSS JOIN pb""")) { (s, dir) =>
       val a = MlQueries.seedAssigned(s, dir)
         .select(col("vec_id"), col("cluster").as("ca"))
-      val b = graft.ml.LloydKmeans.fit(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 6)
-        ._1.select(col("pid").as("vec_id"), col("cluster").as("cb"))
+      val b = lloydAssign(s, dir)
+        .select(col("pid").as("vec_id"), col("cluster").as("cb"))
       val cont = a.join(b, "vec_id").groupBy("ca", "cb")
         .agg(count(lit(1)).cast("double").as("nij"))
       def combSum(c: org.apache.spark.sql.Column) =

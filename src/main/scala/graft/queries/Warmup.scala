@@ -75,7 +75,9 @@ object Warmup {
             (() => TextQueries.docComponents(spark, dir).count()),
           "idxStarEdges" ->
             (() => TextQueries.idxStarEdges(spark, dir).count()),
-          "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()))
+          "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()),
+          "lloydAssign" ->
+            (() => MlQueries.lloydAssign(spark, dir).count()))
         ++ HybridQueries.sigBuilds(spark, dir))
 
     // phase 3: the scored combo frame (needs all 8 sims; also the

@@ -379,6 +379,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchEmb.count())
   }
 
+  test("streaming index append: arriving vectors get the same cell and " +
+      "codes as a batch index rebuild") {
+    import graft.streaming.{StreamingAnnServe, StreamingEncode}
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = StreamingAnnServe.seedCells(emb, nCells = 8)
+    val cb = StreamingEncode.seedCodebook(emb, m = 4, subK = 8)
+    // the encode + cell-assignment program is stateless column algebra,
+    // so indexOf runs UNCHANGED on a streaming frame — this is the
+    // continuous index-append half of the lifecycle (new vectors land
+    // in the standing (vid, cell, codes) table as they arrive)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-idx")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+      streamDir.resolve("embeddings.parquet"))
+    val src = spark.readStream.schema(emb.schema)
+      .parquet(streamDir.toString)
+    val streamed = graft.streaming.StreamingIngest.runAvailableNow(
+      StreamingAnnServe.indexOf(src, cells, cb), "idx_append_test")
+    val batch = StreamingAnnServe.indexOf(emb, cells, cb)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamed).isEmpty,
+      "streamed index rows diverge from the batch rebuild")
+  }
+
   test("streaming IVF-PQ serving answers match the batch index " +
       "bit-for-bit") {
     import graft.streaming.{StreamingAnnServe, StreamingEncode}
