@@ -109,10 +109,92 @@ case class VecSqDist(left: Expression, right: Expression) extends VecFold {
       newRight: Expression): VecSqDist = copy(newLeft, newRight)
 }
 
+/** Exact-decimal fold runtime shared by interpreted eval and generated
+  * code (top-level object → static forwarders, callable from codegen).
+  *
+  * `sqDist18` is BIT-IDENTICAL to the repo's interpreted HOF
+  * formulation `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)),
+  * 0 as decimal(32,18), (acc,t) => (acc + cast(t as
+  * decimal(24,18))).cast(decimal(32,18))).cast(double)`:
+  *  - each term rounds to scale 18 via the canonical-string BigDecimal
+  *    of the double (exactly Spark's double→decimal cast) with
+  *    HALF_UP;
+  *  - a term with ≥ 7 integer digits (≥ 10^6) overflows the (24,18)
+  *    cast → null, as does NaN/±Inf, a null element, or a length
+  *    mismatch (zip_with would null-pad);
+  *  - accumulation is exact; the result is BigDecimal.doubleValue
+  *    (= Decimal.toDouble).
+  */
+object VecDecimal {
+  def sqDist18(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      val dd = d * d
+      if (!(dd < 1e6)) return null // NaN / Inf / (24,18) overflow
+      acc = acc.add(new java.math.BigDecimal(
+          java.lang.Double.toString(dd))
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    java.lang.Double.valueOf(acc.doubleValue)
+  }
+}
+
+/** Exact scale-18 Σ (aᵢ−bᵢ)² as a native expression — the PQ/Lloyd
+  * encode hot path (one tight JIT loop instead of an interpreted HOF
+  * chain; see [[VecDecimal.sqDist18]] for the bit-parity contract). */
+case class VecSqDist18(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"vec_sqdist18 requires array<double> inputs, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sqdist18"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDecimal.sqDist18(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+        java.lang.Double $r =
+          graft.functions.VecDecimal.sqDist18($a, $b);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r.doubleValue();
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecSqDist18 = copy(newLeft, newRight)
+}
+
 object VecOps {
   def dot(a: Column, b: Column): Column =
     Bridge.col(VecDot(Bridge.expr(a), Bridge.expr(b)))
 
   def sqDist(a: Column, b: Column): Column =
     Bridge.col(VecSqDist(Bridge.expr(a), Bridge.expr(b)))
+
+  def sqDist18(a: Column, b: Column): Column =
+    Bridge.col(VecSqDist18(Bridge.expr(a), Bridge.expr(b)))
 }

@@ -30,18 +30,11 @@ import org.apache.spark.sql.functions._
 object LloydKmeans {
 
   /** Exact squared L2 distance of an array column to a literal centroid
-    * (per-term decimal accumulation, unrounded double out). */
-  private def sqDistExact(vec: Column, centroid: Array[Double]): Column = {
-    val diff2 = zip_with(vec, typedlit(centroid.toSeq),
-      (x, y) => (x - y) * (x - y))
-    // acc (32,18) + term (24,18) → (33,18) exact, re-cast trims the
-    // unused integer headroom — scale 18 is never reduced (a naive
-    // (38,18)+(38,18) Add loses a scale digit to Spark's precision cap)
-    aggregate(diff2,
-      lit(java.math.BigDecimal.ZERO).cast("decimal(32,18)"),
-      (acc, t) => (acc + t.cast("decimal(24,18)"))
-        .cast("decimal(32,18)")).cast("double")
-  }
+    * (per-term scale-18 decimal accumulation, unrounded double out) —
+    * the native codegen'd fold, bit-identical to the interpreted HOF
+    * formulation (graft.functions.VecDecimal contract). */
+  private def sqDistExact(vec: Column, centroid: Array[Double]): Column =
+    graft.functions.VecOps.sqDist18(vec, typedlit(centroid.toSeq))
 
   /** Nearest-centroid id for a vector column: (round-6 distance,
     * lowest id) tiebreak — the shared cross-engine convention. */

@@ -59,17 +59,13 @@ object StreamingAnnServe {
   }
 
   /** Exact squared L2 distance of an array column to a literal vector:
-    * per-term DECIMAL(38,18) accumulation (the repo's hash-stability
+    * per-term scale-18 decimal accumulation (the repo's hash-stability
     * convention — aggregation-order-free), returned as an UNROUNDED
-    * double, matching the batch d2 frames. */
-  private def sqDistExact(vec: Column, centroid: Array[Double]): Column = {
-    val diff2 = zip_with(vec, typedlit(centroid.toSeq),
-      (x, y) => (x - y) * (x - y))
-    aggregate(diff2,
-      lit(java.math.BigDecimal.ZERO).cast("decimal(32,18)"),
-      (acc, t) => (acc + t.cast("decimal(24,18)"))
-        .cast("decimal(32,18)")).cast("double")
-  }
+    * double, matching the batch d2 frames. Runs as the native codegen'd
+    * [[graft.functions.VecOps.sqDist18]] (bit-identical to the
+    * interpreted HOF formulation by the VecDecimal contract). */
+  private def sqDistExact(vec: Column, centroid: Array[Double]): Column =
+    graft.functions.VecOps.sqDist18(vec, typedlit(centroid.toSeq))
 
   /** Batch index build: `(vid, cell, code_0..code_{m-1})` per corpus
     * vector — coarse cell by round-6 + lowest-id tiebreak (identical to
@@ -119,11 +115,20 @@ object StreamingAnnServe {
       array(codebook(mi).indices.map(c =>
         sqDistExact(sl, codebook(mi)(c))): _*).as(s"qd2_$mi")
     }
-    val q = queries.select(
+    val qProj = queries.select(
       col("vec_id").cast("long").as("qid") +:
         explode(probes).as("pc") +: qd2Cols: _*)
       .withColumn("cell", col("pc.cell")).drop("pc")
-    // stream-static equi-join on cell, then m table lookups; the sum
+    // Batch mode: BROADCAST the query side — it is tiny (queries ×
+    // nProbe rows) while the index is the corpus, and the broadcast
+    // relation materializes each query's fold arrays ONCE. Without the
+    // boundary, whole-stage codegen fuses the query-side projection
+    // into the join's probe loop and re-evaluates all m·subK folds per
+    // CANDIDATE row (≈ corpus·nProbe/nCells per query — measured 25x
+    // slower at sf0.1). Streaming mode: a stream can't be broadcast;
+    // the stream side stays as-is and the static index broadcasts.
+    val q = if (queries.isStreaming) qProj else broadcast(qProj)
+    // equi-join on cell, then m table lookups; the sum
     // casts each looked-up double through DECIMAL(38,18) exactly like
     // the batch `sum(qd2.cast(decimal(38,18)))` before the round-6
     // (24,18) terms keep the reduce chain exact at scale 18 — precision

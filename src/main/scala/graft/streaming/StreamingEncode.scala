@@ -60,19 +60,14 @@ object StreamingEncode {
       val slice = org.apache.spark.sql.functions.slice(
         v, mi * subDim + 1, subDim)
       val dists = codebook(mi).indices.map { c =>
-        // per-term exact decimal sum == batch pqParts' formulation
-        // (sum(cast((x-y)² as decimal(38,18)))): every Add below keeps
-        // scale 18 with precision headroom (24,18 + 32,18 → 33,18 is
-        // EXACT; the cast back to 32,18 only trims unused integer
-        // digits), so the accumulated value is bit-identical to the
-        // batch encoder's exact scale-18 sum — no rounding anywhere
-        // before the shared round-6 tiebreak
-        val diff2 = zip_with(slice, typedlit(codebook(mi)(c).toSeq),
-          (x, y) => (x - y) * (x - y))
-        round(aggregate(diff2,
-          lit(java.math.BigDecimal.ZERO).cast("decimal(32,18)"),
-          (acc, t) => (acc + t.cast("decimal(24,18)"))
-            .cast("decimal(32,18)")).cast("double"), 6)
+        // per-term exact scale-18 sum == batch pqParts' formulation
+        // (sum(cast((x-y)² as decimal(38,18)))), run as the native
+        // codegen'd fold (graft.functions.VecDecimal contract: term
+        // rounding, overflow→null, and exact accumulation are
+        // bit-identical to the interpreted HOF chain this replaced) —
+        // no rounding anywhere before the shared round-6 tiebreak
+        round(graft.functions.VecOps.sqDist18(slice,
+          typedlit(codebook(mi)(c).toSeq)), 6)
       }
       val best = dists.reduce((a, b) => least(a, b))
       // first centroid attaining the min wins (id tiebreak)
