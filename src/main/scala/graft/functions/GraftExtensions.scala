@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecSqDist].getName, "vec_sqdist"),
       GraftExtensions.vecSqDistBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("vec_sqdist18"),
+      new ExpressionInfo(classOf[VecSqDist18].getName, "vec_sqdist18"),
+      GraftExtensions.vecSqDist18Builder))
+    ext.injectFunction((
       new FunctionIdentifier("marker_count"),
       new ExpressionInfo(classOf[MarkerCount].getName, "marker_count"),
       GraftExtensions.markerCountBuilder))
@@ -50,6 +54,12 @@ object GraftExtensions {
     case Seq(a, b) => VecSqDist(a, b)
     case other => throw new IllegalArgumentException(
       s"vec_sqdist(a, b) — got ${other.size} args")
+  }
+
+  private[functions] val vecSqDist18Builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecSqDist18(a, b)
+    case other => throw new IllegalArgumentException(
+      s"vec_sqdist18(a, b) — got ${other.size} args")
   }
 
   /** marker_count(tokens, 'm1', 'm2', …): the marker set must be
@@ -77,6 +87,8 @@ object GraftExtensions {
       spark, "vec_dot", vecDotBuilder)
     org.apache.spark.sql.graftinternal.Bridge.registerFunction(
       spark, "vec_sqdist", vecSqDistBuilder)
+    org.apache.spark.sql.graftinternal.Bridge.registerFunction(
+      spark, "vec_sqdist18", vecSqDist18Builder)
     org.apache.spark.sql.graftinternal.Bridge.registerFunction(
       spark, "marker_count", markerCountBuilder)
   }

@@ -129,8 +129,10 @@ class VecOpsSpec extends SparkSpec {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-                vec_sqdist(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS s""")
+                vec_sqdist(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS s,
+                vec_sqdist18(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS e""")
       .head
-    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0)
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0
+      && r.getDouble(2) == 8.0)
   }
 }
