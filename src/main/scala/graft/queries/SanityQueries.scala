@@ -56,7 +56,61 @@ object SanityQueries extends QueryModule {
       "THEN 1 END)")
     .mkString("\n                 + ")
 
+  /** The effective runtime configuration as (key, value) rows — built
+    * from the SAME live Settings defs the operators read, so the gate
+    * row pins "resolved runtime config == the reference's settings.yaml
+    * defaults" (ref: `show-config` CLI, src/mf_etl/config.py). Both the
+    * engine frame and the oracle SQL interpolate graft.Settings, so an
+    * env/sysprop override at Verify time keeps the two consistent. */
+  private def configRows: Seq[(String, String)] = {
+    val S = graft.Settings
+    Seq(
+      "validation.suspicious_range_pct_threshold" ->
+        S.validation.suspiciousRangePct.toString,
+      "validation.gap_days_warn_threshold" ->
+        S.validation.gapDaysWarn.toString,
+      "validation.bootstrap.n_boot" -> S.validation.bootstrapNBoot.toString,
+      "validation.bootstrap.ci" -> S.validation.bootstrapCi.toString,
+      "validation.bootstrap.block_length" ->
+        S.validation.bootstrapBlockLength.toString,
+      "event_grammar.respect_fail_lookahead_bars" ->
+        S.eventGrammar.respectFailLookback.toString,
+      "event_grammar.hold_consecutive_bars" ->
+        S.eventGrammar.holdBars.toString,
+      "event_grammar.tmf_burst_abs_threshold" ->
+        S.eventGrammar.burstAbsThreshold.toString,
+      "event_grammar.tmf_burst_slope_threshold" ->
+        S.eventGrammar.burstSlopeThreshold.toString,
+      "gold_features.score_weights.zero" -> S.goldFeatures.wZero.toString,
+      "gold_features.score_weights.respect" ->
+        S.goldFeatures.wRespect.toString,
+      "gold_features.score_weights.burst" -> S.goldFeatures.wBurst.toString,
+      "gold_features.score_weights.hold" -> S.goldFeatures.wHold.toString,
+      "gold_features.recency_clip_bars" ->
+        S.goldFeatures.recencyClipBars.toString,
+      "backtest_sensitivity.max_combos" -> S.sensitivity.maxCombos.toString,
+      "precision.bronze_float" -> S.precision.bronzeFloat,
+      "precision.silver_float" -> S.precision.silverFloat,
+      "precision.gold_float" -> S.precision.goldFloat,
+      "parquet.compression" -> S.parquet.compression)
+  }
+
   def all: Seq[Q] = Seq(
+
+    // The runtime config surface as a gate row (see configRows).
+    Q("q_config_effective", Some {
+      val rows = configRows.map { case (k, v) =>
+        s"('${k}', '${v}')"
+      }.mkString(",\n        ")
+      s"""
+      SELECT k AS config_key, v AS config_value FROM (VALUES
+        $rows) AS t(k, v)
+      ORDER BY config_key"""
+    }) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      configRows.toDF("config_key", "config_value").orderBy("config_key")
+    },
 
     // Backtest run sanity (ref backtest/sanity.py:28-70): the trades
     // invariant battery — negative realized holds, entry after exit,
