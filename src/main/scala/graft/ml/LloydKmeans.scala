@@ -92,43 +92,58 @@ object LloydKmeans {
       kpts AS (
         SELECT vec_id AS pid, generate_subscripts(embedding, 1) - 1 AS j,
                CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings),
-      cent_0 AS (
-        SELECT pid AS c, j, x AS y FROM kpts WHERE pid < $k)"""
+        FROM embeddings)"""
+    init + "," + oracleSqlFrom("kpts", k, iters, "") + finalAssignSql(
+      "kpts", iters, "")
+  }
+
+  /** The same unrolled Lloyd CTE chain over an ARBITRARY source CTE
+    * `src(pid, j, x)` with every generated CTE name prefixed by `pfx`,
+    * so several independent fits (e.g. one per PQ subspace) compose in
+    * one oracle query. Ends at `${pfx}cent_$iters(c, j, y)` — the
+    * fitted centroids. Same math as [[oracleSql]] verbatim. */
+  def oracleSqlFrom(src: String, k: Int, iters: Int,
+      pfx: String): String = {
+    val init = s"""
+      ${pfx}cent_0 AS (
+        SELECT pid AS c, j, x AS y FROM $src WHERE pid < $k)"""
     val steps = (1 to iters).map { i =>
       val p = i - 1
       s"""
-      kd_$i AS (
+      ${pfx}kd_$i AS (
         SELECT p.pid, c.c,
                CAST(sum(CAST((p.x - c.y) * (p.x - c.y)
                  AS DECIMAL(38,18))) AS DOUBLE) AS d2
-        FROM kpts p JOIN cent_$p c ON p.j = c.j GROUP BY 1, 2),
-      ka_$i AS (
+        FROM $src p JOIN ${pfx}cent_$p c ON p.j = c.j GROUP BY 1, 2),
+      ${pfx}ka_$i AS (
         SELECT pid, c AS cluster FROM (
           SELECT *, row_number() OVER (PARTITION BY pid
-            ORDER BY round(d2, 6), c) AS rn FROM kd_$i)
+            ORDER BY round(d2, 6), c) AS rn FROM ${pfx}kd_$i)
         WHERE rn = 1),
-      km_$i AS (
+      ${pfx}km_$i AS (
         SELECT a.cluster AS c, p.j,
                CAST(sum(CAST(p.x AS DECIMAL(38,18))) AS DOUBLE)
                  / count(*) AS y
-        FROM kpts p JOIN ka_$i a USING (pid) GROUP BY 1, 2),
-      cent_$i AS (
+        FROM $src p JOIN ${pfx}ka_$i a USING (pid) GROUP BY 1, 2),
+      ${pfx}cent_$i AS (
         SELECT prev.c, prev.j, coalesce(m.y, prev.y) AS y
-        FROM cent_$p prev LEFT JOIN km_$i m
+        FROM ${pfx}cent_$p prev LEFT JOIN ${pfx}km_$i m
           ON m.c = prev.c AND m.j = prev.j)"""
-    }.mkString(",", ",", "")
-    val fin = s""",
-      kd_fin AS (
+    }.mkString(",")
+    init + "," + steps
+  }
+
+  /** Final-centroid assignment CTEs (`${pfx}kd_fin`, `${pfx}kassign`)
+    * against `${pfx}cent_$iters`. */
+  def finalAssignSql(src: String, iters: Int, pfx: String): String = s""",
+      ${pfx}kd_fin AS (
         SELECT p.pid, c.c,
                CAST(sum(CAST((p.x - c.y) * (p.x - c.y)
                  AS DECIMAL(38,18))) AS DOUBLE) AS d2
-        FROM kpts p JOIN cent_$iters c ON p.j = c.j GROUP BY 1, 2),
-      kassign AS (
+        FROM $src p JOIN ${pfx}cent_$iters c ON p.j = c.j GROUP BY 1, 2),
+      ${pfx}kassign AS (
         SELECT pid, c AS cluster FROM (
           SELECT *, row_number() OVER (PARTITION BY pid
-            ORDER BY round(d2, 6), c) AS rn FROM kd_fin)
+            ORDER BY round(d2, 6), c) AS rn FROM ${pfx}kd_fin)
         WHERE rn = 1)"""
-    init + steps + fin
-  }
 }

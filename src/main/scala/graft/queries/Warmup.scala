@@ -76,6 +76,7 @@ object Warmup {
           "idxStarEdges" ->
             (() => TextQueries.idxStarEdges(spark, dir).count()),
           "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()),
+          "lloydTop5" -> (() => TextQueries.lloydTop5(spark, dir).count()),
           "lloydAssign" ->
             (() => MlQueries.lloydAssign(spark, dir).count()))
         ++ HybridQueries.sigBuilds(spark, dir))

@@ -324,6 +324,36 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** Per-subspace DETERMINISTIC Lloyd codebook — the hash-checkable
+    * counterpart to [[kmeansCodebook]] (whose MLlib k-means|| init is
+    * engine-private): each subspace's centroids come from
+    * `ml.LloydKmeans.fit` on that slice (seed-slice init, exact-decimal
+    * assignment + means), so the ENTIRE fitted-codebook PQ path —
+    * per-subspace iterative fit, encode, ADC ranking — is reproduced
+    * bit-for-bit by an unrolled SQL oracle (one
+    * `LloydKmeans.oracleSqlFrom` chain per subspace). Same layout as
+    * the other codebooks, so encode/ADC/streaming run unchanged. */
+  def lloydCodebook(emb: DataFrame, m: Int, subK: Int, iters: Int)
+      : IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val dim = embDim(emb)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val e = emb.select(col("vec_id").cast("long").as("pid"),
+      asDouble(col("embedding")).as("v")).cache()
+    e.count() // materialize once; the m fits share the cache
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = graft.ops.Pools.jobs
+      Await.result(
+        Future.traverse((0 until m).toList) { mi => Future {
+          val sub = e.select(col("pid"),
+            slice(col("v"), mi * subDim + 1, subDim).as("sv"))
+          graft.ml.LloydKmeans.fit(sub, "pid", "sv", subK, iters)._2
+        }}, Duration.Inf).toIndexedSeq
+    } finally e.unpersist()
+  }
+
   /** PQ ANN against an explicit codebook (e.g. [[kmeansCodebook]]):
     * identical shape to [[pqTopK]] — the codebook joins as a broadcast
     * (c, m, j, y) literal table instead of the seed-slice filter, so
