@@ -414,6 +414,21 @@ object MlQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // The deterministic half of the GMM, promoted to a full hash check
+    // (the same pinned-model discipline as the HMM decode oracle):
+    // scoring a STORED mixture model is pure arithmetic even though
+    // the EM fit above is engine-private. PinnedGmm pins means to the
+    // seed slice, precisions to an integer formula, and hoists all
+    // libm work (log-weights + Gaussian normalizers) into driver
+    // constants — so the per-row argmax component, log-density, and
+    // top-2 margin are bit-reproduced by the oracle. Soft
+    // responsibilities need exp() (engine libm) and stay on
+    // q_gmm_clusters; margin is the libm-free confidence measure.
+    Q("q_gmm_pinned_score", Some(graft.ml.PinnedGmm.oracleSql(64))) {
+      (s, dir) => graft.ml.PinnedGmm.score(t(s, dir, "embeddings"))
+        .orderBy("vec_id")
+    },
+
     // HDBSCAN (M4, ref clustering.py:184-203): min_cluster_size =
     // max(5, n_clusters-hint 8), min_samples = None → min_cluster_size;
     // like the reference's library call, prediction only on the

@@ -54,4 +54,35 @@ class DiagGmmSpec extends SparkSpec {
     assert(DiagGmm.bic(ll, 4, 8, 10000) > DiagGmm.bic(ll, 2, 8, 10000))
     assert(DiagGmm.aic(ll, 4, 8) > DiagGmm.aic(ll, 2, 8))
   }
+
+  test("pinned scoring agrees with DiagGmm.Model semantics") {
+    // the q_gmm_pinned_score contract: PinnedGmm's decimal-exact
+    // column program computes the SAME mixture math as the model
+    // object's per-row scorer — build the pinned model as a
+    // DiagGmm.Model (means = seed embeddings, vars = 1/inv, weights W)
+    // and check argmax labels and log-densities against the engine
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seed = emb.filter(org.apache.spark.sql.functions.col("vec_id")
+        < graft.ml.PinnedGmm.K)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val d = seed.head.length
+    val model = DiagGmm.Model(graft.ml.PinnedGmm.K, d,
+      graft.ml.PinnedGmm.W.map(math.log),
+      seed,
+      Array.tabulate(graft.ml.PinnedGmm.K)(s =>
+        Array.tabulate(d)(j => 1.0 / graft.ml.PinnedGmm.inv(s, j))))
+    val got = graft.ml.PinnedGmm.score(emb).orderBy("vec_id").collect()
+    val all = emb.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(got.length == all.length)
+    got.zip(all).foreach { case (r, x) =>
+      val lp = Array.tabulate(model.k)(s => model.logComp(s, x))
+      val best = lp.indices.maxBy(s => (lp(s), -s))
+      assert(r.getInt(1) == best, s"label mismatch at ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - lp(best)) < 1e-6,
+        s"log-density mismatch at ${r.getLong(0)}")
+    }
+  }
 }
