@@ -495,6 +495,47 @@ object MlQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // The NEXT deterministic stage of the HDBSCAN fit after core
+    // distances, promoted to a full hash check: Borůvka round 1 over
+    // the mutual-reachability graph. With distinct weights every
+    // vertex's minimum mreach = greatest(core_a, core_b, dist) edge is
+    // an MST edge (cut property), so the oracle verifies a guaranteed
+    // slice of the single-linkage tree the condensed-tree extraction
+    // consumes. Unlike q_hdbscan_core's round-6 tolerance, this chain
+    // is exact end-to-end (decimal per-term sums → bit-identical sqrt
+    // → greatest), so the per-vertex argmin needs no rounding at all.
+    Q("q_hdbscan_mst_edges", Some(s"""
+      WITH hx AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < ${MlQueries.HdbscanFitCap}),
+      hd AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               sqrt(CAST(sum(CAST((a.x - b.x) * (a.x - b.x)
+                 AS DECIMAL(38,18))) AS DOUBLE)) AS dist
+        FROM hx a JOIN hx b ON a.i = b.i GROUP BY 1, 2),
+      hcore AS (
+        SELECT ia AS v, dist AS cd FROM (
+          SELECT ia, dist, row_number() OVER (PARTITION BY ia
+            ORDER BY dist, ib) AS rn FROM hd) WHERE rn = 8),
+      hmre AS (
+        SELECT d.ia, d.ib, greatest(d.dist, ca.cd, cb.cd) AS mreach
+        FROM hd d JOIN hcore ca ON d.ia = ca.v
+                  JOIN hcore cb ON d.ib = cb.v
+        WHERE d.ia <> d.ib),
+      hsel AS (
+        SELECT ia, ib, mreach FROM (
+          SELECT *, row_number() OVER (PARTITION BY ia
+            ORDER BY mreach, least(ia, ib), greatest(ia, ib)) AS rn
+          FROM hmre) WHERE rn = 1)
+      SELECT DISTINCT least(ia, ib) AS e_lo, greatest(ia, ib) AS e_hi,
+             round(mreach, 6) AS mreach_dist
+      FROM hsel ORDER BY e_lo, e_hi""")) { (s, dir) =>
+      graft.ml.Hdbscan.mstRound1Edges(t(s, dir, "embeddings"),
+          MlQueries.HdbscanFitCap, minSamples = 8)
+        .orderBy("e_lo", "e_hi")
+    },
+
     // M5 promoted from rows-only: sklearn-semantics silhouette (mean
     // over points of (b-a)/max(a,b), euclidean, self excluded;
     // singleton clusters → 0) and Davies-Bouldin (mean over clusters of
