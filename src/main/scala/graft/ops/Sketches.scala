@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed sketch structures — the cardinality / frequency
+  * estimators a 100-TB pipeline reaches for when an exact
+  * `count(DISTINCT …)` or full `groupBy` is the bottleneck (vocabulary
+  * size across a corpus, per-key frequency caps during curation).
+  *
+  * Both sketches are built from the repo's portable 60-bit md5 hash
+  * (`text.TextOps.md5Hash64`), and every downstream step is integer or
+  * exact-power-of-two arithmetic — so unlike library HLL
+  * implementations (whose hash seeds are engine-private), the full
+  * register/counter state AND the estimates are bit-reproducible by a
+  * DuckDB oracle. Spark's own `approx_count_distinct` stays available;
+  * these are the oracle-checkable, mergeable artifact form.
+  *
+  * Scale shape: one map-side-combinable groupBy whose result is
+  * BOUNDED BY THE SKETCH SIZE (2^p registers / d·w counters), not the
+  * data — the whole point at 100 TB. Register/counter tables are
+  * stored artifacts: mergeable across partitions, days, and sources by
+  * `max` (HLL) / `sum` (CMS).
+  */
+object Sketches {
+
+  /** HyperLogLog register table over a value column: `(bucket, r)` with
+    * bucket = h mod 2^p and r = leading-zero rank of the remaining
+    * `60 − p` hash bits (computed via binary-string length — no libm).
+    * Only hit registers appear; absent rows mean register 0.
+    * `max`-mergeable. */
+  def hllRegisters(df: DataFrame, value: Column, p: Int): DataFrame = {
+    val m = 1 << p
+    val w = 60 - p
+    val h = graft.text.TextOps.md5Hash64(value.cast("string"))
+    val rest = shiftright(h, p)
+    // floor(log2(rest)) + 1 == length(bin(rest)) for rest > 0 — both
+    // engines render minimal binary strings
+    val rho = when(rest === 0, lit(w + 1))
+      .otherwise(lit(w) + 1 - length(bin(rest)))
+    df.select((h % m).as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r"))
+  }
+
+  /** alpha_m · m² for m = 2^p registers (p >= 7) — the raw-estimate
+    * numerator, computed once on the driver and interpolated into the
+    * oracle as a literal. */
+  def alphaM2(p: Int): Double = {
+    val m = (1 << p).toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m
+  }
+
+  /** One-row HLL summary joined with the exact answer (the error dial):
+    * raw harmonic-mean estimate (bias-uncorrected — the small-range
+    * linear-counting branch needs ln(), engine libm; `zero_registers`
+    * is emitted so a presentation layer can apply it), exact distinct,
+    * relative error. Each 2^-r term is an exact power of two
+    * (1 / (1 << r), never libm pow) accumulated through
+    * DECIMAL(38,18). */
+  def hllSummary(df: DataFrame, value: Column, p: Int): DataFrame = {
+    val m = 1 << p
+    val regs = hllRegisters(df, value, p)
+    val sumHit = regs.agg(
+      sum((lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)"))
+        .cast("decimal(38,18)")).as("hit_sum"),
+      count(lit(1)).as("hit"))
+    val ex = df.agg(count(lit(1)).as("n_rows"),
+      countDistinct(value).as("exact_distinct"))
+    val est = (lit(alphaM2(p)) /
+      ((col("hit_sum") + (lit(m) - col("hit")).cast("decimal(38,18)"))
+        .cast("double")))
+    sumHit.crossJoin(ex).select(
+      col("n_rows"), col("exact_distinct"),
+      col("hit").as("registers_hit"),
+      (lit(m) - col("hit")).as("zero_registers"),
+      round(est, 6).as("est_raw"),
+      round((est - col("exact_distinct")) / col("exact_distinct"), 6)
+        .as("rel_err"))
+  }
+
+  /** Count-min counter table `(i, slot, cnt)` over a value column:
+    * d independent hash rows (prefix-salted md5) × w slots,
+    * `sum`-mergeable, bounded by d·w regardless of data size. */
+  def cmsCounters(df: DataFrame, value: Column, d: Int, w: Int)
+      : DataFrame = {
+    val slots = array((0 until d).map(i =>
+      graft.text.TextOps.md5Hash64(
+        concat(lit(s"$i:"), value.cast("string"))) % w): _*)
+    df.select(posexplode(slots).as(Seq("i", "slot")))
+      .groupBy("i", "slot").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the counter table for a frame of candidate keys:
+    * est = min over the d rows of the key's slot counter — always
+    * >= the true count (the CMS overestimate guarantee). */
+  def cmsEstimate(counters: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int, w: Int): DataFrame = {
+    val slots = array((0 until d).map(i =>
+      graft.text.TextOps.md5Hash64(
+        concat(lit(s"$i:"), col(keyCol).cast("string"))) % w): _*)
+    keys.select(col(keyCol), posexplode(slots).as(Seq("i", "slot")))
+      .join(counters, Seq("i", "slot"))
+      .groupBy(keyCol).agg(min("cnt").as("cms_est"))
+  }
+}

@@ -645,6 +645,92 @@ object Relational extends QueryModule {
           cor("sqc", "sq", "sc", "sqq", "scc").as("corr_qty_disc"),
           cor("spc", "sp", "sc", "spp", "scc").as("corr_price_disc"))
         .orderBy("l_returnflag")
+    },
+
+    // HyperLogLog distinct-count sketch (ops.Sketches) over
+    // l_orderkey, p=9 → 512 registers: the cardinality estimator a
+    // 100-TB scan uses instead of count(DISTINCT) — the aggregation
+    // state is 512 max-mergeable registers, not the key set. Built on
+    // the portable md5 hash so, unlike library HLLs (engine-private
+    // seeds — Spark's approx_count_distinct has no oracle), register
+    // state AND estimate are bit-reproduced in SQL: rho via binary-
+    // string length (no libm), 2^-r terms as exact shifted powers of
+    // two through DECIMAL(38,18), alpha·m² as one interpolated
+    // literal. Output joins the exact answer — the error dial.
+    Q("q_hll_distinct", Some(s"""
+      WITH hh AS (
+        SELECT ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+          1, 15))::BIGINT AS h
+        FROM lineitem),
+      hr AS (
+        SELECT h % 512 AS bucket,
+               CASE WHEN h >> 9 = 0 THEN 52
+                    ELSE 52 - length(bin(h >> 9)) END AS rho
+        FROM hh),
+      regs AS (SELECT bucket, max(rho) AS r FROM hr GROUP BY 1),
+      agg AS (
+        SELECT sum(CAST(CAST(1 AS DOUBLE) / (1::BIGINT << r)
+                 AS DECIMAL(38,18))) AS hit_sum,
+               count(*) AS hit
+        FROM regs),
+      ex AS (
+        SELECT count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS exact_distinct
+        FROM lineitem)
+      SELECT n_rows, exact_distinct, hit AS registers_hit,
+             512 - hit AS zero_registers,
+             round(${graft.ops.Sketches.alphaM2(9)}
+               / CAST(hit_sum + (512 - hit) AS DOUBLE), 6) AS est_raw,
+             round((${graft.ops.Sketches.alphaM2(9)}
+                 / CAST(hit_sum + (512 - hit) AS DOUBLE)
+               - exact_distinct) / exact_distinct, 6) AS rel_err
+      FROM agg, ex""")) { (s, dir) =>
+      graft.ops.Sketches.hllSummary(
+        t(s, dir, "lineitem"), col("l_orderkey"), p = 9)
+    },
+
+    // Count-min frequency sketch (d=4 salted hash rows × w=1024
+    // slots, sum-mergeable, bounded by d·w not the data) point-queried
+    // for the true top-10 part keys: cms_est = min over rows of the
+    // slot counter, always >= the true count (the CMS overestimate
+    // guarantee — `over` is the observable collision error). At scale
+    // this replaces a full per-key groupBy during curation frequency
+    // capping; here the exact counts ride along as the error dial.
+    Q("q_cms_heavy", Some("""
+      WITH keys AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS true_cnt
+        FROM lineitem GROUP BY 1),
+      cm AS (
+        SELECT i, ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || k),
+          1, 15))::BIGINT % 1024 AS slot,
+          CAST(sum(true_cnt) AS BIGINT) AS cnt
+        FROM keys, range(4) r(i) GROUP BY 1, 2),
+      top10 AS (
+        SELECT k, true_cnt FROM keys
+        ORDER BY true_cnt DESC, k LIMIT 10),
+      cslot AS (
+        SELECT t.k, t.true_cnt, r.i,
+               ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || t.k),
+                 1, 15))::BIGINT % 1024 AS slot
+        FROM top10 t, range(4) r(i)),
+      est AS (
+        SELECT c.k, c.true_cnt, min(cm.cnt) AS cms_est
+        FROM cslot c JOIN cm ON cm.i = c.i AND cm.slot = c.slot
+        GROUP BY 1, 2)
+      SELECT k, true_cnt, cms_est, cms_est - true_cnt AS overcount
+      FROM est ORDER BY true_cnt DESC, k""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("k"))
+      val counters = graft.ops.Sketches.cmsCounters(
+        li, col("k"), d = 4, w = 1024)
+      val top10 = li.groupBy("k").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("k")).limit(10)
+      graft.ops.Sketches.cmsEstimate(counters, top10, "k", d = 4,
+          w = 1024)
+        .join(top10, Seq("k"))
+        .select(col("k"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overcount"))
+        .orderBy(col("true_cnt").desc, col("k"))
     }
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** Sketch contracts (q_hll_distinct / q_cms_heavy): mergeability — the
+  * property that makes a sketch a stored artifact at 100 TB (registers
+  * max-merge, counters sum-merge across partitions/days/sources) — and
+  * the CMS overestimate guarantee for EVERY key, not just the top-10
+  * the driver query samples. */
+class SketchesSpec extends SparkSpec {
+
+  private def li = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("HLL registers max-merge: split builds equal the full build") {
+    val full = Sketches.hllRegisters(li, col("l_orderkey"), p = 9)
+    val a = Sketches.hllRegisters(
+      li.filter(col("l_linenumber") <= 2), col("l_orderkey"), p = 9)
+    val b = Sketches.hllRegisters(
+      li.filter(col("l_linenumber") > 2), col("l_orderkey"), p = 9)
+    val merged = a.unionByName(b)
+      .groupBy("bucket").agg(max("r").as("r"))
+    assert(merged.exceptAll(full).isEmpty &&
+      full.exceptAll(merged).isEmpty)
+  }
+
+  test("HLL raw estimate lands within the expected error band") {
+    val row = Sketches.hllSummary(li, col("l_orderkey"), p = 9).head()
+    val exact = row.getAs[Long]("exact_distinct").toDouble
+    val est = row.getAs[Double]("est_raw")
+    // 1.04/sqrt(512) ~= 4.6% standard error; allow 4 sigma
+    assert(math.abs(est - exact) / exact < 0.184,
+      s"est $est vs exact $exact")
+  }
+
+  test("CMS counters sum-merge and never underestimate any key") {
+    val keys = li.select(col("l_partkey").cast("string").as("k"))
+    val full = Sketches.cmsCounters(keys, col("k"), d = 4, w = 1024)
+    val a = Sketches.cmsCounters(
+      li.filter(col("l_linenumber") <= 2)
+        .select(col("l_partkey").cast("string").as("k")),
+      col("k"), d = 4, w = 1024)
+    val b = Sketches.cmsCounters(
+      li.filter(col("l_linenumber") > 2)
+        .select(col("l_partkey").cast("string").as("k")),
+      col("k"), d = 4, w = 1024)
+    val merged = a.unionByName(b)
+      .groupBy("i", "slot").agg(sum("cnt").as("cnt"))
+    assert(merged.exceptAll(full).isEmpty &&
+      full.exceptAll(merged).isEmpty)
+    val truth = keys.groupBy("k").agg(count(lit(1)).as("true_cnt"))
+    val under = Sketches.cmsEstimate(full, truth, "k", d = 4, w = 1024)
+      .join(truth, Seq("k"))
+      .filter(col("cms_est") < col("true_cnt"))
+    assert(under.isEmpty, "CMS must never underestimate")
+  }
+}
