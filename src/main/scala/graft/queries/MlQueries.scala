@@ -169,6 +169,39 @@ object MlQueries extends QueryModule {
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 6)._1
     }
 
+  /** Shared capped pairwise-distance frame for the HDBSCAN family
+    * (`(ia, ib, dist)`, self-pairs included) — the fit set's kNN
+    * working frame, consumed by BOTH the core-distance query and the
+    * Borůvka round-1 query. One build per run: pre-partitioned on `ia`
+    * before the broadcast cross join so downstream windows never
+    * reshuffle the n² rows. */
+  private[queries] def hdbscanPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Stage.cached(s, dir, "hdbscan_pairs") {
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < MlQueries.HdbscanFitCap)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      e.select(col("vec_id").as("ia"), col("v").as("va"))
+        .repartition(col("ia"))
+        .join(broadcast(
+          e.select(col("vec_id").as("ib"), col("v").as("vb"))))
+        .select(col("ia"), col("ib"),
+          sqrt(graft.functions.VecOps.sqDist(col("va"), col("vb")))
+            .as("dist"))
+    }
+
+  /** Core-distance table over the shared pair stage (min_samples = 8,
+    * self included): `(cv, cd)`. */
+  private[queries] def hdbscanCoreDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Stage.cached(s, dir, "hdbscan_coredist") {
+      hdbscanPairs(s, dir).withColumn("rn", row_number().over(
+          Window.partitionBy("ia").orderBy("dist", "ib")))
+        .filter(col("rn") === 8)
+        .select(col("ia").as("cv"), col("dist").as("cd"))
+    }
+
   def all: Seq[Q] = Seq(
 
     Q("q_kmeans_clusters", None) { (s, dir) =>
@@ -471,27 +504,11 @@ object MlQueries extends QueryModule {
         FROM d)
       SELECT ia AS vec_id, round(dist, 6) AS core_dist
       FROM r WHERE rn = 8 ORDER BY vec_id""")) { (s, dir) =>
-      import graft.functions.VecOps
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "embeddings")
-        .filter(col("vec_id") < MlQueries.HdbscanFitCap)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"))
-      // pre-partition the point side on ia BEFORE the broadcast cross
-      // join: the join preserves the left's hash(ia) distribution, so
-      // the top-k window below needs NO exchange of the n² pair rows —
-      // only the n-row input shuffles (plan-audited)
-      val pairs = e.select(col("vec_id").as("ia"), col("v").as("va"))
-        .repartition(col("ia"))
-        .join(broadcast(
-          e.select(col("vec_id").as("ib"), col("v").as("vb"))))
-        .select(col("ia"), col("ib"),
-          sqrt(graft.functions.VecOps.sqDist(col("va"), col("vb"))).as("dist"))
-      val w = Window.partitionBy("ia").orderBy("dist", "ib")
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 8)
-        .select(col("ia").as("vec_id"), round(col("dist"), 6)
-          .as("core_dist"))
+      // reads the shared hdbscan_pairs/coredist stages (one n² distance
+      // scan per run, shared with the Borůvka round-1 query below)
+      MlQueries.hdbscanCoreDf(s, dir)
+        .select(col("cv").as("vec_id"),
+          round(col("cd"), 6).as("core_dist"))
         .orderBy("vec_id")
     },
 
@@ -501,9 +518,12 @@ object MlQueries extends QueryModule {
     // vertex's minimum mreach = greatest(core_a, core_b, dist) edge is
     // an MST edge (cut property), so the oracle verifies a guaranteed
     // slice of the single-linkage tree the condensed-tree extraction
-    // consumes. Unlike q_hdbscan_core's round-6 tolerance, this chain
-    // is exact end-to-end (decimal per-term sums → bit-identical sqrt
-    // → greatest), so the per-vertex argmin needs no rounding at all.
+    // consumes. Weights follow q_hdbscan_core's plain-double + round-6
+    // convention (the exact-decimal fold measured 75× slower on the n²
+    // frame), with the argmin ordered by the ROUNDED weight under the
+    // (w, lo, hi) total order that makes the MST unique despite the
+    // pervasive mreach ties. Shares the one-per-run hdbscan_pairs /
+    // coredist stages with q_hdbscan_core.
     Q("q_hdbscan_mst_edges", Some(s"""
       WITH hx AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
@@ -511,8 +531,7 @@ object MlQueries extends QueryModule {
         FROM embeddings WHERE vec_id < ${MlQueries.HdbscanFitCap}),
       hd AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
-               sqrt(CAST(sum(CAST((a.x - b.x) * (a.x - b.x)
-                 AS DECIMAL(38,18))) AS DOUBLE)) AS dist
+               sqrt(sum((a.x - b.x) * (a.x - b.x))) AS dist
         FROM hx a JOIN hx b ON a.i = b.i GROUP BY 1, 2),
       hcore AS (
         SELECT ia AS v, dist AS cd FROM (
@@ -526,13 +545,14 @@ object MlQueries extends QueryModule {
       hsel AS (
         SELECT ia, ib, mreach FROM (
           SELECT *, row_number() OVER (PARTITION BY ia
-            ORDER BY mreach, least(ia, ib), greatest(ia, ib)) AS rn
+            ORDER BY round(mreach, 6), least(ia, ib),
+              greatest(ia, ib)) AS rn
           FROM hmre) WHERE rn = 1)
       SELECT DISTINCT least(ia, ib) AS e_lo, greatest(ia, ib) AS e_hi,
              round(mreach, 6) AS mreach_dist
       FROM hsel ORDER BY e_lo, e_hi""")) { (s, dir) =>
-      graft.ml.Hdbscan.mstRound1Edges(t(s, dir, "embeddings"),
-          MlQueries.HdbscanFitCap, minSamples = 8)
+      graft.ml.Hdbscan.mstRound1Edges(MlQueries.hdbscanPairs(s, dir),
+          MlQueries.hdbscanCoreDf(s, dir))
         .orderBy("e_lo", "e_hi")
     },
 

@@ -53,6 +53,7 @@ object Warmup {
       "exactTop5" -> (() => TextQueries.exactTop5(spark, dir).count()),
       "annServeIndex" ->
         (() => TextQueries.annServeIndex(spark, dir).count()),
+      "hdbscanPairs" -> (() => MlQueries.hdbscanPairs(spark, dir).count()),
       "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
@@ -78,7 +79,9 @@ object Warmup {
           "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()),
           "lloydTop5" -> (() => TextQueries.lloydTop5(spark, dir).count()),
           "lloydAssign" ->
-            (() => MlQueries.lloydAssign(spark, dir).count()))
+            (() => MlQueries.lloydAssign(spark, dir).count()),
+          "hdbscanCoreDf" ->
+            (() => MlQueries.hdbscanCoreDf(spark, dir).count()))
         ++ HybridQueries.sigBuilds(spark, dir))
 
     // phase 3: the scored combo frame (needs all 8 sims; also the

@@ -6,9 +6,10 @@ import graft.ml.Hdbscan
   * must belong to THE minimum spanning tree of the mutual-reachability
   * graph under the lexicographic edge order (w, lo, hi) — which is
   * unique because that order is total. Mreach weights tie constantly
-  * (they collapse to the dominating endpoint's core distance), so both
-  * the engine's per-vertex argmin and this independent Prim must use
-  * the identical order for the cut property to hold. */
+  * (they collapse to the dominating endpoint's core distance, and the
+  * round-6 weight convention adds more), so both the engine's
+  * per-vertex argmin and this independent Prim must use the identical
+  * (round6(w), lo, hi) order for the cut property to hold. */
 class HdbscanMstSpec extends SparkSpec {
 
   test("round-1 edges are a subset of a Prim MST over mreach weights") {
@@ -34,9 +35,13 @@ class HdbscanMstSpec extends SparkSpec {
     // keys everywhere — including the cheapest-edge-per-vertex updates,
     // not just the next-vertex pick — so it computes the unique MST of
     // the lexicographically perturbed weights
+    // the engine orders by the ROUNDED weight (q_hdbscan_core's
+    // round-6 convention) — the Prim keys must match exactly
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def key(i: Int, j: Int): (Double, Long, Long) = {
       val a = idOf(i); val b = idOf(j)
-      (mreach(i, j), math.min(a, b), math.max(a, b))
+      (r6(mreach(i, j)), math.min(a, b), math.max(a, b))
     }
     val ord = implicitly[Ordering[(Double, Long, Long)]]
     val inTree = Array.fill(n)(false)
