@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * BOUNDED BY THE SKETCH SIZE (2^p registers / d·w counters), not the
   * data — the whole point at 100 TB. Register/counter tables are
   * stored artifacts: mergeable across partitions, days, and sources by
-  * `max` (HLL) / `sum` (CMS).
+  * `max` (HLL) / `sum` (CMS), and both builders run UNCHANGED on a
+  * streaming frame (complete/update-mode aggregation — StreamingSpec
+  * locks streamed registers/counters against batch rebuilds).
   */
 object Sketches {
 
@@ -77,6 +79,37 @@ object Sketches {
       round((est - col("exact_distinct")) / col("exact_distinct"), 6)
         .as("rel_err"))
   }
+
+  /** Bloom-filter bit table over a key column: the `(pos)` rows of the
+    * set bits (k salted md5 positions per key, deduplicated), bounded
+    * by `nBits` regardless of key count and OR-mergeable by
+    * union+distinct. At 100 TB this is the semi-join prefilter: the
+    * bit table broadcasts into a fact scan and drops non-matching rows
+    * BEFORE the shuffle a real join would need (what Spark's runtime
+    * bloom-join rule does internally — here it is a first-class,
+    * oracle-checkable stored artifact). */
+  def bloomBits(df: DataFrame, key: Column, nBits: Int, k: Int)
+      : DataFrame =
+    df.select(explode(array((0 until k).map(i =>
+        graft.text.TextOps.md5Hash64(
+          concat(lit(s"$i:"), key.cast("string"))) % nBits): _*))
+        .as("pos"))
+      .distinct()
+
+  /** Membership test for a frame of candidate keys: a key might be in
+    * the set iff ALL k of its positions are set. Returns the keys that
+    * pass (supersets the true key set — false positives possible,
+    * never false negatives). */
+  def bloomMightContain(bits: DataFrame, keys: DataFrame,
+      keyCol: String, nBits: Int, k: Int): DataFrame =
+    keys.select(col(keyCol), explode(array((0 until k).map(i =>
+        graft.text.TextOps.md5Hash64(
+          concat(lit(s"$i:"), col(keyCol).cast("string"))) % nBits): _*))
+        .as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(keyCol).agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === k)
+      .select(keyCol)
 
   /** Count-min counter table `(i, slot, cnt)` over a value column:
     * d independent hash rows (prefix-salted md5) × w slots,

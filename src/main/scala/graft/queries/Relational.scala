@@ -689,6 +689,70 @@ object Relational extends QueryModule {
         t(s, dir, "lineitem"), col("l_orderkey"), p = 9)
     },
 
+    // Bloom-filter semi-join prefilter (ops.Sketches.bloomBits /
+    // bloomMightContain): the bit table over the BUILDING-segment
+    // customer keys (2048 bits, k=3) broadcasts into the orders scan
+    // and passes exactly the keys whose 3 salted-md5 positions are all
+    // set — a superset of the true member set (false positives
+    // possible, false negatives never). What Spark's runtime bloom-join
+    // rule injects internally, surfaced as a first-class stored
+    // artifact with its error observable: the output row counts
+    // candidates, passes, true members, and the FP rate among true
+    // non-members — all exact integers and one exact-ratio division,
+    // bit-reproduced by the oracle.
+    Q("q_bloom_prefilter", Some("""
+      WITH bkeys AS (
+        SELECT DISTINCT c_custkey FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+      bits AS (
+        SELECT DISTINCT ('0x' || substring(md5(CAST(i AS VARCHAR)
+          || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+          % 2048 AS pos
+        FROM bkeys, range(3) r(i)),
+      cand AS (SELECT DISTINCT o_custkey FROM orders),
+      cpos AS (
+        SELECT o_custkey, ('0x' || substring(md5(CAST(r.i AS VARCHAR)
+          || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+          % 2048 AS pos
+        FROM cand, range(3) r(i)),
+      pass AS (
+        SELECT o_custkey FROM cpos JOIN bits USING (pos)
+        GROUP BY 1 HAVING count(*) = 3),
+      truth AS (
+        SELECT DISTINCT o_custkey FROM cand
+        JOIN bkeys ON o_custkey = c_custkey)
+      SELECT (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM pass) AS n_pass,
+             (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM pass)
+               - (SELECT count(*) FROM truth) AS false_positives,
+             round(CAST((SELECT count(*) FROM pass)
+                 - (SELECT count(*) FROM truth) AS DOUBLE)
+               / ((SELECT count(*) FROM cand)
+                 - (SELECT count(*) FROM truth)), 6) AS fp_rate""")) {
+      (s, dir) =>
+      import graft.ops.Sketches
+      val members = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")).distinct()
+      val bits = Sketches.bloomBits(members, col("c_custkey"),
+        nBits = 2048, k = 3)
+      val cand = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      val nPass = Sketches.bloomMightContain(bits, cand, "o_custkey",
+          nBits = 2048, k = 3)
+        .agg(count(lit(1)).as("n_pass"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nTrue = cand.join(
+          members.withColumnRenamed("c_custkey", "o_custkey"),
+          Seq("o_custkey"))
+        .agg(count(lit(1)).as("n_true"))
+      nCand.crossJoin(nPass).crossJoin(nTrue)
+        .select(col("n_candidates"), col("n_pass"), col("n_true"),
+          (col("n_pass") - col("n_true")).as("false_positives"),
+          round((col("n_pass") - col("n_true")).cast("double")
+            / (col("n_candidates") - col("n_true")), 6).as("fp_rate"))
+    },
+
     // Count-min frequency sketch (d=4 salted hash rows × w=1024
     // slots, sum-mergeable, bounded by d·w not the data) point-queried
     // for the true top-10 part keys: cms_est = min over rows of the

@@ -34,6 +34,26 @@ class SketchesSpec extends SparkSpec {
       s"est $est vs exact $exact")
   }
 
+  test("Bloom bits OR-merge and never produce a false negative") {
+    val cust = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("k"))
+    val full = Sketches.bloomBits(cust, col("k"), nBits = 2048, k = 3)
+    assert(full.count() <= 2048)
+    val a = Sketches.bloomBits(cust.filter(col("k") % 2 === 0),
+      col("k"), nBits = 2048, k = 3)
+    val b = Sketches.bloomBits(cust.filter(col("k") % 2 =!= 0),
+      col("k"), nBits = 2048, k = 3)
+    val merged = a.unionByName(b).distinct()
+    assert(merged.exceptAll(full).isEmpty &&
+      full.exceptAll(merged).isEmpty)
+    // every true member must pass the membership test
+    val pass = Sketches.bloomMightContain(full, cust, "k",
+      nBits = 2048, k = 3)
+    assert(cust.exceptAll(pass).isEmpty,
+      "bloom filter produced a false negative")
+  }
+
   test("CMS counters sum-merge and never underestimate any key") {
     val keys = li.select(col("l_partkey").cast("string").as("k"))
     val full = Sketches.cmsCounters(keys, col("k"), d = 4, w = 1024)

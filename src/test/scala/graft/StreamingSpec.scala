@@ -444,4 +444,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "streaming serving diverges from the batch IVF-PQ answer")
   }
+
+  test("streaming HLL registers and CMS counters converge to the batch " +
+      "builds (complete mode)") {
+    // the sketch builders are plain select + groupBy max/sum column
+    // programs, so they run UNCHANGED on a streaming frame — this is
+    // the continuously-maintained-sketch half of the artifact story
+    // (registers/counters updated as data arrives, identical to a
+    // batch rebuild at every point where the stream drains)
+    import graft.ops.Sketches
+    import spark.implicits._
+    val keys = (1L to 3000L).map(i => i % 700) // dups across batches
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](
+        org.apache.spark.sql.Encoders.scalaLong, spark.sqlContext)
+    val src = mem.toDF.toDF("k")
+    val hq = Sketches.hllRegisters(src, col("k"), p = 9)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream_test").start()
+    val cq = Sketches.cmsCounters(src, col("k"), d = 4, w = 1024)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream_test").start()
+    val (b1, b2) = keys.splitAt(keys.length / 3)
+    mem.addData(b1: _*); hq.processAllAvailable(); cq.processAllAvailable()
+    mem.addData(b2: _*); hq.processAllAvailable(); cq.processAllAvailable()
+    hq.stop(); cq.stop()
+    val batchDf = keys.toDF("k")
+    val hllBatch = Sketches.hllRegisters(batchDf, col("k"), p = 9)
+    val hllGot = spark.table("hll_stream_test")
+    assert(hllGot.exceptAll(hllBatch).isEmpty &&
+      hllBatch.exceptAll(hllGot).isEmpty,
+      "streamed HLL registers diverge from the batch build")
+    val cmsBatch = Sketches.cmsCounters(batchDf, col("k"), d = 4,
+      w = 1024)
+    val cmsGot = spark.table("cms_stream_test")
+    assert(cmsGot.exceptAll(cmsBatch).isEmpty &&
+      cmsBatch.exceptAll(cmsGot).isEmpty,
+      "streamed CMS counters diverge from the batch build")
+  }
 }
