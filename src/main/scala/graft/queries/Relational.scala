@@ -689,6 +689,51 @@ object Relational extends QueryModule {
         t(s, dir, "lineitem"), col("l_orderkey"), p = 9)
     },
 
+    // Distributed weighted PageRank (ops.Graphs) over the nation-level
+    // trade graph — customer nation → supplier nation, weighted by
+    // line-item volume through the orders⋈customer / lineitem⋈supplier
+    // joins (broadcast dims). Influence propagation is the graph
+    // analytic the engine lacked next to connected components; the
+    // fixed-3-iteration run follows the LloydKmeans discipline (exact
+    // integer weights, decimal contribution sums, literal damping
+    // constants) so the whole iterative computation hash-matches an
+    // unrolled CTE oracle. One groupBy(dst) shuffle per iteration —
+    // the textbook distributed PageRank plan at any graph size.
+    Q("q_pagerank_trade", Some(s"""
+      WITH gedges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      ${graft.ops.Graphs.pageRankOracleSql(iters = 3)}
+      SELECT n.n_name, round(p.pr, 9) AS pr,
+             CAST(row_number() OVER (ORDER BY round(p.pr, 9) DESC,
+               n.n_name) AS INT) AS rnk
+      FROM gpr_3 p JOIN nation n ON p.v = n.n_nationkey
+      ORDER BY rnk""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val pr = graft.ops.Graphs.pageRank(edges, iters = 3)
+      pr.join(broadcast(t(s, dir, "nation")),
+          col("v") === col("n_nationkey"))
+        .select(col("n_name"), round(col("pr"), 9).as("pr"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("pr").desc, col("n_name"))).cast("int"))
+        .orderBy("rnk")
+    },
+
     // Bloom-filter semi-join prefilter (ops.Sketches.bloomBits /
     // bloomMightContain): the bit table over the BUILDING-segment
     // customer keys (2048 bits, k=3) broadcasts into the orders scan

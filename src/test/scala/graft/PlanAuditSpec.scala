@@ -177,18 +177,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_hdbscan_core: top-k window rides the pre-join partitioning " +
-      "(no n² exchange)") {
+  test("hdbscan pair/core stages: top-k rides the pre-join " +
+      "partitioning (no n² exchange); consumers read the cache") {
     // the point side is hash-partitioned on ia BEFORE the broadcast
     // cross join, so the per-point top-k window inherits its required
     // distribution from the n-row input — the n² pair rows are never
-    // shuffled. Exactly two non-broadcast exchanges may appear: the
-    // n-row pre-partition and the final output sort.
-    val p = planOf("q_hdbscan_core")
-    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
-    assert(shuffles <= 2, s"expected <=2 row exchanges, got $shuffles:\n$p")
-    assert(p.contains("WindowGroupLimit"),
+    // shuffled. The registered queries now read the shared
+    // hdbscan_pairs/coredist stages (one n² scan per run), so the
+    // audit targets the stage BUILD plan, then asserts both consumers
+    // hit the cache.
+    graft.queries.Stage.clear()
+    // the cached stage is a checkpoint leaf, so reconstruct the build
+    // plan inline (same shape as MlQueries.hdbscanPairs + the rn=8
+    // core selection) — the PQ-codebook audit uses the same pattern
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val pairs = e.select(col("vec_id").as("ia"), col("v").as("va"))
+      .repartition(col("ia"))
+      .join(broadcast(
+        e.select(col("vec_id").as("ib"), col("v").as("vb"))))
+      .select(col("ia"), col("ib"),
+        sqrt(graft.functions.VecOps.sqDist(col("va"), col("vb")))
+          .as("dist"))
+    val build = pairs.withColumn("rn", row_number().over(
+        Window.partitionBy("ia").orderBy("dist", "ib")))
+      .filter(col("rn") === 8)
+      .queryExecution.executedPlan.toString
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(build).size
+    assert(shuffles <= 2,
+      s"expected <=2 row exchanges, got $shuffles:\n$build")
+    assert(build.contains("WindowGroupLimit"),
       "top-k pushdown (WindowGroupLimit) missing — full n² sort")
+    for (q <- Seq("q_hdbscan_core", "q_hdbscan_mst_edges")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+        s"$q rebuilt the shared hdbscan stage instead of reading " +
+          "the cache")
+    }
+    graft.queries.Stage.clear()
   }
 
   test("sanity/QA batteries: global aggregates + partitioned windows only") {
