@@ -1167,6 +1167,77 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id", "rnk")
     },
 
+    // BM25 retrieval scoring — the ranking function data curation uses
+    // to select domain-matching documents (tf saturation via k1=1.2,
+    // length normalization via b=0.75), scored for a fixed 3-term
+    // query against the corpus. Same two shuffles as TF-IDF (term df +
+    // doc length); per-term scores stay unrounded, the 3-term per-doc
+    // sum goes through DECIMAL(38,18) (order-free), round-9 out. The
+    // k1+1 / 1−b constants are written literally (2.2 / 0.25) on both
+    // sides — computing them lands on different doubles.
+    Q("q_t_bm25", Some("""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      qt (term) AS (VALUES ('join'), ('hash'), ('scan')),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tk
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+      avgdl AS (
+        SELECT CAST(sum(n_tok) AS DOUBLE) / count(*) AS adl FROM dl),
+      dfreq AS (SELECT term, count(*) AS df FROM
+        (SELECT DISTINCT doc_id, term FROM tk
+         WHERE term IN (SELECT term FROM qt)) GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM documents),
+      terms AS (
+        SELECT t.doc_id,
+               ln(1.0 + (nn.n - f.df + 0.5) / (f.df + 0.5))
+                 * (CAST(t.tf AS DOUBLE) * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75
+                   * (CAST(dl.n_tok AS DOUBLE) / av.adl))) AS ts
+        FROM tf t JOIN dl USING (doc_id) JOIN dfreq f USING (term)
+        CROSS JOIN nn CROSS JOIN avgdl av),
+      scored AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(ts AS DECIMAL(38,18))) AS DOUBLE),
+                 9) AS bm25
+        FROM terms GROUP BY 1)
+      SELECT doc_id, bm25, rnk FROM (
+        SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+          AS rnk FROM scored)
+      WHERE rnk <= 20 ORDER BY rnk""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qTerms = Seq("join", "hash", "scan")
+      val tk = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = tk.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val avgdl = dl.agg((sum("n_tok").cast("double")
+        / count(lit(1))).as("adl"))
+      val dfreq = tk.filter(col("term").isin(qTerms: _*))
+        .select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val terms = tf.join(dl, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(avgdl))
+        .select(col("doc_id"),
+          (log(lit(1.0) + (col("n") - col("df") + 0.5)
+              / (col("df") + 0.5))
+            * (col("tf").cast("double") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75)
+              * (col("n_tok").cast("double") / col("adl"))))).as("ts"))
+      val scored = terms.groupBy("doc_id")
+        .agg(round(sum(col("ts").cast("decimal(38,18)")).cast("double"),
+          9).as("bm25"))
+      scored.withColumn("rnk", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rnk") <= 20)
+        .select("doc_id", "bm25", "rnk")
+        .orderBy("rnk")
+    },
+
     // Brute-force cosine top-5 for query vectors (vec_id < 8)
     Q("q_e_cosine_topk", Some("""
       WITH ex AS (
