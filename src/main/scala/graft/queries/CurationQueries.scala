@@ -576,6 +576,82 @@ object CurationQueries extends QueryModule {
           round(weight, 9).as("weight"),
           round(col("n_tokens") * weight, 0).cast("long").as("exp_tokens"))
         .orderBy("lang")
+    },
+
+    // Per-source distribution drift: add-one-smoothed KL divergence of
+    // each source's token distribution against the whole corpus — the
+    // monitor that flags a crawl source whose content shifted (spam
+    // injection, template change) before it pollutes the mix. Shape:
+    // one (source, term) count shuffle + a sources × vocab grid
+    // (bounded by #sources · |vocab|, never corpus size); the per-term
+    // p·ln(p/q) contributions sum through DECIMAL(38,18) so the
+    // 9-decimal KL is aggregation-order-free on both engines.
+    Q("q_t_source_kl", Some("""
+      WITH tk AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      vocab AS (SELECT DISTINCT term FROM tk),
+      vv AS (SELECT count(*) AS v FROM vocab),
+      ctot AS (SELECT count(*) AS tot_c FROM tk),
+      ccnt AS (SELECT term, count(*) AS cnt_c FROM tk GROUP BY 1),
+      stot AS (SELECT source, count(*) AS tot_s FROM tk GROUP BY 1),
+      scnt AS (
+        SELECT source, term, count(*) AS cnt_s FROM tk GROUP BY 1, 2),
+      grid AS (
+        SELECT st.source, vb.term, st.tot_s,
+               coalesce(sc.cnt_s, 0) AS cnt_s, cc.cnt_c
+        FROM stot st CROSS JOIN vocab vb
+        JOIN ccnt cc ON vb.term = cc.term
+        LEFT JOIN scnt sc ON sc.source = st.source
+          AND sc.term = vb.term),
+      terms AS (
+        SELECT source,
+               (CAST(cnt_s + 1 AS DOUBLE) / (tot_s + (SELECT v FROM vv)))
+                 * ln((CAST(cnt_s + 1 AS DOUBLE)
+                     / (tot_s + (SELECT v FROM vv)))
+                   / (CAST(cnt_c + 1 AS DOUBLE)
+                     / ((SELECT tot_c FROM ctot)
+                       + (SELECT v FROM vv)))) AS kt
+        FROM grid),
+      kl AS (
+        SELECT source,
+               round(CAST(sum(CAST(kt AS DECIMAL(38,18))) AS DOUBLE),
+                 9) AS kl_vs_corpus
+        FROM terms GROUP BY 1)
+      SELECT k.source, s.tot_s AS n_tokens, k.kl_vs_corpus,
+             CAST(row_number() OVER (ORDER BY k.kl_vs_corpus DESC,
+               k.source) AS INT) AS rnk
+      FROM kl k JOIN stot s USING (source) ORDER BY rnk""")) {
+      (s, dir) =>
+      val tk = t(s, dir, "documents").select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val vocab = tk.select("term").distinct()
+      val vv = vocab.agg(count(lit(1)).as("v"))
+      val ctot = tk.agg(count(lit(1)).as("tot_c"))
+      val ccnt = tk.groupBy("term").agg(count(lit(1)).as("cnt_c"))
+      val stot = tk.groupBy("source").agg(count(lit(1)).as("tot_s"))
+      val scnt = tk.groupBy("source", "term")
+        .agg(count(lit(1)).as("cnt_s"))
+      val grid = stot.crossJoin(broadcast(vocab))
+        .join(broadcast(ccnt), Seq("term"))
+        .join(scnt, Seq("source", "term"), "left")
+        .select(col("source"), col("term"), col("tot_s"),
+          coalesce(col("cnt_s"), lit(0L)).as("cnt_s"), col("cnt_c"))
+        .crossJoin(broadcast(vv)).crossJoin(broadcast(ctot))
+      val ps = (col("cnt_s") + 1).cast("double") / (col("tot_s") + col("v"))
+      val pc = (col("cnt_c") + 1).cast("double") / (col("tot_c") + col("v"))
+      val terms = grid.select(col("source"),
+        (ps * log(ps / pc)).as("kt"))
+      val kl = terms.groupBy("source")
+        .agg(round(sum(col("kt").cast("decimal(38,18)")).cast("double"),
+          9).as("kl_vs_corpus"))
+      kl.join(stot, Seq("source"))
+        .select(col("source"), col("tot_s").as("n_tokens"),
+          col("kl_vs_corpus"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("kl_vs_corpus").desc, col("source")))
+          .cast("int"))
+        .orderBy("rnk")
     }
   )
 }
