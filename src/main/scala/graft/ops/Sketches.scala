@@ -80,6 +80,48 @@ object Sketches {
         .as("rel_err"))
   }
 
+  /** Raw HLL estimate (one row, column `est`, unrounded) from a
+    * register table — the downstream half of [[hllSummary]], exposed
+    * separately so register tables produced by MERGING stored sketches
+    * (union = per-bucket max) can be estimated with the identical
+    * arithmetic. */
+  def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    regs.agg(
+        sum((lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)"))
+          .cast("decimal(38,18)")).as("hit_sum"),
+        count(lit(1)).as("hit"))
+      .select((lit(alphaM2(p)) /
+        ((col("hit_sum") + (lit(m) - col("hit")).cast("decimal(38,18)"))
+          .cast("double"))).as("est"))
+  }
+
+  /** Oracle CTE pair `${pfx}h` / `${pfx}regs(bucket, r)` mirroring
+    * [[hllRegisters]] over a CTE `src(k VARCHAR)`. */
+  def registersOracleSql(src: String, pfx: String, p: Int): String = {
+    val m = 1 << p
+    val w = 60 - p
+    s"""
+      ${pfx}h AS (
+        SELECT ('0x' || substring(md5(k), 1, 15))::BIGINT AS h
+        FROM $src),
+      ${pfx}regs AS (
+        SELECT h % $m AS bucket,
+               max(CASE WHEN h >> $p = 0 THEN ${w + 1}
+                    ELSE $w + 1 - length(bin(h >> $p)) END) AS r
+        FROM ${pfx}h GROUP BY 1)"""
+  }
+
+  /** Oracle scalar subquery mirroring [[hllEstimate]] over a register
+    * CTE. */
+  def estimateOracleSql(regsCte: String, p: Int): String = {
+    val m = 1 << p
+    s"""(${alphaM2(p)} / CAST(
+        (SELECT sum(CAST(CAST(1 AS DOUBLE) / (1::BIGINT << r)
+           AS DECIMAL(38,18))) FROM $regsCte)
+        + ($m - (SELECT count(*) FROM $regsCte)) AS DOUBLE))"""
+  }
+
   /** Bloom-filter bit table over a key column: the `(pos)` rows of the
     * set bits (k salted md5 positions per key, deduplicated), bounded
     * by `nBits` regardless of key count and OR-mergeable by

@@ -689,6 +689,72 @@ object Relational extends QueryModule {
         t(s, dir, "lineitem"), col("l_orderkey"), p = 9)
     },
 
+    // HLL set algebra — the audience-overlap pattern: two stored
+    // register tables (1995 vs 2001 order-placing customers), union by
+    // per-bucket MAX (the merge a sketch store runs without touching
+    // raw data), intersection by inclusion-exclusion est_a + est_b −
+    // est_union. Exact counts ride along as the error dials. Same
+    // portable-hash registers as q_hll_distinct, so every estimate is
+    // bit-reproduced by the oracle.
+    Q("q_hll_overlap", Some(s"""
+      WITH oa AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1995),
+      ob AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 2001),
+      ${graft.ops.Sketches.registersOracleSql("oa", "a", 9)},
+      ${graft.ops.Sketches.registersOracleSql("ob", "b", 9)},
+      uregs AS (
+        SELECT bucket, max(r) AS r FROM (
+          SELECT * FROM aregs UNION ALL SELECT * FROM bregs)
+        GROUP BY 1),
+      ests AS (
+        SELECT ${graft.ops.Sketches.estimateOracleSql("aregs", 9)} AS ea,
+               ${graft.ops.Sketches.estimateOracleSql("bregs", 9)} AS eb,
+               ${graft.ops.Sketches.estimateOracleSql("uregs", 9)} AS eu),
+      ex AS (
+        SELECT (SELECT count(DISTINCT k) FROM oa) AS exact_a,
+               (SELECT count(DISTINCT k) FROM ob) AS exact_b,
+               (SELECT count(DISTINCT k) FROM
+                 (SELECT k FROM oa UNION SELECT k FROM ob))
+                 AS exact_union,
+               (SELECT count(DISTINCT oa.k) FROM oa
+                 JOIN ob ON oa.k = ob.k) AS exact_intersect)
+      SELECT round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+             round(eu, 6) AS est_union,
+             round((ea + eb) - eu, 6) AS est_intersect,
+             exact_a, exact_b, exact_union, exact_intersect
+      FROM ests, ex""")) { (s, dir) =>
+      import graft.ops.Sketches
+      val ord = t(s, dir, "orders")
+      def keys(y: Int) = ord
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey").cast("string").as("k"))
+      val (ka, kb) = (keys(1995), keys(2001))
+      val ra = Sketches.hllRegisters(ka, col("k"), p = 9)
+      val rb = Sketches.hllRegisters(kb, col("k"), p = 9)
+      val ru = ra.unionByName(rb).groupBy("bucket")
+        .agg(max("r").as("r"))
+      val ea = Sketches.hllEstimate(ra, 9).select(col("est").as("ea"))
+      val eb = Sketches.hllEstimate(rb, 9).select(col("est").as("eb"))
+      val eu = Sketches.hllEstimate(ru, 9).select(col("est").as("eu"))
+      val ex = ka.distinct().agg(count(lit(1)).as("exact_a"))
+        .crossJoin(kb.distinct().agg(count(lit(1)).as("exact_b")))
+        .crossJoin(ka.unionByName(kb).distinct()
+          .agg(count(lit(1)).as("exact_union")))
+        .crossJoin(ka.distinct().join(kb.distinct(), Seq("k"))
+          .agg(count(lit(1)).as("exact_intersect")))
+      ea.crossJoin(eb).crossJoin(eu).crossJoin(ex)
+        .select(round(col("ea"), 6).as("est_a"),
+          round(col("eb"), 6).as("est_b"),
+          round(col("eu"), 6).as("est_union"),
+          round((col("ea") + col("eb")) - col("eu"), 6)
+            .as("est_intersect"),
+          col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_intersect"))
+    },
+
     // Distributed weighted PageRank (ops.Graphs) over the nation-level
     // trade graph — customer nation → supplier nation, weighted by
     // line-item volume through the orders⋈customer / lineitem⋈supplier
