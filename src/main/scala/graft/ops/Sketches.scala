@@ -138,10 +138,14 @@ object Sketches {
         .as("pos"))
       .distinct()
 
-  /** Membership test for a frame of candidate keys: a key might be in
-    * the set iff ALL k of its positions are set. Returns the keys that
-    * pass (supersets the true key set — false positives possible,
-    * never false negatives). */
+  /** Membership test for a frame of DISTINCT candidate keys: a key
+    * might be in the set iff ALL k of its positions are set. Returns
+    * the keys that pass (supersets the true key set — false positives
+    * possible, never false negatives). Callers must deduplicate the
+    * candidate frame first (the count-of-matched-positions test reads
+    * exactly k rows per key; duplicate keys would inflate it) — the
+    * prefilter runs on the distinct key set at scale anyway, so no
+    * extra shuffle is forced here. */
   def bloomMightContain(bits: DataFrame, keys: DataFrame,
       keyCol: String, nBits: Int, k: Int): DataFrame =
     keys.select(col(keyCol), explode(array((0 until k).map(i =>
