@@ -27,16 +27,25 @@ object Graphs {
     * (integer weights, multi-edges pre-aggregated). Nodes = src ∪ dst;
     * uniform init 1/N; dangling mass is dropped (documented contract —
     * ranks then sum to < 1, as in the sparse formulation most engines
-    * use). Returns `(v, pr)`. */
+    * use). Returns `(v, pr)`.
+    *
+    * `checkpointEvery` > 0 truncates the rank frame's lineage every
+    * that-many iterations (eager localCheckpoint) — without it a
+    * deep run re-analyzes an O(iters)-tall plan per iteration and the
+    * driver, not the cluster, becomes the bottleneck (the same
+    * per-round truncation `Dedup.connectedComponents` does).
+    * Checkpointing only cuts lineage; the numbers are bit-identical
+    * either way (spec-locked). */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85, base: Double = 0.15): DataFrame = {
+      damping: Double = 0.85, base: Double = 0.15,
+      checkpointEvery: Int = 0): DataFrame = {
     val nodes = edges.select(col("src").as("v"))
       .union(edges.select(col("dst"))).distinct()
     val n = nodes.count()
     val outw = edges.groupBy("src")
       .agg(sum(col("w")).cast("long").as("ow"))
     var pr = nodes.select(col("v"), (lit(1.0) / n).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges.join(outw, Seq("src"))
         .join(pr.withColumnRenamed("v", "src"), Seq("src"))
         .select(col("dst").as("v"),
@@ -46,6 +55,8 @@ object Graphs {
       pr = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"), (lit(base) / n + lit(damping)
           * coalesce(col("insum"), lit(0.0))).as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint()
     }
     pr
   }

@@ -34,6 +34,32 @@ class SketchesSpec extends SparkSpec {
       s"est $est vs exact $exact")
   }
 
+  test("HLL rho via binary-string length equals the leading-zero rank") {
+    // the core register formula: for the (60-p)-bit remainder, rho =
+    // leading zeros within the field + 1, computed cross-engine-safely
+    // as w + 1 - length(bin(rest)). Property-check the string form
+    // against Long.numberOfLeadingZeros over random field values.
+    val s = spark
+    import s.implicits._
+    val p = 9
+    val w = 60 - p
+    val rnd = new scala.util.Random(11)
+    val vals = (Seq(0L, 1L, (1L << w) - 1) ++
+      Seq.fill(500)(math.abs(rnd.nextLong()) % (1L << w))).distinct
+    val got = vals.toDF("rest")
+      .select(col("rest"),
+        when(col("rest") === 0, lit(w + 1))
+          .otherwise(lit(w) + 1 - length(bin(col("rest"))))
+          .as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vals.foreach { rest =>
+      val expect =
+        if (rest == 0) w + 1
+        else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      assert(got(rest) == expect, s"rest=$rest got=${got(rest)}")
+    }
+  }
+
   test("Bloom bits OR-merge and never produce a false negative") {
     val cust = spark.read
       .parquet("/root/testdata/sf0.001/customer.parquet")
