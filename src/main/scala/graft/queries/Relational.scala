@@ -898,7 +898,11 @@ object Relational extends QueryModule {
         .select(col("l_partkey").cast("string").as("k"))
       val counters = graft.ops.Sketches.cmsCounters(
         li, col("k"), d = 4, w = 1024)
+      // the exact per-key counts feed the top-10 pick AND the error
+      // columns — materialize the key-bounded frame once so the fact
+      // scan + 4-way hash runs twice total (counters + truth), not 3×
       val top10 = li.groupBy("k").agg(count(lit(1)).as("true_cnt"))
+        .localCheckpoint()
         .orderBy(col("true_cnt").desc, col("k")).limit(10)
       graft.ops.Sketches.cmsEstimate(counters, top10, "k", d = 4,
           w = 1024)
