@@ -39,6 +39,15 @@ object Graphs {
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85, base: Double = 0.15,
       checkpointEvery: Int = 0): DataFrame = {
+    // base must be the literal counterpart of 1 − damping (same parsed
+    // literals on both engine and oracle side — never the COMPUTED
+    // difference, which lands on a different double). The tolerance
+    // absorbs exactly that literal-vs-computed ulp gap while refusing a
+    // caller who overrides damping but forgets base — that iteration is
+    // no longer stochastic and its ranks stop approximating PageRank.
+    require(math.abs(base - (1.0 - damping)) < 1e-9,
+      s"base ($base) must be the literal counterpart of 1 - damping " +
+        s"(${1.0 - damping}); override both together")
     val nodes = edges.select(col("src").as("v"))
       .union(edges.select(col("dst"))).distinct()
     val n = nodes.count()

@@ -53,12 +53,14 @@ object Sketches {
   }
 
   /** One-row HLL summary joined with the exact answer (the error dial):
-    * raw harmonic-mean estimate (bias-uncorrected — the small-range
-    * linear-counting branch needs ln(), engine libm; `zero_registers`
-    * is emitted so a presentation layer can apply it), exact distinct,
-    * relative error. Each 2^-r term is an exact power of two
-    * (1 / (1 << r), never libm pow) accumulated through
-    * DECIMAL(38,18). */
+    * raw harmonic-mean estimate, the small-range linear-counting
+    * correction (`est_corrected` = m·ln(m/V) whenever V > 0 zero
+    * registers remain — one libm ln with round-6 output, the repo's
+    * tfidf/BM25 convention), exact distinct, and both relative errors.
+    * Each 2^-r term is 1 / (1 << r) (never libm pow) deterministically
+    * rounded to 18 fractional digits by the DECIMAL(38,18) cast —
+    * identically on both engines — so the accumulation is order-free
+    * and cross-engine stable even for r > 18. */
   def hllSummary(df: DataFrame, value: Column, p: Int): DataFrame = {
     val m = 1 << p
     val regs = hllRegisters(df, value, p)
@@ -71,13 +73,20 @@ object Sketches {
     val est = (lit(alphaM2(p)) /
       ((col("hit_sum") + (lit(m) - col("hit")).cast("decimal(38,18)"))
         .cast("double")))
+    val zeroRegs = lit(m) - col("hit")
+    val corrected = when(zeroRegs > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeroRegs.cast("double")))
+      .otherwise(est)
     sumHit.crossJoin(ex).select(
       col("n_rows"), col("exact_distinct"),
       col("hit").as("registers_hit"),
-      (lit(m) - col("hit")).as("zero_registers"),
+      zeroRegs.as("zero_registers"),
       round(est, 6).as("est_raw"),
+      round(corrected, 6).as("est_corrected"),
       round((est - col("exact_distinct")) / col("exact_distinct"), 6)
-        .as("rel_err"))
+        .as("rel_err"),
+      round((corrected - col("exact_distinct")) / col("exact_distinct"),
+        6).as("rel_err_corrected"))
   }
 
   /** Raw HLL estimate (one row, column `est`, unrounded) from a
@@ -180,14 +189,19 @@ object Sketches {
 
   /** Point-query the counter table for a frame of candidate keys:
     * est = min over the d rows of the key's slot counter — always
-    * >= the true count (the CMS overestimate guarantee). */
+    * >= the true count (the CMS overestimate guarantee). Counters are
+    * LEFT-joined with absent (i, slot) cells read as 0, so a key the
+    * sketch never saw estimates 0 (its true count) instead of
+    * silently vanishing from the output — the general point-query
+    * contract, not just present-key lookup. */
   def cmsEstimate(counters: DataFrame, keys: DataFrame, keyCol: String,
       d: Int, w: Int): DataFrame = {
     val slots = array((0 until d).map(i =>
       graft.text.TextOps.md5Hash64(
         concat(lit(s"$i:"), col(keyCol).cast("string"))) % w): _*)
     keys.select(col(keyCol), posexplode(slots).as(Seq("i", "slot")))
-      .join(counters, Seq("i", "slot"))
-      .groupBy(keyCol).agg(min("cnt").as("cms_est"))
+      .join(counters, Seq("i", "slot"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 }

@@ -656,7 +656,10 @@ object Relational extends QueryModule {
     // state AND estimate are bit-reproduced in SQL: rho via binary-
     // string length (no libm), 2^-r terms as exact shifted powers of
     // two through DECIMAL(38,18), alpha·m² as one interpolated
-    // literal. Output joins the exact answer — the error dial.
+    // literal. The small-range linear-counting branch (est = m·ln(m/V)
+    // while V zero registers remain — one libm ln, round-6 out, the
+    // tfidf/BM25 convention) is APPLIED as est_corrected, not merely
+    // signalled. Output joins the exact answer — the error dial.
     Q("q_hll_distinct", Some(s"""
       WITH hh AS (
         SELECT ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
@@ -673,18 +676,30 @@ object Relational extends QueryModule {
                  AS DECIMAL(38,18))) AS hit_sum,
                count(*) AS hit
         FROM regs),
+      vals AS (
+        SELECT hit,
+               ${graft.ops.Sketches.alphaM2(9)}
+                 / CAST(hit_sum + (512 - hit) AS DOUBLE) AS raw,
+               CASE WHEN 512 - hit > 0
+                 THEN CAST(512 AS DOUBLE)
+                   * ln(CAST(512 AS DOUBLE) / (512 - hit))
+                 ELSE ${graft.ops.Sketches.alphaM2(9)}
+                   / CAST(hit_sum + (512 - hit) AS DOUBLE)
+               END AS corr
+        FROM agg),
       ex AS (
         SELECT count(*) AS n_rows,
                count(DISTINCT l_orderkey) AS exact_distinct
         FROM lineitem)
       SELECT n_rows, exact_distinct, hit AS registers_hit,
              512 - hit AS zero_registers,
-             round(${graft.ops.Sketches.alphaM2(9)}
-               / CAST(hit_sum + (512 - hit) AS DOUBLE), 6) AS est_raw,
-             round((${graft.ops.Sketches.alphaM2(9)}
-                 / CAST(hit_sum + (512 - hit) AS DOUBLE)
-               - exact_distinct) / exact_distinct, 6) AS rel_err
-      FROM agg, ex""")) { (s, dir) =>
+             round(raw, 6) AS est_raw,
+             round(corr, 6) AS est_corrected,
+             round((raw - exact_distinct) / exact_distinct, 6)
+               AS rel_err,
+             round((corr - exact_distinct) / exact_distinct, 6)
+               AS rel_err_corrected
+      FROM vals, ex""")) { (s, dir) =>
       graft.ops.Sketches.hllSummary(
         t(s, dir, "lineitem"), col("l_orderkey"), p = 9)
     },

@@ -34,6 +34,44 @@ class SketchesSpec extends SparkSpec {
       s"est $est vs exact $exact")
   }
 
+  test("HLL linear-counting correction shrinks small-range error") {
+    // at sf0.001 (~1.5k distinct into 512 registers) the raw harmonic
+    // estimate sits in HLL's known small-range bias zone; the applied
+    // m·ln(m/V) linear-counting branch must land strictly closer to
+    // the exact count than the raw estimate it corrects
+    val row = Sketches.hllSummary(li, col("l_orderkey"), p = 9).head()
+    assert(row.getAs[Long]("zero_registers") > 0,
+      "test premise: small-range regime with empty registers")
+    val exact = row.getAs[Long]("exact_distinct").toDouble
+    val raw = row.getAs[Double]("est_raw")
+    val corr = row.getAs[Double]("est_corrected")
+    assert(math.abs(corr - exact) < math.abs(raw - exact),
+      s"corrected $corr should beat raw $raw vs exact $exact")
+    // and the reported relative errors agree with the estimates
+    assert(math.abs(row.getAs[Double]("rel_err_corrected"))
+      < math.abs(row.getAs[Double]("rel_err")))
+  }
+
+  test("CMS point-query returns absent keys with estimate >= 0") {
+    // the general point-query contract: a key the sketch never saw
+    // must still get a row (left-joined counters, absent cells = 0),
+    // never silently vanish from the output
+    val s = spark
+    import s.implicits._
+    val sketched = Seq("a", "b", "c").toDF("k")
+    val counters = Sketches.cmsCounters(sketched, col("k"),
+      d = 4, w = 1024)
+    val est = Sketches.cmsEstimate(counters,
+        Seq("a", "definitely_absent_key").toDF("k"), "k",
+        d = 4, w = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set("a", "definitely_absent_key"))
+    assert(est("a") >= 1L)
+    // 3 keys × 4 rows over w=1024 slots: the absent key's 4 cells are
+    // all empty for this fixed md5 layout, so the min is the true 0
+    assert(est("definitely_absent_key") == 0L)
+  }
+
   test("HLL rho via binary-string length equals the leading-zero rank") {
     // the core register formula: for the (60-p)-bit remainder, rho =
     // leading zeros within the field + 1, computed cross-engine-safely
