@@ -286,6 +286,30 @@ object TextQueries extends QueryModule {
         t(s, dir, "embeddings"), cells, cb)
     }
 
+  /** ADC short-list length for the exact re-rank stage: ~3×k is the
+    * production sweet spot (most of the recall@5 ADC lost sits just
+    * below the ADC top-5 boundary). */
+  private[queries] val RerankR = 16
+
+  /** IVF-PQ ADC candidate short list (top-$RerankR per query) — one
+    * build shared by the re-rank query (which re-scores it) and the
+    * A/B gain query (whose ADC-top-5 baseline is its rnk <= 5
+    * prefix). */
+  private[queries] def ivfPqCands(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "ivfpq_adc_cands") {
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
+        k = RerankR, nCells = 8, nProbe = 2, m = 4, subK = 8)
+    }
+
+  /** Exact-re-ranked top-5 over the shared ADC short list. */
+  private[queries] def rerankTop5(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "rerank_top5") {
+      Similarity.rerankExact(t(s, dir, "embeddings"),
+        col("vec_id") < 32, ivfPqCands(s, dir), k = 5)
+    }
+
   /** Shared product-quantization CTE chain (mirrors Similarity.pqTopK
     * at m=4 / subK=8 / queries vec_id < 32): per-dim explode →
     * subspace split → seed codebook → exact per-subspace squared
@@ -324,12 +348,10 @@ object TextQueries extends QueryModule {
           ORDER BY adc, vid) AS rnk
         FROM adc WHERE qid <> vid)"""
 
-  /** DuckDB oracle for the IVF-PQ ANN shape — shared verbatim by
-    * q_e_ann_ivfpq (the batch index) and q_e_ann_serve (the streaming
-    * serving column program run in batch mode): both must reproduce the
-    * same bit-exact answer. */
-  private def ivfPqOracle: String = s"""
-      WITH $pqCtes,
+  /** IVF-PQ CTE chain (through the ADC ranking `ranked2`) — the shared
+    * core of [[ivfPqOracle]] and the exact-re-rank oracles, which
+    * compose further CTEs on top of the ranked candidate list. */
+  private def ivfPqCtes: String = s"""$pqCtes,
       cellc AS (
         SELECT vec_id AS cell, i, x AS y FROM ex WHERE vec_id < 8),
       celld2 AS (
@@ -360,9 +382,37 @@ object TextQueries extends QueryModule {
         GROUP BY 1, 2),
       ranked2 AS (
         SELECT *, row_number() OVER (PARTITION BY qid
-          ORDER BY adc, vid) AS rnk FROM adc2)
+          ORDER BY adc, vid) AS rnk FROM adc2)"""
+
+  /** DuckDB oracle for the IVF-PQ ANN shape — shared verbatim by
+    * q_e_ann_ivfpq (the batch index) and q_e_ann_serve (the streaming
+    * serving column program run in batch mode): both must reproduce the
+    * same bit-exact answer. */
+  private def ivfPqOracle: String = s"""
+      WITH $ivfPqCtes
       SELECT qid, vid, adc, rnk FROM ranked2 WHERE rnk <= 5
       ORDER BY qid, rnk"""
+
+  /** Exact-re-rank CTEs on top of [[ivfPqCtes]]: the ADC top-$RerankR
+    * short list joins the stored full vectors, exact squared-L2
+    * (per-term decimal sums — the d2full/exact5 ground-truth
+    * convention) re-scores it, and `rranked` orders by (round-6 d2,
+    * vid). Shared by q_e_ann_rerank and q_e_rerank_gain. */
+  private def rerankCtes: String = s"""
+      adcR AS (
+        SELECT qid, vid, adc FROM ranked2 WHERE rnk <= $RerankR),
+      rqfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < 32),
+      rr AS (
+        SELECT a.qid, a.vid, a.adc,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM adcR a JOIN ex e ON e.vec_id = a.vid
+             JOIN rqfull q ON q.qid = a.qid AND q.i = e.i
+        GROUP BY 1, 2, 3),
+      rranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY d2, vid) AS rnk FROM rr)"""
 
 
   /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
@@ -1452,6 +1502,71 @@ object TextQueries extends QueryModule {
         .filter(col("rnk") <= 5)
         .select("qid", "vid", "adc", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // Exact re-rank refinement (Similarity.rerankExact) — the stage a
+    // production IVF-PQ server runs after ADC: the top-16 ADC
+    // candidates per query join their STORED full vectors and exact
+    // squared-L2 (the same per-term-decimal d2 as the ground truth)
+    // picks the final top-5. The full-vector cost is paid only on
+    // queries×16 rows, never the corpus. Oracle composes the IVF-PQ
+    // chain with the exact-distance re-score.
+    Q("q_e_ann_rerank", Some(s"""
+      WITH $ivfPqCtes, $rerankCtes
+      SELECT qid, vid, adc, d2, rnk FROM rranked WHERE rnk <= 5
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      rerankTop5(s, dir)
+        .select("qid", "vid", "adc", "d2", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // The A/B row the re-rank stage exists for: recall@5 vs the exact
+    // ground truth of (a) the raw ADC top-5 and (b) the re-ranked
+    // top-5 from the same candidate list — "re-rank buys back
+    // quantization recall" as an oracle-checked fact. Both rankings
+    // read the ONE shared ADC short-list stage.
+    Q("q_e_rerank_gain", Some(s"""
+      WITH $ivfPqCtes, $rerankCtes,
+      gqfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < 32),
+      gd2full AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM ex e JOIN gqfull q ON e.i = q.i AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      gexact5 AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM gd2full) WHERE rn <= 5),
+      adc5 AS (SELECT qid, vid FROM ranked2 WHERE rnk <= 5),
+      rer5 AS (SELECT qid, vid FROM rranked WHERE rnk <= 5)
+      SELECT * FROM (
+        SELECT 'ivfpq_adc' AS variant,
+               count(DISTINCT e.qid) AS n_queries,
+               round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+                 AS recall_at_5
+        FROM gexact5 e LEFT JOIN adc5 p
+          ON e.qid = p.qid AND e.vid = p.vid
+        UNION ALL
+        SELECT 'ivfpq_rerank', count(DISTINCT e.qid),
+               round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+        FROM gexact5 e LEFT JOIN rer5 p
+          ON e.qid = p.qid AND e.vid = p.vid)
+      ORDER BY variant""")) { (s, dir) =>
+      val exact5 = exactTop5(s, dir)
+      val adc5 = ivfPqCands(s, dir).filter(col("rnk") <= 5)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      val rer5 = rerankTop5(s, dir)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      def row(v: String, hits: DataFrame) =
+        exact5.join(hits, Seq("qid", "vid"), "left")
+          .agg(lit(v).as("variant"),
+            countDistinct(col("qid")).as("n_queries"),
+            round(count(col("hit")).cast("double") / count(lit(1)), 6)
+              .as("recall_at_5"))
+      row("ivfpq_adc", adc5).unionByName(row("ivfpq_rerank", rer5))
+        .orderBy("variant")
     },
 
     // PQ recall observability (the quality dial a production PQ

@@ -53,6 +53,7 @@ object Warmup {
       "exactTop5" -> (() => TextQueries.exactTop5(spark, dir).count()),
       "annServeIndex" ->
         (() => TextQueries.annServeIndex(spark, dir).count()),
+      "ivfPqCands" -> (() => TextQueries.ivfPqCands(spark, dir).count()),
       "hdbscanPairs" -> (() => MlQueries.hdbscanPairs(spark, dir).count()),
       "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count())))
 
@@ -77,6 +78,8 @@ object Warmup {
           "idxStarEdges" ->
             (() => TextQueries.idxStarEdges(spark, dir).count()),
           "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()),
+          "rerankTop5" ->
+            (() => TextQueries.rerankTop5(spark, dir).count()),
           "lloydTop5" -> (() => TextQueries.lloydTop5(spark, dir).count()),
           "lloydAssign" ->
             (() => MlQueries.lloydAssign(spark, dir).count()),

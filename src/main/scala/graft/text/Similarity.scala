@@ -475,6 +475,46 @@ object Similarity {
     adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Exact re-rank refinement over an ADC candidate list — the stage a
+    * production IVF-PQ server runs to buy back the recall quantization
+    * costs: the top-R candidates per query (already ADC-ranked, R ≈
+    * 2–10×k) join their STORED full vectors, exact squared-L2 re-scores
+    * them (the `VecSqDist18` exact-decimal fold — bit-identical to the
+    * per-term DECIMAL(38,18) sums the ground-truth oracle uses), and
+    * the best k by (round-6 d2, id) survive. Scale shape: the join
+    * touches only queries×R full vectors (candidate-keyed equi-join
+    * against the vector store), never the corpus — ADC pruned the scan,
+    * re-rank pays full-vector cost only on the short list.
+    * Returns (qid, vid, adc, d2, rnk). */
+  def rerankExact(emb: DataFrame, queryPred: Column,
+      adcCands: DataFrame, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = adcCands.select("qid", "vid", "adc")
+      .join(e.select(col("vec_id").as("vid"), col("v")), Seq("vid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vid"), col("adc"),
+        round(graft.functions.VecOps.sqDist18(col("qv"), col("v")), 6)
+          .as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("vid"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF-PQ with the exact re-rank refinement composed in: ADC ranks
+    * the probed-cell candidates ([[ivfPqTopK]] at k = rerankR), then
+    * [[rerankExact]] re-scores that short list from the stored full
+    * vectors. With rerankR = corpus size and nProbe = nCells this is
+    * exactly the brute-force squared-L2 top-k (locked by
+    * SimilaritySpec); production Rs of 2–10×k recover most of the
+    * ADC recall loss at short-list cost. */
+  def ivfPqRerankTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int, nProbe: Int, rerankR: Int, m: Int = 4,
+      subK: Int = 8): DataFrame =
+    rerankExact(emb, queryPred,
+      ivfPqTopK(emb, queryPred, rerankR, nCells, nProbe, m, subK), k)
+
   /** ANN via LSH buckets: candidate pairs share a bucket; exact cosine is
     * computed only within buckets. Returns (qid, vid, cos_sim, rnk). */
   def annLsh(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {

@@ -144,6 +144,65 @@ class SimilaritySpec extends SparkSpec {
     assert(cmp("mllib_kmeans") >= cmp("seed_slice"), s"recall cmp: $cmp")
   }
 
+  test("full-list re-rank over all cells equals exact squared-L2 top-k") {
+    // with nProbe = nCells and the whole corpus as the ADC short list,
+    // the re-rank stage IS brute-force exact L2: the ADC ordering only
+    // chose candidates, and every candidate got exact-re-scored
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pred = col("vec_id") < 16
+    val n = emb.count().toInt
+    val rer = Similarity.ivfPqRerankTopK(emb, pred, k = 5, nCells = 8,
+        nProbe = 8, rerankR = n)
+      .select("qid", "vid", "d2", "rnk")
+    // independent exact formulation: per-term decimal sums via explode
+    val ex = emb.select(col("vec_id"),
+      posexplode(Similarity.asDouble(col("embedding"))).as(Seq("i", "x")))
+    val q = ex.filter(pred).select(col("vec_id").as("qid"),
+      col("i").as("qi"), col("x").as("qx"))
+    val d2full = ex.join(broadcast(q),
+        col("i") === col("qi") && col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("vid"))
+      .agg(round(sum(((col("x") - col("qx")) * (col("x") - col("qx")))
+        .cast("decimal(38,18)")).cast("double"), 6).as("d2"))
+    val exact = d2full.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2"), col("vid"))))
+      .filter(col("rnk") <= 5).select("qid", "vid", "d2", "rnk")
+    assert(rer.exceptAll(exact).isEmpty && exact.exceptAll(rer).isEmpty,
+      "exhaustive re-rank must equal brute-force exact top-k")
+  }
+
+  test("re-rank recall@5 >= raw ADC recall@5 from the same short list") {
+    // the refinement can only fix ADC ordering mistakes inside the
+    // candidate list, never lose a hit: every exact-ground-truth member
+    // the ADC top-5 found is still in the top-16 short list, and exact
+    // d2 ranks it at least as well
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pred = col("vec_id") < 32
+    val cands = Similarity.ivfPqTopK(emb, pred, k = 16, nCells = 8,
+      nProbe = 2)
+    val adc5 = cands.filter(col("rnk") <= 5).select("qid", "vid")
+    val rer5 = Similarity.rerankExact(emb, pred, cands, k = 5)
+      .select("qid", "vid")
+    val ex = emb.select(col("vec_id"),
+      posexplode(Similarity.asDouble(col("embedding"))).as(Seq("i", "x")))
+    val q = ex.filter(pred).select(col("vec_id").as("qid"),
+      col("i").as("qi"), col("x").as("qx"))
+    val exact5 = ex.join(broadcast(q),
+        col("i") === col("qi") && col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("vid"))
+      .agg(round(sum(((col("x") - col("qx")) * (col("x") - col("qx")))
+        .cast("decimal(38,18)")).cast("double"), 6).as("d2"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2"), col("vid"))))
+      .filter(col("rnk") <= 5).select("qid", "vid")
+    def recall(top5: org.apache.spark.sql.DataFrame): Long =
+      exact5.join(top5, Seq("qid", "vid")).count()
+    val (ra, rr) = (recall(adc5), recall(rer5))
+    assert(rr >= ra, s"re-rank hits $rr must be >= adc hits $ra")
+  }
+
   test("partial-probe IVF returns k ranked candidates bounded by exact") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pred = col("vec_id") < 16
