@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** The pluggable media-decoder seam: the batched mapPartitions path
+  * must (a) agree with the codegen expression path under the stub,
+  * (b) be batch-size invariant (the batching is an amortization
+  * detail, never a semantic one), and (c) carry a REAL header-parsing
+  * decoder — PNG IHDR dimensions parsed straight from payload bytes —
+  * through the identical plan shape. */
+class MultimodalSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text")
+
+  test("stub batch decode agrees with the expression decode path") {
+    val media = Multimodal.withPayload(docs)
+    val exprPath = Multimodal.decodeMeta(media)
+      .select("doc_id", "byte_len", "width", "height")
+    val batchPath = Multimodal.decodeFeaturesBatched(media, 32,
+        Multimodal.StubDecoder)
+      .select("doc_id", "byte_len", "width", "height")
+    assert(batchPath.exceptAll(exprPath).isEmpty &&
+      exprPath.exceptAll(batchPath).isEmpty,
+      "batched stub decode must equal the codegen expression decode")
+  }
+
+  test("batch size never changes the decoded result") {
+    val media = Multimodal.withPayload(docs)
+    val one = Multimodal.decodeFeaturesBatched(media, 1,
+      Multimodal.StubDecoder)
+    val big = Multimodal.decodeFeaturesBatched(media, 256,
+      Multimodal.StubDecoder)
+    assert(one.exceptAll(big).isEmpty && big.exceptAll(one).isEmpty)
+  }
+
+  test("PNG header decoder parses real IHDR dimensions through the seam") {
+    val s = spark
+    import s.implicits._
+    // handcrafted minimal PNG prefixes: signature + IHDR length/type +
+    // big-endian width/height + the rest of the 13-byte IHDR body
+    def png(w: Int, h: Int): Array[Byte] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      val ihdrLen = Array(0, 0, 0, 13)
+      val ihdr = "IHDR".getBytes("US-ASCII").map(_.toInt)
+      def be(v: Int) =
+        Array(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+      val body = Array(8, 6, 0, 0, 0) // bit depth, color, the rest
+      (sig ++ ihdrLen ++ ihdr ++ be(w) ++ be(h) ++ body).map(_.toByte)
+    }
+    val rows = Seq(
+      (1L, png(640, 480)),
+      (2L, png(1, 1)),
+      (3L, png(65535, 3)),
+      (4L, "not a png at all, just text bytes".getBytes("UTF-8")))
+    val media = rows.toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeaturesBatched(media, 2,
+        Multimodal.PngHeaderDecoder)
+      .select("doc_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(out(1L) == ((640, 480)))
+    assert(out(2L) == ((1, 1)))
+    assert(out(3L) == ((65535, 3)))
+    assert(out(4L) == ((-1, -1)),
+      "non-PNG payloads must quarantine to (-1, -1), not throw")
+  }
+}
