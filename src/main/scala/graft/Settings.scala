@@ -65,6 +65,29 @@ object Settings {
   /** Comma-separated int list (yaml `[5, 20]` → `5,20`). */
   def ints(key: String, default: Seq[Int]): Seq[Int] =
     raw(key).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(default)
+  /** Comma-separated double list (yaml `[0.0, 1.0]` → `0,1`). */
+  def dbls(key: String, default: Seq[Double]): Seq[Double] =
+    raw(key).map(_.split(",").map(_.trim.toDouble).toSeq).getOrElse(default)
+  /** Comma-separated string list. */
+  def strs(key: String, default: Seq[String]): Seq[String] =
+    raw(key).map(_.split(",").map(_.trim).toSeq).getOrElse(default)
+  /** Optional double: the literals `null` / `none` (yaml `null`) mean
+    * absent. */
+  def dblOpt(key: String, default: Option[Double]): Option[Double] =
+    raw(key).map(_.trim).map {
+      case v if v.equalsIgnoreCase("null") || v.equalsIgnoreCase("none") =>
+        None
+      case v => Some(v.toDouble)
+    }.getOrElse(default)
+  /** Comma-separated optional-double list (yaml `[null, 5.0]` →
+    * `null,5.0`). */
+  def dblOpts(key: String, default: Seq[Option[Double]])
+      : Seq[Option[Double]] =
+    raw(key).map(_.split(",").map(_.trim).toSeq.map {
+      case v if v.equalsIgnoreCase("null") || v.equalsIgnoreCase("none") =>
+        None
+      case v => Option(v.toDouble)
+    }).getOrElse(default)
 
   // ---- typed views of the sections the engine consumes --------------
   // Key names and defaults match configs/settings.yaml verbatim.
@@ -131,5 +154,161 @@ object Settings {
   /** `parquet:` block (settings.yaml:19-22). */
   object parquet {
     def compression: String = str("parquet.compression", "zstd")
+  }
+
+  /** `cluster_hardening:` block (settings.yaml:101-126) — the
+    * ALLOW/WATCH/BLOCK policy thresholds, risk penalties, and score
+    * weights the tradability scorer applies. `min_transition_events`
+    * and `near_zero_abs_mean` are the hardening module's own internal
+    * defaults (ref research/cluster_hardening.py), surfaced alongside
+    * the yaml keys. */
+  object clusterHardening {
+    def minNRowsHard: Int = int("cluster_hardening.min_n_rows_hard", 200)
+    def minStateShareHard: Double = dbl("cluster_hardening.min_state_share_hard", 0.03)
+    def retCvHard: Double = dbl("cluster_hardening.ret_cv_hard", 6.0)
+    def signConsistencyHard: Double = dbl("cluster_hardening.sign_consistency_hard", 0.55)
+    def ciWidthHardQuantile: Double = dbl("cluster_hardening.ci_width_hard_quantile", 0.8)
+    def scoreMinAllow: Double = dbl("cluster_hardening.score_min_allow", 70.0)
+    def scoreMinWatch: Double = dbl("cluster_hardening.score_min_watch", 45.0)
+    def minTransitionEvents: Int = int("cluster_hardening.min_transition_events", 40)
+    def nearZeroAbsMean: Double = dbl("cluster_hardening.near_zero_abs_mean", 0.001)
+    def penLowN: Double = dbl("cluster_hardening.penalties.LOW_N", 20.0)
+    def penLowOccupancy: Double = dbl("cluster_hardening.penalties.LOW_OCCUPANCY", 20.0)
+    def penNearZero: Double = dbl("cluster_hardening.penalties.MEAN_NEAR_ZERO_CV_INFLATION", 15.0)
+    def penWideCi: Double = dbl("cluster_hardening.penalties.WIDE_CI", 15.0)
+    def penSignFlip: Double = dbl("cluster_hardening.penalties.SIGN_FLIP_ACROSS_WINDOWS", 20.0)
+    def penDrift: Double = dbl("cluster_hardening.penalties.WINDOW_DRIFT_HIGH", 15.0)
+    def penOutlier: Double = dbl("cluster_hardening.penalties.LIKELY_OUTLIER_WINDOW", 10.0)
+    def penSparse: Double = dbl("cluster_hardening.penalties.TRANSITIONS_TOO_SPARSE", 10.0)
+    def wSampleSize: Double = dbl("cluster_hardening.weights.sample_size", 0.15)
+    def wOccupancy: Double = dbl("cluster_hardening.weights.occupancy", 0.15)
+    def wSignConfidence: Double = dbl("cluster_hardening.weights.sign_confidence", 0.2)
+    def wCiWidth: Double = dbl("cluster_hardening.weights.ci_width", 0.15)
+    def wSignConsistency: Double = dbl("cluster_hardening.weights.sign_consistency", 0.15)
+    def wRetCv: Double = dbl("cluster_hardening.weights.ret_cv", 0.1)
+    def wConfidenceScore: Double = dbl("cluster_hardening.weights.confidence_score", 0.1)
+  }
+
+  /** `backtest_execution_realism:` block (settings.yaml:169-196).
+    * The yaml expresses gates as named profiles; [[profileMinPrice]]
+    * etc. resolve a profile's thresholds with per-key overrides, and
+    * the `gate.*` keys pin the demo gate the driver's q_exec_* queries
+    * apply (minPrice 5 / dollarVol 500k / warmup 21 / volCap 8%). */
+  object execRealism {
+    def defaultProfile: String = str("backtest_execution_realism.default_profile", "none")
+    def dollarVolWindow: Int = int("backtest_execution_realism.dollar_vol_window", 20)
+    def minHistoryBarsDefault: Int = int("backtest_execution_realism.min_history_bars_default", 50)
+    private val profileDefaults: Map[String, (Option[Double], Option[Double], Option[Double], Option[Double])] = Map(
+      "none" -> ((None, None, None, None)),
+      "lite" -> ((Some(2.0), Some(1000000.0), Some(0.12), Some(50.0))),
+      "strict" -> ((Some(5.0), Some(5000000.0), Some(0.08), Some(100.0))))
+    private def pd(name: String) = profileDefaults.getOrElse(name, (None, None, None, None))
+    def profileMinPrice(name: String): Option[Double] =
+      dblOpt(s"backtest_execution_realism.profiles.$name.min_price", pd(name)._1)
+    def profileMinDollarVol20(name: String): Option[Double] =
+      dblOpt(s"backtest_execution_realism.profiles.$name.min_dollar_vol_20", pd(name)._2)
+    def profileMaxVolPct(name: String): Option[Double] =
+      dblOpt(s"backtest_execution_realism.profiles.$name.max_vol_pct", pd(name)._3)
+    def profileMinHistoryBars(name: String): Option[Int] =
+      dblOpt(s"backtest_execution_realism.profiles.$name.min_history_bars_for_execution",
+        pd(name)._4).map(_.toInt)
+    def gateMinPrice: Double = dbl("backtest_execution_realism.gate.min_price", 5.0)
+    def gateMinDollarVol: Double = dbl("backtest_execution_realism.gate.min_dollar_vol_20", 500000.0)
+    def gateWarmupBars: Int = int("backtest_execution_realism.gate.min_history_bars_for_execution", 21)
+    def gateMaxVolPct: Option[Double] = dblOpt("backtest_execution_realism.gate.max_vol_pct", Some(8.0))
+  }
+
+  /** `backtest_policy_overlay:` block (settings.yaml:152-159). */
+  object policyOverlay {
+    def defaultOverlayMode: String = str("backtest_policy_overlay.default_overlay_mode", "none")
+    def joinKeys: Seq[String] = strs("backtest_policy_overlay.join_keys", Seq("ticker", "trade_date"))
+    def allowUnknownForBlockVeto: Boolean = bool("backtest_policy_overlay.allow_unknown_for_block_veto", true)
+    def minOverlayMatchRateWarn: Double = dbl("backtest_policy_overlay.min_overlay_match_rate_warn", 0.80)
+    def dedupeRule: String = str("backtest_policy_overlay.dedupe_rule", "first")
+  }
+
+  /** `overlay_coverage_policy:` block (settings.yaml:161-168). */
+  object overlayCoverage {
+    def coverageMode: String = str("overlay_coverage_policy.coverage_mode", "warn_only")
+    def minMatchRateWarn: Double = dbl("overlay_coverage_policy.min_match_rate_warn", 0.80)
+    def minMatchRateFail: Double = dbl("overlay_coverage_policy.min_match_rate_fail", 0.60)
+    def minYearMatchRateWarn: Double = dbl("overlay_coverage_policy.min_year_match_rate_warn", 0.70)
+    def minYearMatchRateFail: Double = dbl("overlay_coverage_policy.min_year_match_rate_fail", 0.50)
+    def unknownRateWarn: Double = dbl("overlay_coverage_policy.unknown_rate_warn", 0.25)
+    def unknownRateFail: Double = dbl("overlay_coverage_policy.unknown_rate_fail", 0.50)
+    def unknownHandling: String = str("overlay_coverage_policy.unknown_handling", "treat_unknown_as_pass")
+  }
+
+  /** `backtest_execution_calibration:` block (settings.yaml:198-217) —
+    * the 4×5×7×2 sweep grid and the recommendation bands. */
+  object execCalibration {
+    def sweepMinPrice: Seq[Double] =
+      dbls("backtest_execution_calibration.sweep.min_price", Seq(0.0, 1.0, 2.0, 5.0))
+    def sweepMinDollarVol20: Seq[Double] =
+      dbls("backtest_execution_calibration.sweep.min_dollar_vol20",
+        Seq(0.0, 250000.0, 500000.0, 1000000.0, 2000000.0))
+    def sweepMaxVolPct: Seq[Option[Double]] =
+      dblOpts("backtest_execution_calibration.sweep.max_vol_pct",
+        Seq(None, Some(5.0), Some(8.0), Some(10.0), Some(15.0), Some(20.0), Some(30.0)))
+    def sweepMinHistoryBars: Seq[Int] =
+      ints("backtest_execution_calibration.sweep.min_history_bars", Seq(20, 50))
+    def liteEligibilityMin: Double = dbl("backtest_execution_calibration.target_lite_eligibility_min", 0.20)
+    def liteEligibilityMax: Double = dbl("backtest_execution_calibration.target_lite_eligibility_max", 0.60)
+    def strictEligibilityMin: Double = dbl("backtest_execution_calibration.target_strict_eligibility_min", 0.05)
+    def strictEligibilityMax: Double = dbl("backtest_execution_calibration.target_strict_eligibility_max", 0.30)
+    def minEligibleSignals: Int = int("backtest_execution_calibration.min_eligible_signals", 100)
+    def maxSingleReasonShare: Double = dbl("backtest_execution_calibration.max_single_reason_share", 0.95)
+    def topKRecommendations: Int = int("backtest_execution_calibration.top_k_recommendations", 5)
+  }
+
+  /** `candidate_rerun:` drift thresholds (settings.yaml:244-259,
+    * ref config.py:438-442). */
+  object candidateRerun {
+    def expectancyDropPctFlag: Double = dbl("candidate_rerun.drift.expectancy_drop_pct_flag", 0.30)
+    def pfDropPctFlag: Double = dbl("candidate_rerun.drift.pf_drop_pct_flag", 0.25)
+    def robustnessDropPointsFlag: Double = dbl("candidate_rerun.drift.robustness_drop_points_flag", 10.0)
+    def retCvIncreasePctFlag: Double = dbl("candidate_rerun.drift.ret_cv_increase_pct_flag", 0.50)
+    def tradeCountDropPctFlag: Double = dbl("candidate_rerun.drift.trade_count_drop_pct_flag", 0.40)
+    def overlayMatchRateMin: Double = dbl("candidate_rerun.drift.overlay_match_rate_min", 0.80)
+  }
+
+  /** `ops_nightly:` block (settings.yaml:261-266). */
+  object opsNightly {
+    def keepLastN: Int = int("ops_nightly.keep_last_n", 30)
+    def defaultCoverageMode: String = str("ops_nightly.default_coverage_mode", "warn_only")
+    def defaultWfEnabled: Boolean = bool("ops_nightly.default_wf_enabled", true)
+  }
+
+  /** `research_clustering:` block (settings.yaml:268-310). Fit-scale
+    * keys whose compiled defaults deliberately diverge from the yaml
+    * (kmeans n_init 3 / max_iter 20 vs 20/300; silhouette cap 500 vs
+    * 200000) are pinned to the driver fixtures' scale — the yaml
+    * values are production-sized and remain one override away. */
+  object researchClustering {
+    def scaler: String = str("research_clustering.scaler", "standard")
+    def scalingScopeDefault: String = str("research_clustering.scaling_scope_default", "global")
+    def clipZscore: Double = dbl("research_clustering.clip_zscore", 8.0)
+    def silhouetteSampleMax: Int = int("research_clustering.silhouette_sample_max", 500)
+    def randomState: Int = int("research_clustering.random_state", 42)
+    def kmeansNInit: Int = int("research_clustering.kmeans.n_init", 3)
+    def kmeansMaxIter: Int = int("research_clustering.kmeans.max_iter", 20)
+    def gmmMaxIter: Int = int("research_clustering.gmm.max_iter", 60)
+    def stabilitySeedsDefault: Int = int("research_clustering.stability.seeds_default", 10)
+    def stabilitySeedStart: Int = int("research_clustering.stability.seed_start_default", 42)
+    def forwardWindows: Seq[Int] = ints("research_clustering.forward_windows", Seq(5, 10, 20))
+  }
+
+  /** `research_hmm:` block (settings.yaml:312-364). Same fixture-scale
+    * caveat as research_clustering: n_iter 30 / min_sequence_length 10
+    * / sweep 4..8 are the engine's driver-fixture defaults; the yaml's
+    * production values (200 / 100 / [4,5,6,8]) are overrides. */
+  object researchHmm {
+    def nComponentsDefault: Int = int("research_hmm.hmm.n_components_default", 5)
+    def nIter: Int = int("research_hmm.hmm.n_iter", 30)
+    def randomState: Int = int("research_hmm.hmm.random_state", 42)
+    def minSequenceLength: Int = int("research_hmm.min_sequence_length", 10)
+    def sweepComponents: Seq[Int] = ints("research_hmm.sweep.components_default", Seq(4, 5, 6, 7, 8))
+    def stabilitySeedsDefault: Int = int("research_hmm.stability.seeds_default", 5)
+    def stabilitySeedStart: Int = int("research_hmm.stability.seed_start_default", 42)
   }
 }

@@ -28,7 +28,13 @@ object SparkEntry {
     ProductionQueries, CalibrationQueries, HybridQueries, CurationQueries,
     EventQueries, SanityQueries)
 
-  private lazy val registry: Seq[Q] = modules.flatMap(_.all)
+  // a def, NOT a lazy val: every module's `all` interpolates live
+  // graft.Settings lookups into its oracle SQL, so the registry must be
+  // rebuilt per access for a Settings override to reach BOTH the engine
+  // plan and the oracle text (the desync-proof contract SettingsSpec
+  // locks). Registry construction is pure string/closure assembly —
+  // no Spark actions — so the per-access cost is milliseconds.
+  private def registry: Seq[Q] = modules.flatMap(_.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises scan → broadcast dim join → fact join → agg → window rank. */

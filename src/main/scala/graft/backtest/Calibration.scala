@@ -24,21 +24,32 @@ import graft.ops.Cols
   */
 object Calibration {
 
-  /** Default sweep ranges (ref config.py:350-359). */
-  val Prices: Seq[Double] = Seq(0.0, 1.0, 2.0, 5.0)
-  val DollarVols: Seq[Double] =
-    Seq(0.0, 250000.0, 500000.0, 1000000.0, 2000000.0)
-  val MaxVolPcts: Seq[Option[Double]] =
-    Seq(None, Some(5.0), Some(8.0), Some(10.0), Some(15.0), Some(20.0),
-      Some(30.0))
-  val HistBars: Seq[Int] = Seq(20, 50)
+  /** Default sweep ranges (ref config.py:350-359), resolved live
+    * through [[graft.Settings.execCalibration]] so a deployment tunes
+    * the grid without recompiling; the oracle SQL interpolates the
+    * same defs, so an override can never desynchronize engine vs
+    * oracle. */
+  def Prices: Seq[Double] = graft.Settings.execCalibration.sweepMinPrice
+  def DollarVols: Seq[Double] =
+    graft.Settings.execCalibration.sweepMinDollarVol20
+  def MaxVolPcts: Seq[Option[Double]] =
+    graft.Settings.execCalibration.sweepMaxVolPct
+  def HistBars: Seq[Int] =
+    graft.Settings.execCalibration.sweepMinHistoryBars
 
-  /** Recommendation targets (ref config.py:365-372). */
-  val LiteBand: (Double, Double) = (0.20, 0.60)
-  val StrictBand: (Double, Double) = (0.05, 0.30)
-  val MinEligibleSignals = 100
-  val MaxSingleReasonShare = 0.95
-  val TopK = 5
+  /** Recommendation targets (ref config.py:365-372), Settings-backed
+    * like the grid. */
+  def LiteBand: (Double, Double) =
+    (graft.Settings.execCalibration.liteEligibilityMin,
+      graft.Settings.execCalibration.liteEligibilityMax)
+  def StrictBand: (Double, Double) =
+    (graft.Settings.execCalibration.strictEligibilityMin,
+      graft.Settings.execCalibration.strictEligibilityMax)
+  def MinEligibleSignals: Int =
+    graft.Settings.execCalibration.minEligibleSignals
+  def MaxSingleReasonShare: Double =
+    graft.Settings.execCalibration.maxSingleReasonShare
+  def TopK: Int = graft.Settings.execCalibration.topKRecommendations
 
   case class ExecCombo(idx: Int, minPrice: Double, minDollarVol: Double,
       maxVolPct: Option[Double], minHist: Int) {
@@ -47,8 +58,9 @@ object Calibration {
   }
 
   /** The 4×5×7×2 grid in product order (prices outermost), ids 1-based —
-    * identical to the reference's enumerate(product(...), start=1). */
-  val Combos: Seq[ExecCombo] = for {
+    * identical to the reference's enumerate(product(...), start=1).
+    * A `def`: the ranges are live Settings lookups. */
+  def Combos: Seq[ExecCombo] = for {
     (p, pi) <- Prices.zipWithIndex
     (d, di) <- DollarVols.zipWithIndex
     (v, vi) <- MaxVolPcts.zipWithIndex

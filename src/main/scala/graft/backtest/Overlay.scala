@@ -1,6 +1,6 @@
 package graft.backtest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{Cols, Wins}
@@ -48,6 +48,27 @@ object Overlay {
       Cols.hitRate(col("overlay_covered")).as("coverage_rate"),
       Cols.hitRate(col("policy_allowed")).as("allow_rate"))
 
+  /** OK / WARN / FAIL grade of a coverage-stats frame against the
+    * `overlay_coverage_policy` thresholds (ref config.py:272-277):
+    * FAIL below min_match_rate_fail, WARN below min_match_rate_warn,
+    * OK otherwise — Settings-resolved, so the gate is tunable without
+    * recompiling and the oracle interpolates the identical
+    * thresholds. */
+  def coverageStatus(rate: Column): Column = {
+    val P = graft.Settings.overlayCoverage
+    when(rate < P.minMatchRateFail, "FAIL")
+      .when(rate < P.minMatchRateWarn, "WARN")
+      .otherwise("OK")
+  }
+
+  /** SQL twin of [[coverageStatus]] over a rate expression. */
+  def coverageStatusSql(rate: String): String = {
+    val P = graft.Settings.overlayCoverage
+    s"""CASE WHEN $rate < ${P.minMatchRateFail} THEN 'FAIL'
+            WHEN $rate < ${P.minMatchRateWarn} THEN 'WARN'
+            ELSE 'OK' END"""
+  }
+
   /** Execution-realism filter with full reference parity
     * (ref execution_realism.py:208-468):
     *  - liquidity: rolling-MEDIAN dollar volume, window=minSamples=20,
@@ -71,7 +92,9 @@ object Overlay {
     * sweep share ONE feature pass — the sweep applies its 280 threshold
     * combos on top of this frame instead of recomputing the windows per
     * combo (the reference re-runs the whole filter per combo). */
-  def realismFeatures(bars: DataFrame, dvWindow: Int = 20): DataFrame = {
+  def realismFeatures(bars: DataFrame,
+      dvWindow: Int = graft.Settings.execRealism.dollarVolWindow)
+      : DataFrame = {
     val w = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
     val withCols = bars
       .withColumn("exec_dollar_vol",
@@ -125,7 +148,9 @@ object Overlay {
 
   /** SQL mirror of realismFeatures over CTE `bars` → CTE `erf` with
     * (ticker, bar_ts, bar_id, close, dv_med_20, hist, vol_pct). */
-  def realismFeaturesSql(dvWindow: Int = 20): String = s"""
+  def realismFeaturesSql(
+      dvWindow: Int = graft.Settings.execRealism.dollarVolWindow)
+      : String = s"""
       er0 AS (
         SELECT ticker, bar_ts, bar_id, close,
                CASE WHEN count(close * volume) OVER wdv >= $dvWindow

@@ -19,16 +19,21 @@ import scala.jdk.CollectionConverters._
 object NightlyOps {
 
   /** Coverage policy thresholds (ref config.py:272-277 overlay policy
-    * defaults). */
-  val MatchRateWarn = 0.80
-  val MatchRateFail = 0.60
-  val UnknownRateWarn = 0.25
-  val UnknownRateFail = 0.50
+    * defaults), resolved live through
+    * [[graft.Settings.overlayCoverage]]. */
+  def MatchRateWarn: Double =
+    graft.Settings.overlayCoverage.minMatchRateWarn
+  def MatchRateFail: Double =
+    graft.Settings.overlayCoverage.minMatchRateFail
+  def UnknownRateWarn: Double =
+    graft.Settings.overlayCoverage.unknownRateWarn
+  def UnknownRateFail: Double =
+    graft.Settings.overlayCoverage.unknownRateFail
 
   /** Ledger location + retention defaults (ref config.py:469-476
-    * OpsNightlyConfig). */
+    * OpsNightlyConfig), retention via [[graft.Settings.opsNightly]]. */
   val DefaultLedgerRelPath = "ops_ledger/ops_ledger.csv"
-  val DefaultKeepLastN = 30
+  def DefaultKeepLastN: Int = graft.Settings.opsNightly.keepLastN
 
   case class Result(
     runId: String,
@@ -74,7 +79,9 @@ object NightlyOps {
     * coverage gate demotes to WARN with a recorded warning) or
     * `strict_fail` (ref --overlay-coverage-mode). */
   def run(spark: SparkSession, sfDir: String, artifactsRoot: String,
-      asOfTag: String, coverageMode: String = "warn_only",
+      asOfTag: String,
+      coverageMode: String =
+        graft.Settings.opsNightly.defaultCoverageMode,
       keepLastN: Int = DefaultKeepLastN): Result = {
     require(Seq("warn_only", "strict_fail").contains(coverageMode),
       s"coverageMode must be warn_only or strict_fail, got $coverageMode")

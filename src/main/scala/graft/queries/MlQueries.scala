@@ -28,9 +28,14 @@ object MlQueries extends QueryModule {
 
   /** Deterministic cap on the silhouette's all-pairs input — the
     * reference caps silhouette the same way (clustering.py
-    * silhouette_sample_max); contiguous vec_ids make `vec_id < cap` a
-    * deterministic sample. DB/centroid math is linear and uncapped. */
-  val SilhouetteCap = 500
+    * silhouette_sample_max, settings key
+    * research_clustering.silhouette_sample_max); contiguous vec_ids
+    * make `vec_id < cap` a deterministic sample. DB/centroid math is
+    * linear and uncapped. Resolved live so both the engine frame and
+    * the oracle SQL (which interpolates this def per build) honor an
+    * override together. */
+  def SilhouetteCap: Int =
+    graft.Settings.researchClustering.silhouetteSampleMax
 
   /** Oracle for q_cluster_metrics: sklearn-semantics silhouette +
     * Davies-Bouldin over the seed assignment, every cross-row sum via
@@ -127,8 +132,12 @@ object MlQueries extends QueryModule {
     Stage.cached(s, dir, "kmeans_labeled") {
       val emb = Clustering.withFeatures(t(s, dir, "embeddings"),
         "embedding")
-      Clustering.kmeansBest(emb, k = 8, nInit = 3, maxIter = 20,
-        baseSeed = 42L)._1
+      // n_init / max_iter / seed resolve through research_clustering
+      // (fixture-scale defaults; the yaml's 20/300 are one override
+      // away — Settings scaladoc documents the divergence)
+      val rc = graft.Settings.researchClustering
+      Clustering.kmeansBest(emb, k = 8, nInit = rc.kmeansNInit,
+        maxIter = rc.kmeansMaxIter, baseSeed = rc.randomState.toLong)._1
     }
 
   /** Nearest-centroid assignment against the deterministic first-k-ids
@@ -437,7 +446,8 @@ object MlQueries extends QueryModule {
       val data = in.orderBy("id").limit(MlQueries.GmmFitCap)
         .as[(Long, Array[Double])].collect().sortBy(_._1)
         .map(_._2)
-      val (model, ll) = graft.ml.DiagGmm.fit(data, k = 5, nIter = 60)
+      val (model, ll) = graft.ml.DiagGmm.fit(data, k = 5,
+        nIter = graft.Settings.researchClustering.gmmMaxIter)
       graft.ml.DiagGmm.transform(in, model)
         .select(col("id").as("vec_id"), col("cluster"),
           round(col("prob_max"), 6).as("prob_max"),
@@ -744,7 +754,12 @@ object MlQueries extends QueryModule {
       val spark = s
       import spark.implicits._
       val ev = MlQueries.hmmInput(s, dir)
-      val seqs = Hmm.collectSequences(ev, minLen = 10, maxPerKey = 5000,
+      // sweep shape resolves through research_hmm (sweep components,
+      // per-fit iterations, minimum sequence length) — fixture-scale
+      // defaults, production values one override away
+      val rh = graft.Settings.researchHmm
+      val seqs = Hmm.collectSequences(ev,
+        minLen = rh.minSequenceLength, maxPerKey = 5000,
         maxTotalPoints = 20000L)
       // the per-k fits are independent driver-local EMs (plus one small
       // decode job each) — run them on a thread pool; traverse keeps
@@ -752,9 +767,9 @@ object MlQueries extends QueryModule {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec = graft.ops.Pools.jobs
-      val rows = Await.result(Future.traverse((4 to 8).toList) { k =>
-        Future {
-          val fr = Hmm.fitResult(seqs, k, nIter = 30)
+      val rows = Await.result(Future.traverse(rh.sweepComponents.toList) {
+        k => Future {
+          val fr = Hmm.fitResult(seqs, k, nIter = rh.nIter)
           // decode stays distributed; only the k-row share table collects
           val st = Hmm.decode(ev, fr.model)
             .groupBy("hmm_state").count().collect()

@@ -28,11 +28,17 @@ object ProductionQueries extends QueryModule {
     * combo qualifies. */
   val MinTrades = 30
 
-  /** Drift thresholds (ref config.py:438-442 CandidateRerunConfig). */
-  val ExpectancyDropPct = 0.30
-  val PfDropPct = 0.25
-  val RetCvIncreasePct = 0.50
-  val TradeCountDropPct = 0.40
+  /** Drift thresholds (ref config.py:438-442 CandidateRerunConfig),
+    * resolved live through [[graft.Settings.candidateRerun]] — the
+    * oracle SQL interpolates the same defs, so overrides stay
+    * engine/oracle-consistent. */
+  def ExpectancyDropPct: Double =
+    graft.Settings.candidateRerun.expectancyDropPctFlag
+  def PfDropPct: Double = graft.Settings.candidateRerun.pfDropPctFlag
+  def RetCvIncreasePct: Double =
+    graft.Settings.candidateRerun.retCvIncreasePctFlag
+  def TradeCountDropPct: Double =
+    graft.Settings.candidateRerun.tradeCountDropPctFlag
 
   private def prefixSql =
     s"""${MarketData.barsSql},

@@ -14,6 +14,12 @@ import graft.ops.Cols
   */
 object ResearchQueries extends QueryModule {
 
+  /** cluster_hardening thresholds/penalties/weights, Settings-resolved
+    * (ref configs/settings.yaml:101-126) — interpolated into BOTH the
+    * engine column program and the oracle SQL per build, so an
+    * override can never desynchronize the two. */
+  private def H = graft.Settings.clusterHardening
+
   private val BvKeys = Seq("ticker", "bar_ts", "bar_id")
 
   /** (state, keys, fwd_ret_10) non-null forward-outcome frame shared by
@@ -665,7 +671,7 @@ object ResearchQueries extends QueryModule {
         GROUP BY 1),
       hmax AS (SELECT max(n_rows) AS max_n,
                       max(state_share_mean) AS max_share FROM confd),
-      cihard AS (SELECT quantile_cont(ci_width, 0.8) AS ci_hard
+      cihard AS (SELECT quantile_cont(ci_width, ${H.ciWidthHardQuantile}) AS ci_hard
                  FROM confd),
       qa AS (
         SELECT c.*,
@@ -675,14 +681,16 @@ object ResearchQueries extends QueryModule {
                coalesce(t.transition_event_count, 0)
                  AS transition_event_count,
                h.max_n, h.max_share, ch.ci_hard,
-               (c.n_rows < 200) AS qa_low_n,
-               (c.state_share_mean < 0.03) AS qa_low_occ,
-               (c.ret_mean_cv > 6.0) AS qa_drift,
-               (c.ret_mean_cv > 6.0 AND abs(c.mean_obs) <= 0.001)
+               (c.n_rows < ${H.minNRowsHard}) AS qa_low_n,
+               (c.state_share_mean < ${H.minStateShareHard}) AS qa_low_occ,
+               (c.ret_mean_cv > ${H.retCvHard}) AS qa_drift,
+               (c.ret_mean_cv > ${H.retCvHard}
+                 AND abs(c.mean_obs) <= ${H.nearZeroAbsMean})
                  AS qa_near_zero,
                (c.ci_width >= ch.ci_hard) AS qa_wide_ci,
-               (c.sign_stability < 0.55) AS qa_sign_flip,
-               (coalesce(t.transition_event_count, 0) < 40) AS qa_sparse,
+               (c.sign_stability < ${H.signConsistencyHard}) AS qa_sign_flip,
+               (coalesce(t.transition_event_count, 0)
+                 < ${H.minTransitionEvents}) AS qa_sparse,
                coalesce(w.likely_outlier, false) AS qa_outlier
         FROM confd c
         LEFT JOIN wstats w USING (state)
@@ -691,40 +699,43 @@ object ResearchQueries extends QueryModule {
         CROSS JOIN hmax h CROSS JOIN cihard ch),
       scored AS (
         SELECT *,
-               100 * (0.15 * least(1.0, ln(1 + n_rows) / ln(1 + max_n))
-                 + 0.15 * least(1.0, state_share_mean / max_share)
-                 + 0.2 * (CASE WHEN sign_confidence_flag
+               100 * (${H.wSampleSize}
+                   * least(1.0, ln(1 + n_rows) / ln(1 + max_n))
+                 + ${H.wOccupancy} * least(1.0, state_share_mean / max_share)
+                 + ${H.wSignConfidence} * (CASE WHEN sign_confidence_flag
                      THEN 1.0 ELSE 0.0 END)
-                 + 0.15 * greatest(0.0,
+                 + ${H.wCiWidth} * greatest(0.0,
                      1 - ci_width / greatest(ci_hard, 1e-12))
-                 + 0.15 * greatest(least(sign_stability, 1.0), 0.0)
-                 + 0.1 * greatest(0.0, 1 - ret_mean_cv / 6.0)
-                 + 0.1 * greatest(least(confidence_score / 100.0, 1.0),
+                 + ${H.wSignConsistency}
+                   * greatest(least(sign_stability, 1.0), 0.0)
+                 + ${H.wRetCv} * greatest(0.0, 1 - ret_mean_cv / ${H.retCvHard})
+                 + ${H.wConfidenceScore}
+                   * greatest(least(confidence_score / 100.0, 1.0),
                      0.0)) AS base_score,
-               CAST(CASE WHEN qa_low_n THEN 20.0 ELSE 0.0 END
-                 + CASE WHEN qa_low_occ THEN 20.0 ELSE 0.0 END
-                 + CASE WHEN qa_near_zero THEN 15.0 ELSE 0.0 END
-                 + CASE WHEN qa_wide_ci THEN 15.0 ELSE 0.0 END
-                 + CASE WHEN qa_sign_flip THEN 20.0 ELSE 0.0 END
-                 + CASE WHEN qa_drift THEN 15.0 ELSE 0.0 END
-                 + CASE WHEN qa_outlier THEN 10.0 ELSE 0.0 END
-                 + CASE WHEN qa_sparse THEN 10.0 ELSE 0.0 END
+               CAST(CASE WHEN qa_low_n THEN ${H.penLowN} ELSE 0.0 END
+                 + CASE WHEN qa_low_occ THEN ${H.penLowOccupancy} ELSE 0.0 END
+                 + CASE WHEN qa_near_zero THEN ${H.penNearZero} ELSE 0.0 END
+                 + CASE WHEN qa_wide_ci THEN ${H.penWideCi} ELSE 0.0 END
+                 + CASE WHEN qa_sign_flip THEN ${H.penSignFlip} ELSE 0.0 END
+                 + CASE WHEN qa_drift THEN ${H.penDrift} ELSE 0.0 END
+                 + CASE WHEN qa_outlier THEN ${H.penOutlier} ELSE 0.0 END
+                 + CASE WHEN qa_sparse THEN ${H.penSparse} ELSE 0.0 END
                  AS DOUBLE) AS risk_penalty
         FROM qa),
       hardf AS (
         SELECT *,
                greatest(least(base_score - risk_penalty, 100.0), 0.0)
                  AS score,
-               (qa_low_n OR qa_low_occ OR ret_mean_cv > 6.0
-                 OR sign_stability < 0.55
+               (qa_low_n OR qa_low_occ OR ret_mean_cv > ${H.retCvHard}
+                 OR sign_stability < ${H.signConsistencyHard}
                  OR (ci_width > ci_hard AND NOT sign_confidence_flag)
                  OR (qa_sign_flip AND qa_wide_ci AND qa_outlier))
                  AS hard_fail
         FROM scored),
       classed AS (
         SELECT *,
-               CASE WHEN hard_fail OR score < 45.0 THEN 'BLOCK'
-                    WHEN score >= 70.0 AND sign_confidence_flag
+               CASE WHEN hard_fail OR score < ${H.scoreMinWatch} THEN 'BLOCK'
+                    WHEN score >= ${H.scoreMinAllow} AND sign_confidence_flag
                       AND NOT qa_wide_ci AND NOT qa_sign_flip THEN 'ALLOW'
                     ELSE 'WATCH' END AS class_label,
                CASE WHEN mean_ci_lo > 0 AND mean_ci_hi > 0 THEN 1
@@ -765,14 +776,15 @@ object ResearchQueries extends QueryModule {
              concat_ws(',',
                CASE WHEN qa_low_n THEN 'HARD_LOW_N' END,
                CASE WHEN qa_low_occ THEN 'HARD_LOW_OCCUPANCY' END,
-               CASE WHEN ret_mean_cv > 6.0 THEN 'HARD_HIGH_RET_CV' END,
-               CASE WHEN sign_stability < 0.55
+               CASE WHEN ret_mean_cv > ${H.retCvHard}
+                 THEN 'HARD_HIGH_RET_CV' END,
+               CASE WHEN sign_stability < ${H.signConsistencyHard}
                  THEN 'HARD_LOW_SIGN_CONSISTENCY' END,
                CASE WHEN ci_width > ci_hard AND NOT sign_confidence_flag
                  THEN 'HARD_WIDE_CI_WITHOUT_SIGN_CONF' END,
                CASE WHEN qa_sign_flip AND qa_wide_ci AND qa_outlier
                  THEN 'HARD_SEVERE_QA_COMBINATION' END,
-               CASE WHEN NOT hard_fail AND score < 45.0
+               CASE WHEN NOT hard_fail AND score < ${H.scoreMinWatch}
                  THEN 'BLOCK_LOW_SCORE' END,
                CASE WHEN class_label = 'ALLOW'
                  THEN 'ALLOW_SCORE_AND_STABILITY_OK' END,
@@ -874,7 +886,8 @@ object ResearchQueries extends QueryModule {
         .agg(count(lit(1)).as("transition_event_count"))
       val hmax = confd.agg(max("n_rows").as("max_n"),
         max("state_share_mean").as("max_share"),
-        percentile(col("ci_width"), lit(0.8)).as("ci_hard"))
+        percentile(col("ci_width"), lit(H.ciWidthHardQuantile))
+          .as("ci_hard"))
       val qa = confd
         .join(wstats, Seq("state"), "left")
         .join(wflips, Seq("state"), "left")
@@ -886,51 +899,61 @@ object ResearchQueries extends QueryModule {
           coalesce(col("sign_flip_count"), lit(0L)))
         .withColumn("transition_event_count",
           coalesce(col("transition_event_count"), lit(0L)))
-        .withColumn("qa_low_n", col("n_rows") < 200)
-        .withColumn("qa_low_occ", col("state_share_mean") < 0.03)
-        .withColumn("qa_drift", col("ret_mean_cv") > 6.0)
+        .withColumn("qa_low_n", col("n_rows") < H.minNRowsHard)
+        .withColumn("qa_low_occ",
+          col("state_share_mean") < H.minStateShareHard)
+        .withColumn("qa_drift", col("ret_mean_cv") > H.retCvHard)
         .withColumn("qa_near_zero",
-          col("ret_mean_cv") > 6.0 && abs(col("mean_obs")) <= 0.001)
+          col("ret_mean_cv") > H.retCvHard
+            && abs(col("mean_obs")) <= H.nearZeroAbsMean)
         .withColumn("qa_wide_ci", col("ci_width") >= col("ci_hard"))
-        .withColumn("qa_sign_flip", col("sign_stability") < 0.55)
-        .withColumn("qa_sparse", col("transition_event_count") < 40)
+        .withColumn("qa_sign_flip",
+          col("sign_stability") < H.signConsistencyHard)
+        .withColumn("qa_sparse",
+          col("transition_event_count") < H.minTransitionEvents)
         .withColumn("qa_outlier",
           coalesce(col("likely_outlier"), lit(false)))
       def pen(c: String, v: Double) =
         when(col(c), v).otherwise(0.0)
       val scored = qa
         .withColumn("base_score", lit(100) * (
-          lit(0.15) * least(lit(1.0),
+          lit(H.wSampleSize) * least(lit(1.0),
             log(lit(1) + col("n_rows")) / log(lit(1) + col("max_n")))
-            + lit(0.15) * least(lit(1.0),
+            + lit(H.wOccupancy) * least(lit(1.0),
                 col("state_share_mean") / col("max_share"))
-            + lit(0.2) * when(col("sign_confidence_flag"), 1.0)
-                .otherwise(0.0)
-            + lit(0.15) * greatest(lit(0.0),
+            + lit(H.wSignConfidence)
+                * when(col("sign_confidence_flag"), 1.0).otherwise(0.0)
+            + lit(H.wCiWidth) * greatest(lit(0.0),
                 lit(1) - col("ci_width")
                   / greatest(col("ci_hard"), lit(1e-12)))
-            + lit(0.15) * clip01(col("sign_stability"))
-            + lit(0.1) * greatest(lit(0.0),
-                lit(1) - col("ret_mean_cv") / 6.0)
-            + lit(0.1) * clip01(col("confidence_score") / 100.0)))
+            + lit(H.wSignConsistency) * clip01(col("sign_stability"))
+            + lit(H.wRetCv) * greatest(lit(0.0),
+                lit(1) - col("ret_mean_cv") / H.retCvHard)
+            + lit(H.wConfidenceScore)
+                * clip01(col("confidence_score") / 100.0)))
         .withColumn("risk_penalty",
-          pen("qa_low_n", 20) + pen("qa_low_occ", 20)
-            + pen("qa_near_zero", 15) + pen("qa_wide_ci", 15)
-            + pen("qa_sign_flip", 20) + pen("qa_drift", 15)
-            + pen("qa_outlier", 10) + pen("qa_sparse", 10))
+          pen("qa_low_n", H.penLowN) + pen("qa_low_occ", H.penLowOccupancy)
+            + pen("qa_near_zero", H.penNearZero)
+            + pen("qa_wide_ci", H.penWideCi)
+            + pen("qa_sign_flip", H.penSignFlip)
+            + pen("qa_drift", H.penDrift)
+            + pen("qa_outlier", H.penOutlier)
+            + pen("qa_sparse", H.penSparse))
         .withColumn("score",
           greatest(least(col("base_score") - col("risk_penalty"),
             lit(100.0)), lit(0.0)))
         .withColumn("hard_fail",
           col("qa_low_n") || col("qa_low_occ")
-            || col("ret_mean_cv") > 6.0 || col("sign_stability") < 0.55
+            || col("ret_mean_cv") > H.retCvHard
+            || col("sign_stability") < H.signConsistencyHard
             || (col("ci_width") > col("ci_hard")
                 && !col("sign_confidence_flag"))
             || (col("qa_sign_flip") && col("qa_wide_ci")
                 && col("qa_outlier")))
         .withColumn("class_label",
-          when(col("hard_fail") || col("score") < 45.0, "BLOCK")
-            .when(col("score") >= 70.0 && col("sign_confidence_flag")
+          when(col("hard_fail") || col("score") < H.scoreMinWatch, "BLOCK")
+            .when(col("score") >= H.scoreMinAllow
+              && col("sign_confidence_flag")
               && !col("qa_wide_ci") && !col("qa_sign_flip"), "ALLOW")
             .otherwise("WATCH"))
         .withColumn("directional_edge_sign",
@@ -971,15 +994,15 @@ object ResearchQueries extends QueryModule {
           concat_ws(",",
             when(col("qa_low_n"), "HARD_LOW_N"),
             when(col("qa_low_occ"), "HARD_LOW_OCCUPANCY"),
-            when(col("ret_mean_cv") > 6.0, "HARD_HIGH_RET_CV"),
-            when(col("sign_stability") < 0.55,
+            when(col("ret_mean_cv") > H.retCvHard, "HARD_HIGH_RET_CV"),
+            when(col("sign_stability") < H.signConsistencyHard,
               "HARD_LOW_SIGN_CONSISTENCY"),
             when(col("ci_width") > col("ci_hard")
               && !col("sign_confidence_flag"),
               "HARD_WIDE_CI_WITHOUT_SIGN_CONF"),
             when(col("qa_sign_flip") && col("qa_wide_ci")
               && col("qa_outlier"), "HARD_SEVERE_QA_COMBINATION"),
-            when(!col("hard_fail") && col("score") < 45.0,
+            when(!col("hard_fail") && col("score") < H.scoreMinWatch,
               "BLOCK_LOW_SCORE"),
             when(col("class_label") === "ALLOW",
               "ALLOW_SCORE_AND_STABILITY_OK"),

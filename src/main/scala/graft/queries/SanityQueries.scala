@@ -92,7 +92,43 @@ object SanityQueries extends QueryModule {
       "precision.bronze_float" -> S.precision.bronzeFloat,
       "precision.silver_float" -> S.precision.silverFloat,
       "precision.gold_float" -> S.precision.goldFloat,
-      "parquet.compression" -> S.parquet.compression)
+      "parquet.compression" -> S.parquet.compression,
+      "cluster_hardening.min_n_rows_hard" ->
+        S.clusterHardening.minNRowsHard.toString,
+      "cluster_hardening.ret_cv_hard" ->
+        S.clusterHardening.retCvHard.toString,
+      "cluster_hardening.score_min_allow" ->
+        S.clusterHardening.scoreMinAllow.toString,
+      "cluster_hardening.score_min_watch" ->
+        S.clusterHardening.scoreMinWatch.toString,
+      "backtest_execution_realism.dollar_vol_window" ->
+        S.execRealism.dollarVolWindow.toString,
+      "backtest_execution_realism.gate.min_price" ->
+        S.execRealism.gateMinPrice.toString,
+      "backtest_policy_overlay.min_overlay_match_rate_warn" ->
+        S.policyOverlay.minOverlayMatchRateWarn.toString,
+      "overlay_coverage_policy.min_match_rate_warn" ->
+        S.overlayCoverage.minMatchRateWarn.toString,
+      "overlay_coverage_policy.min_match_rate_fail" ->
+        S.overlayCoverage.minMatchRateFail.toString,
+      "backtest_execution_calibration.min_eligible_signals" ->
+        S.execCalibration.minEligibleSignals.toString,
+      "backtest_execution_calibration.max_single_reason_share" ->
+        S.execCalibration.maxSingleReasonShare.toString,
+      "backtest_execution_calibration.top_k_recommendations" ->
+        S.execCalibration.topKRecommendations.toString,
+      "candidate_rerun.drift.expectancy_drop_pct_flag" ->
+        S.candidateRerun.expectancyDropPctFlag.toString,
+      "candidate_rerun.drift.pf_drop_pct_flag" ->
+        S.candidateRerun.pfDropPctFlag.toString,
+      "ops_nightly.keep_last_n" -> S.opsNightly.keepLastN.toString,
+      "research_clustering.kmeans.n_init" ->
+        S.researchClustering.kmeansNInit.toString,
+      "research_clustering.silhouette_sample_max" ->
+        S.researchClustering.silhouetteSampleMax.toString,
+      "research_hmm.hmm.n_iter" -> S.researchHmm.nIter.toString,
+      "research_hmm.sweep.components_default" ->
+        S.researchHmm.sweepComponents.mkString(","))
   }
 
   def all: Seq[Q] = Seq(

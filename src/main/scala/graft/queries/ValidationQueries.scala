@@ -20,6 +20,12 @@ object ValidationQueries extends QueryModule {
   private def gramBars(s: SparkSession, dir: String): DataFrame =
     Stage.slimGrammar(s, dir)
 
+  /** The demo execution-realism gate the q_exec_* queries apply —
+    * resolved live through `backtest_execution_realism.gate.*` (same
+    * defaults as the former literals), interpolated into both the
+    * engine calls and the oracle SQL so overrides can't desync. */
+  private def G = graft.Settings.execRealism
+
   private val W = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
 
   // Event-study window (validation.event_study.window_pre/window_post).
@@ -151,15 +157,20 @@ object ValidationQueries extends QueryModule {
         FROM grammar g LEFT JOIN pol p USING (ticker, bar_ts, bar_id)),
       dups AS (SELECT count(*) AS n_dup_keys FROM (
         SELECT ticker, bar_ts, bar_id FROM pol0
-        GROUP BY 1, 2, 3 HAVING count(*) > 1))
-      SELECT count(*) AS n_rows,
-             count(CASE WHEN overlay_covered THEN 1 END) AS n_covered,
-             CAST(count(CASE WHEN overlay_covered THEN 1 END) AS DOUBLE)
-               / count(*) AS coverage_rate,
-             CAST(count(CASE WHEN policy_allowed THEN 1 END) AS DOUBLE)
-               / count(*) AS allow_rate,
-             (SELECT n_dup_keys FROM dups) AS n_dup_keys
-      FROM ov""")) { (s, dir) =>
+        GROUP BY 1, 2, 3 HAVING count(*) > 1)),
+      base AS (
+        SELECT count(*) AS n_rows,
+               count(CASE WHEN overlay_covered THEN 1 END) AS n_covered,
+               CAST(count(CASE WHEN overlay_covered THEN 1 END)
+                 AS DOUBLE) / count(*) AS coverage_rate,
+               CAST(count(CASE WHEN policy_allowed THEN 1 END) AS DOUBLE)
+                 / count(*) AS allow_rate,
+               (SELECT n_dup_keys FROM dups) AS n_dup_keys
+        FROM ov)
+      SELECT *,
+             ${Overlay.coverageStatusSql("coverage_rate")}
+               AS coverage_status
+      FROM base""")) { (s, dir) =>
       val gram = gramBars(s, dir)
         .select("ticker", "bar_ts", "bar_id", "flow_state_code")
       val pol0 = gram.filter(col("bar_id") % 3 === 0)
@@ -173,6 +184,10 @@ object ValidationQueries extends QueryModule {
       val nDup = Overlay.dupAudit(pol0, Seq("ticker", "bar_ts", "bar_id"))
         .count()
       Overlay.coverageStats(ov).withColumn("n_dup_keys", lit(nDup))
+        // the overlay_coverage_policy gate (Settings-resolved) applied
+        // to the measured coverage rate — the nightly-ops grade column
+        .withColumn("coverage_status",
+          Overlay.coverageStatus(col("coverage_rate")))
     },
 
     // Execution realism: price/liquidity/vol-cap/warmup gate with
@@ -180,16 +195,17 @@ object ValidationQueries extends QueryModule {
     // (ref backtest/execution_realism.py:208-468)
     Q("q_exec_realism", Some(s"""
       WITH ${MarketData.barsSql},
-      ${Overlay.realismSql(minDollarVol = 500000, minPrice = 5,
-        warmupBars = 21, maxVolPct = Some(8.0))}
+      ${Overlay.realismSql(minDollarVol = G.gateMinDollarVol,
+        minPrice = G.gateMinPrice, warmupBars = G.gateWarmupBars,
+        maxVolPct = G.gateMaxVolPct)}
       SELECT ticker, bar_ts, bar_id,
              round(dv_med_20, 6) AS dv_med_20,
              round(vol_pct, 9) AS exec_vol_pct,
              exec_reason, exec_allowed
       FROM exec_realism ORDER BY ticker, bar_ts, bar_id""")) { (s, dir) =>
       Overlay.executionRealism(MarketData.barsFromEvents(t(s, dir, "events")),
-          minDollarVol = 500000, minPrice = 5, warmupBars = 21,
-          maxVolPct = Some(8.0))
+          minDollarVol = G.gateMinDollarVol, minPrice = G.gateMinPrice,
+          warmupBars = G.gateWarmupBars, maxVolPct = G.gateMaxVolPct)
         .select(col("ticker"), col("bar_ts"), col("bar_id"),
           round(col("dv_med_20"), 6).as("dv_med_20"),
           round(col("exec_vol_pct"), 9).as("exec_vol_pct"),
@@ -205,8 +221,9 @@ object ValidationQueries extends QueryModule {
       ${Indicators.twiggsSql},
       ${EventGrammar.grammarSql},
       ${graft.backtest.Signals.sql("state_entry", 2)},
-      ${Overlay.realismSql(minDollarVol = 500000, minPrice = 5,
-        warmupBars = 21, maxVolPct = Some(8.0))},
+      ${Overlay.realismSql(minDollarVol = G.gateMinDollarVol,
+        minPrice = G.gateMinPrice, warmupBars = G.gateWarmupBars,
+        maxVolPct = G.gateMaxVolPct)},
       je AS (
         SELECT s.ticker, s.entry_signal, e.exec_reason, e.exec_allowed
         FROM signals s JOIN exec_realism e USING (ticker, bar_ts, bar_id)),
@@ -232,8 +249,9 @@ object ValidationQueries extends QueryModule {
       val bars = MarketData.barsFromEvents(t(s, dir, "events"))
       val sig = graft.backtest.Signals.generate(gramBars(s, dir),
         "state_entry", 2)
-      val er = Overlay.executionRealism(bars, minDollarVol = 500000,
-        minPrice = 5, warmupBars = 21, maxVolPct = Some(8.0))
+      val er = Overlay.executionRealism(bars, minDollarVol = G.gateMinDollarVol,
+        minPrice = G.gateMinPrice, warmupBars = G.gateWarmupBars,
+        maxVolPct = G.gateMaxVolPct)
       val je = sig.select(col("ticker"), col("bar_ts"), col("bar_id"),
           col("entry_signal"))
         .join(er.select("ticker", "bar_ts", "bar_id", "exec_reason",

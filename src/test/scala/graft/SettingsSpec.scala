@@ -38,6 +38,110 @@ class SettingsSpec extends SparkSpec {
     assert(Settings.parquet.compression == "zstd")
   }
 
+  test("round-8 sections mirror settings.yaml (divergences documented)") {
+    val H = Settings.clusterHardening
+    assert(H.minNRowsHard == 200 && H.minStateShareHard == 0.03)
+    assert(H.retCvHard == 6.0 && H.signConsistencyHard == 0.55)
+    assert(H.ciWidthHardQuantile == 0.8)
+    assert(H.scoreMinAllow == 70.0 && H.scoreMinWatch == 45.0)
+    assert(H.penLowN == 20.0 && H.penNearZero == 15.0
+      && H.penOutlier == 10.0)
+    assert(H.wSampleSize == 0.15 && H.wSignConfidence == 0.2
+      && H.wRetCv == 0.1)
+    val R = Settings.execRealism
+    assert(R.defaultProfile == "none" && R.dollarVolWindow == 20)
+    assert(R.profileMinPrice("lite").contains(2.0))
+    assert(R.profileMinDollarVol20("strict").contains(5000000.0))
+    assert(R.profileMaxVolPct("none").isEmpty)
+    assert(R.profileMinHistoryBars("strict").contains(100))
+    assert(R.gateMinPrice == 5.0 && R.gateMaxVolPct.contains(8.0))
+    assert(Settings.policyOverlay.minOverlayMatchRateWarn == 0.80)
+    assert(Settings.policyOverlay.joinKeys ==
+      Seq("ticker", "trade_date"))
+    assert(Settings.overlayCoverage.minMatchRateFail == 0.60)
+    assert(Settings.overlayCoverage.unknownRateWarn == 0.25)
+    val C = Settings.execCalibration
+    assert(C.sweepMinPrice == Seq(0.0, 1.0, 2.0, 5.0))
+    assert(C.sweepMaxVolPct.head.isEmpty
+      && C.sweepMaxVolPct.size == 7)
+    assert(C.sweepMinHistoryBars == Seq(20, 50))
+    assert(C.liteEligibilityMin == 0.20
+      && C.strictEligibilityMax == 0.30)
+    assert(C.minEligibleSignals == 100
+      && C.maxSingleReasonShare == 0.95 && C.topKRecommendations == 5)
+    assert(Settings.candidateRerun.expectancyDropPctFlag == 0.30)
+    assert(Settings.candidateRerun.tradeCountDropPctFlag == 0.40)
+    assert(Settings.opsNightly.keepLastN == 30)
+    assert(Settings.researchClustering.clipZscore == 8.0)
+    // fixture-scale divergences from the yaml, pinned deliberately
+    assert(Settings.researchClustering.kmeansNInit == 3)
+    assert(Settings.researchClustering.silhouetteSampleMax == 500)
+    assert(Settings.researchHmm.sweepComponents == Seq(4, 5, 6, 7, 8))
+    assert(Settings.researchHmm.nIter == 30)
+  }
+
+  test("hardening override flows into the oracle SQL and the drift defs") {
+    // oracle SQL is rebuilt per SparkEntry.oracleSql call, so a live
+    // override must appear in the interpolated text — the mechanism
+    // that keeps engine and oracle from desynchronizing
+    val sql0 = SparkEntry.oracleSql("q_cluster_hardening_full")
+    assert(sql0.contains("score < 45.0") && !sql0.contains("55.5"))
+    withProp("graft.cluster_hardening.score_min_watch", "55.5") {
+      val sql = SparkEntry.oracleSql("q_cluster_hardening_full")
+      assert(sql.contains("score < 55.5") && !sql.contains("score < 45.0"))
+    }
+    withProp("graft.candidate_rerun.drift.expectancy_drop_pct_flag",
+      "0.77") {
+      assert(graft.queries.ProductionQueries.ExpectancyDropPct == 0.77)
+      assert(SparkEntry.oracleSql("q_candidate_rerun").contains("0.77"))
+    }
+    withProp("graft.ops_nightly.keep_last_n", "7") {
+      assert(graft.etl.NightlyOps.DefaultKeepLastN == 7)
+    }
+  }
+
+  test("calibration grid override reshapes the sweep on both sides") {
+    assert(graft.backtest.Calibration.Combos.size == 280)
+    withProp("graft.backtest_execution_calibration.sweep.min_price",
+      "0.0,9.0") {
+      withProp("graft.backtest_execution_calibration.sweep.max_vol_pct",
+        "null,12.0") {
+        val combos = graft.backtest.Calibration.Combos
+        assert(combos.size == 2 * 5 * 2 * 2)
+        assert(combos.head.comboId == "c0001"
+          && combos.last.comboId == "c0040")
+        assert(combos.map(_.maxVolPct).distinct ==
+          Seq(None, Some(12.0)))
+        val grid = graft.backtest.Calibration
+          .gridDf(spark).collect()
+        assert(grid.length == 40)
+        assert(graft.backtest.Calibration.gridSql.contains("12.0"))
+      }
+    }
+    assert(graft.backtest.Calibration.Combos.size == 280)
+  }
+
+  test("realism gate and coverage policy overrides reach their queries") {
+    val sql0 = SparkEntry.oracleSql("q_exec_realism")
+    assert(sql0.contains("500000.0"))
+    withProp("graft.backtest_execution_realism.gate.min_dollar_vol_20",
+      "750000") {
+      assert(SparkEntry.oracleSql("q_exec_realism").contains("750000.0"))
+    }
+    // the coverage grade column follows overlay_coverage_policy
+    import spark.implicits._
+    def grade(rate: Double): String = Seq(rate).toDF("r")
+      .select(graft.backtest.Overlay.coverageStatus(col("r")))
+      .as[String].head()
+    assert(grade(0.95) == "OK" && grade(0.7) == "WARN"
+      && grade(0.5) == "FAIL")
+    withProp("graft.overlay_coverage_policy.min_match_rate_warn",
+      "0.99") {
+      assert(grade(0.95) == "WARN")
+      assert(SparkEntry.oracleSql("q_overlay_coverage").contains("0.99"))
+    }
+  }
+
   test("system property overrides win over defaults and clear cleanly") {
     assert(EventGrammar.HoldBars == 5)
     withProp("graft.event_grammar.hold_consecutive_bars", "3") {
