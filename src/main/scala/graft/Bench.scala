@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Load the committed steady-time profile (`bench_profile.json`, a
+    * flat {"query":secs} object written from the last clean idle
+    * bench; override path with GRAFT_BENCH_PROFILE). Used ONLY to
+    * decide which cold runs look JIT-inflated enough to re-time — the
+    * reported numbers always come from THIS run. Absent file → empty
+    * profile → the flat legacy threshold applies everywhere. */
+  private def loadProfile(): Map[String, Double] = {
+    val path = sys.env.getOrElse("GRAFT_BENCH_PROFILE",
+      "bench_profile.json")
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default 32 = the driver contract's local[32] host; on other
@@ -43,20 +63,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val cold = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeOnce(fn)
-    }
+    // ONE registry build: SparkEntry.queries is a def (it re-interpolates
+    // live Settings into oracle SQL per access), so capture the map once
+    // instead of paying a ~36 ms rebuild per rerun lookup
+    val qmap = SparkEntry.queries
+    val cold = qmap.map { case (name, fn) => name -> timeOnce(fn) }
     // First runs of heavyweight plans are dominated by one-time JVM
     // JIT/codegen, not plan cost (measured repeatedly across rounds:
-    // e.g. 6.7 s → 0.7 s steady for identical plans). Re-time queries
-    // whose cold run exceeded 2 s and report min(cold, rerun) so the
-    // per-query numbers reflect the plan; the cold times ride along
-    // under "cold_runs" and the rerun cost is included in the total —
-    // nothing is hidden, the attribution is just honest.
+    // e.g. 6.7 s → 0.7 s steady for identical plans). Re-time only the
+    // queries whose cold run looks JIT-inflated AGAINST THE RECORDED
+    // STEADY PROFILE — cold > max(1 s, 2× the last clean run's steady
+    // time) — so a genuinely-3-second query is no longer re-run every
+    // bench just for being slow (the r7 flat 2 s rule burned ~49 s of
+    // wall re-timing honest heavyweights). Queries absent from the
+    // profile fall back to the flat 2 s rule. min(cold, rerun) is
+    // reported per query; the cold times ride along under "cold:" rows
+    // and the rerun cost lands in one explicit overhead row — nothing
+    // hidden, the attribution is just honest.
+    val profile = loadProfile()
+    def rerunThreshold(name: String): Double =
+      profile.get(name).map(p => math.max(1.0, 2.0 * p)).getOrElse(2.0)
     val rerunT0 = System.nanoTime()
-    val rerun = cold.filter(_._2 > 2.0).map { case (name, _) =>
-      name -> timeOnce(SparkEntry.queries(name))
-    }
+    val rerun = cold.filter { case (n, t) => t > rerunThreshold(n) }
+      .map { case (name, _) => name -> timeOnce(qmap(name)) }
     val rerunSecs = (System.nanoTime() - rerunT0) / 1e9
     val steady = cold.map { case (name, t1) =>
       name -> math.min(t1, rerun.getOrElse(name, t1))

@@ -25,10 +25,10 @@ object Pools {
     * threads, which a shared fixed pool would allow once every worker is
     * a blocked parent. Threads here only orchestrate; the real
     * parallelism is the Spark jobs they submit. */
-  def awaitAll[T](tasks: Seq[() => T]): Seq[T] = {
+  def awaitAll[T](tasks: Seq[() => T], width: Int = 8): Seq[T] = {
     if (tasks.isEmpty) return Nil
     val exec = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(tasks.size, 8), r => {
+      math.min(tasks.size, math.max(1, width)), r => {
         val t = new Thread(r, "graft-await")
         t.setDaemon(true)
         t

@@ -27,6 +27,14 @@ object Warmup {
   def prewarm(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     graft.SparkEntry.tune(spark)
     val timed = sys.env.get("GRAFT_WARMUP_TIMES").contains("1")
+    // Phase-level build concurrency (GRAFT_WARMUP_POOL). Each build is
+    // itself a multi-job Spark program that can fill all task slots;
+    // running many at once mostly contends for the same slots and
+    // shuffle I/O — under a loaded host (the driver's bench conditions)
+    // 8-wide phases measured 2-6× their idle-machine cost. A modest
+    // width keeps slots fed through stragglers without that pile-up.
+    val width = sys.env.get("GRAFT_WARMUP_POOL")
+      .flatMap(_.toIntOption).getOrElse(4)
     val phaseTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def phase(label: String, builds: Seq[(String, () => Any)]): Unit = {
       val p0 = System.nanoTime()
@@ -38,7 +46,7 @@ object Warmup {
             f"[warmup] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
           r
         }
-      })
+      }, width = width)
       phaseTimes += label -> (System.nanoTime() - p0) / 1e9
     }
 
