@@ -300,6 +300,37 @@ object Hmm {
     }.toDF("key", "ts", "hmm_state", "prob_max", "entropy")
   }
 
+  /** One-pass state-count table for a MODEL SWEEP: Viterbi under every
+    * swept model inside a single `groupByKey` pass (each key's feature
+    * rows are sorted once and re-scored per model), returning
+    * `sweepKey -> (state -> count)`. Bit-identical to running
+    * [[decode]] + a groupBy per model — the sweep's k small decode
+    * jobs, previously serialized behind their fits, collapse into ONE
+    * distributed job (VERDICT r7 item 7). Cost: one shuffle of the
+    * feature frame instead of k. */
+  def sweepStateCounts(df: DataFrame, models: Seq[(Int, Model)])
+      : Map[Int, Map[Int, Long]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(models)
+    val in = df.select(col("key").cast("string"), col("ts").cast("long"),
+      col("features").cast("array<double>"))
+      .as[(String, Long, Array[Double])]
+    in.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val xs = it.toArray.sortBy(_._2).map(_._3)
+      bc.value.iterator.flatMap { case (mk, m) =>
+        viterbi(m, xs).iterator.map(s => (mk, s))
+      }
+    }.toDF("mk", "hmm_state")
+      .groupBy("mk", "hmm_state").count()
+      .collect()
+      .groupBy(_.getAs[Int]("mk"))
+      .map { case (mk, rows) =>
+        mk -> rows.map(r =>
+          r.getAs[Int]("hmm_state") -> r.getAs[Long]("count")).toMap
+      }
+  }
+
   /** Assemble per-key ordered sequences for the driver-side fit, with ALL
     * capping enforced distributedly BEFORE collect:
     *   1. per-key cap — `row_number() <= maxPerKey` in (ts) order;

@@ -761,26 +761,29 @@ object MlQueries extends QueryModule {
       val seqs = Hmm.collectSequences(ev,
         minLen = rh.minSequenceLength, maxPerKey = 5000,
         maxTotalPoints = 20000L)
-      // the per-k fits are independent driver-local EMs (plus one small
-      // decode job each) — run them on a thread pool; traverse keeps
-      // result order so the output is unchanged
+      // the per-k fits are independent driver-local EMs — run them on a
+      // thread pool; the k per-model decodes (previously one small
+      // distributed job EACH, serialized behind its fit) then collapse
+      // into ONE sweepStateCounts pass over ev (VERDICT r7 item 7).
+      // traverse keeps result order so the output is unchanged.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec = graft.ops.Pools.jobs
-      val rows = Await.result(Future.traverse(rh.sweepComponents.toList) {
-        k => Future {
-          val fr = Hmm.fitResult(seqs, k, nIter = rh.nIter)
-          // decode stays distributed; only the k-row share table collects
-          val st = Hmm.decode(ev, fr.model)
-            .groupBy("hmm_state").count().collect()
-            .map(r => r.getAs[Long]("count"))
-          val total = st.sum.toDouble
-          val shares = st.map(_ / total)
-          (k, fr.nObs, fr.nSeqs, fr.logLik, fr.logLik / fr.nObs,
-            Hmm.bic(fr.logLik, k, fr.model.d, fr.nObs), fr.nIterUsed,
-            fr.converged, shares.max, 1.0 / shares.map(x => x * x).sum)
-        }
-      }, Duration.Inf)
+      val fits = Await.result(
+        Future.traverse(rh.sweepComponents.toList) { k =>
+          Future(k -> Hmm.fitResult(seqs, k, nIter = rh.nIter))
+        }, Duration.Inf)
+      val counts = Hmm.sweepStateCounts(ev,
+        fits.map { case (k, fr) => k -> fr.model })
+      val rows = fits.map { case (k, fr) =>
+        // share.max and 1/Σshare² are order-free over the state counts
+        val st = counts(k).values.toArray
+        val total = st.sum.toDouble
+        val shares = st.map(_ / total)
+        (k, fr.nObs, fr.nSeqs, fr.logLik, fr.logLik / fr.nObs,
+          Hmm.bic(fr.logLik, k, fr.model.d, fr.nObs), fr.nIterUsed,
+          fr.converged, shares.max, 1.0 / shares.map(x => x * x).sum)
+      }
       rows.toDF("n_components", "rows_fit", "sequences_fit",
         "train_loglik", "loglik_per_obs", "bic", "n_iter_used",
         "converged", "largest_state_share", "effective_state_count")

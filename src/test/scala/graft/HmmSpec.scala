@@ -101,4 +101,24 @@ class HmmSpec extends SparkSpec {
       .collect().map(_.getInt(2))
     assert(dist.toSeq == Hmm.viterbi(model, obs).toSeq)
   }
+
+  test("one-pass sweep state counts equal per-model decode + groupBy") {
+    val s = spark
+    import s.implicits._
+    val (obsA, _) = synthSeq(120, 3)
+    val (obsB, _) = synthSeq(80, 11)
+    val rows = obsA.zipWithIndex.map { case (x, i) =>
+      ("ka", i.toLong, x) } ++
+      obsB.zipWithIndex.map { case (x, i) => ("kb", i.toLong, x) }
+    val df = rows.toSeq.toDF("key", "ts", "features")
+    val models = Seq(2, 3).map(k =>
+      k -> Hmm.fit(Seq(obsA, obsB), k = k, nIter = 15))
+    val batched = Hmm.sweepStateCounts(df, models)
+    models.foreach { case (k, m) =>
+      val single = Hmm.decode(df, m).groupBy("hmm_state").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(batched(k) == single,
+        s"sweep counts for k=$k must equal the per-model decode")
+    }
+  }
 }
