@@ -1569,6 +1569,31 @@ object TextQueries extends QueryModule {
         .orderBy("variant")
     },
 
+    // The SERVING-path re-rank (StreamingAnnServe.scoreCandidates →
+    // Similarity.rerankServe): the per-row serving formulation of the
+    // candidate scoring feeds the same ADC-short-list + stored-vector
+    // exact re-score, run in batch mode against the IDENTICAL oracle
+    // as q_e_ann_rerank — proving the served refinement is
+    // bit-identical to the batch operator, exactly as q_e_ann_serve
+    // does for the unrefined ADC answer. The streamed execution (query
+    // stream → stream-static candidate join → per-micro-batch rerank
+    // via foreachBatch) is locked in StreamingSpec.
+    Q("q_e_ann_serve_rerank", Some(s"""
+      WITH $ivfPqCtes, $rerankCtes
+      SELECT qid, vid, adc, d2, rnk FROM rranked WHERE rnk <= 5
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      import graft.streaming.StreamingAnnServe
+      val emb = t(s, dir, "embeddings")
+      val (cells, cb) = serveArtifacts(s, dir)
+      val cands = StreamingAnnServe.scoreCandidates(
+        emb.filter(col("vec_id") < 32), annServeIndex(s, dir),
+        cells, cb, nProbe = 2)
+      Similarity.rerankServe(cands, emb.filter(col("vec_id") < 32),
+          emb, rerankR = RerankR, k = 5)
+        .select("qid", "vid", "adc", "d2", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // PQ recall observability (the quality dial a production PQ
     // deployment watches before trusting the compressed index):
     // recall@5 of the ADC ranking against the EXACT squared-L2 top-5 —

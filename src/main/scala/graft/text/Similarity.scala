@@ -502,6 +502,34 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** SERVING-layout exact re-rank: the same refinement as
+    * [[rerankExact]], but over the serving path's separate frames —
+    * raw probed candidates `(qid, vid, adc)` (e.g.
+    * `StreamingAnnServe.scoreCandidates` output), a query-vector
+    * frame, and the stored full-vector table. ADC short-lists the
+    * top-R per query, the vector store re-scores them with the
+    * exact-decimal fold, top-k emits. Runs unchanged per micro-batch
+    * inside `foreachBatch` (the standard multi-stage streaming-serving
+    * shape — StreamingSpec locks streamed == batch). */
+  def rerankServe(cands: DataFrame, queryVecs: DataFrame,
+      vectors: DataFrame, rerankR: Int, k: Int): DataFrame = {
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+    val topR = cands.select("qid", "vid", "adc")
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= rerankR).drop("rn")
+    val q = queryVecs.select(col("vec_id").cast("long").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+    val x = vectors.select(col("vec_id").cast("long").as("vid"),
+      asDouble(col("embedding")).as("v"))
+    val exact = topR.join(x, Seq("vid")).join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vid"), col("adc"),
+        round(graft.functions.VecOps.sqDist18(col("qv"), col("v")), 6)
+          .as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("vid"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF-PQ with the exact re-rank refinement composed in: ADC ranks
     * the probed-cell candidates ([[ivfPqTopK]] at k = rerankR), then
     * [[rerankExact]] re-scores that short list from the stored full

@@ -445,6 +445,58 @@ class StreamingSpec extends SparkSpec {
       "streaming serving diverges from the batch IVF-PQ answer")
   }
 
+  test("streamed serve + exact re-rank matches the batch refinement " +
+      "bit-for-bit") {
+    import graft.streaming.{StreamingAnnServe, StreamingEncode}
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = StreamingAnnServe.seedCells(emb, nCells = 8)
+    val cb = StreamingEncode.seedCodebook(emb, m = 4, subK = 8)
+    val idx = StreamingAnnServe.indexOf(emb, cells, cb)
+    val queriesStatic = emb.filter(col("vec_id") < 32)
+
+    val qRows = queriesStatic
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])](
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Double])],
+        spark.sqlContext)
+    // stream-static candidate scoring, then the rerank program applied
+    // per micro-batch via foreachBatch — the standard multi-stage
+    // streaming-serving shape (a query's candidates are complete
+    // within its own micro-batch because the join is stream-static)
+    val cands = StreamingAnnServe.scoreCandidates(
+      mem.toDF.toDF("vec_id", "embedding"), idx, cells, cb, nProbe = 2)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Int)]
+    val q = cands.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= graft.text.Similarity
+            .rerankServe(batch, queriesStatic, emb, rerankR = 16, k = 5)
+            .select("qid", "vid", "adc", "d2", "rnk")
+            .as[(Long, Long, Double, Double, Int)].collect()
+        }
+        ()
+      }.start()
+    val (b1, b2) = qRows.splitAt(qRows.length / 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val want = graft.text.Similarity.ivfPqRerankTopK(emb,
+        col("vec_id") < 32, k = 5, nCells = 8, nProbe = 2,
+        rerankR = 16)
+      .select("qid", "vid", "adc", "d2", "rnk")
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(got.size == want.length)
+    assert(got.toSet == want.toSet,
+      "streamed serve+rerank diverges from the batch refinement")
+  }
+
   test("streaming HLL registers and CMS counters converge to the batch " +
       "builds (complete mode)") {
     // the sketch builders are plain select + groupBy max/sum column
