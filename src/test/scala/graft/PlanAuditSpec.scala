@@ -108,6 +108,37 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("rerank: ADC candidate stage is cache-shared; the re-score is " +
+      "a candidate-keyed broadcast-query equi-join") {
+    graft.queries.Stage.clear()
+    // q_e_ann_rerank populates ivfpq_adc_cands + rerank_top5; the A/B
+    // gain query must then read the SAME cached stages, not rebuild
+    // the IVF-PQ ranking
+    SparkEntry.queries("q_e_ann_rerank")(spark, dir).count()
+    for (q <- Seq("q_e_ann_rerank", "q_e_rerank_gain")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+        s"$q rebuilt the shared ADC candidate stage instead of " +
+          "reading the cache")
+    }
+    graft.queries.Stage.clear()
+    // audit the operator's BUILD plan: full vectors join the SHORT
+    // LIST by vid (equi-join), the query vectors broadcast, and
+    // nothing degenerates to a cross product — the shape that keeps
+    // full-vector cost at queries×R rows at any corpus size
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cands = graft.text.Similarity.ivfPqTopK(emb,
+      org.apache.spark.sql.functions.col("vec_id") < 32,
+      k = 16, nCells = 8, nProbe = 2)
+    val p = graft.text.Similarity.rerankExact(emb,
+        org.apache.spark.sql.functions.col("vec_id") < 32, cands, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      "rerank lost its broadcast-query equi-join shape")
+  }
+
   test("PQ codebook and ADC joins stay broadcast equi-joins") {
     // audit the operator's BUILD plan — the registered query reads the
     // cached pq_top5 stage, whose plan is just the checkpoint leaf
