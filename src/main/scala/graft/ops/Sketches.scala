@@ -187,6 +187,71 @@ object Sketches {
     }.reduce(_ unionByName _)
       .groupBy("i", "slot").agg(count(lit(1)).as("cnt"))
 
+  /** 2^60 — the exclusive upper bound of the portable 60-bit md5 hash
+    * range, exactly representable as a double (a power of two). */
+  private val TwoPow60: Double = 1152921504606846976.0d
+
+  /** KMV (k-minimum-values) sketch over a value column: the k smallest
+    * portable 60-bit hashes of the DISTINCT values, one `h` row each.
+    * Bounded by k regardless of data size and mergeable by
+    * union+bottom-k (the bottom-k of a union of bottom-ks IS the
+    * bottom-k of the union — [[kmvMerge]]), so stored sketches combine
+    * across partitions / days / sources without touching raw data.
+    * Complements the HLL register table: same distinct-count job, but
+    * the retained hashes double as a uniform sample of the distinct
+    * value set, which makes SET operations (Jaccard, intersection
+    * size) directly estimable — the classic KMV trick the register
+    * form cannot do.
+    *
+    * Scale shape: the map side emits per-partition distinct hashes
+    * (partial HashAggregate), the exchange is bounded by the distinct
+    * set (the same first stage an exact count-distinct pays), and the
+    * final bottom-k is a TakeOrdered merge of per-partition heaps —
+    * never a global sort. For pure cardinality at extreme key counts
+    * prefer [[hllRegisters]] (register-bounded shuffle); KMV buys the
+    * sample semantics. */
+  def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame =
+    df.select(graft.text.TextOps.md5Hash64(value.cast("string")).as("h"))
+      .distinct().orderBy("h").limit(k)
+
+  /** Merge two stored KMV sketches (same k): union, dedupe, re-bottom.
+    * Associative and idempotent, so any merge tree over partition- or
+    * day-level sketches yields the sketch of the union. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b).distinct().orderBy("h").limit(k)
+
+  /** Distinct-count estimate from a KMV sketch: one row
+    * `(sketch_size, hmax, est)`. Exact when the sketch holds fewer
+    * than k members (every distinct value was retained); otherwise the
+    * unbiased (k−1)·2^60 / h_(k) estimator — h_(k) the largest
+    * retained hash, 2^60 the hash range. (k−1)·2^60 is itself exactly
+    * representable in a double for any practical k (k−1 needs < 53
+    * mantissa bits), so the single division is the only rounding step
+    * — bit-identical on both engines. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("sketch_size"), max("h").as("hmax"))
+      .select(col("sketch_size"), col("hmax"),
+        when(col("sketch_size") < k, col("sketch_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(TwoPow60)
+            / col("hmax").cast("double")).as("est"))
+
+  /** Oracle CTE `${pfx}kmv(h)` mirroring [[kmvSketch]] over a CTE
+    * `src(k VARCHAR)`. */
+  def kmvOracleSql(src: String, pfx: String, k: Int): String = s"""
+      ${pfx}kmv AS (
+        SELECT h FROM (
+          SELECT DISTINCT ('0x' || substring(md5(k), 1, 15))::BIGINT AS h
+          FROM $src)
+        ORDER BY h LIMIT $k)"""
+
+  /** Oracle scalar subquery mirroring [[kmvEstimate]]'s `est`. */
+  def kmvEstimateOracleSql(cte: String, k: Int): String = s"""
+      (CASE WHEN (SELECT count(*) FROM $cte) < $k
+        THEN CAST((SELECT count(*) FROM $cte) AS DOUBLE)
+        ELSE CAST(${k - 1} AS DOUBLE)
+          * CAST(1152921504606846976 AS DOUBLE)
+          / CAST((SELECT max(h) FROM $cte) AS DOUBLE) END)"""
+
   /** Point-query the counter table for a frame of candidate keys:
     * est = min over the d rows of the key's slot counter — always
     * >= the true count (the CMS overestimate guarantee). Counters are

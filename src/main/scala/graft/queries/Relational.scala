@@ -925,6 +925,194 @@ object Relational extends QueryModule {
         .select(col("k"), col("true_cnt"), col("cms_est"),
           (col("cms_est") - col("true_cnt")).as("overcount"))
         .orderBy(col("true_cnt").desc, col("k"))
+    },
+
+    // KMV (k-minimum-values) distinct-count sketch (ops.Sketches) over
+    // l_partkey, k=256: the third cardinality sketch next to HLL —
+    // same bounded-state job, but the retained hashes double as a
+    // uniform sample of the distinct set (set ops become estimable,
+    // see q_kmv_overlap). Exact below k members, (k−1)·2^60/h_(k)
+    // above; sf0.001 (200 parts < 256) exercises the exact branch and
+    // sf0.01+ (2000 parts) the estimator — both bit-reproduced by the
+    // oracle because (k−1)·2^60 is an exact double and the single
+    // division is the only rounding step.
+    Q("q_kmv_distinct", Some(s"""
+      WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+      ${graft.ops.Sketches.kmvOracleSql("src", "p", 256)},
+      ex AS (
+        SELECT count(DISTINCT l_partkey) AS exact_distinct
+        FROM lineitem)
+      SELECT (SELECT count(*) FROM pkmv) AS sketch_size,
+             (SELECT max(h) FROM pkmv) AS hmax,
+             round(${graft.ops.Sketches.kmvEstimateOracleSql("pkmv", 256)},
+               6) AS est,
+             exact_distinct,
+             round((${graft.ops.Sketches
+               .kmvEstimateOracleSql("pkmv", 256)}
+               - exact_distinct) / exact_distinct, 6) AS rel_err
+      FROM ex""")) { (s, dir) =>
+      import graft.ops.Sketches
+      val sk = Sketches.kmvSketch(
+        t(s, dir, "lineitem"), col("l_partkey"), k = 256)
+      val est = Sketches.kmvEstimate(sk, k = 256)
+      val ex = t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      est.crossJoin(ex).select(
+        col("sketch_size"), col("hmax"),
+        round(col("est"), 6).as("est"),
+        col("exact_distinct"),
+        round((col("est") - col("exact_distinct"))
+          / col("exact_distinct"), 6).as("rel_err"))
+    },
+
+    // KMV set algebra — what the HLL register form CANNOT do: because
+    // each sketch is a uniform bottom-k sample of the distinct-value
+    // hash space, the Jaccard similarity of two sets is estimated
+    // directly as the fraction of the MERGED sketch's members present
+    // in both inputs, and intersection size = jaccard × union
+    // estimate (Beyer et al., "On synopses for distinct-value
+    // estimation under multiset operations"). Merge is union+bottom-k
+    // on 2×256 stored rows — no raw data touched. Exact counts ride
+    // along as the error dial.
+    Q("q_kmv_overlap", Some(s"""
+      WITH oa AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1995),
+      ob AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 2001),
+      ${graft.ops.Sketches.kmvOracleSql("oa", "a", 256)},
+      ${graft.ops.Sketches.kmvOracleSql("ob", "b", 256)},
+      ukmv AS (
+        SELECT h FROM (
+          SELECT h FROM akmv UNION SELECT h FROM bkmv)
+        ORDER BY h LIMIT 256),
+      j AS (
+        SELECT count(*) AS nboth FROM ukmv
+        JOIN akmv USING (h) JOIN bkmv USING (h)),
+      sz AS (SELECT count(*) AS usz FROM ukmv),
+      ex AS (
+        SELECT (SELECT count(DISTINCT k) FROM oa) AS exact_a,
+               (SELECT count(DISTINCT k) FROM ob) AS exact_b,
+               (SELECT count(DISTINCT k) FROM
+                 (SELECT k FROM oa UNION SELECT k FROM ob))
+                 AS exact_union,
+               (SELECT count(DISTINCT oa.k) FROM oa
+                 JOIN ob ON oa.k = ob.k) AS exact_intersect)
+      SELECT round(${graft.ops.Sketches
+               .kmvEstimateOracleSql("akmv", 256)}, 6) AS est_a,
+             round(${graft.ops.Sketches
+               .kmvEstimateOracleSql("bkmv", 256)}, 6) AS est_b,
+             round(${graft.ops.Sketches
+               .kmvEstimateOracleSql("ukmv", 256)}, 6) AS est_union,
+             round(CAST(nboth AS DOUBLE) / usz, 6) AS jaccard,
+             round(CAST(nboth AS DOUBLE) / usz
+               * ${graft.ops.Sketches
+                 .kmvEstimateOracleSql("ukmv", 256)}, 6)
+               AS est_intersect,
+             exact_a, exact_b, exact_union, exact_intersect
+      FROM j, sz, ex""")) { (s, dir) =>
+      import graft.ops.Sketches
+      val ord = t(s, dir, "orders")
+      def keys(y: Int) = ord
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey").cast("string").as("k"))
+      // 256-row stored sketches, each consumed 2–3× below —
+      // localCheckpoint so the orders scan runs once per sketch
+      val sa = Sketches.kmvSketch(keys(1995), col("k"), k = 256)
+        .localCheckpoint()
+      val sb = Sketches.kmvSketch(keys(2001), col("k"), k = 256)
+        .localCheckpoint()
+      val su = Sketches.kmvMerge(sa, sb, k = 256).localCheckpoint()
+      def est(sk: org.apache.spark.sql.DataFrame, n: String) =
+        Sketches.kmvEstimate(sk, k = 256).select(col("est").as(n))
+      val nboth = su.join(sa, Seq("h")).join(sb, Seq("h"))
+        .agg(count(lit(1)).as("nboth"))
+      val usz = su.agg(count(lit(1)).as("usz"))
+      val (ka, kb) = (keys(1995), keys(2001))
+      val ex = ka.distinct().agg(count(lit(1)).as("exact_a"))
+        .crossJoin(kb.distinct().agg(count(lit(1)).as("exact_b")))
+        .crossJoin(ka.unionByName(kb).distinct()
+          .agg(count(lit(1)).as("exact_union")))
+        .crossJoin(ka.distinct().join(kb.distinct(), Seq("k"))
+          .agg(count(lit(1)).as("exact_intersect")))
+      est(sa, "ea").crossJoin(est(sb, "eb")).crossJoin(est(su, "eu"))
+        .crossJoin(nboth).crossJoin(usz).crossJoin(ex)
+        .select(
+          round(col("ea"), 6).as("est_a"),
+          round(col("eb"), 6).as("est_b"),
+          round(col("eu"), 6).as("est_union"),
+          round(col("nboth").cast("double") / col("usz"), 6)
+            .as("jaccard"),
+          round(col("nboth").cast("double") / col("usz")
+            * col("eu"), 6).as("est_intersect"),
+          col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_intersect"))
+    },
+
+    // Bottom-k uniform ROW sample by portable hash of the row identity
+    // (integer columns only — double→string rendering is engine-
+    // private, so doubles never enter a hash key): the deterministic,
+    // mergeable form of "sample 1024 rows" a 100-TB quantile probe
+    // uses instead of a full-column sort. TakeOrdered merges
+    // per-partition heaps — no global sort, no rand(). Ties on
+    // (h, v) — full-duplicate rows — are interchangeable, so the
+    // sampled VALUE multiset is total-order deterministic. Sample
+    // quantiles ride next to the exact full-data quantiles as the
+    // error dial.
+    Q("q_kmv_quantiles", Some("""
+      WITH rows0 AS (
+        SELECT l_extendedprice AS v,
+               ('0x' || substring(md5(
+                 CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR) || '|'
+                 || CAST(l_partkey AS VARCHAR) || '|'
+                 || CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM lineitem),
+      samp AS (SELECT v FROM rows0 ORDER BY h, v LIMIT 1024),
+      sq AS (
+        SELECT count(*) AS n_sample,
+               round(quantile_cont(v, 0.25), 6) AS s_p25,
+               round(quantile_cont(v, 0.50), 6) AS s_p50,
+               round(quantile_cont(v, 0.75), 6) AS s_p75,
+               round(quantile_cont(v, 0.95), 6) AS s_p95
+        FROM samp),
+      eq AS (
+        SELECT count(*) AS n_rows,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS e_p25,
+               round(quantile_cont(l_extendedprice, 0.50), 6) AS e_p50,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS e_p75,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS e_p95
+        FROM lineitem)
+      SELECT n_sample, n_rows, s_p25, s_p50, s_p75, s_p95,
+             e_p25, e_p50, e_p75, e_p95
+      FROM sq, eq""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val h = graft.text.TextOps.md5Hash64(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")))
+      val samp = li.select(col("l_extendedprice").as("v"), h.as("h"))
+        .orderBy("h", "v").limit(1024)
+      val sq = samp.agg(
+        count(lit(1)).as("n_sample"),
+        round(percentile(col("v"), lit(0.25)), 6).as("s_p25"),
+        round(percentile(col("v"), lit(0.50)), 6).as("s_p50"),
+        round(percentile(col("v"), lit(0.75)), 6).as("s_p75"),
+        round(percentile(col("v"), lit(0.95)), 6).as("s_p95"))
+      val eq = li.agg(
+        count(lit(1)).as("n_rows"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 6)
+          .as("e_p25"),
+        round(percentile(col("l_extendedprice"), lit(0.50)), 6)
+          .as("e_p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 6)
+          .as("e_p75"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 6)
+          .as("e_p95"))
+      sq.crossJoin(eq).select(
+        col("n_sample"), col("n_rows"),
+        col("s_p25"), col("s_p50"), col("s_p75"), col("s_p95"),
+        col("e_p25"), col("e_p50"), col("e_p75"), col("e_p95"))
     }
   )
 }

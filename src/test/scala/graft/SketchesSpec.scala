@@ -139,4 +139,39 @@ class SketchesSpec extends SparkSpec {
       .filter(col("cms_est") < col("true_cnt"))
     assert(under.isEmpty, "CMS must never underestimate")
   }
+
+  test("KMV sketches merge: bottom-k of split sketches == full sketch") {
+    val full = Sketches.kmvSketch(li, col("l_orderkey"), k = 128)
+    val a = Sketches.kmvSketch(
+      li.filter(col("l_linenumber") <= 2), col("l_orderkey"), k = 128)
+    val b = Sketches.kmvSketch(
+      li.filter(col("l_linenumber") > 2), col("l_orderkey"), k = 128)
+    val merged = Sketches.kmvMerge(a, b, k = 128)
+    assert(merged.exceptAll(full).isEmpty &&
+      full.exceptAll(merged).isEmpty)
+  }
+
+  test("KMV estimate is exact below k and error-banded above it") {
+    // 25 nations < k=128 → every distinct hash retained → exact branch
+    val nations = li
+      .join(spark.read
+          .parquet("/root/testdata/sf0.001/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"))
+    val exactRow = Sketches.kmvEstimate(
+      Sketches.kmvSketch(nations, col("s_nationkey"), k = 128),
+      k = 128).head()
+    assert(exactRow.getAs[Double]("est") ==
+      exactRow.getAs[Long]("sketch_size").toDouble)
+    // ~1500 distinct orderkeys >> k=64 → estimator branch; the standard
+    // deviation is ~1/sqrt(k−2) ≈ 13%, so 40% is a generous determinism
+    // guard (the estimate itself is a fixed number — this bound only
+    // documents the accuracy class)
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(li, col("l_orderkey"), k = 64), k = 64).head()
+      .getAs[Double]("est")
+    val exact = li.select(col("l_orderkey")).distinct().count().toDouble
+    assert(math.abs(est - exact) / exact < 0.4,
+      s"KMV estimate $est vs exact $exact out of band")
+  }
 }
