@@ -212,6 +212,34 @@ object Relational extends QueryModule {
         .orderBy("o_orderpriority")
     },
 
+    // Salted skew join (ops.Skew.saltedJoin): the a-priori remedy when
+    // one join key is so hot a single task can't hold it — the fact
+    // side's key is split into 8 deterministic sub-keys (portable hash
+    // of a row column, never rand(): retries/replays must resalt
+    // identically) and the dim side replicates across every salt, so
+    // the shuffle spreads each hot key over 8 tasks. The oracle is the
+    // PLAIN join: salting is a physical rewrite with identical
+    // semantics, and this gate pins exactly that.
+    Q("q_join_salted", Some("""
+      SELECT s.s_nationkey, count(*) AS n,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS gross
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_extendedprice"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(big, dim, "l_suppkey",
+          tiebreak = col("l_orderkey"), nSalts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("gross"))
+        .orderBy("s_nationkey")
+    },
+
     // J11/O5: set difference both directions via anti-join
     // (ref: src/mf_etl/bronze/sanity_checks.py:256-259)
     Q("q_anti_join", Some("""
@@ -231,6 +259,45 @@ object Relational extends QueryModule {
         .select(col("o_custkey").as("cust"), lit("NO_CUSTOMER").as("side"))
         .distinct()
       noOrders.unionByName(noCust).orderBy("side", "cust")
+    },
+
+    // SCD2 dimension build (ops.Scd.scd2): the orders stream read as a
+    // per-customer priority change log (pre-aggregated to one
+    // observation per (custkey, date) — the op's input contract)
+    // collapses into interval rows [effective_from, effective_to) per
+    // attribute run, is_current on the open run — the Kimball type-2
+    // dimension a fact table as-of joins. One exchange on the key:
+    // change-detection lag, run filter, and closing lead all ride the
+    // same shuffle.
+    Q("q_scd2_dim", Some("""
+      WITH log0 AS (
+        SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS ts,
+               max(o_orderpriority) AS priority
+        FROM orders GROUP BY 1, 2),
+      marked AS (
+        SELECT custkey, ts, priority,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN priority IS DISTINCT FROM lag(priority) OVER w
+                      THEN 1
+                    ELSE 0 END AS opens
+        FROM log0 WINDOW w AS (PARTITION BY custkey ORDER BY ts)),
+      runs AS (SELECT custkey, ts, priority FROM marked WHERE opens = 1)
+      SELECT custkey, priority,
+             ts AS effective_from,
+             lead(ts) OVER w2 AS effective_to,
+             CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END
+               AS is_current
+      FROM runs WINDOW w2 AS (PARTITION BY custkey ORDER BY ts)
+      ORDER BY custkey, effective_from""")) { (s, dir) =>
+      val log0 = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"),
+          col("o_orderdate").cast("date").as("ts"))
+        .agg(max(col("o_orderpriority")).as("priority"))
+      graft.ops.Scd.scd2(log0, keyCols = Seq("custkey"), tsCol = "ts",
+          attrCols = Seq("priority"))
+        .select(col("custkey"), col("priority"), col("effective_from"),
+          col("effective_to"), col("is_current"))
+        .orderBy("custkey", "effective_from")
     },
 
     // J1: manifest NEW/CHANGED/UNCHANGED classification — left join current
