@@ -739,6 +739,29 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // Edit-distance refinement of the LSH candidate set: banding
+    // recalls pairs, then the TRUE metric — Levenshtein on an 80-char
+    // prefix — is paid only on |candidates| rows, never the n² corpus
+    // (the same recall-then-refine shape as the ANN re-rank). Both
+    // engines' levenshtein is the standard unit-cost edit distance, so
+    // the verified flag is integer-exact.
+    Q("q_d_editdist", Some(s"""
+      WITH $minhashCtes,
+      pfx AS (SELECT doc_id, substring(text, 1, 80) AS p
+              FROM documents)
+      SELECT d1, d2, levenshtein(a.p, b.p) AS lev,
+             length(a.p) AS len1, length(b.p) AS len2,
+             CASE WHEN levenshtein(a.p, b.p) <= 20 THEN 1 ELSE 0 END
+               AS verified
+      FROM mh_pairs
+      JOIN pfx a ON d1 = a.doc_id JOIN pfx b ON d2 = b.doc_id
+      ORDER BY d1, d2""")) { (s, dir) =>
+      Dedup.editDistanceVerify(
+          Dedup.minhashLshPairsFromSigs(docSigs(s, dir)),
+          t(s, dir, "documents"), prefixLen = 80, maxDist = 20)
+        .orderBy("d1", "d2")
+    },
+
     // Incremental (batch-vs-index) dedup: docs with doc_id % 5 = 0 play
     // the newly-delivered batch, the rest the standing index; each
     // batch doc is classified exact_dup / near_dup / novel with its

@@ -97,6 +97,30 @@ object Dedup {
         (agree.cast("double") / k).as("est_sim"))
   }
 
+  /** Exact edit-distance verification of near-dup CANDIDATE pairs —
+    * the refinement stage after banding: LSH recalls a candidate set,
+    * and the expensive true metric is paid only on |pairs| rows, never
+    * the n² corpus. Levenshtein is O(len²) per pair, so it runs on a
+    * bounded `prefixLen`-char prefix (the production pattern for
+    * titles / headers / short fields); `verified` = distance ≤
+    * `maxDist`. Join shape: two broadcast-able equi-joins from the
+    * pair list into the per-doc prefix projection. */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame,
+      prefixLen: Int, maxDist: Int): DataFrame = {
+    val pfx = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("p"))
+    pairs.select(col("d1"), col("d2"))
+      .join(pfx.select(col("doc_id").as("d1"), col("p").as("p1")),
+        Seq("d1"))
+      .join(pfx.select(col("doc_id").as("d2"), col("p").as("p2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("p1"), col("p2")).as("lev"),
+        length(col("p1")).as("len1"), length(col("p2")).as("len2"))
+      .withColumn("verified",
+        when(col("lev") <= maxDist, 1).otherwise(0))
+  }
+
   /** LSH band-key table (doc_id, band_idx, key) over a minhash
     * signature frame — the join axis of both self-dedup and
     * incremental (batch-vs-index) dedup. */

@@ -126,6 +126,23 @@ class DedupSpec extends SparkSpec {
     assert(v1.isNullAt(v1.fieldIndex("est_sim")))
   }
 
+  test("editDistanceVerify refines candidates with the true metric") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // 2 edits
+      (3L, "a completely different sentence about databases"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
+    val out = Dedup.editDistanceVerify(pairs, docs,
+        prefixLen = 80, maxDist = 5)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        (r.getAs[Int]("lev"), r.getAs[Int]("verified"))).toMap
+    assert(out((1L, 2L)) == ((2, 1)), "near pair must verify (lev=2)")
+    assert(out((1L, 3L))._2 == 0, "unrelated pair must be rejected")
+    // cost shape: only candidate pairs are scored, never the corpus
+    assert(out.size == 2)
+  }
+
   test("cosineTopK: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
