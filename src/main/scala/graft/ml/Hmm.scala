@@ -359,6 +359,8 @@ object Hmm {
       .drop("rn")
     val admitted = capped.groupBy("key").agg(count(lit(1)).as("n"))
       .where(col("n") >= minLen)
+      // unpartitioned window is intentional: post-aggregation table of
+      // one row per key (≤ #tickers) — SURVEY A14's own shape
       .withColumn("cum", sum("n").over(Window.orderBy("key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("cum") - col("n") < maxTotalPoints)

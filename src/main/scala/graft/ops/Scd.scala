@@ -34,6 +34,17 @@ object Scd {
       attrCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty,
       "scd2 needs at least one key and one tracked attribute")
+    // the builder GENERATES these columns via withColumn — a pre-existing
+    // column of the same name would be silently clobbered (and a tsCol
+    // named "effective_from" would self-assign, then be dropped)
+    val generated = Seq("__open", "effective_from", "effective_to",
+      "is_current")
+    require(!generated.contains(tsCol),
+      s"scd2 tsCol '$tsCol' collides with a generated column name")
+    val clash = log.columns.toSeq.intersect(generated)
+    require(clash.isEmpty,
+      s"scd2 input already has generated column name(s) " +
+        s"${clash.mkString(", ")} — rename them first")
     val wk = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
     val changed = attrCols
       .map(a => !(col(a) <=> lag(col(a), 1).over(wk)))

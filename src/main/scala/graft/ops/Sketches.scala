@@ -216,9 +216,40 @@ object Sketches {
 
   /** Merge two stored KMV sketches (same k): union, dedupe, re-bottom.
     * Associative and idempotent, so any merge tree over partition- or
-    * day-level sketches yields the sketch of the union. */
+    * day-level sketches yields the sketch of the union.
+    *
+    * CONTRACT: both inputs must have been built with this same `k`.
+    * Merging a sketch built with a SMALLER k (or estimating with a k
+    * larger than the build k) makes a saturated sketch look unsaturated
+    * (sketch_size < k) and silently takes the exact branch, returning a
+    * badly low estimate. The raw DataFrame form cannot check this —
+    * build through [[Kmv]] to carry k with the sketch and get the guard
+    * for free. */
   def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
     a.unionByName(b).distinct().orderBy("h").limit(k)
+
+  /** KMV sketch with its build `k` carried alongside — the safe handle
+    * for stored/merged sketches. The raw [[kmvSketch]]/[[kmvMerge]]/
+    * [[kmvEstimate]] functions trust the caller-supplied k (see the
+    * kmvMerge contract); this wrapper makes k-mismatch a construction
+    * error instead of a silent underestimate. */
+  final case class Kmv(sketch: DataFrame, k: Int) {
+    require(k > 1, s"KMV needs k > 1, got $k")
+    /** Union-merge with another sketch — k must match. */
+    def merge(other: Kmv): Kmv = {
+      require(other.k == k,
+        s"cannot merge KMV sketches with different k: $k vs ${other.k}")
+      Kmv(kmvMerge(sketch, other.sketch, k), k)
+    }
+    /** Distinct-count estimate at the CARRIED k. */
+    def estimate: DataFrame = kmvEstimate(sketch, k)
+  }
+
+  object Kmv {
+    /** Build a carried-k sketch of `value`'s distinct set. */
+    def of(df: DataFrame, value: Column, k: Int): Kmv =
+      Kmv(kmvSketch(df, value, k), k)
+  }
 
   /** Distinct-count estimate from a KMV sketch: one row
     * `(sketch_size, hmax, est)`. Exact when the sketch holds fewer

@@ -393,6 +393,9 @@ object BacktestQueries2 extends QueryModule {
           coalesce(stddev_pop(when(col("net_ret") < 0, col("net_ret"))),
             lit(0.0)).as("downside"))
       val r = m
+        // unpartitioned percent_rank windows are intentional:
+        // post-aggregation per-ticker metric table (≤k rows) — the
+        // reference's own unpartitioned ranking (SURVEY A14)
         .withColumn("pr_exp",
           percent_rank().over(Window.orderBy("expectancy")))
         .withColumn("pr_down",

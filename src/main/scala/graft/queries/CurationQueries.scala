@@ -648,6 +648,8 @@ object CurationQueries extends QueryModule {
       kl.join(stot, Seq("source"))
         .select(col("source"), col("tot_s").as("n_tokens"),
           col("kl_vs_corpus"))
+        // unpartitioned window is intentional: post-aggregation report
+        // table (one row per source) — SURVEY A14's own shape
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("kl_vs_corpus").desc, col("source")))
           .cast("int"))

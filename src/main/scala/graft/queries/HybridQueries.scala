@@ -267,6 +267,8 @@ object HybridQueries extends QueryModule {
   private[queries] def runTable(s: SparkSession, dir: String): DataFrame = {
     val rows = Runs.map { run =>
       val ccs = comboCandidate(runScored(s, dir, run))
+      // unpartitioned window is intentional: post-aggregation combo
+      // candidate table (≤k rows) — SURVEY A14's own shape
       val top = ccs.withColumn("rn", row_number().over(Window.orderBy(
           col("combo_candidate_score").desc_nulls_last,
           col("expectancy").desc_nulls_last,

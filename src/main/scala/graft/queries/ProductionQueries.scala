@@ -83,6 +83,8 @@ object ProductionQueries extends QueryModule {
       val elig = elig0.withColumn("used", used.cast("long"))
         .filter(col("trade_count") >= col("used"))
       def pick(label: String, ord: Seq[Column]) =
+        // unpartitioned window is intentional: post-aggregation combo
+        // table (≤ max_combos rows) — SURVEY A14's own shape
         elig.withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
           .filter(col("rn") === 1).drop("rn")
           .withColumn("label", lit(label))

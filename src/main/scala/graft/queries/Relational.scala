@@ -214,9 +214,9 @@ object Relational extends QueryModule {
 
     // Salted skew join (ops.Skew.saltedJoin): the a-priori remedy when
     // one join key is so hot a single task can't hold it — the fact
-    // side's key is split into 8 deterministic sub-keys (portable hash
-    // of a row column, never rand(): retries/replays must resalt
-    // identically) and the dim side replicates across every salt, so
+    // side's key is split into 8 deterministic sub-keys (deterministic
+    // engine hash of a row column, never rand(): retries/replays must
+    // resalt identically) and the dim side replicates across every salt, so
     // the shuffle spreads each hot key over 8 tasks. The oracle is the
     // PLAIN join: salting is a physical rewrite with identical
     // semantics, and this gate pins exactly that.
@@ -625,6 +625,8 @@ object Relational extends QueryModule {
       val m = t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      // unpartitioned windows are intentional: post-aggregation table
+      // (one row per orderpriority) — SURVEY A14's own shape
       m.withColumn("total_pr",
           round(percent_rank().over(Window.orderBy("total")), 9))
         .withColumn("n_rank", dense_rank().over(Window.orderBy(col("n").desc)))
@@ -877,6 +879,8 @@ object Relational extends QueryModule {
       pr.join(broadcast(t(s, dir, "nation")),
           col("v") === col("n_nationkey"))
         .select(col("n_name"), round(col("pr"), 9).as("pr"))
+        // unpartitioned window is intentional: post-PageRank nation
+        // table (25 rows) — SURVEY A14's own shape
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("pr").desc, col("n_name"))).cast("int"))
         .orderBy("rnk")

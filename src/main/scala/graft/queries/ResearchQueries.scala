@@ -1008,6 +1008,8 @@ object ResearchQueries extends QueryModule {
               "ALLOW_SCORE_AND_STABILITY_OK"),
             when(col("class_label") === "WATCH",
               "WATCH_MIXED_SIGNALS")).as("reasons"),
+          // unpartitioned windows are intentional: post-aggregation
+          // report table (≤k cluster rows) — SURVEY A14's own shape
           dense_rank().over(Window.orderBy("ci_width"))
             .as("ci_relative_rank"),
           dense_rank().over(Window.orderBy(col("state_share_mean").desc))

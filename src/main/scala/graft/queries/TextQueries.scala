@@ -1304,6 +1304,8 @@ object TextQueries extends QueryModule {
       val scored = terms.groupBy("doc_id")
         .agg(round(sum(col("ts").cast("decimal(38,18)")).cast("double"),
           9).as("bm25"))
+      // unpartitioned window is intentional: post-aggregation per-doc
+      // score table ranked for a top-20 report — SURVEY A14's own shape
       scored.withColumn("rnk", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))))
         .filter(col("rnk") <= 20)
@@ -1748,6 +1750,8 @@ object TextQueries extends QueryModule {
         .groupBy("bin").agg(count(lit(1)).as("n"))
         .select(col("bin"), round(col("bin") * 0.05, 2).as("bin_lo"),
           col("n"),
+          // unpartitioned window is intentional: post-aggregation
+          // histogram (≤ 40 bins) — SURVEY A14's own shape
           sum("n").over(Window.orderBy(col("bin").desc)).cast("long")
             .as("n_at_or_above"))
         .orderBy("bin")

@@ -277,6 +277,8 @@ object Windows extends QueryModule {
       t(s, dir, "events")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("tv"))
+        // unpartitioned window is intentional: post-aggregation report
+        // table (one row per user) — SURVEY A14's own shape
         .withColumn("activity_rank",
           dense_rank().over(Window.orderBy(col("n").desc)))
         .orderBy("user_id")

@@ -269,6 +269,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("intentional unpartitioned report-table windows rank AGGREGATE " +
+      "inputs only") {
+    // the WindowExec "No Partition Defined" warnings these queries emit
+    // are provably benign: every unpartitioned window ranks a
+    // post-aggregation report table (≤k rows — one row per group), the
+    // reference's own unpartitioned ranking shape (SURVEY A14). This
+    // pins that: each unpartitioned Window node in the optimized plan
+    // must have an Aggregate (or another already-reduced window chain)
+    // strictly below it, so the single task can never see data-scale
+    // input.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    for (q <- Seq("q_rank_norm", "q_bt_robustness", "q_t_source_kl",
+        "q_w_dense_rank", "q_t_bm25", "q_e_sim_hist", "q_pagerank_trade",
+        "q_cluster_hardening_full")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      val wins = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(wins.nonEmpty,
+        s"$q: expected an unpartitioned report-table window")
+      wins.foreach { w =>
+        val reduced = w.child.collectFirst { case a: Aggregate => a }
+        assert(reduced.isDefined,
+          s"$q: unpartitioned window over a NON-aggregate input — " +
+            "would be a data-scale single task")
+      }
+    }
+  }
+
   test("q_t_pii / q_t_blocklist are map-only: no shuffle before the sort") {
     // per-doc scans must stream with the parquet scan — any hash
     // exchange, join, or aggregate means the column program picked up a

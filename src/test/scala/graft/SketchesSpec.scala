@@ -174,4 +174,15 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.4,
       s"KMV estimate $est vs exact $exact out of band")
   }
+
+  test("Kmv wrapper carries k: mismatched merge is a construction error") {
+    val a = Sketches.Kmv.of(li, col("l_orderkey"), k = 64)
+    val b = Sketches.Kmv.of(li, col("l_partkey"), k = 64)
+    val c = Sketches.Kmv.of(li, col("l_partkey"), k = 32)
+    // same-k merge works and estimates at the carried k
+    val est = a.merge(b).estimate.head().getAs[Double]("est")
+    assert(est > 0.0)
+    // the silent-underestimate hazard (merge k=32 into k=64) is refused
+    intercept[IllegalArgumentException] { a.merge(c) }
+  }
 }
