@@ -33,9 +33,16 @@ object Settings {
   /** Properties file (source 3), loaded once per named file. */
   @volatile private var fileCache: Option[(String, Properties)] = None
 
+  /** Environment source — a `var` ONLY so tests can inject an
+    * environment (the JVM cannot setenv); production never reassigns
+    * it. Reads go through this for both the `GRAFT_*` override layer
+    * and the settings-file path variable. */
+  private[graft] var envSource: String => Option[String] =
+    k => sys.env.get(k)
+
   private def fileProps(): Option[Properties] = {
     val path = sys.props.get("graft.settings.file")
-      .orElse(sys.env.get("GRAFT_SETTINGS_FILE"))
+      .orElse(envSource("GRAFT_SETTINGS_FILE"))
     path.map { p =>
       fileCache match {
         case Some((cp, props)) if cp == p => props
@@ -55,7 +62,7 @@ object Settings {
   /** Raw lookup through the precedence chain; None → compiled default. */
   def raw(key: String): Option[String] =
     sys.props.get(s"graft.$key")
-      .orElse(sys.env.get(envKey(key)))
+      .orElse(envSource(envKey(key)))
       .orElse(fileProps().flatMap(p => Option(p.getProperty(key))))
 
   def str(key: String, default: String): String = raw(key).getOrElse(default)
@@ -296,6 +303,40 @@ object Settings {
     def stabilitySeedsDefault: Int = int("research_clustering.stability.seeds_default", 10)
     def stabilitySeedStart: Int = int("research_clustering.stability.seed_start_default", 42)
     def forwardWindows: Seq[Int] = ints("research_clustering.forward_windows", Seq(5, 10, 20))
+  }
+
+  /** `ann:` block — the LLM-pipeline similarity-search knobs (engine
+    * extension; the reference has no ANN surface). Defaults are the
+    * driver-fixture scale (500–2000 vectors, dim 64); production
+    * overrides them like any other key. `embeddingDim` pins the
+    * oracle's subspace arithmetic — the engine probes the real dim and
+    * requires divisibility at plan-build time. */
+  object ann {
+    def embeddingDim: Int = int("ann.embedding_dim", 64)
+    def nQueries: Int = int("ann.n_queries", 32)
+    def topK: Int = int("ann.top_k", 5)
+    def pqM: Int = int("ann.pq.m", 4)
+    def pqSubK: Int = int("ann.pq.sub_k", 8)
+    def pqLloydIters: Int = int("ann.pq.lloyd_iters", 4)
+    def pqSubDim: Int = {
+      val (d, m) = (embeddingDim, pqM)
+      require(d % m == 0, s"ann.embedding_dim $d not divisible by ann.pq.m $m")
+      d / m
+    }
+    def ivfNCells: Int = int("ann.ivfpq.n_cells", 8)
+    def ivfNProbe: Int = int("ann.ivfpq.n_probe", 2)
+    def ivfCoarseIters: Int = int("ann.ivfpq.coarse_iters", 4)
+    def rerankR: Int = int("ann.rerank_r", 16)
+    def lshTargetBucket: Int = int("ann.lsh.target_bucket", 64)
+  }
+
+  /** `dedup:` block — near-duplicate-detection knobs (engine
+    * extension, same fixture-scale caveat as `ann`). */
+  object dedup {
+    def jaccardNgramN: Int = int("dedup.jaccard.ngram_n", 3)
+    def jaccardMaxFreq: Int = int("dedup.jaccard.max_freq", 10)
+    def jaccardMinSim: Double = dbl("dedup.jaccard.min_jaccard", 0.04)
+    def simhashRadius: Int = int("dedup.simhash.hamming_radius", 3)
   }
 
   /** `research_hmm:` block (settings.yaml:312-364). Same fixture-scale

@@ -76,9 +76,145 @@ object Hmm {
       means, Array.fill(k)(gVar.clone()))
   }
 
+  /** Baum-Welch E-step sufficient statistics for a set of sequences —
+    * the per-partition unit of the distributed fit and the whole-sample
+    * unit of the driver fit (ONE implementation, so the two fits can't
+    * drift). Additive: `merge` sums component-wise, which is exactly
+    * how forward-backward statistics of independent sequences combine
+    * (the standard distributed Baum-Welch split: E on executors, M on
+    * the driver). */
+  private[ml] final class EAcc(val k: Int, val d: Int)
+      extends Serializable {
+    val piAcc = Array.fill(k)(0.0)
+    val aAcc = Array.fill(k, k)(0.0)
+    val muAcc = Array.fill(k, d)(0.0)
+    val vAcc = Array.fill(k, d)(0.0)
+    val gSum = Array.fill(k)(0.0)
+    var ll = 0.0
+
+    /** Accumulate one sequence's forward-backward statistics under
+      * model `m`. Hot loops are `while` with a reused scratch buffer —
+      * no per-cell allocation. */
+    def add(m: Model, seq: Array[Array[Double]]): Unit = {
+      if (seq.isEmpty) return
+      val buf = new Array[Double](k)
+      val t = seq.length
+      val lb = Array.ofDim[Double](t, k)
+      var i = 0
+      while (i < t) {
+        var s = 0
+        while (s < k) { lb(i)(s) = logB(m, s, seq(i)); s += 1 }
+        i += 1
+      }
+      // forward
+      val alpha = Array.ofDim[Double](t, k)
+      var s = 0
+      while (s < k) { alpha(0)(s) = m.logPi(s) + lb(0)(s); s += 1 }
+      i = 1
+      while (i < t) {
+        s = 0
+        while (s < k) {
+          var p = 0
+          while (p < k) { buf(p) = alpha(i - 1)(p) + m.logA(p)(s); p += 1 }
+          alpha(i)(s) = logSumExp(buf) + lb(i)(s)
+          s += 1
+        }
+        i += 1
+      }
+      // backward
+      val beta = Array.ofDim[Double](t, k)
+      i = t - 2
+      while (i >= 0) {
+        s = 0
+        while (s < k) {
+          var q = 0
+          while (q < k) {
+            buf(q) = m.logA(s)(q) + lb(i + 1)(q) + beta(i + 1)(q); q += 1
+          }
+          beta(i)(s) = logSumExp(buf)
+          s += 1
+        }
+        i -= 1
+      }
+      val seqLl = logSumExp(alpha(t - 1))
+      ll += seqLl
+      // gamma / xi accumulation
+      i = 0
+      while (i < t) {
+        s = 0
+        while (s < k) {
+          val w = math.exp(alpha(i)(s) + beta(i)(s) - seqLl)
+          if (i == 0) piAcc(s) += w
+          gSum(s) += w
+          var j = 0
+          while (j < d) {
+            val x = seq(i)(j)
+            muAcc(s)(j) += w * x
+            vAcc(s)(j) += w * x * x
+            j += 1
+          }
+          s += 1
+        }
+        if (i < t - 1) {
+          s = 0
+          while (s < k) {
+            var q = 0
+            while (q < k) {
+              aAcc(s)(q) += math.exp(alpha(i)(s) + m.logA(s)(q)
+                + lb(i + 1)(q) + beta(i + 1)(q) - seqLl)
+              q += 1
+            }
+            s += 1
+          }
+        }
+        i += 1
+      }
+    }
+
+    def merge(o: EAcc): EAcc = {
+      var s = 0
+      while (s < k) {
+        piAcc(s) += o.piAcc(s)
+        gSum(s) += o.gSum(s)
+        var q = 0
+        while (q < k) { aAcc(s)(q) += o.aAcc(s)(q); q += 1 }
+        var j = 0
+        while (j < d) {
+          muAcc(s)(j) += o.muAcc(s)(j)
+          vAcc(s)(j) += o.vAcc(s)(j)
+          j += 1
+        }
+        s += 1
+      }
+      ll += o.ll
+      this
+    }
+  }
+
+  /** M-step: next model from accumulated statistics (shared verbatim by
+    * the driver and distributed fits). */
+  private def mStep(m: Model, acc: EAcc): Model = {
+    val k = m.k
+    val piSum = acc.piAcc.sum
+    val newPi = acc.piAcc.map(p => math.log(math.max(p / piSum, 1e-12)))
+    val newA = Array.tabulate(k) { s =>
+      val rs = acc.aAcc(s).sum
+      if (rs <= 0) m.logA(s)
+      else acc.aAcc(s).map(x => math.log(math.max(x / rs, 1e-12)))
+    }
+    val newMu = Array.tabulate(k, m.d)((s, j) =>
+      if (acc.gSum(s) > 0) acc.muAcc(s)(j) / acc.gSum(s)
+      else m.means(s)(j))
+    val newVar = Array.tabulate(k, m.d)((s, j) =>
+      if (acc.gSum(s) > 0)
+        math.max(acc.vAcc(s)(j) / acc.gSum(s)
+          - newMu(s)(j) * newMu(s)(j), MinVar)
+      else m.vars(s)(j))
+    Model(k, m.d, newPi, newA, newMu, newVar)
+  }
+
   /** Baum-Welch fit over per-key sequences (driver-side over the bounded
-    * sample, like the reference's hmmlearn call). Hot loops are `while`
-    * with reused scratch buffers — no per-cell allocation. */
+    * sample, like the reference's hmmlearn call). */
   def fitResult(seqs: Seq[Array[Array[Double]]], k: Int, nIter: Int = 50,
       tol: Double = 1e-3): FitResult = {
     var m = init(k, seqs)
@@ -86,107 +222,79 @@ object Hmm {
     var ll = Double.NegativeInfinity
     var it = 0
     var done = false
-    val buf = new Array[Double](k)
     while (it < nIter && !done) {
-      val piAcc = Array.fill(k)(0.0)
-      val aAcc = Array.fill(k, k)(0.0)
-      val muAcc = Array.fill(k, m.d)(0.0)
-      val vAcc = Array.fill(k, m.d)(0.0)
-      val gSum = Array.fill(k)(0.0)
-      ll = 0.0
-      for (seq <- seqs if seq.nonEmpty) {
-        val t = seq.length
-        val lb = Array.ofDim[Double](t, k)
-        var i = 0
-        while (i < t) {
-          var s = 0
-          while (s < k) { lb(i)(s) = logB(m, s, seq(i)); s += 1 }
-          i += 1
-        }
-        // forward
-        val alpha = Array.ofDim[Double](t, k)
-        var s = 0
-        while (s < k) { alpha(0)(s) = m.logPi(s) + lb(0)(s); s += 1 }
-        i = 1
-        while (i < t) {
-          s = 0
-          while (s < k) {
-            var p = 0
-            while (p < k) { buf(p) = alpha(i - 1)(p) + m.logA(p)(s); p += 1 }
-            alpha(i)(s) = logSumExp(buf) + lb(i)(s)
-            s += 1
-          }
-          i += 1
-        }
-        // backward
-        val beta = Array.ofDim[Double](t, k)
-        i = t - 2
-        while (i >= 0) {
-          s = 0
-          while (s < k) {
-            var q = 0
-            while (q < k) {
-              buf(q) = m.logA(s)(q) + lb(i + 1)(q) + beta(i + 1)(q); q += 1
-            }
-            beta(i)(s) = logSumExp(buf)
-            s += 1
-          }
-          i -= 1
-        }
-        val seqLl = logSumExp(alpha(t - 1))
-        ll += seqLl
-        // gamma / xi accumulation
-        i = 0
-        while (i < t) {
-          s = 0
-          while (s < k) {
-            val w = math.exp(alpha(i)(s) + beta(i)(s) - seqLl)
-            if (i == 0) piAcc(s) += w
-            gSum(s) += w
-            var j = 0
-            while (j < m.d) {
-              val x = seq(i)(j)
-              muAcc(s)(j) += w * x
-              vAcc(s)(j) += w * x * x
-              j += 1
-            }
-            s += 1
-          }
-          if (i < t - 1) {
-            s = 0
-            while (s < k) {
-              var q = 0
-              while (q < k) {
-                aAcc(s)(q) += math.exp(alpha(i)(s) + m.logA(s)(q)
-                  + lb(i + 1)(q) + beta(i + 1)(q) - seqLl)
-                q += 1
-              }
-              s += 1
-            }
-          }
-          i += 1
-        }
-      }
-      // M-step
-      val piSum = piAcc.sum
-      val newPi = piAcc.map(p => math.log(math.max(p / piSum, 1e-12)))
-      val newA = Array.tabulate(k) { s =>
-        val rs = aAcc(s).sum
-        if (rs <= 0) m.logA(s)
-        else aAcc(s).map(x => math.log(math.max(x / rs, 1e-12)))
-      }
-      val newMu = Array.tabulate(k, m.d)((s, j) =>
-        if (gSum(s) > 0) muAcc(s)(j) / gSum(s) else m.means(s)(j))
-      val newVar = Array.tabulate(k, m.d)((s, j) =>
-        if (gSum(s) > 0)
-          math.max(vAcc(s)(j) / gSum(s) - newMu(s)(j) * newMu(s)(j), MinVar)
-        else m.vars(s)(j))
-      m = Model(k, m.d, newPi, newA, newMu, newVar)
+      val acc = new EAcc(k, m.d)
+      for (seq <- seqs if seq.nonEmpty) acc.add(m, seq)
+      ll = acc.ll
+      m = mStep(m, acc)
       if (math.abs(ll - prevLl) < tol) done = true
       prevLl = ll
       it += 1
     }
     FitResult(m, ll, it, done, seqs.map(_.length.toLong).sum, seqs.size)
+  }
+
+  /** Fully DISTRIBUTED Baum-Welch fit: per-key sequences stay on the
+    * executors; each EM iteration broadcasts the current model, computes
+    * per-partition forward-backward sufficient statistics ([[EAcc]] —
+    * the same code the driver fit runs), and tree-reduces them to the
+    * driver for the M-step. Driver memory is O(k·d) regardless of input
+    * size — this is what removes the driver-sample cap as a model-quality
+    * bound at 100 TB (the capped [[fitResult]] path mirrors the
+    * reference's in-memory hmmlearn contract; this is the scale path).
+    * One shuffle total: the (key → sorted sequence) assembly is done
+    * once and cached across all iterations.
+    *
+    * Statistics are identical to the driver fit's up to floating-point
+    * summation order (sequences combine associatively); HmmSpec locks
+    * the likelihood trajectory and fitted parameters to the driver fit
+    * on the same input. */
+  def fitResultDistributed(df: DataFrame, k: Int, nIter: Int = 50,
+      tol: Double = 1e-3, minLen: Int = 2): FitResult = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val seqEnc: org.apache.spark.sql.Encoder[Array[Array[Double]]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Array[Double]]]
+    val seqs = df
+      .select(col("key").cast("string"), col("ts").cast("long"),
+        col("features").cast("array<double>"))
+      .as[(String, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups((_, it) => it.toArray.sortBy(_._2).map(_._3))
+      .filter(_.length >= minLen)
+      .cache()
+    try {
+      val counts = seqs.map(s => (1L, s.length.toLong))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      val (nSeqs, nObs) = counts
+      require(nSeqs > 0, "no sequences of length >= minLen to fit")
+      // init needs pooled quantile anchors — bounded: it reads only the
+      // per-dimension sorted values, so at true scale swap in the
+      // t-digest init; at fixture scale collecting the pool is the
+      // reference's own convention
+      var m = init(k, seqs.collect().toSeq)
+      var prevLl = Double.NegativeInfinity
+      var ll = Double.NegativeInfinity
+      var it = 0
+      var done = false
+      implicit val eaccEnc: org.apache.spark.sql.Encoder[EAcc] =
+        org.apache.spark.sql.Encoders.kryo[EAcc]
+      while (it < nIter && !done) {
+        val bc = spark.sparkContext.broadcast(m)
+        val acc = seqs.mapPartitions { seqIt =>
+          val a = new EAcc(bc.value.k, bc.value.d)
+          seqIt.foreach(s => a.add(bc.value, s))
+          Iterator.single(a)
+        }.reduce((a, b) => a.merge(b))
+        bc.destroy()
+        ll = acc.ll
+        m = mStep(m, acc)
+        if (math.abs(ll - prevLl) < tol) done = true
+        prevLl = ll
+        it += 1
+      }
+      FitResult(m, ll, it, done, nObs, nSeqs.toInt)
+    } finally seqs.unpersist()
   }
 
   def fit(seqs: Seq[Array[Array[Double]]], k: Int, nIter: Int = 50,

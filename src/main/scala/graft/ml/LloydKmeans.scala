@@ -105,7 +105,7 @@ object LloydKmeans {
   def oracleSqlFrom(src: String, k: Int, iters: Int,
       pfx: String): String = {
     val init = s"""
-      ${pfx}cent_0 AS (
+      ${pfx}cent_0 AS MATERIALIZED (
         SELECT pid AS c, j, x AS y FROM $src WHERE pid < $k)"""
     val steps = (1 to iters).map { i =>
       val p = i - 1
@@ -115,7 +115,7 @@ object LloydKmeans {
                CAST(sum(CAST((p.x - c.y) * (p.x - c.y)
                  AS DECIMAL(38,18))) AS DOUBLE) AS d2
         FROM $src p JOIN ${pfx}cent_$p c ON p.j = c.j GROUP BY 1, 2),
-      ${pfx}ka_$i AS (
+      ${pfx}ka_$i AS MATERIALIZED (
         SELECT pid, c AS cluster FROM (
           SELECT *, row_number() OVER (PARTITION BY pid
             ORDER BY round(d2, 6), c) AS rn FROM ${pfx}kd_$i)
@@ -125,7 +125,7 @@ object LloydKmeans {
                CAST(sum(CAST(p.x AS DECIMAL(38,18))) AS DOUBLE)
                  / count(*) AS y
         FROM $src p JOIN ${pfx}ka_$i a USING (pid) GROUP BY 1, 2),
-      ${pfx}cent_$i AS (
+      ${pfx}cent_$i AS MATERIALIZED (
         SELECT prev.c, prev.j, coalesce(m.y, prev.y) AS y
         FROM ${pfx}cent_$p prev LEFT JOIN ${pfx}km_$i m
           ON m.c = prev.c AND m.j = prev.j)"""
@@ -136,12 +136,12 @@ object LloydKmeans {
   /** Final-centroid assignment CTEs (`${pfx}kd_fin`, `${pfx}kassign`)
     * against `${pfx}cent_$iters`. */
   def finalAssignSql(src: String, iters: Int, pfx: String): String = s""",
-      ${pfx}kd_fin AS (
+      ${pfx}kd_fin AS MATERIALIZED (
         SELECT p.pid, c.c,
                CAST(sum(CAST((p.x - c.y) * (p.x - c.y)
                  AS DECIMAL(38,18))) AS DOUBLE) AS d2
         FROM $src p JOIN ${pfx}cent_$iters c ON p.j = c.j GROUP BY 1, 2),
-      ${pfx}kassign AS (
+      ${pfx}kassign AS MATERIALIZED (
         SELECT pid, c AS cluster FROM (
           SELECT *, row_number() OVER (PARTITION BY pid
             ORDER BY round(d2, 6), c) AS rn FROM ${pfx}kd_fin)

@@ -148,4 +148,90 @@ object Multimodal {
   def extractFeaturesBatched(media: DataFrame, batchSize: Int): DataFrame =
     decodeFeaturesBatched(media, batchSize, StubDecoder)
       .select("doc_id", "byte_len", "checksum")
+
+  /** Perceptual average-hash (aHash) bands over the stub-decoded gray
+    * sequence — the image-dedup analogue of the SimHash text pipeline:
+    * the payload's decoded intensity stream (here: the code points of
+    * the utf-8 payload — a real deployment feeds pixel grays through
+    * the [[MediaDecoder]] seam) is downsampled into 64 blocks (block
+    * value = mean intensity, the aHash "8×8 resize"), each block
+    * thresholds against the global mean intensity (bit = block >
+    * mean), and the 64 bits split into four 16-bit bands for LSH
+    * blocking — identical banding/recall math to `TextOps.simhash64`
+    * (pigeonhole: any pair within hamming ≤ 3 shares a band).
+    *
+    * Exact-parity conventions: block means are exact integer sums /
+    * count (one IEEE division), the global mean sums the block means
+    * through DECIMAL(38,18) (order-free), and the threshold is a
+    * strict `>` — all reproduced verbatim by the DuckDB oracle.
+    * Returns (doc_id, b0, b1, b2, b3). */
+  def aHashBands(media: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val chars = media.select(col("doc_id"), n.as("n"), col("text"),
+        explode(sequence(lit(0), n - 1)).as("i"))
+      .select(col("doc_id"), col("n"), col("i"),
+        ascii(col("text").substr(col("i") + 1, lit(1))).as("cv"))
+    val cells = chars
+      .select(col("doc_id"),
+        floor(col("i").cast("double") * 64 / col("n")).cast("int")
+          .as("cell"), col("cv"))
+      .groupBy("doc_id", "cell")
+      .agg((sum(col("cv")).cast("double") / count(lit(1))).as("gv"))
+    val thr = cells.groupBy("doc_id")
+      .agg((sum(col("gv").cast("decimal(38,18)")).cast("double")
+        / count(lit(1))).as("thr"))
+    val bits = cells.join(thr, Seq("doc_id"))
+      .select(col("doc_id"), col("cell"), (col("gv") > col("thr")).as("bit"))
+    val bitVal = expr("shiftleft(1L, cast(cell % 16 as int))")
+    val bandAggs = (0 until 4).map { c =>
+      coalesce(sum(when(col("bit")
+          && (col("cell") / 16).cast("int") === c, bitVal)
+        .otherwise(0L)), lit(0L)).as(s"b$c")
+    }
+    bits.groupBy("doc_id").agg(bandAggs.head, bandAggs.tail: _*)
+  }
+
+  /** Perceptual near-duplicate pairs: band blocking over [[aHashBands]]
+    * (equi-join on any shared 16-bit band — never a cross product),
+    * exact hamming verify over the full 64 bits, pairs within
+    * `maxHamming` survive. Same scale shape as the SimHash dedup:
+    * candidate fanout is bounded by band-bucket sizes, the exact
+    * metric is paid on candidates only. */
+  def phashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4,
+      "banded blocking only guarantees recall for hamming < 4 bands")
+    phashCandidates(media, maxHamming)
+      .filter(col("is_dup"))
+      .drop("is_dup")
+  }
+
+  /** Banded candidate pairs with their exact hamming distance and the
+    * `is_dup = hamming <= maxHamming` verdict as DATA — the
+    * observability form (same rationale as the ANN bucket stats): a
+    * production run tunes the radius from this distribution instead of
+    * discovering an empty result after the fact. */
+  def phashCandidates(media: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = aHashBands(media)
+    val bandCols = (0 until 4).map(c => col(s"b$c"))
+    val keyed = sig.select(col("doc_id") +: bandCols :+
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("band_idx"), col(s"b$c").as("band"))): _*))
+        .as("bk"): _*)
+      .select(col("doc_id") +: bandCols :+ col("bk.band_idx") :+
+        col("bk.band"): _*)
+    val a = keyed.select(col("doc_id").as("d1") +:
+      (0 until 4).map(c => col(s"b$c").as(s"a_b$c")) :+
+      col("band_idx") :+ col("band"): _*)
+    val b = keyed.select(col("doc_id").as("d2") +:
+      (0 until 4).map(c => col(s"b$c").as(s"b_b$c")) :+
+      col("band_idx") :+ col("band"): _*)
+    val hamming = (0 until 4).map(c =>
+      bit_count(col(s"a_b$c").bitwiseXOR(col(s"b_b$c"))))
+      .reduce(_ + _)
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), hamming.cast("int").as("hamming"))
+      .distinct()
+      .withColumn("is_dup", col("hamming") <= maxHamming)
+  }
 }

@@ -46,6 +46,70 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Perceptual-hash near-dup detection (Multimodal.phashCandidates):
+    // the image-dedup analogue of q_d_simhash — aHash over the
+    // stub-decoded intensity stream (64-block downsample → mean
+    // threshold → 64 bits), 4×16-bit band blocking, exact hamming
+    // verify on candidates, emitted in the observability form (banded
+    // pairs + hamming + is_dup verdict; the radius-filtered operator
+    // is phashPairs, planted-dup-tested in MultimodalSpec). Pure
+    // expression math end-to-end, so the whole pipeline oracles
+    // (documents are ASCII → unicode(char) ≡ payload byte).
+    Q("q_m_phash_dup", Some {
+      val bandSums = (0 until 4).map(c =>
+        s"""coalesce(sum(CASE WHEN bit AND cell // 16 = $c
+               THEN (CAST(1 AS BIGINT) << (cell % 16)) ELSE 0 END), 0)
+               AS b$c""").mkString(",\n             ")
+      val bandCase = (0 until 4).map(c => s"WHEN $c THEN b$c")
+        .mkString("CASE c ", " ", " END")
+      val hamming = (0 until 4).map(c =>
+        s"bit_count(xor(a.b$c, b.b$c))").mkString(" + ")
+      s"""
+      WITH cpos AS (
+        SELECT doc_id, text, len(text) AS n,
+               unnest(range(len(text))) AS i
+        FROM documents),
+      chars AS (
+        SELECT doc_id, n, i,
+               unicode(substr(text, CAST(i + 1 AS INT), 1)) AS cv
+        FROM cpos),
+      cells AS (
+        SELECT doc_id,
+               CAST(floor(CAST(i AS DOUBLE) * 64 / n) AS INT) AS cell,
+               CAST(sum(cv) AS DOUBLE) / count(*) AS gv
+        FROM chars GROUP BY 1, 2),
+      thr AS (
+        SELECT doc_id,
+               CAST(sum(CAST(gv AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS thr
+        FROM cells GROUP BY 1),
+      bits AS (
+        SELECT c.doc_id, c.cell, c.gv > t.thr AS bit
+        FROM cells c JOIN thr t USING (doc_id)),
+      sig AS (
+        SELECT doc_id,
+             $bandSums
+        FROM bits GROUP BY 1),
+      keyed AS (
+        SELECT doc_id, b0, b1, b2, b3, c AS band_idx,
+               $bandCase AS band
+        FROM sig, range(4) r(c)),
+      ppairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               CAST($hamming AS INT) AS hamming
+        FROM keyed a JOIN keyed b
+          ON a.band_idx = b.band_idx AND a.band = b.band
+          AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming,
+             hamming <= ${TextQueries.SimhashRadius} AS is_dup
+      FROM ppairs
+      ORDER BY d1, d2"""
+    }) { (s, dir) =>
+      Multimodal.phashCandidates(t(s, dir, "documents"),
+          maxHamming = TextQueries.SimhashRadius)
+        .orderBy("d1", "d2")
+    },
+
     // Batched partition-wise extraction (mapInPandas-shaped). The stub
     // checksum is a deterministic byte fold, so it oracles as a character
     // code-point fold (documents are ASCII → bytes ≡ code points).

@@ -15,6 +15,44 @@ import graft.ops.Cols._
   */
 object Relational extends QueryModule {
 
+  /** Shared SCD2 dim CTEs (orders as a per-customer priority change
+    * log -> interval rows), ending at `scd2dim(custkey, priority,
+    * effective_from, effective_to, is_current)` — ONE definition for
+    * the q_scd2_dim gate and the q_scd2_asof interval-contract oracle. */
+  private def scd2Ctes: String = """
+      log0 AS (
+        SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS ts,
+               max(o_orderpriority) AS priority
+        FROM orders GROUP BY 1, 2),
+      marked AS (
+        SELECT custkey, ts, priority,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN priority IS DISTINCT FROM lag(priority) OVER w
+                      THEN 1
+                    ELSE 0 END AS opens
+        FROM log0 WINDOW w AS (PARTITION BY custkey ORDER BY ts)),
+      runs AS (SELECT custkey, ts, priority FROM marked WHERE opens = 1),
+      scd2dim AS (
+        SELECT custkey, priority,
+               ts AS effective_from,
+               lead(ts) OVER w2 AS effective_to,
+               CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END
+                 AS is_current
+        FROM runs WINDOW w2 AS (PARTITION BY custkey ORDER BY ts))"""
+
+  /** Engine twin of [[scd2Ctes]]: the ops.Scd.scd2 build over the same
+    * pre-aggregated change log. */
+  private def scd2Dim(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val log0 = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("date").as("ts"))
+      .agg(max(col("o_orderpriority")).as("priority"))
+    graft.ops.Scd.scd2(log0, keyCols = Seq("custkey"), tsCol = "ts",
+      attrCols = Seq("priority"))
+  }
+
+
   def all: Seq[Q] = Seq(
 
     // S3/S4/P1/P2/O1/O2: pruned scan → pushed filter → projection → sort/limit
@@ -269,35 +307,48 @@ object Relational extends QueryModule {
     // dimension a fact table as-of joins. One exchange on the key:
     // change-detection lag, run filter, and closing lead all ride the
     // same shuffle.
-    Q("q_scd2_dim", Some("""
-      WITH log0 AS (
-        SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS ts,
-               max(o_orderpriority) AS priority
-        FROM orders GROUP BY 1, 2),
-      marked AS (
-        SELECT custkey, ts, priority,
-               CASE WHEN row_number() OVER w = 1 THEN 1
-                    WHEN priority IS DISTINCT FROM lag(priority) OVER w
-                      THEN 1
-                    ELSE 0 END AS opens
-        FROM log0 WINDOW w AS (PARTITION BY custkey ORDER BY ts)),
-      runs AS (SELECT custkey, ts, priority FROM marked WHERE opens = 1)
-      SELECT custkey, priority,
-             ts AS effective_from,
-             lead(ts) OVER w2 AS effective_to,
-             CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END
-               AS is_current
-      FROM runs WINDOW w2 AS (PARTITION BY custkey ORDER BY ts)
+    Q("q_scd2_dim", Some(s"""
+      WITH $scd2Ctes
+      SELECT custkey, priority, effective_from, effective_to, is_current
+      FROM scd2dim
       ORDER BY custkey, effective_from""")) { (s, dir) =>
-      val log0 = t(s, dir, "orders")
-        .groupBy(col("o_custkey").as("custkey"),
-          col("o_orderdate").cast("date").as("ts"))
-        .agg(max(col("o_orderpriority")).as("priority"))
-      graft.ops.Scd.scd2(log0, keyCols = Seq("custkey"), tsCol = "ts",
-          attrCols = Seq("priority"))
+      scd2Dim(s, dir)
         .select(col("custkey"), col("priority"), col("effective_from"),
           col("effective_to"), col("is_current"))
         .orderBy("custkey", "effective_from")
+    },
+
+    // SCD2 x as-of composition (VERDICT r8 stretch): facts join the
+    // type-2 dimension state they were recorded under via the UNION +
+    // WINDOW as-of join (ops.TimeJoins.asofJoin — no join node, one
+    // exchange), and the oracle proves the INTERVAL CONTRACT — the
+    // as-of match equals the unique interval row containing the fact
+    // date ([effective_from, effective_to) with the open run
+    // unbounded). Row count == fact count because SCD2 runs tile each
+    // key's timeline with no gaps or overlaps.
+    Q("q_scd2_asof", Some(s"""
+      WITH $scd2Ctes
+      SELECT f.o_orderkey, f.o_custkey AS custkey,
+             CAST(f.o_orderdate AS DATE) AS fact_date, d.priority
+      FROM orders f JOIN scd2dim d ON d.custkey = f.o_custkey
+        AND d.effective_from <= CAST(f.o_orderdate AS DATE)
+        AND (d.effective_to IS NULL
+             OR CAST(f.o_orderdate AS DATE) < d.effective_to)
+      ORDER BY f.o_orderkey""")) { (s, dir) =>
+      val epoch = to_date(lit("1970-01-01"))
+      val dim = scd2Dim(s, dir).select(col("custkey"),
+        col("priority").as("dim_priority"),
+        datediff(col("effective_from"), epoch).cast("long").as("eff_ts"))
+      val facts = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_orderdate").cast("date").as("fact_date"))
+        .withColumn("fact_ts",
+          datediff(col("fact_date"), epoch).cast("long"))
+      graft.ops.TimeJoins.asofJoin(facts, dim, Seq("custkey"),
+          "fact_ts", "eff_ts", Seq("dim_priority"))
+        .select(col("o_orderkey"), col("custkey"), col("fact_date"),
+          col("dim_priority").as("priority"))
+        .orderBy("o_orderkey")
     },
 
     // J1: manifest NEW/CHANGED/UNCHANGED classification — left join current

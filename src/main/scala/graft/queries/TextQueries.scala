@@ -14,7 +14,26 @@ import graft.text.{Dedup, Similarity, TextOps}
   */
 object TextQueries extends QueryModule {
 
-  /** Shared per-doc MinHash signature stage (word-3-gram shingles, 8
+  // ---- live Settings views (graft.Settings `ann:` / `dedup:` blocks):
+  // defs, not vals, so an override re-interpolates BOTH the engine
+  // plans and the oracle SQL below (the registry-as-def desync-proof
+  // pattern the hardening/calibration families use). The memoized
+  // fitted artifacts (codebooks, stages) are keyed per sf dir and are
+  // NOT invalidated by an override — override before first use.
+  private[queries] def AnnQ = graft.Settings.ann.nQueries
+  private[queries] def AnnK = graft.Settings.ann.topK
+  private[queries] def PqM = graft.Settings.ann.pqM
+  private[queries] def PqSubK = graft.Settings.ann.pqSubK
+  private[queries] def PqSubDim = graft.Settings.ann.pqSubDim
+  private[queries] def IvfNCells = graft.Settings.ann.ivfNCells
+  private[queries] def IvfNProbe = graft.Settings.ann.ivfNProbe
+  private[queries] def CoarseIters = graft.Settings.ann.ivfCoarseIters
+  private[queries] def JaccN = graft.Settings.dedup.jaccardNgramN
+  private[queries] def JaccMaxFreq = graft.Settings.dedup.jaccardMaxFreq
+  private[queries] def JaccMinSim = graft.Settings.dedup.jaccardMinSim
+  private[queries] def SimhashRadius = graft.Settings.dedup.simhashRadius
+
+  /** Shared per-doc MinHash signature stage (word-n-gram shingles, 8
     * components) — the stored artifact every dedup pass starts from:
     * self-dedup banding, component clustering, the dedup policy, and
     * the incremental batch classifier all read this one frame instead
@@ -22,15 +41,20 @@ object TextQueries extends QueryModule {
     * doc, so checkpointing it is bounded by corpus cardinality. */
   private[queries] def docSigs(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "doc_minhash_sigs") {
-      Dedup.minhashSignatures(t(s, dir, "documents"), n = 3)
+      Dedup.minhashSignatures(t(s, dir, "documents"), n = JaccN)
     }
 
-  /** DuckDB shingle CTE mirroring TextOps.shingles(text, 3). */
-  private val shingleCte = """
+  /** DuckDB shingle CTE mirroring TextOps.shingles(text, n) at the
+    * live `dedup.jaccard.ngram_n`. */
+  private def shingleCte = {
+    val n = JaccN
+    val joined = (1 to n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""
     sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2),
-        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh
+      SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - ${n - 1}),
+        i -> $joined))) AS sh
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+  }
 
   /** Portable 60-bit md5 hash mod prime, SQL side. */
   private def hsql(e: String) =
@@ -140,8 +164,8 @@ object TextQueries extends QueryModule {
     * q_e_pq_recall read): one row per (query, rank ≤ 5). */
   private[queries] def pqTop5(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "pq_top5") {
-      Similarity.pqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
-        k = 5, m = 4, subK = 8)
+      Similarity.pqTopK(t(s, dir, "embeddings"), col("vec_id") < AnnQ,
+        k = AnnK, m = PqM, subK = PqSubK)
     }
 
   /** Exact squared-L2 top-5 per query — the ground-truth side both PQ
@@ -153,7 +177,7 @@ object TextQueries extends QueryModule {
       val ex = t(s, dir, "embeddings").select(col("vec_id"),
         posexplode(Similarity.asDouble(col("embedding")))
           .as(Seq("i", "x")))
-      val q = ex.filter(col("vec_id") < 32)
+      val q = ex.filter(col("vec_id") < AnnQ)
         .select(col("vec_id").as("qid"), col("i").as("qi"),
           col("x").as("qx"))
       val d2full = ex.join(broadcast(q),
@@ -163,7 +187,7 @@ object TextQueries extends QueryModule {
           .cast("decimal(38,18)")).cast("double"), 6).as("d2"))
       d2full.withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
-        .filter(col("rn") <= 5).select("qid", "vid")
+        .filter(col("rn") <= AnnK).select("qid", "vid")
     }
 
   /** Fitted per-subspace KMeans PQ codebook, one per sf dir — a stored
@@ -175,14 +199,15 @@ object TextQueries extends QueryModule {
   private[queries] def kmCodebook(s: SparkSession, dir: String)
       : IndexedSeq[IndexedSeq[Array[Double]]] =
     kmCbMemo.getOrElseUpdate(dir,
-      Similarity.kmeansCodebook(t(s, dir, "embeddings"), m = 4, subK = 8))
+      Similarity.kmeansCodebook(t(s, dir, "embeddings"), m = PqM,
+        subK = PqSubK))
 
   /** PQ top-5 under the FITTED codebook (the production-quality swap);
     * cached so the A/B recall query and any consumer share one build. */
   private[queries] def kmTop5(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "pq_km_top5") {
       Similarity.pqTopKCodebook(t(s, dir, "embeddings"),
-        col("vec_id") < 32, k = 5, kmCodebook(s, dir))
+        col("vec_id") < AnnQ, k = AnnK, kmCodebook(s, dir))
     }
 
   /** One mean-recall@5 summary row for a PQ ranking vs the exact-L2
@@ -199,7 +224,7 @@ object TextQueries extends QueryModule {
   /** Lloyd iterations for the deterministic fitted codebook — small
     * because the oracle unrolls m × iters CTE chains, and 4 rounds from
     * the seed slices already separate fitted from unfitted recall. */
-  private[queries] val PqLloydIters = 4
+  private[queries] def PqLloydIters = graft.Settings.ann.pqLloydIters
 
   /** DETERMINISTIC fitted codebook (per-subspace `LloydKmeans`) — the
     * hash-checkable counterpart to [[kmCodebook]]; memoized per sf dir
@@ -209,14 +234,14 @@ object TextQueries extends QueryModule {
   private[queries] def lloydCb(s: SparkSession, dir: String)
       : IndexedSeq[IndexedSeq[Array[Double]]] =
     lloydCbMemo.getOrElseUpdate(dir,
-      Similarity.lloydCodebook(t(s, dir, "embeddings"), m = 4, subK = 8,
-        iters = PqLloydIters))
+      Similarity.lloydCodebook(t(s, dir, "embeddings"), m = PqM,
+        subK = PqSubK, iters = PqLloydIters))
 
   /** PQ top-5 under the deterministic Lloyd codebook. */
   private[queries] def lloydTop5(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "pq_lloyd_top5") {
       Similarity.pqTopKCodebook(t(s, dir, "embeddings"),
-        col("vec_id") < 32, k = 5, lloydCb(s, dir))
+        col("vec_id") < AnnQ, k = AnnK, lloydCb(s, dir))
     }
 
   /** Oracle CTEs for the Lloyd-fitted PQ path, appended after
@@ -226,14 +251,14 @@ object TextQueries extends QueryModule {
     * `lqd2`/`ladc`/`lranked`), so the fitted-codebook PQ ranking is
     * bit-reproduced end-to-end: iterative fit included. */
   private def lloydPqCtes: String = {
-    val chains = (0 until 4).map { mi =>
+    val chains = (0 until PqM).map { mi =>
       s"""
-      s${mi}_pts AS (
+      s${mi}_pts AS MATERIALIZED (
         SELECT vec_id AS pid, j, x FROM sub WHERE m = $mi),""" +
         graft.ml.LloydKmeans.oracleSqlFrom(
-          s"s${mi}_pts", 8, PqLloydIters, s"s${mi}_")
+          s"s${mi}_pts", PqSubK, PqLloydIters, s"s${mi}_")
     }.mkString(",")
-    val union = (0 until 4).map(mi =>
+    val union = (0 until PqM).map(mi =>
       s"SELECT $mi AS m, c, j, y FROM s${mi}_cent_$PqLloydIters")
       .mkString("\n        UNION ALL ")
     s"""$chains,
@@ -250,7 +275,8 @@ object TextQueries extends QueryModule {
           SELECT *, row_number() OVER (PARTITION BY vec_id, m
             ORDER BY round(d2, 6), c) AS rn FROM ld2) WHERE rn = 1),
       lqd2 AS (
-        SELECT vec_id AS qid, m, c, d2 AS qd2 FROM ld2 WHERE vec_id < 32),
+        SELECT vec_id AS qid, m, c, d2 AS qd2 FROM ld2
+        WHERE vec_id < $AnnQ),
       ladc AS (
         SELECT q.qid, k.vid,
                round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
@@ -275,8 +301,10 @@ object TextQueries extends QueryModule {
          graft.streaming.StreamingEncode.Codebook) =
     serveArtMemo.getOrElseUpdate(dir, {
       val emb = t(s, dir, "embeddings")
-      (graft.streaming.StreamingAnnServe.seedCells(emb, nCells = 8),
-        graft.streaming.StreamingEncode.seedCodebook(emb, m = 4, subK = 8))
+      (graft.streaming.StreamingAnnServe.seedCells(emb,
+          nCells = IvfNCells),
+        graft.streaming.StreamingEncode.seedCodebook(emb, m = PqM,
+          subK = PqSubK))
     })
   private[queries] def annServeIndex(s: SparkSession, dir: String)
       : DataFrame =
@@ -289,7 +317,7 @@ object TextQueries extends QueryModule {
   /** ADC short-list length for the exact re-rank stage: ~3×k is the
     * production sweet spot (most of the recall@5 ADC lost sits just
     * below the ADC top-5 boundary). */
-  private[queries] val RerankR = 16
+  private[queries] def RerankR = graft.Settings.ann.rerankR
 
   /** IVF-PQ ADC candidate short list (top-$RerankR per query) — one
     * build shared by the re-rank query (which re-scores it) and the
@@ -298,8 +326,9 @@ object TextQueries extends QueryModule {
   private[queries] def ivfPqCands(s: SparkSession, dir: String)
       : DataFrame =
     Stage.cached(s, dir, "ivfpq_adc_cands") {
-      Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
-        k = RerankR, nCells = 8, nProbe = 2, m = 4, subK = 8)
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"),
+        col("vec_id") < AnnQ, k = RerankR, nCells = IvfNCells,
+        nProbe = IvfNProbe, m = PqM, subK = PqSubK)
     }
 
   /** Exact-re-ranked top-5 over the shared ADC short list. */
@@ -307,7 +336,55 @@ object TextQueries extends QueryModule {
       : DataFrame =
     Stage.cached(s, dir, "rerank_top5") {
       Similarity.rerankExact(t(s, dir, "embeddings"),
-        col("vec_id") < 32, ivfPqCands(s, dir), k = 5)
+        col("vec_id") < AnnQ, ivfPqCands(s, dir), k = AnnK)
+    }
+
+  /** Residual-IVF-PQ index artifacts: the Lloyd-FITTED coarse cells
+    * (what makes residuals small — a seed "centroid" is an arbitrary
+    * vector and residual encoding against it LOSES recall, measured
+    * 0.113→0.056 at sf0.01) plus the per-subspace Lloyd residual
+    * codebook. Stored production artifacts, memoized per sf dir like
+    * the other codebooks. */
+  private val residArtMemo = scala.collection.concurrent.TrieMap.empty[
+    String, (IndexedSeq[Array[Double]],
+      IndexedSeq[IndexedSeq[Array[Double]]])]
+  private[queries] def residArtifacts(s: SparkSession, dir: String)
+      : (IndexedSeq[Array[Double]],
+         IndexedSeq[IndexedSeq[Array[Double]]]) =
+    residArtMemo.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val cells = Similarity.lloydCoarseCells(emb, IvfNCells, CoarseIters)
+      (cells, Similarity.lloydResidualCodebook(emb, cells, PqM, PqSubK,
+        PqLloydIters))
+    })
+
+  /** Residual-IVF-PQ ADC short list (top-$RerankR per query) — ONE
+    * build shared by the top-5 query (its rnk ≤ k prefix), the exact
+    * re-rank, and the A/B gain rows. */
+  private[queries] def residCands(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "ivfpq_res_cands") {
+      val (cells, cb) = residArtifacts(s, dir)
+      Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"),
+        col("vec_id") < AnnQ, k = RerankR, nProbe = IvfNProbe, cells, cb)
+    }
+
+  /** Standing residual serving index (vid, cell, residual codes) —
+    * the [[residArtifacts]] twin of `annServeIndex`. */
+  private[queries] def annServeResIndex(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "ann_serve_res_index") {
+      val (cells, cb) = residArtifacts(s, dir)
+      graft.streaming.StreamingAnnServe.indexOfResidual(
+        t(s, dir, "embeddings"), cells, cb)
+    }
+
+  /** Exact-re-ranked top-k over the residual ADC short list. */
+  private[queries] def residRerankTop5(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "ivfpq_res_rerank_top5") {
+      Similarity.rerankExact(t(s, dir, "embeddings"),
+        col("vec_id") < AnnQ, residCands(s, dir), k = AnnK)
     }
 
   /** Shared product-quantization CTE chain (mirrors Similarity.pqTopK
@@ -316,15 +393,18 @@ object TextQueries extends QueryModule {
     * distances (per-term decimal sums) → argmin codes → ADC distances
     * → rank (`pqranked`). ONE definition so the pq-topk and pq-recall
     * oracles can never drift from each other. */
-  private def pqCtes: String = """
-      ex AS (
+  private[queries] def exCte: String = """
+      ex AS MATERIALIZED (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings),
+        FROM embeddings)"""
+
+  private def pqCtes: String = s"""$exCte,
       sub AS (
-        SELECT vec_id, i // 16 AS m, i % 16 AS j, x FROM ex),
+        SELECT vec_id, i // $PqSubDim AS m, i % $PqSubDim AS j, x FROM ex),
       cent AS (
-        SELECT vec_id AS c, m, j, x AS y FROM sub WHERE vec_id < 8),
+        SELECT vec_id AS c, m, j, x AS y FROM sub
+        WHERE vec_id < $PqSubK),
       d2 AS (
         SELECT s.vec_id, s.m, c.c,
                CAST(sum(CAST((s.x - c.y) * (s.x - c.y) AS DECIMAL(38,18)))
@@ -336,7 +416,8 @@ object TextQueries extends QueryModule {
           SELECT *, row_number() OVER (PARTITION BY vec_id, m
             ORDER BY round(d2, 6), c) AS rn FROM d2) WHERE rn = 1),
       qd2 AS (
-        SELECT vec_id AS qid, m, c, d2 AS qd2 FROM d2 WHERE vec_id < 32),
+        SELECT vec_id AS qid, m, c, d2 AS qd2 FROM d2
+        WHERE vec_id < $AnnQ),
       adc AS (
         SELECT q.qid, k.vid,
                round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
@@ -353,7 +434,8 @@ object TextQueries extends QueryModule {
     * compose further CTEs on top of the ranked candidate list. */
   private def ivfPqCtes: String = s"""$pqCtes,
       cellc AS (
-        SELECT vec_id AS cell, i, x AS y FROM ex WHERE vec_id < 8),
+        SELECT vec_id AS cell, i, x AS y FROM ex
+        WHERE vec_id < $IvfNCells),
       celld2 AS (
         SELECT e.vec_id, c.cell,
                CAST(sum(CAST((e.x - c.y) * (e.x - c.y)
@@ -368,8 +450,8 @@ object TextQueries extends QueryModule {
         SELECT vec_id AS qid, cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY round(d2, 6), cell) AS rn
-          FROM celld2 WHERE vec_id < 32)
-        WHERE rn <= 2),
+          FROM celld2 WHERE vec_id < $AnnQ)
+        WHERE rn <= $IvfNProbe),
       cand AS (
         SELECT p.qid, s.vid FROM probes p JOIN cells s
           ON p.cell = s.cell AND p.qid <> s.vid),
@@ -390,7 +472,7 @@ object TextQueries extends QueryModule {
     * same bit-exact answer. */
   private def ivfPqOracle: String = s"""
       WITH $ivfPqCtes
-      SELECT qid, vid, adc, rnk FROM ranked2 WHERE rnk <= 5
+      SELECT qid, vid, adc, rnk FROM ranked2 WHERE rnk <= $AnnK
       ORDER BY qid, rnk"""
 
   /** Exact-re-rank CTEs on top of [[ivfPqCtes]]: the ADC top-$RerankR
@@ -402,7 +484,8 @@ object TextQueries extends QueryModule {
       adcR AS (
         SELECT qid, vid, adc FROM ranked2 WHERE rnk <= $RerankR),
       rqfull AS (
-        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < 32),
+        SELECT vec_id AS qid, i, x AS qx FROM ex
+        WHERE vec_id < $AnnQ),
       rr AS (
         SELECT a.qid, a.vid, a.adc,
                round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
@@ -414,6 +497,111 @@ object TextQueries extends QueryModule {
         SELECT *, row_number() OVER (PARTITION BY qid
           ORDER BY d2, vid) AS rnk FROM rr)"""
 
+  /** Residual-IVF-PQ oracle CTE chain (on top of [[exCte]]'s `ex`),
+    * mirroring `Similarity.ivfPqResidualTopK` under the FITTED
+    * artifacts: one `LloydKmeans.oracleSqlFrom` chain fits the coarse
+    * cells on the full vectors (`cq_`), `cq_kassign`/`cq_kd_fin` give
+    * assignment + probe order, residuals r = x − centroid(cell(x))
+    * split into subspaces, one Lloyd chain per subspace fits the
+    * residual codebook on SHIFTED ids (pid = vec_id − nCells, corpus
+    * vec_id ≥ nCells — the cell-fit excludes nothing, only the
+    * codebook init convention shifts), and ADC tables are keyed
+    * (qid, cell, m, c) because a query's residual depends on the
+    * probed cell. Ends at `resranked`. */
+  private def residIvfPqCtes: String = {
+    val sd = PqSubDim
+    val chains = (0 until PqM).map { mi =>
+      s"""
+      r${mi}_pts AS MATERIALIZED (
+        SELECT vec_id - $IvfNCells AS pid, j, r AS x FROM rsub
+        WHERE m = $mi AND vec_id >= $IvfNCells),""" +
+        graft.ml.LloydKmeans.oracleSqlFrom(
+          s"r${mi}_pts", PqSubK, PqLloydIters, s"r${mi}_")
+    }.mkString(",")
+    val union = (0 until PqM).map(mi =>
+      s"SELECT $mi AS m, c, j, y FROM r${mi}_cent_$PqLloydIters")
+      .mkString("\n        UNION ALL ")
+    s"""
+      cqpts AS MATERIALIZED (
+        SELECT vec_id AS pid, i AS j, x FROM ex),""" +
+    graft.ml.LloydKmeans.oracleSqlFrom(
+      "cqpts", IvfNCells, CoarseIters, "cq_") +
+    graft.ml.LloydKmeans.finalAssignSql("cqpts", CoarseIters, "cq_") +
+    s""",
+      rprobes AS (
+        SELECT pid AS qid, c AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY pid
+            ORDER BY round(d2, 6), c) AS rn
+          FROM cq_kd_fin WHERE pid < $AnnQ)
+        WHERE rn <= $IvfNProbe),
+      rresid AS MATERIALIZED (
+        SELECT e.vec_id, s.cluster AS cell, e.i, e.x - c.y AS r
+        FROM ex e JOIN cq_kassign s ON s.pid = e.vec_id
+             JOIN cq_cent_$CoarseIters c
+               ON c.c = s.cluster AND c.j = e.i),
+      rsub AS MATERIALIZED (
+        SELECT vec_id, cell, i // $sd AS m, i % $sd AS j, r
+        FROM rresid),$chains,
+      rcent AS MATERIALIZED (
+        $union),
+      rd2 AS (
+        SELECT s.vec_id, s.m, c.c,
+               CAST(sum(CAST((s.r - c.y) * (s.r - c.y) AS DECIMAL(38,18)))
+                 AS DOUBLE) AS d2
+        FROM rsub s JOIN rcent c ON s.m = c.m AND s.j = c.j
+        GROUP BY 1, 2, 3),
+      rcodes AS MATERIALIZED (
+        SELECT vec_id AS vid, m, c FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY round(d2, 6), c) AS rn FROM rd2) WHERE rn = 1),
+      rqres AS (
+        SELECT e.vec_id AS qid, p.cell, e.i // $sd AS m, e.i % $sd AS j,
+               e.x - c.y AS qr
+        FROM ex e JOIN rprobes p ON p.qid = e.vec_id
+             JOIN cq_cent_$CoarseIters c ON c.c = p.cell AND c.j = e.i),
+      rqd2 AS MATERIALIZED (
+        SELECT q.qid, q.cell, q.m, c.c,
+               CAST(sum(CAST((q.qr - c.y) * (q.qr - c.y)
+                 AS DECIMAL(38,18))) AS DOUBLE) AS qd2
+        FROM rqres q JOIN rcent c ON q.m = c.m AND q.j = c.j
+        GROUP BY 1, 2, 3, 4),
+      rescand AS (
+        SELECT p.qid, s.pid AS vid, p.cell
+        FROM rprobes p JOIN cq_kassign s
+          ON s.cluster = p.cell AND p.qid <> s.pid),
+      radc AS (
+        SELECT ca.qid, ca.vid,
+               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
+                 6) AS adc
+        FROM rescand ca JOIN rcodes k ON k.vid = ca.vid
+             JOIN rqd2 q ON q.qid = ca.qid AND q.cell = ca.cell
+               AND q.m = k.m AND q.c = k.c
+        GROUP BY 1, 2),
+      resranked AS MATERIALIZED (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc, vid) AS rnk FROM radc)"""
+  }
+
+  /** Exact-re-rank CTEs over the residual ADC short list (the
+    * residual twin of [[rerankCtes]]): `resranked`'s top-$RerankR join
+    * stored full vectors, exact per-term-decimal squared-L2 re-scores,
+    * `resrranked` orders by (round-6 d2, vid). */
+  private def residRerankCtes: String = s"""
+      resadcR AS (
+        SELECT qid, vid, adc FROM resranked WHERE rnk <= $RerankR),
+      resqfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM ex
+        WHERE vec_id < $AnnQ),
+      resrr AS (
+        SELECT a.qid, a.vid, a.adc,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM resadcR a JOIN ex e ON e.vec_id = a.vid
+             JOIN resqfull q ON q.qid = a.qid AND q.i = e.i
+        GROUP BY 1, 2, 3),
+      resrranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY d2, vid) AS rnk FROM resrr)"""
 
   /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
     * candidate pairs (`mh_pairs`); shared by q_d_minhash and
@@ -705,7 +893,7 @@ object TextQueries extends QueryModule {
       WITH $shingleCte,
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY 1)
-               WHERE c <= 10),
+               WHERE c <= $JaccMaxFreq),
       pr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
       shared AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -717,10 +905,10 @@ object TextQueries extends QueryModule {
       FROM shared
       JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
       WHERE round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 9)
-            >= 0.04
+            >= $JaccMinSim
       ORDER BY d1, d2""")) { (s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, maxFreq = 10,
-          minJaccard = 0.04)
+      Dedup.jaccardPairs(t(s, dir, "documents"), n = JaccN,
+          maxFreq = JaccMaxFreq, minJaccard = JaccMinSim)
         .orderBy("d1", "d2")
     },
 
@@ -929,10 +1117,11 @@ object TextQueries extends QueryModule {
         FROM keyed a JOIN keyed b
           ON a.band_idx = b.band_idx AND a.band = b.band
           AND a.doc_id < b.doc_id)
-      SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
+      SELECT d1, d2, hamming FROM pairs WHERE hamming <= $SimhashRadius
       ORDER BY d1, d2"""
     }) { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+      Dedup.simhashPairs(t(s, dir, "documents"),
+          maxHamming = SimhashRadius)
         .orderBy("d1", "d2")
     },
 
@@ -1488,7 +1677,7 @@ object TextQueries extends QueryModule {
     // order-free on both engines. 64 f32 dims compress to 4 codes/vec.
     Q("q_e_pq_topk", Some(s"""
       WITH $pqCtes
-      SELECT qid, vid, adc, rnk FROM pqranked WHERE rnk <= 5
+      SELECT qid, vid, adc, rnk FROM pqranked WHERE rnk <= $AnnK
       ORDER BY qid, rnk""")) { (s, dir) =>
       pqTop5(s, dir)
         .select("qid", "vid", "adc", "rnk")
@@ -1501,8 +1690,9 @@ object TextQueries extends QueryModule {
     // encoding + seed centroids keep the whole path SQL-expressible;
     // the nProbe=nCells ≡ pqTopK contract is locked in SimilaritySpec.
     Q("q_e_ann_ivfpq", Some(ivfPqOracle)) { (s, dir) =>
-      Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
-          k = 5, nCells = 8, nProbe = 2, m = 4, subK = 8)
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"),
+          col("vec_id") < AnnQ, k = AnnK, nCells = IvfNCells,
+          nProbe = IvfNProbe, m = PqM, subK = PqSubK)
         .select("qid", "vid", "adc", "rnk")
         .orderBy("qid", "rnk")
     },
@@ -1520,11 +1710,11 @@ object TextQueries extends QueryModule {
       val emb = t(s, dir, "embeddings")
       val (cells, cb) = serveArtifacts(s, dir)
       val cand = StreamingAnnServe.scoreCandidates(
-        emb.filter(col("vec_id") < 32), annServeIndex(s, dir),
-        cells, cb, nProbe = 2)
+        emb.filter(col("vec_id") < AnnQ), annServeIndex(s, dir),
+        cells, cb, nProbe = IvfNProbe)
       val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
       cand.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+        .filter(col("rnk") <= AnnK)
         .select("qid", "vid", "adc", "rnk")
         .orderBy("qid", "rnk")
     },
@@ -1538,7 +1728,7 @@ object TextQueries extends QueryModule {
     // chain with the exact-distance re-score.
     Q("q_e_ann_rerank", Some(s"""
       WITH $ivfPqCtes, $rerankCtes
-      SELECT qid, vid, adc, d2, rnk FROM rranked WHERE rnk <= 5
+      SELECT qid, vid, adc, d2, rnk FROM rranked WHERE rnk <= $AnnK
       ORDER BY qid, rnk""")) { (s, dir) =>
       rerankTop5(s, dir)
         .select("qid", "vid", "adc", "d2", "rnk")
@@ -1553,7 +1743,7 @@ object TextQueries extends QueryModule {
     Q("q_e_rerank_gain", Some(s"""
       WITH $ivfPqCtes, $rerankCtes,
       gqfull AS (
-        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < 32),
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < $AnnQ),
       gd2full AS (
         SELECT q.qid, e.vec_id AS vid,
                round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
@@ -1563,9 +1753,9 @@ object TextQueries extends QueryModule {
       gexact5 AS (
         SELECT qid, vid FROM (
           SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY d2, vid) AS rn FROM gd2full) WHERE rn <= 5),
-      adc5 AS (SELECT qid, vid FROM ranked2 WHERE rnk <= 5),
-      rer5 AS (SELECT qid, vid FROM rranked WHERE rnk <= 5)
+            ORDER BY d2, vid) AS rn FROM gd2full) WHERE rn <= $AnnK),
+      adc5 AS (SELECT qid, vid FROM ranked2 WHERE rnk <= $AnnK),
+      rer5 AS (SELECT qid, vid FROM rranked WHERE rnk <= $AnnK)
       SELECT * FROM (
         SELECT 'ivfpq_adc' AS variant,
                count(DISTINCT e.qid) AS n_queries,
@@ -1580,7 +1770,7 @@ object TextQueries extends QueryModule {
           ON e.qid = p.qid AND e.vid = p.vid)
       ORDER BY variant""")) { (s, dir) =>
       val exact5 = exactTop5(s, dir)
-      val adc5 = ivfPqCands(s, dir).filter(col("rnk") <= 5)
+      val adc5 = ivfPqCands(s, dir).filter(col("rnk") <= AnnK)
         .select(col("qid"), col("vid"), lit(1).as("hit"))
       val rer5 = rerankTop5(s, dir)
         .select(col("qid"), col("vid"), lit(1).as("hit"))
@@ -1605,18 +1795,171 @@ object TextQueries extends QueryModule {
     // via foreachBatch) is locked in StreamingSpec.
     Q("q_e_ann_serve_rerank", Some(s"""
       WITH $ivfPqCtes, $rerankCtes
-      SELECT qid, vid, adc, d2, rnk FROM rranked WHERE rnk <= 5
+      SELECT qid, vid, adc, d2, rnk FROM rranked WHERE rnk <= $AnnK
       ORDER BY qid, rnk""")) { (s, dir) =>
       import graft.streaming.StreamingAnnServe
       val emb = t(s, dir, "embeddings")
       val (cells, cb) = serveArtifacts(s, dir)
       val cands = StreamingAnnServe.scoreCandidates(
-        emb.filter(col("vec_id") < 32), annServeIndex(s, dir),
-        cells, cb, nProbe = 2)
-      Similarity.rerankServe(cands, emb.filter(col("vec_id") < 32),
-          emb, rerankR = RerankR, k = 5)
+        emb.filter(col("vec_id") < AnnQ), annServeIndex(s, dir),
+        cells, cb, nProbe = IvfNProbe)
+      Similarity.rerankServe(cands, emb.filter(col("vec_id") < AnnQ),
+          emb, rerankR = RerankR, k = AnnK)
         .select("qid", "vid", "adc", "d2", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // Residual IVF-PQ (Similarity.ivfPqResidualTopK — faiss's
+    // by_residual=true, the production default): Lloyd-FITTED coarse
+    // cells (LloydKmeans on the full vectors), PQ codes over
+    // r = x − centroid(cell(x)) against per-subspace Lloyd residual
+    // codebooks, ADC tables keyed per probed cell. The oracle
+    // reproduces the ENTIRE path — coarse fit, residual codebook fits,
+    // encode, cell-keyed ADC — via composed LloydKmeans CTE chains.
+    Q("q_e_ann_ivfpq_res", Some(s"""
+      WITH $exCte, $residIvfPqCtes
+      SELECT qid, vid, adc, rnk FROM resranked WHERE rnk <= $AnnK
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      residCands(s, dir).filter(col("rnk") <= AnnK)
+        .select("qid", "vid", "adc", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // Residual IVF-PQ + exact re-rank — the full production serving
+    // stack: residual ADC short-lists top-R, stored full vectors
+    // re-score exactly, top-k emits. Same R and k as the non-residual
+    // re-rank query, so the two are directly comparable.
+    Q("q_e_ann_ivfpq_res_rerank", Some(s"""
+      WITH $exCte, $residIvfPqCtes, $residRerankCtes
+      SELECT qid, vid, adc, d2, rnk FROM resrranked WHERE rnk <= $AnnK
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      residRerankTop5(s, dir)
+        .select("qid", "vid", "adc", "d2", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // The residual SERVING path (StreamingAnnServe.indexOfResidual →
+    // scoreCandidatesResidual): per-row residual encode against the
+    // standing (vid, cell, codes) index and per-probed-cell query ADC
+    // tables, run in batch mode against the IDENTICAL oracle as
+    // q_e_ann_ivfpq_res — proving the served residual formulation is
+    // bit-identical to the batch operator. Streamed execution locked
+    // in StreamingSpec.
+    Q("q_e_ann_serve_res", Some(s"""
+      WITH $exCte, $residIvfPqCtes
+      SELECT qid, vid, adc, rnk FROM resranked WHERE rnk <= $AnnK
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      import graft.streaming.StreamingAnnServe
+      val emb = t(s, dir, "embeddings")
+      val (cells, cb) = residArtifacts(s, dir)
+      val cand = StreamingAnnServe.scoreCandidatesResidual(
+        emb.filter(col("vec_id") < AnnQ), annServeResIndex(s, dir),
+        cells, cb, nProbe = IvfNProbe)
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+      cand.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= AnnK)
+        .select("qid", "vid", "adc", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // ... and with the exact re-rank refinement composed in (the full
+    // residual serving stack, the engine's best-recall configuration:
+    // 0.363 at sf0.01 vs 0.231 for the r8 non-residual serve+rerank),
+    // against the identical oracle as q_e_ann_ivfpq_res_rerank.
+    Q("q_e_ann_serve_res_rerank", Some(s"""
+      WITH $exCte, $residIvfPqCtes, $residRerankCtes
+      SELECT qid, vid, adc, d2, rnk FROM resrranked WHERE rnk <= $AnnK
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      import graft.streaming.StreamingAnnServe
+      val emb = t(s, dir, "embeddings")
+      val (cells, cb) = residArtifacts(s, dir)
+      val cands = StreamingAnnServe.scoreCandidatesResidual(
+        emb.filter(col("vec_id") < AnnQ), annServeResIndex(s, dir),
+        cells, cb, nProbe = IvfNProbe)
+      Similarity.rerankServe(cands, emb.filter(col("vec_id") < AnnQ),
+          emb, rerankR = RerankR, k = AnnK)
+        .select("qid", "vid", "adc", "d2", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // The A/B ladder residual encoding exists for — recall@5 vs exact
+    // ground truth of (1) the seed-codebook non-residual index (r8's
+    // production path), (2) fitted coarse + fitted ABSOLUTE codebook
+    // (the control that isolates the residual effect from the fitting
+    // effect), (3) fitted residual ADC, (4) residual ADC + exact
+    // re-rank — all at equal (nProbe, R, k). Rows 2→3 is the residual
+    // gain as an oracle-checked fact; measured at sf0.01:
+    // 0.113 → 0.156 → 0.188 → 0.363.
+    Q("q_e_ivfpq_res_gain", Some(s"""
+      WITH $ivfPqCtes, $lloydPqCtes, $residIvfPqCtes, $residRerankCtes,
+      fadc AS (
+        SELECT ca.qid, ca.vid,
+               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
+                 6) AS adc
+        FROM rescand ca JOIN lcodes k ON k.vid = ca.vid
+             JOIN lqd2 q ON q.qid = ca.qid AND q.m = k.m AND q.c = k.c
+        GROUP BY 1, 2),
+      franked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc, vid) AS rnk FROM fadc),
+      ggqfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < $AnnQ),
+      ggd2full AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM ex e JOIN ggqfull q ON e.i = q.i AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      ggexact AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM ggd2full) WHERE rn <= $AnnK),
+      v1 AS (SELECT qid, vid FROM ranked2 WHERE rnk <= $AnnK),
+      v2 AS (SELECT qid, vid FROM franked WHERE rnk <= $AnnK),
+      v3 AS (SELECT qid, vid FROM resranked WHERE rnk <= $AnnK),
+      v4 AS (SELECT qid, vid FROM resrranked WHERE rnk <= $AnnK)
+      SELECT * FROM (
+        SELECT '1_seed_nonres_adc' AS variant,
+               count(DISTINCT e.qid) AS n_queries,
+               round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+                 AS recall_at_5
+        FROM ggexact e LEFT JOIN v1 p
+          ON e.qid = p.qid AND e.vid = p.vid
+        UNION ALL
+        SELECT '2_fitted_nonres_adc', count(DISTINCT e.qid),
+               round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+        FROM ggexact e LEFT JOIN v2 p
+          ON e.qid = p.qid AND e.vid = p.vid
+        UNION ALL
+        SELECT '3_fitted_res_adc', count(DISTINCT e.qid),
+               round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+        FROM ggexact e LEFT JOIN v3 p
+          ON e.qid = p.qid AND e.vid = p.vid
+        UNION ALL
+        SELECT '4_fitted_res_rerank', count(DISTINCT e.qid),
+               round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+        FROM ggexact e LEFT JOIN v4 p
+          ON e.qid = p.qid AND e.vid = p.vid)
+      ORDER BY variant""")) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val exact5 = exactTop5(s, dir)
+      val (cells, _) = residArtifacts(s, dir)
+      def row(v: String, hits: DataFrame) =
+        exact5.join(hits.select(col("qid"), col("vid"),
+            lit(1).as("hit")), Seq("qid", "vid"), "left")
+          .agg(lit(v).as("variant"),
+            countDistinct(col("qid")).as("n_queries"),
+            round(count(col("hit")).cast("double") / count(lit(1)), 6)
+              .as("recall_at_5"))
+      row("1_seed_nonres_adc",
+          ivfPqCands(s, dir).filter(col("rnk") <= AnnK))
+        .unionByName(row("2_fitted_nonres_adc",
+          Similarity.ivfPqFittedTopK(emb, col("vec_id") < AnnQ,
+            AnnK, IvfNProbe, cells, lloydCb(s, dir))))
+        .unionByName(row("3_fitted_res_adc",
+          residCands(s, dir).filter(col("rnk") <= AnnK)))
+        .unionByName(row("4_fitted_res_rerank", residRerankTop5(s, dir)))
+        .orderBy("variant")
     },
 
     // PQ recall observability (the quality dial a production PQ
@@ -1628,7 +1971,7 @@ object TextQueries extends QueryModule {
     Q("q_e_pq_recall", Some(s"""
       WITH $pqCtes,
       qfull AS (
-        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < 32),
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < $AnnQ),
       d2full AS (
         SELECT q.qid, e.vec_id AS vid,
                round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
@@ -1638,8 +1981,8 @@ object TextQueries extends QueryModule {
       exact5 AS (
         SELECT qid, vid FROM (
           SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY d2, vid) AS rn FROM d2full) WHERE rn <= 5),
-      pq5 AS (SELECT qid, vid FROM pqranked WHERE rnk <= 5)
+            ORDER BY d2, vid) AS rn FROM d2full) WHERE rn <= $AnnK),
+      pq5 AS (SELECT qid, vid FROM pqranked WHERE rnk <= $AnnK)
       SELECT e.qid,
              CAST(count(p.vid) AS BIGINT) AS n_hits,
              round(CAST(count(p.vid) AS DOUBLE) / 5, 6) AS recall_at_5
@@ -1670,7 +2013,7 @@ object TextQueries extends QueryModule {
     Q("q_e_pq_recall_cmp", Some(s"""
       WITH $pqCtes, $lloydPqCtes,
       qfull AS (
-        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < 32),
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < $AnnQ),
       d2full AS (
         SELECT q.qid, e.vec_id AS vid,
                round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
@@ -1680,9 +2023,9 @@ object TextQueries extends QueryModule {
       exact5 AS (
         SELECT qid, vid FROM (
           SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY d2, vid) AS rn FROM d2full) WHERE rn <= 5),
-      seed5 AS (SELECT qid, vid FROM pqranked WHERE rnk <= 5),
-      lloyd5 AS (SELECT qid, vid FROM lranked WHERE rnk <= 5)
+            ORDER BY d2, vid) AS rn FROM d2full) WHERE rn <= $AnnK),
+      seed5 AS (SELECT qid, vid FROM pqranked WHERE rnk <= $AnnK),
+      lloyd5 AS (SELECT qid, vid FROM lranked WHERE rnk <= $AnnK)
       SELECT * FROM (
         SELECT 'seed_slice' AS codebook,
                count(DISTINCT e.qid) AS n_queries,

@@ -62,6 +62,11 @@ object Warmup {
       "annServeIndex" ->
         (() => TextQueries.annServeIndex(spark, dir).count()),
       "ivfPqCands" -> (() => TextQueries.ivfPqCands(spark, dir).count()),
+      // residual index artifacts: the coarse + residual Lloyd fits are
+      // iterative job chains — warm them concurrently with the other
+      // roots so the fit latency overlaps instead of serializing into
+      // the first residual query
+      "residCands" -> (() => TextQueries.residCands(spark, dir).count()),
       "hdbscanPairs" -> (() => MlQueries.hdbscanPairs(spark, dir).count()),
       "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count())))
 
@@ -88,6 +93,10 @@ object Warmup {
           "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()),
           "rerankTop5" ->
             (() => TextQueries.rerankTop5(spark, dir).count()),
+          "residRerankTop5" ->
+            (() => TextQueries.residRerankTop5(spark, dir).count()),
+          "annServeResIndex" ->
+            (() => TextQueries.annServeResIndex(spark, dir).count()),
           "lloydTop5" -> (() => TextQueries.lloydTop5(spark, dir).count()),
           "lloydAssign" ->
             (() => MlQueries.lloydAssign(spark, dir).count()),

@@ -144,16 +144,101 @@ object StreamingAnnServe {
         round(adcTerms.reduce(_ + _).cast("double"), 6).as("adc"))
   }
 
+  /** Residual index build (faiss by_residual=true): same coarse
+    * assignment as [[indexOf]], but the PQ codes encode
+    * r = v − centroid(cell(v)) — computed per row against the literal
+    * centroid matrix (plain double subtraction, bit-identical to the
+    * batch explode formulation) — against a RESIDUAL codebook
+    * (`Similarity.lloydResidualCodebook`). Map-only like [[indexOf]]. */
+  def indexOfResidual(emb: DataFrame, cells: Cells,
+      codebook: StreamingEncode.Codebook): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val cellStructs = cells.indices.map { c =>
+      struct(round(sqDistExact(v, cells(c)), 6).as("d"),
+        lit(c).as("cell"))
+    }
+    val centLit = typedlit(cells.map(_.toSeq))
+    val resid = emb
+      .withColumn("cell",
+        element_at(array_sort(array(cellStructs: _*)), 1)
+          .getField("cell"))
+      .withColumn("embedding",
+        zip_with(v, element_at(centLit, col("cell") + 1),
+          (x, y) => x - y))
+    StreamingEncode.encode(resid, codebook)
+      .select(col("vec_id").as("vid") +: col("cell") +:
+        codebook.indices.map(mi => col(s"code_$mi")): _*)
+  }
+
+  /** Residual candidate scoring: as [[scoreCandidates]], except the
+    * query's ADC tables are built from its residual AGAINST EACH
+    * PROBED CELL (the residual-IVF-PQ identity ‖q−x‖² =
+    * ‖(q−c_cell) − r‖² holds only within x's own cell, which the
+    * `cell` equi-join guarantees). Still stateless and map-only on the
+    * query side; the per-(query, cell) table is the nProbe× price the
+    * residual convention pays. */
+  def scoreCandidatesResidual(queries: DataFrame, index: DataFrame,
+      cells: Cells, codebook: StreamingEncode.Codebook, nProbe: Int)
+      : DataFrame = {
+    require(nProbe >= 1 && nProbe <= cells.length)
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    val v = col("embedding").cast("array<double>")
+    val cellStructs = cells.indices.map { c =>
+      struct(round(sqDistExact(v, cells(c)), 6).as("d"),
+        lit(c).as("cell"))
+    }
+    val probes = slice(array_sort(array(cellStructs: _*)), 1, nProbe)
+    val centLit = typedlit(cells.map(_.toSeq))
+    // ADC tables from the per-cell query residual: qd2_mi[c] = exact
+    // d2 of the residual's mi-slice to residual-centroid c (unrounded,
+    // like the batch rqd2 frame)
+    val qd2Cols = (0 until m).map { mi =>
+      val sl = org.apache.spark.sql.functions.slice(
+        col("qres"), mi * subDim + 1, subDim)
+      array(codebook(mi).indices.map(c =>
+        sqDistExact(sl, codebook(mi)(c))): _*).as(s"qd2_$mi")
+    }
+    val qProj = queries
+      .select(col("vec_id").cast("long").as("qid"),
+        explode(probes).as("pc"), v.as("qv"))
+      .withColumn("cell", col("pc.cell")).drop("pc")
+      .withColumn("qres",
+        zip_with(col("qv"), element_at(centLit, col("cell") + 1),
+          (x, y) => x - y))
+      .select(col("qid") +: col("cell") +: qd2Cols: _*)
+    // same broadcast-boundary rationale as scoreCandidates
+    val q = if (queries.isStreaming) qProj else broadcast(qProj)
+    val adcTerms = (0 until m).map(mi =>
+      element_at(col(s"qd2_$mi"), col(s"code_$mi") + 1)
+        .cast("decimal(24,18)"))
+    q.join(index, Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(adcTerms.reduce(_ + _).cast("double"), 6).as("adc"))
+  }
+
   /** Streaming top-k: per-query best `k` candidates by (adc, vid). The
     * group is complete within one micro-batch (stream-static join), so
     * the state hook is a pure per-batch top-k — nothing is stored.
     * Output mode: append. */
   def serveTopK(queries: DataFrame, index: DataFrame, cells: Cells,
       codebook: StreamingEncode.Codebook, nProbe: Int, k: Int)
-      : Dataset[AnnHit] = {
-    val spark = queries.sparkSession
+      : Dataset[AnnHit] =
+    topKOf(scoreCandidates(queries, index, cells, codebook, nProbe), k)
+
+  /** Residual-convention streaming top-k: [[scoreCandidatesResidual]]
+    * composed with the same per-batch top-k tail as [[serveTopK]]. */
+  def serveTopKResidual(queries: DataFrame, index: DataFrame,
+      cells: Cells, codebook: StreamingEncode.Codebook, nProbe: Int,
+      k: Int): Dataset[AnnHit] =
+    topKOf(scoreCandidatesResidual(queries, index, cells, codebook,
+      nProbe), k)
+
+  private def topKOf(cands: DataFrame, k: Int): Dataset[AnnHit] = {
+    val spark = cands.sparkSession
     import spark.implicits._
-    scoreCandidates(queries, index, cells, codebook, nProbe)
+    cands
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,

@@ -443,11 +443,37 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int, nCells: Int,
       nProbe: Int, m: Int = 4, subK: Int = 8): DataFrame = {
     val (codes, qd2) = pqParts(emb, queryPred, m, subK)
+    ivfAdcRank(emb, queryPred, k, nCells, nProbe, codes, qd2)
+  }
+
+  /** Shared IVF tail: seed coarse quantizer (assignment + probe
+    * order), probed-cell candidate generation, ADC ranking of `codes`
+    * against `qd2` — common to the seed-codebook and fitted-codebook
+    * IVF-PQ paths. */
+  private def ivfAdcRank(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int, nProbe: Int, codes: DataFrame, qd2: DataFrame)
+      : DataFrame = {
     val ex = emb.select(col("vec_id"),
       posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
     val cc = ex.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("i").as("ci"),
         col("x").as("y"))
+    ivfAdcRankFrom(ex, queryPred, k, nProbe, codes, qd2, cc)
+  }
+
+  /** Coarse centroid matrix as a literal (cell, ci, y) frame — the
+    * fitted-quantizer counterpart of the seed `cc` slice. */
+  private def ccLit(spark: org.apache.spark.sql.SparkSession,
+      cells: IndexedSeq[Array[Double]]): DataFrame =
+    spark.createDataFrame(
+      for {
+        c <- cells.indices; i <- cells(c).indices
+      } yield (c.toLong, i, cells(c)(i)))
+      .toDF("cell", "ci", "y")
+
+  private def ivfAdcRankFrom(ex: DataFrame, queryPred: Column, k: Int,
+      nProbe: Int, codes: DataFrame, qd2: DataFrame, cc: DataFrame)
+      : DataFrame = {
     // full-vector distance of every vector to every cell centroid —
     // assigns the corpus AND ranks the query's probe order
     val celld2 = ex.join(broadcast(cc), col("i") === col("ci"))
@@ -473,6 +499,227 @@ object Similarity {
         .as("adc"))
     val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
     adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Residual IVF-PQ (faiss's by_residual=true — the production
+    * default): PQ quantizes r = x − centroid(cell(x)) instead of the
+    * absolute vector, so the codebook only has to cover the
+    * cell-LOCAL structure (residual norms ≪ vector norms → far less
+    * quantization error at the same code budget). The price is that a
+    * query's ADC table depends on the probed CELL — q's residual is
+    * (q − centroid(cell)) per probed cell — so `qd2` is keyed
+    * (qid, cell, m, c) and the ADC join adds the candidate's cell.
+    *
+    * Conventions stay SQL-expressible end-to-end: cell centroids are
+    * the first `nCells` vectors (same coarse quantizer as
+    * [[ivfPqTopK]] — identical cell assignment and probe order), and
+    * the shared residual `codebook` is caller-supplied — in production
+    * the deterministic per-subspace Lloyd fit over residuals
+    * ([[lloydResidualCodebook]]), whose iterative fit the oracle
+    * reproduces via `LloydKmeans.oracleSqlFrom` chains. Per-term
+    * DECIMAL(38,18) sums + (round-6, lowest-id) tiebreaks throughout,
+    * so the whole path is reproduced bit-for-bit by the DuckDB oracle.
+    *
+    * Scale shape: identical to [[ivfPqTopK]] plus one extra broadcast
+    * of the nCells×dim centroid table to form residuals (map-side,
+    * no new shuffle); qd2 grows nProbe× (still queries·nProbe·m·subK —
+    * broadcastable). Corpus vectors still shuffle only their m codes.
+    * Returns (qid, vid, adc, rnk). */
+  def ivfPqResidualTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nProbe: Int, cells: IndexedSeq[Array[Double]],
+      codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = embDim(emb)
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    require(dim == m * subDim,
+      s"dim $dim != $m subspaces x $subDim dims (codebook mismatch)")
+    val ex = emb.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+    val cc = ccLit(spark, cells)
+    // coarse quantizer: same assignment + probe-order conventions as
+    // ivfPqTopK, against the FITTED cell centroids
+    val celld2 = ex.join(broadcast(cc), col("i") === col("ci"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(((col("x") - col("y")) * (col("x") - col("y")))
+        .cast("decimal(38,18)")).cast("double").as("d2"))
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(round(col("d2"), 6), col("cell"))
+    val assigned = celld2.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    // residual per dim: r = x − centroid(cell(x))_i, split to subspaces
+    val resid = ex.join(assigned, Seq("vec_id"))
+      .join(broadcast(cc), Seq("cell"))
+      .filter(col("i") === col("ci"))
+      .select(col("vec_id"), col("cell"),
+        (col("i") / subDim).cast("int").as("m"),
+        (col("i") % subDim).as("j"), (col("x") - col("y")).as("r"))
+    // residual codebook as a broadcast (c, m, j, y) literal table
+    val centRows = for {
+      mi <- codebook.indices; c <- codebook(mi).indices
+      j <- 0 until subDim
+    } yield (c.toLong, mi, j, codebook(mi)(c)(j))
+    val cent = spark.createDataFrame(centRows).toDF("c", "m", "j", "y")
+    // encode: nearest residual centroid per subspace
+    val d2 = resid.join(broadcast(cent), Seq("m", "j"))
+      .groupBy(col("vec_id"), col("m"), col("c"))
+      .agg(sum(((col("r") - col("y")) * (col("r") - col("y")))
+        .cast("decimal(38,18)")).cast("double").as("d2"))
+    val codes = d2.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m")
+          .orderBy(round(col("d2"), 6), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("vid"), col("m"), col("c"))
+    val probes = celld2.filter(queryPred)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    // query residual PER PROBED CELL → per-(qid, cell) ADC tables
+    val qresid = ex.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("i"), col("x"))
+      .join(broadcast(probes), Seq("qid"))
+      .join(broadcast(cc), Seq("cell"))
+      .filter(col("i") === col("ci"))
+      .select(col("qid"), col("cell"),
+        (col("i") / subDim).cast("int").as("m"),
+        (col("i") % subDim).as("j"), (col("x") - col("y")).as("qr"))
+    val qd2 = qresid.join(broadcast(cent), Seq("m", "j"))
+      .groupBy(col("qid"), col("cell"), col("m"), col("c"))
+      .agg(sum(((col("qr") - col("y")) * (col("qr") - col("y")))
+        .cast("decimal(38,18)")).cast("double").as("qd2"))
+    // candidates carry their cell so the ADC lookup uses the query's
+    // residual table FOR THAT CELL — the residual-IVF-PQ identity
+    // ‖q−x‖² = ‖(q−c_cell) − r‖² needs x's cell to be the probed one
+    val cand = assigned.select(col("vec_id").as("vid"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid", "cell")
+    val adc = cand.join(codes, Seq("vid"))
+      .join(broadcast(qd2), Seq("qid", "cell", "m", "c"))
+      .groupBy("qid", "vid")
+      .agg(round(sum(col("qd2").cast("decimal(38,18)")).cast("double"), 6)
+        .as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** The first `nCells` vectors as a driver-side centroid matrix (one
+    * bounded k-row collect) — the shared seed coarse-quantizer
+    * convention (`StreamingAnnServe.seedCells` is the same function;
+    * duplicated here so batch Similarity has no streaming import). */
+  private def collectSeedCells(emb: DataFrame, nCells: Int)
+      : IndexedSeq[Array[Double]] = {
+    val rows = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long"),
+        asDouble(col("embedding")).as("v"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.length == nCells, s"need $nCells cell seed vectors")
+    rows.toIndexedSeq.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Per-row residual frame `(vec_id, cell, rv)` against a literal
+    * cell-centroid matrix: assignment by the shared (round-6
+    * exact-decimal distance, lowest cell id) convention — bit-identical
+    * to the explode-formulated `cells` CTE — and rv = v − centroid
+    * per dimension (plain double subtraction on identical values on
+    * both formulations). Map-only: the scale path for building the
+    * residual corpus a codebook fit or an index build consumes. */
+  def residualFrame(emb: DataFrame,
+      cells: IndexedSeq[Array[Double]]): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val cellStructs = cells.indices.map { c =>
+      struct(
+        round(graft.functions.VecOps.sqDist18(v,
+          typedlit(cells(c).toSeq)), 6).as("d"),
+        lit(c).as("cell"))
+    }
+    val centLit = typedlit(cells.map(_.toSeq))
+    emb
+      .withColumn("cell",
+        element_at(array_sort(array(cellStructs: _*)), 1)
+          .getField("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(v, element_at(centLit, col("cell") + 1),
+          (x, y) => x - y).as("rv"))
+  }
+
+  /** Per-subspace DETERMINISTIC Lloyd codebook over RESIDUALS — the
+    * fit that makes residual encoding actually win: each subspace's
+    * centroids come from `LloydKmeans.fit` on that slice of
+    * r = x − centroid(cell(x)), so the codebook spends its codes on
+    * cell-LOCAL structure. Init follows the seed-slice convention on
+    * SHIFTED ids (pid = vec_id − nCells, fit corpus vec_id ≥ nCells):
+    * the first `nCells` vectors ARE the cell centroids, so their own
+    * residuals are ~0⃗ and seeding from them would collapse the init.
+    * Fully oracle-reproducible: one `LloydKmeans.oracleSqlFrom` chain
+    * per subspace over the residual points. Same layout as the other
+    * codebooks — encode/ADC/streaming run unchanged. */
+  def lloydResidualCodebook(emb: DataFrame,
+      cells: IndexedSeq[Array[Double]], m: Int,
+      subK: Int, iters: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val dim = embDim(emb)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val nCells = cells.length
+    val rv = residualFrame(emb, cells)
+      .filter(col("vec_id") >= nCells)
+      .select((col("vec_id") - nCells).cast("long").as("pid"),
+        col("rv"))
+      .cache()
+    rv.count() // materialize once; the m fits share the cache
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = graft.ops.Pools.jobs
+      Await.result(
+        Future.traverse((0 until m).toList) { mi => Future {
+          val sub = rv.select(col("pid"),
+            slice(col("rv"), mi * subDim + 1, subDim).as("sv"))
+          graft.ml.LloydKmeans.fit(sub, "pid", "sv", subK, iters)._2
+        }}, Duration.Inf).toIndexedSeq
+    } finally rv.unpersist()
+  }
+
+  /** IVF-PQ against an explicit (non-residual) PQ codebook — the
+    * fitted-codebook swap for [[ivfPqTopK]], isolating the codebook
+    * effect from the residual effect in A/B rows: same coarse
+    * quantizer, same candidate generation, ADC against
+    * `codebook` instead of the seed slices. */
+  def ivfPqTopKCodebook(emb: DataFrame, queryPred: Column, k: Int,
+      nCells: Int, nProbe: Int,
+      codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val (codes, qd2) = pqPartsCodebook(emb, queryPred, codebook)
+    ivfAdcRank(emb, queryPred, k, nCells, nProbe, codes, qd2)
+  }
+
+  /** Deterministic Lloyd coarse quantizer: `nCells` full-dimension
+    * cell centroids fitted on the whole corpus (`LloydKmeans.fit`,
+    * seed-slice init) — what turns residual encoding from a wash into
+    * a win: fitted centroids are cell MEANS, so residual norms really
+    * are smaller than vector norms (a seed "centroid" is an arbitrary
+    * corpus vector and its residuals carry MORE variance, not less).
+    * Oracle-reproducible via `LloydKmeans.oracleSqlFrom` on the
+    * full-vector points. */
+  def lloydCoarseCells(emb: DataFrame, nCells: Int, iters: Int)
+      : IndexedSeq[Array[Double]] =
+    graft.ml.LloydKmeans.fit(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      "vec_id", "v", nCells, iters)._2
+
+  /** Non-residual IVF-PQ with BOTH stages fitted (Lloyd coarse cells +
+    * Lloyd absolute-vector codebook) — the A/B control that isolates
+    * the residual effect: identical coarse quantizer and codebook
+    * budget as [[ivfPqResidualTopK]], differing only in what the PQ
+    * codes encode. */
+  def ivfPqFittedTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nProbe: Int, cells: IndexedSeq[Array[Double]],
+      codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val (codes, qd2) = pqPartsCodebook(emb, queryPred, codebook)
+    val ex = emb.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+    ivfAdcRankFrom(ex, queryPred, k, nProbe, codes, qd2,
+      ccLit(emb.sparkSession, cells))
   }
 
   /** Exact re-rank refinement over an ADC candidate list — the stage a

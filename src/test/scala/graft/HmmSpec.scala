@@ -60,6 +60,41 @@ class HmmSpec extends SparkSpec {
     assert(agree > 0.9, s"posterior argmax vs viterbi agreement $agree")
   }
 
+  test("distributed Baum-Welch E-step fit matches the driver fit on " +
+      "the same sequences") {
+    import spark.implicits._
+    val data = (0 until 6).map(s => synthSeq(120, s + 1))
+    // driver path: in-memory sequences
+    val driver = Hmm.fitResult(data.map(_._1), k = 2, nIter = 15,
+      tol = 0.0) // tol=0: fixed iteration count on both sides
+    // distributed path: the SAME sequences as a (key, ts, features)
+    // frame — per-key forward-backward stats on executors, M on driver
+    val rows = data.zipWithIndex.flatMap { case ((obs, _), si) =>
+      obs.zipWithIndex.map { case (x, i) =>
+        (f"k$si%02d", i.toLong, x.toSeq)
+      }
+    }
+    val df = rows.toDF("key", "ts", "features")
+      .repartition(8) // stats must merge across partitions
+    val dist = Hmm.fitResultDistributed(df, k = 2, nIter = 15,
+      tol = 0.0, minLen = 2)
+    assert(dist.nObs == driver.nObs && dist.nSeqs == driver.nSeqs)
+    assert(dist.nIterUsed == driver.nIterUsed)
+    // identical up to FP summation order of independent sequences
+    val rel = math.abs(dist.logLik - driver.logLik) /
+      math.abs(driver.logLik)
+    assert(rel < 1e-9, s"loglik drift $rel")
+    for (s <- 0 until 2; j <- 0 until 1) {
+      assert(math.abs(dist.model.means(s)(j)
+        - driver.model.means(s)(j)) < 1e-8)
+      assert(math.abs(dist.model.vars(s)(j)
+        - driver.model.vars(s)(j)) < 1e-8)
+    }
+    for (s <- 0 until 2; q <- 0 until 2)
+      assert(math.abs(dist.model.logA(s)(q)
+        - driver.model.logA(s)(q)) < 1e-8)
+  }
+
   test("fitResult reports loglik/iterations; BIC penalizes parameters") {
     val data = (0 until 5).map(s => synthSeq(150, s + 1))
     val fr = Hmm.fitResult(data.map(_._1), k = 2, nIter = 40)

@@ -67,4 +67,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == ((-1, -1)),
       "non-PNG payloads must quarantine to (-1, -1), not throw")
   }
+
+  test("phash: planted near-identical payload pairs within the radius; " +
+      "unrelated content does not") {
+    import spark.implicits._
+    // deterministic pseudo-random "intensity" text (LCG over a-z) so
+    // block means vary; a single-character edit perturbs exactly one
+    // of the 64 blocks' means
+    def synth(seed: Long, n: Int): String = {
+      var h = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((h >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }
+    val base = synth(7L, 512)
+    val edited = base.updated(100, if (base(100) == 'a') 'b' else 'a')
+    val other = synth(99L, 512)
+    val docs = Seq((1L, base), (2L, edited), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(docs, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "planted near-duplicate not recovered")
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L),
+      "unrelated payload spuriously paired")
+    // full-64-bit signature sanity: identical input => hamming 0
+    val same = Multimodal.phashPairs(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"),
+      maxHamming = 0).collect()
+    assert(same.length == 1 && same.head.getInt(2) == 0)
+  }
 }

@@ -192,6 +192,65 @@ class SettingsSpec extends SparkSpec {
     }
   }
 
+  test("ann/dedup knob overrides re-interpolate engine and oracle") {
+    // defaults
+    assert(Settings.ann.ivfNCells == 8 && Settings.ann.ivfNProbe == 2)
+    assert(Settings.ann.pqM == 4 && Settings.ann.pqSubK == 8)
+    assert(Settings.ann.rerankR == 16 && Settings.ann.topK == 5)
+    assert(Settings.ann.pqSubDim == 16)
+    assert(Settings.dedup.jaccardNgramN == 3)
+    assert(Settings.dedup.jaccardMaxFreq == 10)
+    assert(Settings.dedup.jaccardMinSim == 0.04)
+    assert(Settings.dedup.simhashRadius == 3)
+    // oracle SQL re-interpolates per access — the desync-proof pattern
+    assert(SparkEntry.oracleSql("q_e_ann_ivfpq_res").contains("rn <= 2"))
+    withProp("graft.ann.ivfpq.n_probe", "3") {
+      assert(SparkEntry.oracleSql("q_e_ann_ivfpq_res")
+        .contains("rn <= 3"))
+    }
+    withProp("graft.ann.rerank_r", "24") {
+      assert(SparkEntry.oracleSql("q_e_ann_rerank")
+        .contains("rnk <= 24"))
+    }
+    withProp("graft.dedup.jaccard.max_freq", "7") {
+      assert(SparkEntry.oracleSql("q_d_jaccard").contains("c <= 7"))
+    }
+    withProp("graft.dedup.simhash.hamming_radius", "2") {
+      assert(SparkEntry.oracleSql("q_d_simhash")
+        .contains("hamming <= 2"))
+    }
+    withProp("graft.dedup.jaccard.ngram_n", "2") {
+      val sql = SparkEntry.oracleSql("q_d_jaccard")
+      assert(sql.contains("t[i+1] || ' ' || t[i+2]")
+        && !sql.contains("t[i+3]"))
+    }
+  }
+
+  test("env-var override layer resolves between sysprops and the file") {
+    val old = Settings.envSource
+    try {
+      Settings.envSource = k =>
+        if (k == "GRAFT_PRECISION__SILVER_FLOAT") Some("float64")
+        else None
+      // env override observed by the typed view, the precision-policy
+      // schema, and the q_config_effective oracle interpolation
+      assert(Settings.precision.silverFloat == "float64")
+      assert(Precision.SilverLayer.floatType == DoubleType)
+      // float64 policy = doubles pass through UN-downcast (the default
+      // float32 silver policy would cast v to FloatType)
+      val df = Seq(("A", 1.5)).toDF("k", "v")
+      assert(Precision.withPrecision(df, Precision.SilverLayer)
+        .schema("v").dataType == DoubleType)
+      assert(SparkEntry.oracleSql("q_config_effective")
+        .contains("('precision.silver_float', 'float64')"))
+      // sysprops still win over env
+      withProp("graft.precision.silver_float", "float32") {
+        assert(Settings.precision.silverFloat == "float32")
+      }
+    } finally Settings.envSource = old
+    assert(Settings.precision.silverFloat == "float32")
+  }
+
   test("properties file source resolves below sysprops") {
     val f = java.io.File.createTempFile("graft-settings", ".properties")
     f.deleteOnExit()

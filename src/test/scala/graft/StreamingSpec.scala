@@ -497,6 +497,49 @@ class StreamingSpec extends SparkSpec {
       "streamed serve+rerank diverges from the batch refinement")
   }
 
+  test("streamed RESIDUAL IVF-PQ serving matches the batch residual " +
+      "index bit-for-bit") {
+    import graft.streaming.{StreamingAnnServe, StreamingEncode}
+    import graft.text.Similarity
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // fitted artifacts: Lloyd coarse cells + Lloyd residual codebook
+    // (the convention the residual oracle family pins)
+    val cells = Similarity.lloydCoarseCells(emb, nCells = 8, iters = 2)
+    val cb = Similarity.lloydResidualCodebook(emb, cells, m = 4,
+      subK = 8, iters = 2)
+    val idx = StreamingAnnServe.indexOfResidual(emb, cells, cb)
+
+    val qRows = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])](
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Double])],
+        spark.sqlContext)
+    val served = StreamingAnnServe.serveTopKResidual(
+      mem.toDF.toDF("vec_id", "embedding"), idx, cells, cb,
+      nProbe = 2, k = 5)
+    val q = served.writeStream.outputMode("append").format("memory")
+      .queryName("ann_serve_res_test").start()
+    val (b1, b2) = qRows.splitAt(qRows.length / 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ann_serve_res_test")
+      .select("qid", "vid", "adc", "rnk")
+    val want = Similarity.ivfPqResidualTopK(emb,
+        col("vec_id") < 32, k = 5, nProbe = 2, cells, cb)
+      .select("qid", "vid", "adc", "rnk")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed residual serving diverges from the batch residual " +
+        "IVF-PQ answer")
+  }
+
   test("streaming HLL registers and CMS counters converge to the batch " +
       "builds (complete mode)") {
     // the sketch builders are plain select + groupBy max/sum column
