@@ -53,33 +53,45 @@ object LloydKmeans {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): (DataFrame, IndexedSeq[Array[Double]]) = {
     val v = col(vecCol).cast("array<double>")
+    // cache the (pid, v) frame for the iteration loop: every Lloyd
+    // round re-reads it (assignment + update), and without the cache
+    // each round re-runs the full upstream chain (parquet scan,
+    // residual derivation, …). Bounded: one id + one vector per row.
     val pts = df.select(col(idCol).cast("long").as("pid"), v.as("v"))
-    // init: seed slice (first k ids)
-    var cents: IndexedSeq[Array[Double]] = pts.filter(col("pid") < k)
-      .collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray).toIndexedSeq
-    require(cents.length == k, s"need $k seed vectors with pid < $k")
-    val dim = cents.head.length
-    for (_ <- 1 to iters) {
-      val assigned = pts.withColumn("cluster", assignCol(col("v"), cents))
-      // update: one groupBy((cluster, dim)) shuffle; exact decimal sums
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("j", "x")))
-        .groupBy("cluster", "j")
-        .agg((sum(col("x").cast("decimal(38,18)")).cast("double")
-          / count(lit(1))).as("y"))
-        .collect()
-      val next = Array.tabulate(k)(c => cents(c).clone()) // empty keeps prev
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      .cache()
+    try {
+      // init: seed slice (first k ids)
+      var cents: IndexedSeq[Array[Double]] = pts.filter(col("pid") < k)
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray).toIndexedSeq
+      require(cents.length == k, s"need $k seed vectors with pid < $k")
+      val dim = cents.head.length
+      for (_ <- 1 to iters) {
+        val assigned = pts.withColumn("cluster",
+          assignCol(col("v"), cents))
+        // update: one groupBy((cluster, dim)) shuffle; exact decimal
+        // sums
+        val sums = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("j", "x")))
+          .groupBy("cluster", "j")
+          .agg((sum(col("x").cast("decimal(38,18)")).cast("double")
+            / count(lit(1))).as("y"))
+          .collect()
+        val next = Array.tabulate(k)(c => cents(c).clone()) // empty keeps prev
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        cents = next.toIndexedSeq.map(identity)
+        require(cents.head.length == dim)
       }
-      cents = next.toIndexedSeq.map(identity)
-      require(cents.head.length == dim)
-    }
-    val finalAssign = pts
-      .withColumn("cluster", assignCol(col("v"), cents))
-      .select(col("pid"), col("cluster"))
-    (finalAssign, cents)
+      // the returned assignment frame re-derives from the UNCACHED
+      // input (df), so it stays valid after the loop cache unpersists
+      val finalAssign = df
+        .select(col(idCol).cast("long").as("pid"), v.as("v"))
+        .withColumn("cluster", assignCol(col("v"), cents))
+        .select(col("pid"), col("cluster"))
+      (finalAssign, cents)
+    } finally pts.unpersist()
   }
 
   /** Unrolled DuckDB oracle for [[fit]] over the `embeddings` table:

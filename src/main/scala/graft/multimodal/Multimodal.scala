@@ -166,11 +166,15 @@ object Multimodal {
     * strict `>` — all reproduced verbatim by the DuckDB oracle.
     * Returns (doc_id, b0, b1, b2, b3). */
   def aHashBands(media: DataFrame): DataFrame = {
-    val n = length(col("text"))
-    val chars = media.select(col("doc_id"), n.as("n"), col("text"),
-        explode(sequence(lit(0), n - 1)).as("i"))
-      .select(col("doc_id"), col("n"), col("i"),
-        ascii(col("text").substr(col("i") + 1, lit(1))).as("cv"))
+    // ONE split pass per doc (then O(1) per element) — a per-position
+    // substr() would re-scan the string per character (O(len²)/doc);
+    // split can emit a trailing "" (limit -1), filtered to keep i at
+    // 0..n-1
+    val chars = media.select(col("doc_id"),
+        length(col("text")).as("n"),
+        posexplode(split(col("text"), "")).as(Seq("i", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), col("n"), col("i"), ascii(col("ch")).as("cv"))
     val cells = chars
       .select(col("doc_id"),
         floor(col("i").cast("double") * 64 / col("n")).cast("int")

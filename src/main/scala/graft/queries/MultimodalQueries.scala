@@ -65,14 +65,11 @@ object MultimodalQueries extends QueryModule {
       val hamming = (0 until 4).map(c =>
         s"bit_count(xor(a.b$c, b.b$c))").mkString(" + ")
       s"""
-      WITH cpos AS (
-        SELECT doc_id, text, len(text) AS n,
-               unnest(range(len(text))) AS i
+      WITH chars AS (
+        SELECT doc_id, len(text) AS n,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+               unicode(unnest(string_split(text, ''))) AS cv
         FROM documents),
-      chars AS (
-        SELECT doc_id, n, i,
-               unicode(substr(text, CAST(i + 1 AS INT), 1)) AS cv
-        FROM cpos),
       cells AS (
         SELECT doc_id,
                CAST(floor(CAST(i AS DOUBLE) * 64 / n) AS INT) AS cell,

@@ -139,6 +139,38 @@ class PlanAuditSpec extends SparkSpec {
       "rerank lost its broadcast-query equi-join shape")
   }
 
+  test("residual IVF-PQ: candidate stage is cache-shared across its " +
+      "four consumers; build plan stays broadcast equi-joins") {
+    graft.queries.Stage.clear()
+    // q_e_ann_ivfpq_res populates ivfpq_res_cands; the rerank, gain,
+    // and serving-comparison queries must read the SAME cached stage
+    SparkEntry.queries("q_e_ann_ivfpq_res")(spark, dir).count()
+    for (q <- Seq("q_e_ann_ivfpq_res", "q_e_ann_ivfpq_res_rerank",
+        "q_e_ivfpq_res_gain")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+        s"$q rebuilt the shared residual ADC stage instead of " +
+          "reading the cache")
+    }
+    graft.queries.Stage.clear()
+    // operator BUILD plan: codebook/cell tables broadcast, candidates
+    // by equi-join, never a cross product — corpus vectors shuffle
+    // only their m codes at any scale
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val S = graft.text.Similarity
+    val cells = S.lloydCoarseCells(emb, nCells = 4, iters = 1)
+    val cb = S.lloydResidualCodebook(emb, cells, m = 4, subK = 4,
+      iters = 1)
+    val p = S.ivfPqResidualTopK(emb,
+        org.apache.spark.sql.functions.col("vec_id") < 32,
+        k = 5, nProbe = 2, cells, cb)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      "residual IVF-PQ lost its broadcast equi-join shape")
+  }
+
   test("PQ codebook and ADC joins stay broadcast equi-joins") {
     // audit the operator's BUILD plan — the registered query reads the
     // cached pq_top5 stage, whose plan is just the checkpoint leaf
