@@ -339,6 +339,39 @@ object Settings {
     def simhashRadius: Int = int("dedup.simhash.hamming_radius", 3)
   }
 
+  /** `cluster_qa:` block (settings.yaml:93-99) — the SOFT QA flag
+    * thresholds (the hardening block holds the HARD twins). The two
+    * derived thresholds mirror validation/cluster_qa.py:212-213. */
+  object clusterQa {
+    def retCvThreshold: Double = dbl("cluster_qa.ret_cv_threshold", 5.0)
+    def minNRows: Int = int("cluster_qa.min_n_rows", 200)
+    def minStateShare: Double = dbl("cluster_qa.min_state_share", 0.03)
+    def signConsistencyThreshold: Double = dbl("cluster_qa.sign_consistency_threshold", 0.55)
+    def ciWidthQuantileThreshold: Double = dbl("cluster_qa.ci_width_quantile_threshold", 0.8)
+    def eps: Double = dbl("cluster_qa.eps", 1e-12)
+    def transitionsSparseThreshold: Int = math.max(10, minNRows / 5)
+    def nearZeroMeanThreshold: Double = math.max(0.001, 1000.0 * eps)
+  }
+
+  /** `validation_walkforward:` block (settings.yaml:80-91). The
+    * reference splits by a train-end DATE list sized to its 2007-2024
+    * corpus; the engine's fixture-agnostic analogue is a split COUNT
+    * over the observed time range (`n_splits`, engine-native key,
+    * default 4 = the driver-fixture scale), with the yaml's remaining
+    * runner defaults surfaced verbatim. */
+  object walkForward {
+    def nSplits: Int = int("validation_walkforward.n_splits", 4)
+    def trainEndListDefault: Seq[String] = strs(
+      "validation_walkforward.train_end_list_default",
+      Seq("2012-12-31", "2014-12-31", "2016-12-31", "2018-12-31",
+        "2020-12-31"))
+    def hmmComponentsDefault: Int = int("validation_walkforward.hmm_components_default", 5)
+    def clusterMethodDefault: String = str("validation_walkforward.cluster_method_default", "gmm")
+    def clusterKDefault: Int = int("validation_walkforward.cluster_k_default", 5)
+    def scalingScopeDefault: String = str("validation_walkforward.scaling_scope_default", "per_ticker")
+    def continueOnErrorDefault: Boolean = bool("validation_walkforward.continue_on_error_default", true)
+  }
+
   /** `research_hmm:` block (settings.yaml:312-364). Same fixture-scale
     * caveat as research_clustering: n_iter 30 / min_sequence_length 10
     * / sweep 4..8 are the engine's driver-fixture defaults; the yaml's

@@ -465,10 +465,12 @@ object BacktestQueries2 extends QueryModule {
       // shared chain hoisted to top level ONCE: DuckDB merges the window
       // scopes of WITH RECURSIVE union branches, so the chain's WINDOW w
       // may appear only once; branches hold just the per-split recursion
-      val splits = (0 until 4).map { i =>
-        val endExpr = if (i == 3) "hi" else s"lo + ${i + 1} * step"
+      val nWf = graft.Settings.walkForward.nSplits
+      val splits = (0 until nWf).map { i =>
+        val endExpr = if (i == nWf - 1) "hi" else s"lo + ${i + 1} * step"
         val whereEnd =
-          if (i == 3) "wb.hi" else s"wb.lo + ${i + 1} * wb.step"
+          if (i == nWf - 1) "wb.hi"
+          else s"wb.lo + ${i + 1} * wb.step"
         s"""
         (WITH RECURSIVE
          win AS (
@@ -488,7 +490,7 @@ object BacktestQueries2 extends QueryModule {
          ${EventGrammar.grammarSql},
          ${Signals.sql(Mode, Confirm)},
          wb AS (SELECT min(bar_ts) AS lo, max(bar_ts) AS hi,
-                       (max(bar_ts) - min(bar_ts)) // 4 AS step
+                       (max(bar_ts) - min(bar_ts)) // $nWf AS step
                 FROM signals)
          SELECT * FROM (${splits.mkString(" UNION ALL ")})
          ORDER BY split_idx"""
@@ -497,7 +499,8 @@ object BacktestQueries2 extends QueryModule {
       // slim cached projection: 4 split sims share one chain computation
       val sig = Stage.slimSignals(s, dir)
       val bounds = sig.agg(min("bar_ts"), max("bar_ts")).head
-      val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
+      val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1),
+        graft.Settings.walkForward.nSplits)
       WalkForward.run(sig, ss, Cfg)
         .select(col("split_idx"), col("test_start_ts"), col("test_end_ts"),
           col("n_trades"), col("win_rate"), col("expectancy"))

@@ -210,7 +210,8 @@ object HybridQueries extends QueryModule {
       } yield () => { gatedSig(s, dir, g, m, cb).count(); () })
       val bounds = BacktestQueries2.gramSlim(s, dir)
         .agg(min("bar_ts"), max("bar_ts")).head
-      val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1), 4)
+      val ss = WalkForward.splits(bounds.getLong(0), bounds.getLong(1),
+        graft.Settings.walkForward.nSplits)
       val frames = for {
         hybrid <- Seq(false, true); (m, cb) <- SigVariants
       } yield {
@@ -582,10 +583,12 @@ object HybridQueries extends QueryModule {
             ON s.ticker = p.ticker AND s.bar_ts = p.bar_ts
               AND s.bar_id = p.bar_id)"""
       }
+      val nWf = graft.Settings.walkForward.nSplits
       def cell(i: Int, hybrid: Boolean, c: Grid.Combo, ci: Int): String = {
         val src = (if (hybrid) "gsig_" else "sigv_") + variantIdx(c)
         val whereEnd =
-          if (i == 3) "wb.hi" else s"wb.lo + ${i + 1} * wb.step"
+          if (i == nWf - 1) "wb.hi"
+          else s"wb.lo + ${i + 1} * wb.step"
         s"""
         (WITH RECURSIVE
          win AS (SELECT g.* FROM $src g, wb
@@ -620,14 +623,14 @@ object HybridQueries extends QueryModule {
       }
       val chains = SigVariants.indices.map(sigChain).mkString(",")
       val cells = (for {
-        h <- Seq(false, true); i <- 0 until 4
+        h <- Seq(false, true); i <- 0 until nWf
         (c, ci) <- BacktestQueries2.GridCombos.zipWithIndex
       } yield cell(i, h, c, ci)).mkString(" UNION ALL ")
       s"""
       WITH RECURSIVE $prefixSql,
       $polSql,
       wb AS (SELECT min(bar_ts) AS lo, max(bar_ts) AS hi,
-                    (max(bar_ts) - min(bar_ts)) // 4 AS step
+                    (max(bar_ts) - min(bar_ts)) // $nWf AS step
              FROM grammar),
       $chains,
       wf_combos AS ($cells),

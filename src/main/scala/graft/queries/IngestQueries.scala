@@ -385,6 +385,83 @@ object IngestQueries extends QueryModule {
         .orderBy("ticker")
     },
 
+    // Parse-sample summary (ref cli.py:555-618 `parse_sample`): the
+    // one-row readiness echo a bronze onboarding run prints — raw line
+    // count, parsed vs rejected split (reject = wrong field count, the
+    // reader's side-output contract), the delimiter, and the parsed
+    // date bounds. header_skipped is constant false: the synthetic
+    // line fixture carries no header row (the reference flag records
+    // whether read_stock_txt_with_rejects dropped one).
+    Q("q_parse_sample", Some(s"""
+      WITH $linesSql,
+      $parseSql
+      SELECT count(*) AS raw_row_count,
+             count(CASE WHEN NOT q_parse_error THEN 1 END)
+               AS normalized_row_count,
+             count(CASE WHEN q_parse_error THEN 1 END)
+               AS rejected_row_count,
+             false AS header_skipped,
+             ',' AS delimiter,
+             min(CASE WHEN NOT q_parse_error THEN trade_date END)
+               AS min_trade_date,
+             max(CASE WHEN NOT q_parse_error THEN trade_date END)
+               AS max_trade_date
+      FROM bronze""")) { (s, dir) =>
+      import graft.ops.Cols.countIf
+      val ok = !col("q_parse_error")
+      bronzeDf(s, dir).agg(
+        count(lit(1)).as("raw_row_count"),
+        countIf(ok).as("normalized_row_count"),
+        countIf(col("q_parse_error")).as("rejected_row_count"),
+        lit(false).as("header_skipped"),
+        lit(",").as("delimiter"),
+        min(when(ok, col("trade_date"))).as("min_trade_date"),
+        max(when(ok, col("trade_date"))).as("max_trade_date"))
+    },
+
+    // Problem-ticker listing (ref cli.py:470-508
+    // `list_problem_tickers_cmd` over bronze/symbol_master.py:210-216):
+    // per-ticker quality rollup filtered to tickers with any invalid or
+    // warned rows, sorted worst-first (invalid desc, warn desc, rows
+    // desc; ticker tiebreak for cross-engine determinism — the
+    // reference relies on polars' stable sort), limit 50 (the CLI
+    // default). invalid = rows failing any hard rule (NOT is_valid_row),
+    // warn = rows with any warn flag — the symbol-master count
+    // semantics verbatim. The bronze fixture carries no exchange
+    // column (exchange inference is the discovery query's surface).
+    Q("q_problem_tickers", Some(s"""
+      WITH $linesSql,
+      $parseSql,
+      sm AS (
+        SELECT ticker, count(*) AS row_count,
+               count(CASE WHEN quality_error_count > 0 THEN 1 END)
+                 AS invalid_row_count,
+               count(CASE WHEN quality_warn_count > 0 THEN 1 END)
+                 AS warn_row_count,
+               min(trade_date) AS first_date,
+               max(trade_date) AS last_date
+        FROM bronze GROUP BY 1)
+      SELECT * FROM sm
+      WHERE invalid_row_count > 0 OR warn_row_count > 0
+      ORDER BY invalid_row_count DESC, warn_row_count DESC,
+               row_count DESC, ticker
+      LIMIT 50""")) { (s, dir) =>
+      import graft.ops.Cols.countIf
+      bronzeDf(s, dir)
+        .groupBy("ticker")
+        .agg(count(lit(1)).as("row_count"),
+          countIf(col("quality_error_count") > 0)
+            .as("invalid_row_count"),
+          countIf(col("quality_warn_count") > 0).as("warn_row_count"),
+          min(col("trade_date")).as("first_date"),
+          max(col("trade_date")).as("last_date"))
+        .filter(col("invalid_row_count") > 0 || col("warn_row_count") > 0)
+        .orderBy(col("invalid_row_count").desc,
+          col("warn_row_count").desc, col("row_count").desc,
+          col("ticker"))
+        .limit(50)
+    },
+
     // Small-files compaction planner: assign each file to a merge group
     // by the bin its global starting byte offset falls in (the
     // Iceberg/Delta bin-pack shape). The offset is a GLOBAL prefix sum

@@ -563,6 +563,203 @@ object ResearchQueries extends QueryModule {
     // per-label penalties, hard-fail rules, ALLOW/WATCH/BLOCK + reasons,
     // direction hints and dense ranks. Transitions counted on
     // state-CHANGE events (the event-study transition table).
+    // Cluster-QA flag battery (ref validation/cluster_qa.py:161-265
+    // `analyze_cluster_validation_run`): the SOFT-threshold twin of the
+    // hardening classifier — per-state root-cause issue labels under
+    // the `cluster_qa:` settings block (ret_cv 5.0 / min_n 200 / share
+    // 0.03 / sign 0.55 / ci-quantile 0.8 / eps 1e-12, plus the two
+    // derived thresholds the module computes: sparse transitions =
+    // max(10, min_n//5), near-zero mean = max(0.001, 1000*eps)). Reads
+    // the SAME shared stages as the hardening query; thresholds
+    // interpolate live Settings on both sides.
+    Q("q_qa_cluster_flags", Some {
+      val Qa = graft.Settings.clusterQa
+      s"""
+      WITH RECURSIVE ${MarketData.barsSql},
+      ${Indicators.twiggsSql},
+      ${EventGrammar.grammarSql},
+      ${ForwardLabels.sql},
+      bv AS (
+        SELECT g.flow_state_code AS state, g.ticker, g.bar_ts, g.bar_id,
+               f.fwd_ret_10 AS v
+        FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)
+        WHERE f.fwd_ret_10 IS NOT NULL),
+      ${Bootstrap.sqlStats("state", "ticker, bar_ts, bar_id", nBoot = 200)},
+      swins AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(to_timestamp(g.bar_ts / 1000000) AS DATE)) AS INT)
+                 AS win,
+               g.flow_state_code AS state, f.fwd_ret_10 AS v
+        FROM grammar g JOIN fwd f USING (ticker, bar_ts, bar_id)),
+      sws AS (SELECT win, state, count(*) AS wn, avg(v) AS mret
+              FROM swins GROUP BY 1, 2),
+      sshare AS (
+        SELECT *, CAST(wn AS DOUBLE) / sum(wn) OVER (PARTITION BY win)
+          AS share
+        FROM sws),
+      sstab AS (
+        SELECT state,
+               avg(CASE WHEN mret > 0 THEN 1.0
+                        WHEN mret IS NOT NULL THEN 0.0 END)
+                 AS sign_stability,
+               stddev_pop(mret) / (abs(avg(mret)) + 1e-12) AS ret_mean_cv,
+               avg(share) AS state_share_mean
+        FROM sshare GROUP BY 1),
+      wd AS (
+        SELECT state, mret,
+               avg(mret) OVER (PARTITION BY state) AS m_avg,
+               stddev_pop(mret) OVER (PARTITION BY state) AS m_std,
+               count(mret) OVER (PARTITION BY state) AS m_cnt
+        FROM sws),
+      wout AS (
+        SELECT state,
+               max(CASE WHEN m_cnt >= 4 AND m_std > 0
+                 AND abs(mret - m_avg) > 2.0 * m_std THEN 1 ELSE 0 END)
+                 = 1 AS likely_outlier
+        FROM wd GROUP BY 1),
+      ttr AS (
+        SELECT * FROM (
+          SELECT lag(flow_state_code) OVER (PARTITION BY ticker
+                   ORDER BY bar_ts, bar_id) AS sp,
+                 flow_state_code AS sc
+          FROM grammar)
+        WHERE sp IS NOT NULL AND sp <> sc),
+      tcnt AS (
+        SELECT state, CAST(count(*) AS BIGINT) AS transition_event_count
+        FROM (SELECT sp AS state FROM ttr
+              UNION ALL SELECT sc AS state FROM ttr)
+        GROUP BY 1),
+      ciq AS (
+        SELECT quantile_cont(mean_ci_hi - mean_ci_lo,
+          ${Qa.ciWidthQuantileThreshold}) AS ci_thr FROM bstats),
+      qaf AS (
+        SELECT b.state, b.n AS n_rows,
+               b.mean_obs AS fwd_ret_10_mean,
+               b.mean_ci_hi - b.mean_ci_lo AS ci_width,
+               s.sign_stability, s.ret_mean_cv, s.state_share_mean,
+               coalesce(t.transition_event_count, 0)
+                 AS transition_event_count,
+               coalesce(w.likely_outlier, false) AS likely_outlier,
+               c.ci_thr
+        FROM bstats b
+        LEFT JOIN sstab s USING (state)
+        LEFT JOIN tcnt t USING (state)
+        LEFT JOIN wout w USING (state)
+        CROSS JOIN ciq c)
+      SELECT state, n_rows,
+             round(fwd_ret_10_mean, 9) AS fwd_ret_10_mean,
+             round(ci_width, 9) AS ci_width,
+             round(sign_stability, 9) AS stability_sign_consistency,
+             round(ret_mean_cv, 9) AS ret_mean_cv,
+             round(state_share_mean, 9) AS state_share_mean,
+             transition_event_count,
+             concat_ws(',',
+               CASE WHEN likely_outlier THEN 'LIKELY_OUTLIER_WINDOW' END,
+               CASE WHEN n_rows < ${Qa.minNRows} THEN 'LOW_N' END,
+               CASE WHEN state_share_mean < ${Qa.minStateShare}
+                 THEN 'LOW_OCCUPANCY' END,
+               CASE WHEN ret_mean_cv > ${Qa.retCvThreshold}
+                 AND abs(fwd_ret_10_mean) <= ${Qa.nearZeroMeanThreshold}
+                 THEN 'MEAN_NEAR_ZERO_CV_INFLATION' END,
+               CASE WHEN sign_stability < ${Qa.signConsistencyThreshold}
+                 THEN 'SIGN_FLIP_ACROSS_WINDOWS' END,
+               CASE WHEN transition_event_count
+                 < ${Qa.transitionsSparseThreshold}
+                 THEN 'TRANSITIONS_TOO_SPARSE' END,
+               CASE WHEN ci_width >= ci_thr THEN 'WIDE_CI' END,
+               CASE WHEN ret_mean_cv > ${Qa.retCvThreshold}
+                 THEN 'WINDOW_DRIFT_HIGH' END) AS issues,
+             (likely_outlier OR n_rows < ${Qa.minNRows}
+               OR state_share_mean < ${Qa.minStateShare}
+               OR ret_mean_cv > ${Qa.retCvThreshold}
+               OR sign_stability < ${Qa.signConsistencyThreshold}
+               OR transition_event_count
+                 < ${Qa.transitionsSparseThreshold}
+               OR ci_width >= ci_thr) AS is_flagged
+      FROM qaf ORDER BY state"""
+    }) { (s, dir) =>
+      val Qa = graft.Settings.clusterQa
+      val gram = Stage.slimGrammar(s, dir)
+      val stats = ResearchQueries.bootStats(s, dir)
+      val sws = ResearchQueries.dayWindows(s, dir)
+      val sshare = sws.withColumn("share",
+        col("wn").cast("double")
+          / sum("wn").over(Window.partitionBy("win")))
+      val sstab = sshare.groupBy("state").agg(
+        avg(when(col("mret") > 0, 1.0)
+          .when(col("mret").isNotNull, 0.0)).as("sign_stability"),
+        (stddev_pop(col("mret")) / (abs(avg(col("mret"))) + 1e-12))
+          .as("ret_mean_cv"),
+        avg("share").as("state_share_mean"))
+      val wAvg = Window.partitionBy("state")
+      val wout = sws
+        .withColumn("m_avg", avg("mret").over(wAvg))
+        .withColumn("m_std", stddev_pop(col("mret")).over(wAvg))
+        .withColumn("m_cnt", count(col("mret")).over(wAvg))
+        .groupBy("state")
+        .agg((max(when(col("m_cnt") >= 4 && col("m_std") > 0
+          && abs(col("mret") - col("m_avg")) > lit(2.0) * col("m_std"),
+          1).otherwise(0)) === 1).as("likely_outlier"))
+      val gW = Window.partitionBy("ticker").orderBy("bar_ts", "bar_id")
+      val ttr = gram
+        .select(lag("flow_state_code", 1).over(gW).as("sp"),
+          col("flow_state_code").as("sc"))
+        .filter(col("sp").isNotNull && col("sp") =!= col("sc"))
+      val tcnt = ttr.select(col("sp").as("state"))
+        .unionByName(ttr.select(col("sc").as("state")))
+        .groupBy("state")
+        .agg(count(lit(1)).as("transition_event_count"))
+      val ciW = col("mean_ci_hi") - col("mean_ci_lo")
+      val ciq = stats.agg(
+        percentile(ciW, lit(Qa.ciWidthQuantileThreshold)).as("ci_thr"))
+      val qaf = stats
+        .join(sstab, Seq("state"), "left")
+        .join(tcnt, Seq("state"), "left")
+        .join(wout, Seq("state"), "left")
+        .crossJoin(broadcast(ciq))
+        .select(col("state"), col("n").as("n_rows"),
+          col("mean_obs").as("fwd_ret_10_mean"), ciW.as("ci_width"),
+          col("sign_stability"), col("ret_mean_cv"),
+          col("state_share_mean"),
+          coalesce(col("transition_event_count"), lit(0L))
+            .as("transition_event_count"),
+          coalesce(col("likely_outlier"), lit(false))
+            .as("likely_outlier"),
+          col("ci_thr"))
+      qaf.select(col("state"), col("n_rows"),
+          round(col("fwd_ret_10_mean"), 9).as("fwd_ret_10_mean"),
+          round(col("ci_width"), 9).as("ci_width"),
+          round(col("sign_stability"), 9)
+            .as("stability_sign_consistency"),
+          round(col("ret_mean_cv"), 9).as("ret_mean_cv"),
+          round(col("state_share_mean"), 9).as("state_share_mean"),
+          col("transition_event_count"),
+          concat_ws(",",
+            when(col("likely_outlier"), "LIKELY_OUTLIER_WINDOW"),
+            when(col("n_rows") < Qa.minNRows, "LOW_N"),
+            when(col("state_share_mean") < Qa.minStateShare,
+              "LOW_OCCUPANCY"),
+            when(col("ret_mean_cv") > Qa.retCvThreshold
+              && abs(col("fwd_ret_10_mean")) <= Qa.nearZeroMeanThreshold,
+              "MEAN_NEAR_ZERO_CV_INFLATION"),
+            when(col("sign_stability") < Qa.signConsistencyThreshold,
+              "SIGN_FLIP_ACROSS_WINDOWS"),
+            when(col("transition_event_count")
+              < Qa.transitionsSparseThreshold,
+              "TRANSITIONS_TOO_SPARSE"),
+            when(col("ci_width") >= col("ci_thr"), "WIDE_CI"),
+            when(col("ret_mean_cv") > Qa.retCvThreshold,
+              "WINDOW_DRIFT_HIGH")).as("issues"),
+          (col("likely_outlier") || col("n_rows") < Qa.minNRows
+            || col("state_share_mean") < Qa.minStateShare
+            || col("ret_mean_cv") > Qa.retCvThreshold
+            || col("sign_stability") < Qa.signConsistencyThreshold
+            || col("transition_event_count")
+              < Qa.transitionsSparseThreshold
+            || col("ci_width") >= col("ci_thr")).as("is_flagged"))
+        .orderBy("state")
+    },
+
     Q("q_cluster_hardening_full", Some(s"""
       WITH RECURSIVE ${MarketData.barsSql},
       ${Indicators.twiggsSql},

@@ -226,6 +226,41 @@ class SettingsSpec extends SparkSpec {
     }
   }
 
+  test("cluster_qa / validation_walkforward sections mirror the yaml " +
+      "and reach their consumers") {
+    val Q = Settings.clusterQa
+    assert(Q.retCvThreshold == 5.0 && Q.minNRows == 200)
+    assert(Q.minStateShare == 0.03 && Q.signConsistencyThreshold == 0.55)
+    assert(Q.ciWidthQuantileThreshold == 0.8 && Q.eps == 1e-12)
+    // the module's derived thresholds (cluster_qa.py:212-213)
+    assert(Q.transitionsSparseThreshold == 40)
+    assert(Q.nearZeroMeanThreshold == 0.001)
+    val W = Settings.walkForward
+    assert(W.nSplits == 4)
+    assert(W.trainEndListDefault.head == "2012-12-31"
+      && W.trainEndListDefault.size == 5)
+    assert(W.hmmComponentsDefault == 5 && W.clusterMethodDefault == "gmm")
+    assert(W.clusterKDefault == 5 && W.scalingScopeDefault == "per_ticker")
+    assert(W.continueOnErrorDefault)
+    // overrides re-interpolate the oracles
+    withProp("graft.cluster_qa.ret_cv_threshold", "7.5") {
+      assert(SparkEntry.oracleSql("q_qa_cluster_flags").contains("7.5"))
+    }
+    withProp("graft.cluster_qa.min_n_rows", "500") {
+      // derived threshold follows: max(10, 500/5) = 100
+      assert(Settings.clusterQa.transitionsSparseThreshold == 100)
+      assert(SparkEntry.oracleSql("q_qa_cluster_flags")
+        .contains("< 100"))
+    }
+    withProp("graft.validation_walkforward.n_splits", "3") {
+      val sql = SparkEntry.oracleSql("q_bt_walk_forward")
+      // split arithmetic and the unrolled split branches both follow
+      assert(sql.contains("// 3 AS step"))
+      assert(sql.contains("SELECT 2 AS split_idx")
+        && !sql.contains("SELECT 3 AS split_idx"))
+    }
+  }
+
   test("env-var override layer resolves between sysprops and the file") {
     val old = Settings.envSource
     try {
