@@ -250,29 +250,44 @@ object Hmm {
     * the likelihood trajectory and fitted parameters to the driver fit
     * on the same input. */
   def fitResultDistributed(df: DataFrame, k: Int, nIter: Int = 50,
-      tol: Double = 1e-3, minLen: Int = 2): FitResult = {
+      tol: Double = 1e-3, minLen: Int = 2,
+      maxInitPoints: Long = 500000L): FitResult = {
     val spark = df.sparkSession
     import spark.implicits._
-    implicit val seqEnc: org.apache.spark.sql.Encoder[Array[Array[Double]]] =
-      org.apache.spark.sql.Encoders.kryo[Array[Array[Double]]]
+    implicit val seqEnc
+        : org.apache.spark.sql.Encoder[(String, Array[Array[Double]])] =
+      org.apache.spark.sql.Encoders.kryo[(String, Array[Array[Double]])]
     val seqs = df
       .select(col("key").cast("string"), col("ts").cast("long"),
         col("features").cast("array<double>"))
       .as[(String, Long, Array[Double])]
       .groupByKey(_._1)
-      .mapGroups((_, it) => it.toArray.sortBy(_._2).map(_._3))
-      .filter(_.length >= minLen)
+      .mapGroups((key, it) => (key, it.toArray.sortBy(_._2).map(_._3)))
+      .filter(_._2.length >= minLen)
       .cache()
     try {
-      val counts = seqs.map(s => (1L, s.length.toLong))
-        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
-      val (nSeqs, nObs) = counts
+      // per-key length table: bounded by #keys (one driver row per key)
+      val lens = seqs.map { case (key, s) => (key, s.length.toLong) }
+        .collect().sortBy(_._1)
+      val nSeqs = lens.length.toLong
+      val nObs = lens.map(_._2).sum
       require(nSeqs > 0, "no sequences of length >= minLen to fit")
-      // init needs pooled quantile anchors — bounded: it reads only the
-      // per-dimension sorted values, so at true scale swap in the
-      // t-digest init; at fixture scale collecting the pool is the
-      // reference's own convention
-      var m = init(k, seqs.collect().toSeq)
+      // init needs pooled quantile anchors; the pool is a BOUNDED
+      // deterministic sample — keys admitted in sorted-key order until
+      // `maxInitPoints` points are spent (whole keys, so the hard
+      // bound is maxInitPoints + one key — the collectSequences budget
+      // discipline). init itself is input-order-independent (it sorts
+      // per dimension), so when the cap does not bind this equals the
+      // driver fit's init on the same sequences exactly.
+      val initKeys = {
+        var budget = maxInitPoints
+        val keep = scala.collection.mutable.LinkedHashSet.empty[String]
+        for ((key, n) <- lens if budget > 0) { keep += key; budget -= n }
+        keep.toSet
+      }
+      val initPool = seqs.filter(r => initKeys.contains(r._1))
+        .collect().sortBy(_._1).map(_._2).toSeq
+      var m = init(k, initPool)
       var prevLl = Double.NegativeInfinity
       var ll = Double.NegativeInfinity
       var it = 0
@@ -283,7 +298,7 @@ object Hmm {
         val bc = spark.sparkContext.broadcast(m)
         val acc = seqs.mapPartitions { seqIt =>
           val a = new EAcc(bc.value.k, bc.value.d)
-          seqIt.foreach(s => a.add(bc.value, s))
+          seqIt.foreach { case (_, s) => a.add(bc.value, s) }
           Iterator.single(a)
         }.reduce((a, b) => a.merge(b))
         bc.destroy()

@@ -693,6 +693,15 @@ object Similarity {
     ivfAdcRank(emb, queryPred, k, nCells, nProbe, codes, qd2)
   }
 
+  /** Cell count sized to the corpus: nCells ≈ √n (the faiss guidance
+    * for IVF list counts — keeps both the probe scan (nCells) and the
+    * per-list candidate scan (n/nCells) at O(√n)), floored at
+    * `minCells`. The IVF twin of [[autoBits]]: a fixed cell count
+    * saturates at 100× the corpus — per-list length grows linearly and
+    * the probed-candidate set with it. */
+  def autoCells(n: Long, minCells: Int = 8): Int =
+    math.max(minCells, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** Deterministic Lloyd coarse quantizer: `nCells` full-dimension
     * cell centroids fitted on the whole corpus (`LloydKmeans.fit`,
     * seed-slice init) — what turns residual encoding from a wash into
@@ -700,7 +709,7 @@ object Similarity {
     * are smaller than vector norms (a seed "centroid" is an arbitrary
     * corpus vector and its residuals carry MORE variance, not less).
     * Oracle-reproducible via `LloydKmeans.oracleSqlFrom` on the
-    * full-vector points. */
+    * full-vector points. Size `nCells` with [[autoCells]] at scale. */
   def lloydCoarseCells(emb: DataFrame, nCells: Int, iters: Int)
       : IndexedSeq[Array[Double]] =
     graft.ml.LloydKmeans.fit(

@@ -332,6 +332,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_asof: dimension attach has NO join node (union+window " +
+      "as-of); q_m_phash_dup stays equi-join") {
+    // the SCD2 dimension attaches via the UNION + WINDOW as-of shape —
+    // one hash exchange, zero join nodes for the as-of itself (the
+    // only Join in the plan would be a fact-side prep join; there is
+    // none here)
+    val p = planOf("q_scd2_asof")
+    assert(!p.contains("Join"),
+      "q_scd2_asof grew a join node — the as-of must stay union+window")
+    // phash: banded candidate generation is an equi-join on
+    // (band_idx, band), never a cross product
+    val p2 = planOf("q_m_phash_dup")
+    assert(!p2.contains("CartesianProduct"))
+    assert(!p2.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_t_pii / q_t_blocklist are map-only: no shuffle before the sort") {
     // per-doc scans must stream with the parquet scan — any hash
     // exchange, join, or aggregate means the column program picked up a

@@ -203,6 +203,15 @@ class SimilaritySpec extends SparkSpec {
     assert(rr >= ra, s"re-rank hits $rr must be >= adc hits $ra")
   }
 
+  test("autoCells keeps both probe and per-list scans O(sqrt n)") {
+    // nCells ~ sqrt(n): 100x the corpus must grow the cell count ~10x
+    // (a fixed count saturates — per-list candidate sets grow linearly)
+    assert(Similarity.autoCells(2000) == 45)
+    assert(Similarity.autoCells(200000) == 448)
+    assert(Similarity.autoCells(20000000L) == 4473)
+    assert(Similarity.autoCells(10) == 8, "floor at minCells")
+  }
+
   test("residual encoding beats absolute encoding under the same " +
       "fitted coarse quantizer and code budget") {
     import org.apache.spark.sql.expressions.Window
