@@ -37,7 +37,7 @@ object Settings {
     * environment (the JVM cannot setenv); production never reassigns
     * it. Reads go through this for both the `GRAFT_*` override layer
     * and the settings-file path variable. */
-  private[graft] var envSource: String => Option[String] =
+  @volatile private[graft] var envSource: String => Option[String] =
     k => sys.env.get(k)
 
   private def fileProps(): Option[Properties] = {

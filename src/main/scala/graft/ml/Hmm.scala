@@ -266,12 +266,17 @@ object Hmm {
       .filter(_._2.length >= minLen)
       .cache()
     try {
-      // per-key length table: bounded by #keys (one driver row per key)
+      // per-key length table: one driver row per key — the remaining
+      // driver-memory term is O(#keys), not O(points); FitResult.nSeqs
+      // is an Int, so key counts beyond Int.MaxValue are refused
+      // loudly instead of silently wrapping
       val lens = seqs.map { case (key, s) => (key, s.length.toLong) }
         .collect().sortBy(_._1)
       val nSeqs = lens.length.toLong
       val nObs = lens.map(_._2).sum
       require(nSeqs > 0, "no sequences of length >= minLen to fit")
+      require(nSeqs <= Int.MaxValue,
+        s"$nSeqs sequences exceed FitResult.nSeqs capacity")
       // init needs pooled quantile anchors; the pool is a BOUNDED
       // deterministic sample — keys admitted in sorted-key order until
       // `maxInitPoints` points are spent (whole keys, so the hard

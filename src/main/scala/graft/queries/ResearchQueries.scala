@@ -602,7 +602,8 @@ object ResearchQueries extends QueryModule {
                avg(CASE WHEN mret > 0 THEN 1.0
                         WHEN mret IS NOT NULL THEN 0.0 END)
                  AS sign_stability,
-               stddev_pop(mret) / (abs(avg(mret)) + 1e-12) AS ret_mean_cv,
+               stddev_pop(mret) / (abs(avg(mret)) + ${Qa.eps})
+                 AS ret_mean_cv,
                avg(share) AS state_share_mean
         FROM sshare GROUP BY 1),
       wd AS (
@@ -688,7 +689,7 @@ object ResearchQueries extends QueryModule {
       val sstab = sshare.groupBy("state").agg(
         avg(when(col("mret") > 0, 1.0)
           .when(col("mret").isNotNull, 0.0)).as("sign_stability"),
-        (stddev_pop(col("mret")) / (abs(avg(col("mret"))) + 1e-12))
+        (stddev_pop(col("mret")) / (abs(avg(col("mret"))) + Qa.eps))
           .as("ret_mean_cv"),
         avg("share").as("state_share_mean"))
       val wAvg = Window.partitionBy("state")

@@ -1985,7 +1985,8 @@ object TextQueries extends QueryModule {
       pq5 AS (SELECT qid, vid FROM pqranked WHERE rnk <= $AnnK)
       SELECT e.qid,
              CAST(count(p.vid) AS BIGINT) AS n_hits,
-             round(CAST(count(p.vid) AS DOUBLE) / 5, 6) AS recall_at_5
+             round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+               AS recall_at_5
       FROM exact5 e LEFT JOIN pq5 p ON e.qid = p.qid AND e.vid = p.vid
       GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
       val exact5 = exactTop5(s, dir)
@@ -1994,7 +1995,7 @@ object TextQueries extends QueryModule {
       exact5.join(pq5, Seq("qid", "vid"), "left")
         .groupBy("qid")
         .agg(count(col("hit")).as("n_hits"),
-          round(count(col("hit")).cast("double") / 5, 6)
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
             .as("recall_at_5"))
         .orderBy("qid")
     },

@@ -604,20 +604,6 @@ object Similarity {
     adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** The first `nCells` vectors as a driver-side centroid matrix (one
-    * bounded k-row collect) — the shared seed coarse-quantizer
-    * convention (`StreamingAnnServe.seedCells` is the same function;
-    * duplicated here so batch Similarity has no streaming import). */
-  private def collectSeedCells(emb: DataFrame, nCells: Int)
-      : IndexedSeq[Array[Double]] = {
-    val rows = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("long"),
-        asDouble(col("embedding")).as("v"))
-      .collect().sortBy(_.getLong(0))
-    require(rows.length == nCells, s"need $nCells cell seed vectors")
-    rows.toIndexedSeq.map(_.getSeq[Double](1).toArray)
-  }
-
   /** Per-row residual frame `(vec_id, cell, rv)` against a literal
     * cell-centroid matrix: assignment by the shared (round-6
     * exact-decimal distance, lowest cell id) convention — bit-identical
@@ -679,18 +665,6 @@ object Similarity {
           graft.ml.LloydKmeans.fit(sub, "pid", "sv", subK, iters)._2
         }}, Duration.Inf).toIndexedSeq
     } finally rv.unpersist()
-  }
-
-  /** IVF-PQ against an explicit (non-residual) PQ codebook — the
-    * fitted-codebook swap for [[ivfPqTopK]], isolating the codebook
-    * effect from the residual effect in A/B rows: same coarse
-    * quantizer, same candidate generation, ADC against
-    * `codebook` instead of the seed slices. */
-  def ivfPqTopKCodebook(emb: DataFrame, queryPred: Column, k: Int,
-      nCells: Int, nProbe: Int,
-      codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
-    val (codes, qd2) = pqPartsCodebook(emb, queryPred, codebook)
-    ivfAdcRank(emb, queryPred, k, nCells, nProbe, codes, qd2)
   }
 
   /** Cell count sized to the corpus: nCells ≈ √n (the faiss guidance
