@@ -328,6 +328,11 @@ object Settings {
     def ivfCoarseIters: Int = int("ann.ivfpq.coarse_iters", 4)
     def rerankR: Int = int("ann.rerank_r", 16)
     def lshTargetBucket: Int = int("ann.lsh.target_bucket", 64)
+    /** Incremental-index split: vectors with `vec_id < incr_base` are
+      * the snapshot the coarse cells + residual codebooks were fit on;
+      * later ids are append-encoded against those FROZEN artifacts
+      * (faiss add-without-train). Fixture default 400 of 500. */
+    def incrBase: Int = int("ann.incr_base", 400)
   }
 
   /** `dedup:` block — near-duplicate-detection knobs (engine

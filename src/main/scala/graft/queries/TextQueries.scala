@@ -28,6 +28,7 @@ object TextQueries extends QueryModule {
   private[queries] def IvfNCells = graft.Settings.ann.ivfNCells
   private[queries] def IvfNProbe = graft.Settings.ann.ivfNProbe
   private[queries] def CoarseIters = graft.Settings.ann.ivfCoarseIters
+  private[queries] def IncrBase = graft.Settings.ann.incrBase
   private[queries] def JaccN = graft.Settings.dedup.jaccardNgramN
   private[queries] def JaccMaxFreq = graft.Settings.dedup.jaccardMaxFreq
   private[queries] def JaccMinSim = graft.Settings.dedup.jaccardMinSim
@@ -379,6 +380,42 @@ object TextQueries extends QueryModule {
         t(s, dir, "embeddings"), cells, cb)
     }
 
+  /** Incremental-index artifacts: coarse cells + residual codebook
+    * fit ONLY on the base snapshot (`vec_id < IncrBase`) — the frozen
+    * state an append-only index grows against (faiss add-without-
+    * train). Later batches are encoded with these, never refit. */
+  private val incrArtMemo = scala.collection.concurrent.TrieMap.empty[
+    String, (IndexedSeq[Array[Double]],
+      IndexedSeq[IndexedSeq[Array[Double]]])]
+  private[queries] def incrArtifacts(s: SparkSession, dir: String)
+      : (IndexedSeq[Array[Double]],
+         IndexedSeq[IndexedSeq[Array[Double]]]) =
+    incrArtMemo.getOrElseUpdate(dir, {
+      val base = t(s, dir, "embeddings")
+        .filter(col("vec_id") < IncrBase)
+      val cells = Similarity.lloydCoarseCells(base, IvfNCells,
+        CoarseIters)
+      (cells, Similarity.lloydResidualCodebook(base, cells, PqM, PqSubK,
+        PqLloydIters))
+    })
+
+  /** The incrementally-grown standing index: the base batch encoded at
+    * fit time UNION the delta batch append-encoded later against the
+    * SAME frozen artifacts. Per-row encode means append ≡ rebuild
+    * (locked in SimilaritySpec); at 100 TB the union is a partitioned
+    * append to the stored index table — no refit, no re-encode of the
+    * base. */
+  private[queries] def annServeIncrIndex(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "ann_serve_incr_index") {
+      val emb = t(s, dir, "embeddings")
+      val (cells, cb) = incrArtifacts(s, dir)
+      graft.streaming.StreamingAnnServe.indexOfResidual(
+          emb.filter(col("vec_id") < IncrBase), cells, cb)
+        .unionByName(graft.streaming.StreamingAnnServe.indexOfResidual(
+          emb.filter(col("vec_id") >= IncrBase), cells, cb))
+    }
+
   /** Exact-re-ranked top-k over the residual ADC short list. */
   private[queries] def residRerankTop5(s: SparkSession, dir: String)
       : DataFrame =
@@ -508,25 +545,47 @@ object TextQueries extends QueryModule {
     * codebook init convention shifts), and ADC tables are keyed
     * (qid, cell, m, c) because a query's residual depends on the
     * probed cell. Ends at `resranked`. */
-  private def residIvfPqCtes: String = {
+  private def residIvfPqCtes: String = residChainCtes(None)
+
+  /** The [[residIvfPqCtes]] chain with the FITS (coarse cells +
+    * residual codebooks) restricted to the base snapshot
+    * `vec_id < fitMax` while assignment/encode/serve still cover the
+    * whole corpus — the add-without-train contract of
+    * q_e_index_incr/q_e_index_drift. `fitMax = None` reproduces the
+    * full-corpus fit text verbatim. */
+  private def residChainCtes(fitMax: Option[Int]): String = {
     val sd = PqSubDim
+    val fitW = fitMax.map(b => s" WHERE vec_id < $b").getOrElse("")
+    val cbFit = fitMax.map(b => s" AND vec_id < $b").getOrElse("")
     val chains = (0 until PqM).map { mi =>
       s"""
       r${mi}_pts AS MATERIALIZED (
         SELECT vec_id - $IvfNCells AS pid, j, r AS x FROM rsub
-        WHERE m = $mi AND vec_id >= $IvfNCells),""" +
+        WHERE m = $mi AND vec_id >= $IvfNCells$cbFit),""" +
         graft.ml.LloydKmeans.oracleSqlFrom(
           s"r${mi}_pts", PqSubK, PqLloydIters, s"r${mi}_")
     }.mkString(",")
     val union = (0 until PqM).map(mi =>
       s"SELECT $mi AS m, c, j, y FROM r${mi}_cent_$PqLloydIters")
       .mkString("\n        UNION ALL ")
+    // assignment source: the fit points when fitting on everything
+    // (byte-identical to the pre-parameterization text), a separate
+    // all-vector CTE when the fit is base-restricted
+    val assign = fitMax match {
+      case None =>
+        graft.ml.LloydKmeans.finalAssignSql("cqpts", CoarseIters, "cq_")
+      case Some(_) =>
+        s""",
+      cqall AS (
+        SELECT vec_id AS pid, i AS j, x FROM ex)""" +
+        graft.ml.LloydKmeans.finalAssignSql("cqall", CoarseIters, "cq_")
+    }
     s"""
       cqpts AS MATERIALIZED (
-        SELECT vec_id AS pid, i AS j, x FROM ex),""" +
+        SELECT vec_id AS pid, i AS j, x FROM ex$fitW),""" +
     graft.ml.LloydKmeans.oracleSqlFrom(
       "cqpts", IvfNCells, CoarseIters, "cq_") +
-    graft.ml.LloydKmeans.finalAssignSql("cqpts", CoarseIters, "cq_") +
+    assign +
     s""",
       rprobes AS (
         SELECT pid AS qid, c AS cell FROM (
@@ -1960,6 +2019,78 @@ object TextQueries extends QueryModule {
           residCands(s, dir).filter(col("rnk") <= AnnK)))
         .unionByName(row("4_fitted_res_rerank", residRerankTop5(s, dir)))
         .orderBy("variant")
+    },
+
+    // Incremental index growth (faiss add-without-train): the coarse
+    // cells + residual codebooks were fit on the BASE snapshot
+    // (vec_id < IncrBase); the delta batch arrived later and was
+    // append-encoded against those frozen artifacts into the standing
+    // index (annServeIncrIndex = index(base) ∪ index(delta)); queries
+    // serve from the union. The oracle fits only on the base
+    // (residChainCtes(Some(IncrBase))) and encodes/serves the whole
+    // corpus — proving the engine's append path introduces no refit
+    // and no re-encode. At 100 TB this is the only viable index
+    // lifecycle: per-batch encode is map-only against broadcast
+    // artifacts, and the union is a partitioned append to the stored
+    // index table.
+    Q("q_e_index_incr", Some(s"""
+      WITH $exCte, ${residChainCtes(Some(IncrBase))}
+      SELECT qid, vid, adc, rnk FROM resranked WHERE rnk <= $AnnK
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      import graft.streaming.StreamingAnnServe
+      val emb = t(s, dir, "embeddings")
+      val (cells, cb) = incrArtifacts(s, dir)
+      val cand = StreamingAnnServe.scoreCandidatesResidual(
+        emb.filter(col("vec_id") < AnnQ), annServeIncrIndex(s, dir),
+        cells, cb, nProbe = IvfNProbe)
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+      cand.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= AnnK)
+        .select("qid", "vid", "adc", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // The refit dial for that add-without-train lifecycle: per batch
+    // (base = fit snapshot, delta = appended-unfit), the average
+    // squared distance to the assigned coarse cell and the average PQ
+    // reconstruction error (Similarity.residualEncodeStats). A delta
+    // batch drifting from the fit distribution shows both rising —
+    // the operational "time to retrain" signal. On the iid fixture the
+    // two batches score close, which is the honest null reading.
+    Q("q_e_index_drift", Some(s"""
+      WITH $exCte, ${residChainCtes(Some(IncrBase))},
+      cdrift AS (
+        SELECT pid, round(d2, 6) AS cell_d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY pid
+            ORDER BY round(d2, 6), c) AS rn FROM cq_kd_fin)
+        WHERE rn = 1),
+      edrift AS (
+        SELECT vec_id, round(CAST(sum(CAST(d2 AS DECIMAL(38,18)))
+          AS DOUBLE), 6) AS enc_err FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY round(d2, 6), c) AS rn FROM rd2) WHERE rn = 1
+        GROUP BY 1)
+      SELECT CASE WHEN e.vec_id < $IncrBase THEN '1_base'
+               ELSE '2_delta' END AS batch,
+             count(*) AS n_vecs,
+             round(CAST(sum(CAST(c.cell_d2 AS DECIMAL(38,18)))
+               AS DOUBLE) / count(*), 6) AS avg_cell_d2,
+             round(CAST(sum(CAST(e.enc_err AS DECIMAL(38,18)))
+               AS DOUBLE) / count(*), 6) AS avg_enc_err
+      FROM edrift e JOIN cdrift c ON c.pid = e.vec_id
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val (cells, cb) = incrArtifacts(s, dir)
+      Similarity.residualEncodeStats(emb, cells, cb)
+        .withColumn("batch", when(col("vec_id") < IncrBase, "1_base")
+          .otherwise("2_delta"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("cell_d2").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 6).as("avg_cell_d2"),
+          round(sum(col("enc_err").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 6).as("avg_enc_err"))
+        .orderBy("batch")
     },
 
     // PQ recall observability (the quality dial a production PQ

@@ -67,6 +67,12 @@ object Warmup {
       // roots so the fit latency overlaps instead of serializing into
       // the first residual query
       "residCands" -> (() => TextQueries.residCands(spark, dir).count()),
+      // incremental-index artifacts: base-snapshot coarse + residual
+      // Lloyd fits + the union index — same iterative-chain shape as
+      // residCands, so it overlaps here instead of serializing into
+      // the first q_e_index_* query
+      "annServeIncrIndex" ->
+        (() => TextQueries.annServeIncrIndex(spark, dir).count()),
       "hdbscanPairs" -> (() => MlQueries.hdbscanPairs(spark, dir).count()),
       "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count())))
 

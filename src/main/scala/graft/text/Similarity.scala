@@ -667,6 +667,66 @@ object Similarity {
     } finally rv.unpersist()
   }
 
+  /** Per-vector residual-encode observability stats against FROZEN
+    * index artifacts — the refit dial an incrementally-grown IVF-PQ
+    * index watches: `cell_d2` (squared distance to the assigned coarse
+    * centroid — how well the cell structure still covers the vector)
+    * and `enc_err` (total squared residual reconstruction error of the
+    * chosen PQ codes — what the codebook can no longer express).
+    * Batches drifting away from the fit distribution show both rising;
+    * that is the "time to retrain" signal (faiss's add-without-train
+    * operational caveat). Same assignment/encode conventions as
+    * [[ivfPqResidualTopK]] (exact decimal sums, round-6 + lowest-id
+    * tiebreaks), so the stats are oracle-reproducible from the same
+    * CTE chain. Map-only + two bounded groupBys; never query-keyed, so
+    * it scales with the corpus scan. Returns (vec_id, cell, cell_d2,
+    * enc_err). */
+  def residualEncodeStats(emb: DataFrame,
+      cells: IndexedSeq[Array[Double]],
+      codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = embDim(emb)
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    require(dim == m * subDim,
+      s"dim $dim != $m subspaces x $subDim dims (codebook mismatch)")
+    val ex = emb.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+    val cc = ccLit(spark, cells)
+    val celld2 = ex.join(broadcast(cc), col("i") === col("ci"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(((col("x") - col("y")) * (col("x") - col("y")))
+        .cast("decimal(38,18)")).cast("double").as("d2"))
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(round(col("d2"), 6), col("cell"))
+    val assigned = celld2.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("cell_d2"))
+    val resid = ex.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .join(broadcast(cc), Seq("cell"))
+      .filter(col("i") === col("ci"))
+      .select(col("vec_id"),
+        (col("i") / subDim).cast("int").as("m"),
+        (col("i") % subDim).as("j"), (col("x") - col("y")).as("r"))
+    val centRows = for {
+      mi <- codebook.indices; c <- codebook(mi).indices
+      j <- 0 until subDim
+    } yield (c.toLong, mi, j, codebook(mi)(c)(j))
+    val cent = spark.createDataFrame(centRows).toDF("c", "m", "j", "y")
+    val d2 = resid.join(broadcast(cent), Seq("m", "j"))
+      .groupBy(col("vec_id"), col("m"), col("c"))
+      .agg(sum(((col("r") - col("y")) * (col("r") - col("y")))
+        .cast("decimal(38,18)")).cast("double").as("d2"))
+    val best = d2.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m")
+          .orderBy(round(col("d2"), 6), col("c"))))
+      .filter(col("rn") === 1)
+    val enc = best.groupBy(col("vec_id"))
+      .agg(round(sum(col("d2").cast("decimal(38,18)")).cast("double"), 6)
+        .as("enc_err"))
+    assigned.join(enc, Seq("vec_id"))
+  }
+
   /** Cell count sized to the corpus: nCells ≈ √n (the faiss guidance
     * for IVF list counts — keeps both the probe scan (nCells) and the
     * per-list candidate scan (n/nCells) at O(√n)), floored at

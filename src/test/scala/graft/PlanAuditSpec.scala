@@ -139,6 +139,26 @@ class PlanAuditSpec extends SparkSpec {
       "rerank lost its broadcast-query equi-join shape")
   }
 
+  test("incremental index: serve reads the cached union index; drift " +
+      "stats stay broadcast equi-joins") {
+    graft.queries.Stage.clear()
+    // q_e_index_incr populates ann_serve_incr_index; a second
+    // evaluation must read the cached union, not re-encode
+    SparkEntry.queries("q_e_index_incr")(spark, dir).count()
+    val p = planOf("q_e_index_incr")
+    assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+      "q_e_index_incr rebuilt the standing index instead of reading " +
+        "the cache")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the refit dial: centroid/codebook tables broadcast, never a
+    // cross product — the stats pass is corpus-scan-shaped
+    val pd = planOf("q_e_index_drift")
+    assert(!pd.contains("CartesianProduct"))
+    assert(!pd.contains("BroadcastNestedLoopJoin"))
+    graft.queries.Stage.clear()
+  }
+
   test("residual IVF-PQ: candidate stage is cache-shared across its " +
       "four consumers; build plan stays broadcast equi-joins") {
     graft.queries.Stage.clear()

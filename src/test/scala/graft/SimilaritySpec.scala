@@ -281,4 +281,45 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("ivf_best") > col("best")).count() == 0)
     assert(ivf.filter(col("qid") === col("vid")).count() == 0)
   }
+
+  test("incremental append-encode equals a full rebuild under frozen " +
+      "artifacts (add-without-train)") {
+    import graft.streaming.StreamingAnnServe
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    assert(delta.count() > 0, "fixture must exercise a nonempty delta")
+    val cells = Similarity.lloydCoarseCells(base, nCells = 4, iters = 2)
+    val cb = Similarity.lloydResidualCodebook(base, cells, m = 4,
+      subK = 4, iters = 2)
+    // per-row encode ⇒ appending the delta batch to the base index is
+    // bit-identical to rebuilding the whole index from scratch with
+    // the same frozen artifacts
+    val appended = StreamingAnnServe.indexOfResidual(base, cells, cb)
+      .unionByName(StreamingAnnServe.indexOfResidual(delta, cells, cb))
+    val rebuilt = StreamingAnnServe.indexOfResidual(emb, cells, cb)
+    assert(appended.exceptAll(rebuilt).isEmpty
+        && rebuilt.exceptAll(appended).isEmpty,
+      "append-encoded index must equal the full rebuild")
+  }
+
+  test("residualEncodeStats covers every vector with non-negative " +
+      "errors and agrees with the index's cell assignment") {
+    import graft.streaming.StreamingAnnServe
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = Similarity.lloydCoarseCells(emb, nCells = 4, iters = 2)
+    val cb = Similarity.lloydResidualCodebook(emb, cells, m = 4,
+      subK = 4, iters = 2)
+    val stats = Similarity.residualEncodeStats(emb, cells, cb)
+    assert(stats.count() == emb.count(), "one stats row per vector")
+    assert(stats.filter(col("cell_d2") < 0 || col("enc_err") < 0)
+      .count() == 0, "squared errors are non-negative")
+    // the dial's cell assignment is the index's cell assignment
+    val idx = StreamingAnnServe.indexOfResidual(emb, cells, cb)
+      .select(col("vid").as("vec_id"), col("cell").as("idx_cell"))
+    val disagree = stats.join(idx, "vec_id")
+      .filter(col("cell") =!= col("idx_cell"))
+    assert(disagree.count() == 0,
+      "stats and index must assign identical cells")
+  }
 }
