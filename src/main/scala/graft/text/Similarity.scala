@@ -684,47 +684,46 @@ object Similarity {
   def residualEncodeStats(emb: DataFrame,
       cells: IndexedSeq[Array[Double]],
       codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
-    val spark = emb.sparkSession
     val dim = embDim(emb)
     val m = codebook.length
     val subDim = codebook.head.head.length
     require(dim == m * subDim,
       s"dim $dim != $m subspaces x $subDim dims (codebook mismatch)")
-    val ex = emb.select(col("vec_id"),
-      posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
-    val cc = ccLit(spark, cells)
-    val celld2 = ex.join(broadcast(cc), col("i") === col("ci"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(sum(((col("x") - col("y")) * (col("x") - col("y")))
-        .cast("decimal(38,18)")).cast("double").as("d2"))
-    val wCell = Window.partitionBy("vec_id")
-      .orderBy(round(col("d2"), 6), col("cell"))
-    val assigned = celld2.withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("cell_d2"))
-    val resid = ex.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
-      .join(broadcast(cc), Seq("cell"))
-      .filter(col("i") === col("ci"))
-      .select(col("vec_id"),
-        (col("i") / subDim).cast("int").as("m"),
-        (col("i") % subDim).as("j"), (col("x") - col("y")).as("r"))
-    val centRows = for {
-      mi <- codebook.indices; c <- codebook(mi).indices
-      j <- 0 until subDim
-    } yield (c.toLong, mi, j, codebook(mi)(c)(j))
-    val cent = spark.createDataFrame(centRows).toDF("c", "m", "j", "y")
-    val d2 = resid.join(broadcast(cent), Seq("m", "j"))
-      .groupBy(col("vec_id"), col("m"), col("c"))
-      .agg(sum(((col("r") - col("y")) * (col("r") - col("y")))
-        .cast("decimal(38,18)")).cast("double").as("d2"))
-    val best = d2.withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "m")
-          .orderBy(round(col("d2"), 6), col("c"))))
-      .filter(col("rn") === 1)
-    val enc = best.groupBy(col("vec_id"))
-      .agg(round(sum(col("d2").cast("decimal(38,18)")).cast("double"), 6)
-        .as("enc_err"))
-    assigned.join(enc, Seq("vec_id"))
+    val v = asDouble(col("embedding"))
+    // serving-layout formulation (same per-row shape as
+    // StreamingAnnServe.indexOfResidual): every distance is a codegen'd
+    // exact-decimal fold against a literal centroid, so the whole stats
+    // pass is map-only — no explode, no join, no shuffle until the
+    // caller's aggregate. Winner structs carry BOTH the round-6 d (the
+    // cross-engine tiebreak) and the unrounded d2 (what the sums use).
+    val cellStructs = cells.indices.map { c =>
+      val d2 = graft.functions.VecOps.sqDist18(v,
+        typedlit(cells(c).toSeq))
+      struct(round(d2, 6).as("dr"), lit(c).as("cell"), d2.as("d"))
+    }
+    val centLit = typedlit(cells.map(_.toSeq))
+    val assigned = emb
+      .withColumn("win",
+        element_at(array_sort(array(cellStructs: _*)), 1))
+      .select(col("vec_id"), col("win.cell").as("cell"),
+        col("win.dr").as("cell_d2"),
+        zip_with(v, element_at(centLit, col("win.cell") + 1),
+          (x, y) => x - y).as("rv"))
+    // per-subspace chosen-code reconstruction error: min by (round-6
+    // d2, code id), summed unrounded as scale-18 decimals, round-6 out
+    // — bit-identical to the chain oracle's rd2/edrift convention
+    val subErrs = (0 until m).map { mi =>
+      val sl = slice(col("rv"), mi * subDim + 1, subDim)
+      val structs = codebook(mi).indices.map { c =>
+        val d2 = graft.functions.VecOps.sqDist18(sl,
+          typedlit(codebook(mi)(c).toSeq))
+        struct(round(d2, 6).as("dr"), lit(c).as("c"), d2.as("d"))
+      }
+      element_at(array_sort(array(structs: _*)), 1).getField("d")
+        .cast("decimal(38,18)")
+    }
+    assigned.select(col("vec_id"), col("cell"), col("cell_d2"),
+      round(subErrs.reduce(_ + _).cast("double"), 6).as("enc_err"))
   }
 
   /** Cell count sized to the corpus: nCells ≈ √n (the faiss guidance
