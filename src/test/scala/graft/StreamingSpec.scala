@@ -405,6 +405,37 @@ class StreamingSpec extends SparkSpec {
       "streamed index rows diverge from the batch rebuild")
   }
 
+  test("streamed delta append grows the incremental residual index " +
+      "identically to the batch union (add-without-train)") {
+    import graft.streaming.StreamingAnnServe
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    // artifacts frozen at base-fit time — the q_e_index_incr contract
+    val cells = graft.text.Similarity.lloydCoarseCells(base,
+      nCells = 4, iters = 2)
+    val cb = graft.text.Similarity.lloydResidualCodebook(base, cells,
+      m = 4, subK = 4, iters = 2)
+    // the delta batch arrives as a STREAM; indexOfResidual is
+    // stateless column algebra, so the same program appends rows to
+    // the standing index as they arrive
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-incr")
+    delta.write.mode("overwrite").parquet(streamDir.toString)
+    val src = spark.readStream.schema(emb.schema)
+      .parquet(streamDir.toString)
+    val streamedDelta = graft.streaming.StreamingIngest.runAvailableNow(
+      StreamingAnnServe.indexOfResidual(src, cells, cb),
+      "incr_append_test")
+    val appended = StreamingAnnServe.indexOfResidual(base, cells, cb)
+      .unionByName(streamedDelta)
+    val rebuilt = StreamingAnnServe.indexOfResidual(emb, cells, cb)
+    assert(appended.count() == rebuilt.count())
+    assert(appended.exceptAll(rebuilt).isEmpty
+      && rebuilt.exceptAll(appended).isEmpty,
+      "streamed incremental append diverges from the full rebuild")
+  }
+
   test("streaming IVF-PQ serving answers match the batch index " +
       "bit-for-bit") {
     import graft.streaming.{StreamingAnnServe, StreamingEncode}
