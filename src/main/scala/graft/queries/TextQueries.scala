@@ -2050,6 +2050,48 @@ object TextQueries extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // The quality number the incremental lifecycle is accountable to:
+    // recall@5 of the base-fit union index's ADC serve against the
+    // exact squared-L2 ground truth — what serving from artifacts fit
+    // on 80% of the corpus costs vs the full-fit residual path's
+    // hash-checked 0.188 (q_e_ivfpq_res_gain row 3). One oracle row,
+    // same ground-truth conventions as the gain ladder.
+    Q("q_e_index_recall", Some(s"""
+      WITH $exCte, ${residChainCtes(Some(IncrBase))},
+      gqfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < $AnnQ),
+      gd2full AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM ex e JOIN gqfull q ON e.i = q.i AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      gexact AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM gd2full) WHERE rn <= $AnnK),
+      i5 AS (SELECT qid, vid FROM resranked WHERE rnk <= $AnnK)
+      SELECT count(DISTINCT e.qid) AS n_queries,
+             round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+               AS recall_at_5
+      FROM gexact e LEFT JOIN i5 p
+        ON e.qid = p.qid AND e.vid = p.vid""")) { (s, dir) =>
+      import graft.streaming.StreamingAnnServe
+      val emb = t(s, dir, "embeddings")
+      val (cells, cb) = incrArtifacts(s, dir)
+      val cand = StreamingAnnServe.scoreCandidatesResidual(
+        emb.filter(col("vec_id") < AnnQ), annServeIncrIndex(s, dir),
+        cells, cb, nProbe = IvfNProbe)
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("vid"))
+      val i5 = cand.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= AnnK)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      exactTop5(s, dir).join(i5, Seq("qid", "vid"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("recall_at_5"))
+    },
+
     // The refit dial for that add-without-train lifecycle: per batch
     // (base = fit snapshot, delta = appended-unfit), the average
     // squared distance to the assigned coarse cell and the average PQ
