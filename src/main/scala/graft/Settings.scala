@@ -342,6 +342,16 @@ object Settings {
     def jaccardMaxFreq: Int = int("dedup.jaccard.max_freq", 10)
     def jaccardMinSim: Double = dbl("dedup.jaccard.min_jaccard", 0.04)
     def simhashRadius: Int = int("dedup.simhash.hamming_radius", 3)
+    def substrK: Int = int("dedup.substr.k", 5)
+  }
+
+  /** `export:` block — training-data shard-export knobs (engine
+    * extension of the reference's single-file export,
+    * gold/export.py:16-63; n_shards sizes a shard ≈ one output file,
+    * so the default is fixture-scale). */
+  object export {
+    def nShards: Int = int("export.n_shards", 8)
+    def shardSalt: String = str("export.shard_salt", "shard")
   }
 
   /** `cluster_qa:` block (settings.yaml:93-99) — the SOFT QA flag

@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
-import graft.text.TextOps
+import graft.text.{Export, TextOps}
 
 /** Corpus-curation operators beyond the dedup/similarity families: eval-set
   * decontamination, stratified deterministic sampling, source-mixture
@@ -50,7 +51,85 @@ object CurationQueries extends QueryModule {
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
   }
 
+  /** Portable 60-bit md5 hash mod prime, SQL side (TextOps.hashMod). */
+  private def hsql(e: String) =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT % 1000000007"
+
+  private def ExpShards = graft.Settings.export.nShards
+  private def ExpSalt = graft.Settings.export.shardSalt
+
+  /** Shared shard-assignment stage (Export.shardAssign at the live
+    * `export.*` settings) — read by the assignment, manifest, and
+    * balance queries so the hash pass runs once. */
+  private[queries] def shardStage(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "export_shard_assign") {
+      Export.shardAssign(t(s, dir, "documents"), ExpShards, ExpSalt)
+    }
+
+  /** DuckDB CTE mirroring Export.shardAssign at the live settings. */
+  private def shardCte: String = s"""
+      sa AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ${hsql(s"'${ExpSalt}_' || doc_id")} % $ExpShards AS shard_id,
+               md5('shuf_' || doc_id) AS shuf_key,
+               ${hsql("'fp_' || text")} AS fp_h
+        FROM documents)"""
+
   def all: Seq[Q] = Seq(
+
+    // Training-data shard export, assignment grain: deterministic
+    // hash-shard id (content-independent — a re-crawled doc keeps its
+    // shard) + 1-based write position in portable shuffled order. The
+    // position window partitions per shard: it IS the exchange +
+    // in-partition sort a repartition(shard_id) writer performs, so
+    // the plan is the write plan; no stage holds more than one shard.
+    Q("q_t_shard_assign", Some(s"""
+      WITH $shardCte
+      SELECT doc_id, n_tokens, shard_id, shuf_key,
+             CAST(row_number() OVER (PARTITION BY shard_id
+               ORDER BY shuf_key, doc_id) AS BIGINT) AS pos
+      FROM sa ORDER BY shard_id, pos""")) { (s, dir) =>
+      shardStage(s, dir)
+        .select("doc_id", "n_tokens", "shard_id", "shuf_key", "pos")
+        .orderBy("shard_id", "pos")
+    },
+
+    // Per-shard manifest: doc/token counts + an order-insensitive
+    // content checksum (sum of 31-bit text-hash residues mod the same
+    // prime) — equal corpora produce equal manifests regardless of
+    // partitioning, the verification record a shard consumer checks.
+    Q("q_t_shard_manifest", Some(s"""
+      WITH $shardCte
+      SELECT shard_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(min(doc_id) AS BIGINT) AS min_doc,
+             CAST(max(doc_id) AS BIGINT) AS max_doc,
+             CAST(sum(fp_h) % 1000000007 AS BIGINT) AS content_checksum
+      FROM sa GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      Export.shardManifest(shardStage(s, dir)).orderBy("shard_id")
+    },
+
+    // One-row shard balance report: how even the hash split came out
+    // (the loader's straggler is the max shard; skew is max shard
+    // tokens over the even-split share).
+    Q("q_t_shard_balance", Some(s"""
+      WITH $shardCte,
+      m AS (
+        SELECT shard_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM sa GROUP BY 1)
+      SELECT count(*) AS n_shards,
+             CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(min(n_docs) AS BIGINT) AS min_shard_docs,
+             CAST(max(n_docs) AS BIGINT) AS max_shard_docs,
+             round(CAST(max(n_tokens) AS DOUBLE) * count(*)
+               / sum(n_tokens), 9) AS max_token_skew
+      FROM m""")) { (s, dir) =>
+      Export.shardBalance(Export.shardManifest(shardStage(s, dir)))
+    },
+
 
     // Cross-source duplication matrix: for every pair of sources that
     // share at least one verbatim 8-gram, the overlap of their distinct

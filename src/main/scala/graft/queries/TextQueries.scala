@@ -33,6 +33,7 @@ object TextQueries extends QueryModule {
   private[queries] def JaccMaxFreq = graft.Settings.dedup.jaccardMaxFreq
   private[queries] def JaccMinSim = graft.Settings.dedup.jaccardMinSim
   private[queries] def SimhashRadius = graft.Settings.dedup.simhashRadius
+  private[queries] def SubstrK = graft.Settings.dedup.substrK
 
   /** Shared per-doc MinHash signature stage (word-n-gram shingles, 8
     * components) — the stored artifact every dedup pass starts from:
@@ -44,6 +45,38 @@ object TextQueries extends QueryModule {
     Stage.cached(s, dir, "doc_minhash_sigs") {
       Dedup.minhashSignatures(t(s, dir, "documents"), n = JaccN)
     }
+
+  /** Shared covered-token-position stage for exact-substring dedup
+    * (Dedup.duplicateCovered at the live `dedup.substr.k`): one row per
+    * duplicated (doc_id, token_position), read by both the span report
+    * and the strip query so the gram pass runs once. */
+  private[queries] def substrCovered(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "doc_substr_covered") {
+      Dedup.duplicateCovered(t(s, dir, "documents"), k = SubstrK)
+    }
+
+  /** DuckDB CTE chain mirroring Dedup.duplicateCovered at the live
+    * `dedup.substr.k`: positional k-gram table → first-corpus-occurrence
+    * keeper per gram (row_number over (doc_id, pos) ≡ the engine's
+    * min(struct)) → k-wide expansion of every NON-first occurrence into
+    * distinct covered token positions. */
+  private def substrCovCtes: String = {
+    val k = SubstrK
+    val gram = (1 to k).map(i => s"t[pos+$i]").mkString(" || ' ' || ")
+    s"""
+      gp AS (
+        SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      g AS (SELECT doc_id, pos, $gram AS gram FROM gp),
+      occ AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram
+                 ORDER BY doc_id, pos) AS rn
+        FROM g),
+      cov AS (
+        SELECT DISTINCT doc_id, pos + j AS tp
+        FROM occ, range($k) r(j) WHERE rn > 1)"""
+  }
 
   /** DuckDB shingle CTE mirroring TextOps.shingles(text, n) at the
     * live `dedup.jaccard.ngram_n`. */
@@ -1182,6 +1215,57 @@ object TextQueries extends QueryModule {
       Dedup.simhashPairs(t(s, dir, "documents"),
           maxHamming = SimhashRadius)
         .orderBy("d1", "d2")
+    },
+
+    // Exact-substring dedup, span report (the ExactSubstr method of
+    // Lee et al. 2022): maximal runs of token positions covered by a
+    // k-gram that already occurred earlier in (doc_id, pos) corpus
+    // order. The one dedup-family member with NO pair join — cost is
+    // linear in corpus tokens, keeper selection is a map-side-combined
+    // groupBy min, and the islands window partitions PER DOC.
+    Q("q_d_substr_spans", Some(s"""
+      WITH $substrCovCtes,
+      isl AS (
+        SELECT doc_id, tp,
+               tp - row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tp) AS grp
+        FROM cov)
+      SELECT doc_id, min(tp) AS span_start, max(tp) AS span_end,
+             count(*) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""")) { (s, dir) =>
+      Dedup.duplicateSpans(substrCovered(s, dir))
+        .orderBy("doc_id", "span_start")
+    },
+
+    // Exact-substring STRIP: the cleaned corpus — covered tokens
+    // removed (first corpus occurrence kept), per-doc duplication
+    // counts. Shares the covered-position stage with the span report;
+    // the strip itself is a map-only positional filter after one
+    // per-doc rollup of covered positions.
+    Q("q_d_substr_strip", Some(s"""
+      WITH $substrCovCtes,
+      d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tk AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS i
+             FROM d),
+      cv AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1),
+      cl AS (SELECT tk.doc_id, string_agg(tok, ' ' ORDER BY i)
+                      AS clean_text
+             FROM tk LEFT JOIN cov
+               ON tk.doc_id = cov.doc_id AND tk.i = cov.tp
+             WHERE cov.tp IS NULL GROUP BY tk.doc_id)
+      SELECT d.doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(coalesce(cv.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+             round(CAST(coalesce(cv.n_dup, 0) AS DOUBLE) / len(t), 9)
+               AS dup_frac,
+             coalesce(cl.clean_text, '') AS clean_text
+      FROM d LEFT JOIN cv ON d.doc_id = cv.doc_id
+             LEFT JOIN cl ON d.doc_id = cl.doc_id
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      Dedup.substringStrip(t(s, dir, "documents"), substrCovered(s, dir))
+        .orderBy("doc_id")
     },
 
     // Unigram log-probability scoring (the cheap stand-in for a

@@ -74,7 +74,14 @@ object Warmup {
       "annServeIncrIndex" ->
         (() => TextQueries.annServeIncrIndex(spark, dir).count()),
       "hdbscanPairs" -> (() => MlQueries.hdbscanPairs(spark, dir).count()),
-      "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count())))
+      "bronzeDf" -> (() => IngestQueries.bronzeDf(spark, dir).count()),
+      // exact-substring covered positions (span + strip queries) and
+      // the shard-export assignment (assign/manifest/balance) — both
+      // single-exchange roots over documents
+      "substrCovered" ->
+        (() => TextQueries.substrCovered(spark, dir).count()),
+      "shardStage" ->
+        (() => CurationQueries.shardStage(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
     // signal variants (shared by the hybrid grid AND walk-forward

@@ -260,6 +260,95 @@ object Dedup {
         (col("doc_id") === col("comp")).as("is_canonical"))
   }
 
+  /** Positional k-gram table (doc_id, pos, gram): the k-token word gram
+    * starting at 0-based token position `pos`. Unlike [[shingleTable]]
+    * (distinct set semantics for Jaccard), positions are kept — this is
+    * the index exact-substring dedup marks spans in. Docs shorter than
+    * k tokens contribute nothing. Map-only (one projection + explode),
+    * ~n_tokens rows per doc. */
+  def gramTable(docs: DataFrame, k: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+      posexplode(when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "gram")))
+  }
+
+  /** Exact substring dedup, position level (the ExactSubstr method of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every token position covered by a k-gram that
+    * already occurred EARLIER in corpus order — (doc_id, pos)
+    * lexicographic, so exactly one occurrence of each duplicated
+    * k-gram survives, within-doc repetition included. Returns the
+    * distinct covered (doc_id, tp) token positions.
+    *
+    * Scale shape — this is the one dedup family member with NO pair
+    * join at all: cost is linear in corpus tokens. The first-occurrence
+    * keeper is a groupBy `min(struct(doc_id, pos))` (map-side combined,
+    * immune to hot-gram skew — a boilerplate gram repeated 10^8 times
+    * is still one combine tree, never one giant window partition), the
+    * non-keepers come back via one equi-join on the gram, and the k×
+    * position expansion is bounded by duplicate occurrences. No
+    * frequency cap is needed because nothing here is quadratic. */
+  def duplicateCovered(docs: DataFrame, k: Int): DataFrame = {
+    val g = gramTable(docs, k)
+    val keep = g.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select("gram", "keep")
+    g.join(keep, Seq("gram"))
+      .filter(!(col("doc_id") === col("keep.doc_id")
+        && col("pos") === col("keep.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+  }
+
+  /** Maximal duplicated token spans per doc over [[duplicateCovered]]
+    * positions: consecutive covered positions merge into one
+    * (span_start, span_end, span_len) row — the classic
+    * gaps-and-islands pass, windowed PER DOC (partition size bounded
+    * by doc token count, never corpus size). `covered` is exposed as a
+    * parameter so the span and strip queries share one stage. */
+  def duplicateSpans(covered: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("tp")
+    covered
+      .withColumn("brk",
+        when(col("tp") - lag("tp", 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("grp", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("tp").as("span_start"), max("tp").as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select("doc_id", "span_start", "span_end", "span_len")
+  }
+
+  /** Strip the duplicated positions out of each doc: per-doc counts +
+    * the cleaned text with covered tokens removed (first corpus
+    * occurrence kept — see [[duplicateCovered]]). The covered set rolls
+    * up to ONE array per doc (bounded by doc length), then the strip is
+    * a map-only positional filter — no range join. A fully-duplicated
+    * doc strips to the empty string. */
+  def substringStrip(docs: DataFrame, covered: DataFrame): DataFrame = {
+    val cov = covered.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tp"))).as("cov"))
+    val toks = tokens(col("text"))
+    docs.join(cov, Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_dup_tokens"),
+        round(size(col("cov")).cast("double") / size(toks), 9)
+          .as("dup_frac"),
+        array_join(filter(toks,
+          (x, i) => !array_contains(col("cov"), i)), " ")
+          .as("clean_text"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures as four 16-bit bands,
     * blocked on (band_idx, band_value) — a 4·2^16 key space, so per-key
     * bucket sizes stay tiny at corpus scale. Pigeonhole: any pair at

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data export sharding: the step between a curated corpus and
+  * the tokenizer/loader — split the corpus into a fixed number of
+  * shards, give every document a deterministic position inside its
+  * shard, and emit per-shard manifests with content checksums so a
+  * consumer can verify what it read (ref export shape:
+  * src/mf_etl/gold/export.py:16-63, which writes one stacked dataset +
+  * a JSON manifest; at corpus scale that single file becomes N shards
+  * + N manifest rows).
+  *
+  * All assignment/order keys are *portable* md5 arithmetic
+  * ([[TextOps.md5Hash64]]): reproducible across runs, clusters, and
+  * engines — never RNG, never partition order, so re-exports are
+  * byte-stable and the DuckDB oracle reproduces every row.
+  *
+  * Scale shape: assignment is map-only; the in-shard position window
+  * partitions by shard_id — exactly the exchange + in-partition sort a
+  * `repartition(shard_id).sortWithinPartitions(shuffle key)` writer
+  * performs, so the plan IS the write plan. Size `nShards` so a shard
+  * ≈ the target output file size; no stage ever holds more than one
+  * shard. Manifests are one map-side-combined aggregate over the
+  * assignment; checksums sum 31-bit hash residues (order-insensitive,
+  * overflow-safe: 2^31 · corpus rows stays far inside int64).
+  */
+object Export {
+
+  /** Per-doc shard assignment: `shard_id` hashes the doc id (uniform,
+    * content-independent — a re-crawled doc keeps its shard), `pos` is
+    * the doc's 1-based write position inside the shard in portable
+    * shuffled order (`shuf_key`), the order a loader streams the shard
+    * in. Requires (doc_id, text); keeps n_tokens for the manifest. */
+  def shardAssign(docs: DataFrame, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val byShard = Window.partitionBy("shard_id")
+      .orderBy(col("shuf_key"), col("doc_id"))
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        (TextOps.hashMod(concat(lit(s"${salt}_"),
+          col("doc_id").cast("string"))) % nShards).as("shard_id"),
+        md5(concat(lit("shuf_"), col("doc_id").cast("string"))
+          .cast("binary")).as("shuf_key"),
+        (TextOps.hashMod(concat(lit("fp_"), col("text")))).as("fp_h"))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+  }
+
+  /** Per-shard manifest over a [[shardAssign]] frame: doc/token counts
+    * and an order-insensitive content checksum (sum of per-doc 31-bit
+    * text-hash residues mod the same prime) — equal corpora produce
+    * equal manifests no matter how rows were partitioned. */
+  def shardManifest(assigned: DataFrame): DataFrame =
+    assigned.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        min("doc_id").cast("long").as("min_doc"),
+        max("doc_id").cast("long").as("max_doc"),
+        (sum(col("fp_h")) % TextOps.HashPrime).cast("long")
+          .as("content_checksum"))
+
+  /** One-row shard balance report over a [[shardManifest]]: the
+    * operational question hash-sharding answers — how even did the
+    * split come out (the loader's stragglers are the max shard). */
+  def shardBalance(manifest: DataFrame): DataFrame =
+    manifest.agg(
+      count(lit(1)).as("n_shards"),
+      sum("n_docs").cast("long").as("total_docs"),
+      sum("n_tokens").cast("long").as("total_tokens"),
+      min("n_docs").cast("long").as("min_shard_docs"),
+      max("n_docs").cast("long").as("max_shard_docs"),
+      // max/even-share, phrased as exact-int ratio ×: double division
+      // happens once (bit-parity with the SQL oracle's formulation)
+      round(max("n_tokens").cast("double") * count(lit(1))
+        / sum("n_tokens"), 9).as("max_token_skew"))
+}

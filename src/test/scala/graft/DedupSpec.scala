@@ -143,6 +143,57 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("exact-substring dedup: first occurrence kept, spans merge, " +
+      "strip removes covered tokens") {
+    // doc 1 is the first corpus occurrence of "a b c d e" (kept whole);
+    // doc 2 embeds that 5-gram twice (prefix + suffix) around novel
+    // middle tokens; doc 3 shares nothing at k=3
+    val d = docs(
+      1L -> "a b c d e x y",
+      2L -> "a b c d e m n o a b c d e",
+      3L -> "p q r s t u v")
+    val cov = Dedup.duplicateCovered(d, k = 3)
+    val covSet = cov.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("tp"))).toSet
+    // doc 1 fully kept (earliest occurrence of every duplicated gram)
+    assert(!covSet.exists(_._1 == 1L) && !covSet.exists(_._1 == 3L))
+    // doc 2: positions 0-4 (prefix copy) and 8-12 (suffix copy) covered,
+    // middle "m n o" (5-7) kept
+    assert(covSet == (0 to 4).map(i => 2L -> i).toSet
+      ++ (8 to 12).map(i => 2L -> i).toSet)
+    val spans = Dedup.duplicateSpans(cov).orderBy("span_start").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Long]("span_len")))
+    assert(spans.toSeq == Seq((2L, 0, 4, 5L), (2L, 8, 12, 5L)))
+    val strip = Dedup.substringStrip(d, cov).orderBy("doc_id").collect()
+    assert(strip.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("a b c d e x y", "m n o", "p q r s t u v"))
+    assert(strip.map(_.getAs[Long]("n_dup_tokens")).toSeq ==
+      Seq(0L, 10L, 0L))
+    // dup_frac is round(10/13, 9)
+    assert(math.abs(strip(1).getAs[Double]("dup_frac") - 10.0 / 13) < 1e-9)
+  }
+
+  test("exact-substring dedup: within-doc repetition is caught and a " +
+      "fully-duplicated doc strips to empty") {
+    val d = docs(
+      1L -> "w1 w2 w3 w1 w2 w3 w1 w2 w3", // one gram repeated in-doc
+      2L -> "w1 w2 w3 tail tokens here now")
+    val cov = Dedup.duplicateCovered(d, k = 3)
+    val strip = Dedup.substringStrip(d, cov).orderBy("doc_id").collect()
+    // doc 1: only the FIRST "w1 w2 w3" (positions 0-2) survives; the
+    // overlapping later occurrences cover everything from position 1 on
+    assert(strip(0).getAs[String]("clean_text") == "w1 w2 w3")
+    // doc 2's copy of the gram is also a non-first occurrence
+    assert(strip(1).getAs[String]("clean_text") == "tail tokens here now")
+    // sub-k docs contribute nothing and never error
+    val tiny = docs(9L -> "a b")
+    assert(Dedup.duplicateCovered(tiny, k = 3).count() == 0)
+    assert(Dedup.substringStrip(tiny,
+      Dedup.duplicateCovered(tiny, k = 3)).head()
+      .getAs[String]("clean_text") == "a b")
+  }
+
   test("cosineTopK: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -382,6 +382,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("substr-dedup and shard-export stages are cache-shared; no " +
+      "cross products; shard windows partition by shard") {
+    graft.queries.Stage.clear()
+    // populate through first consumers (same memo Warmup fills)
+    SparkEntry.queries("q_d_substr_spans")(spark, dir).count()
+    SparkEntry.queries("q_t_shard_assign")(spark, dir).count()
+    for (q <- Seq("q_d_substr_strip", "q_t_shard_manifest",
+        "q_t_shard_balance")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+        s"$q rebuilt its shared stage instead of reading the cache")
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop"), s"$q: cross product")
+    }
+    // the covered-position keeper is a gram equi-join, never a cross
+    // product; the strip's positional filter joins per doc_id
+    val spans = planOf("q_d_substr_spans")
+    assert(!spans.contains("CartesianProduct")
+      && !spans.contains("BroadcastNestedLoop"))
+    // in-shard position windows partition by shard_id (never a global
+    // unpartitioned data-scale window): partition columns lead the
+    // windowspecdefinition. Asserted on the UNCACHED builder — the
+    // registered query reads the checkpointed stage, whose internal
+    // plan is already collapsed to an RDD leaf.
+    val assign = graft.text.Export.shardAssign(
+      spark.read.parquet(s"$dir/documents.parquet"), nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(assign.contains("windowspecdefinition(shard_id#"),
+      "shard window lost its shard_id partitioning")
+    graft.queries.Stage.clear()
+  }
+
   test("event analytics ride one user_id exchange; retention stays bounded") {
     // sessionization and the funnel are single-shuffle: the per-user
     // windows, the (user_id, sess_idx) / per-user aggregates, and (for

@@ -224,6 +224,22 @@ class SettingsSpec extends SparkSpec {
       assert(sql.contains("t[i+1] || ' ' || t[i+2]")
         && !sql.contains("t[i+3]"))
     }
+    assert(Settings.dedup.substrK == 5)
+    withProp("graft.dedup.substr.k", "4") {
+      val sql = SparkEntry.oracleSql("q_d_substr_spans")
+      assert(sql.contains("t[pos+4]") && !sql.contains("t[pos+5]")
+        && sql.contains("range(4) r(j)"))
+    }
+    assert(Settings.export.nShards == 8)
+    assert(Settings.export.shardSalt == "shard")
+    assert(SparkEntry.oracleSql("q_t_shard_assign").contains("% 8"))
+    withProp("graft.export.n_shards", "5") {
+      assert(SparkEntry.oracleSql("q_t_shard_assign").contains("% 5"))
+    }
+    withProp("graft.export.shard_salt", "v2") {
+      assert(SparkEntry.oracleSql("q_t_shard_manifest")
+        .contains("'v2_' || doc_id"))
+    }
   }
 
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
