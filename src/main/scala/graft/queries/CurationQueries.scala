@@ -159,15 +159,23 @@ object CurationQueries extends QueryModule {
       JOIN sizes sb ON source_b = sb.source
       ORDER BY source_a, source_b""")) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val ss = docs.select(col("source"),
+      // one gram-keyed collect_set replaces distinct + self-join: the
+      // set is bounded by #sources (a constant), so even a gram in
+      // every doc carries a tiny aggregation buffer — skew-immune —
+      // and both the per-source sizes and the pair counts fall out of
+      // the grouped frame map-side
+      val bySh = docs.select(col("source"),
           explode(TextOps.shingles(col("text"), ContamN)).as("sh"))
-        .distinct()
-      val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      val inter = ss.as("a").join(ss.as("b"),
-          col("a.sh") === col("b.sh")
-            && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"),
-          col("b.source").as("source_b"))
+        .groupBy("sh").agg(collect_set(col("source")).as("srcs"))
+        .cache()
+      val sizes = bySh.select(explode(col("srcs")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val arr = sort_array(col("srcs"))
+      val inter = bySh.filter(size(col("srcs")) >= 2)
+        .select(explode(flatten(transform(arr, (a, i) =>
+          transform(slice(arr, i + lit(2), size(arr)), b =>
+            struct(a.as("sa"), b.as("sb")))))).as("p"))
+        .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
         .agg(count(lit(1)).as("n_shared"))
       inter
         .join(sizes.select(col("source").as("source_a"),

@@ -1268,6 +1268,73 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Exact-substring DECONTAMINATION (Lee et al. 2022 run against an
+    // eval suite): every train-doc token position covered by a k-gram
+    // that appears anywhere in the benchmark slice (doc_id % 20 = 0,
+    // the q_t_decontaminate convention) — token-level spans, i.e. the
+    // thing you'd actually strip, where q_t_decontaminate only flags
+    // the doc. No keeper pass: all benchmark overlap is contamination.
+    // A real eval suite is a broadcast-sized gram set; the corpus
+    // streams through map-side.
+    Q("q_d_substr_decontam", Some {
+      val k = SubstrK
+      val gram = (1 to k).map(i => s"t[pos+$i]").mkString(" || ' ' || ")
+      s"""
+      WITH gp AS (
+        SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      g AS (SELECT doc_id, pos, $gram AS gram FROM gp),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+      cov AS (
+        SELECT DISTINCT doc_id, pos + j AS tp
+        FROM g JOIN bench USING (gram), range($k) r(j)
+        WHERE doc_id % 20 <> 0),
+      isl AS (
+        SELECT doc_id, tp,
+               tp - row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tp) AS grp
+        FROM cov),
+      sp AS (
+        SELECT doc_id, count(*) AS span_len
+        FROM isl GROUP BY doc_id, grp),
+      pd AS (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(span_len) AS n_contam_tokens,
+               max(span_len) AS max_span_len
+        FROM sp GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(pd.n_contam_tokens, 0) AS BIGINT)
+               AS n_contam_tokens,
+             CAST(coalesce(pd.max_span_len, 0) AS BIGINT) AS max_span_len,
+             round(CAST(coalesce(pd.n_contam_tokens, 0) AS DOUBLE)
+               / len(string_split(d.text, ' ')), 9) AS contam_frac
+      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      WHERE d.doc_id % 20 <> 0
+      ORDER BY d.doc_id"""
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val cov = Dedup.coveredByReference(train, bench, k = SubstrK)
+      val perDoc = Dedup.duplicateSpans(cov)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("span_len").cast("long").as("n_contam_tokens"),
+          max("span_len").cast("long").as("max_span_len"))
+      train.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_contam_tokens"), lit(0L)).as("n_contam_tokens"),
+          coalesce(col("max_span_len"), lit(0L)).as("max_span_len"),
+          round(coalesce(col("n_contam_tokens"), lit(0L)).cast("double")
+            / col("n_tokens"), 9).as("contam_frac"))
+        .orderBy("doc_id")
+    },
+
     // Unigram log-probability scoring (the cheap stand-in for a
     // perplexity quality filter): corpus-level add-1-smoothed unigram
     // model, per-doc mean and min token log-prob. Model fit is one

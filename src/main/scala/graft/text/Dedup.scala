@@ -39,13 +39,24 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     val sh = shingleTable(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // The count-only frequency pass stays first (its combine-tree
+    // partials are skew-immune — a boilerplate gram in 10^8 docs never
+    // builds a 10^8-element buffer), and the prune join drops hot
+    // grams BEFORE any holder list exists. The pair SELF-join is what
+    // disappears: the pruned frame (already hash-partitioned by sh
+    // from the join) groups in place into ≤maxFreq-element holder
+    // lists, and pairs expand map-side. Fanout stays
+    // ≤ maxFreq·(maxFreq-1)/2 per shingle.
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") <= maxFreq)
-    val pruned = sh.join(rare.select("sh"), Seq("sh"))
-    val shared = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .filter(col("freq").between(2, maxFreq))
+    val holders = sh.join(rare.select("sh"), Seq("sh"))
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+    val arr = sort_array(col("ds"))
+    val shared = holders
+      .select(explode(flatten(transform(arr, (a, i) =>
+        transform(slice(arr, i + lit(2), size(arr)), b =>
+          struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     shared
       .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
@@ -302,6 +313,23 @@ object Dedup {
     g.join(keep, Seq("gram"))
       .filter(!(col("doc_id") === col("keep.doc_id")
         && col("pos") === col("keep.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+  }
+
+  /** Token positions in `docs` covered by any k-gram that occurs
+    * ANYWHERE in `ref` — exact-substring decontamination (Lee et al.
+    * 2022 §4 run against an eval suite instead of the corpus itself):
+    * unlike [[duplicateCovered]] there is no first-occurrence keeper —
+    * every benchmark-overlapping position is contamination. Join
+    * shape: corpus grams ⋈ distinct reference grams; a REAL eval
+    * suite is a fixed few-MB gram set that AQE broadcasts, so the
+    * corpus streams through map-side. */
+  def coveredByReference(docs: DataFrame, ref: DataFrame,
+      k: Int): DataFrame = {
+    val refGrams = gramTable(ref, k).select("gram").distinct()
+    gramTable(docs, k).join(refGrams, Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
       .distinct()

@@ -194,6 +194,20 @@ class DedupSpec extends SparkSpec {
       .getAs[String]("clean_text") == "a b")
   }
 
+  test("coveredByReference: benchmark overlap marks train positions, " +
+      "no keeper exemption, zero-overlap docs untouched") {
+    val train = docs(
+      1L -> "a b c d e x y",   // embeds the benchmark 5-gram at 0-4
+      2L -> "p q r s t u v")   // no overlap
+    val ref = docs(100L -> "z z a b c d e")
+    val cov = Dedup.coveredByReference(train, ref, k = 5)
+    val covSet = cov.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("tp"))).toSet
+    // doc 1 positions 0-4 contaminated — the FIRST occurrence too
+    // (decontamination has no keeper); doc 2 clean
+    assert(covSet == (0 to 4).map(i => 1L -> i).toSet)
+  }
+
   test("cosineTopK: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
