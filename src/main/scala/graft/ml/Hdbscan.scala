@@ -271,7 +271,6 @@ object Hdbscan {
   def mstRound1Edges(pairs: org.apache.spark.sql.DataFrame,
       core: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val mre = pairs.filter(col("ia") =!= col("ib"))
       .join(broadcast(core).withColumnRenamed("cv", "ia")
@@ -280,13 +279,18 @@ object Hdbscan {
         .withColumnRenamed("cd", "cb"), Seq("ib"))
       .select(col("ia"), col("ib"),
         greatest(col("dist"), col("ca"), col("cb")).as("mreach"))
-    val sel = mre.withColumn("rn", row_number().over(
-        Window.partitionBy("ia").orderBy(round(col("mreach"), 6),
-          least(col("ia"), col("ib")), greatest(col("ia"), col("ib")))))
-      .filter(col("rn") === 1)
-    sel.select(least(col("ia"), col("ib")).as("e_lo"),
-        greatest(col("ia"), col("ib")).as("e_hi"),
-        round(col("mreach"), 6).as("mreach_dist"))
+    // Per-vertex argmin under the SAME total order, as a hash
+    // aggregate: min(struct(w, lo, hi)) compares fields
+    // lexicographically — exactly the (round6(mreach), lo, hi) window
+    // order — but runs with map-side partial aggregation over the n²
+    // frame instead of a full within-partition sort (the sort was the
+    // query's dominant cost at the 25M-row sf0.1 pair scale).
+    val sel = mre.groupBy("ia").agg(min(struct(
+        round(col("mreach"), 6).as("w"),
+        least(col("ia"), col("ib")).as("lo"),
+        greatest(col("ia"), col("ib")).as("hi"))).as("m"))
+    sel.select(col("m.lo").as("e_lo"), col("m.hi").as("e_hi"),
+        col("m.w").as("mreach_dist"))
       .distinct()
   }
 

@@ -417,12 +417,13 @@ object Similarity {
       .agg(sum(((col("x") - col("y")) * (col("x") - col("y")))
         .cast("decimal(38,18)")).cast("double").as("d2"))
     // encode: nearest centroid per subspace (rounded-distance +
-    // centroid-id tiebreak, cross-engine deterministic)
-    val codes = d2.withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "m")
-          .orderBy(round(col("d2"), 6), col("c"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("vid"), col("m"), col("c"))
+    // centroid-id tiebreak, cross-engine deterministic). Argmin as a
+    // min(struct(w, c)) hash aggregate — the same lexicographic total
+    // order the old per-(vec, m) window sorted by, but with map-side
+    // partials and no sort over the corpus×m×subK frame.
+    val codes = d2.groupBy("vec_id", "m")
+      .agg(min(struct(round(col("d2"), 6).as("w"), col("c"))).as("best"))
+      .select(col("vec_id").as("vid"), col("m"), col("best.c").as("c"))
     // per-query distance tables (m × subK rows per query)
     val qd2 = d2.filter(queryPred)
       .select(col("vec_id").as("qid"), col("m"), col("c"),
@@ -482,9 +483,13 @@ object Similarity {
         .cast("decimal(38,18)")).cast("double").as("d2"))
     val wCell = Window.partitionBy("vec_id")
       .orderBy(round(col("d2"), 6), col("cell"))
-    val cells = celld2.withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("vid"), col("cell"))
+    // corpus cell assignment: argmin as a hash aggregate (same
+    // (round6(d2), cell) order as wCell, no corpus-frame sort); the
+    // window stays only for the query-filtered probe ranking below
+    val cells = celld2.groupBy("vec_id")
+      .agg(min(struct(round(col("d2"), 6).as("w"), col("cell")))
+        .as("best"))
+      .select(col("vec_id").as("vid"), col("best.cell").as("cell"))
     val probes = celld2.filter(queryPred)
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") <= nProbe)
@@ -545,9 +550,10 @@ object Similarity {
         .cast("decimal(38,18)")).cast("double").as("d2"))
     val wCell = Window.partitionBy("vec_id")
       .orderBy(round(col("d2"), 6), col("cell"))
-    val assigned = celld2.withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
+    val assigned = celld2.groupBy("vec_id")
+      .agg(min(struct(round(col("d2"), 6).as("w"), col("cell")))
+        .as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
     // residual per dim: r = x − centroid(cell(x))_i, split to subspaces
     val resid = ex.join(assigned, Seq("vec_id"))
       .join(broadcast(cc), Seq("cell"))
@@ -566,11 +572,9 @@ object Similarity {
       .groupBy(col("vec_id"), col("m"), col("c"))
       .agg(sum(((col("r") - col("y")) * (col("r") - col("y")))
         .cast("decimal(38,18)")).cast("double").as("d2"))
-    val codes = d2.withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "m")
-          .orderBy(round(col("d2"), 6), col("c"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("vid"), col("m"), col("c"))
+    val codes = d2.groupBy("vec_id", "m")
+      .agg(min(struct(round(col("d2"), 6).as("w"), col("c"))).as("best"))
+      .select(col("vec_id").as("vid"), col("m"), col("best.c").as("c"))
     val probes = celld2.filter(queryPred)
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") <= nProbe)
