@@ -1014,6 +1014,70 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // LSH quality harness — the dedup-family analogue of the ANN
+    // recall ladder: candidate recall of MinHash banding against the
+    // exact (frequency-pruned) Jaccard truth at the family's own
+    // blocking policy, plus the signature estimate's MAE on the
+    // pairs both methods see. One row; both sides reuse the family's
+    // shared stages/CTEs so the A/B can never drift from the
+    // operators it grades.
+    Q("q_d_lsh_quality", Some {
+      val agree = (0 until 8).map(j =>
+        s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH $minhashCtes,
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY 1)
+               WHERE c <= $JaccMaxFreq),
+      pr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+      shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT d1, d2,
+               round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter),
+                 9) AS jac
+        FROM shared JOIN sizes s1 ON d1 = s1.doc_id
+             JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter),
+                9) >= $JaccMinSim),
+      est AS (
+        SELECT p.d1, p.d2, CAST(($agree) AS DOUBLE) / 8 AS est_sim
+        FROM mh_pairs p JOIN sig sa ON p.d1 = sa.doc_id
+             JOIN sig sb ON p.d2 = sb.doc_id),
+      hit AS (
+        SELECT count(*) AS n_hit,
+               round(CAST(sum(CAST(abs(e.est_sim - t.jac)
+                 AS DECIMAL(38,18))) AS DOUBLE) / count(*), 9) AS est_mae
+        FROM truth t JOIN est e ON t.d1 = e.d1 AND t.d2 = e.d2)
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM est) AS n_cand,
+             n_hit,
+             round(CAST(n_hit AS DOUBLE)
+               / (SELECT count(*) FROM truth), 9) AS recall,
+             est_mae
+      FROM hit"""
+    }) { (s, dir) =>
+      val truth = Dedup.jaccardPairs(t(s, dir, "documents"), n = JaccN,
+          maxFreq = JaccMaxFreq, minJaccard = JaccMinSim)
+        .select(col("d1"), col("d2"), col("jaccard").as("jac"))
+      val est = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
+        .select(col("d1"), col("d2"), col("est_sim"))
+      val hit = truth.join(est, Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_hit"),
+          round(sum(abs(col("est_sim") - col("jac"))
+              .cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 9).as("est_mae"))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nc = est.agg(count(lit(1)).as("n_cand"))
+      nt.crossJoin(broadcast(nc)).crossJoin(broadcast(hit))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 9)
+            .as("recall"),
+          col("est_mae"))
+    },
+
     // MinHash + LSH banding candidate pairs with estimated similarity
     Q("q_d_minhash", Some {
       val agree = (0 until 8).map(j =>
@@ -1276,6 +1340,49 @@ object TextQueries extends QueryModule {
       ORDER BY d.doc_id""")) { (s, dir) =>
       Dedup.substringStrip(t(s, dir, "documents"), substrCovered(s, dir))
         .orderBy("doc_id")
+    },
+
+    // INCREMENTAL exact-substring dedup: the delta batch (doc_id % 5
+    // = 0, the q_d_components_incr convention) deduped against the
+    // standing corpus WITHOUT re-scanning the index for its own
+    // duplicates — one gram join against the index + the batch's
+    // internal first-occurrence pass. The oracle is the full-union
+    // recompute under ingestion order (index strictly before batch),
+    // restricted to batch docs: incremental ingestion must cover
+    // exactly the positions a from-scratch run would.
+    Q("q_d_substr_incr", Some {
+      val k = SubstrK
+      val gram = (1 to k).map(i => s"t[pos+$i]").mkString(" || ' ' || ")
+      s"""
+      WITH gp AS (
+        SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      g AS (SELECT doc_id, pos, $gram AS gram FROM gp),
+      occ AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram
+                 ORDER BY doc_id % 5 = 0, doc_id, pos) AS rn
+        FROM g),
+      cov AS (
+        SELECT DISTINCT doc_id, pos + j AS tp
+        FROM occ, range($k) r(j)
+        WHERE rn > 1 AND doc_id % 5 = 0),
+      isl AS (
+        SELECT doc_id, tp,
+               tp - row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tp) AS grp
+        FROM cov)
+      SELECT doc_id, min(tp) AS span_start, max(tp) AS span_end,
+             count(*) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start"""
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val index = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.duplicateSpans(
+          Dedup.duplicateCoveredIncremental(index, batch, k = SubstrK))
+        .orderBy("doc_id", "span_start")
     },
 
     // Exact-substring DECONTAMINATION (Lee et al. 2022 run against an
@@ -1609,6 +1716,51 @@ object TextQueries extends QueryModule {
     // top-3 terms per doc (rounded-score + term tie-break so ranking is
     // reproducible across engines). One term-keyed shuffle for df, one
     // doc-keyed window for top-k — linear at corpus scale.
+    // Vocabulary builder: top-100 terms by corpus frequency with
+    // per-term share and cumulative coverage — what a WordPiece/BPE
+    // trainer consumes and the OOV-rate curve falls out of. Scale
+    // shape: one map-side-combined term count, then TakeOrdered for
+    // the top slice (never a global sort); the rank/coverage window
+    // runs over the ≤100-row post-limit report table (SURVEY A14's
+    // own shape).
+    Q("q_t_vocab", Some("""
+      WITH tk AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      tot AS (SELECT count(*) AS n FROM tk),
+      top AS (
+        SELECT term, count(*) AS cnt FROM tk GROUP BY 1
+        ORDER BY cnt DESC, term LIMIT 100),
+      r AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+               sum(cnt) OVER (ORDER BY cnt DESC, term
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM top)
+      SELECT rank, term, CAST(cnt AS BIGINT) AS cnt,
+             round(CAST(cnt AS DOUBLE) / (SELECT n FROM tot), 9)
+               AS share,
+             round(CAST(cum AS DOUBLE) / (SELECT n FROM tot), 9)
+               AS cum_share
+      FROM r ORDER BY rank""")) { (s, dir) =>
+      val tk = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val tot = tk.agg(count(lit(1)).as("n"))
+      val top = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(100)
+      // unpartitioned window is intentional: post-limit ≤100-row
+      // report table — SURVEY A14's own shape
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      top
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("term"), col("cnt"),
+          round(col("cnt").cast("double") / col("n"), 9).as("share"),
+          round(col("cum").cast("double") / col("n"), 9).as("cum_share"))
+        .orderBy("rank")
+    },
+
     Q("q_t_tfidf", Some("""
       WITH tk AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -335,6 +335,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental exact-substring dedup: covered token positions of a
+    * NEW batch against a standing corpus whose grams were all ingested
+    * earlier — the index side is never re-scanned for its own
+    * duplicates and no index positions are re-emitted. Corpus order is
+    * ingestion order (index strictly before batch), so a batch
+    * position is covered iff its k-gram occurred in the index
+    * ([[coveredByReference]] — every batch occurrence is a repeat) OR
+    * earlier within the batch itself ([[duplicateCovered]] on the
+    * batch alone). DedupSpec locks ≡ the full-union recompute with
+    * batch ids relabeled above the index. Cost: linear in BATCH
+    * tokens + one gram join against the index. */
+  def duplicateCoveredIncremental(index: DataFrame, batch: DataFrame,
+      k: Int): DataFrame =
+    coveredByReference(batch, index, k)
+      .union(duplicateCovered(batch, k))
+      .distinct()
+
   /** Maximal duplicated token spans per doc over [[duplicateCovered]]
     * positions: consecutive covered positions merge into one
     * (span_start, span_end, span_len) row — the classic

@@ -208,6 +208,31 @@ class DedupSpec extends SparkSpec {
     assert(covSet == (0 to 4).map(i => 1L -> i).toSet)
   }
 
+  test("duplicateCoveredIncremental == full-union recompute with batch " +
+      "ingested after the index") {
+    val index = docs(
+      1L -> "a b c d e x y",
+      2L -> "p q r s t")
+    val batch = docs(
+      10L -> "a b c m n a b c",      // index gram + batch-internal repeat
+      11L -> "fresh tokens only here",
+      12L -> "fresh tokens only here") // dup of 11 within the batch
+    val incr = Dedup.duplicateCoveredIncremental(index, batch, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // oracle twin: relabel batch ids ABOVE the index and recompute from
+    // scratch; restrict to batch docs
+    val relabeled = index.unionByName(
+      batch.withColumn("doc_id", col("doc_id") + 1000L))
+    val full = Dedup.duplicateCovered(relabeled, k = 3)
+      .filter(col("doc_id") >= 1000L)
+      .collect().map(r => (r.getLong(0) - 1000L, r.getInt(1))).toSet
+    assert(incr == full)
+    // sanity on content: doc 10 pos 0-2 (index gram) and 5-7 (repeat of
+    // its own earlier occurrence); doc 12 fully covered by doc 11
+    assert(incr == Set(10L -> 0, 10L -> 1, 10L -> 2, 10L -> 5,
+      10L -> 6, 10L -> 7, 12L -> 0, 12L -> 1, 12L -> 2, 12L -> 3))
+  }
+
   test("cosineTopK: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
