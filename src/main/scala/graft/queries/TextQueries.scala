@@ -154,10 +154,30 @@ object TextQueries extends QueryModule {
       dir: String): DataFrame =
     Stage.cached(s, dir, "doc_components") {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
+      val pairs = mhPairs(s, dir)
         .select("d1", "d2")
         .unionByName(fpPairs(docs)).distinct()
       Dedup.connectedComponents(docs, pairs)
+    }
+
+  /** Shared MinHash-LSH candidate-pair stage (band join over the
+    * stored signatures) — the family's candidate artifact, read by
+    * q_d_minhash / q_d_editdist / q_t_dedup_policy / q_d_lsh_quality
+    * and the component-map builder so the band self-join runs once
+    * per run. */
+  private[queries] def mhPairs(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "minhash_lsh_pairs") {
+      Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
+    }
+
+  /** Shared exact (frequency-pruned) Jaccard pair stage at the live
+    * dedup settings — the truth table q_d_jaccard reports and
+    * q_d_lsh_quality grades the LSH candidates against. */
+  private[queries] def jaccTruth(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "jaccard_pairs") {
+      Dedup.jaccardPairs(t(s, dir, "documents"), n = JaccN,
+        maxFreq = JaccMaxFreq, minJaccard = JaccMinSim)
     }
 
   /** Standing dedup-index state for the incremental-merge query
@@ -959,7 +979,7 @@ object TextQueries extends QueryModule {
       val docs = t(s, dir, "documents")
       val fp = Dedup.exactDups(docs)
         .select(col("doc_id"), col("is_dup").as("exact_dup"))
-      val nd = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
+      val nd = mhPairs(s, dir)
         .select(col("d2").as("doc_id")).distinct()
         .withColumn("near_dup", lit(true))
       val qf = docs
@@ -1009,9 +1029,7 @@ object TextQueries extends QueryModule {
       WHERE round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 9)
             >= $JaccMinSim
       ORDER BY d1, d2""")) { (s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), n = JaccN,
-          maxFreq = JaccMaxFreq, minJaccard = JaccMinSim)
-        .orderBy("d1", "d2")
+      jaccTruth(s, dir).orderBy("d1", "d2")
     },
 
     // LSH quality harness — the dedup-family analogue of the ANN
@@ -1059,10 +1077,9 @@ object TextQueries extends QueryModule {
              est_mae
       FROM hit"""
     }) { (s, dir) =>
-      val truth = Dedup.jaccardPairs(t(s, dir, "documents"), n = JaccN,
-          maxFreq = JaccMaxFreq, minJaccard = JaccMinSim)
+      val truth = jaccTruth(s, dir)
         .select(col("d1"), col("d2"), col("jaccard").as("jac"))
-      val est = Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
+      val est = mhPairs(s, dir)
         .select(col("d1"), col("d2"), col("est_sim"))
       val hit = truth.join(est, Seq("d1", "d2"))
         .agg(count(lit(1)).as("n_hit"),
@@ -1089,8 +1106,7 @@ object TextQueries extends QueryModule {
       JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id
       ORDER BY d1, d2"""
     }) { (s, dir) =>
-      Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
-        .orderBy("d1", "d2")
+      mhPairs(s, dir).orderBy("d1", "d2")
     },
 
     // Edit-distance refinement of the LSH candidate set: banding
@@ -1110,8 +1126,7 @@ object TextQueries extends QueryModule {
       FROM mh_pairs
       JOIN pfx a ON d1 = a.doc_id JOIN pfx b ON d2 = b.doc_id
       ORDER BY d1, d2""")) { (s, dir) =>
-      Dedup.editDistanceVerify(
-          Dedup.minhashLshPairsFromSigs(docSigs(s, dir)),
+      Dedup.editDistanceVerify(mhPairs(s, dir),
           t(s, dir, "documents"), prefixLen = 80, maxDist = 20)
         .orderBy("d1", "d2")
     },

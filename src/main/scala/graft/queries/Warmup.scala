@@ -84,7 +84,9 @@ object Warmup {
         (() => CurationQueries.shardStage(spark, dir).count()),
       // IVF-Flat index build (MLlib coarse fit) — an index artifact,
       // built once here instead of per q_e_ann_ivf run
-      "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count())))
+      "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count()),
+      // exact Jaccard pair truth (one shingle pass, self-join-free)
+      "jaccTruth" -> (() => TextQueries.jaccTruth(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
     // signal variants (shared by the hybrid grid AND walk-forward
@@ -102,6 +104,9 @@ object Warmup {
             (() => ResearchQueries.dayWindows(spark, dir).count()),
           "calBase" ->
             (() => CalibrationQueries.calBase(spark, dir).count()),
+          // docComponents populates the shared mhPairs stage through
+          // its own builder call — no separate entry, no intra-phase
+          // double-build race
           "docComponents" ->
             (() => TextQueries.docComponents(spark, dir).count()),
           "idxStarEdges" ->
