@@ -80,13 +80,17 @@ object Warmup {
       // single-exchange roots over documents
       "substrCovered" ->
         (() => TextQueries.substrCovered(spark, dir).count()),
+      "substrIncrCovered" ->
+        (() => TextQueries.substrIncrCovered(spark, dir).count()),
       "shardStage" ->
         (() => CurationQueries.shardStage(spark, dir).count()),
       // IVF-Flat index build (MLlib coarse fit) — an index artifact,
       // built once here instead of per q_e_ann_ivf run
       "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count()),
       // exact Jaccard pair truth (one shingle pass, self-join-free)
-      "jaccTruth" -> (() => TextQueries.jaccTruth(spark, dir).count())))
+      "jaccTruth" -> (() => TextQueries.jaccTruth(spark, dir).count()),
+      // trade-graph edges (the stored PageRank input)
+      "tradeEdges" -> (() => Relational.tradeEdges(spark, dir).count())))
 
     // phase 2: consumers of the roots — per-combo sims, the gated/base
     // signal variants (shared by the hybrid grid AND walk-forward

@@ -414,6 +414,24 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("trade-graph edges and incremental substr-covered are cache-shared") {
+    graft.queries.Stage.clear()
+    // first consumers populate trade_graph_edges / doc_substr_incr_covered
+    // (same memo Warmup fills); a re-planned consumer must read the
+    // checkpointed stage — PageRank iterations and the span grouping
+    // never re-run the fact join / gram index join
+    SparkEntry.queries("q_pagerank_trade")(spark, dir).count()
+    SparkEntry.queries("q_d_substr_incr")(spark, dir).count()
+    for (q <- Seq("q_pagerank_trade", "q_d_substr_incr")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("ExistingRDD"),
+        s"$q rebuilt its shared stage instead of reading the cache")
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoop"), s"$q: cross product")
+    }
+    graft.queries.Stage.clear()
+  }
+
   test("event analytics ride one user_id exchange; retention stays bounded") {
     // sessionization and the funnel are single-shuffle: the per-user
     // windows, the (user_id, sess_idx) / per-user aggregates, and (for
