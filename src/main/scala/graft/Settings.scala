@@ -324,9 +324,15 @@ object Settings {
       d / m
     }
     def ivfNCells: Int = int("ann.ivfpq.n_cells", 8)
-    def ivfNProbe: Int = int("ann.ivfpq.n_probe", 2)
+    /** Serving defaults PROMOTED off the measured q_e_ann_frontier
+      * (r10, sf0.01): under the stated candidate budget of nProbe ≤
+      * nCells/2 (scan at most half the corpus per query), (nProbe 4,
+      * R 48) is the best rung — served recall@5 0.5875 vs the r9
+      * (2, 16) defaults' 0.3625, at 2× the ADC scan and 3× the
+      * (cheap: R × dim per query) exact re-scores. */
+    def ivfNProbe: Int = int("ann.ivfpq.n_probe", 4)
     def ivfCoarseIters: Int = int("ann.ivfpq.coarse_iters", 4)
-    def rerankR: Int = int("ann.rerank_r", 16)
+    def rerankR: Int = int("ann.rerank_r", 48)
     def lshTargetBucket: Int = int("ann.lsh.target_bucket", 64)
     /** Incremental-index split: vectors with `vec_id < incr_base` are
       * the snapshot the coarse cells + residual codebooks were fit on;
@@ -343,6 +349,16 @@ object Settings {
     def jaccardMinSim: Double = dbl("dedup.jaccard.min_jaccard", 0.04)
     def simhashRadius: Int = int("dedup.simhash.hamming_radius", 3)
     def substrK: Int = int("dedup.substr.k", 5)
+  }
+
+  /** `bpe:` block — subword-tokenizer knobs (engine extension; the
+    * packing/chunking family budgets on BPE token counts). `n_merges`
+    * is fixture-scale: the oracle unrolls one CTE block per merge
+    * round (the LloydKmeans discipline), so production vocab sizes
+    * (tens of thousands of merges) are an override that keeps the
+    * engine path and drops to the rows-only check. */
+  object bpe {
+    def nMerges: Int = int("bpe.n_merges", 12)
   }
 
   /** `export:` block — training-data shard-export knobs (engine

@@ -252,20 +252,38 @@ object Hmm {
   def fitResultDistributed(df: DataFrame, k: Int, nIter: Int = 50,
       tol: Double = 1e-3, minLen: Int = 2,
       maxInitPoints: Long = 500000L): FitResult = {
+    val seqs = assembleSequences(df, minLen).cache()
+    try {
+      fitOnAssembled(seqs, k, nIter, tol, maxInitPoints)
+    } finally seqs.unpersist()
+  }
+
+  /** Executor-resident (key → time-sorted sequence) assembly — the one
+    * shuffle of the distributed fit, factored out so a model SWEEP pays
+    * it once for all component counts. */
+  private def assembleSequences(df: DataFrame, minLen: Int)
+      : Dataset[(String, Array[Array[Double]])] = {
     val spark = df.sparkSession
     import spark.implicits._
     implicit val seqEnc
         : org.apache.spark.sql.Encoder[(String, Array[Array[Double]])] =
       org.apache.spark.sql.Encoders.kryo[(String, Array[Array[Double]])]
-    val seqs = df
-      .select(col("key").cast("string"), col("ts").cast("long"),
+    df.select(col("key").cast("string"), col("ts").cast("long"),
         col("features").cast("array<double>"))
       .as[(String, Long, Array[Double])]
       .groupByKey(_._1)
       .mapGroups((key, it) => (key, it.toArray.sortBy(_._2).map(_._3)))
       .filter(_._2.length >= minLen)
-      .cache()
-    try {
+  }
+
+  /** EM over an already-assembled (and caller-cached) sequence
+    * Dataset — the loop body of [[fitResultDistributed]]. */
+  private def fitOnAssembled(
+      seqs: Dataset[(String, Array[Array[Double]])], k: Int, nIter: Int,
+      tol: Double, maxInitPoints: Long): FitResult = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    {
       // per-key length table: one driver row per key — the remaining
       // driver-memory term is O(#keys), not O(points); FitResult.nSeqs
       // is an Int, so key counts beyond Int.MaxValue are refused
@@ -314,6 +332,52 @@ object Hmm {
         it += 1
       }
       FitResult(m, ll, it, done, nObs, nSeqs.toInt)
+    }
+  }
+
+  /** Distributed model-selection SWEEP — the scale path of the
+    * reference's hmm-sweep (research_hmm/pipeline.py:791-858): ONE
+    * sequence assembly shuffle (the same per-key cap / min-length /
+    * sorted-key global-budget admission as [[collectSequences]], so the
+    * fit input is identical to the driver-sample contract), cached on
+    * the executors, then one [[fitOnAssembled]] EM per component count.
+    * The per-k fits are independent — they run as concurrent Spark job
+    * chains on the shared cached frame (the kmeansBest/Pools.jobs
+    * pattern), so the sweep's wall-clock is one fit's iteration chain,
+    * not k of them. Driver memory stays O(k·d) per fit + the init
+    * pool; the E-step never collects sequences. */
+  def fitSweepDistributed(df: DataFrame, ks: Seq[Int], nIter: Int,
+      tol: Double = 1e-3, minLen: Int = 2, maxPerKey: Int = Int.MaxValue,
+      maxTotalPoints: Long = 500000L): Seq[(Int, FitResult)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col("key").cast("string"),
+      col("ts").cast("long"), col("features").cast("array<double>"))
+    val capped = typed
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("key").orderBy("ts")))
+      .where(col("rn") <= maxPerKey)
+      .drop("rn")
+    val admitted = capped.groupBy("key").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minLen)
+      // unpartitioned window is intentional: post-aggregation table of
+      // one row per key (≤ #tickers) — SURVEY A14's own shape
+      .withColumn("cum", sum("n").over(Window.orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") - col("n") < maxTotalPoints)
+      .select("key")
+    val seqs = assembleSequences(
+      capped.join(broadcast(admitted), Seq("key")), minLen).cache()
+    try {
+      seqs.count() // materialize once so the concurrent fits share it
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = graft.ops.Pools.jobs
+      Await.result(
+        Future.traverse(ks.toList) { k =>
+          Future(k -> fitOnAssembled(seqs, k, nIter, tol,
+            maxInitPoints = maxTotalPoints))
+        }, Duration.Inf)
     } finally seqs.unpersist()
   }
 

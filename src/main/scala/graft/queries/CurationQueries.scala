@@ -48,7 +48,7 @@ object CurationQueries extends QueryModule {
     sh8 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
         range(len(t) - ${ContamN - 1}), i -> $joined))) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+      FROM (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents))"""
   }
 
   /** Portable 60-bit md5 hash mod prime, SQL side (TextOps.hashMod). */
@@ -70,7 +70,7 @@ object CurationQueries extends QueryModule {
   private def shardCte: String = s"""
       sa AS (
         SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_split_to_array(text, '[[:space:]]+')) AS BIGINT) AS n_tokens,
                ${hsql(s"'${ExpSalt}_' || doc_id")} % $ExpShards AS shard_id,
                md5('shuf_' || doc_id) AS shuf_key,
                ${hsql("'fp_' || text")} AS fp_h
@@ -163,11 +163,14 @@ object CurationQueries extends QueryModule {
       // set is bounded by #sources (a constant), so even a gram in
       // every doc carries a tiny aggregation buffer — skew-immune —
       // and both the per-source sizes and the pair counts fall out of
-      // the grouped frame map-side
-      val bySh = docs.select(col("source"),
-          explode(TextOps.shingles(col("text"), ContamN)).as("sh"))
-        .groupBy("sh").agg(collect_set(col("source")).as("srcs"))
-        .cache()
+      // the grouped frame map-side. Stage-managed (not a bare .cache())
+      // so Stage.clear() releases it with the other shared artifacts
+      // instead of leaving a dangling CacheManager entry per execution.
+      val bySh = Stage.cached(s, dir, "source_overlap_by_gram") {
+        docs.select(col("source"),
+            explode(TextOps.shingles(col("text"), ContamN)).as("sh"))
+          .groupBy("sh").agg(collect_set(col("source")).as("srcs"))
+      }
       val sizes = bySh.select(explode(col("srcs")).as("source"))
         .groupBy("source").agg(count(lit(1)).as("n_sh"))
       val arr = sort_array(col("srcs"))
@@ -285,7 +288,7 @@ object CurationQueries extends QueryModule {
     // span text) — one block-keyed shuffle, one doc-keyed aggregate.
     Q("q_t_span_dup", Some("""
       WITH b AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents),
       blk AS (
         SELECT doc_id, md5(unnest(list_transform(range(len(t) // 16),
           i -> array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' '))))
@@ -337,7 +340,7 @@ object CurationQueries extends QueryModule {
     // lengths + vocab) feeding a global aggregate.
     Q("q_t_corpus_stats", Some("""
       WITH tk AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        SELECT doc_id, unnest(regexp_split_to_array(text, '[[:space:]]+')) AS tok
         FROM documents),
       per AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
       voc AS (SELECT count(DISTINCT tok) AS v,
@@ -400,7 +403,7 @@ object CurationQueries extends QueryModule {
     Q("q_t_source_mix", Some("""
       WITH per_src AS (
         SELECT source, count(*) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               CAST(sum(len(regexp_split_to_array(text, '[[:space:]]+'))) AS BIGINT)
                  AS n_tokens
         FROM documents GROUP BY 1),
       tot AS (SELECT sum(n_tokens) AS tot_tokens,
@@ -513,7 +516,7 @@ object CurationQueries extends QueryModule {
       val inSet = Blocked.map(w => s"'$w'").mkString("(", ", ", ")")
       s"""
       WITH b AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents),
       f AS (
         SELECT doc_id, len(t) AS n_tokens,
                list_filter(t, x -> x IN $inSet) AS bl
@@ -623,7 +626,7 @@ object CurationQueries extends QueryModule {
     Q("q_t_mix_temperature", Some("""
       WITH per AS (
         SELECT lang, count(*) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               CAST(sum(len(regexp_split_to_array(text, '[[:space:]]+'))) AS BIGINT)
                  AS n_tokens
         FROM documents GROUP BY 1),
       sq AS (
@@ -675,7 +678,7 @@ object CurationQueries extends QueryModule {
     // 9-decimal KL is aggregation-order-free on both engines.
     Q("q_t_source_kl", Some("""
       WITH tk AS (
-        SELECT source, unnest(string_split(text, ' ')) AS term
+        SELECT source, unnest(regexp_split_to_array(text, '[[:space:]]+')) AS term
         FROM documents),
       vocab AS (SELECT DISTINCT term FROM tk),
       vv AS (SELECT count(*) AS v FROM vocab),

@@ -758,21 +758,18 @@ object MlQueries extends QueryModule {
       // per-fit iterations, minimum sequence length) — fixture-scale
       // defaults, production values one override away
       val rh = graft.Settings.researchHmm
-      val seqs = Hmm.collectSequences(ev,
+      // the REGISTERED sweep runs the scale path: sequences assemble
+      // once and stay on the executors, every EM iteration computes
+      // per-partition E-step statistics and tree-reduces them to a
+      // driver M-step (Hmm.fitSweepDistributed — the same admission
+      // caps as the old collected path, so the fit input is
+      // unchanged; HmmSpec locks distributed ≡ driver fit). The per-k
+      // fits interleave as concurrent Spark jobs; the k per-model
+      // decodes collapse into ONE sweepStateCounts pass over ev.
+      val fits = Hmm.fitSweepDistributed(ev,
+        rh.sweepComponents, nIter = rh.nIter,
         minLen = rh.minSequenceLength, maxPerKey = 5000,
         maxTotalPoints = 20000L)
-      // the per-k fits are independent driver-local EMs — run them on a
-      // thread pool; the k per-model decodes (previously one small
-      // distributed job EACH, serialized behind its fit) then collapse
-      // into ONE sweepStateCounts pass over ev (VERDICT r7 item 7).
-      // traverse keeps result order so the output is unchanged.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec = graft.ops.Pools.jobs
-      val fits = Await.result(
-        Future.traverse(rh.sweepComponents.toList) { k =>
-          Future(k -> Hmm.fitResult(seqs, k, nIter = rh.nIter))
-        }, Duration.Inf)
       val counts = Hmm.sweepStateCounts(ev,
         fits.map { case (k, fr) => k -> fr.model })
       val rows = fits.map { case (k, fr) =>

@@ -35,6 +35,43 @@ object TextQueries extends QueryModule {
   private[queries] def SimhashRadius = graft.Settings.dedup.simhashRadius
   private[queries] def SubstrK = graft.Settings.dedup.substrK
 
+  /** MinHash-LSH (bands, rowsPerBand), DERIVED from the live
+    * `dedup.jaccard.min_jaccard` threshold via the S-curve
+    * (Dedup.deriveBanding) — every banded consumer (the pair stage,
+    * the component map, the incremental classifier) and every oracle
+    * band CTE reads this ONE layout, so an override of the threshold
+    * re-bands engine and oracle in lockstep. At the default 0.04
+    * threshold this is (8, 1); the r8-r9 fixed (4, 2) layout was an
+    * s ≈ 0.5 tuning. */
+  private[queries] def LshLayout: (Int, Int) =
+    Dedup.deriveBanding(TextOps.MinHashParams.size, JaccMinSim)
+
+  private[queries] def BpeMerges = graft.Settings.bpe.nMerges
+
+  /** Learned BPE artifacts (merge table + final word → symbols
+    * vocabulary), memoized per sf dir like the fitted ANN codebooks —
+    * a tokenizer is trained once and shipped to every consumer. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[graft.text.Bpe.Merge], DataFrame)]
+  private[queries] def bpeLearned(s: SparkSession, dir: String)
+      : (Seq[graft.text.Bpe.Merge], DataFrame) =
+    bpeMemo.getOrElseUpdate(dir,
+      graft.text.Bpe.learn(t(s, dir, "documents"), BpeMerges))
+
+  /** The word → subword-pieces table as a Stage-managed frame (it is
+    * already localCheckpoint'd by the learn loop; registering it under
+    * Stage lets warmup build it and Stage.clear release it). */
+  private[queries] def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "bpe_vocab") { bpeLearned(s, dir)._2 }
+
+  /** (nProbe, rerank R) rungs of the ANN recall-vs-cost frontier
+    * (q_e_ann_frontier). Spans the serving envelope at the fixture's
+    * nCells = 8: 1/8 of the corpus scanned up to all of it, R from the
+    * r9 default 16 to 48. The promoted serving defaults
+    * (ann.ivfpq.n_probe / ann.rerank_r) are chosen off this table. */
+  private[queries] def FrontierRungs: Seq[(Int, Int)] =
+    Seq((1, 16), (2, 16), (2, 32), (4, 16), (4, 32), (4, 48), (8, 48))
+
   /** Shared per-doc MinHash signature stage (word-n-gram shingles, 8
     * components) — the stored artifact every dedup pass starts from:
     * self-dedup banding, component clustering, the dedup policy, and
@@ -80,7 +117,7 @@ object TextQueries extends QueryModule {
     s"""
       gp AS (
         SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS pos
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        FROM (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents)),
       g AS (SELECT doc_id, pos, $gram AS gram FROM gp),
       occ AS (
         SELECT doc_id, pos,
@@ -101,7 +138,7 @@ object TextQueries extends QueryModule {
     sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - ${n - 1}),
         i -> $joined))) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+      FROM (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents))"""
   }
 
   /** Portable 60-bit md5 hash mod prime, SQL side. */
@@ -181,7 +218,8 @@ object TextQueries extends QueryModule {
     * per run. */
   private[queries] def mhPairs(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "minhash_lsh_pairs") {
-      Dedup.minhashLshPairsFromSigs(docSigs(s, dir))
+      Dedup.minhashLshPairsFromSigs(docSigs(s, dir),
+        rowsPerBand = LshLayout._2)
     }
 
   /** Shared exact (frequency-pruned) Jaccard pair stage at the live
@@ -208,7 +246,8 @@ object TextQueries extends QueryModule {
       val idx = docs.filter(col("doc_id") % 5 =!= 0)
       val idxPairs = Dedup
         .minhashLshPairsFromSigs(
-          docSigs(s, dir).filter(col("doc_id") % 5 =!= 0))
+          docSigs(s, dir).filter(col("doc_id") % 5 =!= 0),
+          rowsPerBand = LshLayout._2)
         .select("d1", "d2").unionByName(fpPairs(idx)).distinct()
       Dedup.connectedComponents(idx, idxPairs)
         .filter(col("doc_id") =!= col("comp_id"))
@@ -382,10 +421,20 @@ object TextQueries extends QueryModule {
         t(s, dir, "embeddings"), cells, cb)
     }
 
-  /** ADC short-list length for the exact re-rank stage: ~3×k is the
-    * production sweet spot (most of the recall@5 ADC lost sits just
-    * below the ADC top-5 boundary). */
-  private[queries] def RerankR = graft.Settings.ann.rerankR
+  /** ADC short-list length for the exact re-rank stage: several×k is
+    * the production sweet spot (most of the recall@5 ADC lost sits just
+    * below the ADC top-5 boundary). The shared short-list stages are
+    * built at k = R and serve top_k from their rnk ≤ k prefix, which
+    * is only sound when R ≥ top_k — a misconfigured override would
+    * silently return fewer rows per query than the oracle ranks, so it
+    * fails loudly here instead. */
+  private[queries] def RerankR = {
+    val r = graft.Settings.ann.rerankR
+    require(r >= AnnK,
+      s"ann.rerank_r $r < ann.top_k $AnnK: the shared ADC short list " +
+        "serves top_k from its rnk <= rerank_r prefix")
+    r
+  }
 
   /** IVF-PQ ADC candidate short list (top-$RerankR per query) — one
     * build shared by the re-rank query (which re-scores it) and the
@@ -399,14 +448,19 @@ object TextQueries extends QueryModule {
         nProbe = IvfNProbe, m = PqM, subK = PqSubK)
     }
 
-  /** IVF-Flat top-5 (MLlib coarse fit at nProbe = nCells ≡ brute
+  /** IVF-Flat top-k (MLlib coarse fit at nProbe = nCells ≡ brute
     * force) — staged because the KMeans fit is an index-build
-    * artifact, not per-query work. */
+    * artifact, not per-query work. Query count and k resolve through
+    * the live `ann:` Settings like the rest of the family; nCells is
+    * deliberately pinned at 16 (≠ ann.ivfpq.n_cells) because at
+    * nProbe = nCells the cell count cannot change the answer — only
+    * the brute-force contract matters, and a separate cell count keeps
+    * this MLlib fit from aliasing the Lloyd coarse artifacts. */
   private[queries] def ivfTop5(s: SparkSession, dir: String)
       : DataFrame =
     Stage.cached(s, dir, "ivf_top5") {
-      Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id") < 32,
-        k = 5, nCells = 16, nProbe = 16)
+      Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id") < AnnQ,
+        k = AnnK, nCells = 16, nProbe = 16)
     }
 
   /** Exact-re-ranked top-5 over the shared ADC short list. */
@@ -630,7 +684,16 @@ object TextQueries extends QueryModule {
     * whole corpus — the add-without-train contract of
     * q_e_index_incr/q_e_index_drift. `fitMax = None` reproduces the
     * full-corpus fit text verbatim. */
-  private def residChainCtes(fitMax: Option[Int]): String = {
+  private def residChainCtes(fitMax: Option[Int]): String =
+    residFitCtes(fitMax) + "," + residProbeTail(IvfNProbe, "")
+
+  /** The probe-INDEPENDENT half of the residual chain: coarse fit +
+    * assignment, residual frame, per-subspace codebook fits, corpus
+    * encode (`rcodes`), and the query-side probe RANKING
+    * (`rprobes_all`, rn-carrying, unfiltered) — shared by the standard
+    * chain and the frontier sweep, which appends one
+    * [[residProbeTail]] per nProbe rung. */
+  private def residFitCtes(fitMax: Option[Int]): String = {
     val sd = PqSubDim
     val fitW = fitMax.map(b => s" WHERE vec_id < $b").getOrElse("")
     val cbFit = fitMax.map(b => s" AND vec_id < $b").getOrElse("")
@@ -645,9 +708,8 @@ object TextQueries extends QueryModule {
     val union = (0 until PqM).map(mi =>
       s"SELECT $mi AS m, c, j, y FROM r${mi}_cent_$PqLloydIters")
       .mkString("\n        UNION ALL ")
-    // assignment source: the fit points when fitting on everything
-    // (byte-identical to the pre-parameterization text), a separate
-    // all-vector CTE when the fit is base-restricted
+    // assignment source: the fit points when fitting on everything,
+    // a separate all-vector CTE when the fit is base-restricted
     val assign = fitMax match {
       case None =>
         graft.ml.LloydKmeans.finalAssignSql("cqpts", CoarseIters, "cq_")
@@ -664,12 +726,11 @@ object TextQueries extends QueryModule {
       "cqpts", IvfNCells, CoarseIters, "cq_") +
     assign +
     s""",
-      rprobes AS (
-        SELECT pid AS qid, c AS cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY pid
-            ORDER BY round(d2, 6), c) AS rn
-          FROM cq_kd_fin WHERE pid < $AnnQ)
-        WHERE rn <= $IvfNProbe),
+      rprobes_all AS MATERIALIZED (
+        SELECT pid AS qid, c AS cell,
+               row_number() OVER (PARTITION BY pid
+                 ORDER BY round(d2, 6), c) AS rn
+        FROM cq_kd_fin WHERE pid < $AnnQ),
       rresid AS MATERIALIZED (
         SELECT e.vec_id, s.cluster AS cell, e.i, e.x - c.y AS r
         FROM ex e JOIN cq_kassign s ON s.pid = e.vec_id
@@ -689,33 +750,44 @@ object TextQueries extends QueryModule {
       rcodes AS MATERIALIZED (
         SELECT vec_id AS vid, m, c FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id, m
-            ORDER BY round(d2, 6), c) AS rn FROM rd2) WHERE rn = 1),
-      rqres AS (
+            ORDER BY round(d2, 6), c) AS rn FROM rd2) WHERE rn = 1)"""
+  }
+
+  /** One nProbe rung of the residual serving path, CTE names suffixed
+    * `$sfx`: probe set, per-probed-cell query residual ADC tables,
+    * probed candidates, ADC ranking. `sfx = ""` at the live IvfNProbe
+    * reproduces the standard chain the non-frontier queries read. */
+  private def residProbeTail(nProbe: Int, sfx: String): String = {
+    val sd = PqSubDim
+    s"""
+      rprobes$sfx AS (
+        SELECT qid, cell FROM rprobes_all WHERE rn <= $nProbe),
+      rqres$sfx AS (
         SELECT e.vec_id AS qid, p.cell, e.i // $sd AS m, e.i % $sd AS j,
                e.x - c.y AS qr
-        FROM ex e JOIN rprobes p ON p.qid = e.vec_id
+        FROM ex e JOIN rprobes$sfx p ON p.qid = e.vec_id
              JOIN cq_cent_$CoarseIters c ON c.c = p.cell AND c.j = e.i),
-      rqd2 AS MATERIALIZED (
+      rqd2$sfx AS MATERIALIZED (
         SELECT q.qid, q.cell, q.m, c.c,
                CAST(sum(CAST((q.qr - c.y) * (q.qr - c.y)
                  AS DECIMAL(38,18))) AS DOUBLE) AS qd2
-        FROM rqres q JOIN rcent c ON q.m = c.m AND q.j = c.j
+        FROM rqres$sfx q JOIN rcent c ON q.m = c.m AND q.j = c.j
         GROUP BY 1, 2, 3, 4),
-      rescand AS (
+      rescand$sfx AS (
         SELECT p.qid, s.pid AS vid, p.cell
-        FROM rprobes p JOIN cq_kassign s
+        FROM rprobes$sfx p JOIN cq_kassign s
           ON s.cluster = p.cell AND p.qid <> s.pid),
-      radc AS (
+      radc$sfx AS (
         SELECT ca.qid, ca.vid,
                round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18))) AS DOUBLE),
                  6) AS adc
-        FROM rescand ca JOIN rcodes k ON k.vid = ca.vid
-             JOIN rqd2 q ON q.qid = ca.qid AND q.cell = ca.cell
+        FROM rescand$sfx ca JOIN rcodes k ON k.vid = ca.vid
+             JOIN rqd2$sfx q ON q.qid = ca.qid AND q.cell = ca.cell
                AND q.m = k.m AND q.c = k.c
         GROUP BY 1, 2),
-      resranked AS MATERIALIZED (
+      resranked$sfx AS MATERIALIZED (
         SELECT *, row_number() OVER (PARTITION BY qid
-          ORDER BY adc, vid) AS rnk FROM radc)"""
+          ORDER BY adc, vid) AS rnk FROM radc$sfx)"""
   }
 
   /** Exact-re-rank CTEs over the residual ADC short list (the
@@ -746,9 +818,15 @@ object TextQueries extends QueryModule {
     val minCols = TextOps.MinHashParams.zipWithIndex.map {
       case ((a, b), k) => s"min((h2 * $a + $b) % 1000000007) AS m$k"
     }.mkString(",\n               ")
-    val bandKeys = (0 until 4).map(bd =>
-      s"m${2 * bd} || '_' || m${2 * bd + 1} AS b$bd").mkString(", ")
-    val bandCase = (0 until 4).map(bd =>
+    // band keys follow the DERIVED (bands, rowsPerBand) layout — the
+    // same Dedup.deriveBanding the engine stages read, so a threshold
+    // override re-bands both sides together
+    val (nb, r) = LshLayout
+    val bandKeys = (0 until nb).map { bd =>
+      (bd * r until (bd + 1) * r).map(j => s"m$j")
+        .mkString(" || '_' || ") + s" AS b$bd"
+    }.mkString(", ")
+    val bandCase = (0 until nb).map(bd =>
       s"WHEN $bd THEN b$bd").mkString("CASE band_idx ", " ", " END")
     s"""$shingleCte,
       h AS (SELECT doc_id, ${hsql("sh")} AS h2 FROM sh),
@@ -757,7 +835,7 @@ object TextQueries extends QueryModule {
               FROM h GROUP BY 1),
       bands AS (SELECT doc_id, $bandKeys FROM sig),
       bx AS (SELECT doc_id, band_idx, $bandCase AS key
-             FROM bands, range(4) r(band_idx)),
+             FROM bands, range($nb) r(band_idx)),
       mh_pairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.key = b.key
@@ -795,9 +873,9 @@ object TextQueries extends QueryModule {
     // Token counting (whitespace + distinct + long-token regex-ish count)
     Q("q_t_tokens", Some("""
       SELECT doc_id,
-             len(string_split(text, ' ')) AS n_tokens,
-             len(list_distinct(string_split(text, ' '))) AS n_distinct,
-             len(list_filter(string_split(text, ' '), x -> len(x) >= 5))
+             len(regexp_split_to_array(text, '[[:space:]]+')) AS n_tokens,
+             len(list_distinct(regexp_split_to_array(text, '[[:space:]]+'))) AS n_distinct,
+             len(list_filter(regexp_split_to_array(text, '[[:space:]]+'), x -> len(x) >= 5))
                AS n_long,
              length(text) AS n_chars_calc
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
@@ -839,10 +917,63 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // REAL BPE, learn phase (Sennrich 2016): V rounds of distributed
+    // adjacent-pair counting over the (word, freq) vocabulary — one
+    // pair-keyed aggregation per round, deterministic (count desc,
+    // pair asc) winner, map-only non-overlapping merge apply. The
+    // oracle unrolls one CTE block per round (island-parity
+    // formulation of the same left-to-right apply rule), so the whole
+    // iterative learn is hash-checked, fit included.
+    Q("q_t_bpe_learn", Some(s"""
+      WITH ${graft.text.Bpe.oracleCtes(BpeMerges)}
+      SELECT merge_rank, a AS left_sym, b AS right_sym,
+             cnt AS pair_count
+      FROM bmerges ORDER BY merge_rank""")) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      bpeLearned(s, dir)._1
+        .map(m => (m.rank, m.left, m.right, m.count))
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("merge_rank")
+    },
+
+    // REAL BPE, encode phase: per-doc subword token accounting by
+    // joining corpus tokens against the learned word → pieces table —
+    // the precomputed-encoding cache real tokenizers serve frequent
+    // words from (megabytes of vocab vs a streaming corpus: the join
+    // broadcasts). Replaces the ceil(len/4) estimate as the packing
+    // family's budget source.
+    Q("q_t_bpe_encode", Some(s"""
+      WITH ${graft.text.Bpe.oracleCtes(BpeMerges)},
+      tk AS (
+        SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
+        FROM documents),
+      enc AS (
+        SELECT t.doc_id, len(w.s) AS np
+        FROM tk t JOIN bw_$BpeMerges w ON t.word = w.word)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(np) AS BIGINT) AS n_bpe_tokens,
+             round(CAST(sum(np) AS DOUBLE) / count(*), 9)
+               AS pieces_per_word
+      FROM enc GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val tok = t(s, dir, "documents").select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val vocab = bpeVocab(s, dir)
+        .select(col("word"), size(col("syms")).as("np"))
+      tok.join(vocab, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_bpe_tokens"),
+          round(sum("np").cast("double") / count(lit(1)), 9)
+            .as("pieces_per_word"))
+        .orderBy("doc_id")
+    },
+
     // Quality scoring battery (length/stopword/digit ratios → score)
     Q("q_t_quality", Some(s"""
       WITH b AS (
-        SELECT doc_id, text, string_split(text, ' ') AS t,
+        SELECT doc_id, text, regexp_split_to_array(text, '[[:space:]]+') AS t,
                length(text) AS nc FROM documents)
       SELECT doc_id,
              len(t) AS n_tokens,
@@ -874,7 +1005,7 @@ object TextQueries extends QueryModule {
       val pred = langs.map(l => s"WHEN score_$l = $best THEN '$l'")
         .mkString("CASE ", " ", " END")
       s"""
-      WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      WITH b AS (SELECT doc_id, lang, regexp_split_to_array(text, '[[:space:]]+') AS t
                  FROM documents),
       sc AS (SELECT doc_id, lang,
              $scoreCols
@@ -899,7 +1030,7 @@ object TextQueries extends QueryModule {
     // One shuffle keyed by (doc_id, term) then doc_id; the bigram stats
     // are pure per-doc array programs.
     Q("q_t_repetition", Some("""
-      WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
+      WITH b AS (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t
                  FROM documents),
       tk AS (SELECT doc_id, unnest(t) AS term FROM b),
       tf AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
@@ -975,7 +1106,7 @@ object TextQueries extends QueryModule {
                      AS DOUBLE) / len(t)) * 4.0, 1.0), 9) AS quality_score,
                round(CAST(nc - length(regexp_replace(text, '[0-9]', '',
                  'g')) AS DOUBLE) / nc, 9) AS digit_ratio
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS t,
+        FROM (SELECT doc_id, text, regexp_split_to_array(text, '[[:space:]]+') AS t,
                      length(text) AS nc FROM documents)),
       dec AS (
         SELECT f.doc_id, f.exact_dup,
@@ -1109,6 +1240,83 @@ object TextQueries extends QueryModule {
           col("est_mae"))
     },
 
+    // The S-curve banding TUNER'S report card: the layout
+    // Dedup.deriveBanding picked for the live min_jaccard threshold
+    // (bands, rows/band, the curve's transition point (1/b)^(1/r)),
+    // with the measured candidate recall of that banding against the
+    // exact Jaccard truth — overall (every pair ≥ the threshold) and
+    // on the PLANTED near-dups (jac ≥ 0.5, far above the incidental-
+    // overlap regime). One row; reuses the family's shared stages, so
+    // the report grades exactly the banding the operators run.
+    Q("q_d_lsh_tune", Some {
+      val k = TextOps.MinHashParams.size
+      val (nb, r) = LshLayout
+      // curve threshold rounded driver-side and inlined as ONE literal
+      // on both sides (pow is libm — last-ulp portable is not worth
+      // proving when the value is a constant)
+      val thr = BigDecimal(math.pow(1.0 / nb, 1.0 / r))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"""
+      WITH $minhashCtes,
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY 1)
+               WHERE c <= $JaccMaxFreq),
+      pr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+      shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT d1, d2,
+               round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter),
+                 9) AS jac
+        FROM shared JOIN sizes s1 ON d1 = s1.doc_id
+             JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter),
+                9) >= $JaccMinSim),
+      gr AS (
+        SELECT count(*) AS n_true,
+               count(*) FILTER (c.d1 IS NOT NULL) AS n_hit,
+               count(*) FILTER (jac >= 0.5) AS n_planted,
+               count(*) FILTER (jac >= 0.5 AND c.d1 IS NOT NULL)
+                 AS n_planted_hit
+        FROM truth t LEFT JOIN mh_pairs c
+          ON t.d1 = c.d1 AND t.d2 = c.d2)
+      SELECT $k AS n_hashes, $nb AS bands, $r AS rows_per_band,
+             CAST($thr AS DOUBLE) AS curve_threshold,
+             (SELECT count(*) FROM mh_pairs) AS n_cand,
+             n_true, n_hit,
+             round(CAST(n_hit AS DOUBLE) / n_true, 9) AS recall,
+             n_planted, n_planted_hit,
+             round(CAST(n_planted_hit AS DOUBLE) / n_planted, 9)
+               AS recall_planted
+      FROM gr"""
+    }) { (s, dir) =>
+      val k = TextOps.MinHashParams.size
+      val (nb, r) = LshLayout
+      val thr = BigDecimal(math.pow(1.0 / nb, 1.0 / r))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val truth = jaccTruth(s, dir)
+        .select(col("d1"), col("d2"), col("jaccard").as("jac"))
+      val cand = mhPairs(s, dir)
+        .select(col("d1"), col("d2"), lit(1).as("hit"))
+      val gr = truth.join(cand, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(col("hit")).as("n_hit"),
+          count(when(col("jac") >= 0.5, 1)).as("n_planted"),
+          count(when(col("jac") >= 0.5, col("hit"))).as("n_planted_hit"))
+      val nc = mhPairs(s, dir).agg(count(lit(1)).as("n_cand"))
+      gr.crossJoin(broadcast(nc))
+        .select(lit(k).as("n_hashes"), lit(nb).as("bands"),
+          lit(r).as("rows_per_band"), lit(thr).as("curve_threshold"),
+          col("n_cand"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 9)
+            .as("recall"),
+          col("n_planted"), col("n_planted_hit"),
+          round(col("n_planted_hit").cast("double") / col("n_planted"), 9)
+            .as("recall_planted"))
+    },
+
     // MinHash + LSH banding candidate pairs with estimated similarity
     Q("q_d_minhash", Some {
       val agree = (0 until 8).map(j =>
@@ -1191,7 +1399,7 @@ object TextQueries extends QueryModule {
           docs.filter(col("doc_id") % 5 === 0),
           sigs.filter(col("doc_id") % 5 =!= 0),
           sigs.filter(col("doc_id") % 5 === 0),
-          minSim = 0.5)
+          minSim = 0.5, rowsPerBand = LshLayout._2)
         .orderBy("doc_id")
     },
 
@@ -1258,7 +1466,8 @@ object TextQueries extends QueryModule {
       // to star edges doc → cluster keeper
       val starEdges = idxStarEdges(s, dir)
       // the ingestion delta: every candidate pair touching a batch doc
-      val batchPairs = Dedup.minhashLshPairsFromSigs(sigs)
+      val batchPairs = Dedup.minhashLshPairsFromSigs(sigs,
+          rowsPerBand = LshLayout._2)
         .select("d1", "d2").unionByName(fpPairs(docs))
         .filter(col("d1") % 5 === 0 || col("d2") % 5 === 0).distinct()
       Dedup.connectedComponents(docs,
@@ -1292,7 +1501,7 @@ object TextQueries extends QueryModule {
         s"bit_count(xor(a.b$c, b.b$c))").mkString(" + ")
       s"""
       WITH toks AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '[[:space:]]+'))) AS tok
         FROM documents),
       h AS (SELECT doc_id,
                $hashCols
@@ -1348,7 +1557,7 @@ object TextQueries extends QueryModule {
     // per-doc rollup of covered positions.
     Q("q_d_substr_strip", Some(s"""
       WITH $substrCovCtes,
-      d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      d AS (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents),
       tk AS (SELECT doc_id, unnest(t) AS tok,
                     generate_subscripts(t, 1) - 1 AS i
              FROM d),
@@ -1385,7 +1594,7 @@ object TextQueries extends QueryModule {
       s"""
       WITH gp AS (
         SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS pos
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        FROM (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents)),
       g AS (SELECT doc_id, pos, $gram AS gram FROM gp),
       occ AS (
         SELECT doc_id, pos,
@@ -1424,7 +1633,7 @@ object TextQueries extends QueryModule {
       s"""
       WITH gp AS (
         SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS pos
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        FROM (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents)),
       g AS (SELECT doc_id, pos, $gram AS gram FROM gp),
       bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
       cov AS (
@@ -1445,13 +1654,13 @@ object TextQueries extends QueryModule {
                max(span_len) AS max_span_len
         FROM sp GROUP BY 1)
       SELECT d.doc_id,
-             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_split_to_array(d.text, '[[:space:]]+')) AS BIGINT) AS n_tokens,
              CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
              CAST(coalesce(pd.n_contam_tokens, 0) AS BIGINT)
                AS n_contam_tokens,
              CAST(coalesce(pd.max_span_len, 0) AS BIGINT) AS max_span_len,
              round(CAST(coalesce(pd.n_contam_tokens, 0) AS DOUBLE)
-               / len(string_split(d.text, ' ')), 9) AS contam_frac
+               / len(regexp_split_to_array(d.text, '[[:space:]]+')), 9) AS contam_frac
       FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
       WHERE d.doc_id % 20 <> 0
       ORDER BY d.doc_id"""
@@ -1484,7 +1693,7 @@ object TextQueries extends QueryModule {
     // vocab sizes.
     Q("q_t_unigram_lp", Some("""
       WITH tk AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        SELECT doc_id, unnest(regexp_split_to_array(text, '[[:space:]]+')) AS tok
         FROM documents),
       cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
@@ -1519,7 +1728,7 @@ object TextQueries extends QueryModule {
     // broadcast; scoring is two count-table equi-joins.
     Q("q_t_bigram_lp", Some("""
       WITH b AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents),
       tk AS (SELECT doc_id, unnest(t) AS tok FROM b),
       c1 AS (SELECT tok, count(*) AS c1 FROM tk GROUP BY 1),
       voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
@@ -1571,7 +1780,7 @@ object TextQueries extends QueryModule {
     // token offsets, not text copies.
     Q("q_t_chunks", Some("""
       WITH d AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        SELECT doc_id, len(regexp_split_to_array(text, '[[:space:]]+')) AS n_tokens
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,
@@ -1613,10 +1822,15 @@ object TextQueries extends QueryModule {
     // range-partition, per-partition totals, broadcast offsets — never
     // a single-task global window; everything else is a bin-keyed
     // aggregate.
-    Q("q_t_pack", Some("""
-      WITH d AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    Q("q_t_pack", Some(s"""
+      WITH ${graft.text.Bpe.oracleCtes(BpeMerges)},
+      tk AS (
+        SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
         FROM documents),
+      d AS (
+        SELECT t.doc_id, CAST(sum(len(w.s)) AS BIGINT) AS n_tokens
+        FROM tk t JOIN bw_$BpeMerges w ON t.word = w.word
+        GROUP BY 1),
       cum AS (
         SELECT doc_id, n_tokens,
                sum(n_tokens) OVER (ORDER BY doc_id
@@ -1632,8 +1846,16 @@ object TextQueries extends QueryModule {
              round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 9) AS fill_rate
       FROM binned GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
       val target = 2048
+      // the packing budget is REAL learned-BPE token counts (r10) —
+      // the ceil(len/4) estimate retired to q_t_tokens_bpe's
+      // pre-tokenizer accounting
       val d = t(s, dir, "documents").select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).as("n_tokens"))
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .join(bpeVocab(s, dir)
+          .select(col("word"), size(col("syms")).as("np")), Seq("word"))
+        .groupBy("doc_id")
+        .agg(sum("np").cast("long").as("n_tokens"))
       val binned = graft.ops.Wins
         .globalCumSum(d, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
         .withColumn("bin_id",
@@ -1668,7 +1890,7 @@ object TextQueries extends QueryModule {
         .mkString("CASE ", " ", " END")
       s"""
       WITH b AS (
-        SELECT doc_id, lang, text, string_split(text, ' ') AS t,
+        SELECT doc_id, lang, text, regexp_split_to_array(text, '[[:space:]]+') AS t,
                length(text) AS nc FROM documents),
       feat AS (
         SELECT doc_id, lang,
@@ -1750,7 +1972,7 @@ object TextQueries extends QueryModule {
     // own shape).
     Q("q_t_vocab", Some("""
       WITH tk AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        SELECT unnest(regexp_split_to_array(text, '[[:space:]]+')) AS term FROM documents),
       tot AS (SELECT count(*) AS n FROM tk),
       top AS (
         SELECT term, count(*) AS cnt FROM tk GROUP BY 1
@@ -1788,7 +2010,7 @@ object TextQueries extends QueryModule {
 
     Q("q_t_tfidf", Some("""
       WITH tk AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        SELECT doc_id, unnest(regexp_split_to_array(text, '[[:space:]]+')) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
       dl AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
@@ -1836,7 +2058,7 @@ object TextQueries extends QueryModule {
     // sides — computing them lands on different doubles.
     Q("q_t_bm25", Some("""
       WITH tk AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        SELECT doc_id, unnest(regexp_split_to_array(text, '[[:space:]]+')) AS term
         FROM documents),
       qt (term) AS (VALUES ('join'), ('hash'), ('scan')),
       tf AS (
@@ -2042,13 +2264,13 @@ object TextQueries extends QueryModule {
     // the IVF contract makes it exactly brute force, so the brute-force
     // SQL IS its oracle — the full KMeans/assign/probe machinery is
     // driver-verified (probe-limited recall is locked by SimilaritySpec).
-    Q("q_e_ann_ivf", Some("""
+    Q("q_e_ann_ivf", Some(s"""
       WITH ex AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings),
       norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
-      q AS (SELECT * FROM ex WHERE vec_id < 32),
+      q AS (SELECT * FROM ex WHERE vec_id < $AnnQ),
       dots AS (
         SELECT q.vec_id AS qid, e.vec_id AS vid, sum(q.x * e.x) AS dot
         FROM q JOIN ex e ON q.i = e.i AND q.vec_id <> e.vec_id
@@ -2060,7 +2282,7 @@ object TextQueries extends QueryModule {
       SELECT qid, vid, cos_sim, rnk FROM (
         SELECT *, row_number() OVER (PARTITION BY qid
           ORDER BY cos_sim DESC, vid) AS rnk FROM cosd)
-      WHERE rnk <= 5 ORDER BY qid, rnk""")) { (s, dir) =>
+      WHERE rnk <= $AnnK ORDER BY qid, rnk""")) { (s, dir) =>
       ivfTop5(s, dir)
         .select("qid", "vid", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
@@ -2358,6 +2580,89 @@ object TextQueries extends QueryModule {
           residCands(s, dir).filter(col("rnk") <= AnnK)))
         .unionByName(row("4_fitted_res_rerank", residRerankTop5(s, dir)))
         .orderBy("variant")
+    },
+
+    // The recall-vs-cost FRONTIER the serving defaults are chosen
+    // from: for each (nProbe, rerank R) rung, the served residual
+    // stack's recall@5 against the exact ground truth and the number
+    // of candidates it had to scan (the cost axis: ADC rows paid ≈
+    // corpus·nProbe/nCells per query, plus R full-vector re-scores).
+    // Engine rows run the SERVING program (scoreCandidatesResidual →
+    // rerankServe) per rung; the oracle appends one probe tail per
+    // nProbe to the shared residual fit chain and composes the rerank
+    // per rung — every rung is the same bit-exact path the standing
+    // q_e_ann_serve_res_rerank query serves at the promoted defaults.
+    Q("q_e_ann_frontier", Some {
+      val rerankBlocks = FrontierRungs.map { case (np, rr) =>
+        val lbl = s"np${np}_r$rr"
+        s"""
+      fr_$lbl AS (
+        SELECT a.qid, a.vid,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM (SELECT qid, vid FROM resranked_p$np WHERE rnk <= $rr) a
+             JOIN ex e ON e.vec_id = a.vid
+             JOIN fqfull q ON q.qid = a.qid AND q.i = e.i
+        GROUP BY 1, 2),
+      ft_$lbl AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rnk FROM fr_$lbl) WHERE rnk <= $AnnK)"""
+      }.mkString(",")
+      val rows = FrontierRungs.map { case (np, rr) =>
+        val lbl = s"np${np}_r$rr"
+        s"""
+        SELECT '$lbl' AS variant,
+               count(DISTINCT e.qid) AS n_queries,
+               (SELECT count(*) FROM rescand_p$np) AS total_scanned,
+               round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+                 AS recall_at_5
+        FROM fexact e LEFT JOIN ft_$lbl p
+          ON e.qid = p.qid AND e.vid = p.vid"""
+      }.mkString("\n        UNION ALL")
+      val tails = FrontierRungs.map(_._1).distinct
+        .map(np => residProbeTail(np, s"_p$np")).mkString(",")
+      s"""
+      WITH $exCte, ${residFitCtes(None)},$tails,
+      fqfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < $AnnQ),
+      fd2full AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM ex e JOIN fqfull q ON e.i = q.i AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      fexact AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM fd2full) WHERE rn <= $AnnK),
+      $rerankBlocks
+      SELECT * FROM ($rows)
+      ORDER BY variant"""
+    }) { (s, dir) =>
+      import graft.streaming.StreamingAnnServe
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < AnnQ)
+      val (cells, cb) = residArtifacts(s, dir)
+      val exact5 = exactTop5(s, dir)
+      val byNp = FrontierRungs.map(_._1).distinct.map { np =>
+        np -> StreamingAnnServe.scoreCandidatesResidual(
+          queries, annServeResIndex(s, dir), cells, cb, nProbe = np)
+      }.toMap
+      FrontierRungs.map { case (np, rr) =>
+        val cand = byNp(np)
+        val scanned = cand.agg(count(lit(1)).as("total_scanned"))
+        val hits = Similarity.rerankServe(cand, queries, emb,
+            rerankR = rr, k = AnnK)
+          .select(col("qid"), col("vid"), lit(1).as("hit"))
+        exact5.join(hits, Seq("qid", "vid"), "left")
+          .agg(lit(s"np${np}_r$rr").as("variant"),
+            countDistinct(col("qid")).as("n_queries"),
+            round(count(col("hit")).cast("double") / count(lit(1)), 6)
+              .as("recall_at_5"))
+          .crossJoin(broadcast(scanned))
+          .select("variant", "n_queries", "total_scanned", "recall_at_5")
+      }.reduce(_ unionByName _).orderBy("variant")
     },
 
     // Incremental index growth (faiss add-without-train): the coarse

@@ -1,0 +1,179 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: merge-table LEARNING (Sennrich,
+  * Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units" — the BPE algorithm GPT-2/Llama tokenizers descend
+  * from) and corpus ENCODING with the learned merges. Replaces the
+  * `ceil(len/4)` subword ESTIMATE the packing/chunking family budgeted
+  * on (r9 verdict item 3) with real learned token counts.
+  *
+  * Algorithm (distributed shape):
+  *  - The corpus collapses to a (word, freq) VOCABULARY table once —
+  *    the classic BPE trick: merge statistics depend only on distinct
+  *    words and their frequencies, so every round works on |vocab|
+  *    rows, not corpus tokens.
+  *  - Each of the V merge rounds is ONE pair-keyed aggregation
+  *    (adjacent-symbol pairs weighted by word freq, map-side combined)
+  *    + a TakeOrdered(1) for the winner under the deterministic
+  *    (count desc, pair asc) tie-break, then a MAP-ONLY left-to-right
+  *    non-overlapping merge apply (an array fold per word — no join,
+  *    no shuffle). localCheckpoint per round keeps the plan O(1)
+  *    across rounds (the iterative-Spark lineage discipline).
+  *  - ENCODE is a broadcast equi-join of corpus tokens against the
+  *    final word → symbol-list table — the "precomputed word
+  *    encodings" cache real tokenizers serve frequent words from; at
+  *    100 TB the vocab table is megabytes while the corpus streams
+  *    map-side.
+  *
+  * Divergences from Sennrich 2016, stated: no end-of-word marker
+  * (merges are within-word adjacent pairs either way; the marker only
+  * distinguishes word-final subwords in the emitted vocabulary, which
+  * the count/packing consumers here don't need), and characters are
+  * the initial symbols (the fixture is ASCII; a byte-level variant is
+  * the same algorithm over a different initial alphabet).
+  *
+  * Every step is oracle-expressible: the pair counts are integer sums,
+  * the winner tie-break is total, and the merge apply has an exact SQL
+  * twin (island-parity formulation of the same left-to-right
+  * non-overlap rule — [[oracleCtes]]), so the ENTIRE iterative learn
+  * is reproduced by an unrolled CTE chain per round, the
+  * `LloydKmeans.oracleSqlFrom` discipline.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based round), the symbol pair, and the
+    * weighted pair count that won the round. */
+  final case class Merge(rank: Int, left: String, right: String,
+    count: Long)
+
+  /** Distinct-word frequency table (empty boundary tokens from
+    * leading/trailing whitespace are not words). */
+  def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Character symbols of a word (one split pass; Java split("")
+    * yields no empties for non-empty input, but guard anyway — the
+    * known trailing-"" trap). */
+  private def charSyms(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** Left-to-right NON-OVERLAPPING apply of one merge (a, b) → a||b to
+    * a symbol array — the standard BPE apply rule ("aaa" under (a,a)
+    * merges to ["aa","a"], not ["aa","aa"]): a single array fold whose
+    * accumulator merges the incoming symbol into its own last element
+    * when they form the pair. Map-only, no shuffle. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      slice(syms, 1, 1),
+      (acc, x) =>
+        when(element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Learn `nMerges` merges over `docs`. Returns the merge table and
+    * the final (word, freq, syms) vocabulary — the word → subword
+    * encoding every consumer joins against. Throws if the corpus runs
+    * out of adjacent pairs before `nMerges` rounds (the unrolled
+    * oracle has no early exit, so the engine must not silently
+    * shorten the table either). */
+  def learn(docs: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    var words = wordTable(docs)
+      .withColumn("syms", charSyms(col("word")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    for (r <- 1 to nMerges) {
+      val pairArr = when(size(col("syms")) >= 2,
+        transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = words
+        .select(col("freq"), explode(pairArr).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpe.n_merges=$nMerges exhausted the corpus at round $r")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      merges += Merge(r, a, b, cnt)
+      words = words
+        .withColumn("syms", applyMerge(col("syms"), a, b))
+        .localCheckpoint()
+    }
+    (merges.result(), words)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle: one unrolled CTE block per merge round.
+  // ------------------------------------------------------------------
+
+  /** Tokenizer twin of TextOps.tokens for the oracle side. */
+  val ToksSql = "regexp_split_to_array(text, '[[:space:]]+')"
+
+  /** CTE chain reproducing [[learn]] bit-for-bit: `bw_0` is the
+    * character-split vocabulary; each round r emits its weighted pair
+    * counts (`bp$r`), the winning merge (`bm$r`, count desc / pair asc
+    * LIMIT 1), and the merged vocabulary (`bw_$r`) via the
+    * island-parity formulation of left-to-right non-overlap: among
+    * consecutive positions matching (a,b), every SECOND match is a
+    * merge start (a match overlapping a start is skipped — exactly the
+    * fold rule); start positions emit a||b, the position after a start
+    * is consumed. Ends with `bmerges` (the merge table) and
+    * `bw_$nMerges` (the final word → symbols encoding). All windows
+    * partition per WORD — bounded by word length, never vocab size. */
+  def oracleCtes(nMerges: Int): String = {
+    val init = s"""
+      bw_0 AS MATERIALIZED (
+        SELECT word, count(*) AS freq, string_split(word, '') AS s
+        FROM (SELECT unnest($ToksSql) AS word FROM documents)
+        WHERE word <> '' GROUP BY word)"""
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"bw_${r - 1}"
+      s"""
+      bp$r AS (
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, s[j + 1] AS a, s[j + 2] AS b FROM (
+            SELECT freq, s, unnest(range(len(s) - 1)) AS j FROM $prev))
+        GROUP BY 1, 2),
+      bm$r AS MATERIALIZED (
+        SELECT $r AS merge_rank, a, b, cnt FROM bp$r
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      bx$r AS (
+        SELECT e.word, e.freq, e.j, e.s[e.j + 1] AS sym, m.a, m.b,
+               (e.j < len(e.s) - 1 AND e.s[e.j + 1] = m.a
+                 AND e.s[e.j + 2] = m.b) AS mt
+        FROM (SELECT word, freq, s, unnest(range(len(s))) AS j
+              FROM $prev) e, bm$r m),
+      bi$r AS (
+        SELECT *, j - row_number() OVER (PARTITION BY word, mt
+          ORDER BY j) AS grp
+        FROM bx$r),
+      bs$r AS (
+        SELECT *, mt AND ((j - min(j) OVER (PARTITION BY word, mt, grp))
+          % 2 = 0) AS is_start
+        FROM bi$r),
+      bw_$r AS MATERIALIZED (
+        SELECT word, any_value(freq) AS freq,
+               list(CASE WHEN is_start THEN a || b ELSE sym END
+                 ORDER BY j) AS s
+        FROM (SELECT *, coalesce(lag(is_start) OVER (
+                PARTITION BY word ORDER BY j), false) AS consumed
+              FROM bs$r)
+        WHERE NOT consumed GROUP BY word)"""
+    }.mkString(",")
+    val union = (1 to nMerges)
+      .map(r => s"SELECT merge_rank, a, b, cnt FROM bm$r")
+      .mkString("\n        UNION ALL ")
+    s"""$init,$rounds,
+      bmerges AS (
+        $union)"""
+  }
+}

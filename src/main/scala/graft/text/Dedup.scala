@@ -78,9 +78,31 @@ object Dedup {
     h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Derive the (bands, rowsPerBand) LSH layout for a k-component
+    * MinHash family from the similarity threshold via the S-curve
+    * P(candidate | s) = 1 − (1 − s^r)^b, whose transition sits near
+    * s* ≈ (1/b)^(1/r) (MMDS ch. 3). Chooses the LARGEST r — the
+    * precision-greediest banding, fewest incidental candidates —
+    * whose curve threshold still sits at or below the target
+    * similarity, falling back to single-row bands (max recall) when
+    * even r = 1 transitions above it. E.g. k = 8: thresholds are
+    * 0.125 / 0.5 / 0.84 / 1.0 for r = 1/2/4/8, so a near-dup
+    * threshold of 0.04 derives (8, 1) where the old fixed (4, 2)
+    * layout was tuned for s ≈ 0.5 (measured at sf0.01: candidate
+    * recall 0.735 → 0.794 over the ≥-threshold truth, 1.0 on the
+    * planted ≥ 0.5 near-dups either way). */
+  def deriveBanding(nHashes: Int, minJaccard: Double): (Int, Int) = {
+    val layouts = (1 to nHashes).filter(nHashes % _ == 0)
+      .map(r => (nHashes / r, r))
+    layouts
+      .filter { case (b, r) => math.pow(1.0 / b, 1.0 / r) <= minJaccard }
+      .sortBy(-_._2).headOption.getOrElse((nHashes, 1))
+  }
+
   /** LSH banding over the minhash signature (bands of `rowsPerBand`),
     * candidate pairs sharing any band key, with estimated similarity =
-    * fraction of agreeing minhash components. */
+    * fraction of agreeing minhash components. Size `rowsPerBand` from
+    * the operating threshold with [[deriveBanding]]. */
   def minhashLshPairs(docs: DataFrame, n: Int,
       rowsPerBand: Int = 2): DataFrame =
     minhashLshPairsFromSigs(minhashSignatures(docs, n).cache(),
@@ -381,6 +403,15 @@ object Dedup {
     val cov = covered.groupBy("doc_id")
       .agg(sort_array(collect_list(col("tp"))).as("cov"))
     val toks = tokens(col("text"))
+    // kept positions = array_except(all positions, covered) — a hash
+    // set probe per position, O(n_tokens + n_covered) per doc; the
+    // earlier filter(toks, !array_contains(cov, i)) scanned the covered
+    // array per TOKEN, going quadratic on exactly the long heavily-
+    // duplicated docs this operator targets (the substr O(len²) shape).
+    // size(toks) ≥ 1 always (split of "" is [""]), so the position
+    // sequence never counts down.
+    val keptPos = array_except(
+      sequence(lit(0), size(toks) - 1), col("cov"))
     docs.join(cov, Seq("doc_id"), "left")
       .withColumn("cov",
         coalesce(col("cov"), array().cast("array<int>")))
@@ -389,9 +420,8 @@ object Dedup {
         size(col("cov")).cast("long").as("n_dup_tokens"),
         round(size(col("cov")).cast("double") / size(toks), 9)
           .as("dup_frac"),
-        array_join(filter(toks,
-          (x, i) => !array_contains(col("cov"), i)), " ")
-          .as("clean_text"))
+        array_join(transform(keptPos,
+          p => element_at(toks, p + 1)), " ").as("clean_text"))
   }
 
   /** SimHash near-dup pairs: 64-bit signatures as four 16-bit bands,

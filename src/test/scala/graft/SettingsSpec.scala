@@ -193,17 +193,18 @@ class SettingsSpec extends SparkSpec {
   }
 
   test("ann/dedup knob overrides re-interpolate engine and oracle") {
-    // defaults
-    assert(Settings.ann.ivfNCells == 8 && Settings.ann.ivfNProbe == 2)
+    // defaults (n_probe 4 / rerank_r 48 are the r10 promoted serving
+    // config — chosen off the measured q_e_ann_frontier)
+    assert(Settings.ann.ivfNCells == 8 && Settings.ann.ivfNProbe == 4)
     assert(Settings.ann.pqM == 4 && Settings.ann.pqSubK == 8)
-    assert(Settings.ann.rerankR == 16 && Settings.ann.topK == 5)
+    assert(Settings.ann.rerankR == 48 && Settings.ann.topK == 5)
     assert(Settings.ann.pqSubDim == 16)
     assert(Settings.dedup.jaccardNgramN == 3)
     assert(Settings.dedup.jaccardMaxFreq == 10)
     assert(Settings.dedup.jaccardMinSim == 0.04)
     assert(Settings.dedup.simhashRadius == 3)
     // oracle SQL re-interpolates per access — the desync-proof pattern
-    assert(SparkEntry.oracleSql("q_e_ann_ivfpq_res").contains("rn <= 2"))
+    assert(SparkEntry.oracleSql("q_e_ann_ivfpq_res").contains("rn <= 4"))
     withProp("graft.ann.ivfpq.n_probe", "3") {
       assert(SparkEntry.oracleSql("q_e_ann_ivfpq_res")
         .contains("rn <= 3"))
