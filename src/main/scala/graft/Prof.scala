@@ -18,11 +18,41 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
-    for (n <- args; rep <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val c = qs(n)(spark, sfDir).count()
-      println(f"[prof] $n rep$rep rows=$c ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // `--profile-out <path>`: regenerate bench_profile.json — prewarm
+    // the shared stages, then time EVERY registered query three times
+    // in this one JVM and record min(rep2, rep3) (true steady: JIT and
+    // stage builds land in rep1). Run this in the same clean window as
+    // the committed bench (the r9 verdict's profile-staleness item).
+    if (args.length == 2 && args(0) == "--profile-out") {
+      try graft.queries.Warmup.prewarm(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[prof] prewarm failed: ${e.getMessage}") }
+      def once(n: String): Double = {
+        val t0 = System.nanoTime()
+        try qs(n)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val steady = qs.keys.toSeq.sorted.map { n =>
+        once(n)
+        val s = math.min(once(n), once(n))
+        println(f"[prof] $n steady $s%.3f s")
+        n -> s
+      }
+      def r3(v: Double) = math.round(v * 1000) / 1000.0
+      val json = steady.map { case (n, s) => s""""$n":${r3(s)}""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(args(1)), json)
+      println(s"[prof] wrote ${steady.size} steady times to ${args(1)}")
+    } else {
+      for (n <- args; rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val c = qs(n)(spark, sfDir).count()
+        println(f"[prof] $n rep$rep rows=$c ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
+    graft.queries.Stage.clear()
     spark.stop()
   }
 }

@@ -347,6 +347,13 @@ object Settings {
     def jaccardNgramN: Int = int("dedup.jaccard.ngram_n", 3)
     def jaccardMaxFreq: Int = int("dedup.jaccard.max_freq", 10)
     def jaccardMinSim: Double = dbl("dedup.jaccard.min_jaccard", 0.04)
+    /** Estimated-similarity bar a banded CANDIDATE pair must pass to
+      * become a duplicate-component EDGE (the candidate→verify split:
+      * banding is tuned for recall, so its raw pairs are not edges —
+      * r10's derived (8,1) layout makes that explicit, where a single
+      * agreeing minhash pairs docs at est 0.125). 0.5 matches the
+      * incremental classifier's near-dup bar. */
+    def componentMinEst: Double = dbl("dedup.minhash.component_min_est", 0.5)
     def simhashRadius: Int = int("dedup.simhash.hamming_radius", 3)
     def substrK: Int = int("dedup.substr.k", 5)
   }

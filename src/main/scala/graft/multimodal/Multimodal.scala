@@ -37,10 +37,24 @@ object Multimodal {
   def nFrames(payload: Column): Column =
     floor(length(payload) / lit(256.0)).cast("int") + 1
 
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
+    0x0a).map(_.toByte)
+  private val JpegSig = Array(0xff, 0xd8).map(_.toByte)
+
+  /** Container-format dispatch from magic bytes — the routing column a
+    * mixed-media lake partitions its decode fan-out by (png / jpeg /
+    * other). Pure codegen'd byte-prefix compares; the SQL oracle is the
+    * same prefix test over the encoded payload blob. */
+  def mediaFormat(payload: Column): Column =
+    when(substring(payload, 1, 8) === lit(PngSig), "png")
+      .when(substring(payload, 1, 2) === lit(JpegSig), "jpeg")
+      .otherwise("other")
+
   /** Decode metadata for each media row (expression path — codegen'd). */
   def decodeMeta(media: DataFrame): DataFrame =
     media.select(col("doc_id"),
       length(col("payload")).as("byte_len"),
+      mediaFormat(col("payload")).as("media_format"),
       fakeWidth(col("payload")).as("width"),
       fakeHeight(col("text")).as("height"),
       nFrames(col("payload")).as("n_frames"),
@@ -82,15 +96,14 @@ object Multimodal {
     * here too). MultimodalSpec locks this batch path against the
     * codegen expression path, proving the two formulations agree. */
   object StubDecoder extends MediaDecoder {
+    private[multimodal] def decodeOne(bytes: Array[Byte]): Decoded = {
+      val w = (md5Bits60(bytes) % 576 + 64).toInt
+      val rev = new String(bytes, "UTF-8").reverse.getBytes("UTF-8")
+      val h = (md5Bits60(rev) % 416 + 64).toInt
+      Decoded(bytes.length, byteChecksum(bytes), w, h)
+    }
     def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded] =
-      batch.map { bytes =>
-        val checksum = bytes.foldLeft(0L)((a, b) =>
-          (a * 31 + (b & 0xff)) % 1000000007L)
-        val w = (md5Bits60(bytes) % 576 + 64).toInt
-        val rev = new String(bytes, "UTF-8").reverse.getBytes("UTF-8")
-        val h = (md5Bits60(rev) % 416 + 64).toInt
-        Decoded(bytes.length, checksum, w, h)
-      }
+      batch.map(decodeOne)
   }
 
   /** A REAL header-parsing decoder — proof the seam carries an actual
@@ -99,23 +112,88 @@ object Multimodal {
     * bytes, no imaging library involved. Non-PNG payloads decode to
     * (-1, -1) dimensions instead of throwing — a production batch
     * pipeline quarantines bad media rows, it doesn't die on them. */
+  private def byteChecksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+
   object PngHeaderDecoder extends MediaDecoder {
-    private val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
-      0x0a).map(_.toByte)
     private def be32(b: Array[Byte], off: Int): Int =
       ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
         ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    private[multimodal] def decodeOne(bytes: Array[Byte]): Decoded = {
+      val isPng = bytes.length >= 24 &&
+        bytes.take(8).sameElements(PngSig) &&
+        new String(bytes.slice(12, 16), "US-ASCII") == "IHDR"
+      if (isPng)
+        Decoded(bytes.length, byteChecksum(bytes), be32(bytes, 16),
+          be32(bytes, 20))
+      else Decoded(bytes.length, byteChecksum(bytes), -1, -1)
+    }
+    def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded] =
+      batch.map(decodeOne)
+  }
+
+  /** JPEG SOF0-family dimension parser — the second REAL codec behind
+    * the seam, proving the FFI carry generalizes past one format: walks
+    * the JFIF marker stream (each non-standalone segment carries a
+    * 2-byte big-endian length including itself) to the first
+    * start-of-frame marker (0xC0–0xCF minus the non-SOF 0xC4/0xC8/0xCC)
+    * and reads height/width from the frame header (offsets +3/+5 past
+    * the marker: length(2) + sample precision(1) precede them).
+    * Malformed or non-JPEG payloads quarantine to (-1, -1) — same
+    * policy as the PNG decoder. */
+  object JpegSof0Decoder extends MediaDecoder {
+    private def be16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    private[multimodal] def decodeOne(bytes: Array[Byte]): Decoded = {
+      val cs = byteChecksum(bytes)
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff
+          || (bytes(1) & 0xff) != 0xd8)
+        return Decoded(bytes.length, cs, -1, -1)
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff)
+          return Decoded(bytes.length, cs, -1, -1) // lost marker sync
+        val marker = bytes(i + 1) & 0xff
+        if (marker == 0xff) { i += 1 } // fill byte
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone markers carry no length
+        } else if (marker == 0xd9 || marker == 0xda) {
+          // EOI / start-of-scan before any SOF: no dimensions
+          return Decoded(bytes.length, cs, -1, -1)
+        } else {
+          val segLen = be16(bytes, i + 2)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (i + 8 >= bytes.length || segLen < 7)
+              return Decoded(bytes.length, cs, -1, -1)
+            return Decoded(bytes.length, cs, be16(bytes, i + 7),
+              be16(bytes, i + 5))
+          }
+          if (segLen < 2) return Decoded(bytes.length, cs, -1, -1)
+          i += 2 + segLen
+        }
+      }
+      Decoded(bytes.length, cs, -1, -1)
+    }
+    def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded] =
+      batch.map(decodeOne)
+  }
+
+  /** Magic-byte decoder DISPATCH — one seam, many codecs: each payload
+    * routes to the codec its container signature names (PNG IHDR, JPEG
+    * SOF0, stub fallback for everything else), inside the same batched
+    * partition loop. This is the shape a mixed-media lake actually
+    * runs — per-format decode without per-format pipelines. */
+  object DispatchDecoder extends MediaDecoder {
     def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded] =
       batch.map { bytes =>
-        val checksum = bytes.foldLeft(0L)((a, b) =>
-          (a * 31 + (b & 0xff)) % 1000000007L)
-        val isPng = bytes.length >= 24 &&
-          bytes.take(8).sameElements(Sig) &&
-          new String(bytes.slice(12, 16), "US-ASCII") == "IHDR"
-        if (isPng)
-          Decoded(bytes.length, checksum, be32(bytes, 16),
-            be32(bytes, 20))
-        else Decoded(bytes.length, checksum, -1, -1)
+        if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig))
+          PngHeaderDecoder.decodeOne(bytes)
+        else if (bytes.length >= 2 &&
+            (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+          JpegSof0Decoder.decodeOne(bytes)
+        else StubDecoder.decodeOne(bytes)
       }
   }
 

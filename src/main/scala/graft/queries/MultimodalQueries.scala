@@ -15,9 +15,19 @@ object MultimodalQueries extends QueryModule {
 
   def all: Seq[Q] = Seq(
 
+    // media_format: magic-byte container dispatch (png / jpeg / other).
+    // The engine tests payload BYTES; the oracle tests codepoint
+    // prefixes of the text — equivalent on the ASCII fixture (byte ≡
+    // codepoint), where every row routes 'other'. The REAL png/jpeg
+    // byte routes are spec-locked with handcrafted container fixtures
+    // through the DispatchDecoder seam (MultimodalSpec).
     Q("q_m_media_meta", Some(s"""
       SELECT doc_id,
              octet_length(encode(text)) AS byte_len,
+             CASE WHEN left(text, 8) = chr(137) || 'PNG' || chr(13)
+                    || chr(10) || chr(26) || chr(10) THEN 'png'
+                  WHEN left(text, 2) = chr(255) || chr(216) THEN 'jpeg'
+                  ELSE 'other' END AS media_format,
              CAST(${hsql("text")} % 576 + 64 AS INT) AS width,
              CAST(${hsql("reverse(text)")} % 416 + 64 AS INT) AS height,
              CAST(floor(octet_length(encode(text)) / 256.0) AS INT) + 1

@@ -46,6 +46,10 @@ object TextQueries extends QueryModule {
   private[queries] def LshLayout: (Int, Int) =
     Dedup.deriveBanding(TextOps.MinHashParams.size, JaccMinSim)
 
+  /** Component-edge verification bar over the banded candidates (the
+    * recall/precision split: banding recalls, est_sim verifies). */
+  private[queries] def CompMinEst = graft.Settings.dedup.componentMinEst
+
   private[queries] def BpeMerges = graft.Settings.bpe.nMerges
 
   /** Learned BPE artifacts (merge table + final word → symbols
@@ -205,7 +209,11 @@ object TextQueries extends QueryModule {
       dir: String): DataFrame =
     Stage.cached(s, dir, "doc_components") {
       val docs = t(s, dir, "documents")
+      // EDGES are est-VERIFIED near-dups, not raw banding candidates:
+      // the derived recall-first banding would otherwise chain docs
+      // that share a single minhash into mega-components
       val pairs = mhPairs(s, dir)
+        .filter(col("est_sim") >= CompMinEst)
         .select("d1", "d2")
         .unionByName(fpPairs(docs)).distinct()
       Dedup.connectedComponents(docs, pairs)
@@ -248,6 +256,7 @@ object TextQueries extends QueryModule {
         .minhashLshPairsFromSigs(
           docSigs(s, dir).filter(col("doc_id") % 5 =!= 0),
           rowsPerBand = LshLayout._2)
+        .filter(col("est_sim") >= CompMinEst)
         .select("d1", "d2").unionByName(fpPairs(idx)).distinct()
       Dedup.connectedComponents(idx, idxPairs)
         .filter(col("doc_id") =!= col("comp_id"))
@@ -265,6 +274,21 @@ object TextQueries extends QueryModule {
     Stage.cached(s, dir, "ann_pairs") {
       Similarity.annSelfJoinPairs(t(s, dir, "embeddings"),
         maxBucket = 256, simFloor = -1.0, bits = 8, nBands = 2)
+    }
+
+  /** Shared semantic-dedup component map (ANN pairs ≥ τ = 0.35 →
+    * min-label connected components over the embedding space) — read
+    * by q_e_semantic_dedup and the end-to-end dedup pipeline so the
+    * iterative CC runs once. */
+  private[queries] def semComps(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "semantic_components") {
+      val emb = t(s, dir, "embeddings")
+      val pairs = annPairs(s, dir).filter(col("cos_sim") >= 0.35)
+        .select(col("id_a").as("d1"), col("id_b").as("d2"))
+      Dedup.connectedComponents(
+          emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("comp_id"),
+          col("cluster_size"), col("is_canonical"))
     }
 
   /** Shared PQ top-5 stage (the ADC ranking both q_e_pq_topk and
@@ -846,15 +870,24 @@ object TextQueries extends QueryModule {
     * exact-fingerprint star edges ∪ MinHash candidate pairs → `comp`
     * (doc_id, comp_id) — the oracle twin of [[docComponents]], shared
     * by q_d_components and q_t_split_leakfree so the two can't drift. */
-  private def componentCtes: String = s"""$minhashCtes,
+  private def componentCtes: String = {
+    val k = TextOps.MinHashParams.size
+    val agree = (0 until k).map(j =>
+      s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$minhashCtes,
       fp_star AS (
         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
         FROM documents),
       fp_pairs AS (
         SELECT keep AS d1, doc_id AS d2 FROM fp_star
         WHERE doc_id <> keep),
+      mh_est AS (
+        SELECT p.d1, p.d2, CAST(($agree) AS DOUBLE) / $k AS est
+        FROM mh_pairs p JOIN sig sa ON p.d1 = sa.doc_id
+             JOIN sig sb ON p.d2 = sb.doc_id),
       all_pairs AS (
-        SELECT d1, d2 FROM mh_pairs UNION SELECT d1, d2 FROM fp_pairs),
+        SELECT d1, d2 FROM mh_est WHERE est >= $CompMinEst
+        UNION SELECT d1, d2 FROM fp_pairs),
       edges AS (
         SELECT d1 AS a, d2 AS b FROM all_pairs
         UNION SELECT d2, d1 FROM all_pairs),
@@ -867,6 +900,7 @@ object TextQueries extends QueryModule {
                least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS comp_id
         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         GROUP BY d.doc_id)"""
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -1468,6 +1502,7 @@ object TextQueries extends QueryModule {
       // the ingestion delta: every candidate pair touching a batch doc
       val batchPairs = Dedup.minhashLshPairsFromSigs(sigs,
           rowsPerBand = LshLayout._2)
+        .filter(col("est_sim") >= CompMinEst)
         .select("d1", "d2").unionByName(fpPairs(docs))
         .filter(col("d1") % 5 === 0 || col("d2") % 5 === 0).distinct()
       Dedup.connectedComponents(docs,
@@ -2947,14 +2982,136 @@ object TextQueries extends QueryModule {
              count(*) OVER (PARTITION BY comp_id) AS cluster_size,
              vec_id = comp_id AS is_canonical
       FROM comp ORDER BY vec_id""")) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val pairs = annPairs(s, dir).filter(col("cos_sim") >= 0.35)
-        .select(col("id_a").as("d1"), col("id_b").as("d2"))
-      Dedup.connectedComponents(
-          emb.select(col("vec_id").as("doc_id")), pairs)
-        .select(col("doc_id").as("vec_id"), col("comp_id"),
-          col("cluster_size"), col("is_canonical"))
-        .orderBy("vec_id")
+      semComps(s, dir).orderBy("vec_id")
+    },
+
+    // The end-to-end dedup PIPELINE a real curation run executes —
+    // exact → substring-strip → MinHash-component → semantic keeper,
+    // each stage applied to the previous stage's survivors, reported
+    // as per-stage removal counts with monotone corpus shrinkage.
+    // Stage policy (stated, and mirrored verbatim by the oracle):
+    // artifacts (fingerprints, covered positions, component maps) are
+    // computed ONCE on the full corpus — the shared stages every
+    // individual query reads — and each stage keeps, per duplicate
+    // group, the minimum SURVIVING doc. Full-corpus substring
+    // artifacts stay sound after stage 1 because an exact-dup
+    // non-keeper's grams occur identically (same positions) in its
+    // kept twin, so no first occurrence is lost. Docs without an
+    // embedding pass the semantic stage untouched. tokens_out counts
+    // post-strip whitespace tokens of the stage's survivors.
+    Q("q_t_dedup_pipeline", Some(s"""
+      WITH RECURSIVE $componentCtes,
+      $annPairCtes,
+      ${substrCovCtes.trim},
+      sem AS (
+        SELECT id_a AS d1, id_b AS d2
+        FROM dots JOIN norms na ON id_a = na.vec_id
+                  JOIN norms nb ON id_b = nb.vec_id
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35),
+      edges2 AS (
+        SELECT d1 AS a, d2 AS b FROM sem UNION SELECT d2, d1 FROM sem),
+      reach2 (a, b) AS (
+        SELECT a, b FROM edges2
+        UNION
+        SELECT r.a, e.b FROM reach2 r JOIN edges2 e ON r.b = e.a),
+      comp2 AS (
+        SELECT v.vec_id,
+               least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS comp_id
+        FROM embeddings v LEFT JOIN reach2 r ON r.a = v.vec_id
+        GROUP BY v.vec_id),
+      ntok AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '[[:space:]]+'))
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      covn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov
+               FROM cov GROUP BY 1),
+      s1 AS (SELECT doc_id FROM fp_star WHERE doc_id = keep),
+      s1t AS (
+        SELECT s1.doc_id, n.n_tokens,
+               n.n_tokens - coalesce(c.n_cov, 0) AS kept
+        FROM s1 JOIN ntok n USING (doc_id)
+             LEFT JOIN covn c USING (doc_id)),
+      s2 AS (SELECT * FROM s1t WHERE kept > 0),
+      s2c AS (SELECT s2.*, comp.comp_id FROM s2
+              JOIN comp USING (doc_id)),
+      k3 AS (SELECT comp_id, min(doc_id) AS keep_id FROM s2c
+             GROUP BY 1),
+      s3 AS (SELECT s2c.doc_id, s2c.kept FROM s2c
+             JOIN k3 USING (comp_id) WHERE doc_id = keep_id),
+      s3s AS (SELECT s3.doc_id, s3.kept, c2.comp_id AS sem_comp
+              FROM s3 LEFT JOIN comp2 c2 ON s3.doc_id = c2.vec_id),
+      k4 AS (SELECT sem_comp, min(doc_id) AS skeep FROM s3s
+             WHERE sem_comp IS NOT NULL GROUP BY 1),
+      s4 AS (SELECT s3s.doc_id, s3s.kept FROM s3s
+             LEFT JOIN k4 USING (sem_comp)
+             WHERE sem_comp IS NULL OR doc_id = skeep),
+      a0 AS (SELECT CAST(count(*) AS BIGINT) AS d0 FROM documents),
+      a1 AS (SELECT CAST(count(*) AS BIGINT) AS d1,
+                    CAST(sum(n_tokens) AS BIGINT) AS t1 FROM s1t),
+      a2 AS (SELECT CAST(count(*) AS BIGINT) AS d2,
+                    CAST(sum(kept) AS BIGINT) AS t2 FROM s2),
+      a3 AS (SELECT CAST(count(*) AS BIGINT) AS d3,
+                    CAST(sum(kept) AS BIGINT) AS t3 FROM s3),
+      a4 AS (SELECT CAST(count(*) AS BIGINT) AS d4,
+                    CAST(sum(kept) AS BIGINT) AS t4 FROM s4)
+      SELECT * FROM (
+        SELECT '1_exact' AS stage, d0 AS docs_in, d0 - d1 AS docs_removed,
+               d1 AS docs_out, t1 AS tokens_out
+        FROM a0, a1
+        UNION ALL
+        SELECT '2_substr_strip', d1, d1 - d2, d2, t2 FROM a1, a2
+        UNION ALL
+        SELECT '3_near_dup_component', d2, d2 - d3, d3, t3 FROM a2, a3
+        UNION ALL
+        SELECT '4_semantic_keeper', d3, d3 - d4, d4, t4 FROM a3, a4)
+      ORDER BY stage""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val nTok = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val s1 = Dedup.exactDups(docs).filter(!col("is_dup"))
+        .select("doc_id")
+      val covn = substrCovered(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_cov"))
+      val s1t = s1.join(nTok, "doc_id")
+        .join(covn, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_cov"), lit(0L))).as("kept"))
+      val s2 = s1t.filter(col("kept") > 0)
+      val s2c = s2.join(
+        docComponents(s, dir).select("doc_id", "comp_id"), "doc_id")
+      val k3 = s2c.groupBy("comp_id").agg(min("doc_id").as("keep_id"))
+      val s3 = s2c.join(k3, "comp_id")
+        .filter(col("doc_id") === col("keep_id"))
+        .select("doc_id", "kept")
+      val s3s = s3.join(
+        semComps(s, dir).select(col("vec_id").as("doc_id"),
+          col("comp_id").as("sem_comp")), Seq("doc_id"), "left")
+      val k4 = s3s.filter(col("sem_comp").isNotNull)
+        .groupBy("sem_comp").agg(min("doc_id").as("skeep"))
+      val s4 = s3s.join(k4, Seq("sem_comp"), "left")
+        .filter(col("sem_comp").isNull || col("doc_id") === col("skeep"))
+        .select("doc_id", "kept")
+      val a0 = docs.agg(count(lit(1)).as("d0"))
+      val a1 = s1t.agg(count(lit(1)).as("d1"),
+        sum("n_tokens").cast("long").as("t1"))
+      val a2 = s2.agg(count(lit(1)).as("d2"),
+        sum("kept").cast("long").as("t2"))
+      val a3 = s3.agg(count(lit(1)).as("d3"),
+        sum("kept").cast("long").as("t3"))
+      val a4 = s4.agg(count(lit(1)).as("d4"),
+        sum("kept").cast("long").as("t4"))
+      val all = a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+        .crossJoin(broadcast(a3)).crossJoin(broadcast(a4))
+      def row(stage: String, din: String, dout: String, tok: String) =
+        all.select(lit(stage).as("stage"), col(din).as("docs_in"),
+          (col(din) - col(dout)).as("docs_removed"),
+          col(dout).as("docs_out"), col(tok).as("tokens_out"))
+      row("1_exact", "d0", "d1", "t1")
+        .unionByName(row("2_substr_strip", "d1", "d2", "t2"))
+        .unionByName(row("3_near_dup_component", "d2", "d3", "t3"))
+        .unionByName(row("4_semantic_keeper", "d3", "d4", "t4"))
+        .orderBy("stage")
     },
 
     // Hot-bucket-guard observability: per-band occupancy + the fraction

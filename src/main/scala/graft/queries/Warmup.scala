@@ -89,6 +89,10 @@ object Warmup {
       "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count()),
       // exact Jaccard pair truth (one shingle pass, self-join-free)
       "jaccTruth" -> (() => TextQueries.jaccTruth(spark, dir).count()),
+      // BPE merge-table learn (12 iterative rounds over the word-freq
+      // vocabulary) — a tokenizer-training artifact, built once here
+      // so its round chain overlaps the other roots
+      "bpeVocab" -> (() => TextQueries.bpeVocab(spark, dir).count()),
       // trade-graph edges (the stored PageRank input)
       "tradeEdges" -> (() => Relational.tradeEdges(spark, dir).count())))
 
@@ -113,6 +117,8 @@ object Warmup {
           // double-build race
           "docComponents" ->
             (() => TextQueries.docComponents(spark, dir).count()),
+          // semantic component map (reads the phase-1 annPairs stage)
+          "semComps" -> (() => TextQueries.semComps(spark, dir).count()),
           "idxStarEdges" ->
             (() => TextQueries.idxStarEdges(spark, dir).count()),
           "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()),

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+
+/** BPE merge-table learning + encode semantics on hand-built corpora:
+  * the deterministic (count desc, pair asc) winner rule, the
+  * left-to-right NON-overlapping apply (the "aaa" case), multi-round
+  * chaining onto previously-merged symbols, and the whitespace-run
+  * tokenizer boundary. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("winner rule: highest weighted pair count, ties break pair-asc") {
+    // "ab" x2 gives (a,b) count 2; "cd" x2 gives (c,d) count 2 — the
+    // tie breaks to (a,b); round 2 then picks (c,d)
+    val d = docs(1L -> "ab ab cd cd")
+    val (merges, _) = Bpe.learn(d, 2)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.count)) ==
+      Seq((1, "a", "b", 2L), (2, "c", "d", 2L)))
+  }
+
+  test("apply is left-to-right non-overlapping: aaaa under (a,a) " +
+      "becomes [aa, aa], aaa becomes [aa, a]") {
+    val d = docs(1L -> "aaaa aaa")
+    val (merges, vocab) = Bpe.learn(d, 1)
+    assert(merges.head.left == "a" && merges.head.right == "a")
+    // aaaa has 3 (a,a) pairs, aaa has 2 → count 5
+    assert(merges.head.count == 5L)
+    val syms = vocab.select(col("word"), col("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(syms("aaaa") == Seq("aa", "aa"))
+    assert(syms("aaa") == Seq("aa", "a"))
+  }
+
+  test("later rounds merge onto previously-merged symbols") {
+    // freq: "abab" x3 → round 1 (a,b) count 6 (2 per word x3);
+    // round 2 then sees [ab, ab] and merges (ab, ab)
+    val d = docs(1L -> "abab abab abab")
+    val (merges, vocab) = Bpe.learn(d, 2)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("ab", "ab")))
+    val syms = vocab.filter(col("word") === "abab")
+      .select("syms").head.getSeq[String](0)
+    assert(syms == Seq("abab"))
+  }
+
+  test("word frequencies weight the counts; single-char words " +
+      "contribute no pairs") {
+    val d = docs(1L -> "xy xy xy z z z z")
+    val (merges, vocab) = Bpe.learn(d, 1)
+    assert(merges.head == Bpe.Merge(1, "x", "y", 3L))
+    val zSyms = vocab.filter(col("word") === "z")
+      .select("syms").head.getSeq[String](0)
+    assert(zSyms == Seq("z"))
+  }
+
+  test("learn throws when the corpus runs out of pairs — the unrolled " +
+      "oracle has no early exit, so the engine must not shorten") {
+    val d = docs(1L -> "a b c")
+    intercept[IllegalArgumentException] { Bpe.learn(d, 1) }
+  }
+
+  test("wordTable splits on whitespace runs and drops boundary empties") {
+    val d = docs(1L -> " ab\t\tab\ncd ")
+    val wt = Bpe.wordTable(d).orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(wt.toSeq == Seq("ab" -> 2L, "cd" -> 1L))
+  }
+}

@@ -233,6 +233,51 @@ class DedupSpec extends SparkSpec {
       10L -> 6, 10L -> 7, 12L -> 0, 12L -> 1, 12L -> 2, 12L -> 3))
   }
 
+  test("tokens: tabs/newlines/space runs all separate — no fused tokens " +
+      "escape the gram families") {
+    val d = docs(1L -> "a\tb\nc  d \t e")
+    val toks = d.select(TextOps.tokens(col("text"))).head.getSeq[String](0)
+    assert(toks == Seq("a", "b", "c", "d", "e"))
+    // gram coverage through the multi-whitespace row: the 2-gram "a b"
+    // must exist (a single-space split would have produced "a\tb" as
+    // ONE token and no gram)
+    val grams = d.select(TextOps.shingles(col("text"), 2))
+      .head.getSeq[String](0)
+    assert(grams.contains("a b") && grams.contains("b c"))
+  }
+
+  test("deriveBanding: precision-greediest layout whose S-curve " +
+      "threshold covers the target") {
+    // k = 8 curve thresholds: r=1 → 0.125, r=2 → 0.5, r=4 → 0.84, r=8 → 1
+    assert(Dedup.deriveBanding(8, 0.04) == ((8, 1)))   // below all → r=1
+    assert(Dedup.deriveBanding(8, 0.2) == ((8, 1)))
+    assert(Dedup.deriveBanding(8, 0.5) == ((4, 2)))
+    assert(Dedup.deriveBanding(8, 0.6) == ((4, 2)))
+    assert(Dedup.deriveBanding(8, 0.9) == ((2, 4)))
+    assert(Dedup.deriveBanding(8, 1.0) == ((1, 8)))
+    // k = 16: r=2's threshold is (1/8)^(1/2) ≈ 0.354
+    assert(Dedup.deriveBanding(16, 0.3) == ((16, 1)))
+    assert(Dedup.deriveBanding(16, 0.36) == ((8, 2)))
+  }
+
+  test("substringStrip: kept text preserves order, strips exactly the " +
+      "covered positions, fully-duplicated docs empty out") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e")
+    val cov = Dedup.duplicateCovered(d, k = 5)
+    val out = Dedup.substringStrip(d, cov).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "a b c d e")
+    assert(out(1).getAs[String]("clean_text") == "",
+      "the exact re-occurrence strips to empty")
+    assert(out(1).getAs[Long]("n_dup_tokens") == 5L)
+    // partial coverage keeps the uncovered suffix in order
+    val d2 = docs(1L -> "a b c d e x", 2L -> "a b c d e y z")
+    val out2 = Dedup.substringStrip(d2,
+        Dedup.duplicateCovered(d2, k = 5))
+      .orderBy("doc_id").collect()
+    assert(out2(0).getAs[String]("clean_text") == "a b c d e x")
+    assert(out2(1).getAs[String]("clean_text") == "y z")
+  }
+
   test("cosineTopK: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -68,6 +68,84 @@ class MultimodalSpec extends SparkSpec {
       "non-PNG payloads must quarantine to (-1, -1), not throw")
   }
 
+  // handcrafted minimal JPEG: SOI, an APP0 segment to prove the marker
+  // walk skips non-SOF segments, a COM segment, then SOF0 with
+  // big-endian height/width, then EOI
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array((v >>> 8) & 0xff, v & 0xff)
+    val soi = Array(0xff, 0xd8)
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10) ++
+      "JFIF".getBytes("US-ASCII").map(_.toInt) ++ Array.fill(10)(0)
+    val com = Array(0xff, 0xfe, 0x00, 0x04, 0x68, 0x69)
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08) ++ be16(h) ++
+      be16(w) ++ Array(0x03) ++ Array.fill(9)(0)
+    val eoi = Array(0xff, 0xd9)
+    (soi ++ app0 ++ com ++ sof0 ++ eoi).map(_.toByte)
+  }
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdrLen = Array(0, 0, 0, 13)
+    val ihdr = "IHDR".getBytes("US-ASCII").map(_.toInt)
+    def be(v: Int) =
+      Array(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    val body = Array(8, 6, 0, 0, 0)
+    (sig ++ ihdrLen ++ ihdr ++ be(w) ++ be(h) ++ body).map(_.toByte)
+  }
+
+  test("JPEG SOF0 decoder parses real frame dimensions; progressive " +
+      "SOF2 and truncated streams behave") {
+    val s = spark
+    import s.implicits._
+    // SOF2 (progressive) variant: same frame-header layout, marker c2
+    val prog = {
+      val j = jpeg(123, 45)
+      val idx = j.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+      j.updated(idx + 1, 0xc2.toByte)
+    }
+    val rows = Seq(
+      (1L, jpeg(640, 480)),
+      (2L, jpeg(1, 1)),
+      (3L, prog),
+      (4L, Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)), // SOI+EOI only
+      (5L, "plain text, not a jpeg".getBytes("UTF-8")))
+    val out = Multimodal.decodeFeaturesBatched(
+        rows.toDF("doc_id", "payload"), 2, Multimodal.JpegSof0Decoder)
+      .select("doc_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(out(1L) == ((640, 480)))
+    assert(out(2L) == ((1, 1)))
+    assert(out(3L) == ((123, 45)), "SOF2 progressive frame not parsed")
+    assert(out(4L) == ((-1, -1)), "no-SOF stream must quarantine")
+    assert(out(5L) == ((-1, -1)), "non-JPEG must quarantine, not throw")
+  }
+
+  test("magic-byte dispatch routes each payload to its codec; the " +
+      "format column agrees") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, png(320, 200)),
+      (2L, jpeg(640, 480)),
+      (3L, "just text".getBytes("UTF-8")))
+    val media = rows.toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeaturesBatched(media, 2,
+        Multimodal.DispatchDecoder)
+      .select("doc_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(out(1L) == ((320, 200)), "png route")
+    assert(out(2L) == ((640, 480)), "jpeg route")
+    assert(out(3L)._1 >= 64 && out(3L)._2 >= 64,
+      "other route falls back to the stub decoder")
+    val fmts = media
+      .select(col("doc_id"),
+        Multimodal.mediaFormat(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fmts == Map(1L -> "png", 2L -> "jpeg", 3L -> "other"))
+  }
+
   test("phash: planted near-identical payload pairs within the radius; " +
       "unrelated content does not") {
     import spark.implicits._

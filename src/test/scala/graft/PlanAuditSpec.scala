@@ -204,6 +204,41 @@ class PlanAuditSpec extends SparkSpec {
       "PQ codebook/ADC joins lost their broadcast equi-join shape")
   }
 
+  test("bpe encode: vocab join broadcasts; no round chain in the " +
+      "encode plan (the learn is a staged artifact)") {
+    val p = planOf("q_t_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "word -> pieces vocab join must broadcast (megabyte-sized at " +
+        "any corpus scale)")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+    // the learned vocab is a checkpointed stage: the per-round merge
+    // folds must NOT re-run inside the encode plan
+    assert(!p.contains("aggregate("),
+      "merge-round fold leaked into the encode plan — vocab stage " +
+        "not reused")
+    // q_t_pack consumes the same staged vocab
+    val pk = planOf("q_t_pack")
+    assert(!pk.contains("aggregate("),
+      "q_t_pack re-runs the BPE learn instead of reading the stage")
+  }
+
+  test("dedup pipeline: stage-shared artifacts, equi-joins only, " +
+      "and the frontier never cross-joins the corpus") {
+    val p = planOf("q_t_dedup_pipeline")
+    assert(!p.contains("CartesianProduct"),
+      "pipeline stage degenerated to a cross product")
+    // the component maps arrive as checkpointed stages, not re-runs
+    // of the iterative CC (which would show groupBy/propagation jobs)
+    assert(p.contains("Scan ExistingRDD"),
+      "shared component stages not read from checkpoint")
+    // (one-row broadcast stat attaches are the family's standard
+    // scalar crossJoin — only a true cartesian over data is a defect)
+    val f = planOf("q_e_ann_frontier")
+    assert(!f.contains("CartesianProduct"),
+      "frontier rung degenerated to a cartesian product")
+  }
+
   test("q_t_tfidf: df join stays an equi-join, no cartesian blowup") {
     val p = planOf("q_t_tfidf")
     // the one-row corpus-count broadcast is a legitimate
