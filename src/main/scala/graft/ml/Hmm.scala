@@ -358,26 +358,86 @@ object Hmm {
         row_number().over(Window.partitionBy("key").orderBy("ts")))
       .where(col("rn") <= maxPerKey)
       .drop("rn")
-    val admitted = capped.groupBy("key").agg(count(lit(1)).as("n"))
+    val admitted0 = capped.groupBy("key").agg(count(lit(1)).as("n"))
       .where(col("n") >= minLen)
       // unpartitioned window is intentional: post-aggregation table of
       // one row per key (≤ #tickers) — SURVEY A14's own shape
       .withColumn("cum", sum("n").over(Window.orderBy("key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("cum") - col("n") < maxTotalPoints)
-      .select("key")
+    // ≤ one row per admitted key — sizes the frame AND the E-step
+    // partitioning before assembly
+    val adm = admitted0.select(col("key"), col("n").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(adm.nonEmpty, "no sequences of length >= minLen to fit")
+    val nObs = adm.map(_._2).sum
+    // partition the assembled frame by DATA SIZE, not the shuffle
+    // default: each EM round is a full task wave over it, so near-empty
+    // partitions make task-launch overhead the dominant cost (measured
+    // 6.5 s/sweep at 32 partitions for a 20k-point capped input), while
+    // a points-budget share per partition (~50k) keeps a production-
+    // sized sweep genuinely parallel
+    val nPart = math.max(1, math.min(
+      df.sparkSession.sparkContext.defaultParallelism,
+      math.ceil(nObs / 50000.0).toInt))
     val seqs = assembleSequences(
-      capped.join(broadcast(admitted), Seq("key")), minLen).cache()
+      capped.join(broadcast(admitted0.select("key")), Seq("key")), minLen)
+      .coalesce(nPart).rdd.cache()
     try {
-      seqs.count() // materialize once so the concurrent fits share it
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec = graft.ops.Pools.jobs
-      Await.result(
-        Future.traverse(ks.toList) { k =>
-          Future(k -> fitOnAssembled(seqs, k, nIter, tol,
-            maxInitPoints = maxTotalPoints))
-        }, Duration.Inf)
+      // init pool: whole capped admission (the sweep budget already
+      // bounds it), sorted-key deterministic like fitResultDistributed
+      val initPool = seqs.collect().sortBy(_._1).map(_._2).toSeq
+      // JOINT EM: every still-active component count accumulates its
+      // E-step statistics in the SAME task wave (one mapPartitions +
+      // reduce per round for the whole sweep, each task folding every
+      // active model over its partition's sequences) — identical
+      // statistics to k independent fits, at 1/|ks| the job-launch
+      // overhead, which dominates when the capped input is small.
+      // Each k still converges on its own schedule (it drops out of
+      // the active set; its iteration count and tolerance check are
+      // exactly the independent fit's).
+      // the EM loop iterates on the cached RDD, not the Dataset: each
+      // of the (up to nIter) rounds is one action, and Dataset actions
+      // re-plan through Catalyst per call — pure overhead for an
+      // unchanging cached frame (measured ~100 ms/round of the sweep's
+      // cost at the fixture scale)
+      case class St(var m: Model, var prevLl: Double,
+        var ll: Double, var it: Int, var done: Boolean)
+      val st = scala.collection.mutable.LinkedHashMap(ks.map(k =>
+        k -> St(init(k, initPool), Double.NegativeInfinity,
+          Double.NegativeInfinity, 0, false)): _*)
+      val spark2 = df.sparkSession
+      var active = ks.filter(k => !st(k).done && st(k).it < nIter)
+      while (active.nonEmpty) {
+        val bc = spark2.sparkContext.broadcast(
+          active.map(k => k -> st(k).m).toArray)
+        val accs = seqs.mapPartitions { seqIt =>
+          val arr = bc.value.map { case (k, m) =>
+            (k, new EAcc(m.k, m.d), m)
+          }
+          seqIt.foreach { case (_, s) =>
+            arr.foreach { case (_, a, m) => a.add(m, s) }
+          }
+          Iterator.single(arr.map { case (k, a, _) => (k, a) })
+        }.reduce { (x, y) =>
+          x.zip(y).map { case ((k, a), (_, b)) => (k, a.merge(b)) }
+        }
+        bc.destroy()
+        val byK = accs.toMap
+        for (k <- active; s = st(k)) {
+          val acc = byK(k)
+          s.ll = acc.ll
+          s.m = mStep(s.m, acc)
+          if (math.abs(s.ll - s.prevLl) < tol) s.done = true
+          s.prevLl = s.ll
+          s.it += 1
+        }
+        active = active.filter(k => !st(k).done && st(k).it < nIter)
+      }
+      ks.map { k =>
+        val s = st(k)
+        k -> FitResult(s.m, s.ll, s.it, s.done, nObs, adm.length)
+      }
     } finally seqs.unpersist()
   }
 

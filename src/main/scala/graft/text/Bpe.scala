@@ -83,7 +83,12 @@ object Bpe {
     * oracle has no early exit, so the engine must not silently
     * shorten the table either). */
   def learn(docs: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    // coalesce the vocabulary: every round runs 2 actions (winner +
+    // checkpoint) over it, and a distinct-word table is tiny next to
+    // the corpus — 8 partitions cut per-round task-launch overhead
+    // while keeping the rounds parallel
     var words = wordTable(docs)
+      .coalesce(8)
       .withColumn("syms", charSyms(col("word")))
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]

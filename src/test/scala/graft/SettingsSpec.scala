@@ -216,6 +216,23 @@ class SettingsSpec extends SparkSpec {
     withProp("graft.dedup.jaccard.max_freq", "7") {
       assert(SparkEntry.oracleSql("q_d_jaccard").contains("c <= 7"))
     }
+    // rerank_r < top_k must fail LOUDLY (the shared ADC short list
+    // serves top_k from its rnk <= rerank_r prefix) — a silent
+    // fewer-rows answer would desync engine and oracle
+    withProp("graft.ann.rerank_r", "3") {
+      intercept[IllegalArgumentException] {
+        SparkEntry.oracleSql("q_e_ann_rerank")
+      }
+    }
+    // the derived LSH layout re-bands BOTH sides on a threshold
+    // override: 0.5 -> (4, 2) two-row band keys in the oracle text
+    withProp("graft.dedup.jaccard.min_jaccard", "0.5") {
+      val sql = SparkEntry.oracleSql("q_d_minhash")
+      assert(sql.contains("m0 || '_' || m1 AS b0"),
+        "threshold override did not re-derive the banding")
+      assert(SparkEntry.oracleSql("q_d_lsh_tune")
+        .contains("2 AS rows_per_band"))
+    }
     withProp("graft.dedup.simhash.hamming_radius", "2") {
       assert(SparkEntry.oracleSql("q_d_simhash")
         .contains("hamming <= 2"))
