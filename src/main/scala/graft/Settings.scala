@@ -334,6 +334,20 @@ object Settings {
     def ivfCoarseIters: Int = int("ann.ivfpq.coarse_iters", 4)
     def rerankR: Int = int("ann.rerank_r", 48)
     def lshTargetBucket: Int = int("ann.lsh.target_bucket", 64)
+    /** (nProbe, rerankR) rungs of the q_e_ann_frontier sweep, as
+      * `np:r` pairs — the table the serving defaults are promoted
+      * from. Rungs are validated against n_cells and top_k at plan
+      * build. */
+    def frontierRungs: Seq[(Int, Int)] =
+      strs("ann.frontier.rungs",
+        Seq("1:16", "2:16", "2:32", "4:16", "4:32", "4:48", "8:48"))
+        .map { s =>
+          val Array(np, r) = s.split(":").map(_.trim.toInt)
+          require(np >= 1 && np <= ivfNCells,
+            s"frontier rung nProbe $np outside 1..$ivfNCells")
+          require(r >= topK, s"frontier rung R $r < ann.top_k $topK")
+          (np, r)
+        }
     /** Incremental-index split: vectors with `vec_id < incr_base` are
       * the snapshot the coarse cells + residual codebooks were fit on;
       * later ids are append-encoded against those FROZEN artifacts

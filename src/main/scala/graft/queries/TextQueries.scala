@@ -68,13 +68,42 @@ object TextQueries extends QueryModule {
   private[queries] def bpeVocab(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "bpe_vocab") { bpeLearned(s, dir)._2 }
 
+  /** INCREMENTAL tokenizer state: merges learned only on the standing
+    * index corpus (doc_id % 5 ≠ 0 — the family's batch convention), the
+    * frozen artifact new deliveries are encoded against. */
+  private val bpeIncrMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[graft.text.Bpe.Merge], DataFrame)]
+  private[queries] def bpeIncrLearned(s: SparkSession, dir: String)
+      : (Seq[graft.text.Bpe.Merge], DataFrame) =
+    bpeIncrMemo.getOrElseUpdate(dir,
+      graft.text.Bpe.learn(
+        t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+        BpeMerges))
+  private[queries] def bpeIncrVocab(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "bpe_incr_vocab") { bpeIncrLearned(s, dir)._2 }
+
+  /** The batch corpus's word → pieces table under the FROZEN
+    * index-learned merges (the apply loop is iterative — stage it so
+    * the per-rank checkpoints run once per session). */
+  private[queries] def batchAppliedVocab(s: SparkSession, dir: String,
+      merges: Seq[graft.text.Bpe.Merge]): DataFrame =
+    Stage.cached(s, dir, "bpe_batch_applied") {
+      graft.text.Bpe.applyMerges(
+        graft.text.Bpe.wordTable(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0)),
+        merges)
+    }
+
   /** (nProbe, rerank R) rungs of the ANN recall-vs-cost frontier
-    * (q_e_ann_frontier). Spans the serving envelope at the fixture's
-    * nCells = 8: 1/8 of the corpus scanned up to all of it, R from the
-    * r9 default 16 to 48. The promoted serving defaults
-    * (ann.ivfpq.n_probe / ann.rerank_r) are chosen off this table. */
+    * (q_e_ann_frontier), from the live `ann.frontier.rungs` setting —
+    * default spans the serving envelope at the fixture's nCells = 8:
+    * 1/8 of the corpus scanned up to all of it, R from the r9 default
+    * 16 to 48. The promoted serving defaults (ann.ivfpq.n_probe /
+    * ann.rerank_r) are chosen off this table; both the engine rungs
+    * and the per-rung oracle probe tails re-interpolate an override. */
   private[queries] def FrontierRungs: Seq[(Int, Int)] =
-    Seq((1, 16), (2, 16), (2, 32), (4, 16), (4, 32), (4, 48), (8, 48))
+    graft.Settings.ann.frontierRungs
 
   /** Shared per-doc MinHash signature stage (word-n-gram shingles, 8
     * components) — the stored artifact every dedup pass starts from:
@@ -998,6 +1027,58 @@ object TextQueries extends QueryModule {
       tok.join(vocab, Seq("word"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_bpe_tokens"),
+          round(sum("np").cast("double") / count(lit(1)), 9)
+            .as("pieces_per_word"))
+        .orderBy("doc_id")
+    },
+
+    // INCREMENTAL BPE encode — the tokenizer analogue of the
+    // add-without-train index lifecycle: merges learned ONLY on the
+    // standing index corpus (doc_id % 5 <> 0) are the frozen artifact;
+    // the new batch is encoded by APPLYING them in rank order
+    // (Bpe.applyMerges fold chain — what a real tokenizer runs on
+    // vocabulary cache misses), with per-doc OOV-word counts against
+    // the index vocabulary. The oracle re-learns on the index slice
+    // and runs the SAME island-parity apply rounds over the batch
+    // vocabulary — fold and SQL formulations of one rule, both
+    // hash-checked.
+    Q("q_t_bpe_encode_incr", Some(s"""
+      WITH ${graft.text.Bpe.oracleCtes(BpeMerges,
+        docFilter = "doc_id % 5 <> 0")},
+      ${graft.text.Bpe.vocabCte("ab_0",
+        docFilter = "doc_id % 5 = 0").trim},
+      ${graft.text.Bpe.oracleApplyCtes(BpeMerges, "ab").trim},
+      btk AS (
+        SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
+        FROM documents WHERE doc_id % 5 = 0),
+      enc AS (
+        SELECT t.doc_id, len(w.s) AS np,
+               (iv.word IS NULL) AS oov
+        FROM btk t JOIN ab_$BpeMerges w ON t.word = w.word
+             LEFT JOIN (SELECT word FROM bw_0) iv ON t.word = iv.word)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov_words,
+             CAST(sum(np) AS BIGINT) AS n_bpe_tokens,
+             round(CAST(sum(np) AS DOUBLE) / count(*), 9)
+               AS pieces_per_word
+      FROM enc GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val (merges, _) = bpeIncrLearned(s, dir)
+      val batch = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+      val applied = batchAppliedVocab(s, dir, merges)
+        .select(col("word"), size(col("syms")).as("np"))
+      val tok = batch.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      tok.join(applied, Seq("word"))
+        .join(bpeIncrVocab(s, dir)
+          .select(col("word"), lit(true).as("seen")), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L))
+            .as("n_oov_words"),
           sum("np").cast("long").as("n_bpe_tokens"),
           round(sum("np").cast("double") / count(lit(1)), 9)
             .as("pieces_per_word"))
@@ -3101,8 +3182,12 @@ object TextQueries extends QueryModule {
         sum("kept").cast("long").as("t3"))
       val a4 = s4.agg(count(lit(1)).as("d4"),
         sum("kept").cast("long").as("t4"))
+      // ONE row after the crossJoins — checkpoint it so the four stage
+      // rows below don't re-run the whole five-aggregate chain each
+      // (union branches share no exchange)
       val all = a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
         .crossJoin(broadcast(a3)).crossJoin(broadcast(a4))
+        .localCheckpoint()
       def row(stage: String, din: String, dout: String, tok: String) =
         all.select(lit(stage).as("stage"), col(din).as("docs_in"),
           (col(din) - col(dout)).as("docs_removed"),

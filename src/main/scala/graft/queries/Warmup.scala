@@ -93,6 +93,9 @@ object Warmup {
       // vocabulary) — a tokenizer-training artifact, built once here
       // so its round chain overlaps the other roots
       "bpeVocab" -> (() => TextQueries.bpeVocab(spark, dir).count()),
+      // the frozen incremental-tokenizer state (index-only learn)
+      "bpeIncrVocab" ->
+        (() => TextQueries.bpeIncrVocab(spark, dir).count()),
       // trade-graph edges (the stored PageRank input)
       "tradeEdges" -> (() => Relational.tradeEdges(spark, dir).count())))
 
@@ -119,6 +122,11 @@ object Warmup {
             (() => TextQueries.docComponents(spark, dir).count()),
           // semantic component map (reads the phase-1 annPairs stage)
           "semComps" -> (() => TextQueries.semComps(spark, dir).count()),
+          // batch words under the frozen index merges (iterative
+          // apply loop — reads the phase-1 incremental learn)
+          "bpeBatchApplied" -> (() => TextQueries.batchAppliedVocab(
+            spark, dir, TextQueries.bpeIncrLearned(spark, dir)._1)
+            .count()),
           "idxStarEdges" ->
             (() => TextQueries.idxStarEdges(spark, dir).count()),
           "kmTop5" -> (() => TextQueries.kmTop5(spark, dir).count()),

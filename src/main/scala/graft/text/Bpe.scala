@@ -59,8 +59,29 @@ object Bpe {
   /** Character symbols of a word (one split pass; Java split("")
     * yields no empties for non-empty input, but guard anyway — the
     * known trailing-"" trap). */
-  private def charSyms(word: Column): Column =
+  def charSyms(word: Column): Column =
     filter(split(word, ""), s => s =!= "")
+
+  /** Apply a FROZEN merge table, in rank order, to a `word` column's
+    * distinct-word frame — the encode path for text the tokenizer has
+    * never seen (real tokenizers run exactly this on vocabulary cache
+    * misses). One map-only [[applyMerge]] fold per rank, with a
+    * localCheckpoint between ranks: chaining the folds into ONE
+    * expression is a trap — each level references the previous
+    * symbols column ~3×, so the expression DAG grows 3^V and Catalyst
+    * analysis goes exponential (measured: a 12-merge chain hung the
+    * planner). Per-rank checkpoints keep every plan O(1), exactly the
+    * [[learn]] loop's lineage discipline. For words present in the
+    * training corpus the result is identical to the learned
+    * vocabulary's symbols (BpeSpec locks this). Returns
+    * (word, syms). */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.sortBy(_.rank).foldLeft(
+      words.select(col("word"), charSyms(col("word")).as("syms"))
+        .localCheckpoint()) { (df, m) =>
+      df.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
+        .localCheckpoint()
+    }
 
   /** Left-to-right NON-OVERLAPPING apply of one merge (a, b) → a||b to
     * a symbol array — the standard BPE apply rule ("aaa" under (a,a)
@@ -134,12 +155,48 @@ object Bpe {
     * is consumed. Ends with `bmerges` (the merge table) and
     * `bw_$nMerges` (the final word → symbols encoding). All windows
     * partition per WORD — bounded by word length, never vocab size. */
-  def oracleCtes(nMerges: Int): String = {
-    val init = s"""
-      bw_0 AS MATERIALIZED (
+  /** One left-to-right non-overlapping APPLY block: merge `mergeCte`'s
+    * (a, b) into `prev`'s symbol arrays, emitting `out`. Shared by the
+    * learn rounds and the frozen-merge apply chain so the two can
+    * never drift. CTE working names are suffixed `$tag`. */
+  private def applyBlock(prev: String, out: String, mergeCte: String,
+      tag: String): String = s"""
+      bx$tag AS (
+        SELECT e.word, e.freq, e.j, e.s[e.j + 1] AS sym, m.a, m.b,
+               (e.j < len(e.s) - 1 AND e.s[e.j + 1] = m.a
+                 AND e.s[e.j + 2] = m.b) AS mt
+        FROM (SELECT word, freq, s, unnest(range(len(s))) AS j
+              FROM $prev) e, $mergeCte m),
+      bi$tag AS (
+        SELECT *, j - row_number() OVER (PARTITION BY word, mt
+          ORDER BY j) AS grp
+        FROM bx$tag),
+      bs$tag AS (
+        SELECT *, mt AND ((j - min(j) OVER (PARTITION BY word, mt, grp))
+          % 2 = 0) AS is_start
+        FROM bi$tag),
+      $out AS MATERIALIZED (
+        SELECT word, any_value(freq) AS freq,
+               list(CASE WHEN is_start THEN a || b ELSE sym END
+                 ORDER BY j) AS s
+        FROM (SELECT *, coalesce(lag(is_start) OVER (
+                PARTITION BY word ORDER BY j), false) AS consumed
+              FROM bs$tag)
+        WHERE NOT consumed GROUP BY word)"""
+
+  /** Character-split vocabulary CTE over (optionally filtered)
+    * documents. */
+  def vocabCte(name: String, docFilter: String = ""): String = {
+    val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
+    s"""
+      $name AS MATERIALIZED (
         SELECT word, count(*) AS freq, string_split(word, '') AS s
-        FROM (SELECT unnest($ToksSql) AS word FROM documents)
+        FROM (SELECT unnest($ToksSql) AS word FROM documents$where)
         WHERE word <> '' GROUP BY word)"""
+  }
+
+  def oracleCtes(nMerges: Int, docFilter: String = ""): String = {
+    val init = vocabCte("bw_0", docFilter)
     val rounds = (1 to nMerges).map { r =>
       val prev = s"bw_${r - 1}"
       s"""
@@ -150,29 +207,8 @@ object Bpe {
         GROUP BY 1, 2),
       bm$r AS MATERIALIZED (
         SELECT $r AS merge_rank, a, b, cnt FROM bp$r
-        ORDER BY cnt DESC, a, b LIMIT 1),
-      bx$r AS (
-        SELECT e.word, e.freq, e.j, e.s[e.j + 1] AS sym, m.a, m.b,
-               (e.j < len(e.s) - 1 AND e.s[e.j + 1] = m.a
-                 AND e.s[e.j + 2] = m.b) AS mt
-        FROM (SELECT word, freq, s, unnest(range(len(s))) AS j
-              FROM $prev) e, bm$r m),
-      bi$r AS (
-        SELECT *, j - row_number() OVER (PARTITION BY word, mt
-          ORDER BY j) AS grp
-        FROM bx$r),
-      bs$r AS (
-        SELECT *, mt AND ((j - min(j) OVER (PARTITION BY word, mt, grp))
-          % 2 = 0) AS is_start
-        FROM bi$r),
-      bw_$r AS MATERIALIZED (
-        SELECT word, any_value(freq) AS freq,
-               list(CASE WHEN is_start THEN a || b ELSE sym END
-                 ORDER BY j) AS s
-        FROM (SELECT *, coalesce(lag(is_start) OVER (
-                PARTITION BY word ORDER BY j), false) AS consumed
-              FROM bs$r)
-        WHERE NOT consumed GROUP BY word)"""
+        ORDER BY cnt DESC, a, b LIMIT 1),""" +
+      applyBlock(prev, s"bw_$r", s"bm$r", r.toString)
     }.mkString(",")
     val union = (1 to nMerges)
       .map(r => s"SELECT merge_rank, a, b, cnt FROM bm$r")
@@ -181,4 +217,15 @@ object Bpe {
       bmerges AS (
         $union)"""
   }
+
+  /** Frozen-merge APPLY chain: run the already-learned bm1..bmN (from
+    * an [[oracleCtes]] emitted earlier in the same WITH) over a
+    * separate vocabulary `${prefix}_0` — the oracle twin of
+    * [[applyMerges]] for encode-of-unseen-text. Ends at
+    * `${prefix}_$nMerges`. */
+  def oracleApplyCtes(nMerges: Int, prefix: String): String =
+    (1 to nMerges).map { r =>
+      applyBlock(s"${prefix}_${r - 1}", s"${prefix}_$r", s"bm$r",
+        s"_$prefix$r")
+    }.mkString(",")
 }

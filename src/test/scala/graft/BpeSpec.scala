@@ -64,6 +64,30 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bpe.learn(d, 1) }
   }
 
+  test("applyMerges on the training words reproduces the learned " +
+      "vocabulary exactly; unseen words encode with the same rule") {
+    val d = docs(1L -> "abab abab low lower lowest aaaa")
+    val (merges, vocab) = Bpe.learn(d, 4)
+    val applied = Bpe.applyMerges(
+      vocab.select("word"), merges)
+    val a = applied.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val v = vocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a == v, "frozen-merge apply must equal the learn output " +
+      "on training words")
+    // an UNSEEN word built from seen pairs encodes by the same rule
+    import spark.implicits._
+    val oov = Bpe.applyMerges(
+        Seq("ababab", "zq").toDF("word"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // (a,b) merges everywhere; whether 'abab' forms depends on the
+    // learned table — at minimum no single chars of a/b remain split
+    assert(oov("ababab").forall(s => s != "a" && s != "b"))
+    assert(oov("zq") == Seq("z", "q"),
+      "chars never seen adjacent stay unmerged")
+  }
+
   test("wordTable splits on whitespace runs and drops boundary empties") {
     val d = docs(1L -> " ab\t\tab\ncd ")
     val wt = Bpe.wordTable(d).orderBy("word").collect()
