@@ -361,6 +361,11 @@ object Settings {
     def jaccardNgramN: Int = int("dedup.jaccard.ngram_n", 3)
     def jaccardMaxFreq: Int = int("dedup.jaccard.max_freq", 10)
     def jaccardMinSim: Double = dbl("dedup.jaccard.min_jaccard", 0.04)
+    /** Semantic-dedup (SemDeDup) cosine threshold over the candidate
+      * ANN pairs — scaled to the synthetic random embeddings (max
+      * observed cosine ≈ 0.49); production embedding spaces override
+      * to ≈ 0.95. */
+    def semanticMinCos: Double = dbl("dedup.semantic.min_cos", 0.35)
     /** Estimated-similarity bar a banded CANDIDATE pair must pass to
       * become a duplicate-component EDGE (the candidate→verify split:
       * banding is tuned for recall, so its raw pairs are not edges —

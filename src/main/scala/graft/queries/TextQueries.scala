@@ -305,14 +305,18 @@ object TextQueries extends QueryModule {
         maxBucket = 256, simFloor = -1.0, bits = 8, nBands = 2)
     }
 
-  /** Shared semantic-dedup component map (ANN pairs ≥ τ = 0.35 →
+  /** Semantic-dedup cosine threshold (live `dedup.semantic.min_cos`,
+    * interpolated into both engine plans and oracle `sem` CTEs). */
+  private[queries] def SemMinCos = graft.Settings.dedup.semanticMinCos
+
+  /** Shared semantic-dedup component map (ANN pairs ≥ the live τ →
     * min-label connected components over the embedding space) — read
     * by q_e_semantic_dedup and the end-to-end dedup pipeline so the
     * iterative CC runs once. */
   private[queries] def semComps(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "semantic_components") {
       val emb = t(s, dir, "embeddings")
-      val pairs = annPairs(s, dir).filter(col("cos_sim") >= 0.35)
+      val pairs = annPairs(s, dir).filter(col("cos_sim") >= SemMinCos)
         .select(col("id_a").as("d1"), col("id_b").as("d2"))
       Dedup.connectedComponents(
           emb.select(col("vec_id").as("doc_id")), pairs)
@@ -3038,16 +3042,16 @@ object TextQueries extends QueryModule {
     // threshold → connected components → one canonical keeper per
     // embedding cluster. Same banded bucket equi-join as q_e_ann_pairs
     // (nothing all-pairs) + the same min-label/pointer-jump components
-    // as q_d_components — composition, not new machinery. τ = 0.35 is
-    // scaled to the synthetic random embeddings (max observed cosine
-    // ≈ 0.49); production embedding spaces use τ ≈ 0.95.
+    // as q_d_components — composition, not new machinery. τ resolves
+    // through `dedup.semantic.min_cos` (0.35 — scaled to the synthetic
+    // random embeddings; production spaces override to ≈ 0.95).
     Q("q_e_semantic_dedup", Some(s"""
       WITH RECURSIVE $annPairCtes,
       sem AS (
         SELECT id_a AS d1, id_b AS d2
         FROM dots JOIN norms na ON id_a = na.vec_id
                   JOIN norms nb ON id_b = nb.vec_id
-        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35),
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= $SemMinCos),
       edges AS (
         SELECT d1 AS a, d2 AS b FROM sem UNION SELECT d2, d1 FROM sem),
       reach (a, b) AS (
@@ -3088,7 +3092,7 @@ object TextQueries extends QueryModule {
         SELECT id_a AS d1, id_b AS d2
         FROM dots JOIN norms na ON id_a = na.vec_id
                   JOIN norms nb ON id_b = nb.vec_id
-        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35),
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= $SemMinCos),
       edges2 AS (
         SELECT d1 AS a, d2 AS b FROM sem UNION SELECT d2, d1 FROM sem),
       reach2 (a, b) AS (
