@@ -307,6 +307,45 @@ class StreamingSpec extends SparkSpec {
       (2L, 20.0, Some("silver"))))
   }
 
+  test("streaming BPE encode: arriving docs tokenize against the " +
+      "standing vocabulary exactly like batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // learn on a tiny standing corpus; the word -> n_pieces table is
+    // the static side of a stream-static join (the tokenizer-serving
+    // shape: the vocab is megabytes, the doc stream never shuffles)
+    val corpus = Seq((1L, "abab abab low lower"), (2L, "abab low"))
+      .toDF("doc_id", "text")
+    val (_, vocab) = graft.text.Bpe.learn(corpus, 2)
+    val pieces = vocab.select(col("word"),
+      size(col("syms")).as("np"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String)],
+        spark.sqlContext)
+    def encode(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(pieces, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_bpe"))
+    val streamed = encode(mem.toDF.toDF("doc_id", "text"))
+    val q = streamed.writeStream.outputMode("complete").format("memory")
+      .queryName("bpe_stream_test").start()
+    mem.addData((10L, "abab low"), (11L, "lower abab abab"))
+    q.processAllAvailable()
+    mem.addData((12L, "low low abab"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bpe_stream_test")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = encode(Seq((10L, "abab low"), (11L, "lower abab abab"),
+        (12L, "low low abab")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "streamed BPE token accounting must equal batch")
+  }
+
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
     // batch-read the schema, convert ts (encoding-adaptive) to a typed
