@@ -406,13 +406,17 @@ object Hmm {
       val st = scala.collection.mutable.LinkedHashMap(ks.map(k =>
         k -> St(init(k, initPool), Double.NegativeInfinity,
           Double.NegativeInfinity, 0, false)): _*)
-      val spark2 = df.sparkSession
       var active = ks.filter(k => !st(k).done && st(k).it < nIter)
       while (active.nonEmpty) {
-        val bc = spark2.sparkContext.broadcast(
-          active.map(k => k -> st(k).m).toArray)
+        // the active models ride the task CLOSURE, not a broadcast: a
+        // diag-Gaussian model is k·d doubles, and a broadcast's
+        // create/destroy round-trip per EM round cost more than
+        // shipping it with every task (measured; fitResultDistributed
+        // keeps its broadcast — one model over arbitrarily many
+        // executors is the shape broadcasts are for)
+        val act = active.map(k => k -> st(k).m).toArray
         val accs = seqs.mapPartitions { seqIt =>
-          val arr = bc.value.map { case (k, m) =>
+          val arr = act.map { case (k, m) =>
             (k, new EAcc(m.k, m.d), m)
           }
           seqIt.foreach { case (_, s) =>
@@ -422,7 +426,6 @@ object Hmm {
         }.reduce { (x, y) =>
           x.zip(y).map { case ((k, a), (_, b)) => (k, a.merge(b)) }
         }
-        bc.destroy()
         val byK = accs.toMap
         for (k <- active; s = st(k)) {
           val acc = byK(k)
