@@ -375,6 +375,14 @@ object Settings {
     def componentMinEst: Double = dbl("dedup.minhash.component_min_est", 0.5)
     def simhashRadius: Int = int("dedup.simhash.hamming_radius", 3)
     def substrK: Int = int("dedup.substr.k", 5)
+    /** `dedup.winnow:` — MOSS winnowing fingerprints (Schleimer 2003):
+      * byte-gram width, selection window (guarantee: any verbatim
+      * match ≥ window + k − 1 bytes shares a fingerprint), the
+      * boilerplate-fingerprint prune, and the pair floor. */
+    def winnowK: Int = int("dedup.winnow.k", 16)
+    def winnowWindow: Int = int("dedup.winnow.window", 8)
+    def winnowMaxFreq: Int = int("dedup.winnow.max_freq", 10)
+    def winnowMinShared: Int = int("dedup.winnow.min_shared", 2)
   }
 
   /** `bpe:` block — subword-tokenizer knobs (engine extension; the

@@ -50,6 +50,68 @@ object TextQueries extends QueryModule {
     * recall/precision split: banding recalls, est_sim verifies). */
   private[queries] def CompMinEst = graft.Settings.dedup.componentMinEst
 
+  private[queries] def WinnowK = graft.Settings.dedup.winnowK
+  private[queries] def WinnowW = graft.Settings.dedup.winnowWindow
+  private[queries] def WinnowMaxFreq = graft.Settings.dedup.winnowMaxFreq
+  private[queries] def WinnowMinShared =
+    graft.Settings.dedup.winnowMinShared
+
+  /** Shared winnowed-fingerprint stage (Winnow.fingerprints at the
+    * live `dedup.winnow.*` knobs) — the stored per-doc artifact both
+    * the fingerprint report and the overlap pairs read. */
+  private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "winnow_fps") {
+      graft.text.Winnow.fingerprints(t(s, dir, "documents"),
+        k = WinnowK, w = WinnowW)
+    }
+
+  /** DuckDB CTE chain mirroring Winnow.fingerprints: per-char code
+    * points (byte ≡ code point on the ASCII fixture — the engine
+    * hashes UTF-8 bytes, the phash/simhash contract), per-position
+    * polynomial k-gram hashes via the same coefficient table the
+    * O(len) rolling engine expression uses (the oracle pays the
+    * O(len·k) direct form — fine at gate scale), robust-winnowing
+    * window minima (ties → rightmost), distinct selections. */
+  private def winnowCtes: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    // B^(k-1-j) mod P for j = 0..k-1 — the exact coefficients the
+    // rolling recurrence realizes
+    val coefs = {
+      val out = new Array[Long](k)
+      out(k - 1) = 1L
+      for (j <- k - 2 to 0 by -1)
+        out(j) = out(j + 1) * graft.functions.RollingHashes.Base %
+          graft.functions.RollingHashes.Prime
+      out.mkString(", ")
+    }
+    s"""
+      wch AS (
+        SELECT doc_id, len(text) AS n,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+               unicode(unnest(string_split(text, ''))) AS cv
+        FROM documents),
+      wrh AS (
+        SELECT a.doc_id, a.i AS pos,
+               CAST(sum(CAST(b.cv AS BIGINT)
+                   * ([$coefs])[b.i - a.i + 1])
+                 % 1000000007 AS BIGINT) AS h
+        FROM wch a JOIN wch b ON a.doc_id = b.doc_id
+          AND b.i BETWEEN a.i AND a.i + ${k - 1}
+        WHERE a.i <= a.n - $k
+        GROUP BY 1, 2),
+      wcand AS (
+        SELECT we.doc_id, we.e, r.h, r.pos
+        FROM (SELECT doc_id, pos AS e FROM wrh WHERE pos >= ${w - 1}) we
+        JOIN wrh r ON r.doc_id = we.doc_id
+          AND r.pos BETWEEN we.e - ${w - 1} AND we.e),
+      wfp AS (
+        SELECT DISTINCT doc_id, pos AS fp_pos, h FROM (
+          SELECT doc_id, e, h, pos,
+                 row_number() OVER (PARTITION BY doc_id, e
+                   ORDER BY h, pos DESC) AS rn
+          FROM wcand) WHERE rn = 1)"""
+  }
+
   private[queries] def BpeMerges = graft.Settings.bpe.nMerges
 
   /** Learned BPE artifacts (merge table + final word → symbols
@@ -1646,6 +1708,52 @@ object TextQueries extends QueryModule {
     }) { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"),
           maxHamming = SimhashRadius)
+        .orderBy("d1", "d2")
+    },
+
+    // Winnowing document fingerprints (Schleimer et al. 2003 — MOSS):
+    // polynomial rolling k-byte-gram hashes (ONE O(len) pass per doc
+    // via the codegen'd graft.functions.RollingHash — per-position
+    // direct hashing is the O(len·k) substr-trap shape), then each
+    // w-window selects its minimum hash (ties → rightmost, "robust
+    // winnowing"), distinct selections = the doc's fingerprints.
+    // Guarantee: any verbatim match ≥ w+k−1 bytes shares a
+    // fingerprint at ~2/(w+1) the density of the full gram set — the
+    // positional-match fingerprint family MinHash can't provide.
+    Q("q_t_winnow_fp", Some(s"""
+      WITH $winnowCtes
+      SELECT doc_id, fp_pos, h FROM wfp
+      ORDER BY doc_id, fp_pos""")) { (s, dir) =>
+      winnowFps(s, dir).orderBy("doc_id", "fp_pos")
+    },
+
+    // Fingerprint-overlap near-dup pairs: docs sharing >= min_shared
+    // winnowed fingerprints, boilerplate fingerprints pruned at
+    // max_freq holders, surviving holder lists expanded to pairs
+    // map-side (the jaccard no-self-join idiom). The containment
+    // column is the plagiarism-detector's score: shared fingerprints
+    // over the smaller doc's set.
+    Q("q_d_winnow_pairs", Some(s"""
+      WITH $winnowCtes,
+      wsets AS (SELECT DISTINCT doc_id, h FROM wfp),
+      wsizes AS (SELECT doc_id, count(*) AS n_fp FROM wsets GROUP BY 1),
+      wrare AS (SELECT h FROM (SELECT h, count(*) AS c FROM wsets
+                GROUP BY 1) WHERE c BETWEEN 2 AND $WinnowMaxFreq),
+      wpr AS (SELECT s.doc_id, s.h FROM wsets s JOIN wrare r
+              ON s.h = r.h),
+      wshared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        FROM wpr a JOIN wpr b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, n_shared, s1.n_fp AS n1, s2.n_fp AS n2,
+             round(CAST(n_shared AS DOUBLE)
+               / least(s1.n_fp, s2.n_fp), 9) AS containment
+      FROM wshared
+      JOIN wsizes s1 ON d1 = s1.doc_id JOIN wsizes s2 ON d2 = s2.doc_id
+      WHERE n_shared >= $WinnowMinShared
+      ORDER BY d1, d2""")) { (s, dir) =>
+      graft.text.Winnow.fingerprintPairsFrom(winnowFps(s, dir),
+          maxFreq = WinnowMaxFreq, minShared = WinnowMinShared)
         .orderBy("d1", "d2")
     },
 

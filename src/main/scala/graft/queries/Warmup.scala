@@ -96,6 +96,9 @@ object Warmup {
       // the frozen incremental-tokenizer state (index-only learn)
       "bpeIncrVocab" ->
         (() => TextQueries.bpeIncrVocab(spark, dir).count()),
+      // winnowed document fingerprints (one rolling-hash pass + a
+      // per-doc window — the stored MOSS artifact)
+      "winnowFps" -> (() => TextQueries.winnowFps(spark, dir).count()),
       // trade-graph edges (the stored PageRank input)
       "tradeEdges" -> (() => Relational.tradeEdges(spark, dir).count())))
 

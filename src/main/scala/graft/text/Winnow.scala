@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document fingerprinting by WINNOWING (Schleimer, Wilkerson & Aiken
+  * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+  * the MOSS algorithm): every k-byte-gram gets a polynomial rolling
+  * hash ([[graft.functions.RollingHash]], one O(len) pass per doc),
+  * then each sliding window of `w` consecutive gram hashes selects its
+  * MINIMUM (ties → RIGHTMOST position, the paper's "robust winnowing"
+  * rule), and the distinct selections are the document's fingerprints.
+  *
+  * The winnowing guarantee: any verbatim byte match of length
+  * ≥ w + k − 1 between two documents shares at least one fingerprint,
+  * while expected fingerprint density is only 2/(w+1) of positions —
+  * fingerprint sets are ~an order of magnitude smaller than gram sets,
+  * which is what the MinHash/Jaccard families cannot give you when you
+  * need POSITIONAL matches back (plagiarism spans, license-text
+  * detection, boilerplate localization).
+  *
+  * Scale shape: hashing is map-only; the window-min runs PER DOC
+  * (partition bounded by doc length); pair generation joins on the
+  * fingerprint value with the family's standard hot-key prune + ≤cap
+  * holder-list map-side expansion — never a self-join, never
+  * quadratic. */
+object Winnow {
+
+  /** Per-doc winnowed fingerprints: (doc_id, fp_pos, h) — the gram
+    * position whose hash each full window selected, distinct. Docs
+    * shorter than k + w − 1 bytes have no full window and contribute
+    * nothing (the guarantee needs a full window anyway). */
+  def fingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val hashes = docs.select(col("doc_id"),
+      posexplode(graft.functions.RollingHashOps
+        .rollingHash(col("text"), k)).as(Seq("pos", "h")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    // min(struct(h, -pos)) IS robust winnowing: lexicographic min takes
+    // the smallest hash, then the smallest -pos = the RIGHTMOST of the
+    // tied positions
+    hashes
+      .withColumn("sel",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), (-col("sel.np")).as("fp_pos"),
+        col("sel.h").as("h"))
+      .distinct()
+  }
+
+  /** Fingerprint-overlap candidate pairs: docs sharing ≥ `minShared`
+    * winnowed fingerprint VALUES, with set sizes and containment.
+    * Fingerprints held by more than `maxFreq` docs are boilerplate and
+    * are pruned (the jaccard maxFreq guard); surviving holder lists
+    * (≤ maxFreq) expand to pairs map-side — the same no-self-join
+    * shape as Dedup.jaccardPairs. */
+  def fingerprintPairs(docs: DataFrame, k: Int, w: Int, maxFreq: Int,
+      minShared: Int): DataFrame =
+    fingerprintPairsFrom(fingerprints(docs, k, w), maxFreq, minShared)
+
+  /** [[fingerprintPairs]] over a precomputed fingerprint frame (the
+    * stored per-doc artifact at corpus scale). */
+  def fingerprintPairsFrom(fps: DataFrame, maxFreq: Int,
+      minShared: Int): DataFrame = {
+    val sets = fps.select("doc_id", "h").distinct()
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val rare = sets.groupBy("h").agg(count(lit(1)).as("freq"))
+      .filter(col("freq").between(2, maxFreq))
+    val holders = sets.join(rare.select("h"), Seq("h"))
+      .groupBy("h").agg(collect_list(col("doc_id")).as("ds"))
+    val arr = sort_array(col("ds"))
+    val shared = holders
+      .select(explode(flatten(transform(arr, (a, i) =>
+        transform(slice(arr, i + lit(2), size(arr)), b =>
+          struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(sizes.select(col("doc_id").as("d1"), col("n_fp").as("n1")),
+        Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_fp").as("n2")),
+        Seq("d2"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double")
+          / least(col("n1"), col("n2")), 9))
+      .select("d1", "d2", "n_shared", "n1", "n2", "containment")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{RollingHashOps, RollingHashes}
+import graft.text.Winnow
+
+/** Winnowing fingerprint semantics: the O(len) rolling hash must equal
+  * the per-position Horner definition on arbitrary input, window
+  * selection must implement robust winnowing (min hash, rightmost
+  * tie), and the MOSS guarantee — any verbatim match ≥ w+k−1 bytes
+  * shares a fingerprint — must hold on planted overlaps. */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(sv: String, k: Int): Seq[Long] = {
+    val b = sv.getBytes("UTF-8").map(_ & 0xff)
+    if (b.length < k) Seq.empty
+    else (0 to b.length - k).map { i =>
+      var h = 0L
+      for (j <- 0 until k)
+        h = (h * RollingHashes.Base + b(i + j)) % RollingHashes.Prime
+      h
+    }
+  }
+
+  test("rolling hash == per-position Horner on deterministic " +
+      "pseudo-random strings, all window widths") {
+    def synth(seed: Long, n: Int): String = {
+      var h = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb.append((' ' + ((h >>> 33) % 90)).toChar) // printable ASCII
+      }
+      sb.toString
+    }
+    val rows = (1 to 20).map(i => (i.toLong, synth(i, 5 + i * 13)))
+    for (k <- Seq(1, 2, 16, 31)) {
+      val got = rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          RollingHashOps.rollingHash(col("text"), k).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      for ((id, s) <- rows)
+        assert(got(id) == naive(s, k),
+          s"rolling hash mismatch at k=$k doc=$id")
+    }
+  }
+
+  test("robust winnowing: all-equal hashes select the RIGHTMOST " +
+      "position of every window") {
+    // constant text => every k-gram hash identical => each window's
+    // tie-broken selection is its own end position
+    val n = 30; val k = 4; val w = 5
+    val d = Seq((1L, "a" * n)).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(d, k, w)
+      .select("fp_pos").as[Int].collect().sorted.toSeq
+    assert(got == (w - 1 to n - k).toSeq,
+      "every full window must select its rightmost (end) position")
+  }
+
+  test("the winnowing guarantee: a planted >= w+k-1 byte overlap " +
+      "always shares a fingerprint; short docs contribute nothing") {
+    def synth(seed: Long, n: Int): String = {
+      var h = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        h = h * 2862933555777941757L + 3037000493L
+        sb.append(('a' + ((h >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }
+    val k = 16; val w = 8
+    val common = synth(7L, k + w - 1) // exactly the guarantee length
+    val a = synth(1L, 120) + common + synth(2L, 120)
+    val b = synth(3L, 150) + common + synth(4L, 90)
+    val c = synth(5L, 300) // unrelated
+    val short = "tiny" // < k bytes: no grams at all
+    val fps = Winnow.fingerprints(
+      Seq((1L, a), (2L, b), (3L, c), (4L, short))
+        .toDF("doc_id", "text"), k, w)
+    val byDoc = fps.select("doc_id", "h").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "planted w+k-1 overlap must share a fingerprint")
+    assert(!byDoc.contains(4L), "sub-k docs have no fingerprints")
+    // pair generation surfaces the planted pair, not the unrelated doc
+    val pairs = Winnow.fingerprintPairsFrom(fps, maxFreq = 10,
+      minShared = 1).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+}
