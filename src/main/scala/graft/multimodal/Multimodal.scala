@@ -243,7 +243,14 @@ object Multimodal {
     * through DECIMAL(38,18) (order-free), and the threshold is a
     * strict `>` — all reproduced verbatim by the DuckDB oracle.
     * Returns (doc_id, b0, b1, b2, b3). */
-  def aHashBands(media: DataFrame): DataFrame = {
+  /** Fixed-grid RESIZE of the decoded intensity stream: block-mean
+    * downsample to `nCells` cells (cell = floor(i·nCells/len), value =
+    * exact integer sum / count — one IEEE division) — the media-resize
+    * kernel of the pipeline, consumed by the aHash (its "8×8 resize"
+    * step) and exposed as its own operator (q_m_resize_grid). One
+    * split pass per doc, grouped per (doc, cell): map-side combined,
+    * never a per-doc window. */
+  def resizeGrid(media: DataFrame, nCells: Int): DataFrame = {
     // ONE split pass per doc (then O(1) per element) — a per-position
     // substr() would re-scan the string per character (O(len²)/doc);
     // split can emit a trailing "" (limit -1), filtered to keep i at
@@ -253,12 +260,16 @@ object Multimodal {
         posexplode(split(col("text"), "")).as(Seq("i", "ch")))
       .filter(col("ch") =!= "")
       .select(col("doc_id"), col("n"), col("i"), ascii(col("ch")).as("cv"))
-    val cells = chars
+    chars
       .select(col("doc_id"),
-        floor(col("i").cast("double") * 64 / col("n")).cast("int")
+        floor(col("i").cast("double") * nCells / col("n")).cast("int")
           .as("cell"), col("cv"))
       .groupBy("doc_id", "cell")
       .agg((sum(col("cv")).cast("double") / count(lit(1))).as("gv"))
+  }
+
+  def aHashBands(media: DataFrame): DataFrame = {
+    val cells = resizeGrid(media, 64)
     val thr = cells.groupBy("doc_id")
       .agg((sum(col("gv").cast("decimal(38,18)")).cast("double")
         / count(lit(1))).as("thr"))

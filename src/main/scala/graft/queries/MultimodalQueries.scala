@@ -117,6 +117,28 @@ object MultimodalQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // Media RESIZE kernel (Multimodal.resizeGrid): block-mean
+    // downsample of the decoded intensity stream to a fixed 64-cell
+    // grid — the standalone form of the aHash's "8×8 resize" step
+    // (q_m_phash_dup consumes this exact frame) and the per-media
+    // feature-extraction shape a vision pipeline's preprocessing
+    // runs. Exact integer sums / one IEEE division per cell, so the
+    // grid values hash bit-for-bit.
+    Q("q_m_resize_grid", Some("""
+      WITH chars AS (
+        SELECT doc_id, len(text) AS n,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+               unicode(unnest(string_split(text, ''))) AS cv
+        FROM documents)
+      SELECT doc_id,
+             CAST(floor(CAST(i AS DOUBLE) * 64 / n) AS INT) AS cell,
+             round(CAST(sum(cv) AS DOUBLE) / count(*), 9) AS gv
+      FROM chars GROUP BY 1, 2 ORDER BY doc_id, cell""")) { (s, dir) =>
+      Multimodal.resizeGrid(t(s, dir, "documents"), nCells = 64)
+        .select(col("doc_id"), col("cell"), round(col("gv"), 9).as("gv"))
+        .orderBy("doc_id", "cell")
+    },
+
     // Batched partition-wise extraction (mapInPandas-shaped). The stub
     // checksum is a deterministic byte fold, so it oracles as a character
     // code-point fold (documents are ASCII → bytes ≡ code points).
