@@ -371,15 +371,18 @@ object Hmm {
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     require(adm.nonEmpty, "no sequences of length >= minLen to fit")
     val nObs = adm.map(_._2).sum
-    // partition the assembled frame by DATA SIZE, not the shuffle
+    // partition the assembled frame by E-STEP COST, not the shuffle
     // default: each EM round is a full task wave over it, so near-empty
-    // partitions make task-launch overhead the dominant cost (measured
-    // 6.5 s/sweep at 32 partitions for a 20k-point capped input), while
-    // a points-budget share per partition (~50k) keeps a production-
-    // sized sweep genuinely parallel
+    // partitions make task-launch overhead dominate (measured 6.5
+    // s/sweep at 32 partitions for a 20k-point capped input) — but
+    // forward-backward is exp/log-heavy (~100× a scan per point), so
+    // the per-partition budget is ~2.5k points (≈ tens of ms of
+    // compute, well above task-launch cost), which spreads even the
+    // capped fixture sweep over a few cores and a production sweep
+    // over the cluster
     val nPart = math.max(1, math.min(
       df.sparkSession.sparkContext.defaultParallelism,
-      math.ceil(nObs / 50000.0).toInt))
+      math.ceil(nObs / 2500.0).toInt))
     val seqs = assembleSequences(
       capped.join(broadcast(admitted0.select("key")), Seq("key")), minLen)
       .coalesce(nPart).rdd.cache()

@@ -1757,6 +1757,43 @@ object TextQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // Winnowing ALIGNMENT report: every shared fingerprint of a
+    // candidate pair, grouped by alignment offset (pos1 − pos2) —
+    // matches from one contiguous verbatim span share an offset, so
+    // the per-offset counts with their pos1 extent are the span
+    // evidence (MOSS's match localization). Candidate-bounded: only
+    // pairs the overlap stage already surfaced join their positions.
+    Q("q_d_winnow_align", Some(s"""
+      WITH $winnowCtes,
+      wsets AS (SELECT DISTINCT doc_id, h FROM wfp),
+      wrare AS (SELECT h FROM (SELECT h, count(*) AS c FROM wsets
+                GROUP BY 1) WHERE c BETWEEN 2 AND $WinnowMaxFreq),
+      wpr AS (SELECT s.doc_id, s.h FROM wsets s JOIN wrare r
+              ON s.h = r.h),
+      wpairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM wpr a JOIN wpr b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+      SELECT p.d1, p.d2, fa.fp_pos - fb.fp_pos AS align_offset,
+             CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(min(fa.fp_pos) AS BIGINT) AS min_pos1,
+             CAST(max(fa.fp_pos) AS BIGINT) AS max_pos1
+      FROM wpairs p
+      JOIN wfp fa ON fa.doc_id = p.d1
+      JOIN wfp fb ON fb.doc_id = p.d2 AND fb.h = fa.h
+      GROUP BY 1, 2, 3
+      ORDER BY d1, d2, align_offset""")) { (s, dir) =>
+      val pairs = graft.text.Winnow.fingerprintPairsFrom(
+        winnowFps(s, dir), maxFreq = WinnowMaxFreq,
+        minShared = WinnowMinShared)
+      graft.text.Winnow.alignments(pairs, winnowFps(s, dir))
+        .select(col("d1"), col("d2"),
+          col("align_offset"), col("n_matches"),
+          col("min_pos1").cast("long").as("min_pos1"),
+          col("max_pos1").cast("long").as("max_pos1"))
+        .orderBy("d1", "d2", "align_offset")
+    },
+
     // Exact-substring dedup, span report (the ExactSubstr method of
     // Lee et al. 2022): maximal runs of token positions covered by a
     // k-gram that already occurred earlier in (doc_id, pos) corpus

@@ -59,6 +59,30 @@ object Winnow {
       minShared: Int): DataFrame =
     fingerprintPairsFrom(fingerprints(docs, k, w), maxFreq, minShared)
 
+  /** Positional ALIGNMENT of a candidate pair set — the payoff
+    * fingerprints-with-positions buy over set-semantics dedup: every
+    * shared fingerprint VALUE joins back both docs' positions, and
+    * the alignment OFFSET (pos1 − pos2) groups them — matches from
+    * one contiguous verbatim span share an offset (both sides' gram
+    * positions advance together), so the per-(pair, offset) match
+    * count is the span evidence a plagiarism/license reviewer reads.
+    * Cost: the fingerprint frames join on h only for docs already in
+    * `pairs` (candidate-bounded, like every verify stage in the
+    * family). Returns (d1, d2, align_offset, n_matches,
+    * min_pos1, max_pos1). */
+  def alignments(pairs: DataFrame, fps: DataFrame): DataFrame = {
+    val a = fps.select(col("doc_id").as("d1"),
+      col("fp_pos").as("pos1"), col("h"))
+    val b = fps.select(col("doc_id").as("d2"),
+      col("fp_pos").as("pos2"), col("h"))
+    pairs.select("d1", "d2")
+      .join(a, Seq("d1")).join(b, Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"),
+        (col("pos1") - col("pos2")).as("align_offset"))
+      .agg(count(lit(1)).as("n_matches"),
+        min("pos1").as("min_pos1"), max("pos1").as("max_pos1"))
+  }
+
   /** [[fingerprintPairs]] over a precomputed fingerprint frame (the
     * stored per-doc artifact at corpus scale). */
   def fingerprintPairsFrom(fps: DataFrame, maxFreq: Int,

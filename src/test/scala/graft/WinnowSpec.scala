@@ -84,9 +84,23 @@ class WinnowSpec extends SparkSpec {
       "planted w+k-1 overlap must share a fingerprint")
     assert(!byDoc.contains(4L), "sub-k docs have no fingerprints")
     // pair generation surfaces the planted pair, not the unrelated doc
-    val pairs = Winnow.fingerprintPairsFrom(fps, maxFreq = 10,
-      minShared = 1).collect()
+    val pairsDf = Winnow.fingerprintPairsFrom(fps, maxFreq = 10,
+      minShared = 1)
+    val pairs = pairsDf.collect()
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+    // the ALIGNMENT localizes the planted span: the common substring
+    // starts at byte 120 in doc 1 and byte 150 in doc 2, so its
+    // matches share offset 120 − 150 = −30, with pos1 extent inside
+    // the planted region
+    val align = Winnow.alignments(pairsDf, fps)
+      .filter(col("d1") === 1L && col("d2") === 2L)
+      .collect()
+    val planted = align.filter(_.getAs[Int]("align_offset") == -30)
+    assert(planted.nonEmpty, "planted span's offset not aligned")
+    assert(planted.forall { r =>
+      val lo = r.getAs[Int]("min_pos1"); val hi = r.getAs[Int]("max_pos1")
+      lo >= 120 - (w - 1) && hi <= 120 + common.length
+    }, "aligned extent must sit in the planted region")
   }
 }
