@@ -65,6 +65,16 @@ object TextQueries extends QueryModule {
         k = WinnowK, w = WinnowW)
     }
 
+  /** Shared fingerprint-overlap pair stage (prune + holder expansion
+    * at the live winnow knobs) — read by the pair report and the
+    * alignment report so the expansion runs once. */
+  private[queries] def winnowPairs(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "winnow_pairs") {
+      graft.text.Winnow.fingerprintPairsFrom(winnowFps(s, dir),
+        maxFreq = WinnowMaxFreq, minShared = WinnowMinShared)
+    }
+
   /** DuckDB CTE chain mirroring Winnow.fingerprints: per-char code
     * points (byte ≡ code point on the ASCII fixture — the engine
     * hashes UTF-8 bytes, the phash/simhash contract), per-position
@@ -1752,9 +1762,7 @@ object TextQueries extends QueryModule {
       JOIN wsizes s1 ON d1 = s1.doc_id JOIN wsizes s2 ON d2 = s2.doc_id
       WHERE n_shared >= $WinnowMinShared
       ORDER BY d1, d2""")) { (s, dir) =>
-      graft.text.Winnow.fingerprintPairsFrom(winnowFps(s, dir),
-          maxFreq = WinnowMaxFreq, minShared = WinnowMinShared)
-        .orderBy("d1", "d2")
+      winnowPairs(s, dir).orderBy("d1", "d2")
     },
 
     // Winnowing ALIGNMENT report: every shared fingerprint of a
@@ -1783,10 +1791,8 @@ object TextQueries extends QueryModule {
       JOIN wfp fb ON fb.doc_id = p.d2 AND fb.h = fa.h
       GROUP BY 1, 2, 3
       ORDER BY d1, d2, align_offset""")) { (s, dir) =>
-      val pairs = graft.text.Winnow.fingerprintPairsFrom(
-        winnowFps(s, dir), maxFreq = WinnowMaxFreq,
-        minShared = WinnowMinShared)
-      graft.text.Winnow.alignments(pairs, winnowFps(s, dir))
+      graft.text.Winnow.alignments(winnowPairs(s, dir),
+          winnowFps(s, dir))
         .select(col("d1"), col("d2"),
           col("align_offset"), col("n_matches"),
           col("min_pos1").cast("long").as("min_pos1"),
