@@ -395,6 +395,27 @@ object Settings {
     def nMerges: Int = int("bpe.n_merges", 12)
   }
 
+  /** `dsir:` block — Data Selection via Importance Resampling (Xie et
+    * al., NeurIPS 2023) knobs (engine extension). `n_buckets` is the
+    * hashed-n-gram feature width (the paper uses 10k; the fixture
+    * default keeps the bucket tables human-auditable — the model is
+    * O(n_buckets) broadcast state either way). `target_lang` defines
+    * the target distribution as a corpus slice; `sample_k` is the
+    * Gumbel-top-k resample size. */
+  object dsir {
+    def nBuckets: Int = int("dsir.n_buckets", 64)
+    def targetLang: String = str("dsir.target_lang", "en")
+    def sampleK: Int = int("dsir.sample_k", 100)
+  }
+
+  /** `curation:` block — data-pruning knobs beyond the dedup families.
+    * `proto_prune_frac` is the per-cluster share of most-prototypical
+    * (centroid-nearest) points dropped by the Sorscher-style pruning
+    * query. */
+  object curation {
+    def protoPruneFrac: Double = dbl("curation.proto_prune_frac", 0.25)
+  }
+
   /** `export:` block — training-data shard-export knobs (engine
     * extension of the reference's single-file export,
     * gold/export.py:16-63; n_shards sizes a shard ≈ one output file,

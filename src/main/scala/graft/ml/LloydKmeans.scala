@@ -36,21 +36,35 @@ object LloydKmeans {
   private def sqDistExact(vec: Column, centroid: Array[Double]): Column =
     graft.functions.VecOps.sqDist18(vec, typedlit(centroid.toSeq))
 
-  /** Nearest-centroid id for a vector column: (round-6 distance,
-    * lowest id) tiebreak — the shared cross-engine convention. */
-  private def assignCol(vec: Column, cents: IndexedSeq[Array[Double]])
+  /** Nearest-centroid `(d, cluster)` struct for a vector column:
+    * (round-6 distance, lowest id) tiebreak — the shared cross-engine
+    * convention. */
+  private def assignStruct(vec: Column, cents: IndexedSeq[Array[Double]])
       : Column = {
     val structs = cents.indices.map { c =>
       struct(round(sqDistExact(vec, cents(c)), 6).as("d"),
         lit(c).as("cluster"))
     }
-    element_at(array_sort(array(structs: _*)), 1).getField("cluster")
+    element_at(array_sort(array(structs: _*)), 1)
   }
+
+  private def assignCol(vec: Column, cents: IndexedSeq[Array[Double]])
+      : Column = assignStruct(vec, cents).getField("cluster")
 
   /** Run `iters` Lloyd iterations over `(id, vec)` rows (`vecCol` an
     * array column). Returns (assignments df `(id, cluster, d2)` for the
     * FINAL centroids, final centroids). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): (DataFrame, IndexedSeq[Array[Double]]) = {
+    val (a, cents) = fitWithDist(df, idCol, vecCol, k, iters)
+    (a.select(col("pid"), col("cluster")), cents)
+  }
+
+  /** [[fit]] plus the assigned cluster's ROUND-6 squared distance:
+    * `(pid, cluster, d2)` — the per-point prototypicality signal the
+    * pruning family ranks on (d2 is the same rounded value the argmin
+    * tiebreak ordered by, so it is oracle-exact by construction). */
+  def fitWithDist(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): (DataFrame, IndexedSeq[Array[Double]]) = {
     val v = col(vecCol).cast("array<double>")
     // cache the (pid, v) frame for the iteration loop: every Lloyd
@@ -88,8 +102,9 @@ object LloydKmeans {
       // input (df), so it stays valid after the loop cache unpersists
       val finalAssign = df
         .select(col(idCol).cast("long").as("pid"), v.as("v"))
-        .withColumn("cluster", assignCol(col("v"), cents))
-        .select(col("pid"), col("cluster"))
+        .withColumn("best", assignStruct(col("v"), cents))
+        .select(col("pid"), col("best.cluster").as("cluster"),
+          col("best.d").as("d2"))
       (finalAssign, cents)
     } finally pts.unpersist()
   }

@@ -744,6 +744,114 @@ object CurationQueries extends QueryModule {
           Window.orderBy(col("kl_vs_corpus").desc, col("source")))
           .cast("int"))
         .orderBy("rnk")
+    },
+
+    // DSIR per-doc importance weights (Xie et al., NeurIPS 2023): how
+    // target-like is each pool document under hashed-n-gram unigram
+    // models of the target slice vs the raw pool. The model is the
+    // broadcast ≤ n_buckets log-ratio table (text.Dsir scaladoc) —
+    // featurization and scoring are map-shaped, the two model fits are
+    // bucket-keyed aggregates that map-side-combine to O(n_buckets)
+    // rows; nothing in the plan grows with corpus size except the
+    // streams themselves.
+    Q("q_t_dsir_weights", Some(s"""
+      WITH $dsirCtes
+      SELECT doc_id, lang, (lang = '$DsirLang') AS is_target, n_grams,
+             round(logw, 6) AS logw
+      FROM dlw ORDER BY doc_id""")) { (s, dir) =>
+      dsirWeights(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (col("lang") === DsirLang).as("is_target"), col("n_grams"),
+          round(col("logw"), 6).as("logw"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR Gumbel-top-k resample: sampling without replacement with
+    // probability ∝ the importance weight ≡ ranking on
+    // log ŵ + Gumbel(0,1), with the Gumbel draw derived from an md5
+    // hash of the doc id — deterministic, so the paper's stochastic
+    // resampling step is itself hash-checked. The engine plan is
+    // TakeOrdered(k) over the shared weight stage (no global sort
+    // materializes); the rank window runs on the k survivors only.
+    Q("q_t_dsir_sample", Some(s"""
+      WITH $dsirCtes,
+      dsc AS (
+        SELECT doc_id, lang, logw,
+               -ln(-ln((${hsql("'dsirg_' || doc_id")} + 0.5)
+                 / 1000000007.0)) AS gk
+        FROM dlw),
+      dsr AS (
+        SELECT doc_id, lang, logw, gk,
+               round(logw + gk, 6) AS score
+        FROM dsc),
+      drk AS (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS smp_rank
+        FROM dsr)
+      SELECT CAST(smp_rank AS INT) AS smp_rank, doc_id, lang,
+             round(logw, 6) AS logw, round(gk, 6) AS gumbel, score
+      FROM drk WHERE smp_rank <= $DsirK ORDER BY smp_rank""")) {
+      (s, dir) =>
+      val sc = dsirWeights(s, dir)
+        .select(col("doc_id"), col("lang"), col("logw"),
+          graft.text.Dsir.gumbel(col("doc_id")).as("gk"))
+        .withColumn("score", round(col("logw") + col("gk"), 6))
+      sc.orderBy(col("score").desc, col("doc_id")).limit(DsirK)
+        .withColumn("smp_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("smp_rank"), col("doc_id"), col("lang"),
+          round(col("logw"), 6).as("logw"),
+          round(col("gk"), 6).as("gumbel"), col("score"))
+        .orderBy("smp_rank")
     }
   )
+
+  // ---- DSIR (text.Dsir) live-settings views + shared stage + oracle
+
+  private def DsirB = graft.Settings.dsir.nBuckets
+  private def DsirLang = graft.Settings.dsir.targetLang
+  private def DsirK = graft.Settings.dsir.sampleK
+
+  /** Shared per-doc DSIR weight stage (raw logw — consumers round at
+    * the emit boundary): the weights query and the resample query both
+    * read it, so the gram stream and the model fit run once. */
+  private[queries] def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "dsir_logw") {
+      graft.text.Dsir.logWeights(t(s, dir, "documents"), DsirB, DsirLang)
+    }
+
+  /** DuckDB CTE chain mirroring Dsir.features/bucketLogRatio/logWeights
+    * at the live `dsir.*` settings — ends at `dlw(doc_id, lang,
+    * n_grams, logw)` with logw unrounded (consumers round). */
+  private def dsirCtes: String = s"""
+      ddoc AS (
+        SELECT doc_id, lang, regexp_split_to_array(text, '[[:space:]]+') AS t
+        FROM documents),
+      dg AS (
+        SELECT doc_id, lang, unnest(t) AS g FROM ddoc
+        UNION ALL
+        SELECT doc_id, lang, unnest(list_transform(range(len(t) - 1),
+          i -> t[i+1] || ' ' || t[i+2])) AS g FROM ddoc),
+      fb AS (
+        SELECT doc_id, lang, ${hsql("'dsir_' || g")} % $DsirB AS bk
+        FROM dg),
+      drc AS (SELECT bk, count(*) AS rc FROM fb GROUP BY 1),
+      dtc AS (SELECT bk, count(*) AS tc FROM fb
+              WHERE lang = '$DsirLang' GROUP BY 1),
+      drn AS (SELECT CAST(sum(rc) AS DOUBLE) AS rn FROM drc),
+      dtn AS (SELECT CAST(sum(tc) AS DOUBLE) AS tn FROM dtc),
+      dlr AS (
+        SELECT drc.bk,
+               ln((coalesce(dtc.tc, 0) + 1.0) / (dtn.tn + $DsirB))
+                 - ln((drc.rc + 1.0) / (drn.rn + $DsirB)) AS diff
+        FROM drc LEFT JOIN dtc ON drc.bk = dtc.bk
+        CROSS JOIN drn CROSS JOIN dtn),
+      dbk AS (SELECT doc_id, lang, bk, count(*) AS nb
+              FROM fb GROUP BY 1, 2, 3),
+      dlw AS (
+        SELECT d.doc_id, d.lang,
+               CAST(sum(d.nb) AS BIGINT) AS n_grams,
+               sum(d.nb * lr.diff) AS logw
+        FROM dbk d JOIN dlr lr ON d.bk = lr.bk
+        GROUP BY 1, 2)"""
 }

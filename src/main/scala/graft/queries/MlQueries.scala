@@ -37,6 +37,12 @@ object MlQueries extends QueryModule {
   def SilhouetteCap: Int =
     graft.Settings.researchClustering.silhouetteSampleMax
 
+  /** Prototypicality prune fraction (live `curation.proto_prune_frac`)
+    * — the per-cluster share of most-centroid-like points dropped by
+    * q_e_proto_prune. */
+  private[queries] def ProtoPruneFrac: Double =
+    graft.Settings.curation.protoPruneFrac
+
   /** Oracle for q_cluster_metrics: sklearn-semantics silhouette +
     * Davies-Bouldin over the seed assignment, every cross-row sum via
     * DECIMAL(38,18) (exact, order-free), per-pair dim sums decimal too.
@@ -174,7 +180,7 @@ object MlQueries extends QueryModule {
   private[queries] def lloydAssign(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Stage.cached(s, dir, "lloyd_assign") {
-      graft.ml.LloydKmeans.fit(
+      graft.ml.LloydKmeans.fitWithDist(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 6)._1
     }
 
@@ -264,7 +270,54 @@ object MlQueries extends QueryModule {
         .withColumn("cluster", col("cluster").cast("int"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster")))
+        .select("pid", "cluster", "cluster_size")
         .orderBy("pid")
+    },
+
+    // Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    // scaling laws"): within each fitted cluster, the points CLOSEST to
+    // the centroid are the most prototypical — when data is abundant,
+    // pruning the easiest `prune_frac` of each cluster beats random
+    // subsetting. Ranks on the Lloyd fit's round-6 assigned distance
+    // (the shared `lloyd_assign` stage — the fit runs once per run);
+    // the per-cluster prune threshold is the value at rank
+    // ceil(frac · n) (the q_t_len_quantiles discrete-quantile pairing:
+    // percentile_approx at accuracy 10^6 ≡ ceil-rank row_number), so
+    // the flag is a broadcast-join + comparison, never a corpus-wide
+    // sort — k threshold rows are the only state at 100 TB.
+    Q("q_e_proto_prune", Some(s"""
+      WITH ${graft.ml.LloydKmeans.oracleSql(k = 4, iters = 6)},
+      pa AS (
+        SELECT k.pid, k.cluster, round(d.d2, 6) AS d2
+        FROM kassign k JOIN kd_fin d
+          ON d.pid = k.pid AND d.c = k.cluster),
+      pr AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster
+                 ORDER BY d2) AS rn,
+               count(*) OVER (PARTITION BY cluster) AS n
+        FROM pa),
+      cut AS (
+        SELECT cluster,
+               max(CASE WHEN rn = CAST(ceil($ProtoPruneFrac * n)
+                 AS BIGINT) THEN d2 END) AS proto_cut,
+               max(n) AS n_cluster
+        FROM pr GROUP BY 1)
+      SELECT p.pid AS vec_id, CAST(p.cluster AS INT) AS cluster,
+             p.d2 AS dist2, c.proto_cut, c.n_cluster,
+             p.d2 > c.proto_cut AS keep
+      FROM pa p JOIN cut c USING (cluster)
+      ORDER BY vec_id""")) { (s, dir) =>
+      val a = lloydAssign(s, dir)
+      val cuts = a.groupBy("cluster").agg(
+        percentile_approx(col("d2"), lit(ProtoPruneFrac), lit(1000000))
+          .as("proto_cut"),
+        count(lit(1)).as("n_cluster"))
+      a.join(broadcast(cuts), "cluster")
+        .select(col("pid").as("vec_id"),
+          col("cluster").cast("int").as("cluster"),
+          col("d2").as("dist2"), col("proto_cut"), col("n_cluster"),
+          (col("d2") > col("proto_cut")).as("keep"))
+        .orderBy("vec_id")
     },
 
     // M9 pairwise ARI, oracled: Adjusted Rand Index between two

@@ -75,6 +75,39 @@ object TextQueries extends QueryModule {
         maxFreq = WinnowMaxFreq, minShared = WinnowMinShared)
     }
 
+  /** Shared bigram-LM per-doc scoring stage `(doc_id, lang, n_bigrams,
+    * avg_lp, min_lp)` with RAW doubles (consumers round at the emit
+    * boundary) — read by the bigram report (q_t_bigram_lp) and the
+    * CCNet-style perplexity bucketer (q_t_ppl_buckets) so the two
+    * count shuffles run once. */
+  private[queries] def bigramLp(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "bigram_lp") {
+      val b = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokens(col("text")).as("t"))
+      val tk = b.select(col("doc_id"), explode(col("t")).as("tok"))
+      val c1 = tk.groupBy("tok").agg(count(lit(1)).as("c1"))
+      val voc = c1.agg(count(lit(1)).cast("double").as("v"))
+      // sub-2-token docs have no bigrams (sequence would count down)
+      val bgArr = when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)).as("bg"))))
+        .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+      val bg = b.select(col("doc_id"), col("lang"), explode(bgArr).as("x"))
+        .select(col("doc_id"), col("lang"), col("x.w1").as("w1"),
+          col("x.bg").as("bg"))
+      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
+      bg.join(c2, "bg").join(c1, col("w1") === col("tok"))
+        .crossJoin(broadcast(voc))
+        .groupBy("doc_id", "lang").agg(
+          count(lit(1)).as("n_bigrams"),
+          avg(lp).as("avg_lp"),
+          min(lp).as("min_lp"))
+    }
+
   /** DuckDB CTE chain mirroring Winnow.fingerprints: per-char code
     * points (byte ≡ code point on the ASCII fixture — the engine
     * hashes UTF-8 bytes, the phash/simhash contract), per-position
@@ -2020,28 +2053,76 @@ object TextQueries extends QueryModule {
              round(avg(lp), 9) AS avg_logprob2,
              round(min(lp), 9) AS min_logprob2
       FROM sc GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
-      val b = t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      val tk = b.select(col("doc_id"), explode(col("t")).as("tok"))
-      val c1 = tk.groupBy("tok").agg(count(lit(1)).as("c1"))
-      val voc = c1.agg(count(lit(1)).cast("double").as("v"))
-      // sub-2-token docs have no bigrams (sequence would count down)
-      val bgArr = when(size(col("t")) >= 2,
-        transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(element_at(col("t"), i + 1).as("w1"),
-            concat_ws(" ", element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2)).as("bg"))))
-        .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
-      val bg = b.select(col("doc_id"), explode(bgArr).as("x"))
-        .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
-      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-      val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
-      bg.join(c2, "bg").join(c1, col("w1") === col("tok"))
-        .crossJoin(broadcast(voc))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_bigrams"),
-          round(avg(lp), 9).as("avg_logprob2"),
-          round(min(lp), 9).as("min_logprob2"))
+      bigramLp(s, dir).select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_lp"), 9).as("avg_logprob2"),
+        round(col("min_lp"), 9).as("min_logprob2"))
+        .orderBy("doc_id")
+    },
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
+    // bigram-LM perplexity exp(−avg log P(w2|w1)), cut into
+    // head/middle/tail TERCILES PER LANGUAGE (CCNet's key design
+    // point: one global cut would just rank languages by their LM
+    // fit, so each language gets its own cutoffs). The cuts are the
+    // values at rank ceil(n/3) and ceil(2n/3) — the discrete-quantile
+    // pairing (percentile_approx at accuracy 10^6 ≡ ceil-rank
+    // row_number) — so bucketing is a ≤ |langs| broadcast join + two
+    // comparisons: at 100 TB the LM fit is the two count shuffles the
+    // bigram stage already pays, and the bucket pass is map-only.
+    Q("q_t_ppl_buckets", Some(s"""
+      WITH pb_b AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(text, '[[:space:]]+') AS t
+        FROM documents),
+      pb_tk AS (SELECT doc_id, unnest(t) AS tok FROM pb_b),
+      pb_c1 AS (SELECT tok, count(*) AS c1 FROM pb_tk GROUP BY 1),
+      pb_voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM pb_c1),
+      pb_bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(len(t) - 1), i -> t[i+1]))
+                 AS w1,
+               unnest(list_transform(range(len(t) - 1),
+                 i -> t[i+1] || ' ' || t[i+2])) AS bg
+        FROM pb_b),
+      pb_c2 AS (SELECT bg, count(*) AS c2 FROM pb_bg GROUP BY 1),
+      pb_sc AS (
+        SELECT g.doc_id, g.lang,
+               ln((c2.c2 + 1.0) / (c1.c1 + voc.v)) AS lp
+        FROM pb_bg g JOIN pb_c2 c2 ON g.bg = c2.bg
+                     JOIN pb_c1 c1 ON g.w1 = c1.tok
+        CROSS JOIN pb_voc voc),
+      pb_d AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(exp(-avg(lp)), 6) AS ppl
+        FROM pb_sc GROUP BY 1, 2),
+      pb_r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM pb_d),
+      pb_cut AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut1,
+               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut2
+        FROM pb_r GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.n_bigrams, d.ppl,
+             CASE WHEN d.ppl <= c.cut1 THEN 'head'
+                  WHEN d.ppl <= c.cut2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM pb_d d JOIN pb_cut c USING (lang)
+      ORDER BY doc_id""")) { (s, dir) =>
+      val d = bigramLp(s, dir).select(col("doc_id"), col("lang"),
+        col("n_bigrams"), round(exp(-col("avg_lp")), 6).as("ppl"))
+      val cuts = d.groupBy("lang").agg(
+        percentile_approx(col("ppl"), array(lit(1.0 / 3), lit(2.0 / 3)),
+          lit(1000000)).as("qs"))
+      d.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl"),
+          when(col("ppl") <= element_at(col("qs"), 1), "head")
+            .when(col("ppl") <= element_at(col("qs"), 2), "middle")
+            .otherwise("tail").as("ppl_bucket"))
         .orderBy("doc_id")
     },
 

@@ -84,6 +84,13 @@ object Warmup {
         (() => TextQueries.substrIncrCovered(spark, dir).count()),
       "shardStage" ->
         (() => CurationQueries.shardStage(spark, dir).count()),
+      // DSIR importance-weight model + per-doc scores (weights and
+      // Gumbel-resample queries) and the bigram-LM per-doc scores
+      // (bigram report + perplexity buckets) — both two-shuffle roots
+      // over documents
+      "dsirWeights" ->
+        (() => CurationQueries.dsirWeights(spark, dir).count()),
+      "bigramLp" -> (() => TextQueries.bigramLp(spark, dir).count()),
       // IVF-Flat index build (MLlib coarse fit) — an index artifact,
       // built once here instead of per q_e_ann_ivf run
       "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count()),
