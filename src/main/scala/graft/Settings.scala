@@ -375,6 +375,13 @@ object Settings {
     def componentMinEst: Double = dbl("dedup.minhash.component_min_est", 0.5)
     def simhashRadius: Int = int("dedup.simhash.hamming_radius", 3)
     def substrK: Int = int("dedup.substr.k", 5)
+    /** `dedup.cdc:` — content-defined chunking (LBFS/FastCDC family):
+      * boundary-hash gram width and the cut divisor (expected chunk
+      * length ≈ divisor bytes; fixture docs are a few hundred bytes,
+      * so 32 yields ~10 chunks/doc — production block sizes are an
+      * override like every other knob). */
+    def cdcK: Int = int("dedup.cdc.k", 8)
+    def cdcDivisor: Int = int("dedup.cdc.divisor", 32)
     /** `dedup.winnow:` — MOSS winnowing fingerprints (Schleimer 2003):
       * byte-gram width, selection window (guarantee: any verbatim
       * match ≥ window + k − 1 bytes shares a fingerprint), the

@@ -75,6 +75,72 @@ object TextQueries extends QueryModule {
         maxFreq = WinnowMaxFreq, minShared = WinnowMinShared)
     }
 
+  private[queries] def CdcK = graft.Settings.dedup.cdcK
+  private[queries] def CdcDivisor = graft.Settings.dedup.cdcDivisor
+
+  /** Shared CDC chunk stage (Cdc.chunks at the live `dedup.cdc.*`
+    * knobs) — the stored per-doc chunk-fingerprint artifact both the
+    * chunk report and the dedup accounting read. */
+  private[queries] def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "cdc_chunks") {
+      graft.text.Cdc.chunks(t(s, dir, "documents"),
+        k = CdcK, divisor = CdcDivisor)
+    }
+
+  /** DuckDB CTE chain mirroring Cdc.chunks at the live knobs: per-char
+    * code points (byte ≡ code point on the ASCII fixture — the
+    * winnow/phash contract), per-position polynomial k-gram hashes via
+    * the same coefficient table the O(len) rolling engine expression
+    * realizes (the oracle pays the O(len·k) direct form), content cuts
+    * where h % divisor = 0, spans via lead(), salted chunk-text
+    * fingerprints. Ends at `cdck(doc_id, chunk_idx, start_pos,
+    * chunk_len, chunk_fp)`. */
+  private def cdcCtes: String = {
+    val (k, d) = (CdcK, CdcDivisor)
+    val coefs = {
+      val out = new Array[Long](k)
+      out(k - 1) = 1L
+      for (j <- k - 2 to 0 by -1)
+        out(j) = out(j + 1) * graft.functions.RollingHashes.Base %
+          graft.functions.RollingHashes.Prime
+      out.mkString(", ")
+    }
+    s"""
+      cdch AS (
+        SELECT doc_id, len(text) AS n,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+               unicode(unnest(string_split(text, ''))) AS cv
+        FROM documents),
+      cdrh AS (
+        SELECT a.doc_id, a.i AS pos,
+               CAST(sum(CAST(b.cv AS BIGINT) * ([$coefs])[b.i - a.i + 1])
+                 % 1000000007 AS BIGINT) AS h
+        FROM cdch a JOIN cdch b ON a.doc_id = b.doc_id
+          AND b.i BETWEEN a.i AND a.i + ${k - 1}
+        WHERE a.i <= a.n - $k
+        GROUP BY 1, 2),
+      cdbnd AS (
+        SELECT doc_id, 0 AS b FROM documents
+        UNION
+        SELECT doc_id, pos + $k AS b FROM cdrh WHERE h % $d = 0
+        UNION
+        SELECT doc_id, len(text) AS b FROM documents),
+      cdsp AS (
+        SELECT doc_id, b AS s,
+               lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS e
+        FROM cdbnd),
+      cdck AS (
+        SELECT c.doc_id,
+               CAST(row_number() OVER (PARTITION BY c.doc_id
+                 ORDER BY c.s) AS INT) AS chunk_idx,
+               CAST(c.s AS INT) AS start_pos,
+               CAST(c.e - c.s AS INT) AS chunk_len,
+               ${hsql(s"'cdc_' || substr(t.text, c.s + 1, c.e - c.s)")}
+                 AS chunk_fp
+        FROM cdsp c JOIN documents t USING (doc_id)
+        WHERE c.e IS NOT NULL)"""
+  }
+
   /** Shared bigram-LM per-doc scoring stage `(doc_id, lang, n_bigrams,
     * avg_lp, min_lp)` with RAW doubles (consumers round at the emit
     * boundary) — read by the bigram report (q_t_bigram_lp) and the
@@ -1831,6 +1897,53 @@ object TextQueries extends QueryModule {
           col("min_pos1").cast("long").as("min_pos1"),
           col("max_pos1").cast("long").as("max_pos1"))
         .orderBy("d1", "d2", "align_offset")
+    },
+
+    // Content-defined chunking (LBFS/FastCDC family), chunk report:
+    // cut positions are functions of local content (rolling k-gram
+    // hash % divisor == 0), so insertions re-align only the chunks
+    // they touch — the storage-dedup counterpart of the token-gram
+    // families. One codegen'd O(len) rolling-hash pass + per-doc
+    // array programs; NO shuffle at all in the chunking itself (the
+    // report's order-by is presentation).
+    Q("q_d_cdc_chunks", Some(s"""
+      WITH $cdcCtes
+      SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_fp
+      FROM cdck ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+      cdcChunks(s, dir)
+        .select(col("doc_id"), col("chunk_idx").cast("int"),
+          col("start_pos"), col("chunk_len"), col("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // CDC dedup accounting: per-doc duplicate-chunk and duplicate-byte
+    // counts under the first-occurrence-keeper convention (a chunk
+    // occurrence is DUP iff an earlier (doc_id, chunk_idx) holds the
+    // same fingerprint — the exact-substring family's rule, computed
+    // as a map-side-combined min(struct) per fingerprint). Exact dups
+    // dedup to ~100% of their bytes; content-overlapping docs dedup
+    // the shared blocks only. dup_ratio is a ratio of exact counts —
+    // bit-stable at any partitioning.
+    Q("q_d_cdc_dup", Some(s"""
+      WITH $cdcCtes,
+      cdflag AS (
+        SELECT doc_id, chunk_len,
+               (row_number() OVER (PARTITION BY chunk_fp
+                 ORDER BY doc_id, chunk_idx) > 1) AS is_dup
+        FROM cdck)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(chunk_len) AS BIGINT) AS n_bytes,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+             CAST(sum(CASE WHEN is_dup THEN chunk_len ELSE 0 END)
+               AS BIGINT) AS dup_bytes,
+             round(CAST(sum(CASE WHEN is_dup THEN chunk_len ELSE 0 END)
+               AS DOUBLE) / sum(chunk_len), 9) AS dup_ratio
+      FROM cdflag GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      graft.text.Cdc.dedupStats(cdcChunks(s, dir))
+        .select(col("doc_id"), col("n_chunks"), col("n_bytes"),
+          col("dup_chunks"), col("dup_bytes"), col("dup_ratio"))
+        .orderBy("doc_id")
     },
 
     // Exact-substring dedup, span report (the ExactSubstr method of

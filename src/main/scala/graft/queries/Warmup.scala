@@ -91,6 +91,9 @@ object Warmup {
       "dsirWeights" ->
         (() => CurationQueries.dsirWeights(spark, dir).count()),
       "bigramLp" -> (() => TextQueries.bigramLp(spark, dir).count()),
+      // CDC chunk fingerprints (one codegen'd rolling-hash pass,
+      // shuffle-free — the stored block-dedup artifact)
+      "cdcChunks" -> (() => TextQueries.cdcChunks(spark, dir).count()),
       // IVF-Flat index build (MLlib coarse fit) — an index artifact,
       // built once here instead of per q_e_ann_ivf run
       "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count()),
