@@ -101,4 +101,53 @@ object Dsir {
       docId.cast("string"))) + 0.5) / TextOps.HashPrime
     -log(-log(u))
   }
+
+  /** The fitted model as driver state: per-bucket log-ratio map plus
+    * the default for buckets NO training gram hashed into (both
+    * smoothed counts are the add-1 floor there:
+    * diff = ln((rn+B)/(tn+B)) ) — the batch inner join never meets
+    * such a bucket when scoring the fit corpus, but a serving scorer
+    * must not drop unseen buckets. Bounded: ≤ nBuckets entries. */
+  def fitModel(docs: DataFrame, nBuckets: Int, targetLang: String)
+      : (Map[Long, Double], Double) = {
+    val feat = features(docs, nBuckets)
+    val m = bucketLogRatio(feat, nBuckets, targetLang)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (rn, tn) = {
+      val t = feat.agg(
+        count(lit(1)).cast("double"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L))
+          .cast("double")).head()
+      (t.getDouble(0), t.getDouble(1))
+    }
+    // with tc = rc = 0: ln(1/(tn+B)) − ln(1/(rn+B)) = ln((rn+B)/(tn+B))
+    (m, math.log((rn + nBuckets) / (tn + nBuckets)))
+  }
+
+  /** STATELESS per-row scorer against a frozen model — the serving
+    * shape: the model rides the plan as an O(nBuckets) map literal, so
+    * scoring new documents (a crawl stream, a fresh shard) is map-only
+    * — no shuffle, no state store, identical on a batch frame and a
+    * Structured Streaming micro-batch. Emits `n_grams` and `logw`
+    * (float-fold in document order; agrees with the batch aggregate to
+    * fp round-off, which the emit-boundary rounding absorbs). */
+  def scoreRowwise(docs: DataFrame, nBuckets: Int,
+      model: Map[Long, Double], defaultDiff: Double): DataFrame = {
+    val mapCol =
+      map(model.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val toks = TextOps.tokens(col("text"))
+    val bgArr = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(toks, bgArr)
+    val bucket = (g: Column) =>
+      TextOps.hashMod(concat(lit("dsir_"), g)) % nBuckets
+    docs.withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("logw", aggregate(grams, lit(0.0d),
+        (acc, g) => acc + coalesce(element_at(mapCol, bucket(g)),
+          lit(defaultDiff))))
+  }
 }

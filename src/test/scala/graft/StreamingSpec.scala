@@ -346,6 +346,51 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed BPE token accounting must equal batch")
   }
 
+  test("streaming DSIR scoring: arriving docs score against the frozen " +
+      "importance model exactly like batch, stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val B = 64
+    // freeze the model on the standing corpus (the serving shape: an
+    // O(B) literal riding the plan — no shuffle, no state store)
+    val (model, dflt) = graft.text.Dsir.fitModel(docs, B, "en")
+    assert(model.nonEmpty && model.size <= B)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String)],
+        spark.sqlContext)
+    val scored = graft.text.Dsir.scoreRowwise(
+      mem.toDF.toDF("doc_id", "text"), B, model, dflt)
+      .select(col("doc_id"), col("n_grams"), round(col("logw"), 6))
+    // stateless map-only program => append mode, no watermark needed
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("dsir_stream_test").start()
+    val batchRows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dsir_stream_test")
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => a -> (b, c) }.toMap
+    // batch truth: the aggregate formulation (per-bucket counts) —
+    // same value to fp round-off, absorbed by the round-6 boundary
+    val want = graft.text.Dsir.logWeights(docs, B, "en")
+      .select(col("doc_id"), col("n_grams"), round(col("logw"), 6))
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => a -> (b, c) }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (ng, lw)) =>
+      assert(ng == want(id)._1, s"doc $id gram count")
+      assert(math.abs(lw - want(id)._2) < 2e-6,
+        s"doc $id: streamed $lw vs batch ${want(id)._2}")
+    }
+  }
+
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
     // batch-read the schema, convert ts (encoding-adaptive) to a typed
