@@ -348,6 +348,11 @@ object Settings {
           require(r >= topK, s"frontier rung R $r < ann.top_k $topK")
           (np, r)
         }
+    /** `ann.rp:` — Johnson–Lindenstrauss random-projection knobs:
+      * output dimensionality (distortion concentrates as O(√(1/d)))
+      * and the pair cap for the measured-distortion report. */
+    def rpOutDim: Int = int("ann.rp.out_dim", 16)
+    def rpPairCap: Int = int("ann.rp.pair_cap", 64)
     /** Incremental-index split: vectors with `vec_id < incr_base` are
       * the snapshot the coarse cells + residual codebooks were fit on;
       * later ids are append-encoded against those FROZEN artifacts

@@ -3567,6 +3567,131 @@ object TextQueries extends QueryModule {
         .select("band_idx", "n_buckets", "n_docs", "max_bucket",
           "dropped_docs", "dropped_frac")
         .orderBy("band_idx")
+    },
+
+    // Johnson–Lindenstrauss random projection (Achlioptas ±1 variant,
+    // text.RandomProjection): per-vector norm preservation report —
+    // the pre-ANN dimensionality reduction, with the sign matrix
+    // DERIVED from md5 parity so the whole operator (matrix included)
+    // is hash-checked. The matrix rides the plan as dOut literal
+    // coefficient arrays feeding the codegen'd dot product: map-only,
+    // no shuffle, no model state. Projections round-6 at the seam so
+    // downstream sums see identical doubles on both engines.
+    Q("q_e_rp_norms", Some(s"""
+      WITH $rpCtes,
+      rno AS (SELECT vec_id, sum(x * x) AS o2 FROM rex GROUP BY 1),
+      rnp AS (SELECT vec_id, sum(y * y) AS p2 FROM rpj GROUP BY 1)
+      SELECT r.vec_id, $RpOutDim AS d_out,
+             round(o2, 6) AS orig_sq, round(p2, 6) AS proj_sq,
+             round(p2 / o2, 6) AS norm_ratio
+      FROM rno r JOIN rnp USING (vec_id) ORDER BY vec_id""")) {
+      (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val proj = rpProjected(s, dir)
+      proj.select(col("vec_id"), lit(RpOutDim).as("d_out"),
+          round(graft.functions.VecOps.dot(v, v), 6).as("orig_sq"),
+          round(graft.functions.VecOps.dot(col("yr"), col("yr")), 6)
+            .as("proj_sq"),
+          round(graft.functions.VecOps.dot(col("yr"), col("yr"))
+            / graft.functions.VecOps.dot(v, v), 6).as("norm_ratio"))
+        .orderBy("vec_id")
+    },
+
+    // J-L distortion, measured: pairwise squared-distance ratio
+    // projected/original over the capped pair sample — the
+    // concentration the lemma promises (mean ≈ 1, spread O(√(1/d)))
+    // as an observability row, the ANN-recall-ladder pattern applied
+    // to the projection. Pair generation is the capped broadcast
+    // cross the HDBSCAN family uses; everything downstream is one
+    // aggregate.
+    Q("q_e_rp_distortion", Some(s"""
+      WITH $rpCtes,
+      rod AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               sum((a.x - b.x) * (a.x - b.x)) AS d2
+        FROM rex a JOIN rex b ON a.i = b.i AND a.vec_id < b.vec_id
+        WHERE a.vec_id < $RpPairCap AND b.vec_id < $RpPairCap
+        GROUP BY 1, 2),
+      rpd AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               sum((a.y - b.y) * (a.y - b.y)) AS d2
+        FROM rpj a JOIN rpj b ON a.j = b.j AND a.vec_id < b.vec_id
+        WHERE a.vec_id < $RpPairCap AND b.vec_id < $RpPairCap
+        GROUP BY 1, 2),
+      rr AS (
+        SELECT round(p.d2 / o.d2, 6) AS ratio
+        FROM rod o JOIN rpd p ON o.ia = p.ia AND o.ib = p.ib)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             round(CAST(sum(CAST(ratio AS DECIMAL(38,9))) AS DOUBLE)
+               / count(*), 6) AS mean_ratio,
+             round(min(ratio), 6) AS min_ratio,
+             round(max(ratio), 6) AS max_ratio,
+             round(CAST(sum(CASE WHEN ratio BETWEEN 0.5 AND 2.0
+               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9)
+               AS frac_within_2x
+      FROM rr""")) { (s, dir) =>
+      val base = rpProjected(s, dir).filter(col("vec_id") < RpPairCap)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"), col("yr"))
+      val pairs = base.select(col("vec_id").as("ia"), col("v").as("va"),
+          col("yr").as("pa"))
+        .join(broadcast(base.select(col("vec_id").as("ib"),
+          col("v").as("vb"), col("yr").as("pb"))),
+          col("ia") < col("ib"))
+      val ratio = round(
+        graft.functions.VecOps.sqDist(col("pa"), col("pb"))
+          / graft.functions.VecOps.sqDist(col("va"), col("vb")), 6)
+      pairs.select(ratio.as("ratio"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("ratio").cast("decimal(38,9)")).cast("double")
+            / count(lit(1)), 6).as("mean_ratio"),
+          round(min("ratio"), 6).as("min_ratio"),
+          round(max("ratio"), 6).as("max_ratio"),
+          round(sum(when(col("ratio").between(0.5, 2.0), 1.0)
+            .otherwise(0.0)) / count(lit(1)), 9).as("frac_within_2x"))
     }
   )
+
+  // ---- J-L random projection (text.RandomProjection) live views +
+  // shared stage + oracle
+
+  private def RpOutDim = graft.Settings.ann.rpOutDim
+  private def RpPairCap = graft.Settings.ann.rpPairCap
+
+  /** Shared projected-embedding stage: `(vec_id, embedding, yr)` with
+    * yr the ROUND-6 projected vector — the rounding seam makes every
+    * downstream float identical across engines (both sides then sum
+    * the same doubles). */
+  private def rpProjected(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "rp_projected") {
+      val emb = t(s, dir, "embeddings")
+      val dIn = graft.Settings.ann.embeddingDim
+      emb.select(col("vec_id"), col("embedding"),
+        transform(graft.text.RandomProjection.project(
+          col("embedding").cast("array<double>"), dIn, RpOutDim),
+          y => round(y, 6)).as("yr"))
+    }
+
+  /** DuckDB CTE chain mirroring RandomProjection.project at the live
+    * knobs: md5-parity sign matrix, decimal-exact dot products,
+    * round-6 projection seam. Ends at `rpj(vec_id, j, y)`. */
+  private def rpCtes: String = {
+    val dIn = graft.Settings.ann.embeddingDim
+    val scale = 1.0 / math.sqrt(RpOutDim.toDouble)
+    s"""
+      rex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      rmat AS (
+        SELECT j, i,
+               CASE WHEN ${hsql("'rp_' || j || '_' || i")} % 2 = 0
+                 THEN $scale ELSE -$scale END AS r
+        FROM range($RpOutDim) t1(j) CROSS JOIN range($dIn) t2(i)),
+      rpj AS (
+        SELECT e.vec_id, m.j,
+               round(CAST(sum(CAST(e.x * m.r AS DECIMAL(38,18)))
+                 AS DOUBLE), 6) AS y
+        FROM rex e JOIN rmat m ON e.i = m.i GROUP BY 1, 2)"""
+  }
 }

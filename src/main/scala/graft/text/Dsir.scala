@@ -69,7 +69,7 @@ object Dsir {
       .groupBy("bk").agg(count(lit(1)).as("tc"))
     val rn = rc.agg(sum("rc").cast("double").as("rn"))
     val tn = tc.agg(sum("tc").cast("double").as("tn"))
-    rc.join(tc, Seq("bk"), "left")
+    rc.join(broadcast(tc), Seq("bk"), "left")
       .crossJoin(broadcast(rn)).crossJoin(broadcast(tn))
       .select(col("bk"),
         (log((coalesce(col("tc"), lit(0L)) + 1.0)

@@ -74,6 +74,41 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("DSIR weight stage: the model is broadcast, never a shuffle " +
+      "join (audited on the stage BUILD — the registered query reads " +
+      "the checkpointed stage)") {
+    val p = graft.text.Dsir.logWeights(
+      spark.read.parquet(s"$dir/documents.parquet"), 64, "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "model join not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a model-side join fell back to a shuffle join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_t_dsir_sample: global top-k plans as TakeOrdered, not a " +
+      "corpus-wide sort") {
+    val p = planOf("q_t_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "resample did not plan as TakeOrdered(k)")
+  }
+
+  test("q_e_proto_prune / q_t_ppl_buckets: quantile cuts broadcast back") {
+    val p1 = planOf("q_e_proto_prune")
+    assert(p1.contains("BroadcastHashJoin"), "proto cuts not broadcast")
+    assert(!p1.contains("CartesianProduct"))
+    val p2 = planOf("q_t_ppl_buckets")
+    assert(p2.contains("BroadcastHashJoin"), "ppl cuts not broadcast")
+    graft.queries.Stage.clear()
+  }
+
+  test("CDC chunking is shuffle-free (map-only per doc)") {
+    val df = graft.text.Cdc.chunks(
+      spark.read.parquet(s"$dir/documents.parquet"), 8, 32)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"CDC chunking shuffled:\n$p")
+  }
+
   test("ANN pair / bronze parse / index-star stages are cache-shared " +
       "across their consumers") {
     graft.queries.Stage.clear()
