@@ -3649,6 +3649,112 @@ object TextQueries extends QueryModule {
           round(max("ratio"), 6).as("max_ratio"),
           round(sum(when(col("ratio").between(0.5, 2.0), 1.0)
             .otherwise(0.0)) / count(lit(1)), 9).as("frac_within_2x"))
+    },
+
+    // RP as pre-ANN, measured: top-5 by squared L2 in the PROJECTED
+    // 16-dim space vs the exact full-dim truth — the recall ladder
+    // pattern applied to the projection (what a 4× cheaper distance
+    // costs in recall). The projected search is the same broadcast-
+    // query shape as the exact stage at a quarter of the per-pair
+    // arithmetic; at production scale RP composes in FRONT of
+    // IVF/PQ — this row prices the first stage alone.
+    Q("q_e_rp_recall", Some(s"""
+      WITH $rpCtes,
+      rq AS (SELECT vec_id AS qid, j, y AS qy FROM rpj
+             WHERE vec_id < $AnnQ),
+      rpd2 AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.y - q.qy) * (e.y - q.qy)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM rpj e JOIN rq q ON e.j = q.j AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      rp5 AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM rpd2) WHERE rn <= $AnnK),
+      qfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM rex WHERE vec_id < $AnnQ),
+      d2full AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM rex e JOIN qfull q ON e.i = q.i AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      exact5 AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM d2full) WHERE rn <= $AnnK)
+      SELECT e.qid,
+             CAST(count(p.vid) AS BIGINT) AS n_hits,
+             round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+               AS recall_at_5
+      FROM exact5 e LEFT JOIN rp5 p ON e.qid = p.qid AND e.vid = p.vid
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val base = rpProjected(s, dir).select(col("vec_id"), col("yr"))
+      val q = base.filter(col("vec_id") < AnnQ)
+        .select(col("vec_id").as("qid"), col("yr").as("qy"))
+      val d2 = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          round(graft.functions.VecOps.sqDist18(col("yr"), col("qy")), 6)
+            .as("d2"))
+      val rp5 = d2.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
+        .filter(col("rn") <= AnnK)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      exactTop5(s, dir).join(rp5, Seq("qid", "vid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hits"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("recall_at_5"))
+        .orderBy("qid")
+    },
+
+    // INCREMENTAL CDC dedup — the block-level member of the
+    // incremental family (exact q_t_incr_dedup, substring
+    // q_d_substr_incr, index q_e_index_incr): a delta batch's chunks
+    // classified against the STANDING corpus's chunk-fingerprint
+    // index with one distinct-fp equi-join; the index is never
+    // re-chunked. Per batch doc: duplicate-vs-index bytes and the
+    // dup/partial/novel triage an ingest gate acts on.
+    Q("q_d_cdc_incr", Some(s"""
+      WITH $cdcCtes,
+      cidx AS (
+        SELECT DISTINCT chunk_fp FROM cdck WHERE doc_id % 5 <> 0),
+      cbat AS (
+        SELECT c.doc_id, c.chunk_len,
+               (i.chunk_fp IS NOT NULL) AS is_dup
+        FROM cdck c LEFT JOIN cidx i USING (chunk_fp)
+        WHERE c.doc_id % 5 = 0)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(chunk_len) AS BIGINT) AS n_bytes,
+             CAST(sum(CASE WHEN is_dup THEN chunk_len ELSE 0 END)
+               AS BIGINT) AS dup_bytes,
+             round(CAST(sum(CASE WHEN is_dup THEN chunk_len ELSE 0 END)
+               AS DOUBLE) / sum(chunk_len), 9) AS dup_ratio,
+             CASE WHEN sum(CASE WHEN is_dup THEN chunk_len ELSE 0 END)
+                    = sum(chunk_len) THEN 'dup'
+                  WHEN sum(CASE WHEN is_dup THEN chunk_len ELSE 0 END)
+                    > 0 THEN 'partial'
+                  ELSE 'novel' END AS status
+      FROM cbat GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val ch = cdcChunks(s, dir)
+      val idx = ch.filter(col("doc_id") % 5 =!= 0)
+        .select("chunk_fp").distinct()
+        .withColumn("seen", lit(true))
+      val dupBytes = sum(when(col("seen"), col("chunk_len").cast("long"))
+        .otherwise(0L))
+      ch.filter(col("doc_id") % 5 === 0)
+        .join(idx, Seq("chunk_fp"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("chunk_len").as("n_bytes"),
+          dupBytes.as("dup_bytes"),
+          round(dupBytes.cast("double") / sum("chunk_len"), 9)
+            .as("dup_ratio"),
+          when(dupBytes === sum("chunk_len"), "dup")
+            .when(dupBytes > 0, "partial")
+            .otherwise("novel").as("status"))
+        .orderBy("doc_id")
     }
   )
 
