@@ -3768,7 +3768,7 @@ object TextQueries extends QueryModule {
     * yr the ROUND-6 projected vector — the rounding seam makes every
     * downstream float identical across engines (both sides then sum
     * the same doubles). */
-  private def rpProjected(s: SparkSession, dir: String): DataFrame =
+  private[queries] def rpProjected(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "rp_projected") {
       val emb = t(s, dir, "embeddings")
       val dIn = graft.Settings.ann.embeddingDim

@@ -94,6 +94,10 @@ object Warmup {
       // CDC chunk fingerprints (one codegen'd rolling-hash pass,
       // shuffle-free — the stored block-dedup artifact)
       "cdcChunks" -> (() => TextQueries.cdcChunks(spark, dir).count()),
+      // J-L projected embeddings (map-only literal-matrix dots — the
+      // stored reduced-dim artifact for the rp norm/distortion/recall
+      // rows)
+      "rpProjected" -> (() => TextQueries.rpProjected(spark, dir).count()),
       // IVF-Flat index build (MLlib coarse fit) — an index artifact,
       // built once here instead of per q_e_ann_ivf run
       "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count()),
