@@ -87,6 +87,74 @@ object TextQueries extends QueryModule {
         k = CdcK, divisor = CdcDivisor)
     }
 
+  /** DuckDB CTE chain mirroring [[pplBucketed]]'s inputs (bigram-LM
+    * per-doc perplexity + per-lang ceil-rank tercile cuts) — ends at
+    * `pb_d(doc_id, lang, n_bigrams, ppl)` and `pb_cut(lang, cut1,
+    * cut2)`; consumers apply [[pplBucketCase]]. Shared by the
+    * q_t_ppl_buckets oracle and the dedup pipeline's quality stage. */
+  private def pplCtes: String = s"""
+      pb_b AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(text, '[[:space:]]+') AS t
+        FROM documents),
+      pb_tk AS (SELECT doc_id, unnest(t) AS tok FROM pb_b),
+      pb_c1 AS (SELECT tok, count(*) AS c1 FROM pb_tk GROUP BY 1),
+      pb_voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM pb_c1),
+      pb_bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(len(t) - 1), i -> t[i+1]))
+                 AS w1,
+               unnest(list_transform(range(len(t) - 1),
+                 i -> t[i+1] || ' ' || t[i+2])) AS bg
+        FROM pb_b),
+      pb_c2 AS (SELECT bg, count(*) AS c2 FROM pb_bg GROUP BY 1),
+      pb_sc AS (
+        SELECT g.doc_id, g.lang,
+               ln((c2.c2 + 1.0) / (c1.c1 + voc.v)) AS lp
+        FROM pb_bg g JOIN pb_c2 c2 ON g.bg = c2.bg
+                     JOIN pb_c1 c1 ON g.w1 = c1.tok
+        CROSS JOIN pb_voc voc),
+      pb_d AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(exp(-avg(lp)), 6) AS ppl
+        FROM pb_sc GROUP BY 1, 2),
+      pb_r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM pb_d),
+      pb_cut AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut1,
+               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut2
+        FROM pb_r GROUP BY 1)"""
+
+  /** The bucket CASE over `pb_d d JOIN pb_cut c` aliases. */
+  private def pplBucketCase: String = """
+      CASE WHEN d.ppl <= c.cut1 THEN 'head'
+           WHEN d.ppl <= c.cut2 THEN 'middle'
+           ELSE 'tail' END""".trim
+
+  /** Per-doc perplexity buckets `(doc_id, lang, n_bigrams, ppl,
+    * ppl_bucket)` over the shared bigram-LM stage — read by the
+    * q_t_ppl_buckets report AND the dedup pipeline's quality gate, so
+    * the two can never drift. */
+  private[queries] def pplBucketed(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = bigramLp(s, dir).select(col("doc_id"), col("lang"),
+      col("n_bigrams"), round(exp(-col("avg_lp")), 6).as("ppl"))
+    val cuts = d.groupBy("lang").agg(
+      percentile_approx(col("ppl"), array(lit(1.0 / 3), lit(2.0 / 3)),
+        lit(1000000)).as("qs"))
+    d.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl"),
+        when(col("ppl") <= element_at(col("qs"), 1), "head")
+          .when(col("ppl") <= element_at(col("qs"), 2), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** DuckDB CTE chain mirroring Cdc.chunks at the live knobs: per-char
     * code points (byte ≡ code point on the ASCII fixture — the
     * winnow/phash contract), per-position polynomial k-gram hashes via
@@ -2183,60 +2251,12 @@ object TextQueries extends QueryModule {
     // comparisons: at 100 TB the LM fit is the two count shuffles the
     // bigram stage already pays, and the bucket pass is map-only.
     Q("q_t_ppl_buckets", Some(s"""
-      WITH pb_b AS (
-        SELECT doc_id, lang,
-               regexp_split_to_array(text, '[[:space:]]+') AS t
-        FROM documents),
-      pb_tk AS (SELECT doc_id, unnest(t) AS tok FROM pb_b),
-      pb_c1 AS (SELECT tok, count(*) AS c1 FROM pb_tk GROUP BY 1),
-      pb_voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM pb_c1),
-      pb_bg AS (
-        SELECT doc_id, lang,
-               unnest(list_transform(range(len(t) - 1), i -> t[i+1]))
-                 AS w1,
-               unnest(list_transform(range(len(t) - 1),
-                 i -> t[i+1] || ' ' || t[i+2])) AS bg
-        FROM pb_b),
-      pb_c2 AS (SELECT bg, count(*) AS c2 FROM pb_bg GROUP BY 1),
-      pb_sc AS (
-        SELECT g.doc_id, g.lang,
-               ln((c2.c2 + 1.0) / (c1.c1 + voc.v)) AS lp
-        FROM pb_bg g JOIN pb_c2 c2 ON g.bg = c2.bg
-                     JOIN pb_c1 c1 ON g.w1 = c1.tok
-        CROSS JOIN pb_voc voc),
-      pb_d AS (
-        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(exp(-avg(lp)), 6) AS ppl
-        FROM pb_sc GROUP BY 1, 2),
-      pb_r AS (
-        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
-                 AS rn,
-               count(*) OVER (PARTITION BY lang) AS n
-        FROM pb_d),
-      pb_cut AS (
-        SELECT lang,
-               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
-                 THEN ppl END) AS cut1,
-               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
-                 THEN ppl END) AS cut2
-        FROM pb_r GROUP BY 1)
+      WITH $pplCtes
       SELECT d.doc_id, d.lang, d.n_bigrams, d.ppl,
-             CASE WHEN d.ppl <= c.cut1 THEN 'head'
-                  WHEN d.ppl <= c.cut2 THEN 'middle'
-                  ELSE 'tail' END AS ppl_bucket
+             $pplBucketCase AS ppl_bucket
       FROM pb_d d JOIN pb_cut c USING (lang)
       ORDER BY doc_id""")) { (s, dir) =>
-      val d = bigramLp(s, dir).select(col("doc_id"), col("lang"),
-        col("n_bigrams"), round(exp(-col("avg_lp")), 6).as("ppl"))
-      val cuts = d.groupBy("lang").agg(
-        percentile_approx(col("ppl"), array(lit(1.0 / 3), lit(2.0 / 3)),
-          lit(1000000)).as("qs"))
-      d.join(broadcast(cuts), "lang")
-        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl"),
-          when(col("ppl") <= element_at(col("qs"), 1), "head")
-            .when(col("ppl") <= element_at(col("qs"), 2), "middle")
-            .otherwise("tail").as("ppl_bucket"))
-        .orderBy("doc_id")
+      pplBucketed(s, dir).orderBy("doc_id")
     },
 
     // Document chunking for context windows: 64-token chunks with
@@ -3433,6 +3453,7 @@ object TextQueries extends QueryModule {
       WITH RECURSIVE $componentCtes,
       $annPairCtes,
       ${substrCovCtes.trim},
+      ${pplCtes.trim},
       sem AS (
         SELECT id_a AS d1, id_b AS d2
         FROM dots JOIN norms na ON id_a = na.vec_id
@@ -3484,7 +3505,16 @@ object TextQueries extends QueryModule {
       a3 AS (SELECT CAST(count(*) AS BIGINT) AS d3,
                     CAST(sum(kept) AS BIGINT) AS t3 FROM s3),
       a4 AS (SELECT CAST(count(*) AS BIGINT) AS d4,
-                    CAST(sum(kept) AS BIGINT) AS t4 FROM s4)
+                    CAST(sum(kept) AS BIGINT) AS t4 FROM s4),
+      pbk AS (
+        SELECT d.doc_id, $pplBucketCase AS b
+        FROM pb_d d JOIN pb_cut c USING (lang)),
+      s5 AS (
+        SELECT s4.doc_id, s4.kept FROM s4
+        LEFT JOIN pbk ON s4.doc_id = pbk.doc_id
+        WHERE pbk.b IS NULL OR pbk.b <> 'tail'),
+      a5 AS (SELECT CAST(count(*) AS BIGINT) AS d5,
+                    CAST(sum(kept) AS BIGINT) AS t5 FROM s5)
       SELECT * FROM (
         SELECT '1_exact' AS stage, d0 AS docs_in, d0 - d1 AS docs_removed,
                d1 AS docs_out, t1 AS tokens_out
@@ -3494,7 +3524,9 @@ object TextQueries extends QueryModule {
         UNION ALL
         SELECT '3_near_dup_component', d2, d2 - d3, d3, t3 FROM a2, a3
         UNION ALL
-        SELECT '4_semantic_keeper', d3, d3 - d4, d4, t4 FROM a3, a4)
+        SELECT '4_semantic_keeper', d3, d3 - d4, d4, t4 FROM a3, a4
+        UNION ALL
+        SELECT '5_quality_ppl', d4, d4 - d5, d5, t5 FROM a4, a5)
       ORDER BY stage""")) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val nTok = docs.select(col("doc_id"),
@@ -3522,6 +3554,17 @@ object TextQueries extends QueryModule {
       val s4 = s3s.join(k4, Seq("sem_comp"), "left")
         .filter(col("sem_comp").isNull || col("doc_id") === col("skeep"))
         .select("doc_id", "kept")
+      // stage 5 — CCNet quality gate: drop survivors whose bigram-LM
+      // perplexity sits in the per-language TAIL tercile (buckets
+      // computed on the FULL corpus — the family's stage-artifact
+      // convention; an exact dup has identical text hence identical
+      // ppl, so full-corpus buckets are sound after dedup). Docs with
+      // no bigrams have no score and pass (can't-score ≠ low-quality).
+      val s5 = s4.join(
+          pplBucketed(s, dir).select(col("doc_id"),
+            col("ppl_bucket").as("pb")), Seq("doc_id"), "left")
+        .filter(col("pb").isNull || col("pb") =!= "tail")
+        .select("doc_id", "kept")
       val a0 = docs.agg(count(lit(1)).as("d0"))
       val a1 = s1t.agg(count(lit(1)).as("d1"),
         sum("n_tokens").cast("long").as("t1"))
@@ -3531,11 +3574,14 @@ object TextQueries extends QueryModule {
         sum("kept").cast("long").as("t3"))
       val a4 = s4.agg(count(lit(1)).as("d4"),
         sum("kept").cast("long").as("t4"))
-      // ONE row after the crossJoins — checkpoint it so the four stage
-      // rows below don't re-run the whole five-aggregate chain each
+      val a5 = s5.agg(count(lit(1)).as("d5"),
+        sum("kept").cast("long").as("t5"))
+      // ONE row after the crossJoins — checkpoint it so the five stage
+      // rows below don't re-run the whole six-aggregate chain each
       // (union branches share no exchange)
       val all = a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
         .crossJoin(broadcast(a3)).crossJoin(broadcast(a4))
+        .crossJoin(broadcast(a5))
         .localCheckpoint()
       def row(stage: String, din: String, dout: String, tok: String) =
         all.select(lit(stage).as("stage"), col(din).as("docs_in"),
@@ -3545,6 +3591,7 @@ object TextQueries extends QueryModule {
         .unionByName(row("2_substr_strip", "d1", "d2", "t2"))
         .unionByName(row("3_near_dup_component", "d2", "d3", "t3"))
         .unionByName(row("4_semantic_keeper", "d3", "d4", "t4"))
+        .unionByName(row("5_quality_ppl", "d4", "d5", "t5"))
         .orderBy("stage")
     },
 

@@ -27,7 +27,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_e_pq_topk",       // PQ encode + ADC: per-term DECIMAL distance sums
     "q_qa_state_windows", // window diagnostics: DECIMAL mean/var sums
     "q_kmeans_lloyd",    // iterative fit: DECIMAL assignment + centroid sums
-    "q_e_ann_serve")     // serving ADC: DECIMAL lookups over probed cells
+    "q_e_ann_serve",     // serving ADC: DECIMAL lookups over probed cells
+    "q_t_dsir_weights",  // ≤B-term float sums, round-6 emit boundary
+    "q_t_dsir_sample",   // Gumbel-top-k on round-6 scores, portable hashes
+    "q_t_ppl_buckets",   // fp avg→exp round-6 + discrete ceil-rank cuts
+    "q_e_proto_prune",   // round-6 distances + discrete quantile cut
+    "q_e_rp_distortion") // DECIMAL mean over round-6 ratios
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)
