@@ -1276,6 +1276,44 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Tokenizer fertility per language (the mT5/XLM-R tokenizer-
+    // fairness metric): pieces-per-word of the learned BPE by
+    // language, plus chars-per-piece — the dial that shows which
+    // languages pay more subwords for the same text under one shared
+    // vocabulary. Same scale shape as the encode: one broadcast
+    // vocabulary join, one per-lang aggregate; fertility is a ratio
+    // of exact counts (bit-stable at any partitioning).
+    Q("q_t_bpe_fertility", Some(s"""
+      WITH ${graft.text.Bpe.oracleCtes(BpeMerges)},
+      ftk AS (
+        SELECT lang, unnest(${graft.text.Bpe.ToksSql}) AS word
+        FROM documents),
+      fenc AS (
+        SELECT t.lang, len(t.word) AS nc, len(w.s) AS np
+        FROM ftk t JOIN bw_$BpeMerges w ON t.word = w.word)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(np) AS BIGINT) AS n_bpe_tokens,
+             round(CAST(sum(np) AS DOUBLE) / count(*), 9)
+               AS fertility,
+             round(CAST(sum(nc) AS DOUBLE) / sum(np), 9)
+               AS chars_per_piece
+      FROM fenc GROUP BY 1 ORDER BY lang""")) { (s, dir) =>
+      val tok = t(s, dir, "documents").select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val vocab = bpeVocab(s, dir)
+        .select(col("word"), size(col("syms")).as("np"))
+      tok.join(vocab, Seq("word"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_bpe_tokens"),
+          round(sum("np").cast("double") / count(lit(1)), 9)
+            .as("fertility"),
+          round(sum(length(col("word"))).cast("double") / sum("np"), 9)
+            .as("chars_per_piece"))
+        .orderBy("lang")
+    },
+
     // INCREMENTAL BPE encode — the tokenizer analogue of the
     // add-without-train index lifecycle: merges learned ONLY on the
     // standing index corpus (doc_id % 5 <> 0) are the frozen artifact;
