@@ -391,6 +391,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC: chunking is stateless and identical to batch; " +
+      "chunk-level dedup state suppresses shared blocks across " +
+      "micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (k, d) = (8, 32)
+    // doc 2 (later micro-batch) shares a verbatim block with doc 1 but
+    // has novel prefix content — CDC must suppress exactly the shared
+    // chunks' fingerprints, not the whole doc
+    val shared = ("the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep dark woods tonight where " +
+      "owls hoot softly and the river bends around mossy stones " +
+      "while distant thunder rolls across the quiet valley floor " +
+      "and fireflies drift between the cedars near the old mill") // ~280B
+    val b1 = Seq((1L, "unrelated preamble text " + shared))
+    val b2 = Seq((2L, "a wholly novel start right here " + shared),
+      (3L, "fully novel document content with nothing shared at all"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String)],
+        spark.sqlContext)
+    // chunk (stateless map) then state-backed dedup on chunk_fp:
+    // first occurrence across the WHOLE stream wins
+    val q = graft.text.Cdc.chunks(mem.toDF.toDF("doc_id", "text"), k, d)
+      .dropDuplicates("chunk_fp")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_stream_test").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("cdc_stream_test")
+      .select(col("doc_id"), col("chunk_fp"))
+      .as[(Long, Long)].collect()
+    // batch truth: chunk everything at once, keep first occurrence
+    val batch = graft.text.Cdc.chunks(
+      (b1 ++ b2).toDF("doc_id", "text"), k, d)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_fp"))
+      .as[(Long, Int, Long)].collect()
+    val firstOwner = batch.groupBy(_._3).map { case (fp, occ) =>
+      fp -> occ.map(x => (x._1, x._2)).min._1 }
+    // streamed survivors = exactly the batch first-occurrence set
+    assert(kept.map(_._2).toSet == firstOwner.keySet)
+    kept.foreach { case (doc, fp) =>
+      assert(firstOwner(fp) == doc,
+        s"chunk $fp kept by $doc, batch keeper ${firstOwner(fp)}") }
+    // doc 2 must have BOTH suppressed (shared-block) and surviving
+    // (novel-prefix) chunks — block-level, not doc-level, dedup
+    val doc2Kept = kept.count(_._1 == 2L)
+    val doc2All = batch.count(_._1 == 2L)
+    assert(doc2Kept > 0 && doc2Kept < doc2All,
+      s"doc 2: $doc2Kept of $doc2All chunks kept — expected a strict " +
+        "subset (shared blocks suppressed, novel blocks kept)")
+  }
+
   test("windowed counts over file stream match batch computation") {
     val dir = "/root/testdata/sf0.001"
     // batch-read the schema, convert ts (encoding-adaptive) to a typed
