@@ -3794,6 +3794,85 @@ object TextQueries extends QueryModule {
         .orderBy("qid")
     },
 
+    // RP + exact re-rank, measured: shortlist the rerank_r nearest in
+    // the PROJECTED space (cheap: dOut-dim distances), exact-re-rank
+    // the shortlist in full dimension, report recall@5 — the
+    // composition q_e_rp_recall's raw number argues for (0.131 raw →
+    // the re-rank owns the recall budget, the same division of labor
+    // the residual-ADC ladder established). Shortlist cost is the
+    // projected scan; the exact pass touches only queries × R full
+    // vectors.
+    Q("q_e_rp_rerank", Some(s"""
+      WITH $rpCtes,
+      rq AS (SELECT vec_id AS qid, j, y AS qy FROM rpj
+             WHERE vec_id < $AnnQ),
+      rpd2 AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.y - q.qy) * (e.y - q.qy)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM rpj e JOIN rq q ON e.j = q.j AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      rsh AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM rpd2) WHERE rn <= $RerankR),
+      qfull AS (
+        SELECT vec_id AS qid, i, x AS qx FROM rex WHERE vec_id < $AnnQ),
+      d2full AS (
+        SELECT q.qid, e.vec_id AS vid,
+               round(CAST(sum(CAST((e.x - q.qx) * (e.x - q.qx)
+                 AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+        FROM rex e JOIN qfull q ON e.i = q.i AND e.vec_id <> q.qid
+        GROUP BY 1, 2),
+      rrx AS (
+        SELECT s.qid, s.vid, d.d2 FROM rsh s
+        JOIN d2full d ON d.qid = s.qid AND d.vid = s.vid),
+      rr5 AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM rrx) WHERE rn <= $AnnK),
+      exact5 AS (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d2, vid) AS rn FROM d2full) WHERE rn <= $AnnK)
+      SELECT e.qid,
+             CAST(count(p.vid) AS BIGINT) AS n_hits,
+             round(CAST(count(p.vid) AS DOUBLE) / count(*), 6)
+               AS recall_at_5
+      FROM exact5 e LEFT JOIN rr5 p ON e.qid = p.qid AND e.vid = p.vid
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val base = rpProjected(s, dir).select(col("vec_id"), col("yr"))
+      val q = base.filter(col("vec_id") < AnnQ)
+        .select(col("vec_id").as("qid"), col("yr").as("qy"))
+      val d2rp = base.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          round(graft.functions.VecOps.sqDist18(col("yr"), col("qy")), 6)
+            .as("d2"))
+      val short = d2rp.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
+        .filter(col("rn") <= RerankR).select("qid", "vid")
+      val exact = short
+        .join(emb.select(col("vec_id").as("vid"), col("v").as("cv")),
+          "vid")
+        .join(broadcast(emb.filter(col("vec_id") < AnnQ)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))), "qid")
+        .select(col("qid"), col("vid"),
+          round(graft.functions.VecOps.sqDist18(col("cv"), col("qv")), 6)
+            .as("d2"))
+      val rr5 = exact.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
+        .filter(col("rn") <= AnnK)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      exactTop5(s, dir).join(rr5, Seq("qid", "vid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hits"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("recall_at_5"))
+        .orderBy("qid")
+    },
+
     // INCREMENTAL CDC dedup — the block-level member of the
     // incremental family (exact q_t_incr_dedup, substring
     // q_d_substr_incr, index q_e_index_incr): a delta batch's chunks
