@@ -260,6 +260,52 @@ class SettingsSpec extends SparkSpec {
     }
   }
 
+  test("dsir / cdc / rp / curation knob overrides re-interpolate " +
+      "engine and oracle") {
+    // DSIR bucket width reaches the hashed-feature mod AND the add-B
+    // smoothing denominators in the oracle
+    assert(SparkEntry.oracleSql("q_t_dsir_weights").contains("% 64"))
+    withProp("graft.dsir.n_buckets", "32") {
+      val sql = SparkEntry.oracleSql("q_t_dsir_weights")
+      assert(sql.contains("% 32") && sql.contains("+ 32"))
+    }
+    withProp("graft.dsir.target_lang", "fr") {
+      assert(SparkEntry.oracleSql("q_t_dsir_weights")
+        .contains("lang = 'fr'"))
+    }
+    withProp("graft.dsir.sample_k", "25") {
+      assert(SparkEntry.oracleSql("q_t_dsir_sample")
+        .contains("smp_rank <= 25"))
+    }
+    // CDC gram width rebuilds the coefficient table (k entries) and
+    // the divisor reaches the cut predicate
+    withProp("graft.dedup.cdc.divisor", "16") {
+      assert(SparkEntry.oracleSql("q_d_cdc_chunks")
+        .contains("h % 16 = 0"))
+    }
+    withProp("graft.dedup.cdc.k", "4") {
+      val sql = SparkEntry.oracleSql("q_d_cdc_chunks")
+      assert(sql.contains("pos + 4 AS b"),
+        "cut offset did not follow the gram width")
+    }
+    // RP output dim reaches the matrix CTE range AND the ±1/√d scale
+    withProp("graft.ann.rp.out_dim", "4") {
+      val sql = SparkEntry.oracleSql("q_e_rp_norms")
+      assert(sql.contains("range(4) t1(j)"))
+      assert(sql.contains("0.5 ELSE -0.5"),
+        "scale literal did not follow 1/sqrt(out_dim)")
+    }
+    withProp("graft.ann.rp.pair_cap", "10") {
+      assert(SparkEntry.oracleSql("q_e_rp_distortion")
+        .contains("vec_id < 10"))
+    }
+    // prototypicality prune fraction reaches the ceil-rank cut
+    withProp("graft.curation.proto_prune_frac", "0.5") {
+      assert(SparkEntry.oracleSql("q_e_proto_prune")
+        .contains("ceil(0.5 * n)"))
+    }
+  }
+
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
       "and reach their consumers") {
     val Q = Settings.clusterQa
