@@ -3654,6 +3654,58 @@ object TextQueries extends QueryModule {
         .orderBy("band_idx")
     },
 
+    // Contrastive training-pair mining (the SimCSE/E5-style
+    // hard-negative step): for every vector with BOTH a near-dup mate
+    // (candidate cosine ≥ the semantic-dedup τ — the positive) and a
+    // below-τ candidate (the HARD negative: the closest non-duplicate,
+    // exactly the pair a contrastive loss learns the most from), emit
+    // (anchor, positive, hard negative, margin). Mined entirely from
+    // the shared bucketed ANN candidate stage — candidate generation
+    // cost is already paid, selection is two per-anchor argmax windows
+    // over candidate lists (bounded by the bucket cap, never corpus
+    // fanout).
+    Q("q_e_contrastive", Some(s"""
+      WITH $annPairCtes,
+      ctc AS (
+        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cs
+        FROM dots JOIN norms na ON id_a = na.vec_id
+                  JOIN norms nb ON id_b = nb.vec_id),
+      ctsym AS (
+        SELECT id_a AS a, id_b AS b, cs FROM ctc
+        UNION ALL
+        SELECT id_b, id_a, cs FROM ctc),
+      ctpos AS (
+        SELECT a, b AS pos_id, cs AS pos_cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY a
+            ORDER BY cs DESC, b) AS rn
+          FROM ctsym WHERE cs >= $SemMinCos) WHERE rn = 1),
+      ctneg AS (
+        SELECT a, b AS neg_id, cs AS neg_cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY a
+            ORDER BY cs DESC, b) AS rn
+          FROM ctsym WHERE cs < $SemMinCos) WHERE rn = 1)
+      SELECT a AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+             round(pos_cos - neg_cos, 6) AS margin
+      FROM ctpos JOIN ctneg USING (a) ORDER BY anchor_id""")) {
+      (s, dir) =>
+      val sym = annPairs(s, dir).select(col("id_a").as("a"),
+          col("id_b").as("b"), col("cos_sim").as("cs"))
+        .unionByName(annPairs(s, dir).select(col("id_b").as("a"),
+          col("id_a").as("b"), col("cos_sim").as("cs")))
+      val w = Window.partitionBy("a").orderBy(col("cs").desc, col("b"))
+      val pos = sym.filter(col("cs") >= SemMinCos)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("a"), col("b").as("pos_id"), col("cs").as("pos_cos"))
+      val neg = sym.filter(col("cs") < SemMinCos)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("a"), col("b").as("neg_id"), col("cs").as("neg_cos"))
+      pos.join(neg, "a")
+        .select(col("a").as("anchor_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+        .orderBy("anchor_id")
+    },
+
     // Johnson–Lindenstrauss random projection (Achlioptas ±1 variant,
     // text.RandomProjection): per-vector norm preservation report —
     // the pre-ANN dimensionality reduction, with the sign matrix
