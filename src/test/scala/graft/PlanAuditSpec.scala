@@ -109,6 +109,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"CDC chunking shuffled:\n$p")
   }
 
+  test("q_e_contrastive / q_e_rp_rerank: candidate-bounded selection, " +
+      "no cross product, query sides broadcast") {
+    val p1 = planOf("q_e_contrastive")
+    assert(!p1.contains("CartesianProduct"))
+    assert(!p1.contains("BroadcastNestedLoopJoin"),
+      "contrastive mining degenerated to a nested-loop join")
+    val p2 = planOf("q_e_rp_rerank")
+    assert(p2.contains("BroadcastHashJoin"),
+      "rp-rerank query side not broadcast")
+    assert(!p2.contains("CartesianProduct"))
+    graft.queries.Stage.clear()
+  }
+
   test("ANN pair / bronze parse / index-star stages are cache-shared " +
       "across their consumers") {
     graft.queries.Stage.clear()
