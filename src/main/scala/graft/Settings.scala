@@ -425,7 +425,17 @@ object Settings {
     * (centroid-nearest) points dropped by the Sorscher-style pruning
     * query. */
   object curation {
-    def protoPruneFrac: Double = dbl("curation.proto_prune_frac", 0.25)
+    def protoPruneFrac: Double = {
+      val f = dbl("curation.proto_prune_frac", 0.25)
+      // strict (0,1): frac = 0 diverges between engines (DuckDB's
+      // ceil-rank cut goes NULL → keep NULL, Spark's
+      // percentile_approx(0) returns the min → keep boolean) and
+      // frac = 1 prunes everything; neither is a meaningful pruning
+      // policy, so reject at read like the ANN knob validations
+      require(f > 0.0 && f < 1.0,
+        s"curation.proto_prune_frac $f must be in (0, 1)")
+      f
+    }
   }
 
   /** `export:` block — training-data shard-export knobs (engine

@@ -285,6 +285,12 @@ object MlQueries extends QueryModule {
     // percentile_approx at accuracy 10^6 ≡ ceil-rank row_number), so
     // the flag is a broadcast-join + comparison, never a corpus-wide
     // sort — k threshold rows are the only state at 100 TB.
+    // Edge behavior (documented, Settings enforces frac ∈ (0,1)):
+    // keep = d2 > cut is strict, so the cut-rank point itself — and
+    // therefore a singleton cluster's only point — is always pruned
+    // (ties at the cut prune together); frac=0/1 are rejected at
+    // Settings read because 0 diverges between engines (ceil-rank
+    // NULL vs percentile_approx min).
     Q("q_e_proto_prune", Some(s"""
       WITH ${graft.ml.LloydKmeans.oracleSql(k = 4, iters = 6)},
       pa AS (

@@ -3757,7 +3757,8 @@ object TextQueries extends QueryModule {
         GROUP BY 1, 2),
       rr AS (
         SELECT round(p.d2 / o.d2, 6) AS ratio
-        FROM rod o JOIN rpd p ON o.ia = p.ia AND o.ib = p.ib)
+        FROM rod o JOIN rpd p ON o.ia = p.ia AND o.ib = p.ib
+        WHERE o.d2 > 0)
       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
              round(CAST(sum(CAST(ratio AS DECIMAL(38,9))) AS DOUBLE)
                / count(*), 6) AS mean_ratio,
@@ -3775,6 +3776,12 @@ object TextQueries extends QueryModule {
         .join(broadcast(base.select(col("vec_id").as("ib"),
           col("v").as("vb"), col("yr").as("pb"))),
           col("ia") < col("ib"))
+        // zero guard (both engines: the oracle's rr has o.d2 > 0):
+        // two identical embeddings inside the pair cap give original
+        // d2 = 0 → NaN/Inf ratio in Spark and an Infinity→DECIMAL
+        // cast failure in DuckDB; a zero-distance pair carries no
+        // distortion information, so drop it on both sides
+        .filter(graft.functions.VecOps.sqDist(col("va"), col("vb")) > 0)
       val ratio = round(
         graft.functions.VecOps.sqDist(col("pa"), col("pb"))
           / graft.functions.VecOps.sqDist(col("va"), col("vb")), 6)

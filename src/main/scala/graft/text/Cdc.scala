@@ -40,9 +40,15 @@ object Cdc {
     val idx = when(size(col("h")) > 0,
       sequence(lit(0), size(col("h")) - 1))
       .otherwise(array().cast("array<int>"))
-    val cuts = transform(
+    // clamp: the hash is byte-indexed but spans index CHARACTERS, so
+    // on non-ASCII input a cut at byte i+k can exceed the char length
+    // n — without the clamp that manufactures phantom chunks (empty
+    // text, positive chunk_len, colliding empty fingerprints). With
+    // it, non-ASCII degrades to oracle-divergence only (documented
+    // ASCII contract), never internally inconsistent output.
+    val cuts = filter(transform(
       filter(idx, i => element_at(col("h"), i + 1) % divisor === 0),
-      i => i + k)
+      i => i + k), c => c <= col("n"))
     // bounds: 0, every content cut, n — distinct + sorted (a cut at n
     // coincides with the tail bound)
     val bounds = array_sort(array_distinct(
