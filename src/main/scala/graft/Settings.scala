@@ -420,6 +420,20 @@ object Settings {
     def sampleK: Int = int("dsir.sample_k", 100)
   }
 
+  /** `quality_clf:` block — trained fastText-style quality-classifier
+    * knobs (engine extension; text.QualityClf). `n_buckets` is the
+    * hashed-gram feature width; `lr`/`iters` pin the full-batch
+    * logistic GD (the oracle unrolls one CTE block per iteration, so
+    * production iteration counts are an override that keeps the engine
+    * path); `pos_threshold` is the heuristic-battery score band that
+    * defines the positive reference class. */
+  object qualityClf {
+    def nBuckets: Int = int("quality_clf.n_buckets", 64)
+    def lr: Double = dbl("quality_clf.lr", 10.0)
+    def iters: Int = int("quality_clf.iters", 24)
+    def posThreshold: Double = dbl("quality_clf.pos_threshold", 0.75)
+  }
+
   /** `curation:` block — data-pruning knobs beyond the dedup families.
     * `proto_prune_frac` is the per-cluster share of most-prototypical
     * (centroid-nearest) points dropped by the Sorscher-style pruning

@@ -803,6 +803,106 @@ object CurationQueries extends QueryModule {
           round(col("logw"), 6).as("logw"),
           round(col("gk"), 6).as("gumbel"), col("score"))
         .orderBy("smp_rank")
+    },
+
+    // Trained quality classifier, FIT (text.QualityClf scaladoc): the
+    // fastText-style logistic model over hashed unigram+bigram buckets,
+    // trained by full-batch GD with every iteration pinned — the oracle
+    // unrolls one (margin, err, grad, weights) CTE block per round, so
+    // the TRAINED WEIGHTS themselves are hash-checked, not just a
+    // frozen scoring pass. Positive class = the heuristic battery's
+    // top band (weak supervision — the GPT-3/CCNet reference-corpus
+    // pattern); the classifier is the quality filter, DSIR the domain
+    // filter. Engine: one aggregate action per GD round over the
+    // cached doc-partitioned feature frame; model state ≤ B+1 doubles.
+    Q("q_t_quality_clf_fit", Some(s"""
+      WITH $qclfCtes
+      SELECT CAST(bk AS INT) AS bk, round(w, 9) AS weight
+      FROM qcw$QcIters ORDER BY bk""")) { (s, dir) =>
+      val w = qclfWeights(s, dir)
+      s.createDataFrame(w.toSeq.sortBy(_._1)).toDF("bk", "w")
+        .select(col("bk").cast("int").as("bk"),
+          round(col("w"), 9).as("weight"))
+        .orderBy("bk")
+    },
+
+    // Trained quality classifier, per-doc scores under the fitted
+    // weights: margin (exact-decimal dot product), probability, the
+    // keep/drop prediction, and agreement with the training label.
+    // The scoring pass is the serving-side cost model: broadcast B+1
+    // weights into one map-shaped pass over the corpus.
+    Q("q_t_quality_clf", Some(s"""
+      WITH $qclfCtes,
+      qcmf AS (
+        SELECT f.doc_id,
+               CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
+                 AS margin
+        FROM qcf f JOIN qcw$QcIters w USING (bk) GROUP BY 1)
+      SELECT m.doc_id, (y.y = 1.0) AS label,
+             round(m.margin, 6) AS margin,
+             round(1.0 / (1.0 + exp(-m.margin)), 6) AS prob,
+             m.margin > 0 AS pred,
+             (m.margin > 0) = (y.y = 1.0) AS correct
+      FROM qcmf m JOIN qcy y USING (doc_id) ORDER BY doc_id""")) {
+      (s, dir) =>
+      graft.text.QualityClf.score(qclfFeatY(s, dir), qclfWeights(s, dir))
+        .select(col("doc_id"), (col("y") === 1.0).as("label"),
+          round(col("margin"), 6).as("margin"),
+          round(col("prob"), 6).as("prob"), col("pred"),
+          (col("pred") === (col("y") === 1.0)).as("correct"))
+        .orderBy("doc_id")
+    },
+
+    // Trained quality classifier, training-fit report: confusion
+    // counts and accuracy/precision/recall/F1 — the numbers a curation
+    // run logs before promoting the model. Counts are exact integers;
+    // the ratios are single IEEE divisions of exact counts (bit-exact
+    // cross-engine), zero-guarded like the r10 distortion fix.
+    Q("q_t_quality_clf_report", Some(s"""
+      WITH $qclfCtes,
+      qcmf AS (
+        SELECT f.doc_id,
+               CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
+                 AS margin
+        FROM qcf f JOIN qcw$QcIters w USING (bk) GROUP BY 1),
+      qcj AS (
+        SELECT m.margin > 0 AS pred, y.y = 1.0 AS label
+        FROM qcmf m JOIN qcy y USING (doc_id)),
+      qcc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pred_pos,
+               CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct
+        FROM qcj)
+      SELECT n_docs, n_pos, n_pred_pos, tp, n_correct,
+             round(CAST(n_correct AS DOUBLE) / n_docs, 9) AS accuracy,
+             round(CASE WHEN n_pred_pos > 0
+               THEN CAST(tp AS DOUBLE) / n_pred_pos END, 9) AS prec,
+             round(CASE WHEN n_pos > 0
+               THEN CAST(tp AS DOUBLE) / n_pos END, 9) AS rec
+      FROM qcc""")) { (s, dir) =>
+      graft.text.QualityClf.score(qclfFeatY(s, dir), qclfWeights(s, dir))
+        .select(col("pred"), (col("y") === 1.0).as("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_pos"),
+          sum(when(col("pred") && col("label"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("n_docs"), col("n_pos"), col("n_pred_pos"),
+          col("tp"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_docs"), 9)
+            .as("accuracy"),
+          round(when(col("n_pred_pos") > 0,
+            col("tp").cast("double") / col("n_pred_pos")), 9).as("prec"),
+          round(when(col("n_pos") > 0,
+            col("tp").cast("double") / col("n_pos")), 9).as("rec"))
     }
   )
 
@@ -854,4 +954,41 @@ object CurationQueries extends QueryModule {
                sum(d.nb * lr.diff) AS logw
         FROM dbk d JOIN dlr lr ON d.bk = lr.bk
         GROUP BY 1, 2)"""
+
+  // ---- Trained quality classifier (text.QualityClf) live settings,
+  // shared stage, fitted-model memo, and oracle CTE chain
+
+  private def QcB = graft.Settings.qualityClf.nBuckets
+  private def QcLr = graft.Settings.qualityClf.lr
+  private[queries] def QcIters = graft.Settings.qualityClf.iters
+  private def QcThresh = graft.Settings.qualityClf.posThreshold
+
+  /** Shared labeled-feature stage `(doc_id, y, bk, x)` — hash-
+    * partitioned by doc_id before the checkpoint so every GD round's
+    * doc-window margin runs without an exchange. */
+  private[queries] def qclfFeatY(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "qclf_feat") {
+      val docs = t(s, dir, "documents")
+      graft.text.QualityClf.features(docs, QcB)
+        .join(graft.text.QualityClf.labels(docs, QcThresh), "doc_id")
+        .select("doc_id", "y", "bk", "x")
+        .repartition(col("doc_id"))
+    }
+
+  /** Fitted weights, memoized per sf dir (a classifier is trained once
+    * and shipped to every consumer — the bpeLearned contract). */
+  private val qclfMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.text.QualityClf.Weights]
+  private[queries] def qclfWeights(s: SparkSession, dir: String)
+      : graft.text.QualityClf.Weights =
+    qclfMemo.getOrElseUpdate(dir, {
+      val featY = qclfFeatY(s, dir)
+      // one bias row per labeled doc → the GD normalizer, off the
+      // cached stage (no second pass over documents)
+      val n = featY.filter(col("bk") === -1L).count().toDouble
+      graft.text.QualityClf.fit(featY, QcB, QcLr, QcIters, n)
+    })
+
+  private def qclfCtes: String = graft.text.QualityClf.oracleSql(
+    hsql, QcB, QcLr, QcIters, QcThresh)
 }

@@ -90,6 +90,11 @@ object Warmup {
       // over documents
       "dsirWeights" ->
         (() => CurationQueries.dsirWeights(spark, dir).count()),
+      // quality-classifier labeled-feature stage + the GD fit (a
+      // trained-model artifact like bpeVocab — its iterative action
+      // chain overlaps the other roots instead of serializing into
+      // the first q_t_quality_clf* query)
+      "qclfFit" -> (() => CurationQueries.qclfWeights(spark, dir)),
       "bigramLp" -> (() => TextQueries.bigramLp(spark, dir).count()),
       // CDC chunk fingerprints (one codegen'd rolling-hash pass,
       // shuffle-free — the stored block-dedup artifact)

@@ -391,6 +391,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming quality classifier: arriving docs score against the " +
+      "frozen trained weights exactly like batch, stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val B = 64
+    // train on the standing corpus, freeze: the model is B+2 doubles
+    // riding the plan as a map literal — no shuffle, no state store
+    val featY = graft.text.QualityClf.features(docs, B)
+      .join(graft.text.QualityClf.labels(docs, 0.75), "doc_id")
+      .select("doc_id", "y", "bk", "x").localCheckpoint()
+    val w = graft.text.QualityClf.fit(featY, B, 10.0, 6, docs.count().toDouble)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String)],
+        spark.sqlContext)
+    val scored = graft.text.QualityClf.scoreRowwise(
+      mem.toDF.toDF("doc_id", "text"), B, w)
+      .select(col("doc_id"), round(col("margin"), 6), col("pred"))
+    // stateless map-only program => append mode, no watermark needed
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("qclf_stream_test").start()
+    val batchRows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qclf_stream_test")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // batch truth: the exact-decimal aggregate path — same value to fp
+    // round-off, absorbed by the round-6 emit boundary
+    val want = graft.text.QualityClf.score(featY, w)
+      .select(col("doc_id"), round(col("margin"), 6), col("pred"))
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (m, p)) =>
+      assert(math.abs(m - want(id)._1) < 2e-6,
+        s"doc $id: streamed margin $m vs batch ${want(id)._1}")
+      assert(p == want(id)._2, s"doc $id pred")
+    }
+  }
+
   test("streaming CDC: chunking is stateless and identical to batch; " +
       "chunk-level dedup state suppresses shared blocks across " +
       "micro-batches") {
