@@ -395,6 +395,12 @@ object Settings {
     def winnowWindow: Int = int("dedup.winnow.window", 8)
     def winnowMaxFreq: Int = int("dedup.winnow.max_freq", 10)
     def winnowMinShared: Int = int("dedup.winnow.min_shared", 2)
+    /** Same-offset match floor for span STRIPPING (Winnow.stripSpans):
+      * one shared fingerprint at an offset is collision-grade
+      * evidence; a real contiguous span emits ~2/(window+1) of its
+      * positions. */
+    def winnowStripMinMatches: Int =
+      int("dedup.winnow.strip_min_matches", 2)
   }
 
   /** `bpe:` block — subword-tokenizer knobs (engine extension; the

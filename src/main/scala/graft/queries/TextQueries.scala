@@ -53,6 +53,8 @@ object TextQueries extends QueryModule {
   private[queries] def WinnowK = graft.Settings.dedup.winnowK
   private[queries] def WinnowW = graft.Settings.dedup.winnowWindow
   private[queries] def WinnowMaxFreq = graft.Settings.dedup.winnowMaxFreq
+  private[queries] def WinnowStripMin =
+    graft.Settings.dedup.winnowStripMinMatches
   private[queries] def WinnowMinShared =
     graft.Settings.dedup.winnowMinShared
 
@@ -2003,6 +2005,79 @@ object TextQueries extends QueryModule {
           col("min_pos1").cast("long").as("min_pos1"),
           col("max_pos1").cast("long").as("max_pos1"))
         .orderBy("d1", "d2", "align_offset")
+    },
+
+    // Winnow-driven span STRIPPING (Winnow.stripSpans scaladoc): the
+    // curation consumer of the alignment report — strip from the later
+    // doc of each candidate pair every aligned span with >=
+    // strip_min_matches same-offset fingerprint matches (the
+    // boilerplate/license-text counterpart of q_d_substr_strip, with
+    // spans LOCALIZED by fingerprints instead of exact token grams).
+    // Char-level accounting: covered positions merge to islands, the
+    // strip folds over the <= islands+1 kept segments. The oracle
+    // rebuilds clean_text per char (string_agg over uncovered
+    // positions) — method differs, string equality is exact.
+    Q("q_d_winnow_strip", Some(s"""
+      WITH $winnowCtes,
+      wsets AS (SELECT DISTINCT doc_id, h FROM wfp),
+      wrare AS (SELECT h FROM (SELECT h, count(*) AS c FROM wsets
+                GROUP BY 1) WHERE c BETWEEN 2 AND $WinnowMaxFreq),
+      wpr AS (SELECT s.doc_id, s.h FROM wsets s JOIN wrare r
+              ON s.h = r.h),
+      wpairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM wpr a JOIN wpr b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
+      walign AS (
+        SELECT p.d1, p.d2, fa.fp_pos - fb.fp_pos AS off,
+               count(*) AS n_matches,
+               min(fa.fp_pos) AS mn, max(fa.fp_pos) AS mx
+        FROM wpairs p
+        JOIN wfp fa ON fa.doc_id = p.d1
+        JOIN wfp fb ON fb.doc_id = p.d2 AND fb.h = fa.h
+        GROUP BY 1, 2, 3),
+      wspan AS (
+        SELECT d2 AS doc_id, mn - off AS s,
+               mx - off + ${WinnowK - 1} AS e
+        FROM walign WHERE n_matches >= $WinnowStripMin),
+      wcovd AS (
+        SELECT DISTINCT doc_id, cp FROM (
+          SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM wspan)),
+      wisl AS (
+        SELECT doc_id, min(cp) AS cs, max(cp) AS ce
+        FROM (SELECT doc_id, cp,
+                cp - row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cp) AS grp
+              FROM wcovd)
+        GROUP BY doc_id, grp),
+      wcv AS (
+        SELECT doc_id, sum(ce - cs + 1) AS covered,
+               count(*) AS n_spans
+        FROM wisl GROUP BY 1),
+      wtk AS (
+        SELECT doc_id, text, unnest(range(length(text))) AS i
+        FROM documents),
+      wcl AS (
+        SELECT tk.doc_id,
+               string_agg(substring(tk.text, CAST(tk.i + 1 AS INT), 1),
+                 '' ORDER BY tk.i) AS clean_text
+        FROM wtk tk LEFT JOIN wcovd c
+          ON tk.doc_id = c.doc_id AND tk.i = c.cp
+        WHERE c.cp IS NULL GROUP BY 1)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+             CAST(coalesce(wcv.covered, 0) AS BIGINT) AS covered_chars,
+             CAST(coalesce(wcv.n_spans, 0) AS BIGINT) AS n_spans,
+             round(CAST(coalesce(wcv.covered, 0) AS DOUBLE)
+               / length(d.text), 9) AS covered_frac,
+             coalesce(wcl.clean_text, '') AS clean_text
+      FROM documents d
+      LEFT JOIN wcv ON d.doc_id = wcv.doc_id
+      LEFT JOIN wcl ON d.doc_id = wcl.doc_id
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      graft.text.Winnow.stripSpans(t(s, dir, "documents"),
+          winnowPairs(s, dir), winnowFps(s, dir),
+          k = WinnowK, minMatches = WinnowStripMin)
+        .orderBy("doc_id")
     },
 
     // Content-defined chunking (LBFS/FastCDC family), chunk report:

@@ -83,6 +83,66 @@ object Winnow {
         min("pos1").as("min_pos1"), max("pos1").as("max_pos1"))
   }
 
+  /** Winnow-driven span STRIPPING — the curation consumer of
+    * [[alignments]] (the counterpart of Dedup.substringStrip for
+    * boilerplate/license spans localized by fingerprint alignment):
+    * strip from the LATER doc of each candidate pair (keeper
+    * convention: d1 < d2 keeps d1) every aligned span carrying at
+    * least `minMatches` same-offset fingerprint matches (a single
+    * shared fingerprint at an offset is collision-grade evidence; a
+    * real contiguous span emits one ~every (w+1)/2 positions). The
+    * span in the stripped doc's char coordinates is
+    * [min_pos1 − offset, max_pos1 − offset + k − 1] — a fingerprint
+    * at pos covers its k-gram [pos, pos+k); both bounds are real
+    * fingerprint positions of that doc, so the range is in-bounds by
+    * construction. Covered positions merge to islands per doc
+    * (explode is O(covered chars), bounded by doc length); the strip
+    * is a fold over the ≤ islands+1 KEPT segments — O(segments)
+    * substr calls, never per-char work. Returns one row per corpus
+    * doc: `(doc_id, n_chars, covered_chars, n_spans, covered_frac,
+    * clean_text)`. */
+  def stripSpans(docs: DataFrame, pairs: DataFrame, fps: DataFrame,
+      k: Int, minMatches: Int): DataFrame = {
+    val spans = alignments(pairs, fps)
+      .filter(col("n_matches") >= minMatches)
+      .select(col("d2").as("doc_id"),
+        (col("min_pos1") - col("align_offset")).as("s"),
+        (col("max_pos1") - col("align_offset") + (k - 1)).as("e"))
+    val covPos = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e"))).as("cp")).distinct()
+    val wIsl = Window.partitionBy("doc_id").orderBy("cp")
+    val islands = covPos
+      .withColumn("grp", col("cp") - row_number().over(wIsl))
+      .groupBy("doc_id", "grp")
+      .agg(min("cp").as("cs"), max("cp").as("ce"))
+    val perDoc = islands.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("cs"), col("ce")))).as("isl"),
+      sum(col("ce") - col("cs") + 1).cast("long").as("covered_chars"),
+      count(lit(1)).as("n_spans"))
+    val isl = coalesce(col("isl"),
+      array().cast("array<struct<cs:int,ce:int>>"))
+    val n = length(col("text"))
+    // fold over islands: acc = text up to the current island's start,
+    // p = first position not yet emitted; finish emits the tail
+    val stripped = aggregate(isl,
+      struct(lit(0).as("p"), lit("").as("acc")),
+      (st, iv) => struct(
+        (iv.getField("ce") + 1).as("p"),
+        concat(st.getField("acc"), col("text").substr(
+          st.getField("p") + 1,
+          iv.getField("cs") - st.getField("p"))).as("acc")),
+      st => concat(st.getField("acc"),
+        col("text").substr(st.getField("p") + 1, n - st.getField("p"))))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        n.cast("long").as("n_chars"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("covered_chars"), lit(0L)).cast("double")
+          / n, 9).as("covered_frac"),
+        stripped.as("clean_text"))
+  }
+
   /** [[fingerprintPairs]] over a precomputed fingerprint frame (the
     * stored per-doc artifact at corpus scale). */
   def fingerprintPairsFrom(fps: DataFrame, maxFreq: Int,

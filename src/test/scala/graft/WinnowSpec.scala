@@ -103,4 +103,53 @@ class WinnowSpec extends SparkSpec {
       lo >= 120 - (w - 1) && hi <= 120 + common.length
     }, "aligned extent must sit in the planted region")
   }
+
+  test("stripSpans: the later doc loses the planted span, the keeper " +
+      "and unrelated docs are untouched, and the char accounting is " +
+      "internally consistent") {
+    def synth(seed: Long, n: Int): String = {
+      var h = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        h = h * 2862933555777941757L + 3037000493L
+        sb.append(('a' + ((h >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }
+    val k = 16; val w = 8
+    // a LONG planted block (many same-offset matches, well past the
+    // strip floor) shared by docs 1 and 2; doc 3 unrelated
+    val common = synth(7L, 120)
+    val a = synth(1L, 100) + common + synth(2L, 100)
+    val b = synth(3L, 60) + common + synth(4L, 80)
+    val c = synth(5L, 250)
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, k, w)
+    val pairs = Winnow.fingerprintPairsFrom(fps, maxFreq = 10,
+      minShared = 2)
+    val out = Winnow.stripSpans(docs, pairs, fps, k, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // keeper (d1 = 1) and the unrelated doc keep their full text
+    assert(out(1L).getAs[Long]("covered_chars") == 0L
+      && out(1L).getAs[String]("clean_text") == a, "keeper untouched")
+    assert(out(3L).getAs[Long]("covered_chars") == 0L
+      && out(3L).getAs[String]("clean_text") == c, "unrelated untouched")
+    // the later doc loses (at least the winnow-localizable core of)
+    // the planted block: fingerprint evidence starts within the first
+    // window of the span, so coverage is near-total
+    val covered = out(2L).getAs[Long]("covered_chars")
+    assert(covered >= common.length - (w + k) && covered <= common.length,
+      s"doc 2 covered $covered of ${common.length} planted chars")
+    // internal consistency on every row: n_chars − covered == kept
+    out.values.foreach { r =>
+      assert(r.getAs[String]("clean_text").length ==
+        r.getAs[Long]("n_chars") - r.getAs[Long]("covered_chars"),
+        s"doc ${r.getLong(0)} accounting")
+    }
+    // the stripped text is exactly the original minus the covered span
+    // (prefix + suffix around one contiguous island)
+    val clean2 = out(2L).getAs[String]("clean_text")
+    assert(b.startsWith(clean2.take(10)) &&
+      clean2.length == b.length - covered)
+  }
 }
