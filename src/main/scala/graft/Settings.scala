@@ -376,7 +376,11 @@ object Settings {
       * banding is tuned for recall, so its raw pairs are not edges —
       * r10's derived (8,1) layout makes that explicit, where a single
       * agreeing minhash pairs docs at est 0.125). 0.5 matches the
-      * incremental classifier's near-dup bar. */
+      * incremental classifier's near-dup bar. End-to-end cost of the
+      * operating point (q_d_lsh_e2e, measured at the defaults):
+      * component-membership recall ≈ 0.74 vs the exact-Jaccard truth
+      * closure at precision 1.0 — lower this (or raise the band
+      * count) to trade over-merge risk for recall. */
     def componentMinEst: Double = dbl("dedup.minhash.component_min_est", 0.5)
     def simhashRadius: Int = int("dedup.simhash.hamming_radius", 3)
     def substrK: Int = int("dedup.substr.k", 5)

@@ -510,6 +510,20 @@ object TextQueries extends QueryModule {
         maxFreq = JaccMaxFreq, minJaccard = JaccMinSim)
     }
 
+  /** Exact-Jaccard TRUTH components: connected components over the
+    * frequency-pruned exact-Jaccard pairs at the live threshold ∪ the
+    * same exact-fingerprint star edges docComponents uses — the
+    * ground-truth cluster map the q_d_lsh_e2e report grades the
+    * LSH-derived components against. */
+  private[queries] def truthComponents(s: SparkSession,
+      dir: String): DataFrame =
+    Stage.cached(s, dir, "truth_components") {
+      val docs = t(s, dir, "documents")
+      val pairs = jaccTruth(s, dir).select("d1", "d2")
+        .unionByName(fpPairs(docs)).distinct()
+      Dedup.connectedComponents(docs, pairs)
+    }
+
   /** Standing dedup-index state for the incremental-merge query
     * (q_d_components_incr): the index corpus's duplicate components
     * collapsed to star edges doc → cluster keeper. In production this
@@ -1713,6 +1727,117 @@ object TextQueries extends QueryModule {
           col("n_planted"), col("n_planted_hit"),
           round(col("n_planted_hit").cast("double") / col("n_planted"), 9)
             .as("recall_planted"))
+    },
+
+    // LSH recall at the operating point, END-TO-END: q_d_lsh_tune
+    // grades candidate pairs, but what dedup actually consumes is the
+    // COMPONENT map — this row reports pair-level component-membership
+    // agreement between the LSH-derived components (est-verified band
+    // candidates ∪ exact-fp star edges, the docComponents policy) and
+    // the exact-Jaccard truth components at the same threshold.
+    // comp_recall = of doc pairs the truth closure puts together, the
+    // fraction the LSH closure also puts together (what end-to-end
+    // dedup LOSES to banding); comp_precision = the converse (what it
+    // over-merges). Same-component pair expansion is bounded by max
+    // component size — the est-verification floor (the r10
+    // mega-component fix) is exactly what keeps this feasible at
+    // corpus scale. Settings guidance: dedup.component_min_est
+    // scaladoc.
+    Q("q_d_lsh_e2e", Some {
+      val (nb, r) = LshLayout
+      s"""
+      WITH RECURSIVE $componentCtes,
+      tsz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      trr AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh
+              GROUP BY 1) WHERE c <= $JaccMaxFreq),
+      tpr AS (SELECT s.doc_id, s.sh FROM sh s JOIN trr r ON s.sh = r.sh),
+      tsh AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM tpr a JOIN tpr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      ttr AS (
+        SELECT d1, d2 FROM tsh
+        JOIN tsz s1 ON d1 = s1.doc_id JOIN tsz s2 ON d2 = s2.doc_id
+        WHERE round(CAST(inter AS DOUBLE)
+          / (s1.n_sh + s2.n_sh - inter), 9) >= $JaccMinSim),
+      tal AS (SELECT d1, d2 FROM ttr
+              UNION SELECT d1, d2 FROM fp_pairs),
+      ted AS (SELECT d1 AS a, d2 AS b FROM tal
+              UNION SELECT d2, d1 FROM tal),
+      trh (a, b) AS (
+        SELECT a, b FROM ted
+        UNION
+        SELECT r.a, e.b FROM trh r JOIN ted e ON r.b = e.a),
+      tcm AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS tcomp
+        FROM documents d LEFT JOIN trh r ON r.a = d.doc_id
+        GROUP BY d.doc_id),
+      emm AS (
+        SELECT c.doc_id, t.tcomp, c.comp_id AS lcomp
+        FROM comp c JOIN tcm t USING (doc_id)),
+      etp AS (
+        SELECT a.lcomp = b.lcomp AS hit
+        FROM emm a JOIN emm b
+          ON a.tcomp = b.tcomp AND a.doc_id < b.doc_id),
+      elp AS (
+        SELECT a.tcomp = b.tcomp AS hit
+        FROM emm a JOIN emm b
+          ON a.lcomp = b.lcomp AND a.doc_id < b.doc_id)
+      SELECT $nb AS bands, $r AS rows_per_band,
+             CAST($CompMinEst AS DOUBLE) AS comp_min_est,
+             (SELECT CAST(count(*) AS BIGINT) FROM emm) AS n_docs,
+             (SELECT CAST(count(DISTINCT tcomp) AS BIGINT) FROM emm)
+               AS n_truth_comps,
+             (SELECT CAST(count(DISTINCT lcomp) AS BIGINT) FROM emm)
+               AS n_lsh_comps,
+             (SELECT CAST(count(*) AS BIGINT) FROM etp) AS n_truth_pairs,
+             (SELECT CAST(count(*) FILTER (hit) AS BIGINT) FROM etp)
+               AS n_pairs_hit,
+             round(CASE WHEN (SELECT count(*) FROM etp) > 0
+               THEN CAST((SELECT count(*) FILTER (hit) FROM etp)
+                 AS DOUBLE) / (SELECT count(*) FROM etp) END, 9)
+               AS comp_recall,
+             (SELECT CAST(count(*) AS BIGINT) FROM elp) AS n_lsh_pairs,
+             (SELECT CAST(count(*) FILTER (hit) AS BIGINT) FROM elp)
+               AS n_lsh_hit,
+             round(CASE WHEN (SELECT count(*) FROM elp) > 0
+               THEN CAST((SELECT count(*) FILTER (hit) FROM elp)
+                 AS DOUBLE) / (SELECT count(*) FROM elp) END, 9)
+               AS comp_precision"""
+    }) { (s, dir) =>
+      val (nb, r) = LshLayout
+      val m = docComponents(s, dir)
+        .select(col("doc_id"), col("comp_id").as("lcomp"))
+        .join(truthComponents(s, dir)
+          .select(col("doc_id"), col("comp_id").as("tcomp")), "doc_id")
+      val a = m.select(col("doc_id").as("da"), col("tcomp").as("ta"),
+        col("lcomp").as("la"))
+      val b = m.select(col("doc_id").as("db"), col("tcomp").as("tb"),
+        col("lcomp").as("lb"))
+      val tp = a.join(b, col("ta") === col("tb") && col("da") < col("db"))
+        .agg(count(lit(1)).as("n_truth_pairs"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+            .as("n_pairs_hit"))
+      val lp = a.join(b, col("la") === col("lb") && col("da") < col("db"))
+        .agg(count(lit(1)).as("n_lsh_pairs"),
+          sum(when(col("ta") === col("tb"), 1L).otherwise(0L))
+            .as("n_lsh_hit"))
+      val counts = m.agg(count(lit(1)).as("n_docs"),
+        countDistinct("tcomp").as("n_truth_comps"),
+        countDistinct("lcomp").as("n_lsh_comps"))
+      counts.crossJoin(broadcast(tp)).crossJoin(broadcast(lp))
+        .select(lit(nb).as("bands"), lit(r).as("rows_per_band"),
+          lit(CompMinEst).as("comp_min_est"),
+          col("n_docs"), col("n_truth_comps"), col("n_lsh_comps"),
+          col("n_truth_pairs"), col("n_pairs_hit"),
+          round(when(col("n_truth_pairs") > 0,
+            col("n_pairs_hit").cast("double") / col("n_truth_pairs")), 9)
+            .as("comp_recall"),
+          col("n_lsh_pairs"), col("n_lsh_hit"),
+          round(when(col("n_lsh_pairs") > 0,
+            col("n_lsh_hit").cast("double") / col("n_lsh_pairs")), 9)
+            .as("comp_precision"))
     },
 
     // MinHash + LSH banding candidate pairs with estimated similarity
