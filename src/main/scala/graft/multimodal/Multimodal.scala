@@ -40,14 +40,18 @@ object Multimodal {
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
     0x0a).map(_.toByte)
   private val JpegSig = Array(0xff, 0xd8).map(_.toByte)
+  private val RiffSig = "RIFF".getBytes("US-ASCII")
+  private val WaveSig = "WAVE".getBytes("US-ASCII")
 
   /** Container-format dispatch from magic bytes — the routing column a
     * mixed-media lake partitions its decode fan-out by (png / jpeg /
-    * other). Pure codegen'd byte-prefix compares; the SQL oracle is the
-    * same prefix test over the encoded payload blob. */
+    * wav / other). Pure codegen'd byte-prefix compares; the SQL oracle
+    * is the same prefix test over the encoded payload blob. */
   def mediaFormat(payload: Column): Column =
     when(substring(payload, 1, 8) === lit(PngSig), "png")
       .when(substring(payload, 1, 2) === lit(JpegSig), "jpeg")
+      .when(substring(payload, 1, 4) === lit(RiffSig) &&
+        substring(payload, 9, 4) === lit(WaveSig), "wav")
       .otherwise("other")
 
   /** Decode metadata for each media row (expression path — codegen'd). */
@@ -180,11 +184,61 @@ object Multimodal {
       batch.map(decodeOne)
   }
 
+  /** WAV/RIFF header parser — the THIRD real codec behind the seam,
+    * and the first non-image one: proof the Decoded carry covers audio
+    * (width/height slots hold sample_rate/channels — the per-modality
+    * meaning of the two dimension ints is the consumer's contract, the
+    * seam just carries them). Walks the RIFF chunk list (4-byte ASCII
+    * id + 4-byte LITTLE-endian size, chunks word-aligned) to the
+    * `fmt ` chunk and reads channels (LE16 at +2) and sample rate
+    * (LE32 at +4). Malformed streams — truncated header, missing
+    * `fmt `, chunk running past the payload — quarantine to (-1, -1),
+    * the PNG/JPEG policy. */
+  object WavRiffDecoder extends MediaDecoder {
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private[multimodal] def decodeOne(bytes: Array[Byte]): Decoded = {
+      val cs = byteChecksum(bytes)
+      val isWav = bytes.length >= 12 &&
+        bytes.slice(0, 4).sameElements(RiffSig) &&
+        bytes.slice(8, 12).sameElements(WaveSig)
+      if (!isWav) return Decoded(bytes.length, cs, -1, -1)
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val id = new String(bytes.slice(i, i + 4), "US-ASCII")
+        val size = le32(bytes, i + 4)
+        if (id == "fmt ") {
+          if (size < 16 || i + 8 + 8 > bytes.length)
+            return Decoded(bytes.length, cs, -1, -1)
+          val channels = le16(bytes, i + 10)
+          val sampleRate = le32(bytes, i + 12)
+          if (channels < 1 || sampleRate < 1 ||
+              sampleRate > Int.MaxValue)
+            return Decoded(bytes.length, cs, -1, -1)
+          return Decoded(bytes.length, cs, sampleRate.toInt, channels)
+        }
+        // corrupt size (past the payload): bail before advancing —
+        // a huge declared size must not wrap the cursor
+        if (size > bytes.length)
+          return Decoded(bytes.length, cs, -1, -1)
+        // chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      Decoded(bytes.length, cs, -1, -1) // no fmt chunk
+    }
+    def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded] =
+      batch.map(decodeOne)
+  }
+
   /** Magic-byte decoder DISPATCH — one seam, many codecs: each payload
     * routes to the codec its container signature names (PNG IHDR, JPEG
-    * SOF0, stub fallback for everything else), inside the same batched
-    * partition loop. This is the shape a mixed-media lake actually
-    * runs — per-format decode without per-format pipelines. */
+    * SOF0, WAV/RIFF fmt, stub fallback for everything else), inside
+    * the same batched partition loop. This is the shape a mixed-media
+    * lake actually runs — per-format decode without per-format
+    * pipelines. */
   object DispatchDecoder extends MediaDecoder {
     def decodeBatch(batch: Array[Array[Byte]]): Array[Decoded] =
       batch.map { bytes =>
@@ -193,6 +247,10 @@ object Multimodal {
         else if (bytes.length >= 2 &&
             (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
           JpegSof0Decoder.decodeOne(bytes)
+        else if (bytes.length >= 12 &&
+            bytes.slice(0, 4).sameElements(RiffSig) &&
+            bytes.slice(8, 12).sameElements(WaveSig))
+          WavRiffDecoder.decodeOne(bytes)
         else StubDecoder.decodeOne(bytes)
       }
   }

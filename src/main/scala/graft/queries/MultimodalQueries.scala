@@ -27,6 +27,8 @@ object MultimodalQueries extends QueryModule {
              CASE WHEN left(text, 8) = chr(137) || 'PNG' || chr(13)
                     || chr(10) || chr(26) || chr(10) THEN 'png'
                   WHEN left(text, 2) = chr(255) || chr(216) THEN 'jpeg'
+                  WHEN left(text, 4) = 'RIFF'
+                    AND substring(text, 9, 4) = 'WAVE' THEN 'wav'
                   ELSE 'other' END AS media_format,
              CAST(${hsql("text")} % 576 + 64 AS INT) AS width,
              CAST(${hsql("reverse(text)")} % 416 + 64 AS INT) AS height,

@@ -121,6 +121,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L) == ((-1, -1)), "non-JPEG must quarantine, not throw")
   }
 
+  // handcrafted minimal WAV: RIFF/WAVE header, a JUNK chunk to prove
+  // the chunk walk skips non-fmt chunks (odd-sized, so word alignment
+  // is exercised), then fmt (PCM, LE channels/sample-rate), then data
+  private def wav(sampleRate: Int, channels: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v & 0xff, (v >>> 8) & 0xff)
+    def le32(v: Int) = Array(v & 0xff, (v >>> 8) & 0xff,
+      (v >>> 16) & 0xff, (v >>> 24) & 0xff)
+    val junk = "JUNK".getBytes("US-ASCII").map(_.toInt) ++ le32(3) ++
+      Array(1, 2, 3, 0) // 3 payload bytes + 1 pad (word alignment)
+    val fmt = "fmt ".getBytes("US-ASCII").map(_.toInt) ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    val data = "data".getBytes("US-ASCII").map(_.toInt) ++ le32(4) ++
+      Array(0, 0, 0, 0)
+    val body = junk ++ fmt ++ data
+    ("RIFF".getBytes("US-ASCII").map(_.toInt) ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII").map(_.toInt) ++ body).map(_.toByte)
+  }
+
+  test("WAV/RIFF decoder parses sample rate and channels through the " +
+      "seam; malformed streams quarantine") {
+    val s = spark
+    import s.implicits._
+    // malformed variants: fmt chunk missing entirely; declared chunk
+    // size past the payload (corrupt size must not wrap the walk)
+    val noFmt = {
+      val w = wav(44100, 2)
+      val idx = w.indexOfSlice("fmt ".getBytes("US-ASCII"))
+      w.updated(idx, 'x'.toByte)
+    }
+    val badSize = {
+      val w = wav(44100, 2)
+      val idx = w.indexOfSlice("JUNK".getBytes("US-ASCII"))
+      w.updated(idx + 4, 0xff.toByte).updated(idx + 5, 0xff.toByte)
+        .updated(idx + 6, 0xff.toByte).updated(idx + 7, 0x7f.toByte)
+    }
+    val rows = Seq(
+      (1L, wav(44100, 2)),
+      (2L, wav(16000, 1)),
+      (3L, noFmt),
+      (4L, badSize),
+      (5L, "RIFF but not a wave".getBytes("UTF-8")),
+      (6L, "plain text".getBytes("UTF-8")))
+    val out = Multimodal.decodeFeaturesBatched(
+        rows.toDF("doc_id", "payload"), 2, Multimodal.WavRiffDecoder)
+      .select("doc_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(out(1L) == ((44100, 2)), "stereo 44.1k")
+    assert(out(2L) == ((16000, 1)), "mono 16k")
+    assert(out(3L) == ((-1, -1)), "missing fmt must quarantine")
+    assert(out(4L) == ((-1, -1)), "corrupt chunk size must quarantine")
+    assert(out(5L) == ((-1, -1)), "RIFF-but-not-WAVE must quarantine")
+    assert(out(6L) == ((-1, -1)), "non-RIFF must quarantine, not throw")
+  }
+
   test("magic-byte dispatch routes each payload to its codec; the " +
       "format column agrees") {
     val s = spark
@@ -128,7 +184,8 @@ class MultimodalSpec extends SparkSpec {
     val rows = Seq(
       (1L, png(320, 200)),
       (2L, jpeg(640, 480)),
-      (3L, "just text".getBytes("UTF-8")))
+      (3L, "just text".getBytes("UTF-8")),
+      (4L, wav(22050, 2)))
     val media = rows.toDF("doc_id", "payload")
     val out = Multimodal.decodeFeaturesBatched(media, 2,
         Multimodal.DispatchDecoder)
@@ -139,11 +196,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((640, 480)), "jpeg route")
     assert(out(3L)._1 >= 64 && out(3L)._2 >= 64,
       "other route falls back to the stub decoder")
+    assert(out(4L) == ((22050, 2)), "wav route")
     val fmts = media
       .select(col("doc_id"),
         Multimodal.mediaFormat(col("payload")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(fmts == Map(1L -> "png", 2L -> "jpeg", 3L -> "other"))
+    assert(fmts == Map(1L -> "png", 2L -> "jpeg", 3L -> "other",
+      4L -> "wav"))
   }
 
   test("phash: planted near-identical payload pairs within the radius; " +
