@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: measure the heavy query families at 1× vs N×
+  * the sf0.1 fixture and report per-query scaling ratios — the
+  * cheapest way to catch a hidden super-linear stage (driver
+  * bottleneck, accidental quadratic pair expansion, a collect that
+  * grows with the corpus) before any 100× claim.
+  *
+  * The N× corpus is a DETERMINISTIC horizontal expansion of the
+  * driver fixture (no new fixture files): each replica r = 1..N−1
+  * shifts the id space by r·(max_id+1) and varies content minimally —
+  * documents get a `vr ` prefix token (so gram/fingerprint families
+  * see new near-dup structure instead of N-way exact clones, which
+  * would concentrate every holder list), embeddings get a tiny
+  * deterministic first-component offset (so ANN sees distinct
+  * vectors), events replicate per-ticker series under fresh ticker
+  * ids (the natural horizontal scale of a bar universe: more symbols,
+  * same history depth). Un-scaled tables are copied verbatim so every
+  * registered query still resolves its inputs.
+  *
+  * Usage: `runMain graft.ScaleStress [factor]` — generates the
+  * expanded corpus under /tmp (once; keyed by factor), then runs each
+  * measured query TWICE per scale (run 1 pays JIT + shared-stage
+  * builds, run 2 is the steady plan) and prints one JSON line per
+  * measurement plus a final summary with the run-2 time ratio and the
+  * implied scaling exponent log(t_N/t_1)/log(N). BPE learning is
+  * additionally measured at production vocabulary sizes (V = 100,
+  * 200) — the r10 watch-item on driver-action count per merge round.
+  */
+object ScaleStress {
+
+  private def expand(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.isFile) return
+    new java.io.File(out).mkdirs()
+    val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.select(col("*"), reps)
+      .select(
+        (col("doc_id") + col("rep") * nDoc).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(lit("v"), col("rep").cast("string"),
+            lit(" "), col("text"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.select(col("*"), reps)
+      .select(
+        (col("vec_id") + col("rep") * nVec).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + col("rep").cast("float") * 0.001f)
+            .otherwise(x)).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val nEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    ev.select(col("*"), reps)
+      .select(
+        (col("event_id") + col("rep") * nEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * nUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      val src = new java.io.File(s"$base/$t.parquet")
+      if (src.isFile) {
+        // passthrough copy via Spark keeps the directory-vs-file
+        // layout uniform for the reader
+        spark.read.parquet(src.getPath).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
+    }
+    new java.io.FileOutputStream(done).close()
+  }
+
+  /** The heavy families the r10 verdict named, plus the r11 additions
+    * whose fit/pair stages are the likeliest super-linear suspects. */
+  private val Measured = Seq(
+    "q_t_dedup_pipeline", "q_d_winnow_pairs", "q_d_winnow_strip",
+    "q_e_ann_frontier", "q_t_bpe_learn", "q_hmm_sweep",
+    "q_d_components", "q_d_jaccard", "q_t_quality_clf_fit",
+    "q_d_lsh_e2e", "q_t_dsir_weights")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val out = s"/tmp/graft_scale$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+      else System.getProperty("java.io.tmpdir")
+    val spark = SparkSession.builder()
+      .config("spark.local.dir", localDir)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    expand(spark, base, out, factor)
+
+    val qs = SparkEntry.queries
+    def r2(v: Double) = math.round(v * 100) / 100.0
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // (query, dir) -> (run1, run2)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (Double, Double)]
+    for (name <- Measured; dir <- Seq(base, out)) {
+      val t1 = time { try qs(name)(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $name@$dir run1: ${e.getMessage}") } }
+      val t2 = time { try qs(name)(spark, dir).count()
+        catch { case _: Throwable => () } }
+      results((name, dir)) = (t1, t2)
+      println(s"""{"scale_q":"$name","dir":"$dir","run1":${r2(t1)},"run2":${r2(t2)}}""")
+    }
+    // BPE toward production vocabulary sizes: the r10 watch-item is
+    // driver-ACTION cost per merge round (2 actions + a checkpoint),
+    // so time/round is the metric. The synthetic vocabulary exhausts
+    // near ~90 merges (every word fully merged) — learn() raises
+    // there; count the rounds that ran and report per-round cost.
+    for (v <- Seq(80); dir <- Seq(base, out)) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      var rounds = v
+      val t = time {
+        try graft.text.Bpe.learn(docs, v)
+        catch { case e: IllegalArgumentException =>
+          val m = "round (\\d+)".r.findFirstMatchIn(e.getMessage)
+          rounds = m.map(_.group(1).toInt - 1).getOrElse(v)
+        }
+      }
+      println(s"""{"scale_q":"bpe_learn_v$v","dir":"$dir","wall":${r2(t)},"rounds":$rounds,"per_round":${r2(t / rounds)}}""")
+    }
+    val summary = Measured.map { n =>
+      val (_, s1) = results((n, base))
+      val (_, sN) = results((n, out))
+      val ratio = sN / math.max(s1, 1e-9)
+      val expo = math.log(math.max(ratio, 1e-9)) / math.log(factor)
+      s""""$n":{"t1":${r2(s1)},"tN":${r2(sN)},"ratio":${r2(ratio)},"exponent":${r2(expo)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_stress","factor":$factor,"queries":$summary}""")
+    graft.queries.Stage.clear()
+    spark.stop()
+  }
+}

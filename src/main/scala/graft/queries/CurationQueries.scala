@@ -989,6 +989,6 @@ object CurationQueries extends QueryModule {
       graft.text.QualityClf.fit(featY, QcB, QcLr, QcIters, n)
     })
 
-  private def qclfCtes: String = graft.text.QualityClf.oracleSql(
+  private[queries] def qclfCtes: String = graft.text.QualityClf.oracleSql(
     hsql, QcB, QcLr, QcIters, QcThresh)
 }

@@ -3752,7 +3752,20 @@ object TextQueries extends QueryModule {
         LEFT JOIN pbk ON s4.doc_id = pbk.doc_id
         WHERE pbk.b IS NULL OR pbk.b <> 'tail'),
       a5 AS (SELECT CAST(count(*) AS BIGINT) AS d5,
-                    CAST(sum(kept) AS BIGINT) AS t5 FROM s5)
+                    CAST(sum(kept) AS BIGINT) AS t5 FROM s5),
+      ${CurationQueries.qclfCtes.trim},
+      qcmf6 AS (
+        SELECT f.doc_id,
+               CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
+                 AS margin
+        FROM qcf f JOIN qcw${CurationQueries.QcIters} w USING (bk)
+        GROUP BY 1),
+      s6 AS (
+        SELECT s5.doc_id, s5.kept FROM s5
+        JOIN qcmf6 m ON s5.doc_id = m.doc_id
+        WHERE m.margin > 0),
+      a6 AS (SELECT CAST(count(*) AS BIGINT) AS d6,
+                    CAST(sum(kept) AS BIGINT) AS t6 FROM s6)
       SELECT * FROM (
         SELECT '1_exact' AS stage, d0 AS docs_in, d0 - d1 AS docs_removed,
                d1 AS docs_out, t1 AS tokens_out
@@ -3764,7 +3777,9 @@ object TextQueries extends QueryModule {
         UNION ALL
         SELECT '4_semantic_keeper', d3, d3 - d4, d4, t4 FROM a3, a4
         UNION ALL
-        SELECT '5_quality_ppl', d4, d4 - d5, d5, t5 FROM a4, a5)
+        SELECT '5_quality_ppl', d4, d4 - d5, d5, t5 FROM a4, a5
+        UNION ALL
+        SELECT '6_quality_clf', d5, d5 - d6, d6, t6 FROM a5, a6)
       ORDER BY stage""")) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val nTok = docs.select(col("doc_id"),
@@ -3803,6 +3818,19 @@ object TextQueries extends QueryModule {
             col("ppl_bucket").as("pb")), Seq("doc_id"), "left")
         .filter(col("pb").isNull || col("pb") =!= "tail")
         .select("doc_id", "kept")
+      // stage 6 — TRAINED quality gate: the fastText-style classifier
+      // (QualityClf, fitted once per run on the full corpus like the
+      // ppl buckets) keeps only survivors it scores positive — the
+      // classifier-scored filter production stacks run AFTER the
+      // heuristic/perplexity gates (GPT-3/CCNet lineage); inner join:
+      // every doc has gram features, so no can't-score class here
+      val s6 = s5.join(
+          graft.text.QualityClf.score(
+            CurationQueries.qclfFeatY(s, dir),
+            CurationQueries.qclfWeights(s, dir))
+            .select(col("doc_id"), col("pred")), "doc_id")
+        .filter(col("pred"))
+        .select("doc_id", "kept")
       val a0 = docs.agg(count(lit(1)).as("d0"))
       val a1 = s1t.agg(count(lit(1)).as("d1"),
         sum("n_tokens").cast("long").as("t1"))
@@ -3814,12 +3842,14 @@ object TextQueries extends QueryModule {
         sum("kept").cast("long").as("t4"))
       val a5 = s5.agg(count(lit(1)).as("d5"),
         sum("kept").cast("long").as("t5"))
-      // ONE row after the crossJoins — checkpoint it so the five stage
-      // rows below don't re-run the whole six-aggregate chain each
+      val a6 = s6.agg(count(lit(1)).as("d6"),
+        sum("kept").cast("long").as("t6"))
+      // ONE row after the crossJoins — checkpoint it so the six stage
+      // rows below don't re-run the whole seven-aggregate chain each
       // (union branches share no exchange)
       val all = a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
         .crossJoin(broadcast(a3)).crossJoin(broadcast(a4))
-        .crossJoin(broadcast(a5))
+        .crossJoin(broadcast(a5)).crossJoin(broadcast(a6))
         .localCheckpoint()
       def row(stage: String, din: String, dout: String, tok: String) =
         all.select(lit(stage).as("stage"), col(din).as("docs_in"),
@@ -3830,6 +3860,7 @@ object TextQueries extends QueryModule {
         .unionByName(row("3_near_dup_component", "d2", "d3", "t3"))
         .unionByName(row("4_semantic_keeper", "d3", "d4", "t4"))
         .unionByName(row("5_quality_ppl", "d4", "d5", "t5"))
+        .unionByName(row("6_quality_clf", "d5", "d6", "t6"))
         .orderBy("stage")
     },
 
