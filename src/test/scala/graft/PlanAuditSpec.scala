@@ -657,4 +657,21 @@ class PlanAuditSpec extends SparkSpec {
     val nShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(nShuffles == 1, s"expected 1 shuffle, got $nShuffles:\n$p")
   }
+
+  test("r11 additions keep equi-join shapes: classifier scoring and " +
+      "winnow strip never degenerate to a cross product") {
+    // q_d_lsh_e2e is exempt from the nested-loop check: its one-row
+    // metric aggregates compose via broadcast crossJoin by design
+    // (the report-row convention), which plans as a 1-row BNLJ
+    for (q <- Seq("q_t_quality_clf", "q_d_winnow_strip", "q_d_lsh_e2e")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+    }
+    for (q <- Seq("q_t_quality_clf", "q_d_winnow_strip")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: nested-loop join")
+    }
+    graft.queries.Stage.clear()
+  }
 }

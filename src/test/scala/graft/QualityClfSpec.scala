@@ -86,6 +86,16 @@ class QualityClfSpec extends SparkSpec {
       s"train accuracy $acc must beat the base rate $baseRate")
   }
 
+  test("fit is layout-proof: different partition layouts give " +
+      "bit-identical weights (the PartitionInvariance property, " +
+      "tested directly because the registered fit is memoized)") {
+    val w1 = QualityClf.fit(featY.repartition(2), B, 10.0, 4, nDocs)
+    val w2 = QualityClf.fit(featY.repartition(17, col("bk")), B, 10.0,
+      4, nDocs)
+    assert(w1 == w2,
+      "decimal margin/gradient sums must make GD layout-invariant")
+  }
+
   test("rowwise serving scorer agrees with the batch decimal path to " +
       "round-6 on every doc") {
     val w = QualityClf.fit(featY, B, 10.0, 6, nDocs)
