@@ -903,6 +903,85 @@ object CurationQueries extends QueryModule {
             col("tp").cast("double") / col("n_pred_pos")), 9).as("prec"),
           round(when(col("n_pos") > 0,
             col("tp").cast("double") / col("n_pos")), 9).as("rec"))
+    },
+
+    // Trained quality classifier, HELD-OUT evaluation — the honest ML
+    // report: the same pinned GD fitted ONLY on the train slice
+    // (doc_id % 5 ≠ 0, the family's standing batch convention),
+    // frozen, then scored on the 20% it never saw. train_acc vs
+    // heldout_acc is the generalization gap a curation run reads
+    // before promoting the model (q_t_quality_clf_report's accuracy
+    // is train-resubstitution by design). Counts exact; ratios single
+    // IEEE divisions of exact counts.
+    Q("q_t_quality_clf_heldout", Some(s"""
+      WITH $qclfHoCtes,
+      qcmf AS (
+        SELECT f.doc_id,
+               CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
+                 AS margin
+        FROM qcf f JOIN qcw$QcIters w USING (bk) GROUP BY 1),
+      qcj AS (
+        SELECT m.doc_id, m.doc_id % 5 = 0 AS ho,
+               m.margin > 0 AS pred, y.y = 1.0 AS label
+        FROM qcmf m JOIN qcy y USING (doc_id)),
+      qcc AS (
+        SELECT CAST(sum(CASE WHEN NOT ho THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_train,
+               CAST(sum(CASE WHEN ho THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_heldout,
+               CAST(sum(CASE WHEN NOT ho AND pred = label THEN 1
+                 ELSE 0 END) AS BIGINT) AS tr_correct,
+               CAST(sum(CASE WHEN ho AND pred = label THEN 1
+                 ELSE 0 END) AS BIGINT) AS ho_correct,
+               CAST(sum(CASE WHEN ho AND label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ho_pos,
+               CAST(sum(CASE WHEN ho AND pred THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ho_pred_pos,
+               CAST(sum(CASE WHEN ho AND pred AND label THEN 1
+                 ELSE 0 END) AS BIGINT) AS ho_tp
+        FROM qcj)
+      SELECT n_train, n_heldout,
+             round(CAST(tr_correct AS DOUBLE) / n_train, 9)
+               AS train_acc,
+             round(CAST(ho_correct AS DOUBLE) / n_heldout, 9)
+               AS heldout_acc,
+             ho_pos, ho_pred_pos, ho_tp,
+             round(CASE WHEN ho_pred_pos > 0
+               THEN CAST(ho_tp AS DOUBLE) / ho_pred_pos END, 9)
+               AS heldout_prec,
+             round(CASE WHEN ho_pos > 0
+               THEN CAST(ho_tp AS DOUBLE) / ho_pos END, 9)
+               AS heldout_rec
+      FROM qcc""")) { (s, dir) =>
+      val scored = graft.text.QualityClf.score(qclfFeatY(s, dir),
+          qclfHeldoutWeights(s, dir))
+        .select((col("doc_id") % 5 === 0).as("ho"), col("pred"),
+          (col("y") === 1.0).as("label"))
+      scored.agg(
+          sum(when(!col("ho"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("ho"), 1L).otherwise(0L)).as("n_heldout"),
+          sum(when(!col("ho") && col("pred") === col("label"), 1L)
+            .otherwise(0L)).as("tr_correct"),
+          sum(when(col("ho") && col("pred") === col("label"), 1L)
+            .otherwise(0L)).as("ho_correct"),
+          sum(when(col("ho") && col("label"), 1L).otherwise(0L))
+            .as("ho_pos"),
+          sum(when(col("ho") && col("pred"), 1L).otherwise(0L))
+            .as("ho_pred_pos"),
+          sum(when(col("ho") && col("pred") && col("label"), 1L)
+            .otherwise(0L)).as("ho_tp"))
+        .select(col("n_train"), col("n_heldout"),
+          round(col("tr_correct").cast("double") / col("n_train"), 9)
+            .as("train_acc"),
+          round(col("ho_correct").cast("double") / col("n_heldout"), 9)
+            .as("heldout_acc"),
+          col("ho_pos"), col("ho_pred_pos"), col("ho_tp"),
+          round(when(col("ho_pred_pos") > 0,
+            col("ho_tp").cast("double") / col("ho_pred_pos")), 9)
+            .as("heldout_prec"),
+          round(when(col("ho_pos") > 0,
+            col("ho_tp").cast("double") / col("ho_pos")), 9)
+            .as("heldout_rec"))
     }
   )
 
@@ -991,4 +1070,21 @@ object CurationQueries extends QueryModule {
 
   private[queries] def qclfCtes: String = graft.text.QualityClf.oracleSql(
     hsql, QcB, QcLr, QcIters, QcThresh)
+
+  /** Held-out-evaluation model: the same pinned GD fitted ONLY on the
+    * train slice (doc_id % 5 ≠ 0 — the family's standing batch
+    * convention, the bpeIncr/idxStarEdges split), frozen, scored on
+    * everything. */
+  private val qclfHoMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.text.QualityClf.Weights]
+  private[queries] def qclfHeldoutWeights(s: SparkSession, dir: String)
+      : graft.text.QualityClf.Weights =
+    qclfHoMemo.getOrElseUpdate(dir, {
+      val train = qclfFeatY(s, dir).filter(col("doc_id") % 5 =!= 0)
+      val n = train.filter(col("bk") === -1L).count().toDouble
+      graft.text.QualityClf.fit(train, QcB, QcLr, QcIters, n)
+    })
+
+  private def qclfHoCtes: String = graft.text.QualityClf.oracleSql(
+    hsql, QcB, QcLr, QcIters, QcThresh, fitPred = "doc_id % 5 <> 0")
 }

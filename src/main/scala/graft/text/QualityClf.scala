@@ -190,10 +190,14 @@ object QualityClf {
   /** Unrolled DuckDB oracle over `documents`: feature/label CTEs plus
     * one (margin, err, grad, weights) CTE block per GD round, ending in
     * CTE `qcw$iters(bk, w)` — the mirror of [[fit]], bit-for-bit (see
-    * the object scaladoc for why parity holds). `scoreSql` is the
-    * round-9 battery score expression (the q_t_quality oracle's). */
+    * the object scaladoc for why parity holds). `fitPred` restricts the
+    * GD (margins, gradients via the inner join, and the normalizer
+    * count) to a doc slice — the held-out evaluation fits on
+    * `doc_id % 5 <> 0`; feature and label CTEs stay full-corpus so the
+    * FINAL scoring pass can read every doc. */
   def oracleSql(hsql: String => String, nBuckets: Int, lr: Double,
-      iters: Int, posThreshold: Double): String = {
+      iters: Int, posThreshold: Double,
+      fitPred: String = "TRUE"): String = {
     val base = s"""
       qcd AS (
         SELECT doc_id, text,
@@ -227,7 +231,9 @@ object QualityClf {
         UNION ALL
         SELECT doc_id, $nBuckets AS bk,
                CAST(least(nc, 400) AS DOUBLE) / 400.0 AS x FROM qcd),
-      qcnd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM qcy),
+      qcnd AS MATERIALIZED (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM qcy
+        WHERE $fitPred),
       qcw0 AS MATERIALIZED (
         SELECT range AS bk, 0.0 AS w FROM range(-1, $nBuckets + 1))"""
     val rounds = (1 to iters).map { i =>
@@ -237,7 +243,8 @@ object QualityClf {
         SELECT f.doc_id,
                CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
                  AS margin
-        FROM qcf f JOIN qcw$p w USING (bk) GROUP BY 1),
+        FROM qcf f JOIN qcw$p w USING (bk)
+        WHERE $fitPred GROUP BY 1),
       qce$i AS MATERIALIZED (
         SELECT m.doc_id,
                round(1.0 / (1.0 + exp(-m.margin)) - y.y, 9) AS err
