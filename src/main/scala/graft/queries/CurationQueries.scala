@@ -982,6 +982,52 @@ object CurationQueries extends QueryModule {
           round(when(col("ho_pos") > 0,
             col("ho_tp").cast("double") / col("ho_pos")), 9)
             .as("heldout_rec"))
+    },
+
+    // Trained quality classifier, CALIBRATION report: predicted
+    // probability deciles vs the empirical positive rate in each —
+    // whether 0.8 means 80% (the curve a threshold-picker reads; a
+    // full-batch logistic fit is usually well-calibrated on its own
+    // training distribution, and this row MEASURES it instead of
+    // assuming). Probabilities round-9 before bucketing and the
+    // decimal mean, so the one libm call (exp) stays behind the
+    // established seam; bucket = floor(10p) capped at 9; pos_rate is
+    // an exact-count ratio.
+    Q("q_t_quality_clf_calibration", Some(s"""
+      WITH $qclfCtes,
+      qcmf AS (
+        SELECT f.doc_id,
+               CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
+                 AS margin
+        FROM qcf f JOIN qcw$QcIters w USING (bk) GROUP BY 1),
+      qcp AS (
+        SELECT m.doc_id,
+               round(1.0 / (1.0 + exp(-m.margin)), 9) AS p,
+               y.y = 1.0 AS label
+        FROM qcmf m JOIN qcy y USING (doc_id))
+      SELECT CAST(least(floor(p * 10), 9) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             round(CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+               / count(*), 9) AS mean_prob,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 9) AS pos_rate
+      FROM qcp GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      graft.text.QualityClf.score(qclfFeatY(s, dir),
+          qclfWeights(s, dir))
+        .select(round(col("prob"), 9).as("p"),
+          (col("y") === 1.0).as("label"))
+        .withColumn("bucket",
+          least(floor(col("p") * 10), lit(9)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("p").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 9).as("mean_prob"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+          round(sum(when(col("label"), 1.0).otherwise(0.0))
+            / count(lit(1)), 9).as("pos_rate"))
+        .orderBy("bucket")
     }
   )
 
