@@ -304,6 +304,57 @@ class SettingsSpec extends SparkSpec {
       assert(SparkEntry.oracleSql("q_e_proto_prune")
         .contains("ceil(0.5 * n)"))
     }
+    // proto_prune_frac outside (0,1) must fail LOUDLY at Settings read
+    // (frac = 0 silently diverges between engines otherwise)
+    withProp("graft.curation.proto_prune_frac", "0.0") {
+      intercept[IllegalArgumentException] {
+        SparkEntry.oracleSql("q_e_proto_prune")
+      }
+    }
+  }
+
+  test("quality_clf / winnow-strip knob overrides re-interpolate " +
+      "engine and oracle") {
+    // defaults: the measured r11 operating point
+    assert(Settings.qualityClf.nBuckets == 64)
+    assert(Settings.qualityClf.lr == 10.0)
+    assert(Settings.qualityClf.iters == 24)
+    assert(Settings.qualityClf.posThreshold == 0.75)
+    assert(Settings.dedup.winnowStripMinMatches == 2)
+    // iteration count drives the unrolled CTE chain: qcw<iters> is the
+    // final weights CTE read by the fit query's SELECT
+    assert(SparkEntry.oracleSql("q_t_quality_clf_fit")
+      .contains("FROM qcw24"))
+    withProp("graft.quality_clf.iters", "4") {
+      val sql = SparkEntry.oracleSql("q_t_quality_clf_fit")
+      assert(sql.contains("FROM qcw4") && !sql.contains("qcw5"),
+        "unroll depth did not follow quality_clf.iters")
+    }
+    // bucket width reaches the hashed-feature mod, the dense-feature
+    // slot id, and the weight-table range bound
+    withProp("graft.quality_clf.n_buckets", "16") {
+      val sql = SparkEntry.oracleSql("q_t_quality_clf_fit")
+      assert(sql.contains("% 16") && sql.contains("range(-1, 16 + 1)"))
+      assert(sql.contains("16 AS bk"),
+        "dense length-feature slot did not follow n_buckets")
+    }
+    // learning rate and label threshold are plan literals on both sides
+    withProp("graft.quality_clf.lr", "2.5") {
+      assert(SparkEntry.oracleSql("q_t_quality_clf_fit")
+        .contains("w.w - 2.5 *"))
+    }
+    withProp("graft.quality_clf.pos_threshold", "0.6") {
+      assert(SparkEntry.oracleSql("q_t_quality_clf")
+        .contains(">= 0.6"))
+    }
+    // the held-out fit slice is pinned in its oracle's GD CTEs
+    assert(SparkEntry.oracleSql("q_t_quality_clf_heldout")
+      .contains("WHERE doc_id % 5 <> 0"))
+    // winnow strip floor reaches the span gate
+    withProp("graft.dedup.winnow.strip_min_matches", "3") {
+      assert(SparkEntry.oracleSql("q_d_winnow_strip")
+        .contains("n_matches >= 3"))
+    }
   }
 
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
