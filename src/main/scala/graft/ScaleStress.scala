@@ -152,6 +152,14 @@ object ScaleStress {
         }
       }
       println(s"""{"scale_q":"bpe_learn_v$v","dir":"$dir","wall":${r2(t)},"rounds":$rounds,"per_round":${r2(t / rounds)}}""")
+      // the batched mitigation, same merge budget: ≤ 4 admitted per
+      // round over 20 rounds — round count (the driver-action cost)
+      // drops ~4× for the same vocabulary coverage
+      var nMerges = 0
+      val tb = time {
+        nMerges = graft.text.Bpe.learnBatched(docs, 20, 4)._1.size
+      }
+      println(s"""{"scale_q":"bpe_batched_r20m4","dir":"$dir","wall":${r2(tb)},"merges":$nMerges,"per_merge":${r2(tb / math.max(nMerges, 1))}}""")
     }
     val summary = Measured.map { n =>
       val (_, s1) = results((n, base))

@@ -415,6 +415,12 @@ object Settings {
     * engine path and drops to the rows-only check. */
   object bpe {
     def nMerges: Int = int("bpe.n_merges", 12)
+    /** Batched-learning knobs (Bpe.learnBatched — the top-m
+      * non-conflicting-merges-per-round production mitigation of the
+      * 2-actions-per-merge round count): fixed round count and the
+      * candidate-window / max-admissions width. */
+    def batchRounds: Int = int("bpe.batch_rounds", 4)
+    def batchM: Int = int("bpe.batch_m", 4)
   }
 
   /** `dsir:` block — Data Selection via Importance Resampling (Xie et

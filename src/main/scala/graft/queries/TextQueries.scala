@@ -309,6 +309,19 @@ object TextQueries extends QueryModule {
   private[queries] def bpeVocab(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "bpe_vocab") { bpeLearned(s, dir)._2 }
 
+  private[queries] def BpeBatchRounds = graft.Settings.bpe.batchRounds
+  private[queries] def BpeBatchM = graft.Settings.bpe.batchM
+
+  /** Batched-learning artifacts (Bpe.learnBatched at the live
+    * `bpe.batch_*` knobs), memoized like [[bpeLearned]]. */
+  private val bpeBatchMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[graft.text.Bpe.BatchMerge], DataFrame)]
+  private[queries] def bpeBatchLearned(s: SparkSession, dir: String)
+      : (Seq[graft.text.Bpe.BatchMerge], DataFrame) =
+    bpeBatchMemo.getOrElseUpdate(dir,
+      graft.text.Bpe.learnBatched(t(s, dir, "documents"),
+        BpeBatchRounds, BpeBatchM))
+
   /** INCREMENTAL tokenizer state: merges learned only on the standing
     * index corpus (doc_id % 5 ≠ 0 — the family's batch convention), the
     * frozen artifact new deliveries are encoded against. */
@@ -1257,6 +1270,30 @@ object TextQueries extends QueryModule {
         .map(m => (m.rank, m.left, m.right, m.count))
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
         .orderBy("merge_rank")
+    },
+
+    // BATCHED BPE learning (Bpe.learnBatched scaladoc): the top-m
+    // non-conflicting-merges-per-round production mitigation of
+    // learn()'s 2-driver-actions-per-merge round count — each round
+    // ranks pair counts ONCE, admits every top-window candidate that
+    // conflicts with no higher-ranked one (single anti-join rule,
+    // deterministic on both engines; disjoint merges are mutually
+    // non-interacting so their pre-round counts stay exact), and
+    // applies the batch in rank order. The oracle unrolls rounds ×
+    // fixed apply slots with a sentinel no-op merge filling empty
+    // slots, so the CTE shape never depends on how many were admitted.
+    Q("q_t_bpe_learn_batched", Some(s"""
+      WITH ${graft.text.Bpe.oracleBatchedCtes(BpeBatchRounds,
+        BpeBatchM)}
+      SELECT round, CAST(slot AS INT) AS slot, a AS left_sym,
+             b AS right_sym, cnt AS pair_count
+      FROM bbmerges ORDER BY round, slot""")) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      bpeBatchLearned(s, dir)._1
+        .map(m => (m.round, m.slot, m.left, m.right, m.count))
+        .toDF("round", "slot", "left_sym", "right_sym", "pair_count")
+        .orderBy("round", "slot")
     },
 
     // REAL BPE, encode phase: per-doc subword token accounting by

@@ -137,6 +137,79 @@ object Bpe {
     (merges.result(), words)
   }
 
+  /** One batched-round merge: (round, slot-within-round, pair, count).
+    * Slot numbering is the admitted order (by pair-count rank). */
+  final case class BatchMerge(round: Int, slot: Int, left: String,
+    right: String, count: Long)
+
+  /** Conflict rule for batching: two candidate pairs conflict when
+    * they share a symbol OR when the higher-ranked pair's merged
+    * symbol equals one of the lower pair's symbols (applying the
+    * higher merge could then create/destroy occurrences the lower
+    * count never saw). Disjoint admitted merges are mutually
+    * non-interacting: their counts stay exact and their applications
+    * commute. */
+  private def conflicts(ha: String, hb: String, ca: String, cb: String)
+      : Boolean = {
+    val m = ha + hb
+    ha == ca || ha == cb || hb == ca || hb == cb || m == ca || m == cb
+  }
+
+  /** BATCHED learning — the production mitigation for [[learn]]'s
+    * 2-driver-actions-per-merge round count (the standard top-m
+    * batching of parallel BPE trainers): each of `nRounds` rounds
+    * ranks the weighted pair counts once, considers the TOP `batchM`
+    * candidates, and admits every candidate that does not [[conflicts]]
+    * with ANY higher-ranked candidate in the window (a single-pass
+    * deterministic rule — expressible as one anti-join on both
+    * engines, unlike sequential greedy selection). Admitted merges
+    * apply in rank order within the round (disjoint ⇒ order-free, the
+    * fold order is just the convention). Divergence from sequential
+    * BPE, stated: a round's lower slots are admitted against
+    * PRE-ROUND counts, so the merge TABLE can differ from [[learn]]'s
+    * order when a round-1 merge would have promoted a new pair above
+    * a round-2 slot; with batchM = 1 the rule degenerates to exactly
+    * [[learn]] (BpeSpec locks this). A round whose window is empty
+    * (vocabulary exhausted) admits nothing and is a no-op — fixed
+    * `nRounds` always run, matching the unrolled oracle. Returns the
+    * admitted merge table and the final vocabulary. */
+  def learnBatched(docs: DataFrame, nRounds: Int, batchM: Int)
+      : (Seq[BatchMerge], DataFrame) = {
+    var words = wordTable(docs)
+      .coalesce(8)
+      .withColumn("syms", charSyms(col("word")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[BatchMerge]
+    for (r <- 1 to nRounds) {
+      val pairArr = when(size(col("syms")) >= 2,
+        transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val window = words
+        .select(col("freq"), explode(pairArr).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(batchM).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      val admitted = window.zipWithIndex.collect {
+        case ((a, b, cnt), i) if window.take(i).forall {
+          case (ha, hb, _) => !conflicts(ha, hb, a, b)
+        } => (a, b, cnt)
+      }
+      admitted.zipWithIndex.foreach { case ((a, b, cnt), s) =>
+        merges += BatchMerge(r, s + 1, a, b, cnt)
+      }
+      if (admitted.nonEmpty) {
+        words = admitted.foldLeft(words) { case (df, (a, b, _)) =>
+          df.withColumn("syms", applyMerge(col("syms"), a, b))
+        }.localCheckpoint()
+      }
+    }
+    (merges.result(), words)
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle: one unrolled CTE block per merge round.
   // ------------------------------------------------------------------
@@ -228,4 +301,60 @@ object Bpe {
       applyBlock(s"${prefix}_${r - 1}", s"${prefix}_$r", s"bm$r",
         s"_$prefix$r")
     }.mkString(",")
+
+  /** Unrolled oracle for [[learnBatched]]: per round — the pair-count
+    * table, the ranked top-`batchM` candidate window, the
+    * [[conflicts]] admission anti-join (NOT EXISTS against every
+    * higher-ranked window candidate), then one fixed apply SLOT per
+    * window position. A sentinel chr(1)/chr(1) merge fills slots
+    * beyond the admitted count so the CTE chain's SHAPE is
+    * independent of how many candidates were admitted — chr(1) never
+    * occurs in document text, so the sentinel matches no adjacent
+    * pair and its apply block is the identity. Ends with `bbmerges`
+    * (round, slot, a, b, cnt). */
+  def oracleBatchedCtes(nRounds: Int, batchM: Int): String = {
+    val pieces = Seq.newBuilder[String]
+    pieces += vocabCte("bbv0")
+    var prev = "bbv0"
+    for (r <- 1 to nRounds) {
+      pieces += s"""
+      bbp$r AS (
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, s[j + 1] AS a, s[j + 2] AS b FROM (
+            SELECT freq, s, unnest(range(len(s) - 1)) AS j FROM $prev))
+        GROUP BY 1, 2)"""
+      pieces += s"""
+      bbc$r AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT a, b, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+          FROM bbp$r) WHERE rn <= $batchM)"""
+      pieces += s"""
+      bba$r AS MATERIALIZED (
+        SELECT c.a, c.b, c.cnt,
+               row_number() OVER (ORDER BY c.rn) AS slot
+        FROM bbc$r c WHERE NOT EXISTS (
+          SELECT 1 FROM bbc$r h WHERE h.rn < c.rn AND (
+            h.a = c.a OR h.a = c.b OR h.b = c.a OR h.b = c.b
+            OR h.a || h.b = c.a OR h.a || h.b = c.b)))"""
+      for (i <- 1 to batchM) {
+        val out = s"bbw_${r}_$i"
+        pieces += s"""
+      bbm_${r}_$i AS MATERIALIZED (
+        SELECT a, b FROM bba$r WHERE slot = $i
+        UNION ALL
+        SELECT chr(1), chr(1)
+        WHERE NOT EXISTS (SELECT 1 FROM bba$r WHERE slot = $i))"""
+        pieces += applyBlock(prev, out, s"bbm_${r}_$i", s"bb${r}_$i")
+        prev = out
+      }
+    }
+    val union = (1 to nRounds)
+      .map(r => s"SELECT $r AS round, slot, a, b, cnt FROM bba$r")
+      .mkString("\n        UNION ALL ")
+    pieces += s"""
+      bbmerges AS (
+        $union)"""
+    pieces.result().mkString(",")
+  }
 }

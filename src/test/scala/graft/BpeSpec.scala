@@ -94,4 +94,46 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1))
     assert(wt.toSeq == Seq("ab" -> 2L, "cd" -> 1L))
   }
+
+  test("learnBatched with batch_m = 1 degenerates to sequential learn " +
+      "(same merges, same final vocabulary)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val (seq6, vocabSeq) = Bpe.learn(d, 6)
+    val (bat6, vocabBat) = Bpe.learnBatched(d, nRounds = 6, batchM = 1)
+    assert(bat6.map(m => (m.left, m.right, m.count)) ==
+      seq6.map(m => (m.left, m.right, m.count)),
+      "m=1 batching must reproduce the sequential merge table")
+    assert(bat6.map(_.slot).forall(_ == 1))
+    val vs = vocabSeq.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val vb = vocabBat.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(vs == vb, "final vocabularies must match")
+  }
+
+  test("learnBatched admits only pairwise non-conflicting merges per " +
+      "round, and an exhausted round is a no-op") {
+    val d = docs(1L -> ("ab ab ab cd cd cd ef ef " +
+      "bc bc bc bc bc")) // (b,c) top; (a,b)/(c,d) conflict with it
+    val (merges, _) = Bpe.learnBatched(d, nRounds = 2, batchM = 4)
+    val r1 = merges.filter(_.round == 1)
+    // within a round: no two admitted merges share a symbol, and no
+    // admitted pair uses a higher slot's merged symbol
+    for (m <- r1; h <- r1 if h.slot < m.slot) {
+      val syms = Set(m.left, m.right)
+      assert(!syms.contains(h.left) && !syms.contains(h.right) &&
+        !syms.contains(h.left + h.right),
+        s"round 1 slots ${h.slot}/${m.slot} conflict")
+    }
+    // (b,c) wins slot 1; (a,b) and (c,d) are blocked by the shared
+    // b/c symbols; (e,f) is disjoint and admitted
+    assert(r1.head.left == "b" && r1.head.right == "c")
+    assert(r1.exists(m => m.left == "e" && m.right == "f"))
+    assert(!r1.exists(m => m.left == "a" || m.right == "d"))
+    // tiny corpus exhausts: a later round admitting nothing must not
+    // throw and must leave earlier merges intact
+    val (m2, _) = Bpe.learnBatched(docs(1L -> "ab"), 3, 4)
+    assert(m2.nonEmpty && m2.forall(_.round <= 3))
+  }
 }
