@@ -1048,7 +1048,7 @@ object CurationQueries extends QueryModule {
   /** DuckDB CTE chain mirroring Dsir.features/bucketLogRatio/logWeights
     * at the live `dsir.*` settings — ends at `dlw(doc_id, lang,
     * n_grams, logw)` with logw unrounded (consumers round). */
-  private def dsirCtes: String = s"""
+  private[queries] def dsirCtes: String = s"""
       ddoc AS (
         SELECT doc_id, lang, regexp_split_to_array(text, '[[:space:]]+') AS t
         FROM documents),

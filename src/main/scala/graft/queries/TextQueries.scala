@@ -3821,6 +3821,13 @@ object TextQueries extends QueryModule {
       val docs = t(s, dir, "documents")
       val nTok = docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      // pipeline-variant note: stage 2 strips EXACT-substring spans;
+      // corpora dominated by boilerplate/license text swap in (or add)
+      // the winnow-driven stripper (q_d_winnow_strip / Winnow
+      // .stripSpans) at the same position — identical kept-token
+      // accounting contract (n_tokens − covered), fingerprint-localized
+      // spans instead of exact k-token grams, same shared-artifact
+      // shape (the wfp stage replaces the cov stage)
       val s1 = Dedup.exactDups(docs).filter(!col("is_dup"))
         .select("doc_id")
       val covn = substrCovered(s, dir).groupBy("doc_id")
@@ -3899,6 +3906,122 @@ object TextQueries extends QueryModule {
         .unionByName(row("5_quality_ppl", "d4", "d5", "t5"))
         .unionByName(row("6_quality_clf", "d5", "d6", "t6"))
         .orderBy("stage")
+    },
+
+    // Filter-AGREEMENT matrix: pairwise agreement between the four
+    // per-doc quality/selection signals the curation stack runs —
+    // heuristic battery pass, perplexity non-tail, trained-classifier
+    // positive, DSIR target-likeness (logw > 0). The row a pipeline
+    // owner reads to see which filters are redundant and which carry
+    // independent signal (the quality trio should correlate; DSIR is
+    // DOMAIN match and should not — this row MEASURES the separation
+    //-of-concerns claim instead of asserting it). One shuffle to the
+    // 4-per-doc long form, one pair join keyed by doc (fanout exactly
+    // 6 rows per doc), exact-count ratios.
+    Q("q_t_filter_agreement", Some(s"""
+      WITH ${CurationQueries.qclfCtes},
+      ${CurationQueries.dsirCtes.trim},
+      ${pplCtes.trim},
+      fam AS (
+        SELECT f.doc_id,
+               CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
+                 AS margin
+        FROM qcf f JOIN qcw${CurationQueries.QcIters} w USING (bk)
+        GROUP BY 1),
+      fah AS (
+        SELECT doc_id,
+               (len(t) >= 10
+                AND round(0.4 * (CAST(least(nc, 400) AS DOUBLE) / 400.0)
+                  + 0.4 * (1.0 - CAST(nc - length(regexp_replace(text,
+                      '[0-9]', '', 'g')) AS DOUBLE) / nc)
+                  + 0.2 * least((CAST(len(list_filter(t,
+                      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                      AS DOUBLE) / len(t)) * 4.0, 1.0), 9) >= 0.5
+                AND round(CAST(nc - length(regexp_replace(text, '[0-9]',
+                      '', 'g')) AS DOUBLE) / nc, 9) <= 0.3) AS pass
+        FROM qcd),
+      fapk AS (
+        SELECT d.doc_id, $pplBucketCase AS b
+        FROM pb_d d JOIN pb_cut c USING (lang)),
+      fal AS (
+        SELECT doc_id, 'clf' AS f, margin > 0 AS pass FROM fam
+        UNION ALL
+        SELECT doc_id, 'dsir', round(logw, 6) > 0 FROM dlw
+        UNION ALL
+        SELECT doc_id, 'heuristic', pass FROM fah
+        UNION ALL
+        SELECT d.doc_id, 'ppl', (pk.b IS NULL OR pk.b <> 'tail')
+        FROM documents d LEFT JOIN fapk pk ON d.doc_id = pk.doc_id),
+      faj AS (
+        SELECT a.f AS filter_a, b.f AS filter_b,
+               a.pass AS pa, b.pass AS pb
+        FROM fal a JOIN fal b
+          ON a.doc_id = b.doc_id AND a.f < b.f)
+      SELECT filter_a, filter_b,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_a,
+             CAST(sum(CASE WHEN pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_b,
+             CAST(sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS both_pass,
+             CAST(sum(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+             round(CAST(sum(CASE WHEN pa = pb THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 9) AS agree_rate,
+             round(CASE WHEN sum(CASE WHEN pa OR pb THEN 1 ELSE 0 END)
+               > 0 THEN CAST(sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+                 / sum(CASE WHEN pa OR pb THEN 1 ELSE 0 END) END, 9)
+               AS pass_jaccard
+      FROM faj GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val q = docs.select(col("doc_id") +:
+        TextOps.qualityFeatures(col("text")): _*)
+      val heur = q.select(col("doc_id"),
+        (col("n_tokens") >= 10 && col("quality_score") >= 0.5 &&
+          col("digit_ratio") <= 0.3).as("pass"))
+      val ppl = docs.select("doc_id")
+        .join(pplBucketed(s, dir).select(col("doc_id"),
+          col("ppl_bucket")), Seq("doc_id"), "left")
+        .select(col("doc_id"), (col("ppl_bucket").isNull ||
+          col("ppl_bucket") =!= "tail").as("pass"))
+      val clf = graft.text.QualityClf.score(
+          CurationQueries.qclfFeatY(s, dir),
+          CurationQueries.qclfWeights(s, dir))
+        .select(col("doc_id"), col("pred").as("pass"))
+      val dsir = CurationQueries.dsirWeights(s, dir)
+        .select(col("doc_id"), (round(col("logw"), 6) > 0).as("pass"))
+      val long = clf.select(col("doc_id"), lit("clf").as("f"),
+          col("pass"))
+        .unionByName(dsir.select(col("doc_id"), lit("dsir").as("f"),
+          col("pass")))
+        .unionByName(heur.select(col("doc_id"),
+          lit("heuristic").as("f"), col("pass")))
+        .unionByName(ppl.select(col("doc_id"), lit("ppl").as("f"),
+          col("pass")))
+      val a = long.select(col("doc_id"), col("f").as("filter_a"),
+        col("pass").as("pa"))
+      val b = long.select(col("doc_id"), col("f").as("filter_b"),
+        col("pass").as("pb"))
+      a.join(b, Seq("doc_id"))
+        .filter(col("filter_a") < col("filter_b"))
+        .groupBy("filter_a", "filter_b")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pa"), 1L).otherwise(0L)).as("pass_a"),
+          sum(when(col("pb"), 1L).otherwise(0L)).as("pass_b"),
+          sum(when(col("pa") && col("pb"), 1L).otherwise(0L))
+            .as("both_pass"),
+          sum(when(col("pa") === col("pb"), 1L).otherwise(0L))
+            .as("n_agree"),
+          round(sum(when(col("pa") === col("pb"), 1.0).otherwise(0.0))
+            / count(lit(1)), 9).as("agree_rate"),
+          round(when(sum(when(col("pa") || col("pb"), 1L)
+              .otherwise(0L)) > 0,
+            sum(when(col("pa") && col("pb"), 1.0).otherwise(0.0))
+              / sum(when(col("pa") || col("pb"), 1L).otherwise(0L)))
+            , 9).as("pass_jaccard"))
+        .orderBy("filter_a", "filter_b")
     },
 
     // Hot-bucket-guard observability: per-band occupancy + the fraction
