@@ -61,4 +61,21 @@ object StreamingCuration {
     annotate(docs)
       .filter(gate(minQuality))
       .dropDuplicates("fingerprint")
+
+  /** [[curate]] with the TRAINED quality classifier composed after
+    * the heuristic gate — the serving shape of the dedup pipeline's
+    * stage 6: the frozen weights ride the plan as a map literal
+    * (QualityClf.scoreRowwise), so the extra gate is map-only and the
+    * program stays stateless up to the dedup. Adds `clf_margin` /
+    * `clf_prob` columns; rows the model scores non-positive drop. */
+  def curateWithClassifier(docs: DataFrame, minQuality: Double,
+      nBuckets: Int, weights: Map[Long, Double]): DataFrame = {
+    val annotated = annotate(docs).filter(gate(minQuality))
+    graft.text.QualityClf.scoreRowwise(annotated, nBuckets, weights)
+      .filter(col("pred"))
+      .withColumnRenamed("margin", "clf_margin")
+      .withColumnRenamed("prob", "clf_prob")
+      .drop("pred")
+      .dropDuplicates("fingerprint")
+  }
 }

@@ -391,6 +391,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation with the trained classifier gate composed: " +
+      "stream keeps exactly the batch survivors with identical scores") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingCuration
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 120)
+    val B = 64
+    val featY = graft.text.QualityClf.features(corpus, B)
+      .join(graft.text.QualityClf.labels(corpus, 0.75), "doc_id")
+      .select("doc_id", "y", "bk", "x").localCheckpoint()
+    val w = graft.text.QualityClf.fit(featY, B, 10.0, 6,
+      corpus.count().toDouble)
+    val rows = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cclf")
+    b1.toSeq.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("part1").toString)
+    b2.toSeq.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("part2").toString)
+    val src = spark.readStream
+      .schema(b1.toSeq.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/part*")
+    val q = StreamingCuration
+      .curateWithClassifier(src, minQuality = 0.3, B, w)
+      .select(col("doc_id"), round(col("clf_margin"), 6).as("m"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cclf_stream_test").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cclf_stream_test")
+      .as[(Long, Double)].collect().toMap
+    val want = StreamingCuration
+      .curateWithClassifier(rows.toSeq.toDF("doc_id", "text"),
+        minQuality = 0.3, B, w)
+      .select(col("doc_id"), round(col("clf_margin"), 6).as("m"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet,
+      s"survivor sets differ: ${got.keySet.diff(want.keySet)} / " +
+        s"${want.keySet.diff(got.keySet)}")
+    got.foreach { case (id, m) =>
+      assert(math.abs(m - want(id)) < 2e-6, s"doc $id margin")
+    }
+    // the classifier gate actually fires on this corpus (some
+    // heuristic-passers score negative) — otherwise the composition
+    // is vacuous
+    val heurOnly = StreamingCuration
+      .curate(rows.toSeq.toDF("doc_id", "text"), minQuality = 0.3)
+      .count()
+    assert(want.size < heurOnly,
+      "classifier gate dropped nothing — composition untested")
+  }
+
   test("streaming quality classifier: arriving docs score against the " +
       "frozen trained weights exactly like batch, stateless") {
     import spark.implicits._
