@@ -32,7 +32,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_t_dsir_sample",   // Gumbel-top-k on round-6 scores, portable hashes
     "q_t_ppl_buckets",   // fp avg→exp round-6 + discrete ceil-rank cuts
     "q_e_proto_prune",   // round-6 distances + discrete quantile cut
-    "q_e_rp_distortion") // DECIMAL mean over round-6 ratios
+    "q_e_rp_distortion", // DECIMAL mean over round-6 ratios
+    "q_t_quality_clf_calibration", // round-9 prob seam + DECIMAL mean
+    "q_t_filter_agreement") // exact-count pair agreement ratios
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, dir)
