@@ -57,12 +57,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the textbook distributed GD — the model is ≤ B+1
   * doubles of driver state broadcast into the plan as a map literal;
-  * each iteration is ONE pass over the cached (doc, bucket, x) frame
-  * (margin via a doc-partitioned window aggregate — no join, no extra
-  * shuffle when the frame is hash-partitioned by doc_id — then a
-  * map-side-combinable groupBy(bucket) that collects ≤ B+1 rows).
-  * Nothing driver-side ever grows with corpus size; at 100 TB this is
-  * MLlib LogisticRegression's aggregate-per-iteration plan, minus the
+  * each iteration is ONE pass over the cached (doc, bucket, x) frame:
+  * margin via a doc-partitioned window aggregate (no join), then a
+  * map-side-combinable groupBy(bucket) collecting ≤ B+1 rows.
+  * Measured plan cost per round: TWO exchanges of the slim frame (the
+  * window's doc_id clustering — a localCheckpoint leaf does not carry
+  * the pre-checkpoint hash partitioning into the window's required
+  * distribution — plus the bucket aggregation), both over ≤ B+2 rows
+  * per doc. Nothing driver-side ever grows with corpus size; at
+  * 100 TB this is MLlib LogisticRegression's aggregate-per-iteration
+  * plan (which likewise pays a full pass per iteration), minus the
   * nondeterminism (tree-aggregation float order) that would break the
   * oracle.
   */
