@@ -1088,16 +1088,18 @@ object CurationQueries extends QueryModule {
   private[queries] def QcIters = graft.Settings.qualityClf.iters
   private def QcThresh = graft.Settings.qualityClf.posThreshold
 
-  /** Shared labeled-feature stage `(doc_id, y, bk, x)` — hash-
-    * partitioned by doc_id before the checkpoint so every GD round's
-    * doc-window margin runs without an exchange. */
+  /** Shared labeled-feature stage `(doc_id, y, bk, x)`. No
+    * pre-partitioning: a localCheckpoint leaf does not carry hash
+    * partitioning into the GD window's required distribution (plan-
+    * audited), so each round pays its own doc_id exchange either way
+    * — pre-partitioning here would only add a dead shuffle to the
+    * stage build. */
   private[queries] def qclfFeatY(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "qclf_feat") {
       val docs = t(s, dir, "documents")
       graft.text.QualityClf.features(docs, QcB)
         .join(graft.text.QualityClf.labels(docs, QcThresh), "doc_id")
         .select("doc_id", "y", "bk", "x")
-        .repartition(col("doc_id"))
     }
 
   /** Fitted weights, memoized per sf dir (a classifier is trained once
