@@ -21,14 +21,20 @@ import org.apache.spark.sql.functions._
   * same history depth). Un-scaled tables are copied verbatim so every
   * registered query still resolves its inputs.
   *
-  * Usage: `runMain graft.ScaleStress [factor]` — generates the
-  * expanded corpus under /tmp (once; keyed by factor), then runs each
-  * measured query TWICE per scale (run 1 pays JIT + shared-stage
+  * Usage: `runMain graft.ScaleStress [factor] [outJson]` — generates
+  * the expanded corpus under /tmp (once; keyed by factor), then runs
+  * each measured query TWICE per scale (run 1 pays JIT + shared-stage
   * builds, run 2 is the steady plan) and prints one JSON line per
   * measurement plus a final summary with the run-2 time ratio and the
-  * implied scaling exponent log(t_N/t_1)/log(N). BPE learning is
-  * additionally measured at production vocabulary sizes (V = 100,
-  * 200) — the r10 watch-item on driver-action count per merge round.
+  * implied scaling exponent log(t_N/t_1)/log(N). A failed run is
+  * recorded with an `err` flag and EXCLUDED from the ratio/exponent
+  * summary — failure-path wall times must never grade as flattering
+  * scaling. When `outJson` is given, the same per-query measurements
+  * + summary are persisted there as one compact JSON line (the
+  * committed SCALE_r{N}.json artifact, same discipline as Bench), so
+  * the scale evidence re-grades from a file instead of NOTES prose.
+  * BPE learning is additionally measured at production vocabulary
+  * sizes — the r10 watch-item on driver-action count per merge round.
   */
 object ScaleStress {
 
@@ -124,17 +130,22 @@ object ScaleStress {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // (query, dir) -> (run1, run2)
+    // (query, dir) -> (run1, run2, errored) — an exception in EITHER
+    // run poisons the measurement: failure-path wall times are
+    // near-zero and would grade as flattering scaling if admitted.
     val results = scala.collection.mutable.LinkedHashMap
-      .empty[(String, String), (Double, Double)]
+      .empty[(String, String), (Double, Double, Boolean)]
+    val extraLines = scala.collection.mutable.ArrayBuffer.empty[String]
     for (name <- Measured; dir <- Seq(base, out)) {
+      var err = false
       val t1 = time { try qs(name)(spark, dir).count()
-        catch { case e: Throwable =>
+        catch { case e: Throwable => err = true
           System.err.println(s"[scale] $name@$dir run1: ${e.getMessage}") } }
       val t2 = time { try qs(name)(spark, dir).count()
-        catch { case _: Throwable => () } }
-      results((name, dir)) = (t1, t2)
-      println(s"""{"scale_q":"$name","dir":"$dir","run1":${r2(t1)},"run2":${r2(t2)}}""")
+        catch { case e: Throwable => err = true
+          System.err.println(s"[scale] $name@$dir run2: ${e.getMessage}") } }
+      results((name, dir)) = (t1, t2, err)
+      println(s"""{"scale_q":"$name","dir":"$dir","run1":${r2(t1)},"run2":${r2(t2)},"err":$err}""")
     }
     // BPE toward production vocabulary sizes: the r10 watch-item is
     // driver-ACTION cost per merge round (2 actions + a checkpoint),
@@ -143,32 +154,66 @@ object ScaleStress {
     // there; count the rounds that ran and report per-round cost.
     for (v <- Seq(80); dir <- Seq(base, out)) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      var rounds = v
+      var rounds = 0
+      var bpeErr = false
       val t = time {
-        try graft.text.Bpe.learn(docs, v)
+        try { graft.text.Bpe.learn(docs, v); rounds = v }
         catch { case e: IllegalArgumentException =>
-          val m = "round (\\d+)".r.findFirstMatchIn(e.getMessage)
-          rounds = m.map(_.group(1).toInt - 1).getOrElse(v)
+          // vocabulary exhausted mid-run is the EXPECTED stop on the
+          // synthetic corpus; any other message is a real failure
+          val m = "round (\\d+)".r.findFirstMatchIn(
+            Option(e.getMessage).getOrElse(""))
+          rounds = m.map(_.group(1).toInt - 1).getOrElse(0)
+          bpeErr = m.isEmpty
         }
       }
-      println(s"""{"scale_q":"bpe_learn_v$v","dir":"$dir","wall":${r2(t)},"rounds":$rounds,"per_round":${r2(t / rounds)}}""")
-      // the batched mitigation, same merge budget: ≤ 4 admitted per
-      // round over 20 rounds — round count (the driver-action cost)
-      // drops ~4× for the same vocabulary coverage
-      var nMerges = 0
-      val tb = time {
-        nMerges = graft.text.Bpe.learnBatched(docs, 20, 4)._1.size
+      val line = s"""{"scale_q":"bpe_learn_v$v","dir":"$dir","wall":${r2(t)},"rounds":$rounds,"per_round":${r2(t / math.max(rounds, 1))},"err":$bpeErr}"""
+      println(line); extraLines += line
+      // the batched mitigation, same merge budget: admitted merges
+      // per round over 20 rounds — round count (the driver-action
+      // cost) drops ~4× for the same vocabulary coverage. Measured
+      // under BOTH conflict rules: the exact per-word test (default)
+      // vs the legacy symbol-sharing rule — the admission-rate A/B
+      // the r11 verdict asked for.
+      for ((rule, exact) <- Seq("exact" -> true, "legacy" -> false)) {
+        var nMerges = 0
+        var batchErr = false
+        val tb = time {
+          try nMerges = graft.text.Bpe
+            .learnBatched(docs, 20, 4, exactConflicts = exact)._1.size
+          catch { case e: Throwable => batchErr = true
+            System.err.println(s"[scale] bpe_batched($rule)@$dir: ${e.getMessage}") }
+        }
+        val lineB = s"""{"scale_q":"bpe_batched_r20m4_$rule","dir":"$dir","wall":${r2(tb)},"merges":$nMerges,"per_merge":${r2(tb / math.max(nMerges, 1))},"err":$batchErr}"""
+        println(lineB); extraLines += lineB
       }
-      println(s"""{"scale_q":"bpe_batched_r20m4","dir":"$dir","wall":${r2(tb)},"merges":$nMerges,"per_merge":${r2(tb / math.max(nMerges, 1))}}""")
     }
     val summary = Measured.map { n =>
-      val (_, s1) = results((n, base))
-      val (_, sN) = results((n, out))
-      val ratio = sN / math.max(s1, 1e-9)
-      val expo = math.log(math.max(ratio, 1e-9)) / math.log(factor)
-      s""""$n":{"t1":${r2(s1)},"tN":${r2(sN)},"ratio":${r2(ratio)},"exponent":${r2(expo)}}"""
+      val (_, s1, e1) = results((n, base))
+      val (_, sN, eN) = results((n, out))
+      if (e1 || eN)
+        s""""$n":{"t1":${r2(s1)},"tN":${r2(sN)},"err":true}"""
+      else {
+        val ratio = sN / math.max(s1, 1e-9)
+        val expo = math.log(math.max(ratio, 1e-9)) / math.log(factor)
+        s""""$n":{"t1":${r2(s1)},"tN":${r2(sN)},"ratio":${r2(ratio)},"exponent":${r2(expo)}}"""
+      }
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_stress","factor":$factor,"queries":$summary}""")
+    val errCount = results.valuesIterator.count(_._3)
+    val headline =
+      s"""{"metric":"scale_stress","factor":$factor,"err_count":$errCount,"queries":$summary}"""
+    println(headline)
+    // persist the committed artifact: headline first (graded fields
+    // up front, the Bench tail-window discipline), then the raw
+    // per-measurement lines for re-derivation
+    args.lift(1).foreach { path =>
+      val raw = results.map { case ((n, d), (t1b, t2b, e)) =>
+        s"""{"scale_q":"$n","dir":"$d","run1":${r2(t1b)},"run2":${r2(t2b)},"err":$e}"""
+      } ++ extraLines
+      val w = new java.io.PrintWriter(path)
+      try { w.println(headline); raw.foreach(w.println) }
+      finally w.close()
+    }
     graft.queries.Stage.clear()
     spark.stop()
   }

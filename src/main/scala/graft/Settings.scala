@@ -436,6 +436,21 @@ object Settings {
     def sampleK: Int = int("dsir.sample_k", 100)
   }
 
+  /** `lm:` block — n-gram language-model smoothing knobs (engine
+    * extension; text.KneserNey). `kn_discount` is interpolated KN's
+    * absolute discount D, conventionally in (0, 1] (Chen & Goodman
+    * 1998 estimate D ≈ n1/(n1+2·n2) ≈ 0.75 on natural text); the
+    * bound keeps max(c−D, 0) from zeroing seen-bigram mass beyond
+    * count-1 types, so Σ P_KN(·|w1) = 1 telescopes exactly. */
+  object lm {
+    def knDiscount: Double = {
+      val d = dbl("lm.kn_discount", 0.75)
+      require(d > 0.0 && d <= 1.0,
+        s"lm.kn_discount must be in (0, 1], got $d")
+      d
+    }
+  }
+
   /** `quality_clf:` block — trained fastText-style quality-classifier
     * knobs (engine extension; text.QualityClf). `n_buckets` is the
     * hashed-gram feature width; `lr`/`iters` pin the full-batch
@@ -448,6 +463,14 @@ object Settings {
     def lr: Double = dbl("quality_clf.lr", 10.0)
     def iters: Int = int("quality_clf.iters", 24)
     def posThreshold: Double = dbl("quality_clf.pos_threshold", 0.75)
+    /** Target precision the calibration-driven operating point is
+      * chosen FOR (QualityClf.chooseThreshold): the smallest decile
+      * boundary whose achieved precision meets this keeps the most
+      * recall at the precision the pipeline owner asked for. Consumed
+      * by pipeline stage 6 and StreamingCuration.curateWithClassifier
+      * — engine and oracle re-derive the threshold from the same
+      * decile grid when this changes. */
+    def targetPrecision: Double = dbl("quality_clf.target_precision", 0.9)
   }
 
   /** `curation:` block — data-pruning knobs beyond the dedup families.

@@ -1028,6 +1028,31 @@ object CurationQueries extends QueryModule {
           round(sum(when(col("label"), 1.0).otherwise(0.0))
             / count(lit(1)), 9).as("pos_rate"))
         .orderBy("bucket")
+    },
+
+    // Calibration-DRIVEN operating point (QualityClf.chooseThreshold):
+    // the decile curve the calibration row measures, CONSUMED — the
+    // chosen probability threshold is the smallest decile boundary
+    // whose achieved precision (vs the weak labels) meets the
+    // quality_clf.target_precision knob (max recall at the requested
+    // precision), falling back to the most conservative boundary when
+    // none qualifies. One row: the threshold plus what it achieves.
+    // Pipeline stage 6 and StreamingCuration gate on THIS value —
+    // engine and oracle re-derive it from the same grid when the knob
+    // or the model changes.
+    Q("q_t_quality_clf_threshold", Some(s"""
+      WITH $qclfCtes,
+      ${graft.text.QualityClf.oracleThresholdCtes(QcIters, QcTarget)
+        .trim}
+      SELECT thr AS threshold, n_kept, n_tp, n_pos, prec, rec
+      FROM qcpick""")) { (s, dir) =>
+      val metrics = graft.text.QualityClf.thresholdMetrics(
+        graft.text.QualityClf.score(qclfFeatY(s, dir),
+          qclfWeights(s, dir)))
+      val thr = qclfThreshold(s, dir)
+      metrics.filter(col("thr") === thr)
+        .select(col("thr").as("threshold"), col("n_kept"),
+          col("n_tp"), col("n_pos"), col("prec"), col("rec"))
     }
   )
 
@@ -1083,10 +1108,12 @@ object CurationQueries extends QueryModule {
   // ---- Trained quality classifier (text.QualityClf) live settings,
   // shared stage, fitted-model memo, and oracle CTE chain
 
-  private def QcB = graft.Settings.qualityClf.nBuckets
+  private[queries] def QcB = graft.Settings.qualityClf.nBuckets
   private def QcLr = graft.Settings.qualityClf.lr
   private[queries] def QcIters = graft.Settings.qualityClf.iters
   private def QcThresh = graft.Settings.qualityClf.posThreshold
+  private[queries] def QcTarget =
+    graft.Settings.qualityClf.targetPrecision
 
   /** Shared labeled-feature stage `(doc_id, y, bk, x)`. No
     * pre-partitioning: a localCheckpoint leaf does not carry hash
@@ -1118,6 +1145,25 @@ object CurationQueries extends QueryModule {
 
   private[queries] def qclfCtes: String = graft.text.QualityClf.oracleSql(
     hsql, QcB, QcLr, QcIters, QcThresh)
+
+  /** Calibration-driven operating threshold, memoized per sf dir (the
+    * qclfWeights contract: chosen once, shipped to every consumer —
+    * pipeline stage 6, the threshold report, streaming curation).
+    * Driver cost: one 10-row collect over the scored stage. */
+  private val qclfThrMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Double]
+  private[queries] def qclfThreshold(s: SparkSession, dir: String)
+      : Double =
+    qclfThrMemo.getOrElseUpdate(dir, {
+      val rows = graft.text.QualityClf.thresholdMetrics(
+          graft.text.QualityClf.score(qclfFeatY(s, dir),
+            qclfWeights(s, dir)))
+        .select("thr", "prec").collect()
+        .map(r => r.getDouble(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toSeq
+      graft.text.QualityClf.chooseThreshold(rows, QcTarget)
+    })
 
   /** Held-out-evaluation model: the same pinned GD fitted ONLY on the
     * train slice (doc_id % 5 ≠ 0 — the family's standing batch

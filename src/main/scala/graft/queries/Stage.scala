@@ -43,6 +43,7 @@ object Stage {
   def clear(): Unit = {
     cache.values.foreach(_.unpersist(blocking = false))
     cache.clear()
+    graft.ops.CacheReg.clear()
   }
 
   /** Slim grammar projection shared by the validation/research/ML

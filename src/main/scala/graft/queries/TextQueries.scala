@@ -1276,10 +1276,11 @@ object TextQueries extends QueryModule {
     // non-conflicting-merges-per-round production mitigation of
     // learn()'s 2-driver-actions-per-merge round count — each round
     // ranks pair counts ONCE, admits every top-window candidate that
-    // conflicts with no higher-ranked one (single anti-join rule,
-    // deterministic on both engines; disjoint merges are mutually
-    // non-interacting so their pre-round counts stay exact), and
-    // applies the batch in rank order. The oracle unrolls rounds ×
+    // conflicts with no higher-ranked one under the EXACT test
+    // (merged-symbol creation OR same-word raw matches at |i−j| ≤ 1;
+    // single anti-join rule, deterministic on both engines; admitted
+    // merges' pre-round counts are their true counts at apply time),
+    // and applies the batch in fixed rank order. The oracle unrolls rounds ×
     // fixed apply slots with a sentinel no-op merge filling empty
     // slots, so the CTE shape never depends on how many were admitted.
     Q("q_t_bpe_learn_batched", Some(s"""
@@ -2039,11 +2040,15 @@ object TextQueries extends QueryModule {
     },
 
     // SimHash near-dup pairs: 64-bit signatures (one md5 per token × 16
-    // bits), blocked on 16-bit bands — 4·2^16 blocking keys, pigeonhole
-    // recall for hamming <= 3
+    // bits), blocked at the layout Dedup.deriveSimhashBanding derives
+    // from the radius (pigeonhole: nBands > r ⇒ perfect recall; widest
+    // feasible bands ⇒ fewest incidental collisions) — the SAME
+    // derivation site generates this SQL and drives the engine
     Q("q_d_simhash", Some {
       // four 16-bit band hashes = hex slices [4c, 4c+4) of ONE md5
       // (mirrors TextOps.simhash64)
+      val (nBands, qPer) =
+        graft.text.Dedup.deriveSimhashBanding(SimhashRadius)
       val hashCols = (0 until 4).map(c =>
         s"('0x' || substring(md5(tok), ${4 * c + 1}, 4))::BIGINT AS h$c")
         .mkString(",\n               ")
@@ -2056,8 +2061,11 @@ object TextQueries extends QueryModule {
           .mkString(" + ")
         s"CAST($sum AS BIGINT) AS b$c"
       }.mkString(",\n              ")
-      val bandCase = (0 until 4).map(c => s"WHEN $c THEN b$c")
-        .mkString("CASE c ", " ", " END")
+      val bandCase = (0 until nBands).map { g =>
+        val key = (g * qPer until (g + 1) * qPer)
+          .map(c => s"CAST(b$c AS VARCHAR)").mkString(" || '_' || ")
+        s"WHEN $g THEN $key"
+      }.mkString("CASE c ", " ", " END")
       val hamming = (0 until 4).map(c =>
         s"bit_count(xor(a.b$c, b.b$c))").mkString(" + ")
       s"""
@@ -2075,7 +2083,7 @@ object TextQueries extends QueryModule {
               FROM sums),
       keyed AS (SELECT doc_id, b0, b1, b2, b3, c AS band_idx,
                        $bandCase AS band
-                FROM sig, range(4) r(c)),
+                FROM sig, range($nBands) r(c)),
       pairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
                CAST($hamming AS INT) AS hamming
@@ -2170,11 +2178,16 @@ object TextQueries extends QueryModule {
     },
 
     // Winnow-driven span STRIPPING (Winnow.stripSpans scaladoc): the
-    // curation consumer of the alignment report — strip from the later
-    // doc of each candidate pair every aligned span with >=
+    // curation consumer of the SEGMENTED alignment — strip from the
+    // later doc of each candidate pair every aligned segment with >=
     // strip_min_matches same-offset fingerprint matches (the
     // boilerplate/license-text counterpart of q_d_substr_strip, with
     // spans LOCALIZED by fingerprints instead of exact token grams).
+    // Same-offset matches split into contiguity segments wherever
+    // consecutive positions are > w+k apart (no contiguous verbatim
+    // run is fingerprint-silent that long), so two disjoint shared
+    // blocks at one offset — identical header+footer around unique
+    // middles — never bridge into a span that deletes the middle.
     // Char-level accounting: covered positions merge to islands, the
     // strip folds over the <= islands+1 kept segments. The oracle
     // rebuilds clean_text per char (string_agg over uncovered
@@ -2190,14 +2203,27 @@ object TextQueries extends QueryModule {
         SELECT a.doc_id AS d1, b.doc_id AS d2
         FROM wpr a JOIN wpr b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
-      walign AS (
+      wmatch AS (
         SELECT p.d1, p.d2, fa.fp_pos - fb.fp_pos AS off,
-               count(*) AS n_matches,
-               min(fa.fp_pos) AS mn, max(fa.fp_pos) AS mx
+               fa.fp_pos AS pos1
         FROM wpairs p
         JOIN wfp fa ON fa.doc_id = p.d1
-        JOIN wfp fb ON fb.doc_id = p.d2 AND fb.h = fa.h
-        GROUP BY 1, 2, 3),
+        JOIN wfp fb ON fb.doc_id = p.d2 AND fb.h = fa.h),
+      wbrk AS (
+        SELECT d1, d2, off, pos1,
+               CASE WHEN pos1 - lag(pos1) OVER (
+                     PARTITION BY d1, d2, off ORDER BY pos1)
+                   > ${WinnowW + WinnowK} THEN 1 ELSE 0 END AS brk
+        FROM wmatch),
+      wseg AS (
+        SELECT d1, d2, off, pos1,
+               sum(brk) OVER (PARTITION BY d1, d2, off ORDER BY pos1
+                   ROWS UNBOUNDED PRECEDING) AS seg
+        FROM wbrk),
+      walign AS (
+        SELECT d1, d2, off, seg, count(*) AS n_matches,
+               min(pos1) AS mn, max(pos1) AS mx
+        FROM wseg GROUP BY 1, 2, 3, 4),
       wspan AS (
         SELECT d2 AS doc_id, mn - off AS s,
                mx - off + ${WinnowK - 1} AS e
@@ -2229,8 +2255,9 @@ object TextQueries extends QueryModule {
       SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
              CAST(coalesce(wcv.covered, 0) AS BIGINT) AS covered_chars,
              CAST(coalesce(wcv.n_spans, 0) AS BIGINT) AS n_spans,
-             round(CAST(coalesce(wcv.covered, 0) AS DOUBLE)
-               / length(d.text), 9) AS covered_frac,
+             CASE WHEN length(d.text) > 0 THEN
+               round(CAST(coalesce(wcv.covered, 0) AS DOUBLE)
+                 / length(d.text), 9) END AS covered_frac,
              coalesce(wcl.clean_text, '') AS clean_text
       FROM documents d
       LEFT JOIN wcv ON d.doc_id = wcv.doc_id
@@ -2238,7 +2265,7 @@ object TextQueries extends QueryModule {
       ORDER BY d.doc_id""")) { (s, dir) =>
       graft.text.Winnow.stripSpans(t(s, dir, "documents"),
           winnowPairs(s, dir), winnowFps(s, dir),
-          k = WinnowK, minMatches = WinnowStripMin)
+          k = WinnowK, w = WinnowW, minMatches = WinnowStripMin)
         .orderBy("doc_id")
     },
 
@@ -3791,16 +3818,12 @@ object TextQueries extends QueryModule {
       a5 AS (SELECT CAST(count(*) AS BIGINT) AS d5,
                     CAST(sum(kept) AS BIGINT) AS t5 FROM s5),
       ${CurationQueries.qclfCtes.trim},
-      qcmf6 AS (
-        SELECT f.doc_id,
-               CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
-                 AS margin
-        FROM qcf f JOIN qcw${CurationQueries.QcIters} w USING (bk)
-        GROUP BY 1),
+      ${graft.text.QualityClf.oracleThresholdCtes(
+        CurationQueries.QcIters, CurationQueries.QcTarget).trim},
       s6 AS (
         SELECT s5.doc_id, s5.kept FROM s5
-        JOIN qcmf6 m ON s5.doc_id = m.doc_id
-        WHERE m.margin > 0),
+        JOIN qcpt m ON s5.doc_id = m.doc_id
+        WHERE m.p >= (SELECT thr FROM qcpick)),
       a6 AS (SELECT CAST(count(*) AS BIGINT) AS d6,
                     CAST(sum(kept) AS BIGINT) AS t6 FROM s6)
       SELECT * FROM (
@@ -3864,16 +3887,20 @@ object TextQueries extends QueryModule {
         .select("doc_id", "kept")
       // stage 6 — TRAINED quality gate: the fastText-style classifier
       // (QualityClf, fitted once per run on the full corpus like the
-      // ppl buckets) keeps only survivors it scores positive — the
+      // ppl buckets) keeps survivors whose round-9 probability clears
+      // the CALIBRATION-DRIVEN threshold (qclfThreshold — the decile
+      // operating point chosen for quality_clf.target_precision), the
       // classifier-scored filter production stacks run AFTER the
       // heuristic/perplexity gates (GPT-3/CCNet lineage); inner join:
       // every doc has gram features, so no can't-score class here
+      val thr6 = CurationQueries.qclfThreshold(s, dir)
       val s6 = s5.join(
           graft.text.QualityClf.score(
             CurationQueries.qclfFeatY(s, dir),
             CurationQueries.qclfWeights(s, dir))
-            .select(col("doc_id"), col("pred")), "doc_id")
-        .filter(col("pred"))
+            .select(col("doc_id"), round(col("prob"), 9).as("clf_p")),
+          "doc_id")
+        .filter(col("clf_p") >= thr6)
         .select("doc_id", "kept")
       val a0 = docs.agg(count(lit(1)).as("d0"))
       val a1 = s1t.agg(count(lit(1)).as("d1"),

@@ -66,13 +66,21 @@ object StreamingCuration {
     * the heuristic gate — the serving shape of the dedup pipeline's
     * stage 6: the frozen weights ride the plan as a map literal
     * (QualityClf.scoreRowwise), so the extra gate is map-only and the
-    * program stays stateless up to the dedup. Adds `clf_margin` /
-    * `clf_prob` columns; rows the model scores non-positive drop. */
+    * program stays stateless up to the dedup. Rows whose round-9
+    * probability falls below `probThreshold` drop — pass the
+    * calibration-driven operating point chosen by
+    * `QualityClf.chooseThreshold` (pipeline stage 6's gate) so batch
+    * and stream cut at the SAME point; the default 0.5 is the raw
+    * margin>0 decision boundary. Rounding before the compare keeps
+    * the rowwise float fold's < 1e-12 drift from flipping a boundary
+    * doc vs the batch decimal path. Adds `clf_margin` / `clf_prob`
+    * columns. */
   def curateWithClassifier(docs: DataFrame, minQuality: Double,
-      nBuckets: Int, weights: Map[Long, Double]): DataFrame = {
+      nBuckets: Int, weights: Map[Long, Double],
+      probThreshold: Double = 0.5): DataFrame = {
     val annotated = annotate(docs).filter(gate(minQuality))
     graft.text.QualityClf.scoreRowwise(annotated, nBuckets, weights)
-      .filter(col("pred"))
+      .filter(round(col("prob"), 9) >= probThreshold)
       .withColumnRenamed("margin", "clf_margin")
       .withColumnRenamed("prob", "clf_prob")
       .drop("pred")

@@ -142,15 +142,20 @@ object Bpe {
   final case class BatchMerge(round: Int, slot: Int, left: String,
     right: String, count: Long)
 
-  /** Conflict rule for batching: two candidate pairs conflict when
-    * they share a symbol OR when the higher-ranked pair's merged
-    * symbol equals one of the lower pair's symbols (applying the
-    * higher merge could then create/destroy occurrences the lower
-    * count never saw). Disjoint admitted merges are mutually
-    * non-interacting: their counts stay exact and their applications
-    * commute. */
-  private def conflicts(ha: String, hb: String, ca: String, cb: String)
-      : Boolean = {
+  /** LEGACY symbol-sharing conflict rule (kept for the A/B
+    * measurement path): two candidate pairs conflict when they share
+    * a symbol OR when the higher-ranked pair's merged symbol equals
+    * one of the lower pair's symbols. Conservative: (a,b)/(z,b) in
+    * words that never put them adjacent are blocked anyway (measured
+    * 51/80 admitted at m = 4 on the fixture corpus). Also asymmetric
+    * — it never checks the LOWER pair's merged symbol against the
+    * higher's symbols, so "disjoint ⇒ applications commute" was
+    * wrong in a corner (higher ("cd","x") / lower ("c","d")); the
+    * batched semantics have never depended on commutation (both
+    * engines apply in fixed slot order), and the EXACT rule below
+    * replaces this one as the default. */
+  private def legacyConflicts(ha: String, hb: String, ca: String,
+      cb: String): Boolean = {
     val m = ha + hb
     ha == ca || ha == cb || hb == ca || hb == cb || m == ca || m == cb
   }
@@ -159,22 +164,41 @@ object Bpe {
     * 2-driver-actions-per-merge round count (the standard top-m
     * batching of parallel BPE trainers): each of `nRounds` rounds
     * ranks the weighted pair counts once, considers the TOP `batchM`
-    * candidates, and admits every candidate that does not [[conflicts]]
+    * candidates, and admits every candidate that does not CONFLICT
     * with ANY higher-ranked candidate in the window (a single-pass
     * deterministic rule — expressible as one anti-join on both
-    * engines, unlike sequential greedy selection). Admitted merges
-    * apply in rank order within the round (disjoint ⇒ order-free, the
-    * fold order is just the convention). Divergence from sequential
-    * BPE, stated: a round's lower slots are admitted against
-    * PRE-ROUND counts, so the merge TABLE can differ from [[learn]]'s
-    * order when a round-1 merge would have promoted a new pair above
-    * a round-2 slot; with batchM = 1 the rule degenerates to exactly
-    * [[learn]] (BpeSpec locks this). A round whose window is empty
-    * (vocabulary exhausted) admits nothing and is a no-op — fixed
-    * `nRounds` always run, matching the unrolled oracle. Returns the
-    * admitted merge table and the final vocabulary. */
-  def learnBatched(docs: DataFrame, nRounds: Int, batchM: Int)
-      : (Seq[BatchMerge], DataFrame) = {
+    * engines, unlike sequential greedy selection).
+    *
+    * The EXACT conflict test (default): higher h conflicts with
+    * lower c iff (1) h's merged symbol is one of c's symbols —
+    * applying h then CREATES c-occurrences c's pre-round count never
+    * saw — or (2) some word has a raw adjacency match of h at
+    * instance position i and of c at j with |i − j| ≤ 1 — applying h
+    * there consumes a symbol instance of c's occurrence. Reasoning
+    * on pre-round symbol INSTANCES makes the test stable under
+    * earlier same-round merges (admitted merges touch disjoint
+    * instances and create only symbols no admitted candidate uses),
+    * so every admitted merge's reported pre-round count is its true
+    * count at apply time. Positional interaction implies a shared
+    * symbol, so this admits a superset of [[legacyConflicts]]'s
+    * batch — pairs sharing a symbol but never adjacent in any word
+    * (the (a,b)/(z,b) case) now land in one round. Cost: one extra
+    * bounded action per round (a ≤ |window|-candidate match
+    * self-join over the vocab), skipped entirely at batchM = 1.
+    *
+    * Admitted merges apply in fixed rank order within the round on
+    * BOTH engines — slot order is the spec, no commutation claim.
+    * Divergence from sequential BPE, stated: a round's lower slots
+    * are admitted against PRE-ROUND counts, so the merge TABLE can
+    * differ from [[learn]]'s order when a round-1 merge would have
+    * promoted a new pair above a round-2 slot; with batchM = 1 the
+    * rule degenerates to exactly [[learn]] (BpeSpec locks this). A
+    * round whose window is empty (vocabulary exhausted) admits
+    * nothing and is a no-op — fixed `nRounds` always run, matching
+    * the unrolled oracle. Returns the admitted merge table and the
+    * final vocabulary. */
+  def learnBatched(docs: DataFrame, nRounds: Int, batchM: Int,
+      exactConflicts: Boolean = true): (Seq[BatchMerge], DataFrame) = {
     var words = wordTable(docs)
       .coalesce(8)
       .withColumn("syms", charSyms(col("word")))
@@ -193,9 +217,43 @@ object Bpe {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(batchM).collect()
         .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      // positional-interaction matrix for the exact rule: raw
+      // adjacency matches of every window candidate, instance-indexed
+      // per word, self-joined at |i − j| <= 1. The frame is the vocab
+      // filtered to <= batchM literal pairs — tiny; collected as a
+      // <= m(m−1)/2 driver set
+      val interacting: Set[(Int, Int)] =
+        if (!exactConflicts || window.length < 2) Set.empty
+        else {
+          val rnExpr = window.zipWithIndex.foldLeft(lit(-1)) {
+            case (e, ((a, b, _), i)) =>
+              when(col("x") === a && col("y") === b, lit(i)).otherwise(e)
+          }
+          val m = words
+            .select(col("syms"),
+              explode(when(size(col("syms")) >= 2,
+                sequence(lit(0), size(col("syms")) - 2))
+                .otherwise(array().cast("array<int>"))).as("j"),
+              col("word"))
+            .select(col("word"), col("j"),
+              element_at(col("syms"), col("j") + 1).as("x"),
+              element_at(col("syms"), col("j") + 2).as("y"))
+            .withColumn("rn", rnExpr).filter(col("rn") >= 0)
+            .select("word", "j", "rn")
+          m.as("h").join(m.as("c"),
+              col("h.word") === col("c.word")
+                && col("h.rn") < col("c.rn")
+                && abs(col("h.j") - col("c.j")) <= 1)
+            .select(col("h.rn").as("hrn"), col("c.rn").as("crn"))
+            .distinct().collect()
+            .map(row => (row.getInt(0), row.getInt(1))).toSet
+        }
       val admitted = window.zipWithIndex.collect {
-        case ((a, b, cnt), i) if window.take(i).forall {
-          case (ha, hb, _) => !conflicts(ha, hb, a, b)
+        case ((a, b, cnt), i) if window.take(i).zipWithIndex.forall {
+          case ((ha, hb, _), hi) =>
+            if (exactConflicts)
+              ha + hb != a && ha + hb != b && !interacting((hi, i))
+            else !legacyConflicts(ha, hb, a, b)
         } => (a, b, cnt)
       }
       admitted.zipWithIndex.foreach { case ((a, b, cnt), s) =>
@@ -302,16 +360,20 @@ object Bpe {
         s"_$prefix$r")
     }.mkString(",")
 
-  /** Unrolled oracle for [[learnBatched]]: per round — the pair-count
-    * table, the ranked top-`batchM` candidate window, the
-    * [[conflicts]] admission anti-join (NOT EXISTS against every
-    * higher-ranked window candidate), then one fixed apply SLOT per
-    * window position. A sentinel chr(1)/chr(1) merge fills slots
-    * beyond the admitted count so the CTE chain's SHAPE is
-    * independent of how many candidates were admitted — chr(1) never
-    * occurs in document text, so the sentinel matches no adjacent
-    * pair and its apply block is the identity. Ends with `bbmerges`
-    * (round, slot, a, b, cnt). */
+  /** Unrolled oracle for [[learnBatched]] (exact conflict rule): per
+    * round — the pair-count table, the ranked top-`batchM` candidate
+    * window, the candidates' raw adjacency MATCH POSITIONS per word
+    * (`bbx$r`, MATERIALIZED — referenced twice by the interaction
+    * self-join), the positional-interaction pairs at |i − j| ≤ 1
+    * (`bbcf$r`), the admission anti-join (NOT EXISTS against every
+    * higher-ranked window candidate: merged-symbol creation OR a
+    * positional interaction — the engine's exact test verbatim),
+    * then one fixed apply SLOT per window position. A sentinel
+    * chr(1)/chr(1) merge fills slots beyond the admitted count so
+    * the CTE chain's SHAPE is independent of how many candidates
+    * were admitted — chr(1) never occurs in document text, so the
+    * sentinel matches no adjacent pair and its apply block is the
+    * identity. Ends with `bbmerges` (round, slot, a, b, cnt). */
   def oracleBatchedCtes(nRounds: Int, batchM: Int): String = {
     val pieces = Seq.newBuilder[String]
     pieces += vocabCte("bbv0")
@@ -330,13 +392,26 @@ object Bpe {
                  row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
           FROM bbp$r) WHERE rn <= $batchM)"""
       pieces += s"""
+      bbx$r AS MATERIALIZED (
+        SELECT c.rn, e.word, e.j
+        FROM (SELECT word, s, unnest(range(len(s) - 1)) AS j
+              FROM $prev) e
+        JOIN bbc$r c ON e.s[e.j + 1] = c.a AND e.s[e.j + 2] = c.b)"""
+      pieces += s"""
+      bbcf$r AS MATERIALIZED (
+        SELECT DISTINCT h.rn AS hrn, c.rn AS crn
+        FROM bbx$r h JOIN bbx$r c
+          ON h.word = c.word AND h.rn < c.rn
+          AND abs(h.j - c.j) <= 1)"""
+      pieces += s"""
       bba$r AS MATERIALIZED (
         SELECT c.a, c.b, c.cnt,
                row_number() OVER (ORDER BY c.rn) AS slot
         FROM bbc$r c WHERE NOT EXISTS (
           SELECT 1 FROM bbc$r h WHERE h.rn < c.rn AND (
-            h.a = c.a OR h.a = c.b OR h.b = c.a OR h.b = c.b
-            OR h.a || h.b = c.a OR h.a || h.b = c.b)))"""
+            h.a || h.b = c.a OR h.a || h.b = c.b
+            OR EXISTS (SELECT 1 FROM bbcf$r x
+                       WHERE x.hrn = h.rn AND x.crn = c.rn))))"""
       for (i <- 1 to batchM) {
         val out = s"bbw_${r}_$i"
         pieces += s"""

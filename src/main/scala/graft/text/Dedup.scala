@@ -37,7 +37,7 @@ object Dedup {
     * |shared| / (|A| + |B| - |shared|) over the doc's full shingle sets. */
   def jaccardPairs(docs: DataFrame, n: Int, maxFreq: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingleTable(docs, n).cache()
+    val sh = graft.ops.CacheReg.cached(shingleTable(docs, n))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // The count-only frequency pass stays first (its combine-tree
     // partials are skew-immune — a boilerplate gram in 10^8 docs never
@@ -105,7 +105,8 @@ object Dedup {
     * the operating threshold with [[deriveBanding]]. */
   def minhashLshPairs(docs: DataFrame, n: Int,
       rowsPerBand: Int = 2): DataFrame =
-    minhashLshPairsFromSigs(minhashSignatures(docs, n).cache(),
+    minhashLshPairsFromSigs(
+      graft.ops.CacheReg.cached(minhashSignatures(docs, n)),
       rowsPerBand)
 
   /** [[minhashLshPairs]] over a precomputed signature frame — at corpus
@@ -248,7 +249,8 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .distinct().cache()
+      .distinct()
+    graft.ops.CacheReg.cached(edges)
     // localCheckpoint after every round: the new label frame references
     // the previous one TWICE (neighbor-min join + pointer-jump join), so
     // without lineage truncation the logical plan doubles per round and
@@ -284,7 +286,7 @@ object Dedup {
       labels = next.select("doc_id", "comp")
       it += 1
     }
-    edges.unpersist(blocking = false)
+    graft.ops.CacheReg.release(edges)
     val w = Window.partitionBy("comp")
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -424,20 +426,50 @@ object Dedup {
           p => element_at(toks, p + 1)), " ").as("clean_text"))
   }
 
-  /** SimHash near-dup pairs: 64-bit signatures as four 16-bit bands,
-    * blocked on (band_idx, band_value) — a 4·2^16 key space, so per-key
-    * bucket sizes stay tiny at corpus scale. Pigeonhole: any pair at
-    * hamming ≤ 3 agrees on at least one full band, so recall is perfect
-    * at that radius; the exact hamming filter then trims band-collision
-    * false positives. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming < SimHashBands,
+  /** Derive the SimHash blocking layout from the hamming radius — the
+    * SimHash counterpart of [[deriveBanding]] (one derivation site
+    * read by both the engine and the DuckDB oracle, instead of a
+    * pinned 4×16 with the pigeonhole bound asserted by hand).
+    *
+    * Returns (nBands, quartersPerBand): nBands equal-width blocking
+    * bands, each the concatenation of quartersPerBand physical 16-bit
+    * signature quarters (b0..b3). Pigeonhole: a pair at hamming ≤ r
+    * differs in at most r bands, so with nBands ≥ r + 1 at least one
+    * band agrees — banded candidate generation has PERFECT recall at
+    * the radius. Precision direction: among the layouts whose
+    * guarantee holds, the FEWEST (widest) bands win — a 32-bit band
+    * collision is far rarer than a 16-bit one, so incidental
+    * candidates are minimized (the same greedy direction
+    * [[deriveBanding]]'s largest-r rule takes). Feasible band counts
+    * are the equal groupings of the 4 physical quarters: 1×64, 2×32,
+    * 4×16 — so r = 0 derives one exact 64-bit key, r = 1 two 32-bit
+    * bands, r ∈ {2, 3} the 4×16 layout (r = 2 skips the infeasible
+    * 3-band split; 4 > 2 still satisfies the pigeonhole). Radii ≥ 4
+    * would need sub-16-bit bands (the near-quadratic key-space the
+    * 4×16 design replaced) and are rejected. */
+  def deriveSimhashBanding(maxHamming: Int): (Int, Int) = {
+    require(maxHamming >= 0 && maxHamming < SimHashBands,
       s"banded blocking only guarantees recall for hamming < $SimHashBands")
-    val sigs = simhash64(docs, col("doc_id"), col("text")).cache()
+    val nBands = Seq(1, 2, 4).find(_ > maxHamming).get
+    (nBands, SimHashBands / nBands)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures as four physical
+    * 16-bit quarters, blocked on (band_idx, band_key) at the layout
+    * [[deriveSimhashBanding]] derives from the radius — per-key
+    * bucket sizes stay tiny at corpus scale (≥ 2^16 key space), the
+    * pigeonhole recall guarantee holds by construction, and the exact
+    * hamming filter then trims band-collision false positives. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val (nBands, qPer) = deriveSimhashBanding(maxHamming)
+    val sigs = graft.ops.CacheReg.cached(
+      simhash64(docs, col("doc_id"), col("text")))
     val bandCols = (0 until SimHashBands).map(c => col(s"b$c"))
+    def bandKey(g: Int) = concat_ws("_",
+      (g * qPer until (g + 1) * qPer).map(c => col(s"b$c")): _*)
     val keyed = sigs.select(col("doc_id") +: bandCols :+
-      explode(array((0 until SimHashBands).map(c =>
-        struct(lit(c).as("band_idx"), col(s"b$c").as("band"))): _*))
+      explode(array((0 until nBands).map(g =>
+        struct(lit(g).as("band_idx"), bandKey(g).as("band"))): _*))
         .as("bk"): _*)
       .select(col("doc_id") +: bandCols :+ col("bk.band_idx")
         :+ col("bk.band"): _*)

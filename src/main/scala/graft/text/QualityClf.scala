@@ -191,6 +191,92 @@ object QualityClf {
       .withColumn("pred", col("margin") > 0)
   }
 
+  /** Operating-point metrics over a [[score]]d frame, one row per
+    * DECILE-BOUNDARY candidate threshold t ∈ {0.0, 0.1, …, 0.9}:
+    * docs kept at p ≥ t, true positives among them, and the achieved
+    * precision/recall against the weak labels — the
+    * q_t_quality_clf_calibration curve turned into the table a
+    * threshold-picker actually reads. Probabilities round-9 BEFORE
+    * comparison (the libm seam), candidates are i/10.0 IEEE
+    * divisions — identical on both engines, so every count is exact.
+    * 10 rows out; one bounded aggregation over the scored frame. */
+  def thresholdMetrics(scored: DataFrame): DataFrame =
+    scored
+      .select(round(col("prob"), 9).as("p"),
+        (col("y") === 1.0).as("label"),
+        explode(array((0 until 10).map(i => lit(i / 10.0)): _*))
+          .as("thr"))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("p") >= col("thr"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("p") >= col("thr") && col("label"), 1L)
+          .otherwise(0L)).as("n_tp"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("thr"), col("n_kept"), col("n_tp"), col("n_pos"),
+        round(when(col("n_kept") > 0,
+          col("n_tp").cast("double") / col("n_kept")), 9).as("prec"),
+        round(when(col("n_pos") > 0,
+          col("n_tp").cast("double") / col("n_pos")), 9).as("rec"))
+
+  /** Threshold choice from collected (thr, prec) metric rows: the
+    * SMALLEST decile boundary whose achieved precision meets the
+    * target — maximum recall at the precision the pipeline owner
+    * asked for — falling back to the LARGEST boundary (the most
+    * conservative gate) when no decile reaches it. Null precision
+    * (empty keep set) never qualifies. Pure, deterministic, mirrored
+    * verbatim by [[oracleThresholdCtes]]'s qcpick. */
+  def chooseThreshold(metrics: Seq[(Double, Option[Double])],
+      targetPrecision: Double): Double = {
+    val sorted = metrics.sortBy(_._1)
+    sorted.collectFirst {
+      case (thr, Some(p)) if p >= targetPrecision => thr
+    }.getOrElse(sorted.last._1)
+  }
+
+  /** Threshold-selection oracle chain — requires [[oracleSql]]'s
+    * qcf/qcy/qcw$iters CTEs earlier in the same WITH. Ends at
+    * `qcpt(doc_id, p, label)` (every doc's round-9 probability under
+    * the final weights) and the ONE-row `qcpick(thr, n_kept, n_tp,
+    * n_pos, prec, rec)` — the [[chooseThreshold]] rule verbatim:
+    * smallest qualifying decile, else the largest. */
+  def oracleThresholdCtes(iters: Int, targetPrecision: Double)
+      : String = s"""
+      qcmt AS (
+        SELECT f.doc_id,
+               CAST(sum(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE)
+                 AS margin
+        FROM qcf f JOIN qcw$iters w USING (bk) GROUP BY 1),
+      qcpt AS MATERIALIZED (
+        SELECT m.doc_id, round(1.0 / (1.0 + exp(-m.margin)), 9) AS p,
+               y.y = 1.0 AS label
+        FROM qcmt m JOIN qcy y USING (doc_id)),
+      qcmet AS MATERIALIZED (
+        SELECT c.thr,
+               CAST(sum(CASE WHEN q.p >= c.thr THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN q.p >= c.thr AND q.label
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+               CAST(sum(CASE WHEN q.label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pos
+        FROM (SELECT range / 10.0 AS thr FROM range(10)) c
+        CROSS JOIN qcpt q GROUP BY 1),
+      qcmet2 AS MATERIALIZED (
+        SELECT thr, n_kept, n_tp, n_pos,
+               CASE WHEN n_kept > 0 THEN
+                 round(CAST(n_tp AS DOUBLE) / n_kept, 9) END AS prec,
+               CASE WHEN n_pos > 0 THEN
+                 round(CAST(n_tp AS DOUBLE) / n_pos, 9) END AS rec
+        FROM qcmet),
+      qcpick AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT * FROM qcmet2 WHERE prec >= $targetPrecision
+          ORDER BY thr LIMIT 1)
+        UNION ALL
+        SELECT * FROM (SELECT * FROM qcmet2 ORDER BY thr DESC LIMIT 1)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM qcmet2 WHERE prec >= $targetPrecision))"""
+
   /** Unrolled DuckDB oracle over `documents`: feature/label CTEs plus
     * one (margin, err, grad, weights) CTE block per GD round, ending in
     * CTE `qcw$iters(bk, w)` — the mirror of [[fit]], bit-for-bit (see

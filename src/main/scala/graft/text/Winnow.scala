@@ -83,27 +83,69 @@ object Winnow {
         min("pos1").as("min_pos1"), max("pos1").as("max_pos1"))
   }
 
+  /** SEGMENTED alignment spans: like [[alignments]], but matches
+    * within one (d1, d2, offset) group are split into contiguity
+    * SEGMENTS before taking extents. Rationale: two disjoint shared
+    * blocks can sit at the same relative offset (the templated-doc
+    * case — identical header and footer around equal-length unique
+    * middles); min/max over the whole offset group would bridge them
+    * into one span and swallow the unique text between. Within a
+    * contiguous verbatim run, winnowing selects a fingerprint at
+    * least once per w-gram window, so consecutive shared fingerprint
+    * positions are ≤ w grams (< w + k bytes) apart — a gap of more
+    * than w + k byte positions between consecutive same-offset
+    * matches cannot be fingerprint-silent verbatim text and marks a
+    * segment boundary. Returns one row per (d1, d2, align_offset,
+    * seg) with that segment's n_matches / min_pos1 / max_pos1. */
+  def alignmentSegments(pairs: DataFrame, fps: DataFrame,
+      w: Int, k: Int): DataFrame = {
+    val a = fps.select(col("doc_id").as("d1"),
+      col("fp_pos").as("pos1"), col("h"))
+    val b = fps.select(col("doc_id").as("d2"),
+      col("fp_pos").as("pos2"), col("h"))
+    val matches = pairs.select("d1", "d2")
+      .join(a, Seq("d1")).join(b, Seq("d2", "h"))
+      .select(col("d1"), col("d2"),
+        (col("pos1") - col("pos2")).as("align_offset"), col("pos1"))
+    val wOff = Window.partitionBy("d1", "d2", "align_offset")
+      .orderBy("pos1")
+    matches
+      .withColumn("brk",
+        when(col("pos1") - lag(col("pos1"), 1).over(wOff) > w + k, 1)
+          .otherwise(0))
+      .withColumn("seg", sum(col("brk"))
+        .over(wOff.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("d1", "d2", "align_offset", "seg")
+      .agg(count(lit(1)).as("n_matches"),
+        min("pos1").as("min_pos1"), max("pos1").as("max_pos1"))
+  }
+
   /** Winnow-driven span STRIPPING — the curation consumer of
-    * [[alignments]] (the counterpart of Dedup.substringStrip for
-    * boilerplate/license spans localized by fingerprint alignment):
-    * strip from the LATER doc of each candidate pair (keeper
-    * convention: d1 < d2 keeps d1) every aligned span carrying at
-    * least `minMatches` same-offset fingerprint matches (a single
-    * shared fingerprint at an offset is collision-grade evidence; a
-    * real contiguous span emits one ~every (w+1)/2 positions). The
-    * span in the stripped doc's char coordinates is
-    * [min_pos1 − offset, max_pos1 − offset + k − 1] — a fingerprint
-    * at pos covers its k-gram [pos, pos+k); both bounds are real
-    * fingerprint positions of that doc, so the range is in-bounds by
-    * construction. Covered positions merge to islands per doc
-    * (explode is O(covered chars), bounded by doc length); the strip
-    * is a fold over the ≤ islands+1 KEPT segments — O(segments)
-    * substr calls, never per-char work. Returns one row per corpus
-    * doc: `(doc_id, n_chars, covered_chars, n_spans, covered_frac,
-    * clean_text)`. */
+    * [[alignmentSegments]] (the counterpart of Dedup.substringStrip
+    * for boilerplate/license spans localized by fingerprint
+    * alignment): strip from the LATER doc of each candidate pair
+    * (keeper convention: d1 < d2 keeps d1) every aligned SEGMENT
+    * carrying at least `minMatches` same-offset fingerprint matches
+    * (a single shared fingerprint at an offset is collision-grade
+    * evidence; a real contiguous span emits one ~every (w+1)/2
+    * positions). Segmentation (gap > w + k splits — see
+    * [[alignmentSegments]]) keeps two disjoint shared blocks at the
+    * same offset from bridging into one span that would delete the
+    * unique text between them. The span in the stripped doc's char
+    * coordinates is [min_pos1 − offset, max_pos1 − offset + k − 1] —
+    * a fingerprint at pos covers its k-gram [pos, pos+k); both
+    * bounds are real fingerprint positions of that doc, so the range
+    * is in-bounds by construction. Covered positions merge to
+    * islands per doc (explode is O(covered chars), bounded by doc
+    * length); the strip is a fold over the ≤ islands+1 KEPT
+    * segments — O(segments) substr calls, never per-char work.
+    * Returns one row per corpus doc: `(doc_id, n_chars,
+    * covered_chars, n_spans, covered_frac, clean_text)`;
+    * covered_frac is null for an empty doc (0/0 guarded, the
+    * family's ratio convention). */
   def stripSpans(docs: DataFrame, pairs: DataFrame, fps: DataFrame,
-      k: Int, minMatches: Int): DataFrame = {
-    val spans = alignments(pairs, fps)
+      k: Int, w: Int, minMatches: Int): DataFrame = {
+    val spans = alignmentSegments(pairs, fps, w, k)
       .filter(col("n_matches") >= minMatches)
       .select(col("d2").as("doc_id"),
         (col("min_pos1") - col("align_offset")).as("s"),
@@ -138,8 +180,9 @@ object Winnow {
         n.cast("long").as("n_chars"),
         coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        round(coalesce(col("covered_chars"), lit(0L)).cast("double")
-          / n, 9).as("covered_frac"),
+        round(when(n > 0,
+          coalesce(col("covered_chars"), lit(0L)).cast("double") / n),
+          9).as("covered_frac"),
         stripped.as("clean_text"))
   }
 

@@ -112,28 +112,63 @@ class BpeSpec extends SparkSpec {
     assert(vs == vb, "final vocabularies must match")
   }
 
-  test("learnBatched admits only pairwise non-conflicting merges per " +
-      "round, and an exhausted round is a no-op") {
-    val d = docs(1L -> ("ab ab ab cd cd cd ef ef " +
-      "bc bc bc bc bc")) // (b,c) top; (a,b)/(c,d) conflict with it
-    val (merges, _) = Bpe.learnBatched(d, nRounds = 2, batchM = 4)
+  test("learnBatched exact conflicts: positional interaction blocks, " +
+      "shared-symbol-without-interaction admits, exhausted round is " +
+      "a no-op") {
+    // words: "abc"×5, "zb"×4 → round-1 candidates (a,b):5, (b,c):5,
+    // (z,b):4. (a,b) wins slot 1 on the asc tie-break. (b,c) matches
+    // "abc" at j=1 adjacent to (a,b)'s match at j=0 → positional
+    // interaction → blocked. (z,b) SHARES symbol b with (a,b) but the
+    // two are never adjacent in any word ((a,b) only in "abc", (z,b)
+    // only in "zb") → the exact rule ADMITS it where the legacy
+    // symbol-sharing rule blocked it.
+    val d = docs(1L -> "abc abc abc abc abc zb zb zb zb")
+    val (merges, vocab) = Bpe.learnBatched(d, nRounds = 1, batchM = 3)
     val r1 = merges.filter(_.round == 1)
-    // within a round: no two admitted merges share a symbol, and no
-    // admitted pair uses a higher slot's merged symbol
-    for (m <- r1; h <- r1 if h.slot < m.slot) {
-      val syms = Set(m.left, m.right)
-      assert(!syms.contains(h.left) && !syms.contains(h.right) &&
-        !syms.contains(h.left + h.right),
-        s"round 1 slots ${h.slot}/${m.slot} conflict")
-    }
-    // (b,c) wins slot 1; (a,b) and (c,d) are blocked by the shared
-    // b/c symbols; (e,f) is disjoint and admitted
-    assert(r1.head.left == "b" && r1.head.right == "c")
-    assert(r1.exists(m => m.left == "e" && m.right == "f"))
-    assert(!r1.exists(m => m.left == "a" || m.right == "d"))
+    assert(r1.map(m => (m.slot, m.left, m.right)) ==
+      Seq((1, "a", "b"), (2, "z", "b")),
+      s"exact rule must admit (a,b) and (z,b), block (b,c): $r1")
+    // the round's vocabulary reflects both admitted merges
+    val vs = vocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(vs("abc") == Seq("ab", "c") && vs("zb") == Seq("zb"))
+    // the LEGACY rule on the same corpus blocks (z,b) too — the A/B
+    // the admission-rate measurement reads
+    val (legacy, _) = Bpe.learnBatched(d, nRounds = 1, batchM = 3,
+      exactConflicts = false)
+    assert(legacy.map(m => (m.left, m.right)) == Seq(("a", "b")),
+      s"legacy rule must admit only the top slot here: $legacy")
     // tiny corpus exhausts: a later round admitting nothing must not
     // throw and must leave earlier merges intact
     val (m2, _) = Bpe.learnBatched(docs(1L -> "ab"), 3, 4)
     assert(m2.nonEmpty && m2.forall(_.round <= 3))
+  }
+
+  test("learnBatched exact conflicts: overlapping-word interaction " +
+      "blocks within a round; multi-char-symbol candidates in later " +
+      "rounds admit when they never share a word") {
+    // round 1: (a,b):17 tops; (a,a):5 matches "aab" at j=0 adjacent
+    // to (a,b)'s match at j=1 → blocked. Round 2 runs over merged
+    // symbols: (a,"ab"):5 (from "aab") and ("ab",q):3 (from "abq")
+    // live in different words, and (a+"ab")="aab" is no candidate's
+    // symbol → both admit and both counts stay exact at apply time.
+    val d = docs(1L -> (Seq.fill(9)("ab").mkString(" ") + " " +
+      Seq.fill(5)("aab").mkString(" ") + " " +
+      Seq.fill(3)("abq").mkString(" ")))
+    val (merges, vocab) = Bpe.learnBatched(d, nRounds = 2, batchM = 2)
+    val r1 = merges.filter(_.round == 1)
+    // round 1: (a,b):17 wins; (a,a):5 interacts with it in "aab"
+    // (j=0 vs j=1) → blocked
+    assert(r1.map(m => (m.slot, m.left, m.right)) ==
+      Seq((1, "a", "b")), s"round 1: $r1")
+    val r2 = merges.filter(_.round == 2)
+    // round 2 vocab: "ab"→["ab"], "aab"→["a","ab"], "abq"→["ab","q"]
+    // candidates: (a,"ab"):5, ("ab",q):3 — disjoint words, no
+    // creation ((a+"ab")="aab" ≠ "ab","q") → BOTH admitted
+    assert(r2.map(m => (m.slot, m.left, m.right)) ==
+      Seq((1, "a", "ab"), (2, "ab", "q")), s"round 2: $r2")
+    val vs = vocab.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(vs("aab") == Seq("aab") && vs("abq") == Seq("abq"))
   }
 }

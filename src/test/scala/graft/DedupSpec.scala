@@ -86,6 +86,43 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture produced no close pairs — weak test")
   }
 
+  test("deriveSimhashBanding: widest feasible layout per radius, " +
+      "pigeonhole recall holds at the DERIVED layout for two radii") {
+    // spec lock: r=0 → one exact 64-bit key; r=1 → 2×32 (widest with
+    // nBands > 1); r=2 skips the infeasible 3-split → 4×16; r=3 → 4×16
+    assert(Dedup.deriveSimhashBanding(0) == (1, 4))
+    assert(Dedup.deriveSimhashBanding(1) == (2, 2))
+    assert(Dedup.deriveSimhashBanding(2) == (4, 1))
+    assert(Dedup.deriveSimhashBanding(3) == (4, 1))
+    intercept[IllegalArgumentException](Dedup.deriveSimhashBanding(4))
+    // recall guarantee at the derived layouts: banded == brute-force
+    // at radius 1 (2 wide bands) and radius 3 (4 narrow bands)
+    val base = (1 to 200).map(i => s"tok$i")
+    val d = docs((0L until 12L).map { i =>
+      val swaps = math.max(0, i.toInt - 1)
+      val txt = (base.drop(swaps)
+        ++ (0 until swaps).map(j => s"mut${i}_$j")).mkString(" ")
+      i -> txt
+    }: _*)
+    val sigs = TextOps.simhash64(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until TextOps.SimHashBands).map(c => r.getAs[Long](s"b$c")))
+      .toMap
+    for (r <- Seq(1, 3)) {
+      val brute = (for {
+        a <- sigs.keys.toSeq; b <- sigs.keys.toSeq if a < b
+        h = sigs(a).zip(sigs(b))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+        if h <= r
+      } yield (a, b, h)).toSet
+      val banded = Dedup.simhashPairs(d, maxHamming = r).collect()
+        .map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2"),
+          x.getAs[Int]("hamming"))).toSet
+      assert(banded == brute, s"radius $r: banded=$banded brute=$brute")
+    }
+  }
+
   test("connectedComponents: chains collapse to min label, singletons " +
       "stay canonical") {
     val d = docs((0L to 9L).map(i => i -> s"doc $i"): _*)

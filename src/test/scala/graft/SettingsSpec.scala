@@ -355,6 +355,29 @@ class SettingsSpec extends SparkSpec {
       assert(SparkEntry.oracleSql("q_d_winnow_strip")
         .contains("n_matches >= 3"))
     }
+    // calibration-driven operating point: the target-precision knob
+    // is the qcpick selection literal in BOTH the threshold report
+    // and pipeline stage 6's gate (engine and oracle re-derive the
+    // threshold from the same decile grid)
+    assert(Settings.qualityClf.targetPrecision == 0.9)
+    assert(SparkEntry.oracleSql("q_t_quality_clf_threshold")
+      .contains("prec >= 0.9"))
+    assert(SparkEntry.oracleSql("q_t_dedup_pipeline")
+      .contains("(SELECT thr FROM qcpick)"))
+    withProp("graft.quality_clf.target_precision", "0.55") {
+      assert(SparkEntry.oracleSql("q_t_quality_clf_threshold")
+        .contains("prec >= 0.55"))
+      assert(SparkEntry.oracleSql("q_t_dedup_pipeline")
+        .contains("prec >= 0.55"))
+    }
+    // the selection RULE itself: smallest qualifying decile, most-
+    // conservative fallback — pure and deterministic
+    val m = Seq(0.0 -> Some(0.5), 0.1 -> Some(0.72), 0.2 -> Some(0.8),
+      0.3 -> Some(0.95), 0.4 -> None)
+    assert(graft.text.QualityClf.chooseThreshold(m, 0.8) == 0.2)
+    assert(graft.text.QualityClf.chooseThreshold(m, 0.9) == 0.3)
+    assert(graft.text.QualityClf.chooseThreshold(m, 0.99) == 0.4,
+      "no qualifying decile must fall back to the largest boundary")
   }
 
   test("cluster_qa / validation_walkforward sections mirror the yaml " +

@@ -418,8 +418,20 @@ class StreamingSpec extends SparkSpec {
       .schema(b1.toSeq.toDF("doc_id", "text").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$streamDir/part*")
+    // operating point: the calibration-driven threshold (the
+    // pipeline-stage-6 contract) — chosen once from the trained
+    // model's decile metrics, then passed to BOTH the stream and the
+    // batch twin so they cut at the same point
+    val thrRows = graft.text.QualityClf.thresholdMetrics(
+        graft.text.QualityClf.score(featY, w))
+      .select("thr", "prec").collect()
+      .map(r => r.getDouble(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    val thr = graft.text.QualityClf.chooseThreshold(thrRows,
+      Settings.qualityClf.targetPrecision)
     val q = StreamingCuration
-      .curateWithClassifier(src, minQuality = 0.3, B, w)
+      .curateWithClassifier(src, minQuality = 0.3, B, w,
+        probThreshold = thr)
       .select(col("doc_id"), round(col("clf_margin"), 6).as("m"))
       .writeStream.outputMode("append").format("memory")
       .queryName("cclf_stream_test").trigger(Trigger.AvailableNow())
@@ -429,7 +441,7 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     val want = StreamingCuration
       .curateWithClassifier(rows.toSeq.toDF("doc_id", "text"),
-        minQuality = 0.3, B, w)
+        minQuality = 0.3, B, w, probThreshold = thr)
       .select(col("doc_id"), round(col("clf_margin"), 6).as("m"))
       .as[(Long, Double)].collect().toMap
     assert(got.keySet == want.keySet,

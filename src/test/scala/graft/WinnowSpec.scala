@@ -127,7 +127,7 @@ class WinnowSpec extends SparkSpec {
     val fps = Winnow.fingerprints(docs, k, w)
     val pairs = Winnow.fingerprintPairsFrom(fps, maxFreq = 10,
       minShared = 2)
-    val out = Winnow.stripSpans(docs, pairs, fps, k, minMatches = 2)
+    val out = Winnow.stripSpans(docs, pairs, fps, k, w, minMatches = 2)
       .collect().map(r => r.getLong(0) -> r).toMap
     // keeper (d1 = 1) and the unrelated doc keep their full text
     assert(out(1L).getAs[Long]("covered_chars") == 0L
@@ -151,5 +151,54 @@ class WinnowSpec extends SparkSpec {
     val clean2 = out(2L).getAs[String]("clean_text")
     assert(b.startsWith(clean2.take(10)) &&
       clean2.length == b.length - covered)
+  }
+
+  test("stripSpans segmentation: identical header AND footer around " +
+      "equal-length unique middles strip as TWO islands — the unique " +
+      "middle survives") {
+    def synth(seed: Long, n: Int): String = {
+      var h = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        h = h * 2862933555777941757L + 3037000493L
+        sb.append(('a' + ((h >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }
+    val k = 16; val w = 8
+    // the templated-doc case: both docs share a long header and a
+    // long footer; the middles are unique but EQUAL LENGTH, so the
+    // header matches and the footer matches land at the SAME
+    // alignment offset (0). Pre-segmentation, min/max over the
+    // offset group bridged them into one span that deleted doc 2's
+    // unique middle.
+    val header = synth(7L, 120)
+    val footer = synth(8L, 120)
+    val mid1 = synth(1L, 200)
+    val mid2 = synth(2L, 200) // same length, different content
+    val a = header + mid1 + footer
+    val b = header + mid2 + footer
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, k, w)
+    val pairs = Winnow.fingerprintPairsFrom(fps, maxFreq = 10,
+      minShared = 2)
+    val out = Winnow.stripSpans(docs, pairs, fps, k, w, minMatches = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val clean2 = out(2L).getAs[String]("clean_text")
+    // the unique middle MUST survive the strip: a distinctive chunk
+    // of mid2 (away from the k-gram bleed at its edges) is retained
+    val core2 = mid2.substring(w + k, mid2.length - (w + k))
+    assert(clean2.contains(core2),
+      "unique middle must not be bridged away")
+    // and the shared material IS stripped: two separate islands
+    // (header, footer), never one doc-spanning span
+    assert(out(2L).getAs[Long]("n_spans") >= 2L,
+      "header and footer must strip as separate islands")
+    assert(out(2L).getAs[Long]("covered_chars") <=
+      (header.length + footer.length + 2 * (w + k)).toLong,
+      "coverage must not extend far past the two shared blocks")
+    // accounting still consistent
+    assert(clean2.length == out(2L).getAs[Long]("n_chars") -
+      out(2L).getAs[Long]("covered_chars"))
   }
 }
