@@ -211,6 +211,16 @@ object TextQueries extends QueryModule {
         WHERE c.e IS NOT NULL)"""
   }
 
+  /** Live KN discount knob + shared Kneser-Ney scoring stage — read
+    * by the KN report (q_t_kn_lp) and the KN perplexity bucketer
+    * (q_t_ppl_buckets_kn) so the count shuffles run once. */
+  private[queries] def KnDiscount = graft.Settings.lm.knDiscount
+  private[queries] def knLp(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "kn_lp") {
+      graft.text.KneserNey.scoreBigrams(t(s, dir, "documents"),
+        KnDiscount)
+    }
+
   /** Shared bigram-LM per-doc scoring stage `(doc_id, lang, n_bigrams,
     * avg_lp, min_lp)` with RAW doubles (consumers round at the emit
     * boundary) — read by the bigram report (q_t_bigram_lp) and the
@@ -2559,6 +2569,70 @@ object TextQueries extends QueryModule {
       FROM pb_d d JOIN pb_cut c USING (lang)
       ORDER BY doc_id""")) { (s, dir) =>
       pplBucketed(s, dir).orderBy("doc_id")
+    },
+
+    // Interpolated Kneser-Ney bigram scoring (KneserNey scaladoc) —
+    // the smoothing CCNet's KenLM filter actually uses (Wenzek 2020),
+    // replacing add-one as the production rung of the perplexity
+    // ladder; q_t_bigram_lp stays as the A/B control. Discounted seen
+    // mass redistributes by CONTINUATION counts (how many distinct
+    // contexts a word follows), every count an exact aggregation, the
+    // probability one fixed-parenthesization IEEE expression, ln
+    // behind the emit round — same two-count-shuffle scale shape as
+    // the add-one stage.
+    Q("q_t_kn_lp", Some(s"""
+      WITH ${graft.text.KneserNey.oracleCtes(KnDiscount)}
+      SELECT doc_id, lang, n_bigrams,
+             round(avg_lp, 9) AS avg_logprob_kn,
+             round(min_lp, 9) AS min_logprob_kn
+      FROM knd ORDER BY doc_id""")) { (s, dir) =>
+      knLp(s, dir).select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(col("avg_lp"), 9).as("avg_logprob_kn"),
+        round(col("min_lp"), 9).as("min_logprob_kn"))
+        .orderBy("doc_id")
+    },
+
+    // CCNet perplexity buckets over the KN scorer — the production
+    // pairing (Wenzek 2020 buckets on a KN-smoothed KenLM): per-doc
+    // KN perplexity exp(−avg lp), per-language ceil-rank terciles,
+    // same head/middle/tail contract as q_t_ppl_buckets (the add-one
+    // control row) so the two bucketings A/B directly.
+    Q("q_t_ppl_buckets_kn", Some(s"""
+      WITH ${graft.text.KneserNey.oracleCtes(KnDiscount)},
+      knd2 AS (
+        SELECT doc_id, lang, n_bigrams,
+               round(exp(-avg_lp), 6) AS ppl
+        FROM knd),
+      knr AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM knd2),
+      kncut AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut1,
+               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut2
+        FROM knr GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.n_bigrams, d.ppl,
+             CASE WHEN d.ppl <= c.cut1 THEN 'head'
+                  WHEN d.ppl <= c.cut2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM knd2 d JOIN kncut c USING (lang)
+      ORDER BY doc_id""")) { (s, dir) =>
+      val d = knLp(s, dir).select(col("doc_id"), col("lang"),
+        col("n_bigrams"), round(exp(-col("avg_lp")), 6).as("ppl"))
+      val cuts = d.groupBy("lang").agg(
+        percentile_approx(col("ppl"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
+      d.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("ppl"),
+          when(col("ppl") <= element_at(col("qs"), 1), "head")
+            .when(col("ppl") <= element_at(col("qs"), 2), "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy("doc_id")
     },
 
     // Document chunking for context windows: 64-token chunks with

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.KneserNey
+
+/** Interpolated Kneser–Ney semantics: the distribution must normalize
+  * exactly (Σ_w2 P_KN(w2|w1) = 1 for every context — the telescoping
+  * the interpolation is built for), hand-computed probabilities must
+  * match on a tiny corpus, and the continuation distribution must
+  * de-weight the "Francisco" case (frequent word, single context). */
+class KneserNeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 0.75
+
+  private def pKn(c2: Map[(String, String), Long],
+      ctx: Map[String, Long], n1f: Map[String, Long],
+      n1b: Map[String, Long], types: Long)(w1: String, w2: String)
+      : Double =
+    (math.max(c2.getOrElse((w1, w2), 0L) - D, 0.0)
+      + D * n1f(w1) * (n1b(w2).toDouble / types)) / ctx(w1)
+
+  private def tables(text: String) = {
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val (c2df, ctxdf, backdf, types) = KneserNey.model(docs, D)
+    val c2 = c2df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ctx = ctxdf.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val back = backdf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (c2, ctx.view.mapValues(_._1).toMap,
+      ctx.view.mapValues(_._2).toMap, back, types)
+  }
+
+  test("hand-computed probabilities on 'a b a b a c' (D = 0.75)") {
+    val (c2, ctx, n1f, n1b, types) = tables("a b a b a c")
+    // counts: (a,b):2 (b,a):2 (a,c):1; ctx a=3 b=2; N1+(a,.)=2
+    // N1+(b,.)=1; N1+(.,a)=1 N1+(.,b)=1 N1+(.,c)=1; types=3
+    assert(c2 == Map(("a", "b") -> 2L, ("b", "a") -> 2L,
+      ("a", "c") -> 1L))
+    assert(ctx == Map("a" -> 3L, "b" -> 2L) && types == 3L)
+    val p = pKn(c2, ctx, n1f, n1b, types) _
+    assert(math.abs(p("a", "b") - 1.75 / 3) < 1e-12)
+    assert(math.abs(p("a", "c") - 0.75 / 3) < 1e-12)
+    assert(math.abs(p("b", "a") - 1.5 / 2) < 1e-12)
+    // unseen-in-context backoff mass: P(a|a) rides continuation only
+    assert(math.abs(p("a", "a") - 0.5 / 3) < 1e-12)
+  }
+
+  test("Σ_w2 P_KN(w2|w1) = 1 exactly for every context (the " +
+      "interpolation telescopes)") {
+    val corpus = "the cat sat on the mat the dog sat on the cat " +
+      "a cat on a mat the end of the story of the cat"
+    val (c2, ctx, n1f, n1b, types) = tables(corpus)
+    val p = pKn(c2, ctx, n1f, n1b, types) _
+    val vocabW2 = n1b.keys.toSeq
+    for (w1 <- ctx.keys) {
+      val total = vocabW2.map(w2 => p(w1, w2)).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"context '$w1' sums to $total")
+    }
+  }
+
+  test("continuation counts de-weight the single-context frequent " +
+      "word (the Francisco property)") {
+    // "san francisco" ×6: francisco is FREQUENT (6 occurrences) but
+    // follows only "san"; "things" occurs 3× after 3 DISTINCT words.
+    // As a backoff candidate (unseen context "the"), the diverse-
+    // context word must outscore the frequent single-context word.
+    val corpus = Seq.fill(6)("san francisco").mkString(" ") +
+      " good things bad things new things the city"
+    val (c2, ctx, n1f, n1b, types) = tables(corpus)
+    assert(n1b("francisco") == 1L,
+      "francisco must have ONE continuation context")
+    assert(n1b("things") == 3L)
+    val p = pKn(c2, ctx, n1f, n1b, types) _
+    assert(p("the", "things") > p("the", "francisco"),
+      "diverse-context word must get more backoff mass")
+  }
+
+  test("scoreBigrams per-doc aggregate matches a driver recomputation " +
+      "and skips sub-2-token docs") {
+    val docs = Seq((1L, "a b a b a c"), (2L, "solo"), (3L, "x y"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = KneserNey.scoreBigrams(docs, D).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(2L), "no bigrams → no row")
+    assert(out(1L).getAs[Long]("n_bigrams") == 5L)
+    assert(out(3L).getAs[Long]("n_bigrams") == 1L)
+    // recompute doc 1's avg over the full two-doc corpus model
+    val (c2df, ctxdf, backdf, types) = KneserNey.model(docs, D)
+    val c2 = c2df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ctxRows = ctxdf.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val back = backdf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p = pKn(c2, ctxRows.view.mapValues(_._1).toMap,
+      ctxRows.view.mapValues(_._2).toMap, back, types) _
+    val bigrams1 = Seq("a" -> "b", "b" -> "a", "a" -> "b", "b" -> "a",
+      "a" -> "c")
+    val want = bigrams1.map { case (w1, w2) => math.log(p(w1, w2)) }
+      .sum / bigrams1.size
+    assert(math.abs(out(1L).getAs[Double]("avg_lp") - want) < 1e-9)
+  }
+}

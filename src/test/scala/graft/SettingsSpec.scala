@@ -378,6 +378,17 @@ class SettingsSpec extends SparkSpec {
     assert(graft.text.QualityClf.chooseThreshold(m, 0.9) == 0.3)
     assert(graft.text.QualityClf.chooseThreshold(m, 0.99) == 0.4,
       "no qualifying decile must fall back to the largest boundary")
+    // Kneser-Ney discount: the (0,1] bound and the oracle literal
+    assert(Settings.lm.knDiscount == 0.75)
+    assert(SparkEntry.oracleSql("q_t_kn_lp")
+      .contains("CAST(0.75 AS DOUBLE)"))
+    withProp("graft.lm.kn_discount", "0.5") {
+      assert(SparkEntry.oracleSql("q_t_kn_lp")
+        .contains("CAST(0.5 AS DOUBLE)"))
+    }
+    withProp("graft.lm.kn_discount", "1.5") {
+      intercept[IllegalArgumentException](Settings.lm.knDiscount)
+    }
   }
 
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
