@@ -451,6 +451,25 @@ object Settings {
     }
   }
 
+  /** `unigram:` block — unigram-LM (SentencePiece, Kudo 2018)
+    * tokenizer knobs (engine extension; text.Unigram). `seed_multi`
+    * caps the multi-character seed candidates (all single chars are
+    * always seeded — coverage); `max_piece_len` bounds piece length
+    * (the DP's per-position candidate fan); `em_rounds` pins the
+    * Viterbi-EM unroll depth; `prune_keep` caps the surviving
+    * multi-char vocabulary; `unk_logprob` is the unseen-character
+    * floor (byte-fallback analog); `max_word_len` is the oracle's DP
+    * unroll bound — the engine REFUSES a corpus whose longest word
+    * exceeds it (fixture max is 8). */
+  object unigram {
+    def seedMulti: Int = int("unigram.seed_multi", 40)
+    def maxPieceLen: Int = int("unigram.max_piece_len", 4)
+    def emRounds: Int = int("unigram.em_rounds", 3)
+    def pruneKeep: Int = int("unigram.prune_keep", 24)
+    def unkLogprob: Double = dbl("unigram.unk_logprob", -20.0)
+    def maxWordLen: Int = int("unigram.max_word_len", 12)
+  }
+
   /** `quality_clf:` block — trained fastText-style quality-classifier
     * knobs (engine extension; text.QualityClf). `n_buckets` is the
     * hashed-gram feature width; `lr`/`iters` pin the full-batch

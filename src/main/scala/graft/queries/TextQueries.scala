@@ -319,6 +319,30 @@ object TextQueries extends QueryModule {
   private[queries] def bpeVocab(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "bpe_vocab") { bpeLearned(s, dir)._2 }
 
+  // ---- Unigram-LM (SentencePiece) tokenizer: live knobs, memoized
+  // fit, oracle chain
+
+  private[queries] def UniSeed = graft.Settings.unigram.seedMulti
+  private[queries] def UniL = graft.Settings.unigram.maxPieceLen
+  private[queries] def UniRounds = graft.Settings.unigram.emRounds
+  private[queries] def UniKeep = graft.Settings.unigram.pruneKeep
+  private[queries] def UniUnk = graft.Settings.unigram.unkLogprob
+  private[queries] def UniMaxW = graft.Settings.unigram.maxWordLen
+
+  /** Fitted unigram model, memoized per sf dir (the bpeLearned
+    * contract — trained once, shipped to every consumer). */
+  private val uniMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.text.Unigram.Fit]
+  private[queries] def uniLearned(s: SparkSession, dir: String)
+      : graft.text.Unigram.Fit =
+    uniMemo.getOrElseUpdate(dir,
+      graft.text.Unigram.learn(t(s, dir, "documents"), UniSeed, UniL,
+        UniRounds, UniKeep, UniUnk, UniMaxW))
+
+  private[queries] def unigramCtes: String =
+    graft.text.Unigram.oracleCtes(UniSeed, UniL, UniRounds, UniKeep,
+      UniUnk, UniMaxW)
+
   private[queries] def BpeBatchRounds = graft.Settings.bpe.batchRounds
   private[queries] def BpeBatchM = graft.Settings.bpe.batchM
 
@@ -1376,6 +1400,134 @@ object TextQueries extends QueryModule {
           round(sum(length(col("word"))).cast("double") / sum("np"), 9)
             .as("chars_per_piece"))
         .orderBy("lang")
+    },
+
+    // Unigram-LM tokenizer LEARNING (Unigram scaladoc — SentencePiece,
+    // Kudo 2018): substring seeding, Viterbi-EM rounds (hard-EM
+    // expected counts, add-one M-step, every libm output behind the
+    // round-9 seam so the DP argmax can never diverge cross-engine),
+    // usage-count prune keeping all single chars. The oracle unrolls
+    // ONE MATERIALIZED CTE per character position per round (fixed
+    // max_word_len bound, the data-independent-shape contract) — the
+    // TRAINED vocabulary itself is hash-checked, the
+    // QualityClf/Lloyd/BPE discipline.
+    Q("q_t_unigram_learn", Some(s"""
+      WITH $unigramCtes
+      SELECT piece, usage, lp FROM uvocab ORDER BY piece""")) {
+      (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val fit = uniLearned(s, dir)
+      fit.vocab.keys.toSeq.sorted
+        .map(p => (p, fit.usage(p), fit.vocab(p)))
+        .toDF("piece", "usage", "lp")
+        .orderBy("piece")
+    },
+
+    // Unigram-LM ENCODE — the serving half: per-doc piece accounting
+    // by joining corpus tokens against the fitted word → pieces table
+    // (the precomputed-encoding cache, the BPE-encode contract); the
+    // oracle re-derives the same segmentation through its own final
+    // Viterbi chain, so the DP itself is what's checked, not a frozen
+    // dump. Rowwise stream ≡ batch parity is spec-locked in
+    // UnigramSpec via Unigram.encodeRowwise.
+    Q("q_t_unigram_encode", Some(s"""
+      WITH $unigramCtes,
+      xtk AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
+          FROM documents) WHERE word <> ''),
+      xenc AS (
+        SELECT t.doc_id, len(w.segs) AS np
+        FROM xtk t JOIN uenc_fin w ON t.word = w.word)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(np) AS BIGINT) AS n_pieces,
+             round(CAST(sum(np) AS DOUBLE) / count(*), 9)
+               AS fertility
+      FROM xenc GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val tok = t(s, dir, "documents").select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val segs = uniLearned(s, dir).wordSegs
+        .select(col("word"), size(col("segs")).as("np"))
+      tok.join(segs, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_pieces"),
+          round(sum("np").cast("double") / count(lit(1)), 9)
+            .as("fertility"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer A/B — BPE vs unigram-LM on the same corpus: emitted
+    // vocabulary size (distinct pieces actually used), total word
+    // occurrences, total pieces, fertility (pieces per word
+    // occurrence), and chars-per-piece (compression). The row a
+    // tokenizer owner reads to pick the family; both tokenizations
+    // come from the SAME shared fitted artifacts the learn/encode
+    // rows already hash-check.
+    Q("q_t_tokenizer_ab", Some(s"""
+      WITH ${graft.text.Bpe.oracleCtes(BpeMerges)},
+      $unigramCtes,
+      abtk AS (
+        SELECT word FROM (
+          SELECT unnest(${graft.text.Bpe.ToksSql}) AS word
+          FROM documents) WHERE word <> ''),
+      abbpe AS (
+        SELECT t.word, w.s AS pieces
+        FROM abtk t JOIN bw_$BpeMerges w ON t.word = w.word),
+      abuni AS (
+        SELECT t.word, w.segs AS pieces
+        FROM abtk t JOIN uenc_fin w ON t.word = w.word),
+      abstat AS (
+        SELECT 'bpe' AS tokenizer,
+               (SELECT count(DISTINCT piece) FROM
+                 (SELECT unnest(pieces) AS piece FROM abbpe))
+                 AS n_vocab_used,
+               CAST(count(*) AS BIGINT) AS n_word_occurrences,
+               CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+               round(CAST(sum(len(pieces)) AS DOUBLE) / count(*), 9)
+                 AS fertility,
+               round(CAST(sum(len(word)) AS DOUBLE)
+                 / sum(len(pieces)), 9) AS chars_per_piece
+        FROM abbpe
+        UNION ALL
+        SELECT 'unigram',
+               (SELECT count(DISTINCT piece) FROM
+                 (SELECT unnest(pieces) AS piece FROM abuni)),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(len(pieces)) AS BIGINT),
+               round(CAST(sum(len(pieces)) AS DOUBLE) / count(*), 9),
+               round(CAST(sum(len(word)) AS DOUBLE)
+                 / sum(len(pieces)), 9)
+        FROM abuni)
+      SELECT * FROM abstat ORDER BY tokenizer""")) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      def stats(name: String, table: DataFrame) = {
+        val joined = tok.join(table, Seq("word"))
+        val used = joined
+          .select(explode(col("pieces")).as("piece"))
+          .agg(countDistinct("piece").as("n_vocab_used"))
+        joined.agg(
+            count(lit(1)).as("n_word_occurrences"),
+            sum(size(col("pieces"))).cast("long").as("n_pieces"),
+            round(sum(size(col("pieces"))).cast("double")
+              / count(lit(1)), 9).as("fertility"),
+            round(sum(length(col("word"))).cast("double")
+              / sum(size(col("pieces"))), 9).as("chars_per_piece"))
+          .crossJoin(broadcast(used))
+          .select(lit(name).as("tokenizer"), col("n_vocab_used"),
+            col("n_word_occurrences"), col("n_pieces"),
+            col("fertility"), col("chars_per_piece"))
+      }
+      val bpe = bpeVocab(s, dir)
+        .select(col("word"), col("syms").as("pieces"))
+      val uni = uniLearned(s, dir).wordSegs
+        .select(col("word"), col("segs").as("pieces"))
+      stats("bpe", bpe).unionByName(stats("unigram", uni))
+        .orderBy("tokenizer")
     },
 
     // INCREMENTAL BPE encode — the tokenizer analogue of the

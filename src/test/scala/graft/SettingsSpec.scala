@@ -389,6 +389,24 @@ class SettingsSpec extends SparkSpec {
     withProp("graft.lm.kn_discount", "1.5") {
       intercept[IllegalArgumentException](Settings.lm.knDiscount)
     }
+    // unigram tokenizer knobs reach the oracle: EM unroll depth (the
+    // final usage/vocab CTEs are numbered by round), the prune cap,
+    // and the seed window
+    assert(Settings.unigram.emRounds == 3
+      && Settings.unigram.pruneKeep == 24
+      && Settings.unigram.maxWordLen == 12)
+    assert(SparkEntry.oracleSql("q_t_unigram_learn")
+      .contains("FROM ulp3 p LEFT JOIN uuc3"))
+    withProp("graft.unigram.em_rounds", "2") {
+      val sql = SparkEntry.oracleSql("q_t_unigram_learn")
+      assert(sql.contains("FROM ulp2 p LEFT JOIN uuc2")
+        && !sql.contains("udp3_"),
+        "EM unroll depth did not follow unigram.em_rounds")
+    }
+    withProp("graft.unigram.prune_keep", "7") {
+      assert(SparkEntry.oracleSql("q_t_unigram_learn")
+        .contains("WHERE rn <= 7"))
+    }
   }
 
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
