@@ -101,7 +101,11 @@ object ScaleStress {
     "q_t_dedup_pipeline", "q_d_winnow_pairs", "q_d_winnow_strip",
     "q_e_ann_frontier", "q_t_bpe_learn", "q_hmm_sweep",
     "q_d_components", "q_d_jaccard", "q_t_quality_clf_fit",
-    "q_d_lsh_e2e", "q_t_dsir_weights")
+    "q_d_lsh_e2e", "q_t_dsir_weights",
+    // r12 additions: the unigram Viterbi-EM fit (per-round cost is
+    // |distinct words|-bounded — the BPE argument — so the 10× corpus
+    // must be ~flat) and the KN scorer (two count shuffles, ~linear)
+    "q_t_unigram_learn", "q_t_kn_lp")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

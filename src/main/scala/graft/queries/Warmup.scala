@@ -96,6 +96,13 @@ object Warmup {
       // the first q_t_quality_clf* query)
       "qclfFit" -> (() => CurationQueries.qclfWeights(spark, dir)),
       "bigramLp" -> (() => TextQueries.bigramLp(spark, dir).count()),
+      // Kneser-Ney per-doc scores (KN report + KN perplexity buckets)
+      // — the same two-count-shuffle root shape as bigramLp
+      "knLp" -> (() => TextQueries.knLp(spark, dir).count()),
+      // unigram-LM tokenizer fit (Viterbi-EM rounds over the
+      // word-freq vocabulary) — a tokenizer-training artifact like
+      // bpeVocab, built once here so its round chain overlaps
+      "uniFit" -> (() => TextQueries.uniLearned(spark, dir)),
       // CDC chunk fingerprints (one codegen'd rolling-hash pass,
       // shuffle-free — the stored block-dedup artifact)
       "cdcChunks" -> (() => TextQueries.cdcChunks(spark, dir).count()),
@@ -144,6 +151,10 @@ object Warmup {
             (() => TextQueries.docComponents(spark, dir).count()),
           // semantic component map (reads the phase-1 annPairs stage)
           "semComps" -> (() => TextQueries.semComps(spark, dir).count()),
+          // calibration-driven classifier threshold (reads the
+          // phase-1 qclfFit artifact; one 10-row metric collect)
+          "qclfThreshold" ->
+            (() => CurationQueries.qclfThreshold(spark, dir)),
           // batch words under the frozen index merges (iterative
           // apply loop — reads the phase-1 incremental learn)
           "bpeBatchApplied" -> (() => TextQueries.batchAppliedVocab(
