@@ -343,6 +343,18 @@ object TextQueries extends QueryModule {
     graft.text.Unigram.oracleCtes(UniSeed, UniL, UniRounds, UniKeep,
       UniUnk, UniMaxW)
 
+  /** Index-slice unigram fit (doc_id % 5 ≠ 0 — the family's standing
+    * batch convention) — the frozen artifact the incremental encode
+    * serves from. */
+  private val uniIncrMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.text.Unigram.Fit]
+  private[queries] def uniIncrLearned(s: SparkSession, dir: String)
+      : graft.text.Unigram.Fit =
+    uniIncrMemo.getOrElseUpdate(dir,
+      graft.text.Unigram.learn(
+        t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+        UniSeed, UniL, UniRounds, UniKeep, UniUnk, UniMaxW))
+
   private[queries] def BpeBatchRounds = graft.Settings.bpe.batchRounds
   private[queries] def BpeBatchM = graft.Settings.bpe.batchM
 
@@ -1528,6 +1540,133 @@ object TextQueries extends QueryModule {
         .select(col("word"), col("segs").as("pieces"))
       stats("bpe", bpe).unionByName(stats("unigram", uni))
         .orderBy("tokenizer")
+    },
+
+    // INCREMENTAL unigram encode — the unigram twin of
+    // q_t_bpe_encode_incr (the add-without-retrain tokenizer
+    // lifecycle): the vocabulary is fitted ONLY on the standing index
+    // corpus (doc_id % 5 <> 0), frozen, and the new batch encodes
+    // under it with the single-char unk-floor fallback carrying any
+    // character the index never saw — the unseen-input path,
+    // exercised END-TO-END by the oracle (not just spec-locked).
+    // Per-doc piece accounting plus the count of floor-priced unk
+    // pieces (pieces absent from the frozen vocabulary).
+    Q("q_t_unigram_encode_incr", Some(s"""
+      WITH ${graft.text.Unigram.oracleCtes(UniSeed, UniL, UniRounds,
+        UniKeep, UniUnk, UniMaxW, docFilter = "doc_id % 5 <> 0")},
+      ${graft.text.Unigram.oracleEncodeCtes("uinc",
+        "doc_id % 5 = 0", UniL, UniMaxW, UniUnk).trim},
+      ytk AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
+          FROM documents WHERE doc_id % 5 = 0) WHERE word <> ''),
+      ywp AS (
+        SELECT t.doc_id, w.segs FROM ytk t
+        JOIN uinc_fin w ON t.word = w.word),
+      ypc AS (
+        SELECT doc_id, unnest(segs) AS piece FROM ywp),
+      yagg AS (
+        SELECT p.doc_id, count(*) AS np,
+               sum(CASE WHEN v.piece IS NULL THEN 1 ELSE 0 END)
+                 AS nunk
+        FROM ypc p LEFT JOIN uvocab v USING (piece) GROUP BY 1),
+      ywc AS (SELECT doc_id, count(*) AS nw FROM ywp GROUP BY 1)
+      SELECT w.doc_id, CAST(w.nw AS BIGINT) AS n_words,
+             CAST(a.np AS BIGINT) AS n_pieces,
+             CAST(a.nunk AS BIGINT) AS n_unk_pieces,
+             round(CAST(a.np AS DOUBLE) / w.nw, 9) AS fertility
+      FROM ywc w JOIN yagg a USING (doc_id)
+      ORDER BY doc_id""")) { (s, dir) =>
+      val fit = uniIncrLearned(s, dir)
+      val batchDocs = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+      val batchWords = graft.text.Bpe.wordTable(batchDocs)
+      val maxLen = batchWords.agg(max(length(col("word"))))
+        .head().getInt(0)
+      require(maxLen <= UniMaxW,
+        s"batch word length $maxLen exceeds unigram.max_word_len")
+      val lpMap = fit.vocab
+      val segs = graft.text.Unigram.segmentWords(batchWords, lpMap,
+          UniL, UniUnk)
+        .select(col("word"), size(col("segs")).as("np"),
+          size(filter(col("segs"),
+            p => !p.isin(lpMap.keys.toSeq.map(lit): _*))).as("nunk"))
+      batchDocs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .join(segs, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_pieces"),
+          sum("nunk").cast("long").as("n_unk_pieces"),
+          round(sum("np").cast("double") / count(lit(1)), 9)
+            .as("fertility"))
+        .orderBy("doc_id")
+    },
+
+    // Perplexity-bucket AGREEMENT — add-one vs Kneser-Ney: the 3×3
+    // confusion matrix of the two bucketings plus each cell's share,
+    // the row a filter owner reads to see how much the smoothing
+    // upgrade actually MOVES the CCNet gate (diagonal share = docs
+    // whose head/middle/tail verdict is smoothing-invariant). Both
+    // inputs are the already-hash-checked shared stages; one join on
+    // doc_id, exact-count shares.
+    Q("q_t_ppl_agreement", Some(s"""
+      WITH $pplCtes,
+      ${graft.text.KneserNey.oracleCtes(KnDiscount).trim},
+      agg1 AS (
+        SELECT d.doc_id, $pplBucketCase AS b1
+        FROM pb_d d JOIN pb_cut c USING (lang)),
+      knd2 AS (
+        SELECT doc_id, lang, round(exp(-avg_lp), 6) AS ppl FROM knd),
+      knr AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM knd2),
+      kncut AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut1,
+               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut2
+        FROM knr GROUP BY 1),
+      agg2 AS (
+        SELECT d.doc_id,
+               CASE WHEN d.ppl <= c.cut1 THEN 'head'
+                    WHEN d.ppl <= c.cut2 THEN 'middle'
+                    ELSE 'tail' END AS b2
+        FROM knd2 d JOIN kncut c USING (lang)),
+      am AS (
+        SELECT a.b1 AS bucket_addone, b.b2 AS bucket_kn,
+               count(*) AS n_docs
+        FROM agg1 a JOIN agg2 b USING (doc_id) GROUP BY 1, 2),
+      at AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM am)
+      SELECT bucket_addone, bucket_kn,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             round(n_docs / at.tot, 9) AS share
+      FROM am CROSS JOIN at
+      ORDER BY bucket_addone, bucket_kn""")) { (s, dir) =>
+      val a1 = pplBucketed(s, dir)
+        .select(col("doc_id"), col("ppl_bucket").as("bucket_addone"))
+      val d = knLp(s, dir).select(col("doc_id"), col("lang"),
+        round(exp(-col("avg_lp")), 6).as("ppl"))
+      val cuts = d.groupBy("lang").agg(
+        percentile_approx(col("ppl"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
+      val a2 = d.join(broadcast(cuts), "lang")
+        .select(col("doc_id"),
+          when(col("ppl") <= element_at(col("qs"), 1), "head")
+            .when(col("ppl") <= element_at(col("qs"), 2), "middle")
+            .otherwise("tail").as("bucket_kn"))
+      val am = a1.join(a2, "doc_id")
+        .groupBy("bucket_addone", "bucket_kn")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = am.agg(sum("n_docs").cast("double").as("tot"))
+      am.crossJoin(broadcast(tot))
+        .select(col("bucket_addone"), col("bucket_kn"), col("n_docs"),
+          round(col("n_docs") / col("tot"), 9).as("share"))
+        .orderBy("bucket_addone", "bucket_kn")
     },
 
     // INCREMENTAL BPE encode — the tokenizer analogue of the

@@ -217,7 +217,8 @@ object Unigram {
     * `${tag}_fin(word, freq, segs)` — each word's row taken at its
     * own length. */
   private def viterbiCtes(tag: String, lpCte: String, maxPieceLen: Int,
-      maxWordLen: Int, unkLp: Double): String = {
+      maxWordLen: Int, unkLp: Double, wordsCte: String = "uw")
+      : String = {
     val blocks = (1 to maxWordLen).map { j =>
       val alts = (1 to math.min(maxPieceLen, j)).map { l =>
         val start = j - l + 1
@@ -248,7 +249,7 @@ object Unigram {
     s"""
       ${tag}_0 AS (
         SELECT word, freq, 0.0 AS dp, CAST([] AS VARCHAR[]) AS segs
-        FROM uw),""" + blocks.mkString(",") + s""",
+        FROM $wordsCte),""" + blocks.mkString(",") + s""",
       ${tag}_fin AS MATERIALIZED (
         $fin)"""
   }
@@ -258,14 +259,16 @@ object Unigram {
     * Fit.vocab/usage verbatim) and `uenc_fin(word, freq, segs)` (the
     * final-vocab segmentation — Fit.wordSegs). */
   def oracleCtes(seedK: Int, maxPieceLen: Int, emRounds: Int,
-      pruneKeep: Int, unkLp: Double, maxWordLen: Int): String = {
+      pruneKeep: Int, unkLp: Double, maxWordLen: Int,
+      docFilter: String = ""): String = {
+    val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
     val pieces = Seq.newBuilder[String]
     pieces += s"""
       uw AS MATERIALIZED (
         SELECT word, count(*) AS freq FROM (
           SELECT unnest(regexp_split_to_array(text, '[[:space:]]+'))
             AS word
-          FROM documents)
+          FROM documents$where)
         WHERE word <> '' GROUP BY 1)"""
     pieces += s"""
       usub AS MATERIALIZED (
@@ -338,4 +341,22 @@ object Unigram {
       unkLp)
     pieces.result().mkString(",")
   }
+
+  /** A second word table + frozen-vocab Viterbi chain over a DIFFERENT
+    * document slice — the incremental-encode oracle half (requires an
+    * [[oracleCtes]] chain earlier in the same WITH for `uvocab`):
+    * word table `${tag}w` over `documents WHERE $docFilter`, DP chain
+    * ending at `${tag}_fin(word, freq, segs)`. Unknown characters ride
+    * the `unkLp` floor exactly as in training — the unseen-word
+    * fallback, exercised end-to-end by the oracle. */
+  def oracleEncodeCtes(tag: String, docFilter: String,
+      maxPieceLen: Int, maxWordLen: Int, unkLp: Double): String = s"""
+      ${tag}w AS MATERIALIZED (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(regexp_split_to_array(text, '[[:space:]]+'))
+            AS word
+          FROM documents WHERE $docFilter)
+        WHERE word <> '' GROUP BY 1),""" +
+    viterbiCtes(tag, "uvocab", maxPieceLen, maxWordLen, unkLp,
+      wordsCte = s"${tag}w")
 }

@@ -102,6 +102,29 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("unigram E-step pass is map-only with the model as a plan " +
+      "literal; KN scoring stays on count-table equi-joins") {
+    // the per-round segmentation pass: Viterbi DP as an aggregate
+    // fold over a checkpointed word table — no exchange, no join (the
+    // vocab rides as a map literal, the QualityClf broadcast-fit
+    // shape); the round's only shuffle is the usage groupBy
+    val words = graft.text.Bpe.wordTable(
+      spark.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+    val p = graft.text.Unigram
+      .segmentWords(words, Map("a" -> -1.0, "ab" -> -2.0), 4, -20.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unigram E-step shuffled:\n$p")
+    assert(!p.contains("Join"),
+      "the unigram model must ride as a literal, never a join")
+    // KN: bigram/context/continuation count tables meet the scored
+    // stream on equi-joins; the one-row type total is a broadcast
+    // cross (the family's scalar-stat convention) — never a true
+    // cartesian over data
+    val p2 = planOf("q_t_kn_lp")
+    assert(!p2.contains("CartesianProduct"))
+    graft.queries.Stage.clear()
+  }
+
   test("CDC chunking is shuffle-free (map-only per doc)") {
     val df = graft.text.Cdc.chunks(
       spark.read.parquet(s"$dir/documents.parquet"), 8, 32)
