@@ -470,6 +470,20 @@ object Settings {
     def maxWordLen: Int = int("unigram.max_word_len", 12)
   }
 
+  /** `wordpiece:` block — WordPiece tokenizer knobs (engine extension;
+    * text.WordPiece — the third tokenizer family next to BPE and
+    * unigram-LM). `n_merges` pins the likelihood-ranked merge rounds
+    * (one unrolled oracle CTE block each); `max_piece_len` is the
+    * merged-symbol content cap (the trainers' max_token_length) and
+    * the greedy encode's per-position candidate fan; `max_word_len`
+    * is the greedy unroll bound — the engine REFUSES a corpus whose
+    * longest word exceeds it (the unigram max_word_len contract). */
+  object wordpiece {
+    def nMerges: Int = int("wordpiece.n_merges", 12)
+    def maxPieceLen: Int = int("wordpiece.max_piece_len", 8)
+    def maxWordLen: Int = int("wordpiece.max_word_len", 12)
+  }
+
   /** `quality_clf:` block — trained fastText-style quality-classifier
     * knobs (engine extension; text.QualityClf). `n_buckets` is the
     * hashed-gram feature width; `lr`/`iters` pin the full-batch

@@ -355,6 +355,30 @@ object TextQueries extends QueryModule {
         t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
         UniSeed, UniL, UniRounds, UniKeep, UniUnk, UniMaxW))
 
+  // ---- WordPiece tokenizer: live knobs, memoized fit, oracle chain
+
+  private[queries] def WpMerges = graft.Settings.wordpiece.nMerges
+  private[queries] def WpMaxPiece = graft.Settings.wordpiece.maxPieceLen
+  private[queries] def WpMaxW = graft.Settings.wordpiece.maxWordLen
+
+  /** Fitted WordPiece model, memoized per sf dir (the bpeLearned
+    * contract — trained once, shipped to every consumer). */
+  private val wpMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.text.WordPiece.Fit]
+  private[queries] def wpLearned(s: SparkSession, dir: String)
+      : graft.text.WordPiece.Fit =
+    wpMemo.getOrElseUpdate(dir,
+      graft.text.WordPiece.learn(t(s, dir, "documents"), WpMerges,
+        WpMaxPiece, WpMaxW))
+
+  /** The word → greedy-pieces table as a Stage-managed frame (the
+    * bpeVocab contract: warmup builds it, Stage.clear releases it). */
+  private[queries] def wpSegs(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "wp_segs") { wpLearned(s, dir).wordSegs }
+
+  private[queries] def wordpieceCtes: String =
+    graft.text.WordPiece.oracleCtes(WpMerges, WpMaxPiece, WpMaxW)
+
   private[queries] def BpeBatchRounds = graft.Settings.bpe.batchRounds
   private[queries] def BpeBatchM = graft.Settings.bpe.batchM
 
@@ -1471,16 +1495,81 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // Tokenizer A/B — BPE vs unigram-LM on the same corpus: emitted
-    // vocabulary size (distinct pieces actually used), total word
-    // occurrences, total pieces, fertility (pieces per word
-    // occurrence), and chars-per-piece (compression). The row a
-    // tokenizer owner reads to pick the family; both tokenizations
-    // come from the SAME shared fitted artifacts the learn/encode
-    // rows already hash-check.
+    // WordPiece tokenizer LEARNING (WordPiece scaladoc — Schuster &
+    // Nakajima 2012, the BERT trainer): likelihood-ranked merges
+    // score(a,b) = cnt(ab)/(cnt(a)·cnt(b)) over ##-prefixed symbols,
+    // with the merged-content-length cap (max_token_length). The
+    // score is one fixed-parenthesization IEEE expression over exact
+    // integer counts, so the (score desc, a, b) winner order is
+    // bit-stable cross-engine; the oracle unrolls one merge round per
+    // rank — the TRAINED merge table itself is hash-checked, the
+    // Bpe/Unigram discipline.
+    Q("q_t_wordpiece_learn", Some(s"""
+      WITH $wordpieceCtes
+      SELECT merge_rank, a, b, merged, cnt, ca, cb,
+             round(score, 9) AS score
+      FROM wpmerges ORDER BY merge_rank""")) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      wpLearned(s, dir).merges
+        .map(m => (m.rank, m.left, m.right, m.merged, m.cnt, m.ca,
+          m.cb, graft.text.Unigram.round9(m.score)))
+        .toDF("merge_rank", "a", "b", "merged", "cnt", "ca", "cb",
+          "score")
+        .orderBy("merge_rank")
+    },
+
+    // WordPiece ENCODE — greedy longest-match-first serving (the BERT
+    // algorithm: NOT merge replay; a word with no matching piece is
+    // [UNK] whole): per-doc piece accounting by joining corpus tokens
+    // against the fitted word → greedy-pieces table, with the unk
+    // count carried per doc. The oracle re-derives the segmentation
+    // through its own greedy chain (one CTE block per step), so the
+    // longest-match rule itself is what's checked. Rowwise stream ≡
+    // batch parity is spec-locked in WordPieceSpec.
+    Q("q_t_wordpiece_encode", Some(s"""
+      WITH $wordpieceCtes,
+      wptk AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
+          FROM documents) WHERE word <> ''),
+      wpe AS (
+        SELECT t.doc_id, len(w.segs) AS np,
+               CAST(w.is_unk AS INT) AS u
+        FROM wptk t JOIN wpenc_fin w ON t.word = w.word)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(np) AS BIGINT) AS n_pieces,
+             CAST(sum(u) AS BIGINT) AS n_unk_words,
+             round(CAST(sum(np) AS DOUBLE) / count(*), 9)
+               AS fertility
+      FROM wpe GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val tok = t(s, dir, "documents").select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val segs = wpSegs(s, dir)
+        .select(col("word"), size(col("segs")).as("np"),
+          col("is_unk").cast("int").as("u"))
+      tok.join(segs, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_pieces"),
+          sum("u").cast("long").as("n_unk_words"),
+          round(sum("np").cast("double") / count(lit(1)), 9)
+            .as("fertility"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer A/B/C — BPE vs unigram-LM vs WordPiece on the same
+    // corpus: emitted vocabulary size (distinct pieces actually
+    // used), total word occurrences, total pieces, fertility (pieces
+    // per word occurrence), and chars-per-piece (compression). The
+    // row a tokenizer owner reads to pick the family; all three
+    // tokenizations come from the SAME shared fitted artifacts the
+    // learn/encode rows already hash-check.
     Q("q_t_tokenizer_ab", Some(s"""
       WITH ${graft.text.Bpe.oracleCtes(BpeMerges)},
       $unigramCtes,
+      $wordpieceCtes,
       abtk AS (
         SELECT word FROM (
           SELECT unnest(${graft.text.Bpe.ToksSql}) AS word
@@ -1491,6 +1580,9 @@ object TextQueries extends QueryModule {
       abuni AS (
         SELECT t.word, w.segs AS pieces
         FROM abtk t JOIN uenc_fin w ON t.word = w.word),
+      abwp AS (
+        SELECT t.word, w.segs AS pieces
+        FROM abtk t JOIN wpenc_fin w ON t.word = w.word),
       abstat AS (
         SELECT 'bpe' AS tokenizer,
                (SELECT count(DISTINCT piece) FROM
@@ -1512,7 +1604,17 @@ object TextQueries extends QueryModule {
                round(CAST(sum(len(pieces)) AS DOUBLE) / count(*), 9),
                round(CAST(sum(len(word)) AS DOUBLE)
                  / sum(len(pieces)), 9)
-        FROM abuni)
+        FROM abuni
+        UNION ALL
+        SELECT 'wordpiece',
+               (SELECT count(DISTINCT piece) FROM
+                 (SELECT unnest(pieces) AS piece FROM abwp)),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(len(pieces)) AS BIGINT),
+               round(CAST(sum(len(pieces)) AS DOUBLE) / count(*), 9),
+               round(CAST(sum(len(word)) AS DOUBLE)
+                 / sum(len(pieces)), 9)
+        FROM abwp)
       SELECT * FROM abstat ORDER BY tokenizer""")) { (s, dir) =>
       val tok = t(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("word"))
@@ -1538,7 +1640,10 @@ object TextQueries extends QueryModule {
         .select(col("word"), col("syms").as("pieces"))
       val uni = uniLearned(s, dir).wordSegs
         .select(col("word"), col("segs").as("pieces"))
+      val wp = wpSegs(s, dir)
+        .select(col("word"), col("segs").as("pieces"))
       stats("bpe", bpe).unionByName(stats("unigram", uni))
+        .unionByName(stats("wordpiece", wp))
         .orderBy("tokenizer")
     },
 

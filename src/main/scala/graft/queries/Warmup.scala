@@ -103,6 +103,9 @@ object Warmup {
       // word-freq vocabulary) — a tokenizer-training artifact like
       // bpeVocab, built once here so its round chain overlaps
       "uniFit" -> (() => TextQueries.uniLearned(spark, dir)),
+      // WordPiece fit (likelihood-ranked merge rounds) + the greedy
+      // word → pieces table — the third tokenizer-training artifact
+      "wpSegs" -> (() => TextQueries.wpSegs(spark, dir).count()),
       // CDC chunk fingerprints (one codegen'd rolling-hash pass,
       // shuffle-free — the stored block-dedup artifact)
       "cdcChunks" -> (() => TextQueries.cdcChunks(spark, dir).count()),
