@@ -449,6 +449,23 @@ object Settings {
         s"lm.kn_discount must be in (0, 1], got $d")
       d
     }
+    /** Stupid Backoff (Brants et al. 2007; text.StupidBackoff):
+      * `sb_alpha` is the per-level backoff penalty (the paper's 0.4);
+      * `sb_unk` is the raw SCORE floor for words the index counts
+      * never saw (Stupid Backoff scores aren't probabilities, so the
+      * floor is a score too — ln(α²·floor) ≈ −22.6 at defaults,
+      * comfortably below any seen trigram). */
+    def sbAlpha: Double = {
+      val a = dbl("lm.sb_alpha", 0.4)
+      require(a > 0.0 && a < 1.0,
+        s"lm.sb_alpha must be in (0, 1), got $a")
+      a
+    }
+    def sbUnk: Double = {
+      val u = dbl("lm.sb_unk", 1e-9)
+      require(u > 0.0, s"lm.sb_unk must be positive, got $u")
+      u
+    }
   }
 
   /** `unigram:` block — unigram-LM (SentencePiece, Kudo 2018)

@@ -221,6 +221,24 @@ object TextQueries extends QueryModule {
         KnDiscount)
     }
 
+  /** Live Stupid-Backoff knobs + shared scoring stage: counts from
+    * the standing index slice (doc_id % 5 ≠ 0, the family's batch
+    * convention), scores over the incoming slice — read by the SB
+    * report (q_t_sb_lp) and the backoff-mix row
+    * (q_t_sb_backoff_mix) so the three count shuffles run once. */
+  private[queries] def SbAlpha = graft.Settings.lm.sbAlpha
+  private[queries] def SbUnk = graft.Settings.lm.sbUnk
+  private[queries] def sbLp(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "sb_lp") {
+      val docs = t(s, dir, "documents")
+      graft.text.StupidBackoff.scoreTrigrams(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), SbAlpha, SbUnk)
+    }
+  private[queries] def sbCtes: String =
+    graft.text.StupidBackoff.oracleCtes(SbAlpha, SbUnk,
+      "doc_id % 5 <> 0", "doc_id % 5 = 0")
+
   /** Shared bigram-LM per-doc scoring stage `(doc_id, lang, n_bigrams,
     * avg_lp, min_lp)` with RAW doubles (consumers round at the emit
     * boundary) — read by the bigram report (q_t_bigram_lp) and the
@@ -2986,6 +3004,63 @@ object TextQueries extends QueryModule {
         round(col("avg_lp"), 9).as("avg_logprob_kn"),
         round(col("min_lp"), 9).as("min_logprob_kn"))
         .orderBy("doc_id")
+    },
+
+    // Stupid-Backoff trigram scoring (StupidBackoff scaladoc — Brants
+    // et al. 2007, the distributed-counts LM with NO normalization
+    // pass): counts from the standing index slice, scores over the
+    // incoming slice — the train/score split that makes the backoff
+    // ladder real (an in-corpus self-score never misses a trigram).
+    // Per-doc average/min log-score plus the per-tier hit accounting
+    // (tri/bi/uni/unk) a filter owner reads to see HOW a corpus is
+    // being scored.
+    Q("q_t_sb_lp", Some(s"""
+      WITH $sbCtes
+      SELECT doc_id, lang, n_trigrams, n_tri_hits, n_bi_hits,
+             n_uni_hits, n_unk,
+             round(avg_lp, 9) AS avg_logscore_sb,
+             round(min_lp, 9) AS min_logscore_sb
+      FROM sbd ORDER BY doc_id""")) { (s, dir) =>
+      sbLp(s, dir).select(col("doc_id"), col("lang"),
+        col("n_trigrams"), col("n_tri_hits"), col("n_bi_hits"),
+        col("n_uni_hits"), col("n_unk"),
+        round(col("avg_lp"), 9).as("avg_logscore_sb"),
+        round(col("min_lp"), 9).as("min_logscore_sb"))
+        .orderBy("doc_id")
+    },
+
+    // Backoff-mix observability: per-language shares of trigram
+    // scores served at each tier (trigram hit / bigram backoff /
+    // unigram backoff / unk floor) — the coverage dial of the scale
+    // LM: a falling tri-share says the index counts no longer cover
+    // the incoming distribution (the drift signal that triggers a
+    // recount, the q_e_index_drift analog for the LM). Shares are
+    // ratios of exact counts — bit-stable at any partitioning.
+    Q("q_t_sb_backoff_mix", Some(s"""
+      WITH $sbCtes
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+             round(CAST(sum(n_tri_hits) AS DOUBLE)
+               / sum(n_trigrams), 9) AS tri_share,
+             round(CAST(sum(n_bi_hits) AS DOUBLE)
+               / sum(n_trigrams), 9) AS bi_share,
+             round(CAST(sum(n_uni_hits) AS DOUBLE)
+               / sum(n_trigrams), 9) AS uni_share,
+             round(CAST(sum(n_unk) AS DOUBLE)
+               / sum(n_trigrams), 9) AS unk_share
+      FROM sbd GROUP BY 1 ORDER BY lang""")) { (s, dir) =>
+      sbLp(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_trigrams").cast("long").as("n_trigrams"),
+        round(sum("n_tri_hits").cast("double")
+          / sum("n_trigrams"), 9).as("tri_share"),
+        round(sum("n_bi_hits").cast("double")
+          / sum("n_trigrams"), 9).as("bi_share"),
+        round(sum("n_uni_hits").cast("double")
+          / sum("n_trigrams"), 9).as("uni_share"),
+        round(sum("n_unk").cast("double")
+          / sum("n_trigrams"), 9).as("unk_share"))
+        .orderBy("lang")
     },
 
     // CCNet perplexity buckets over the KN scorer — the production

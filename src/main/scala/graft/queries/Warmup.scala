@@ -99,6 +99,9 @@ object Warmup {
       // Kneser-Ney per-doc scores (KN report + KN perplexity buckets)
       // — the same two-count-shuffle root shape as bigramLp
       "knLp" -> (() => TextQueries.knLp(spark, dir).count()),
+      // Stupid-Backoff per-doc scores (SB report + backoff mix) —
+      // three count shuffles over the index slice + the scoring joins
+      "sbLp" -> (() => TextQueries.sbLp(spark, dir).count()),
       // unigram-LM tokenizer fit (Viterbi-EM rounds over the
       // word-freq vocabulary) — a tokenizer-training artifact like
       // bpeVocab, built once here so its round chain overlaps
