@@ -501,6 +501,21 @@ object Settings {
     def maxWordLen: Int = int("wordpiece.max_word_len", 12)
   }
 
+  /** `nndescent:` block — NN-Descent kNN-graph knobs (engine
+    * extension; text.NnDescent). `k` is the graph degree (and the
+    * md5-init sample size); `rounds` pins the local-join round count
+    * (one unrolled oracle block each — the paper converges in
+    * O(log N)-ish rounds, so production round counts stay single
+    * digits at any scale). Defaults are the measured knee on the
+    * fixture embeddings (near-i.i.d. 64-d, the hard case for local
+    * joins): avg recall@k 0.29 at (5,2), 0.45 at (5,6), 0.88 at
+    * (10,4) — recall scales with k (the paper's Fig. 6 behavior), so
+    * the graph degree is the knob that buys quality. */
+  object nndescent {
+    def k: Int = int("nndescent.k", 10)
+    def rounds: Int = int("nndescent.rounds", 4)
+  }
+
   /** `quality_clf:` block — trained fastText-style quality-classifier
     * knobs (engine extension; text.QualityClf). `n_buckets` is the
     * hashed-gram feature width; `lr`/`iters` pin the full-batch

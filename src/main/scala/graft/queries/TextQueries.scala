@@ -373,6 +373,23 @@ object TextQueries extends QueryModule {
         t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
         UniSeed, UniL, UniRounds, UniKeep, UniUnk, UniMaxW))
 
+  // ---- NN-Descent kNN graph: live knobs, shared stage, oracle chain
+
+  private[queries] def NndK = graft.Settings.nndescent.k
+  private[queries] def NndRounds = graft.Settings.nndescent.rounds
+
+  /** Built NN-Descent graph (NnDescent.build at the live `nndescent.*`
+    * knobs) — the stored kNN-graph artifact both the graph report and
+    * the recall row read. */
+  private[queries] def nndGraph(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "nnd_graph") {
+      graft.text.NnDescent.build(t(s, dir, "embeddings"), NndK,
+        NndRounds)
+    }
+
+  private[queries] def nndCtes: String =
+    graft.text.NnDescent.oracleCtes(NndK, NndRounds)
+
   // ---- WordPiece tokenizer: live knobs, memoized fit, oracle chain
 
   private[queries] def WpMerges = graft.Settings.wordpiece.nMerges
@@ -3476,6 +3493,59 @@ object TextQueries extends QueryModule {
       Similarity.cosineTopK(t(s, dir, "embeddings"), col("vec_id") < 8, 5)
         .select("qid", "vid", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // NN-Descent kNN GRAPH (NnDescent scaladoc — Dong et al. 2011):
+    // the graph-building ANN family member next to the IVF/PQ point-
+    // query ladder — md5-seeded random graph, then fixed local-join
+    // rounds ("a neighbor of my neighbor is a candidate"), each
+    // bounded by N·(2k)² pivot-local pairs (no all-pairs step). The
+    // oracle unrolls one round per rank, so the ITERATIVE graph
+    // refinement itself is hash-checked end-to-end.
+    Q("q_e_nnd_graph", Some(s"""
+      WITH $nndCtes
+      SELECT node, nbr, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY node
+          ORDER BY cos_sim DESC, nbr) AS rnk
+        FROM ndk$NndRounds)
+      ORDER BY node, rnk""")) { (s, dir) =>
+      nndGraph(s, dir)
+        .select(col("node"), col("nbr"), col("cos_sim"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("node", "rnk")
+    },
+
+    // NN-Descent recall vs the brute-force truth (per node): how much
+    // of the exact top-k neighborhood the local-join rounds recovered
+    // — the graded quality row of the graph build (the exact truth is
+    // fixture-scale only; it IS the quadratic baseline NN-Descent
+    // exists to avoid).
+    Q("q_e_nnd_recall", Some(s"""
+      WITH $nndCtes,
+      ${graft.text.NnDescent.oracleTruthCte(NndK).trim},
+      ndg AS (SELECT node, nbr FROM ndk$NndRounds),
+      ndh AS (
+        SELECT t.node, CAST(count(g.nbr) AS BIGINT) AS n_hits,
+               CAST(count(*) AS BIGINT) AS n_true
+        FROM ndt t LEFT JOIN ndg g
+          ON g.node = t.node AND g.nbr = t.nbr
+        GROUP BY 1)
+      SELECT node, n_hits, n_true,
+             round(CAST(n_hits AS DOUBLE) / n_true, 9) AS recall
+      FROM ndh ORDER BY node""")) { (s, dir) =>
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          lit(true), NndK)
+        .select(col("qid").as("node"), col("vid").as("nbr"))
+      val g = nndGraph(s, dir).select("node", "nbr")
+        .withColumn("hit", lit(1L))
+      truth.join(g, Seq("node", "nbr"), "left")
+        .groupBy("node")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("n_true"))
+        .select(col("node"), col("n_hits"), col("n_true"),
+          round(col("n_hits").cast("double") / col("n_true"), 9)
+            .as("recall"))
+        .orderBy("node")
     },
 
     // Per-label centroid geometry (posexplode → per-dim means → norms)

@@ -119,6 +119,9 @@ object Warmup {
       // IVF-Flat index build (MLlib coarse fit) — an index artifact,
       // built once here instead of per q_e_ann_ivf run
       "ivfTop5" -> (() => TextQueries.ivfTop5(spark, dir).count()),
+      // NN-Descent kNN graph (md5 init + fixed local-join rounds) —
+      // an iterative graph artifact read by the graph + recall rows
+      "nndGraph" -> (() => TextQueries.nndGraph(spark, dir).count()),
       // exact Jaccard pair truth (one shingle pass, self-join-free)
       "jaccTruth" -> (() => TextQueries.jaccTruth(spark, dir).count()),
       // BPE merge-table learn (12 iterative rounds over the word-freq

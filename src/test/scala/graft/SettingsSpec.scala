@@ -409,6 +409,58 @@ class SettingsSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece / stupid-backoff / nndescent knob overrides " +
+      "re-interpolate engine and oracle") {
+    // wordpiece defaults + the unroll-depth flows: merge rounds end
+    // at wpm<n>, the greedy encode chain at wpenc_<max_word_len>
+    assert(Settings.wordpiece.nMerges == 12)
+    assert(Settings.wordpiece.maxPieceLen == 8)
+    assert(Settings.wordpiece.maxWordLen == 12)
+    assert(SparkEntry.oracleSql("q_t_wordpiece_learn")
+      .contains("FROM wpm12"))
+    withProp("graft.wordpiece.n_merges", "5") {
+      val sql = SparkEntry.oracleSql("q_t_wordpiece_learn")
+      assert(sql.contains("FROM wpm5") && !sql.contains("wpm6"),
+        "merge unroll depth did not follow wordpiece.n_merges")
+    }
+    withProp("graft.wordpiece.max_word_len", "9") {
+      val sql = SparkEntry.oracleSql("q_t_wordpiece_encode")
+      assert(sql.contains("wpenc_9") && !sql.contains("wpenc_10"),
+        "greedy unroll depth did not follow wordpiece.max_word_len")
+    }
+    withProp("graft.wordpiece.max_piece_len", "6") {
+      val sql = SparkEntry.oracleSql("q_t_wordpiece_learn")
+      assert(sql.contains("END) <= 6"),
+        "merged-content cap did not follow wordpiece.max_piece_len")
+    }
+    // stupid-backoff: α and the unk floor ride as DOUBLE-cast
+    // literals; out-of-range values fail loudly
+    assert(Settings.lm.sbAlpha == 0.4 && Settings.lm.sbUnk == 1e-9)
+    assert(SparkEntry.oracleSql("q_t_sb_lp")
+      .contains("CAST(0.4 AS DOUBLE)"))
+    withProp("graft.lm.sb_alpha", "0.3") {
+      assert(SparkEntry.oracleSql("q_t_sb_lp")
+        .contains("CAST(0.3 AS DOUBLE)"))
+    }
+    withProp("graft.lm.sb_alpha", "1.5") {
+      intercept[IllegalArgumentException] { Settings.lm.sbAlpha }
+    }
+    // nndescent: the round count is the final ndk<r> CTE the graph
+    // query reads; k is the per-node window bound
+    assert(Settings.nndescent.k == 10)
+    assert(Settings.nndescent.rounds == 4)
+    assert(SparkEntry.oracleSql("q_e_nnd_graph").contains("FROM ndk4"))
+    withProp("graft.nndescent.rounds", "2") {
+      val sql = SparkEntry.oracleSql("q_e_nnd_graph")
+      assert(sql.contains("FROM ndk2") && !sql.contains("ndk3"),
+        "round unroll did not follow nndescent.rounds")
+    }
+    withProp("graft.nndescent.k", "7") {
+      assert(SparkEntry.oracleSql("q_e_nnd_graph")
+        .contains("rnk <= 7"))
+    }
+  }
+
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
       "and reach their consumers") {
     val Q = Settings.clusterQa
