@@ -105,7 +105,13 @@ object ScaleStress {
     // r12 additions: the unigram Viterbi-EM fit (per-round cost is
     // |distinct words|-bounded — the BPE argument — so the 10× corpus
     // must be ~flat) and the KN scorer (two count shuffles, ~linear)
-    "q_t_unigram_learn", "q_t_kn_lp")
+    "q_t_unigram_learn", "q_t_kn_lp",
+    // late-r12 additions: the WordPiece fit (distinct-words-bounded
+    // per round, must be ~flat), the Stupid-Backoff scorer (three
+    // count shuffles + scoring equi-joins, ~linear), and the
+    // NN-Descent graph build (N·(2k)² local-join candidates per
+    // round, ~linear in N)
+    "q_t_wordpiece_learn", "q_t_sb_lp", "q_e_nnd_graph")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

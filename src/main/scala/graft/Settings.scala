@@ -514,6 +514,16 @@ object Settings {
   object nndescent {
     def k: Int = int("nndescent.k", 10)
     def rounds: Int = int("nndescent.rounds", 4)
+    /** Serving-side beam width and hop count (NnDescent.serve — the
+      * graph-descent search layer): per hop a query scores ≤
+      * beam·(k+1) candidates, so served cost is ~beam·(k+1)·hops
+      * DISTINCT scores against N for brute force — constant in N,
+      * which is the whole point at corpus scale. Defaults are the
+      * measured knee on the fixture (recall@5 / distinct candidates
+      * scored, N = 500): 0.53 @ 145 at (8,3), 0.78 @ 228 at (12,4),
+      * 0.85 @ 274 at (16,5). */
+    def beam: Int = int("nndescent.beam", 12)
+    def hops: Int = int("nndescent.hops", 4)
   }
 
   /** `quality_clf:` block — trained fastText-style quality-classifier

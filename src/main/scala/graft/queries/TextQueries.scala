@@ -390,6 +390,23 @@ object TextQueries extends QueryModule {
   private[queries] def nndCtes: String =
     graft.text.NnDescent.oracleCtes(NndK, NndRounds)
 
+  private[queries] def NndBeam = graft.Settings.nndescent.beam
+  private[queries] def NndHops = graft.Settings.nndescent.hops
+
+  /** Served beam-search results over the built graph (qid, vid,
+    * cos_sim, rnk, n_scored) — read by the serve row and the
+    * recall-vs-cost row. */
+  private[queries] def nndServed(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "nnd_served") {
+      graft.text.NnDescent.serve(t(s, dir, "embeddings"),
+        nndGraph(s, dir), col("vec_id") < 8, AnnK, NndBeam, NndHops)
+    }
+
+  private[queries] def nndServeCtes: String =
+    graft.text.NnDescent.oracleServeCtes(NndRounds, AnnK, NndBeam,
+      NndHops)
+
   // ---- WordPiece tokenizer: live knobs, memoized fit, oracle chain
 
   private[queries] def WpMerges = graft.Settings.wordpiece.nMerges
@@ -3546,6 +3563,75 @@ object TextQueries extends QueryModule {
           round(col("n_hits").cast("double") / col("n_true"), 9)
             .as("recall"))
         .orderBy("node")
+    },
+
+    // Graph-ANN SERVING: beam search over the built NN-Descent graph
+    // (the search layer HNSW-style indexes descend from) — md5 entry
+    // nodes per query, `hops` expansion rounds each scoring ≤
+    // beam·(k+1) query-local candidates, never a pass over the
+    // corpus. The oracle re-walks the same descent hop by hop.
+    Q("q_e_nnd_serve", Some(s"""
+      WITH $nndCtes,
+      $nndServeCtes
+      SELECT qid, vid, cos_sim, rnk FROM nsrv
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      nndServed(s, dir)
+        .select(col("qid"), col("vid"), col("cos_sim"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("qid", "rnk")
+    },
+
+    // Served recall vs cost: per query, how much of the exact top-k
+    // the graph descent recovered and how many candidates it ever
+    // scored (the brute-force denominator is the corpus size — the
+    // row that prices graph serving against the IVF/PQ ladder's
+    // frontier points).
+    Q("q_e_nnd_serve_recall", Some(s"""
+      WITH $nndCtes,
+      $nndServeCtes,
+      nstr AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+               sum(a.x * b.x) AS dot
+        FROM ndex a JOIN ndex b ON a.i = b.i
+          AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+        GROUP BY 1, 2),
+      nstt AS (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                     d.vid) AS rnk
+          FROM nstr d JOIN ndnrm na ON na.vec_id = d.qid
+                      JOIN ndnrm nb ON nb.vec_id = d.vid)
+        WHERE rnk <= $AnnK)
+      SELECT t.qid,
+             CAST(count(s.vid) AS BIGINT) AS n_hits,
+             CAST(count(*) AS BIGINT) AS n_true,
+             round(CAST(count(s.vid) AS DOUBLE) / count(*), 9)
+               AS recall,
+             any_value(a.n_scored) AS n_scored
+      FROM nstt t
+      LEFT JOIN nsrv s ON s.qid = t.qid AND s.vid = t.vid
+      JOIN nsall a ON a.qid = t.qid
+      GROUP BY 1 ORDER BY t.qid""")) { (s, dir) =>
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid"))
+      val served = nndServed(s, dir)
+      val hits = served.select(col("qid"), col("vid"))
+        .withColumn("hit", lit(1L))
+      val nsc = served.groupBy("qid")
+        .agg(first(col("n_scored")).as("n_scored"))
+      truth.join(hits, Seq("qid", "vid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("n_true"))
+        .join(nsc, Seq("qid"))
+        .select(col("qid"), col("n_hits"), col("n_true"),
+          round(col("n_hits").cast("double") / col("n_true"), 9)
+            .as("recall"), col("n_scored"))
+        .orderBy("qid")
     },
 
     // Per-label centroid geometry (posexplode → per-dim means → norms)

@@ -160,6 +160,10 @@ object Warmup {
             (() => TextQueries.docComponents(spark, dir).count()),
           // semantic component map (reads the phase-1 annPairs stage)
           "semComps" -> (() => TextQueries.semComps(spark, dir).count()),
+          // beam-search serving over the phase-1 NN-Descent graph
+          // (iterative hop chain — the serve + serve-recall rows)
+          "nndServed" ->
+            (() => TextQueries.nndServed(spark, dir).count()),
           // calibration-driven classifier threshold (reads the
           // phase-1 qclfFit artifact; one 10-row metric collect)
           "qclfThreshold" ->

@@ -104,6 +104,76 @@ object NnDescent {
     topK(knn, k)
   }
 
+  /** Graph-ANN SERVING over a built graph — beam search (the search
+    * layer graph indexes like HNSW descend from, run here on the flat
+    * NN-Descent graph): md5-seeded entry nodes per query, then `hops`
+    * expansion rounds — candidates = beam ∪ out-neighbors of the beam,
+    * scored by cosine against the query, top-`beam` kept (monotone:
+    * the beam is retained in its own candidate set, so quality never
+    * regresses). Returns the final top-k per query plus `n_scored`,
+    * the count of DISTINCT candidates ever scored — the served cost
+    * (vs N for brute force: the whole point of graph serving).
+    *
+    * Scale shape: per hop each query scores ≤ beam·(k+1) candidates —
+    * query-local joins against the k-bounded edge list, never a pass
+    * over the corpus. */
+  def serve(emb: DataFrame, graph: DataFrame, queryPred: Column,
+      k: Int, beam: Int, hops: Int): DataFrame = {
+    val n = emb.count()
+    val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .localCheckpoint()
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).localCheckpoint()
+    def scoreQ(cands: DataFrame): DataFrame = cands
+      .join(broadcast(q), Seq("qid"))
+      .join(vecs.select(col("vec_id").as("node"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("node"))
+      .select(col("qid"), col("node"),
+        round(Similarity.cosinePre(col("qv"), col("nv"), col("qnrm"),
+          col("nn")), 6).as("cos_sim"))
+    def topB(scored: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("node"))
+      scored.distinct()
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= b)
+        .select("qid", "node", "cos_sim")
+    }
+    val entries = q.select(col("qid"))
+      .select(col("qid"),
+        explode(array((1 to beam).map(lit(_)): _*)).as("j"))
+      .withColumn("node",
+        TextOps.md5Hash64(concat_ws(":", lit("sv"), col("qid"),
+          col("j"))) % n)
+      .filter(col("node") =!= col("qid"))
+      .select("qid", "node").distinct()
+    val edges = graph.select(col("node"), col("nbr"))
+      .localCheckpoint()
+    var state = topB(scoreQ(entries), beam).localCheckpoint()
+    var scoredSet = entries.localCheckpoint()
+    for (_ <- 1 to hops) {
+      val cands = state.select("qid", "node")
+        .join(edges, Seq("node"))
+        .select(col("qid"), col("nbr").as("node"))
+        .unionByName(state.select("qid", "node"))
+        .filter(col("node") =!= col("qid"))
+        .distinct()
+      state = topB(scoreQ(cands), beam).localCheckpoint()
+      scoredSet = scoredSet.unionByName(cands).distinct()
+        .localCheckpoint()
+    }
+    val nScored = scoredSet.groupBy("qid")
+      .agg(count(lit(1)).as("n_scored"))
+    topB(state, k)
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("node"))))
+      .join(nScored, Seq("qid"))
+      .select(col("qid"), col("node").as("vid"), col("cos_sim"),
+        col("rnk"), col("n_scored"))
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle: exploded vectors + norms, md5 init, one unrolled
   // local-join round per rank.
@@ -184,6 +254,78 @@ object NnDescent {
             SELECT node, nbr, cos_sim FROM nds$r)))
         WHERE rnk <= $k)"""
     }
+    pieces.result().mkString(",")
+  }
+
+  /** Beam-search serving chain over the [[oracleCtes]] graph
+    * (requires `ndex`/`ndnrm`/`ndk$rounds` in the same WITH): query
+    * set `nsq`, md5 entry nodes `nse0`, per-hop candidate/score/beam
+    * blocks, the distinct scored-candidate count `nsall`, ending at
+    * `nsrv(qid, vid, cos_sim, rnk, n_scored)`. */
+  def oracleServeCtes(rounds: Int, k: Int, beam: Int, hops: Int,
+      queryFilter: String = "vec_id < 8"): String = {
+    val pieces = Seq.newBuilder[String]
+    def scoreBlockQ(src: String, out: String): String = s"""
+      ${out}_d AS (
+        SELECT c.qid, c.node, sum(qa.x * eb.x) AS dot
+        FROM $src c JOIN ndex qa ON qa.vec_id = c.qid
+                    JOIN ndex eb ON eb.vec_id = c.node
+                      AND eb.i = qa.i
+        GROUP BY 1, 2),
+      $out AS MATERIALIZED (
+        SELECT d.qid, d.node,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM ${out}_d d JOIN ndnrm na ON na.vec_id = d.qid
+                        JOIN ndnrm nb ON nb.vec_id = d.node)"""
+    def topBBlock(src: String, out: String, b: Int): String = s"""
+      $out AS MATERIALIZED (
+        SELECT qid, node, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, node) AS rnk
+          FROM (SELECT DISTINCT qid, node, cos_sim FROM $src))
+        WHERE rnk <= $b)"""
+    pieces += s"""
+      nsq AS (SELECT vec_id AS qid FROM embeddings
+              WHERE $queryFilter),
+      nse0 AS (
+        SELECT DISTINCT qid, node FROM (
+          SELECT q.qid,
+                 ${hsql("'sv:' || q.qid::VARCHAR || ':' || r.j::VARCHAR")}
+                   % nn.n AS node
+          FROM nsq q, range(1, $beam + 1) r(j), ndnn nn)
+        WHERE node <> qid)"""
+    pieces += scoreBlockQ("nse0", "nss0")
+    pieces += topBBlock("nss0", "nsb0", beam)
+    for (h <- 1 to hops) {
+      pieces += s"""
+      nsc$h AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT s.qid, g.nbr AS node
+          FROM nsb${h - 1} s JOIN ndk$rounds g ON g.node = s.node
+          UNION ALL
+          SELECT qid, node FROM nsb${h - 1})
+        WHERE node <> qid)"""
+      pieces += scoreBlockQ(s"nsc$h", s"nss$h")
+      pieces += topBBlock(s"nss$h", s"nsb$h", beam)
+    }
+    val scoredUnion = (s"SELECT qid, node FROM nse0" +:
+      (1 to hops).map(h => s"SELECT qid, node FROM nsc$h"))
+      .mkString("\n          UNION ALL ")
+    pieces += s"""
+      nsall AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_scored FROM (
+          SELECT DISTINCT qid, node FROM (
+          $scoredUnion))
+        GROUP BY 1)"""
+    pieces += s"""
+      nsrv AS MATERIALIZED (
+        SELECT b.qid, b.node AS vid, b.cos_sim,
+               CAST(b.rnk AS BIGINT) AS rnk, a.n_scored
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, node) AS rnk
+              FROM nsb$hops) b
+        JOIN nsall a ON a.qid = b.qid
+        WHERE b.rnk <= $k)"""
     pieces.result().mkString(",")
   }
 

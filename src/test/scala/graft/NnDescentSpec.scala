@@ -64,4 +64,31 @@ class NnDescentSpec extends SparkSpec {
     assert(r2 > r0,
       s"rounds must improve recall: init $r0 vs 2-round $r2")
   }
+
+  test("beam serving: monotone in hops, scored-candidate count " +
+      "bounded by beam·(k+1)·hops + beam") {
+    val graph = NnDescent.build(emb, k = 5, rounds = 2)
+    val truth = Similarity.cosineTopK(emb, col("vec_id") < 8, 3)
+      .select(col("qid"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def served(hops: Int) = NnDescent
+      .serve(emb, graph, col("vec_id") < 8, k = 3, beam = 6,
+        hops = hops)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val h0 = served(0)
+    val h3 = served(3)
+    def rec(rows: Array[(Long, Long, Long)]) =
+      rows.count { case (q, v, _) => truth((q, v)) }.toDouble /
+        truth.size
+    assert(rec(h3) >= rec(h0),
+      s"hops must not hurt recall: ${rec(h0)} vs ${rec(h3)}")
+    // the served cost bound: entries (≤ beam) + hops rounds of
+    // ≤ beam·(k+1) candidates each
+    val bound = 6 + 3 * 6 * (5 + 1)
+    assert(h3.forall(_._3 <= bound),
+      s"n_scored exceeded the beam·(k+1)·hops bound $bound")
+    // serving is deterministic
+    assert(served(3).sortBy(r => (r._1, r._2))
+      .sameElements(h3.sortBy(r => (r._1, r._2))))
+  }
 }

@@ -697,4 +697,31 @@ class PlanAuditSpec extends SparkSpec {
     }
     graft.queries.Stage.clear()
   }
+
+  test("r12 additions keep their scale shapes: wordpiece encode is " +
+      "one vocab equi-join, SB scoring is count-table equi-joins, " +
+      "NN-Descent rounds never degenerate to a cross product") {
+    // wordpiece encode: corpus tokens join the word → pieces table —
+    // an equi-join against a distinct-word frame, never a cross
+    // product; the greedy DP itself ran at fit time
+    for (q <- Seq("q_t_wordpiece_encode", "q_t_sb_lp",
+        "q_e_nnd_graph", "q_e_nnd_recall")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+    }
+    // SB scoring: five LEFT equi-joins against vocabulary-bounded
+    // count tables + ONE broadcast one-row total — the only
+    // nested-loop allowed is that 1-row N attach
+    val sb = planOf("q_t_sb_lp")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(sb).length
+    assert(bnlj <= 1, s"q_t_sb_lp: $bnlj nested-loop joins (1-row N " +
+      "attach is the only allowed one)")
+    // NN-Descent graph build: the artifact is k-bounded per node and
+    // its rounds are equi-joins (asserted above via q_e_nnd_graph).
+    // q_e_nnd_recall is exempt from the nested-loop check: its truth
+    // side IS the broadcast brute-force baseline (fixture-scale by
+    // design — the quadratic plan NN-Descent exists to avoid); the
+    // graph-vs-truth compare itself is an equi-join on (node, nbr).
+    graft.queries.Stage.clear()
+  }
 }

@@ -459,6 +459,20 @@ class SettingsSpec extends SparkSpec {
       assert(SparkEntry.oracleSql("q_e_nnd_graph")
         .contains("rnk <= 7"))
     }
+    // serving knobs: hop count is the final beam CTE the serve query
+    // reads; beam width is the entry fan and the per-hop window bound
+    assert(Settings.nndescent.beam == 12)
+    assert(Settings.nndescent.hops == 4)
+    assert(SparkEntry.oracleSql("q_e_nnd_serve").contains("FROM nsb4"))
+    withProp("graft.nndescent.hops", "2") {
+      val sql = SparkEntry.oracleSql("q_e_nnd_serve")
+      assert(sql.contains("FROM nsb2") && !sql.contains("nsb3"),
+        "hop unroll did not follow nndescent.hops")
+    }
+    withProp("graft.nndescent.beam", "6") {
+      assert(SparkEntry.oracleSql("q_e_nnd_serve")
+        .contains("range(1, 6 + 1)"))
+    }
   }
 
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
