@@ -348,6 +348,18 @@ object Settings {
           require(r >= topK, s"frontier rung R $r < ann.top_k $topK")
           (np, r)
         }
+    /** Dimension-truncation ladder for the Matryoshka-style serving
+      * A/B (q_e_mrl_recall — Kusupati et al. 2022 serve embeddings
+      * from a nested prefix; the row prices dim budget against
+      * recall). Each rung is a PREFIX length ≤ the fixture's full
+      * embedding dim (64); the recall denominator is always the
+      * full-dim exact top-k. */
+    def mrlDims: Seq[Int] =
+      strs("ann.mrl_dims", Seq("8", "16", "32", "64")).map { s =>
+        val d = s.trim.toInt
+        require(d >= 1 && d <= 64, s"mrl dim $d outside 1..64")
+        d
+      }
     /** `ann.rp:` — Johnson–Lindenstrauss random-projection knobs:
       * output dimensionality (distortion concentrates as O(√(1/d)))
       * and the pair cap for the measured-distortion report. */

@@ -393,6 +393,8 @@ object TextQueries extends QueryModule {
   private[queries] def NndBeam = graft.Settings.nndescent.beam
   private[queries] def NndHops = graft.Settings.nndescent.hops
 
+  private[queries] def MrlDims = graft.Settings.ann.mrlDims
+
   /** Served beam-search results over the built graph (qid, vid,
     * cos_sim, rnk, n_scored) — read by the serve row and the
     * recall-vs-cost row. */
@@ -3510,6 +3512,88 @@ object TextQueries extends QueryModule {
       Similarity.cosineTopK(t(s, dir, "embeddings"), col("vec_id") < 8, 5)
         .select("qid", "vid", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // Matryoshka-style dimension-truncation A/B (Kusupati et al.
+    // 2022: serve embeddings from a nested PREFIX of the vector —
+    // a d/64 fraction of the scan bytes and dot-product FLOPs):
+    // per (prefix dim, query), the exact top-k under truncated
+    // cosine vs the full-dim truth. The row prices dim budget
+    // against recall before any index even enters; honest caveat —
+    // the fixture embeddings are not MRL-TRAINED, so this measures
+    // the intrinsic prefix robustness, which is exactly what the
+    // operator reports on any real corpus too.
+    Q("q_e_mrl_recall", Some {
+      val mx = """
+      mx AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      mxtn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM mx
+               GROUP BY 1),
+      mxtt AS MATERIALIZED (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid, row_number() OVER (PARTITION BY d.qid
+            ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC, d.vid)
+            AS rnk
+          FROM (SELECT q.vec_id AS qid, e.vec_id AS vid,
+                       sum(q.x * e.x) AS dot
+                FROM mx q JOIN mx e ON q.i = e.i
+                  AND q.vec_id <> e.vec_id
+                WHERE q.vec_id < 8 GROUP BY 1, 2) d
+          JOIN mxtn na ON na.vec_id = d.qid
+          JOIN mxtn nb ON nb.vec_id = d.vid)
+        WHERE rnk <= """ + AnnK + ")"
+      val perDim = MrlDims.map { d => s"""
+      mxn$d AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM mx
+                WHERE i < $d GROUP BY 1),
+      mxt$d AS MATERIALIZED (
+        SELECT qid, vid FROM (
+          SELECT dd.qid, dd.vid, row_number() OVER (PARTITION BY dd.qid
+            ORDER BY round(dd.dot / (na.nrm * nb.nrm), 6) DESC, dd.vid)
+            AS rnk
+          FROM (SELECT q.vec_id AS qid, e.vec_id AS vid,
+                       sum(q.x * e.x) AS dot
+                FROM mx q JOIN mx e ON q.i = e.i
+                  AND q.vec_id <> e.vec_id
+                WHERE q.vec_id < 8 AND q.i < $d AND e.i < $d
+                GROUP BY 1, 2) dd
+          JOIN mxn$d na ON na.vec_id = dd.qid
+          JOIN mxn$d nb ON nb.vec_id = dd.vid)
+        WHERE rnk <= $AnnK)"""
+      }.mkString(",")
+      val union = MrlDims.map { d => s"""
+        SELECT $d AS dim, t.qid,
+               CAST(count(s.vid) AS BIGINT) AS n_hits,
+               CAST(count(*) AS BIGINT) AS n_true,
+               round(CAST(count(s.vid) AS DOUBLE) / count(*), 9)
+                 AS recall
+        FROM mxtt t LEFT JOIN mxt$d s
+          ON s.qid = t.qid AND s.vid = t.vid
+        GROUP BY 2"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $mx,$perDim
+      $union
+      ORDER BY dim, qid"""
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val truth = Similarity.cosineTopK(emb, col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid"))
+      MrlDims.map { d =>
+        val trunc = emb.withColumn("embedding",
+          slice(col("embedding"), 1, d))
+        val top = Similarity.cosineTopK(trunc, col("vec_id") < 8, AnnK)
+          .select(col("qid"), col("vid")).withColumn("hit", lit(1L))
+        truth.join(top, Seq("qid", "vid"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+            count(lit(1)).as("n_true"))
+          .select(lit(d).as("dim"), col("qid"), col("n_hits"),
+            col("n_true"),
+            round(col("n_hits").cast("double") / col("n_true"), 9)
+              .as("recall"))
+      }.reduce(_ unionByName _).orderBy("dim", "qid")
     },
 
     // NN-Descent kNN GRAPH (NnDescent scaladoc — Dong et al. 2011):

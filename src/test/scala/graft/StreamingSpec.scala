@@ -346,6 +346,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed BPE token accounting must equal batch")
   }
 
+  test("streaming Stupid-Backoff scoring: arriving docs score against " +
+      "the standing count tables exactly like batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // counts from a standing index corpus are the static side (the
+    // LM-serving shape: vocabulary-bounded count tables, the doc
+    // stream explodes to trigrams, stream-static LEFT-joins, and
+    // re-aggregates per arriving doc) — StupidBackoff.scoreTrigrams
+    // runs UNCHANGED on a streaming batch frame
+    val index = Seq((1L, "en", "a b c a b d"))
+      .toDF("doc_id", "lang", "text")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String, String)],
+        spark.sqlContext)
+    val streamed = graft.text.StupidBackoff.scoreTrigrams(index,
+      mem.toDF.toDF("doc_id", "lang", "text"), 0.4, 1e-9)
+      .select(col("doc_id"), col("n_trigrams"), col("n_tri_hits"),
+        col("n_unk"), round(col("avg_lp"), 9).as("avg_lp"))
+    val q = streamed.writeStream.outputMode("complete").format("memory")
+      .queryName("sb_stream_test").start()
+    mem.addData((10L, "en", "a b c x"), (11L, "en", "d a b"))
+    q.processAllAvailable()
+    mem.addData((12L, "en", "x y d"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sb_stream_test")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val want = graft.text.StupidBackoff.scoreTrigrams(index,
+      Seq((10L, "en", "a b c x"), (11L, "en", "d a b"),
+        (12L, "en", "x y d")).toDF("doc_id", "lang", "text"),
+      0.4, 1e-9)
+      .select(col("doc_id"), col("n_trigrams"), col("n_tri_hits"),
+        col("n_unk"), round(col("avg_lp"), 9).as("avg_lp"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == want,
+      "streamed Stupid-Backoff scoring must equal batch")
+  }
+
   test("streaming DSIR scoring: arriving docs score against the frozen " +
       "importance model exactly like batch, stateless") {
     import spark.implicits._
