@@ -433,6 +433,29 @@ object TextQueries extends QueryModule {
   private[queries] def wordpieceCtes: String =
     graft.text.WordPiece.oracleCtes(WpMerges, WpMaxPiece, WpMaxW)
 
+  /** Index-slice WordPiece fit (doc_id % 5 ≠ 0, the family's standing
+    * batch convention) — the frozen artifact the incremental encode
+    * serves from. */
+  private val wpIncrMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.text.WordPiece.Fit]
+  private[queries] def wpIncrLearned(s: SparkSession, dir: String)
+      : graft.text.WordPiece.Fit =
+    wpIncrMemo.getOrElseUpdate(dir,
+      graft.text.WordPiece.learn(
+        t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+        WpMerges, WpMaxPiece, WpMaxW))
+
+  /** The batch corpus's word → greedy-pieces table under the FROZEN
+    * index-learned vocabulary. */
+  private[queries] def wpIncrSegs(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "wp_incr_segs") {
+      graft.text.WordPiece.segmentWords(
+        graft.text.Bpe.wordTable(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0)),
+        wpIncrLearned(s, dir).vocab, WpMaxPiece)
+    }
+
   private[queries] def BpeBatchRounds = graft.Settings.bpe.batchRounds
   private[queries] def BpeBatchM = graft.Settings.bpe.batchM
 
@@ -1601,6 +1624,53 @@ object TextQueries extends QueryModule {
           explode(TextOps.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
       val segs = wpSegs(s, dir)
+        .select(col("word"), size(col("segs")).as("np"),
+          col("is_unk").cast("int").as("u"))
+      tok.join(segs, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_pieces"),
+          sum("u").cast("long").as("n_unk_words"),
+          round(sum("np").cast("double") / count(lit(1)), 9)
+            .as("fertility"))
+        .orderBy("doc_id")
+    },
+
+    // INCREMENTAL WordPiece encode — the wordpiece twin of
+    // q_t_bpe_encode_incr / q_t_unigram_encode_incr (the
+    // add-without-retrain tokenizer lifecycle): the vocabulary is
+    // fitted ONLY on the standing index corpus (doc_id % 5 ≠ 0),
+    // frozen, and the new batch greedy-encodes under it — any word
+    // touching a character the index never saw rides the
+    // all-or-nothing [UNK] rule END-TO-END through the oracle's own
+    // greedy chain (0 on the fixture, whose index alphabet covers
+    // the batch; the synthetic-unk path is spec-locked in
+    // WordPieceSpec).
+    Q("q_t_wordpiece_encode_incr", Some(s"""
+      WITH ${graft.text.WordPiece.oracleCtes(WpMerges, WpMaxPiece,
+        WpMaxW, docFilter = "doc_id % 5 <> 0")},
+      ${graft.text.WordPiece.oracleEncodeCtes("wpinc",
+        "doc_id % 5 = 0", WpMaxPiece, WpMaxW).trim},
+      wpitk AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
+          FROM documents WHERE doc_id % 5 = 0) WHERE word <> ''),
+      wpie AS (
+        SELECT t.doc_id, len(w.segs) AS np,
+               CAST(w.is_unk AS INT) AS u
+        FROM wpitk t JOIN wpinc_fin w ON t.word = w.word)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(np) AS BIGINT) AS n_pieces,
+             CAST(sum(u) AS BIGINT) AS n_unk_words,
+             round(CAST(sum(np) AS DOUBLE) / count(*), 9)
+               AS fertility
+      FROM wpie GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val segs = wpIncrSegs(s, dir)
         .select(col("word"), size(col("segs")).as("np"),
           col("is_unk").cast("int").as("u"))
       tok.join(segs, Seq("word"))

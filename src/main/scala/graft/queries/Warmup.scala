@@ -109,6 +109,9 @@ object Warmup {
       // WordPiece fit (likelihood-ranked merge rounds) + the greedy
       // word → pieces table — the third tokenizer-training artifact
       "wpSegs" -> (() => TextQueries.wpSegs(spark, dir).count()),
+      // the frozen incremental WordPiece state (index-only fit +
+      // batch words greedy-encoded under it)
+      "wpIncrSegs" -> (() => TextQueries.wpIncrSegs(spark, dir).count()),
       // CDC chunk fingerprints (one codegen'd rolling-hash pass,
       // shuffle-free — the stored block-dedup artifact)
       "cdcChunks" -> (() => TextQueries.cdcChunks(spark, dir).count()),

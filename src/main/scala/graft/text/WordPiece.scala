@@ -336,6 +336,22 @@ object WordPiece {
     pieces.result().mkString(",")
   }
 
+  /** A second word table + frozen-vocab greedy chain over a DIFFERENT
+    * document slice — the incremental-encode oracle half (requires an
+    * [[oracleCtes]] chain earlier in the same WITH for `wpvocab`):
+    * word table `${tag}w` over `documents WHERE $docFilter`, greedy
+    * chain ending at `${tag}_fin(word, freq, segs, is_unk)`. Words
+    * with characters the index vocabulary never saw ride the
+    * all-or-nothing `[UNK]` rule exactly as in serving. */
+  def oracleEncodeCtes(tag: String, docFilter: String,
+      maxPieceLen: Int, maxWordLen: Int): String = s"""
+      ${tag}w AS MATERIALIZED (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(${Bpe.ToksSql}) AS word
+          FROM documents WHERE $docFilter)
+        WHERE word <> '' GROUP BY 1),""" +
+    greedyCtes(tag, s"${tag}w", maxPieceLen, maxWordLen)
+
   /** The full chain over `documents`: `wpv0` (##-seeded vocabulary),
     * per-round `wpp$r`/`wpsy$r`/`wpm$r` (pair counts, symbol counts,
     * the likelihood-ranked winner) + the apply block to `wpv$r`,
