@@ -67,12 +67,19 @@ object NnDescent {
         round(Similarity.cosinePre(col("va"), col("vb"), col("na"),
           col("nb")), 6).as("cos_sim"))
 
+  /** Top-k window over a ≤ N·(2k)²-row scored frame, coalesced to a
+    * handful of partitions: every round runs several actions over
+    * these SMALL frames (the corpus never enters the loop), so
+    * fixture-scale task-launch overhead dominates at the default
+    * shuffle width — the Bpe.learn coalesce(8) argument. At real
+    * scale the window's own hash exchange re-widens the plan. */
   private def topK(edges: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("node")
       .orderBy(col("cos_sim").desc, col("nbr"))
     edges.distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .coalesce(8)
   }
 
   /** Build the approximate kNN graph: returns (node, nbr, cos_sim,
