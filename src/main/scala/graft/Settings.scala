@@ -513,6 +513,17 @@ object Settings {
     def maxWordLen: Int = int("wordpiece.max_word_len", 12)
   }
 
+  /** `pca:` block — power-iteration PCA knobs (engine extension;
+    * ml.PowerPca — the data-DEPENDENT dimension reduction next to the
+    * J-L random projection). `components` and `iters` pin the
+    * deflated power rounds (one unrolled oracle block each; power
+    * iteration converges geometrically in the eigengap, so production
+    * round counts stay small). */
+  object pca {
+    def components: Int = int("pca.components", 2)
+    def iters: Int = int("pca.iters", 8)
+  }
+
   /** `nndescent:` block — NN-Descent kNN-graph knobs (engine
     * extension; text.NnDescent). `k` is the graph degree (and the
     * md5-init sample size); `rounds` pins the local-join round count

@@ -395,6 +395,24 @@ object TextQueries extends QueryModule {
 
   private[queries] def MrlDims = graft.Settings.ann.mrlDims
 
+  // ---- power-iteration PCA: live knobs, memoized fit, oracle chain
+
+  private[queries] def PcaComps = graft.Settings.pca.components
+  private[queries] def PcaIters = graft.Settings.pca.iters
+
+  /** Fitted PCA, memoized per sf dir (the broadcast-fit contract —
+    * trained once, shipped to every consumer). */
+  private val pcaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ml.PowerPca.Fit]
+  private[queries] def pcaFitted(s: SparkSession, dir: String)
+      : graft.ml.PowerPca.Fit =
+    pcaMemo.getOrElseUpdate(dir,
+      graft.ml.PowerPca.fit(t(s, dir, "embeddings"), PcaComps,
+        PcaIters))
+
+  private[queries] def pcaCtes: String =
+    graft.ml.PowerPca.oracleCtes(PcaComps, PcaIters, dims = 64)
+
   /** Served beam-search results over the built graph (qid, vid,
     * cos_sim, rnk, n_scored) — read by the serve row and the
     * recall-vs-cost row. */
@@ -3582,6 +3600,53 @@ object TextQueries extends QueryModule {
       Similarity.cosineTopK(t(s, dir, "embeddings"), col("vec_id") < 8, 5)
         .select("qid", "vid", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // Power-iteration PCA FIT (PowerPca scaladoc): the data-DEPENDENT
+    // dimension reduction next to the J-L random projection — the
+    // TRAINED loadings themselves are hash-checked, every iterate
+    // accumulated through exact DECIMAL(38,18) sums with the round-9
+    // seam before re-entering the recursion (the QualityClf GD
+    // discipline), so the whole deflated power iteration is
+    // reproduced by the unrolled oracle.
+    Q("q_e_pca_fit", Some(s"""
+      WITH $pcaCtes
+      SELECT component, i, loading FROM ppfit
+      ORDER BY component, i""")) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val f = pcaFitted(s, dir)
+      f.components.flatMap(c =>
+          (0 until f.dims).map(i => (c.c, i, c.v(i))))
+        .toDF("component", "i", "loading")
+        .orderBy("component", "i")
+    },
+
+    // PCA variance report: per component the round-9 eigenvalue and
+    // the explained-variance fraction — the dial that says how many
+    // components an embedding-whitening or compression step actually
+    // needs (the data-dependent answer the q_e_rp_* rows' oblivious
+    // guarantee can't give). Honest fixture reading: the embeddings
+    // are near-isotropic (each component ≈ 2.4% vs the 1/64 ≈ 1.6%
+    // isotropic baseline), and at a FIXED iteration count on a flat
+    // spectrum the components are top-variance directions up to
+    // convergence, not strictly eigenvalue-ordered — power
+    // iteration's known small-eigengap behavior; PowerPcaSpec proves
+    // ordered recovery on planted anisotropic data, and this row is
+    // exactly what tells an operator the corpus has no axis worth
+    // whitening.
+    Q("q_e_pca_var", Some(s"""
+      WITH $pcaCtes
+      SELECT component, eigenvalue, explained_frac FROM ppvar
+      ORDER BY component""")) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val f = pcaFitted(s, dir)
+      f.components.map(c =>
+          (c.c, c.lambda, graft.text.Unigram.round9(
+            c.lambda / f.totalVar)))
+        .toDF("component", "eigenvalue", "explained_frac")
+        .orderBy("component")
     },
 
     // Matryoshka-style dimension-truncation A/B (Kusupati et al.

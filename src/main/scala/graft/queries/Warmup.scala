@@ -125,6 +125,9 @@ object Warmup {
       // NN-Descent kNN graph (md5 init + fixed local-join rounds) —
       // an iterative graph artifact read by the graph + recall rows
       "nndGraph" -> (() => TextQueries.nndGraph(spark, dir).count()),
+      // power-iteration PCA fit (deflated decimal matvec rounds) —
+      // a trained-model artifact read by the fit + variance rows
+      "pcaFit" -> (() => TextQueries.pcaFitted(spark, dir)),
       // exact Jaccard pair truth (one shingle pass, self-join-free)
       "jaccTruth" -> (() => TextQueries.jaccTruth(spark, dir).count()),
       // BPE merge-table learn (12 iterative rounds over the word-freq

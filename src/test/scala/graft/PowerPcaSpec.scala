@@ -1,0 +1,77 @@
+package graft
+
+import graft.ml.PowerPca
+
+/** Power-iteration PCA semantics: the dominant component must align
+  * with a planted high-variance direction, deflated components must
+  * come out (near-)orthogonal with descending eigenvalues, explained
+  * fractions must be sane, and the fit must be bit-deterministic. */
+class PowerPcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 200 rows in 8 dims: x_r = c1_r·u + c2_r·w with Var(c1) ≫ Var(c2)
+  // and c1 ⊥ c2 over the population (r%8 and (r/8)%5 are independent
+  // and balanced over 200 = 8·25 rows — a correlated pair would make
+  // the true axes MIXTURES of u and w), u ⊥ w — the top component
+  // must recover u, the deflated second w
+  private val u = Array(0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0)
+  private val w = Array(0.5, -0.5, 0.5, -0.5, 0.0, 0.0, 0.0, 0.0)
+  private def c1Of(r: Int) = ((r % 8) - 3.5) * 6.0
+  private def c2Of(r: Int) = (((r / 8) % 5) - 2).toDouble
+  private lazy val emb = (0 until 200).map { r =>
+    val v = (0 until 8).map(i =>
+      (c1Of(r) * u(i) + c2Of(r) * w(i)).toFloat).toArray
+    (r.toLong, v)
+  }.toDF("vec_id", "embedding")
+
+  private def cosAbs(a: IndexedSeq[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    math.abs(dot / (na * nb))
+  }
+
+  test("dominant component recovers the planted high-variance " +
+      "direction; deflation yields the orthogonal second") {
+    val fit = PowerPca.fit(emb, nComponents = 2, iters = 12)
+    val Seq(c0, c1) = fit.components
+    assert(cosAbs(c0.v, u) > 0.99,
+      s"top component misaligned: ${cosAbs(c0.v, u)}")
+    assert(cosAbs(c1.v, w) > 0.99,
+      s"second component misaligned: ${cosAbs(c1.v, w)}")
+    val ortho = c0.v.zip(c1.v).map { case (x, y) => x * y }.sum
+    assert(math.abs(ortho) < 1e-3,
+      s"components not orthogonal: $ortho")
+    assert(c0.lambda >= c1.lambda && c1.lambda > 0,
+      s"eigenvalues out of order: ${c0.lambda}, ${c1.lambda}")
+    // the two planted directions carry ALL the variance
+    val explained = (c0.lambda + c1.lambda) / fit.totalVar
+    assert(explained > 0.999 && explained < 1.001,
+      s"planted 2-dim data must be fully explained: $explained")
+  }
+
+  test("fit is bit-deterministic") {
+    val f1 = PowerPca.fit(emb, 2, 6)
+    val f2 = PowerPca.fit(emb, 2, 6)
+    assert(f1.components.map(_.v) == f2.components.map(_.v))
+    assert(f1.components.map(_.lambda) == f2.components.map(_.lambda))
+    assert(f1.totalVar == f2.totalVar)
+  }
+
+  test("projections: planted coefficients recovered up to the " +
+      "component sign") {
+    val fit = PowerPca.fit(emb, 2, 12)
+    val proj = PowerPca.project(emb, fit)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // row r has centered c1 coefficient (c1_r − mean(c1)); p0 must be
+    // proportional to it with |slope| = 1 (u is unit-norm)
+    val c1s = (0 until 200).map(c1Of)
+    val c1m = c1s.sum / 200
+    val pairs = (0 until 200).map(r => (c1s(r) - c1m, proj(r.toLong)._1))
+    val slope = pairs.map { case (a, b) => a * b }.sum /
+      pairs.map { case (a, _) => a * a }.sum
+    assert(math.abs(math.abs(slope) - 1.0) < 1e-3,
+      s"projection slope off: $slope")
+  }
+}

@@ -473,6 +473,18 @@ class SettingsSpec extends SparkSpec {
       assert(SparkEntry.oracleSql("q_e_nnd_serve")
         .contains("range(1, 6 + 1)"))
     }
+    // pca: iteration count is the final ppv_<c>_<t> / ppw chain depth,
+    // component count the ppfit union width
+    assert(Settings.pca.components == 2 && Settings.pca.iters == 8)
+    assert(SparkEntry.oracleSql("q_e_pca_fit").contains("ppv_1_8"))
+    withProp("graft.pca.iters", "3") {
+      val sql = SparkEntry.oracleSql("q_e_pca_fit")
+      assert(sql.contains("ppv_0_3") && !sql.contains("ppv_0_4"),
+        "power-round unroll did not follow pca.iters")
+    }
+    withProp("graft.pca.components", "1") {
+      assert(!SparkEntry.oracleSql("q_e_pca_var").contains("ppl_1"))
+    }
   }
 
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
