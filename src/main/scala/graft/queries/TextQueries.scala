@@ -390,6 +390,18 @@ object TextQueries extends QueryModule {
   private[queries] def nndCtes: String =
     graft.text.NnDescent.oracleCtes(NndK, NndRounds)
 
+  /** ALL-nodes exact top-k truth (the recall denominator — the
+    * deliberately-quadratic fixture-only baseline), staged so the
+    * recall row reads a cached artifact instead of re-running the
+    * brute force per invocation. */
+  private[queries] def nndTruth(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "nnd_truth") {
+      graft.text.Similarity.cosineTopK(t(s, dir, "embeddings"),
+        lit(true), NndK).select(col("qid").as("node"),
+        col("vid").as("nbr"))
+    }
+
   private[queries] def NndBeam = graft.Settings.nndescent.beam
   private[queries] def NndHops = graft.Settings.nndescent.hops
 
@@ -3769,9 +3781,7 @@ object TextQueries extends QueryModule {
       SELECT node, n_hits, n_true,
              round(CAST(n_hits AS DOUBLE) / n_true, 9) AS recall
       FROM ndh ORDER BY node""")) { (s, dir) =>
-      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
-          lit(true), NndK)
-        .select(col("qid").as("node"), col("vid").as("nbr"))
+      val truth = nndTruth(s, dir)
       val g = nndGraph(s, dir).select("node", "nbr")
         .withColumn("hit", lit(1L))
       truth.join(g, Seq("node", "nbr"), "left")

@@ -170,6 +170,10 @@ object Warmup {
           // (iterative hop chain — the serve + serve-recall rows)
           "nndServed" ->
             (() => TextQueries.nndServed(spark, dir).count()),
+          // the all-nodes exact truth (the recall denominator — one
+          // broadcast brute-force pass, stored once)
+          "nndTruth" ->
+            (() => TextQueries.nndTruth(spark, dir).count()),
           // calibration-driven classifier threshold (reads the
           // phase-1 qclfFit artifact; one 10-row metric collect)
           "qclfThreshold" ->
