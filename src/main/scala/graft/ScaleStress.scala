@@ -108,10 +108,12 @@ object ScaleStress {
     "q_t_unigram_learn", "q_t_kn_lp",
     // late-r12 additions: the WordPiece fit (distinct-words-bounded
     // per round, must be ~flat), the Stupid-Backoff scorer (three
-    // count shuffles + scoring equi-joins, ~linear), and the
-    // NN-Descent graph build (N·(2k)² local-join candidates per
-    // round, ~linear in N)
-    "q_t_wordpiece_learn", "q_t_sb_lp", "q_e_nnd_graph")
+    // count shuffles + scoring equi-joins, ~linear), the NN-Descent
+    // graph build (N·(2k)² local-join candidates per round, ~linear
+    // in N), and the PCA fit (two exploded-frame passes per round
+    // with d-double driver state, ~linear in N)
+    "q_t_wordpiece_learn", "q_t_sb_lp", "q_e_nnd_graph",
+    "q_e_pca_fit")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -173,6 +173,45 @@ object PowerPca {
       .toDF(("vec_id" +: fit.components.map(c => s"p${c.c}")): _*)
   }
 
+  /** LONG-format projection `(vec_id, component, proj)` — the exact
+    * decimal path (one broadcast join of the exploded frame against
+    * the loadings table + one keyed decimal sum), mirrored verbatim
+    * by the oracle's pprj CTE. Emit-rounded to 6. */
+  def projectLong(emb: DataFrame, fit: Fit): DataFrame = {
+    val loadRows = fit.components.flatMap(c =>
+      (0 until fit.dims).map(i => (c.c, i, c.v(i))))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val loadings = loadRows.toDF("component", "i", "loading")
+    val offMap = map(fit.components.flatMap(c =>
+      Seq(lit(c.c), lit(dotD(fit.mean, c.v)))): _*)
+    exploded(emb).join(broadcast(loadings), Seq("i"))
+      .groupBy("vec_id", "component")
+      .agg(round(
+        sum((col("x") * col("loading")).cast("decimal(38,18)"))
+          .cast("double")
+          - element_at(offMap, col("component")), 6).as("proj"))
+  }
+
+  /** STATELESS per-row projection against a frozen fit — the serving
+    * shape (QualityClf.scoreRowwise contract): loadings ride the plan
+    * as array literals, each projection is one sequential VecDot fold
+    * minus the precomputed mean offset — map-only, no shuffle,
+    * identical on a batch frame and a Structured Streaming
+    * micro-batch. The float fold order differs from the batch decimal
+    * sum by < 1e-12, which the emit-boundary round-6 absorbs
+    * (PowerPcaSpec locks rowwise ≡ batch at the rounded values). Adds
+    * `p<c>` columns. */
+  def projectRowwise(docs: DataFrame, fit: Fit): DataFrame = {
+    val v = graft.text.Similarity.asDouble(col("embedding"))
+    fit.components.foldLeft(docs) { (df, c) =>
+      val lits = array((0 until fit.dims).map(i => lit(c.v(i))): _*)
+      df.withColumn(s"p${c.c}",
+        round(graft.functions.VecOps.dot(v, lits)
+          - lit(dotD(fit.mean, c.v)), 6))
+    }
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle: exploded frame + per-dim means, md5 init, one
   // unrolled (y, w+Σy, normalize) block per power round per component.
@@ -284,7 +323,20 @@ object PowerPca {
       ppfit AS (
         $fitUnion),
       ppvar AS (
-        $varUnion)"""
+        $varUnion),
+      ppoffs AS (
+        SELECT f.component,
+               CAST(sum(CAST(m.m * f.loading AS DECIMAL(38,18)))
+                 AS DOUBLE) AS off
+        FROM ppm m JOIN ppfit f ON m.i = f.i GROUP BY 1),
+      pprj AS (
+        SELECT e.vec_id, f.component,
+               round(CAST(sum(CAST(e.x * f.loading
+                   AS DECIMAL(38,18))) AS DOUBLE)
+                 - any_value(o.off), 6) AS proj
+        FROM ppx e JOIN ppfit f ON e.i = f.i
+        JOIN ppoffs o ON o.component = f.component
+        GROUP BY 1, 2)"""
     pieces.result().mkString(",")
   }
 }

@@ -3661,6 +3661,21 @@ object TextQueries extends QueryModule {
         .orderBy("component")
     },
 
+    // PCA projection — the serving half: every vector's coordinate on
+    // every fitted component, (x − m)·v_c through the same exact
+    // decimal path as the fit (the oracle re-derives from its own
+    // fitted loadings, so fit AND serve are checked together). The
+    // stateless rowwise/streaming scorer is the map-only twin
+    // (PowerPca.projectRowwise, parity spec-locked).
+    Q("q_e_pca_project", Some(s"""
+      WITH $pcaCtes
+      SELECT vec_id, component, proj FROM pprj
+      ORDER BY vec_id, component""")) { (s, dir) =>
+      graft.ml.PowerPca.projectLong(t(s, dir, "embeddings"),
+          pcaFitted(s, dir))
+        .orderBy("vec_id", "component")
+    },
+
     // Matryoshka-style dimension-truncation A/B (Kusupati et al.
     // 2022: serve embeddings from a nested PREFIX of the vector —
     // a d/64 fraction of the scan bytes and dot-product FLOPs):

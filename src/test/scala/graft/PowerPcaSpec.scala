@@ -74,4 +74,44 @@ class PowerPcaSpec extends SparkSpec {
     assert(math.abs(math.abs(slope) - 1.0) < 1e-3,
       s"projection slope off: $slope")
   }
+
+  test("rowwise serving projection equals the batch decimal path at " +
+      "the emit rounding, batch and streaming micro-batch identical") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val fit = PowerPca.fit(emb, 2, 6)
+    val long = PowerPca.projectLong(emb, fit)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val row = PowerPca.projectRowwise(emb, fit)
+      .select(col("vec_id"), col("p0"), col("p1"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    (0 until 200).foreach { r =>
+      assert(row(r.toLong)._1 == long((r.toLong, 0))
+        && row(r.toLong)._2 == long((r.toLong, 1)),
+        s"rowwise != batch at row $r")
+    }
+    // stream the frame in two files; the stateless scorer must emit
+    // identical projections
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val sd = java.nio.file.Files.createTempDirectory("graft-pca")
+    b1.toSeq.toDF("vec_id", "embedding").coalesce(1)
+      .write.parquet(sd.resolve("p1").toString)
+    b2.toSeq.toDF("vec_id", "embedding").coalesce(1)
+      .write.parquet(sd.resolve("p2").toString)
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$sd/p*")
+    val q = PowerPca.projectRowwise(src, fit)
+      .select("vec_id", "p0", "p1")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pca_stream_test").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("pca_stream_test")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == row, "stream must equal batch exactly")
+  }
 }
