@@ -95,6 +95,65 @@ object CurationQueries extends QueryModule {
         .orderBy("shard_id", "pos")
     },
 
+    // Rendezvous (HRW) shard assignment (Export.hrwShard — Thaler &
+    // Ravishankar 1998): shard = argmax over s of H(salt:doc:s) —
+    // map-only N-hash argmax per row, the consistent-assignment
+    // alternative to mod-N.
+    Q("q_t_shard_hrw", Some(s"""
+      WITH hrww AS (
+        SELECT d.doc_id, s.s,
+               ${hsql(s"'$ExpSalt:' || doc_id || ':' || s")} AS w
+        FROM documents d, range($ExpShards) s(s))
+      SELECT doc_id, CAST(s AS BIGINT) AS shard_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY w DESC, s DESC) AS rn
+        FROM hrww) WHERE rn = 1
+      ORDER BY doc_id""")) { (s, dir) =>
+      graft.text.Export.shardAssignHrw(t(s, dir, "documents"),
+        ExpShards, ExpSalt).orderBy("doc_id")
+    },
+
+    // Reshard-movement A/B at N → N+1 (the 100 TB question: what
+    // fraction of the corpus MOVES when a shard is added) — mod-N
+    // remaps ~N/(N+1) of all docs, HRW only the docs whose argmax
+    // becomes the new shard, ~1/(N+1). One graded row per strategy.
+    Q("q_t_shard_reshard_ab", Some {
+      def hrwCte(tag: String, n: Int) = s"""
+      ${tag}w AS (
+        SELECT d.doc_id, s.s,
+               ${hsql(s"'$ExpSalt:' || doc_id || ':' || s")} AS w
+        FROM documents d, range($n) s(s)),
+      $tag AS (
+        SELECT doc_id, s AS shard_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY w DESC, s DESC) AS rn
+          FROM ${tag}w) WHERE rn = 1)"""
+      s"""
+      WITH ${hrwCte("ha", ExpShards)},
+      ${hrwCte("hb", ExpShards + 1)},
+      mv AS (
+        SELECT 'mod' AS strategy,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN
+                 ${hsql(s"'${ExpSalt}_' || doc_id")} % $ExpShards
+                   <> ${hsql(s"'${ExpSalt}_' || doc_id")}
+                     % ${ExpShards + 1}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM documents
+        UNION ALL
+        SELECT 'hrw',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN a.shard_id <> b.shard_id
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM ha a JOIN hb b USING (doc_id))
+      SELECT strategy, n_docs, n_moved,
+             round(CAST(n_moved AS DOUBLE) / n_docs, 9) AS frac_moved
+      FROM mv ORDER BY strategy"""
+    }) { (s, dir) =>
+      graft.text.Export.reshardMovement(t(s, dir, "documents"),
+        ExpShards, ExpSalt).orderBy("strategy")
+    },
+
     // Per-shard manifest: doc/token counts + an order-insensitive
     // content checksum (sum of 31-bit text-hash residues mod the same
     // prime) — equal corpora produce equal manifests regardless of

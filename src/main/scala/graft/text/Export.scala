@@ -49,6 +49,64 @@ object Export {
       .withColumn("pos", row_number().over(byShard).cast("long"))
   }
 
+  /** Rendezvous (highest-random-weight) shard of a doc-id column
+    * (Thaler & Ravishankar 1998, "Using name-based mappings to
+    * increase hit rates" — the consistent-assignment scheme behind
+    * cache/object-store sharding): shard = argmax_s H(salt:doc:s).
+    * Where mod-N remaps ~N/(N+1) of the corpus when a shard is added,
+    * HRW remaps EXACTLY the docs whose winner becomes the new shard —
+    * ~1/(N+1) — the property that matters when resharding means
+    * MOVING a 100 TB corpus. Map-only: N portable mod-prime hashes
+    * per row (the sharding family's hashMod convention — the oracle
+    * twin is the shared hsql), argmax over the (weight, shard) pair
+    * (totally ordered; a weight tie breaks to the larger shard id,
+    * mirrored by the oracle's ORDER BY w DESC, s DESC). */
+  def hrwShard(docId: org.apache.spark.sql.Column, nShards: Int,
+      salt: String = "shard"): org.apache.spark.sql.Column =
+    array_max(transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(TextOps.hashMod(
+        concat_ws(":", lit(salt), docId, s)).as("w"),
+        s.as("shard")))).getField("shard")
+
+  /** Per-doc HRW assignment frame `(doc_id, shard_id)`. */
+  def shardAssignHrw(docs: DataFrame, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs.select(col("doc_id"),
+      hrwShard(col("doc_id"), nShards, salt).cast("long")
+        .as("shard_id"))
+  }
+
+  /** Reshard-movement A/B at N → N+1, one row per strategy: the
+    * fraction of documents whose shard changes when one shard is
+    * added — mod-N's ~N/(N+1) vs HRW's ~1/(N+1). The row that prices
+    * a reshard before anyone moves bytes. */
+  def reshardMovement(docs: DataFrame, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val modN = (TextOps.hashMod(concat(lit(s"${salt}_"),
+      col("doc_id").cast("string"))) % nShards)
+    val modN1 = (TextOps.hashMod(concat(lit(s"${salt}_"),
+      col("doc_id").cast("string"))) % (nShards + 1))
+    val modRow = ids.agg(
+      count(lit(1)).as("n_docs"),
+      sum((modN =!= modN1).cast("long")).as("n_moved"))
+      .select(lit("mod").as("strategy"), col("n_docs"),
+        col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs"), 9)
+          .as("frac_moved"))
+    val hrwN = hrwShard(col("doc_id"), nShards, salt)
+    val hrwN1 = hrwShard(col("doc_id"), nShards + 1, salt)
+    val hrwRow = ids.agg(
+      count(lit(1)).as("n_docs"),
+      sum((hrwN =!= hrwN1).cast("long")).as("n_moved"))
+      .select(lit("hrw").as("strategy"), col("n_docs"),
+        col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs"), 9)
+          .as("frac_moved"))
+    modRow.unionByName(hrwRow)
+  }
+
   /** Per-shard manifest over a [[shardAssign]] frame: doc/token counts
     * and an order-insensitive content checksum (sum of per-doc 31-bit
     * text-hash residues mod the same prime) — equal corpora produce

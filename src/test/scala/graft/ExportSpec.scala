@@ -79,4 +79,27 @@ class ExportSpec extends SparkSpec {
     assert(one.select("shard_id").distinct().count() == 1)
     assert(one.agg(max("pos")).head().getLong(0) == 40L)
   }
+
+  test("HRW resharding: only docs whose winner IS the new shard move, " +
+      "movement far below mod-N's") {
+    val big = docs((1L to 300L).map(i => i -> s"t$i"): _*)
+    val a = Export.shardAssignHrw(big, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Export.shardAssignHrw(big, 9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = a.keys.filter(k => a(k) != b(k)).toSeq
+    // the defining rendezvous property: a doc moves ONLY because the
+    // ADDED shard out-weighed its old winner — no doc reshuffles
+    // between surviving shards
+    assert(moved.forall(k => b(k) == 8L),
+      s"HRW moved docs to a surviving shard: ${
+        moved.filter(k => b(k) != 8L).map(k => (k, a(k), b(k)))}")
+    // movement ~ 1/9 of the corpus, far below mod's ~8/9
+    assert(moved.size < 300 / 4, s"HRW moved ${moved.size}/300")
+    val mv = Export.reshardMovement(big, 8).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mv("hrw") == moved.size)
+    assert(mv("mod") > 5 * mv("hrw"),
+      s"mod ${mv("mod")} vs hrw ${mv("hrw")}")
+  }
 }
