@@ -354,12 +354,20 @@ object Settings {
       * recall). Each rung is a PREFIX length ≤ the fixture's full
       * embedding dim (64); the recall denominator is always the
       * full-dim exact top-k. */
-    def mrlDims: Seq[Int] =
-      strs("ann.mrl_dims", Seq("8", "16", "32", "64")).map { s =>
-        val d = s.trim.toInt
-        require(d >= 1 && d <= 64, s"mrl dim $d outside 1..64")
-        d
-      }
+    def mrlDims: Seq[Int] = {
+      val ds = strs("ann.mrl_dims", Seq("8", "16", "32", "64"))
+        .map { s =>
+          val d = s.trim.toInt
+          require(d >= 1 && d <= embeddingDim,
+            s"mrl dim $d outside 1..$embeddingDim " +
+              "(ann.embedding_dim)")
+          d
+        }
+      require(ds.distinct.size == ds.size,
+        s"ann.mrl_dims has duplicate rungs: $ds — each rung names " +
+          "one oracle CTE pair")
+      ds
+    }
     /** `ann.rp:` — Johnson–Lindenstrauss random-projection knobs:
       * output dimensionality (distortion concentrates as O(√(1/d)))
       * and the pair cap for the measured-distortion report. */
@@ -508,9 +516,12 @@ object Settings {
     * is the greedy unroll bound — the engine REFUSES a corpus whose
     * longest word exceeds it (the unigram max_word_len contract). */
   object wordpiece {
-    def nMerges: Int = int("wordpiece.n_merges", 12)
-    def maxPieceLen: Int = int("wordpiece.max_piece_len", 8)
-    def maxWordLen: Int = int("wordpiece.max_word_len", 12)
+    private def pos(k: String, d: Int): Int = {
+      val v = int(k, d); require(v >= 1, s"$k must be >= 1, got $v"); v
+    }
+    def nMerges: Int = pos("wordpiece.n_merges", 12)
+    def maxPieceLen: Int = pos("wordpiece.max_piece_len", 8)
+    def maxWordLen: Int = pos("wordpiece.max_word_len", 12)
   }
 
   /** `pca:` block — power-iteration PCA knobs (engine extension;
@@ -520,8 +531,11 @@ object Settings {
     * iteration converges geometrically in the eigengap, so production
     * round counts stay small). */
   object pca {
-    def components: Int = int("pca.components", 2)
-    def iters: Int = int("pca.iters", 8)
+    private def pos(k: String, d: Int): Int = {
+      val v = int(k, d); require(v >= 1, s"$k must be >= 1, got $v"); v
+    }
+    def components: Int = pos("pca.components", 2)
+    def iters: Int = pos("pca.iters", 8)
   }
 
   /** `nndescent:` block — NN-Descent kNN-graph knobs (engine
@@ -535,8 +549,16 @@ object Settings {
     * (10,4) — recall scales with k (the paper's Fig. 6 behavior), so
     * the graph degree is the knob that buys quality. */
   object nndescent {
-    def k: Int = int("nndescent.k", 10)
-    def rounds: Int = int("nndescent.rounds", 4)
+    private def pos(k: String, d: Int): Int = {
+      val v = int(k, d); require(v >= 1, s"$k must be >= 1, got $v"); v
+    }
+    def k: Int = pos("nndescent.k", 10)
+    /** rounds/hops may be 0 (a 0-round graph IS the md5 init — the
+      * spec's baseline arm); k and beam must be positive. */
+    def rounds: Int = {
+      val v = int("nndescent.rounds", 4)
+      require(v >= 0, s"nndescent.rounds must be >= 0, got $v"); v
+    }
     /** Serving-side beam width and hop count (NnDescent.serve — the
       * graph-descent search layer): per hop a query scores ≤
       * beam·(k+1) candidates, so served cost is ~beam·(k+1)·hops
@@ -545,8 +567,11 @@ object Settings {
       * measured knee on the fixture (recall@5 / distinct candidates
       * scored, N = 500): 0.53 @ 145 at (8,3), 0.78 @ 228 at (12,4),
       * 0.85 @ 274 at (16,5). */
-    def beam: Int = int("nndescent.beam", 12)
-    def hops: Int = int("nndescent.hops", 4)
+    def beam: Int = pos("nndescent.beam", 12)
+    def hops: Int = {
+      val v = int("nndescent.hops", 4)
+      require(v >= 0, s"nndescent.hops must be >= 0, got $v"); v
+    }
   }
 
   /** `quality_clf:` block — trained fastText-style quality-classifier

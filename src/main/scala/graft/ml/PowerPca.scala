@@ -217,8 +217,7 @@ object PowerPca {
   // unrolled (y, w+Σy, normalize) block per power round per component.
   // ------------------------------------------------------------------
 
-  private def hsql(e: String) =
-    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+  private def hsql(e: String) = graft.text.TextOps.hsqlRaw(e)
 
   /** The full chain over `embeddings`: `ppx` (exploded), `ppm`
     * (means), `pptv` (total variance), per-component-c per-round-t

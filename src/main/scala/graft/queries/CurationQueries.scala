@@ -52,8 +52,7 @@ object CurationQueries extends QueryModule {
   }
 
   /** Portable 60-bit md5 hash mod prime, SQL side (TextOps.hashMod). */
-  private def hsql(e: String) =
-    s"('0x' || substring(md5($e), 1, 15))::BIGINT % 1000000007"
+  private def hsql(e: String) = graft.text.TextOps.hsqlMod(e)
 
   private def ExpShards = graft.Settings.export.nShards
   private def ExpSalt = graft.Settings.export.shardSalt

@@ -10,8 +10,7 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries extends QueryModule {
 
-  private def hsql(e: String) =
-    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+  private def hsql(e: String) = graft.text.TextOps.hsqlRaw(e)
 
   def all: Seq[Q] = Seq(
 

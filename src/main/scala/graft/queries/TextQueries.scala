@@ -423,7 +423,8 @@ object TextQueries extends QueryModule {
         PcaIters))
 
   private[queries] def pcaCtes: String =
-    graft.ml.PowerPca.oracleCtes(PcaComps, PcaIters, dims = 64)
+    graft.ml.PowerPca.oracleCtes(PcaComps, PcaIters,
+      dims = graft.Settings.ann.embeddingDim)
 
   /** Served beam-search results over the built graph (qid, vid,
     * cos_sim, rnk, n_scored) — read by the serve row and the
@@ -476,13 +477,22 @@ object TextQueries extends QueryModule {
         WpMerges, WpMaxPiece, WpMaxW))
 
   /** The batch corpus's word → greedy-pieces table under the FROZEN
-    * index-learned vocabulary. */
+    * index-learned vocabulary. The greedy-unroll bound is enforced on
+    * the BATCH slice too (the learn require only sees the index
+    * slice): a longer batch word would fold to completion on the
+    * engine but walk off the oracle's fixed-depth chain — the engine
+    * must refuse, not silently diverge (the q_t_unigram_encode_incr
+    * contract). */
   private[queries] def wpIncrSegs(s: SparkSession, dir: String)
       : DataFrame =
     Stage.cached(s, dir, "wp_incr_segs") {
-      graft.text.WordPiece.segmentWords(
-        graft.text.Bpe.wordTable(
-          t(s, dir, "documents").filter(col("doc_id") % 5 === 0)),
+      val batchWords = graft.text.Bpe.wordTable(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
+      val maxLen = batchWords.agg(max(length(col("word"))))
+        .head().getInt(0)
+      require(maxLen <= WpMaxW,
+        s"batch word length $maxLen exceeds wordpiece.max_word_len")
+      graft.text.WordPiece.segmentWords(batchWords,
         wpIncrLearned(s, dir).vocab, WpMaxPiece)
     }
 
@@ -605,9 +615,9 @@ object TextQueries extends QueryModule {
       FROM (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents))"""
   }
 
-  /** Portable 60-bit md5 hash mod prime, SQL side. */
-  private def hsql(e: String) =
-    s"('0x' || substring(md5($e), 1, 15))::BIGINT % 1000000007"
+  /** Portable 60-bit md5 hash mod prime, SQL side (the shared
+    * TextOps twin — one recipe, no drift). */
+  private def hsql(e: String) = TextOps.hsqlMod(e)
 
   /** Shared banded-LSH CTE prefix (mirrors Similarity.lshBucketBand at
     * bits=8, nBands=2): per-dim explode → hyperplane projections →

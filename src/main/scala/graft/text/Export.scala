@@ -84,22 +84,32 @@ object Export {
   def reshardMovement(docs: DataFrame, nShards: Int,
       salt: String = "shard"): DataFrame = {
     val ids = docs.select(col("doc_id"))
-    val modN = (TextOps.hashMod(concat(lit(s"${salt}_"),
-      col("doc_id").cast("string"))) % nShards)
-    val modN1 = (TextOps.hashMod(concat(lit(s"${salt}_"),
-      col("doc_id").cast("string"))) % (nShards + 1))
-    val modRow = ids.agg(
-      count(lit(1)).as("n_docs"),
-      sum((modN =!= modN1).cast("long")).as("n_moved"))
+    // ONE hash per row for both modulos, and ONE (N+1)-entry weight
+    // array for both HRW argmaxes (the N-shard winner is the argmax
+    // over the array's first N entries — the N-shard weights are a
+    // strict subset of the N+1 set, so hashing them twice would
+    // double the map-side md5 work on the row billed as the 100 TB
+    // question)
+    val modRow = ids
+      .select(TextOps.hashMod(concat(lit(s"${salt}_"),
+        col("doc_id").cast("string"))).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("h") % nShards =!= col("h") % (nShards + 1))
+          .cast("long")).as("n_moved"))
       .select(lit("mod").as("strategy"), col("n_docs"),
         col("n_moved"),
         round(col("n_moved").cast("double") / col("n_docs"), 9)
           .as("frac_moved"))
-    val hrwN = hrwShard(col("doc_id"), nShards, salt)
-    val hrwN1 = hrwShard(col("doc_id"), nShards + 1, salt)
-    val hrwRow = ids.agg(
-      count(lit(1)).as("n_docs"),
-      sum((hrwN =!= hrwN1).cast("long")).as("n_moved"))
+    val ws = transform(sequence(lit(0), lit(nShards)), s =>
+      struct(TextOps.hashMod(
+        concat_ws(":", lit(salt), col("doc_id"), s)).as("w"),
+        s.as("shard")))
+    val hrwRow = ids.select(ws.as("ws"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((array_max(slice(col("ws"), 1, nShards))
+            .getField("shard")
+          =!= array_max(col("ws")).getField("shard"))
+          .cast("long")).as("n_moved"))
       .select(lit("hrw").as("strategy"), col("n_docs"),
         col("n_moved"),
         round(col("n_moved").cast("double") / col("n_docs"), 9)

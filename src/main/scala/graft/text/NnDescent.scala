@@ -186,8 +186,7 @@ object NnDescent {
   // local-join round per rank.
   // ------------------------------------------------------------------
 
-  private def hsql(e: String) =
-    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+  private def hsql(e: String) = TextOps.hsqlRaw(e)
 
   /** One edge-set scoring block `$out(node, nbr, cos_sim)` over the
     * shared `ndex`/`ndnrm` CTEs. */

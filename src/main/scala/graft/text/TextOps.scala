@@ -43,6 +43,15 @@ object TextOps {
   /** Hash reduced into [0, HashPrime). */
   def hashMod(c: Column): Column = md5Hash64(c) % HashPrime
 
+  /** The DuckDB twin of [[md5Hash64]] — ONE definition so the
+    * portable-hash recipe can never drift between engine and oracle
+    * call sites (`e` is a SQL string expression). */
+  def hsqlRaw(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+
+  /** The DuckDB twin of [[hashMod]]. */
+  def hsqlMod(e: String): String = s"${hsqlRaw(e)} % $HashPrime"
+
   /** Whitespace tokens: any run of whitespace separates (Java `\s+` ≡
     * RE2 `[[:space:]]+` — the oracle's regexp_split_to_array pattern,
     * identical char class). A single-SPACE split silently fused
