@@ -529,13 +529,40 @@ object Settings {
     * J-L random projection). `components` and `iters` pin the
     * deflated power rounds (one unrolled oracle block each; power
     * iteration converges geometrically in the eigengap, so production
-    * round counts stay small). */
+    * round counts stay small). `rows_per_task` sizes the fit pass's
+    * partitions over the N×d exploded frame — the frame every power
+    * round scans twice is CORPUS-sized, so unlike the vocab-bounded
+    * tokenizer tables it must widen with the data:
+    * nPart = clamp(ceil(N·d / rows_per_task), 1, defaultParallelism)
+    * (the Hmm E-step adaptive-width pattern). The default keeps the
+    * driver fixture at the measured 8-partition knee while a 100 TB
+    * corpus saturates the cluster. */
   object pca {
     private def pos(k: String, d: Int): Int = {
       val v = int(k, d); require(v >= 1, s"$k must be >= 1, got $v"); v
     }
     def components: Int = pos("pca.components", 2)
     def iters: Int = pos("pca.iters", 8)
+    def rowsPerTask: Int = pos("pca.rows_per_task", 4096)
+  }
+
+  /** `tuning:` block — partition-width knobs for frames that are
+    * BOUNDED by construction (distinct-word vocabularies, k-bounded
+    * kNN edge lists): several driver actions run over them per
+    * iterative-fit round, so fixture-scale task-launch overhead
+    * dominates at the default shuffle width. One validated knob
+    * replaces the five fixture-tuned `coalesce(8)` call sites
+    * (Bpe.learn / Bpe.learnBatched / Unigram.learn / WordPiece.learn /
+    * NnDescent.topK) so the 100×-scale story is a config change.
+    * NOT for corpus-sized frames — those size adaptively
+    * (`pca.rows_per_task`, Hmm's nPart). */
+  object tuning {
+    def smallFrameParts: Int = {
+      val v = int("tuning.small_frame_parts", 8)
+      require(v >= 1,
+        s"tuning.small_frame_parts must be >= 1, got $v")
+      v
+    }
   }
 
   /** `nndescent:` block — NN-Descent kNN-graph knobs (engine
@@ -571,6 +598,55 @@ object Settings {
     def hops: Int = {
       val v = int("nndescent.hops", 4)
       require(v >= 0, s"nndescent.hops must be >= 0, got $v"); v
+    }
+    /** HNSW-style hierarchy (NnDescent.serveHier — Malkov & Yashunin
+      * 2016): `hnsw_ratio` is the per-level node-sample divisor
+      * (layer l keeps md5 mod ratio^l == 0 — nested by construction);
+      * `hnsw_levels` the number of layers above the base graph (the
+      * top layer's FULL scan is N/ratio^levels nodes per query — at
+      * corpus scale more levels keep that entry cost constant, the
+      * knob the flat serve's md5-random entries lack); `hnsw_up_*`
+      * size the upper-layer graphs and descent; `hnsw_beam`/
+      * `hnsw_hops` the base-layer finish. Defaults are the measured
+      * Pareto point (see q_e_hnsw_ab): at the driver gate scale
+      * (sf0.01) recall@5 0.775 at 186 distinct scored vs the flat
+      * serve's 0.775 at 228 — EQUAL recall at 18% fewer scored; on
+      * the sf0.001 embeddings the same point reads 0.65 @ 190 vs
+      * 0.75 @ 216 (that draw is closer to i.i.d. — the
+      * non-navigable case where concentrated entries lose to entry
+      * diversity; 8 knob combos measured). The structural claim is
+      * vs N — the coarse entry cost is a knob (N/ratio^levels)
+      * where the flat serve's hop count must grow. */
+    def hnswRatio: Int = {
+      val v = int("nndescent.hnsw_ratio", 4)
+      require(v >= 2, s"nndescent.hnsw_ratio must be >= 2, got $v"); v
+    }
+    def hnswLevels: Int = pos("nndescent.hnsw_levels", 2)
+    def hnswUpRounds: Int = {
+      val v = int("nndescent.hnsw_up_rounds", 2)
+      require(v >= 0,
+        s"nndescent.hnsw_up_rounds must be >= 0, got $v"); v
+    }
+    def hnswUpBeam: Int = pos("nndescent.hnsw_up_beam", 4)
+    def hnswUpHops: Int = {
+      val v = int("nndescent.hnsw_up_hops", 1)
+      require(v >= 0,
+        s"nndescent.hnsw_up_hops must be >= 0, got $v"); v
+    }
+    def hnswBeam: Int = pos("nndescent.hnsw_beam", 12)
+    def hnswHops: Int = {
+      val v = int("nndescent.hnsw_hops", 4)
+      require(v >= 0, s"nndescent.hnsw_hops must be >= 0, got $v"); v
+    }
+    /** Confined repair rounds after an incremental batch insert
+      * (NnDescent.incrInsert — the graph index's add-without-retrain
+      * rung): per-round work is bounded by the batch's blast radius
+      * (touched ∪ adjacent pivots), so small counts stay cheap at any
+      * corpus size. */
+    def incrRounds: Int = {
+      val v = int("nndescent.incr_rounds", 2)
+      require(v >= 0,
+        s"nndescent.incr_rounds must be >= 0, got $v"); v
     }
   }
 

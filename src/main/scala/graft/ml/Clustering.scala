@@ -35,7 +35,11 @@ object Clustering {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec = graft.ops.Pools.jobs
-    val feat = df.cache()
+    // CacheReg, not a bare .cache(): the returned frame is
+    // best.transform(feat), so the cache backs a LAZY result the
+    // caller still references — only Stage.clear()'s CacheReg sweep
+    // can release it (the Dedup library-internal-cache contract)
+    val feat = graft.ops.CacheReg.cached(df)
     feat.count() // materialize once so concurrent fits share the cache
     val fits = Await.result(
       Future.traverse((0 until nInit).toList) { i =>

@@ -87,14 +87,39 @@ object PowerPca {
       .setScale(18, BigDecimal.RoundingMode.HALF_UP) }
       .sum.toDouble
 
+  /** Partition width for the fit pass over the N×d exploded frame:
+    * ceil(N·d / pca.rows_per_task), clamped to [1, defaultParallelism]
+    * — the Hmm.scala nPart pattern. The exploded frame is CORPUS-sized
+    * (every power round scans it twice), so a fixed width would cap
+    * the cluster; this keeps the fixture at its measured 8-task knee
+    * and saturates defaultParallelism at scale (PlanAuditSpec locks
+    * both ends). */
+  def fitPartitions(n: Long, dims: Int, parallelism: Int): Int =
+    math.max(1, math.min(parallelism,
+      math.ceil(n.toDouble * dims /
+        graft.Settings.pca.rowsPerTask).toInt))
+
   /** Fit `nComponents` principal components with `iters` power rounds
     * each. Driver actions: 2 setup + iters per component, each
     * collecting ≤ dims+1 rows (the w roll-up + the Σy slot at
-    * i = −1, the QualityClf bias-slot trick). */
-  def fit(emb: DataFrame, nComponents: Int, iters: Int): Fit = {
-    val px = exploded(emb).coalesce(8).localCheckpoint()
+    * i = −1, the QualityClf bias-slot trick). `expectDims`, when
+    * given, is the dimension the UNROLLED ORACLE was generated for
+    * (`ann.embedding_dim`): the fit refuses a corpus whose real dim
+    * differs, instead of silently fitting init vectors of another
+    * length than the oracle's (the mrlDims validation discipline). */
+  def fit(emb: DataFrame, nComponents: Int, iters: Int,
+      expectDims: Option[Int] = None): Fit = {
     val n = emb.count()
-    val dims = px.agg(max("i")).head().getInt(0) + 1
+    val probeDims = exploded(emb).agg(max("i")).head().getInt(0) + 1
+    expectDims.foreach(d => require(probeDims == d,
+      s"pca oracle dimension $d (ann.embedding_dim) != corpus " +
+        s"dimension $probeDims — the unrolled oracle's init vectors " +
+        "would silently diverge; fix the knob"))
+    val dims = probeDims
+    val px = exploded(emb)
+      .coalesce(fitPartitions(n, dims,
+        emb.sparkSession.sparkContext.defaultParallelism))
+      .localCheckpoint()
     // per-dim decimal sums -> double means (u/n in IEEE doubles)
     val u = px.groupBy("i")
       .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("u"))

@@ -221,6 +221,15 @@ object TextQueries extends QueryModule {
         KnDiscount)
     }
 
+  /** Shared interpolated-KN TRIGRAM scoring stage (the KenLM order
+    * family above the bigram rung) — read by the kn3 report and the
+    * bigram-vs-trigram bucket-movement row. */
+  private[queries] def kn3Lp(s: SparkSession, dir: String): DataFrame =
+    Stage.cached(s, dir, "kn3_lp") {
+      graft.text.KneserNey.scoreTrigrams(t(s, dir, "documents"),
+        KnDiscount)
+    }
+
   /** Live Stupid-Backoff knobs + shared scoring stage: counts from
     * the standing index slice (doc_id % 5 ≠ 0, the family's batch
     * convention), scores over the incoming slice — read by the SB
@@ -337,6 +346,19 @@ object TextQueries extends QueryModule {
   private[queries] def bpeVocab(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "bpe_vocab") { bpeLearned(s, dir)._2 }
 
+  /** Byte-level BPE artifacts (GPT-2 alphabet — Bpe.learnBytes),
+    * memoized per sf dir like the char-level fit. */
+  private val bpeBytesMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[graft.text.Bpe.Merge], DataFrame)]
+  private[queries] def bpeBytesLearned(s: SparkSession, dir: String)
+      : (Seq[graft.text.Bpe.Merge], DataFrame) =
+    bpeBytesMemo.getOrElseUpdate(dir,
+      graft.text.Bpe.learnBytes(t(s, dir, "documents"), BpeMerges))
+
+  private[queries] def bpeBytesVocab(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "bpe_bytes_vocab") { bpeBytesLearned(s, dir)._2 }
+
   // ---- Unigram-LM (SentencePiece) tokenizer: live knobs, memoized
   // fit, oracle chain
 
@@ -439,6 +461,85 @@ object TextQueries extends QueryModule {
   private[queries] def nndServeCtes: String =
     graft.text.NnDescent.oracleServeCtes(NndRounds, AnnK, NndBeam,
       NndHops)
+
+  // ---- HNSW-style hierarchy over the NN-Descent graph: live knobs,
+  // staged layer graphs, staged hierarchical serve
+
+  private[queries] def HnswRatio = graft.Settings.nndescent.hnswRatio
+  private[queries] def HnswLevels = graft.Settings.nndescent.hnswLevels
+  private[queries] def HnswUpRounds =
+    graft.Settings.nndescent.hnswUpRounds
+  private[queries] def HnswUpBeam = graft.Settings.nndescent.hnswUpBeam
+  private[queries] def HnswUpHops = graft.Settings.nndescent.hnswUpHops
+  private[queries] def HnswBeam = graft.Settings.nndescent.hnswBeam
+  private[queries] def HnswHops = graft.Settings.nndescent.hnswHops
+
+  /** Layer graphs 1..hnsw_levels (NnDescent.buildLayers), one Stage
+    * artifact per level. */
+  private[queries] def hnswLayers(s: SparkSession, dir: String)
+      : Seq[DataFrame] =
+    (1 to HnswLevels).map { l =>
+      Stage.cached(s, dir, s"hnsw_layer$l") {
+        graft.text.NnDescent.buildSubset(
+          t(s, dir, "embeddings").filter(
+            graft.text.NnDescent.layerPred(col("vec_id"), l,
+              HnswRatio)),
+          NndK, HnswUpRounds, salt = s"hnswb$l")
+      }
+    }
+
+  /** Hierarchically-served results (qid, vid, cos_sim, rnk, n_scored)
+    * — read by the serve row, the recall row, and the flat-vs-hier
+    * A/B. */
+  private[queries] def hnswServed(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "hnsw_served") {
+      graft.text.NnDescent.serveHier(t(s, dir, "embeddings"),
+        nndGraph(s, dir), hnswLayers(s, dir), col("vec_id") < 8,
+        AnnK, HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio)
+    }
+
+  // ---- incremental NND graph maintenance: live knob, staged base
+  // graph + incrementally-repaired graph
+
+  private[queries] def NndIncrRounds =
+    graft.Settings.nndescent.incrRounds
+
+  /** Base graph on the standing index slice (vec_id < ann.incr_base —
+    * the IVF family's split convention): the FROZEN artifact the
+    * batch inserts against. */
+  private[queries] def nndBaseGraph(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "nnd_base_graph") {
+      graft.text.NnDescent.build(
+        t(s, dir, "embeddings").filter(col("vec_id") < IncrBase),
+        NndK, NndRounds)
+    }
+
+  /** Incrementally-maintained graph: vec_id >= incr_base seeded by
+    * beam search over the frozen base graph, then confined repair
+    * rounds — read by the graph row and the drift row. */
+  private[queries] def nndIncrGraph(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "nnd_incr_graph") {
+      graft.text.NnDescent.incrInsert(t(s, dir, "embeddings"),
+        nndBaseGraph(s, dir), IncrBase, NndK, NndBeam, NndHops,
+        NndIncrRounds)
+    }
+
+  private[queries] def nndIncrCtes: String =
+    graft.text.NnDescent.oracleIncrCtes(NndK, NndRounds, NndBeam,
+      NndHops, NndIncrRounds, IncrBase)
+
+  private[queries] def hnswLayerCtes: String =
+    (1 to HnswLevels).map(l => graft.text.NnDescent
+      .oracleLayerCtes(l, HnswRatio, NndK, HnswUpRounds).trim)
+      .mkString(",\n      ")
+
+  private[queries] def hnswServeChainCtes: String =
+    graft.text.NnDescent.oracleHierServeCtes(NndRounds, AnnK,
+      HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio,
+      HnswLevels, HnswUpRounds)
 
   // ---- WordPiece tokenizer: live knobs, memoized fit, oracle chain
 
@@ -1517,6 +1618,62 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // BYTE-LEVEL BPE, learn phase (the GPT-2 production encoder —
+    // Radford et al. 2019: Sennrich's algorithm over the byte
+    // alphabet under the bytes_to_unicode remap, so the base
+    // vocabulary covers EVERY input and no [UNK] path exists by
+    // construction — the fourth tokenizer family arm). Same merge
+    // loop, oracle-unrolled per round; the remap table itself is a
+    // CTE the oracle derives from the same rank rule the engine
+    // compiles. On this printable-ASCII fixture the remap is the
+    // identity on every occurring byte, so the merge table equals
+    // q_t_bpe_learn's — the arm's value is the total alphabet
+    // (control-byte and no-unk paths are spec-locked in BpeSpec).
+    Q("q_t_bpe_bytes_learn", Some(s"""
+      WITH ${graft.text.Bpe.oracleBytesCtes(BpeMerges)}
+      SELECT merge_rank, a AS left_sym, b AS right_sym,
+             cnt AS pair_count
+      FROM bymerges ORDER BY merge_rank""")) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      bpeBytesLearned(s, dir)._1
+        .map(m => (m.rank, m.left, m.right, m.count))
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("merge_rank")
+    },
+
+    // BYTE-LEVEL BPE, encode phase: per-doc piece accounting against
+    // the byte-alphabet vocabulary (the q_t_bpe_encode shape — one
+    // broadcast vocab join, megabytes of vocab vs a streaming
+    // corpus).
+    Q("q_t_bpe_bytes_encode", Some(s"""
+      WITH ${graft.text.Bpe.oracleBytesCtes(BpeMerges)},
+      bytk AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
+          FROM documents) WHERE word <> ''),
+      byenc AS (
+        SELECT t.doc_id, len(w.s) AS np
+        FROM bytk t JOIN byw_$BpeMerges w ON t.word = w.word)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(np) AS BIGINT) AS n_pieces,
+             round(CAST(sum(np) AS DOUBLE) / count(*), 9)
+               AS pieces_per_word
+      FROM byenc GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val tok = t(s, dir, "documents").select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      val vocab = bpeBytesVocab(s, dir)
+        .select(col("word"), size(col("syms")).as("np"))
+      tok.join(vocab, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_pieces"),
+          round(sum("np").cast("double") / count(lit(1)), 9)
+            .as("pieces_per_word"))
+        .orderBy("doc_id")
+    },
+
     // Tokenizer fertility per language (the mT5/XLM-R tokenizer-
     // fairness metric): pieces-per-word of the learned BPE by
     // language, plus chars-per-piece — the dial that shows which
@@ -1723,15 +1880,20 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // Tokenizer A/B/C — BPE vs unigram-LM vs WordPiece on the same
-    // corpus: emitted vocabulary size (distinct pieces actually
-    // used), total word occurrences, total pieces, fertility (pieces
-    // per word occurrence), and chars-per-piece (compression). The
-    // row a tokenizer owner reads to pick the family; all three
-    // tokenizations come from the SAME shared fitted artifacts the
-    // learn/encode rows already hash-check.
+    // Tokenizer A/B/C/D — BPE vs byte-level BPE vs unigram-LM vs
+    // WordPiece on the same corpus: emitted vocabulary size (distinct
+    // pieces actually used), total word occurrences, total pieces,
+    // fertility (pieces per word occurrence), and chars-per-piece
+    // (compression). The row a tokenizer owner reads to pick the
+    // family; all four tokenizations come from the SAME shared fitted
+    // artifacts the learn/encode rows already hash-check. On this
+    // printable-ASCII fixture the byte arm's stats equal the char
+    // arm's by construction (identity remap) — what the byte arm buys
+    // is the [UNK]-free total alphabet, visible against wordpiece's
+    // n_unk accounting, not against char BPE here.
     Q("q_t_tokenizer_ab", Some(s"""
       WITH ${graft.text.Bpe.oracleCtes(BpeMerges)},
+      ${graft.text.Bpe.oracleBytesCtes(BpeMerges).trim},
       $unigramCtes,
       $wordpieceCtes,
       abtk AS (
@@ -1741,6 +1903,9 @@ object TextQueries extends QueryModule {
       abbpe AS (
         SELECT t.word, w.s AS pieces
         FROM abtk t JOIN bw_$BpeMerges w ON t.word = w.word),
+      abbyt AS (
+        SELECT t.word, w.s AS pieces
+        FROM abtk t JOIN byw_$BpeMerges w ON t.word = w.word),
       abuni AS (
         SELECT t.word, w.segs AS pieces
         FROM abtk t JOIN uenc_fin w ON t.word = w.word),
@@ -1748,6 +1913,18 @@ object TextQueries extends QueryModule {
         SELECT t.word, w.segs AS pieces
         FROM abtk t JOIN wpenc_fin w ON t.word = w.word),
       abstat AS (
+        SELECT 'bpe_bytes' AS tokenizer,
+               (SELECT count(DISTINCT piece) FROM
+                 (SELECT unnest(pieces) AS piece FROM abbyt))
+                 AS n_vocab_used,
+               CAST(count(*) AS BIGINT) AS n_word_occurrences,
+               CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+               round(CAST(sum(len(pieces)) AS DOUBLE) / count(*), 9)
+                 AS fertility,
+               round(CAST(sum(len(word)) AS DOUBLE)
+                 / sum(len(pieces)), 9) AS chars_per_piece
+        FROM abbyt
+        UNION ALL
         SELECT 'bpe' AS tokenizer,
                (SELECT count(DISTINCT piece) FROM
                  (SELECT unnest(pieces) AS piece FROM abbpe))
@@ -1802,11 +1979,14 @@ object TextQueries extends QueryModule {
       }
       val bpe = bpeVocab(s, dir)
         .select(col("word"), col("syms").as("pieces"))
+      val byt = bpeBytesVocab(s, dir)
+        .select(col("word"), col("syms").as("pieces"))
       val uni = uniLearned(s, dir).wordSegs
         .select(col("word"), col("segs").as("pieces"))
       val wp = wpSegs(s, dir)
         .select(col("word"), col("segs").as("pieces"))
-      stats("bpe", bpe).unionByName(stats("unigram", uni))
+      stats("bpe", bpe).unionByName(stats("bpe_bytes", byt))
+        .unionByName(stats("unigram", uni))
         .unionByName(stats("wordpiece", wp))
         .orderBy("tokenizer")
     },
@@ -3252,6 +3432,113 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Interpolated Kneser-Ney TRIGRAM scoring (KneserNey.scoreTrigrams
+    // scaladoc — the actual KenLM order family: CCNet's filter is a
+    // 5-gram KN model, and the trigram rung is where the
+    // continuation-count construction starts composing across orders).
+    // The middle order redistributes by trigram-type continuation
+    // counts — KN's idea applied one order up — and both
+    // interpolations telescope to Σ P = 1 (spec-locked). Same count-
+    // table equi-join scale shape as the bigram rung, one more count
+    // shuffle.
+    Q("q_t_kn3_lp", Some(s"""
+      WITH ${graft.text.KneserNey.oracleCtes3(KnDiscount)}
+      SELECT doc_id, lang, n_trigrams,
+             round(avg_lp, 9) AS avg_logprob_kn3,
+             round(min_lp, 9) AS min_logprob_kn3
+      FROM kn3d ORDER BY doc_id""")) { (s, dir) =>
+      kn3Lp(s, dir).select(col("doc_id"), col("lang"),
+        col("n_trigrams"),
+        round(col("avg_lp"), 9).as("avg_logprob_kn3"),
+        round(col("min_lp"), 9).as("min_logprob_kn3"))
+        .orderBy("doc_id")
+    },
+
+    // KN bigram vs KN trigram bucket-movement matrix — the
+    // q_t_ppl_agreement discipline applied WITHIN the KN family: how
+    // much does the ORDER upgrade (not the smoothing) move the CCNet
+    // gate. Docs with fewer than three tokens have no trigram score
+    // and drop from the matrix (inner join — both verdicts must
+    // exist to compare); each model buckets by its own per-language
+    // ceil-rank terciles over its own scored population.
+    Q("q_t_kn3_agreement", Some(s"""
+      WITH ${graft.text.KneserNey.oracleCtes(KnDiscount)},
+      ${graft.text.KneserNey.oracleCtes3(KnDiscount).trim},
+      k2d AS (
+        SELECT doc_id, lang, round(exp(-avg_lp), 6) AS ppl FROM knd),
+      k2r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM k2d),
+      k2cut AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut1,
+               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut2
+        FROM k2r GROUP BY 1),
+      k2a AS (
+        SELECT d.doc_id,
+               CASE WHEN d.ppl <= c.cut1 THEN 'head'
+                    WHEN d.ppl <= c.cut2 THEN 'middle'
+                    ELSE 'tail' END AS b2
+        FROM k2d d JOIN k2cut c USING (lang)),
+      k3d2 AS (
+        SELECT doc_id, lang, round(exp(-avg_lp), 6) AS ppl FROM kn3d),
+      k3r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM k3d2),
+      k3cut AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut1,
+               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut2
+        FROM k3r GROUP BY 1),
+      k3a AS (
+        SELECT d.doc_id,
+               CASE WHEN d.ppl <= c.cut1 THEN 'head'
+                    WHEN d.ppl <= c.cut2 THEN 'middle'
+                    ELSE 'tail' END AS b3
+        FROM k3d2 d JOIN k3cut c USING (lang)),
+      k23m AS (
+        SELECT a.b2 AS bucket_kn2, b.b3 AS bucket_kn3,
+               count(*) AS n_docs
+        FROM k2a a JOIN k3a b USING (doc_id) GROUP BY 1, 2),
+      k23t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM k23m)
+      SELECT bucket_kn2, bucket_kn3,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             round(n_docs / k23t.tot, 9) AS share
+      FROM k23m CROSS JOIN k23t
+      ORDER BY bucket_kn2, bucket_kn3""")) { (s, dir) =>
+      def bucketed(d: DataFrame, out: String): DataFrame = {
+        val cuts = d.groupBy("lang").agg(
+          percentile_approx(col("ppl"),
+            array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
+        d.join(broadcast(cuts), "lang")
+          .select(col("doc_id"),
+            when(col("ppl") <= element_at(col("qs"), 1), "head")
+              .when(col("ppl") <= element_at(col("qs"), 2), "middle")
+              .otherwise("tail").as(out))
+      }
+      val a2 = bucketed(knLp(s, dir).select(col("doc_id"), col("lang"),
+        round(exp(-col("avg_lp")), 6).as("ppl")), "bucket_kn2")
+      val a3 = bucketed(kn3Lp(s, dir).select(col("doc_id"),
+        col("lang"), round(exp(-col("avg_lp")), 6).as("ppl")),
+        "bucket_kn3")
+      val m = a2.join(a3, "doc_id")
+        .groupBy("bucket_kn2", "bucket_kn3")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = m.agg(sum("n_docs").cast("double").as("tot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("bucket_kn2"), col("bucket_kn3"), col("n_docs"),
+          round(col("n_docs") / col("tot"), 9).as("share"))
+        .orderBy("bucket_kn2", "bucket_kn3")
+    },
+
     // Document chunking for context windows: 64-token chunks with
     // 8-token overlap (stride 56). Pure per-doc arithmetic + explode —
     // embarrassingly parallel at corpus scale; spans are emitted as
@@ -3886,6 +4173,233 @@ object TextQueries extends QueryModule {
           round(col("n_hits").cast("double") / col("n_true"), 9)
             .as("recall"), col("n_scored"))
         .orderBy("qid")
+    },
+
+    // INCREMENTAL NN-Descent graph maintenance (NnDescent.incrInsert
+    // — the graph index's q_e_index_incr analog): the new-doc batch
+    // (vec_id >= incr_base) seeds its edges by beam search over the
+    // FROZEN base graph (entries drawn from old nodes only), then
+    // confined local-join rounds repair the affected neighborhoods —
+    // work proportional to the batch's blast radius, never a rebuild.
+    // The oracle re-walks the base build, the seed descent, and every
+    // confined round; incremental ≡ rebuild recall is spec-locked in
+    // NnDescentSpec.
+    Q("q_e_nnd_incr", Some(s"""
+      WITH $nndIncrCtes
+      SELECT node, nbr, cos_sim, rnk FROM ingf
+      ORDER BY node, rnk""")) { (s, dir) =>
+      nndIncrGraph(s, dir)
+        .select(col("node"), col("nbr"), col("cos_sim"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("node", "rnk")
+    },
+
+    // Incremental-graph DRIFT accounting — the q_e_index_drift analog
+    // for the graph index: how far did the batch insert move the OLD
+    // nodes' neighborhoods (edge-set overlap vs the frozen base
+    // graph) and how big is the new population. The dial an index
+    // owner reads to decide incremental-vs-rebuild: high old-node
+    // churn means the batch is reshaping the graph and a rebuild is
+    // due.
+    Q("q_e_nnd_drift", Some(s"""
+      WITH $nndIncrCtes,
+      dfb AS (SELECT node, nbr FROM inbk$NndRounds),
+      dff AS (SELECT node, nbr FROM ingf WHERE node < $IncrBase),
+      dfo AS (
+        SELECT b.node,
+               CAST(count(*) AS BIGINT) AS n_base,
+               CAST(count(f.nbr) AS BIGINT) AS n_kept
+        FROM dfb b LEFT JOIN dff f
+          ON f.node = b.node AND f.nbr = b.nbr
+        GROUP BY 1)
+      SELECT CAST((SELECT count(DISTINCT node) FROM dfb) AS BIGINT)
+               AS n_old,
+             CAST((SELECT count(*) FROM embeddings
+                   WHERE vec_id >= $IncrBase) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN n_kept < n_base THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_old_changed,
+             round(CAST(sum(CASE WHEN n_kept < n_base THEN 1 ELSE 0
+               END) AS DOUBLE) / count(*), 9) AS changed_frac,
+             round(CAST(sum(CAST(n_kept AS DOUBLE) / n_base)
+               AS DOUBLE) / count(*), 9) AS avg_edge_overlap
+      FROM dfo""")) { (s, dir) =>
+      val base = nndBaseGraph(s, dir).select("node", "nbr")
+      val fin = nndIncrGraph(s, dir)
+        .filter(col("node") < IncrBase).select("node", "nbr")
+        .withColumn("kept", lit(1L))
+      val nNew = t(s, dir, "embeddings")
+        .filter(col("vec_id") >= IncrBase)
+        .agg(count(lit(1)).as("n_new"))
+      val dfo = base.join(fin, Seq("node", "nbr"), "left")
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_base"),
+          sum(coalesce(col("kept"), lit(0L))).as("n_kept"))
+      dfo.agg(
+          countDistinct("node").as("n_old"),
+          sum(when(col("n_kept") < col("n_base"), 1L).otherwise(0L))
+            .as("n_old_changed"),
+          round(sum(when(col("n_kept") < col("n_base"), 1.0)
+            .otherwise(0.0)) / count(lit(1)), 9).as("changed_frac"),
+          round(sum(col("n_kept").cast("double") / col("n_base"))
+            / count(lit(1)), 9).as("avg_edge_overlap"))
+        .crossJoin(broadcast(nNew))
+        .select(col("n_old"), col("n_new"), col("n_old_changed"),
+          col("changed_frac"), col("avg_edge_overlap"))
+    },
+
+    // HNSW-style HIERARCHICAL serving (NnDescent.serveHier — Malkov &
+    // Yashunin 2016, run over NN-Descent layer graphs): nested
+    // md5-sampled layers each carry their own bucket-init NND graph;
+    // a query coarse-scans the (N/ratio^levels)-node top layer, beam-
+    // descends layer to layer, and finishes on the base graph — the
+    // O(log N) entry the flat serve's md5-random entries lack. The
+    // oracle re-walks every layer build AND every descent hop.
+    Q("q_e_hnsw_serve", Some(s"""
+      WITH $nndCtes,
+      $hnswLayerCtes,
+      $hnswServeChainCtes
+      SELECT qid, vid, cos_sim, rnk FROM hsrv
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      hnswServed(s, dir)
+        .select(col("qid"), col("vid"), col("cos_sim"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("qid", "rnk")
+    },
+
+    // Hierarchical served recall vs cost — the q_e_nnd_serve_recall
+    // twin for the layered index: per query, recall against the exact
+    // top-k plus the count of DISTINCT candidates ever scored across
+    // ALL layers (coarse scan included — honest accounting; the A/B
+    // against the flat serve is q_e_hnsw_ab).
+    Q("q_e_hnsw_serve_recall", Some(s"""
+      WITH $nndCtes,
+      $hnswLayerCtes,
+      $hnswServeChainCtes,
+      hstr AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+               sum(a.x * b.x) AS dot
+        FROM ndex a JOIN ndex b ON a.i = b.i
+          AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+        GROUP BY 1, 2),
+      hstt AS (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                     d.vid) AS rnk
+          FROM hstr d JOIN ndnrm na ON na.vec_id = d.qid
+                      JOIN ndnrm nb ON nb.vec_id = d.vid)
+        WHERE rnk <= $AnnK)
+      SELECT t.qid,
+             CAST(count(s.vid) AS BIGINT) AS n_hits,
+             CAST(count(*) AS BIGINT) AS n_true,
+             round(CAST(count(s.vid) AS DOUBLE) / count(*), 9)
+               AS recall,
+             any_value(a.n_scored) AS n_scored
+      FROM hstt t
+      LEFT JOIN hsrv s ON s.qid = t.qid AND s.vid = t.vid
+      JOIN hsall a ON a.qid = t.qid
+      GROUP BY 1 ORDER BY t.qid""")) { (s, dir) =>
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid"))
+      val served = hnswServed(s, dir)
+      val hits = served.select(col("qid"), col("vid"))
+        .withColumn("hit", lit(1L))
+      val nsc = served.groupBy("qid")
+        .agg(first(col("n_scored")).as("n_scored"))
+      truth.join(hits, Seq("qid", "vid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("n_true"))
+        .join(nsc, Seq("qid"))
+        .select(col("qid"), col("n_hits"), col("n_true"),
+          round(col("n_hits").cast("double") / col("n_true"), 9)
+            .as("recall"), col("n_scored"))
+        .orderBy("qid")
+    },
+
+    // Flat vs hierarchical serving A/B — the frontier row the
+    // hierarchy exists for: per arm, average recall@k against the
+    // exact truth and the average/total DISTINCT candidates scored,
+    // same k, same corpus, same shared artifacts. Measured at the
+    // committed knee: at the sf0.01 gate scale the hierarchy reaches
+    // EQUAL recall at fewer scored candidates (0.775 @ 186 vs flat
+    // 0.775 @ 228 — 18% less), because descent entries land near the
+    // query; on the sf0.001 draw (closer to i.i.d. — the
+    // non-navigable case) it reads 0.65 @ 190 vs 0.75 @ 216:
+    // concentrated entries there lose more to reduced exploration
+    // diversity than they gain in proximity (8 knob combos measured
+    // before pinning). The structural claim is vs N — coarse entry
+    // cost is a knob (N/ratio^levels) where flat hops must grow.
+    Q("q_e_hnsw_ab", Some(s"""
+      WITH $nndCtes,
+      $nndServeCtes,
+      $hnswLayerCtes,
+      $hnswServeChainCtes,
+      abtr AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+               sum(a.x * b.x) AS dot
+        FROM ndex a JOIN ndex b ON a.i = b.i
+          AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+        GROUP BY 1, 2),
+      abtt AS (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                     d.vid) AS rnk
+          FROM abtr d JOIN ndnrm na ON na.vec_id = d.qid
+                      JOIN ndnrm nb ON nb.vec_id = d.vid)
+        WHERE rnk <= $AnnK),
+      abarm AS (
+        SELECT 'flat' AS arm, t.qid,
+               CAST(count(s.vid) AS DOUBLE) / count(*) AS recall,
+               any_value(a.n_scored) AS n_scored
+        FROM abtt t
+        LEFT JOIN nsrv s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN nsall a ON a.qid = t.qid
+        GROUP BY 2
+        UNION ALL
+        SELECT 'hier', t.qid,
+               CAST(count(s.vid) AS DOUBLE) / count(*),
+               any_value(a.n_scored)
+        FROM abtt t
+        LEFT JOIN hsrv s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN hsall a ON a.qid = t.qid
+        GROUP BY 2)
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_queries,
+             round(avg(recall), 9) AS avg_recall,
+             round(avg(CAST(n_scored AS DOUBLE)), 9) AS avg_scored,
+             CAST(sum(n_scored) AS BIGINT) AS total_scored
+      FROM abarm GROUP BY 1 ORDER BY arm""")) { (s, dir) =>
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid"))
+      def arm(name: String, served: DataFrame): DataFrame = {
+        val hits = served.select(col("qid"), col("vid"))
+          .withColumn("hit", lit(1L))
+        val nsc = served.groupBy("qid")
+          .agg(first(col("n_scored")).as("n_scored"))
+        truth.join(hits, Seq("qid", "vid"), "left")
+          .groupBy("qid")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+            / count(lit(1))).as("recall"))
+          .join(nsc, Seq("qid"))
+          .select(lit(name).as("arm"), col("qid"), col("recall"),
+            col("n_scored"))
+      }
+      arm("flat", nndServed(s, dir))
+        .unionByName(arm("hier", hnswServed(s, dir)))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg("recall"), 9).as("avg_recall"),
+          round(avg(col("n_scored").cast("double")), 9)
+            .as("avg_scored"),
+          sum("n_scored").cast("long").as("total_scored"))
+        .orderBy("arm")
     },
 
     // Per-label centroid geometry (posexplode → per-dim means → norms)

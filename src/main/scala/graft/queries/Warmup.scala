@@ -134,6 +134,8 @@ object Warmup {
       // vocabulary) — a tokenizer-training artifact, built once here
       // so its round chain overlaps the other roots
       "bpeVocab" -> (() => TextQueries.bpeVocab(spark, dir).count()),
+      "bpeBytesVocab" ->
+        (() => TextQueries.bpeBytesVocab(spark, dir).count()),
       // the frozen incremental-tokenizer state (index-only learn)
       "bpeIncrVocab" ->
         (() => TextQueries.bpeIncrVocab(spark, dir).count()),

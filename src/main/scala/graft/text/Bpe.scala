@@ -97,6 +97,83 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
+  /** GPT-2 byte→printable-unicode remap (Radford et al. 2019,
+    * encoder.py `bytes_to_unicode`): printable non-space bytes
+    * (33–126, 161–172, 174–255) map to their own code point; every
+    * other byte b maps to chr(256 + rank of b among the remapped, in
+    * byte order) — so every byte has a visible single-character
+    * symbol and the BPE alphabet covers ALL inputs ([UNK]-free by
+    * construction, unlike WordPiece's all-or-nothing rule). The
+    * engine consumes the ≤ 0x7F prefix (see [[byteSyms]]); the full
+    * table is kept so the prefix provably matches GPT-2's ranks
+    * (non-printables ≤ 127 come first in byte order). */
+  val ByteRemap: IndexedSeq[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    IndexedSeq.tabulate(256) { b =>
+      if (keep(b)) b.toChar.toString
+      else { val s = (256 + n).toChar.toString; n += 1; s }
+    }
+  }
+
+  /** Byte symbols of a word under [[ByteRemap]] — the byte-level
+    * initial alphabet. CONTRACT (the winnow/phash byte ≡ code-point
+    * convention): callers must have refused any character above 0x7F
+    * ([[learnBytes]] does), because above ASCII a CHARACTER is not a
+    * BYTE (multi-byte UTF-8) and both engines iterate characters; a
+    * production byte-level variant iterates real UTF-8 bytes with the
+    * same remap, same algorithm. */
+  def byteSyms(word: Column): Column = {
+    val remap = map((0 to 127)
+      .flatMap(b => Seq(lit(b), lit(ByteRemap(b)))): _*)
+    // out-of-domain code points surface as a LOUD sentinel (the
+    // oracle's coalesce(m.sym, '[NON_BYTE]') twin) — learnBytes
+    // refuses them up front; the map-only serving path can't afford
+    // an extra refusal action and fails by hash instead
+    transform(charSyms(word),
+      c => coalesce(element_at(remap, ascii(c)), lit("[NON_BYTE]")))
+  }
+
+  /** Byte-level twin of [[applyMerges]]: frozen-merge apply over
+    * [[byteSyms]] initial symbols — the serving path for unseen text
+    * under the byte alphabet. Total by construction: every ASCII
+    * byte has a base symbol, so every input segments (no [UNK] rule
+    * anywhere — the byte-level selling point). */
+  def applyMergesBytes(words: DataFrame, merges: Seq[Merge])
+      : DataFrame =
+    merges.sortBy(_.rank).foldLeft(
+      words.select(col("word"), byteSyms(col("word")).as("syms"))
+        .localCheckpoint()) { (df, m) =>
+      df.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
+        .localCheckpoint()
+    }
+
+  /** Learn `nMerges` merges over the BYTE-level alphabet — the GPT-2
+    * production encoder's variant of [[learn]]: identical merge loop,
+    * different initial symbols ([[byteSyms]]). Refuses a corpus with
+    * any code point above 0x7F (the [[byteSyms]] contract — the
+    * oracle's remap join is defined on the byte domain only; it emits
+    * a loud `[NON_BYTE]` sentinel rather than a silent wrong symbol).
+    * On a printable-ASCII corpus (the fixture) the remap is the
+    * identity on every occurring byte, so the learned merges equal
+    * [[learn]]'s — the operator's value is the total alphabet:
+    * EVERY input byte string encodes (BpeSpec locks the control-byte
+    * path and the no-unk guarantee). */
+  def learnBytes(docs: DataFrame, nMerges: Int)
+      : (Seq[Merge], DataFrame) = {
+    val words0 = wordTable(docs)
+      .coalesce(graft.Settings.tuning.smallFrameParts)
+    val maxCp = words0
+      .select(explode(charSyms(col("word"))).as("c"))
+      .agg(max(ascii(col("c")))).head().getInt(0)
+    require(maxCp <= 127,
+      s"byte-level BPE requires a single-byte (ASCII) corpus here: " +
+        s"found code point $maxCp > 127 — char ≠ byte beyond ASCII " +
+        "(a production variant iterates real UTF-8 bytes)")
+    learnLoop(words0.withColumn("syms", byteSyms(col("word")))
+      .localCheckpoint(), nMerges)
+  }
+
   /** Learn `nMerges` merges over `docs`. Returns the merge table and
     * the final (word, freq, syms) vocabulary — the word → subword
     * encoding every consumer joins against. Throws if the corpus runs
@@ -106,12 +183,23 @@ object Bpe {
   def learn(docs: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     // coalesce the vocabulary: every round runs 2 actions (winner +
     // checkpoint) over it, and a distinct-word table is tiny next to
-    // the corpus — 8 partitions cut per-round task-launch overhead
-    // while keeping the rounds parallel
-    var words = wordTable(docs)
-      .coalesce(8)
+    // the corpus — a handful of partitions cuts per-round task-launch
+    // overhead while keeping the rounds parallel (width is the shared
+    // `tuning.small_frame_parts` knob: the frame is vocab-bounded, so
+    // a config constant is the right shape, unlike the corpus-sized
+    // PCA frame which sizes adaptively)
+    learnLoop(wordTable(docs)
+      .coalesce(graft.Settings.tuning.smallFrameParts)
       .withColumn("syms", charSyms(col("word")))
-      .localCheckpoint()
+      .localCheckpoint(), nMerges)
+  }
+
+  /** The shared merge loop over an initialized (word, freq, syms)
+    * vocabulary — char-level ([[learn]]) and byte-level
+    * ([[learnBytes]]) differ only in the initial alphabet. */
+  private def learnLoop(init: DataFrame, nMerges: Int)
+      : (Seq[Merge], DataFrame) = {
+    var words = init
     val merges = Seq.newBuilder[Merge]
     for (r <- 1 to nMerges) {
       val pairArr = when(size(col("syms")) >= 2,
@@ -200,7 +288,7 @@ object Bpe {
   def learnBatched(docs: DataFrame, nRounds: Int, batchM: Int,
       exactConflicts: Boolean = true): (Seq[BatchMerge], DataFrame) = {
     var words = wordTable(docs)
-      .coalesce(8)
+      .coalesce(graft.Settings.tuning.smallFrameParts)
       .withColumn("syms", charSyms(col("word")))
       .localCheckpoint()
     val merges = Seq.newBuilder[BatchMerge]
@@ -326,28 +414,80 @@ object Bpe {
         WHERE word <> '' GROUP BY word)"""
   }
 
-  def oracleCtes(nMerges: Int, docFilter: String = ""): String = {
-    val init = vocabCte("bw_0", docFilter)
+  /** The unrolled merge-round chain shared by the char- and
+    * byte-level learn oracles: from `${w}_0` (the initialized
+    * vocabulary) through `${p}$r` (pair counts), `${m}$r` (winner),
+    * `${w}_$r` (merged vocabulary), ending with `${mergesCte}` — the
+    * merge table union. Names are parameterized so both alphabets'
+    * chains can coexist in ONE WITH (the tokenizer A/B query). */
+  private def learnRoundsCtes(nMerges: Int, p: String, m: String,
+      w: String, tagPfx: String, mergesCte: String): String = {
     val rounds = (1 to nMerges).map { r =>
-      val prev = s"bw_${r - 1}"
+      val prev = s"${w}_${r - 1}"
       s"""
-      bp$r AS (
+      $p$r AS (
         SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
           SELECT freq, s[j + 1] AS a, s[j + 2] AS b FROM (
             SELECT freq, s, unnest(range(len(s) - 1)) AS j FROM $prev))
         GROUP BY 1, 2),
-      bm$r AS MATERIALIZED (
-        SELECT $r AS merge_rank, a, b, cnt FROM bp$r
+      $m$r AS MATERIALIZED (
+        SELECT $r AS merge_rank, a, b, cnt FROM $p$r
         ORDER BY cnt DESC, a, b LIMIT 1),""" +
-      applyBlock(prev, s"bw_$r", s"bm$r", r.toString)
+      applyBlock(prev, s"${w}_$r", s"$m$r", s"$tagPfx$r")
     }.mkString(",")
     val union = (1 to nMerges)
-      .map(r => s"SELECT merge_rank, a, b, cnt FROM bm$r")
+      .map(r => s"SELECT merge_rank, a, b, cnt FROM $m$r")
       .mkString("\n        UNION ALL ")
-    s"""$init,$rounds,
-      bmerges AS (
+    s"""$rounds,
+      $mergesCte AS (
         $union)"""
   }
+
+  def oracleCtes(nMerges: Int, docFilter: String = ""): String =
+    vocabCte("bw_0", docFilter) + "," +
+      learnRoundsCtes(nMerges, "bp", "bm", "bw", "", "bmerges")
+
+  /** Byte-alphabet vocabulary CTEs: the GPT-2 remap table `bymap`
+    * (the ≤ 0x7F prefix of [[ByteRemap]] — `keep` bytes map to their
+    * own chr, the rest to chr(256 + byte-order rank); the engine
+    * refused anything above ASCII), then `byw_0(word, freq, s)` with
+    * each character mapped through it. An out-of-domain code point
+    * LEFT-joins to the loud `[NON_BYTE]` sentinel so a contract
+    * violation hash-fails instead of silently mis-mapping. */
+  def byteVocabCtes(docFilter: String = ""): String = {
+    val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
+    s"""
+      bymap AS MATERIALIZED (
+        SELECT b, CASE WHEN b BETWEEN 33 AND 126
+                       THEN chr(CAST(b AS INT))
+                       ELSE chr(CAST(256 + row_number() OVER (
+                         PARTITION BY b BETWEEN 33 AND 126
+                         ORDER BY b) - 1 AS INT)) END AS sym
+        FROM range(128) t(b)),
+      bywt AS MATERIALIZED (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest($ToksSql) AS word FROM documents$where)
+        WHERE word <> '' GROUP BY 1),
+      bywc AS (
+        SELECT word,
+               generate_subscripts(string_split(word, ''), 1) AS j,
+               unicode(unnest(string_split(word, ''))) AS cp
+        FROM bywt),
+      byw_0 AS MATERIALIZED (
+        SELECT c.word, any_value(t.freq) AS freq,
+               list(coalesce(m.sym, '[NON_BYTE]') ORDER BY c.j) AS s
+        FROM bywc c
+        LEFT JOIN bymap m ON m.b = c.cp
+        JOIN bywt t ON t.word = c.word
+        GROUP BY c.word)"""
+  }
+
+  /** Unrolled byte-level learn oracle — [[byteVocabCtes]] + the same
+    * round chain as [[oracleCtes]] under `by*` names, ending at
+    * `bymerges` and `byw_$nMerges`. */
+  def oracleBytesCtes(nMerges: Int, docFilter: String = ""): String =
+    byteVocabCtes(docFilter) + "," +
+      learnRoundsCtes(nMerges, "byp", "bym", "byw", "by", "bymerges")
 
   /** Frozen-merge APPLY chain: run the already-learned bm1..bmN (from
     * an [[oracleCtes]] emitted earlier in the same WITH) over a

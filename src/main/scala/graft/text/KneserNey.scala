@@ -104,6 +104,148 @@ object KneserNey {
            + CAST($discount AS DOUBLE) * x.n1f * (b.n1b / t.n_types))
            / x.ctx)"""
 
+  /** Per-doc interpolated KN TRIGRAM scoring `(doc_id, lang,
+    * n_trigrams, avg_lp, min_lp)` with RAW doubles — the actual KenLM
+    * order family above the bigram rung (Chen & Goodman 1998's
+    * modified-lower-order construction at one shared discount D):
+    *
+    *   P₃(w3|w1w2) = (max(c(w1w2w3) − D, 0)
+    *                  + D · N1+(w1w2·) · P₂(w3|w2)) / c(w1w2·)
+    *   P₂(w3|w2)   = (max(N1+(·w2w3) − D, 0)
+    *                  + D · N1+(w2·) · P_cont(w3)) / N1+(·w2·)
+    *   P_cont(w3)  = N1+(·w3) / N1+(··)      (bigram types, as in
+    *                                          the bigram model)
+    *
+    * The MIDDLE order counts CONTINUATIONS, not occurrences —
+    * N1+(·w2w3) = distinct left contexts of (w2,w3) — which is KN's
+    * defining idea applied one order up; both interpolations
+    * telescope to Σ_w3 P = 1 per context (KneserNeySpec locks the
+    * trigram level against a driver recomputation). Every count is
+    * an exact integer aggregation; the probability is ONE
+    * fixed-parenthesization IEEE expression ([[oracleLp3Sql]]); ln
+    * stays behind the emit round. Scale shape: one trigram-keyed
+    * count shuffle + vocabulary-bounded roll-ups, scoring is count-
+    * table equi-joins — the bigram stage's shape with one more count
+    * table. Docs with fewer than three tokens contribute no row. */
+  def scoreTrigrams(docs: DataFrame, discount: Double): DataFrame = {
+    val b = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("t"))
+    val tgArr = when(size(col("t")) >= 3,
+      transform(sequence(lit(0), size(col("t")) - 3),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2"),
+          element_at(col("t"), i + 3).as("w3"))))
+      .otherwise(array()
+        .cast("array<struct<w1:string,w2:string,w3:string>>"))
+    val tg = b.select(col("doc_id"), col("lang"),
+        explode(tgArr).as("x"))
+      .select(col("doc_id"), col("lang"), col("x.w1").as("w1"),
+        col("x.w2").as("w2"), col("x.w3").as("w3"))
+    val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val ctx3 = c3.groupBy("w1", "w2").agg(sum("c3").as("ctx3"),
+      count(lit(1)).as("n1f3"))
+    // middle order: continuation counts over TRIGRAM types
+    val cc2 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("cc2"))
+    val g2 = cc2.groupBy("w2").agg(sum("cc2").as("cctx2"),
+      count(lit(1)).as("n1f2"))
+    // bottom order: the bigram model's continuation tables
+    val bgArr = when(size(col("t")) >= 2,
+      transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bgc = b.select(explode(bgArr).as("x"))
+      .select(col("x.w1").as("bw1"), col("x.w2").as("bw2"))
+      .groupBy("bw1", "bw2").agg(count(lit(1)).as("cb"))
+    val back = bgc.groupBy(col("bw2").as("w3"))
+      .agg(count(lit(1)).as("n1b"))
+    val types = bgc.agg(count(lit(1)).cast("double").as("n_types"))
+    tg.join(c3, Seq("w1", "w2", "w3")).join(ctx3, Seq("w1", "w2"))
+      .join(cc2, Seq("w2", "w3")).join(g2, Seq("w2"))
+      .join(back, Seq("w3")).crossJoin(broadcast(types))
+      .groupBy("doc_id", "lang").agg(
+        count(lit(1)).as("n_trigrams"),
+        avg(lp3Col(discount)).as("avg_lp"),
+        min(lp3Col(discount)).as("min_lp"))
+  }
+
+  /** ln P₃ of one scored trigram row (c3, ctx3, n1f3, cc2, cctx2,
+    * n1f2, n1b, n_types in scope) — the ONE formula both engines
+    * evaluate, identical parenthesization ([[oracleLp3Sql]]). */
+  private def lp3Col(d: Double) =
+    log((greatest(col("c3") - lit(d), lit(0.0))
+      + lit(d) * col("n1f3")
+        * ((greatest(col("cc2") - lit(d), lit(0.0))
+          + lit(d) * col("n1f2") * (col("n1b") / col("n_types")))
+          / col("cctx2")))
+      / col("ctx3"))
+
+  /** The SQL twin of [[lp3Col]] over aliases `c.c3, x.ctx3, x.n1f3,
+    * m.cc2, gg.cctx2, gg.n1f2, b.n1b, t.n_types` (`g` is the trigram
+    * stream). */
+  def oracleLp3Sql(discount: Double): String =
+    s"""ln((greatest(c.c3 - CAST($discount AS DOUBLE), 0.0)
+           + CAST($discount AS DOUBLE) * x.n1f3
+             * ((greatest(m.cc2 - CAST($discount AS DOUBLE), 0.0)
+               + CAST($discount AS DOUBLE) * gg.n1f2
+                 * (b.n1b / t.n_types))
+               / gg.cctx2))
+           / x.ctx3)"""
+
+  /** DuckDB CTE chain mirroring [[scoreTrigrams]] over `documents` —
+    * ends at `kn3d(doc_id, lang, n_trigrams, avg_lp, min_lp)`, RAW
+    * averages (the knd convention). Self-contained `k3*` names so the
+    * chain coexists with the bigram chain in one WITH (the agreement
+    * row). */
+  def oracleCtes3(discount: Double): String = s"""
+      k3b0 AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(text, '[[:space:]]+') AS t
+        FROM documents),
+      k3g AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(len(t) - 2), i -> t[i+1]))
+                 AS w1,
+               unnest(list_transform(range(len(t) - 2), i -> t[i+2]))
+                 AS w2,
+               unnest(list_transform(range(len(t) - 2), i -> t[i+3]))
+                 AS w3
+        FROM k3b0),
+      k3c3 AS (
+        SELECT w1, w2, w3, count(*) AS c3 FROM k3g GROUP BY 1, 2, 3),
+      k3cx AS (
+        SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx3,
+               count(*) AS n1f3
+        FROM k3c3 GROUP BY 1, 2),
+      k3m AS (SELECT w2, w3, count(*) AS cc2 FROM k3c3 GROUP BY 1, 2),
+      k3g2 AS (
+        SELECT w2, CAST(sum(cc2) AS BIGINT) AS cctx2,
+               count(*) AS n1f2
+        FROM k3m GROUP BY 1),
+      k3bb AS (
+        SELECT w1, w2, count(*) AS cb FROM (
+          SELECT unnest(list_transform(range(len(t) - 1),
+                   i -> t[i+1])) AS w1,
+                 unnest(list_transform(range(len(t) - 1),
+                   i -> t[i+2])) AS w2
+          FROM k3b0)
+        GROUP BY 1, 2),
+      k3bt AS (SELECT w2 AS w3, count(*) AS n1b FROM k3bb GROUP BY 1),
+      k3ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM k3bb),
+      k3sc AS (
+        SELECT g.doc_id, g.lang, ${oracleLp3Sql(discount).trim} AS lp
+        FROM k3g g
+        JOIN k3c3 c ON g.w1 = c.w1 AND g.w2 = c.w2 AND g.w3 = c.w3
+        JOIN k3cx x ON g.w1 = x.w1 AND g.w2 = x.w2
+        JOIN k3m m ON g.w2 = m.w2 AND g.w3 = m.w3
+        JOIN k3g2 gg ON g.w2 = gg.w2
+        JOIN k3bt b ON g.w3 = b.w3
+        CROSS JOIN k3ty t),
+      kn3d AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+               avg(lp) AS avg_lp, min(lp) AS min_lp
+        FROM k3sc GROUP BY 1, 2)"""
+
   /** DuckDB CTE chain mirroring [[scoreBigrams]] over `documents` —
     * ends at `knd(doc_id, lang, n_bigrams, avg_lp, min_lp)` with the
     * averages RAW (consumers round at the emit boundary, the pplCtes

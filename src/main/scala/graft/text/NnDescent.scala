@@ -71,43 +71,127 @@ object NnDescent {
     * handful of partitions: every round runs several actions over
     * these SMALL frames (the corpus never enters the loop), so
     * fixture-scale task-launch overhead dominates at the default
-    * shuffle width — the Bpe.learn coalesce(8) argument. At real
-    * scale the window's own hash exchange re-widens the plan. */
+    * shuffle width — the Bpe.learn argument, behind the same
+    * `tuning.small_frame_parts` knob (the edge list is k-bounded).
+    * At real scale the window's own hash exchange re-widens the
+    * plan. */
   private def topK(edges: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("node")
       .orderBy(col("cos_sim").desc, col("nbr"))
     edges.distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .coalesce(8)
+      .coalesce(graft.Settings.tuning.smallFrameParts)
+  }
+
+  /** PRECONDITION check shared by [[build]] and [[serve]]: the
+    * md5-derived init/entry rule `h mod n` assumes `vec_id` is DENSE
+    * in [0, n) — on a sparse id space derived neighbors would
+    * reference nonexistent nodes and be silently dropped by the
+    * scoring join (some nodes would start with far fewer than k
+    * edges). Fail loudly instead: one cheap min/max agg. */
+  private def requireDenseIds(emb: DataFrame, n: Long): Unit = {
+    val r = emb.agg(min(col("vec_id").cast("long")),
+      max(col("vec_id").cast("long"))).head()
+    require(n == 0 || (r.getLong(0) == 0L && r.getLong(1) == n - 1),
+      s"NnDescent requires vec_id dense in [0, $n): found " +
+        s"[${r.getLong(0)}, ${r.getLong(1)}] — md5 init/entry " +
+        "neighbors (h mod n) would silently miss")
+  }
+
+  /** Materialize `df` and rebuild it from its RDD with a clean
+    * lineage: aliased SELF-joins (the bucket-pairing init, the
+    * coarse-scan cross join) leave plan constraints that reference
+    * remapped attribute ids, and Spark's Union.rewriteConstraints
+    * throws `key not found: node#N` when such a frame later unions
+    * with the per-round candidate sets. localCheckpoint alone copies
+    * those constraints into the LogicalRDD; re-wrapping the RDD drops
+    * them (no recompute — the checkpoint's partitions are reused). */
+  private def scrubbed(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
+  /** (vec_id, v, nrm) vector frame of a corpus slice. */
+  private[text] def vecsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .localCheckpoint()
+
+  /** One NND local-join ROUND over the current (node, nbr, cos_sim)
+    * edge list: general neighborhood B = edges ∪ reverse edges,
+    * pivot-local candidate pairs, score, top-k of old ∪ new. Shared
+    * by [[build]], the subset-layer builds, and the incremental
+    * insert's confined rounds (which pre-filter the pivot set). */
+  private def refineRound(knn: DataFrame, vecs: DataFrame, k: Int,
+      pivotFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val b = knn.select("node", "nbr")
+      .unionByName(knn.select(col("nbr").as("node"),
+        col("node").as("nbr")))
+      .distinct()
+    val bp = pivotFilter(b)
+    val pairs = bp.as("x").join(bp.as("y"),
+        col("x.node") === col("y.node")
+          && col("x.nbr") =!= col("y.nbr"))
+      .select(col("x.nbr").as("node"), col("y.nbr").as("nbr"))
+    val cands = pairs.unionByName(b).distinct()
+    topK(knn.unionByName(score(cands, vecs)), k)
+      .select("node", "nbr", "cos_sim").localCheckpoint()
   }
 
   /** Build the approximate kNN graph: returns (node, nbr, cos_sim,
     * rnk) with rnk 1..≤k per node. One localCheckpoint per round
     * keeps the plan O(1) across rounds (the iterative-lineage
-    * discipline). */
+    * discipline). PRECONDITION: `vec_id` dense in [0, n) — checked
+    * (see [[requireDenseIds]]); use [[buildSubset]] for an arbitrary
+    * id slice. */
   def build(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
     val n = emb.count()
-    val vecs = emb.select(col("vec_id"),
-        Similarity.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-      .localCheckpoint()
+    requireDenseIds(emb, n)
+    val vecs = vecsOf(emb)
     var knn = topK(score(initEdges(emb, k, n), vecs), k)
       .select("node", "nbr", "cos_sim").localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val b = knn.select("node", "nbr")
-        .unionByName(knn.select(col("nbr").as("node"),
-          col("node").as("nbr")))
-        .distinct()
-      val pairs = b.as("x").join(b.as("y"),
-          col("x.node") === col("y.node")
-            && col("x.nbr") =!= col("y.nbr"))
-        .select(col("x.nbr").as("node"), col("y.nbr").as("nbr"))
-      val cands = pairs.unionByName(b).distinct()
-      knn = topK(
-        knn.unionByName(score(cands, vecs)), k)
-        .select("node", "nbr", "cos_sim").localCheckpoint()
-    }
+    for (_ <- 1 to rounds) knn = refineRound(knn, vecs, k)
+    topK(knn, k)
+  }
+
+  /** Deterministic bucket-pairing init for an ARBITRARY id slice (no
+    * dense-id assumption — the subset-layer counterpart of
+    * [[initEdges]]): each node lands in bucket md5(salt:node) mod
+    * nBuckets with nBuckets = max(1, ⌊n/(k+1)⌋) (expected occupancy
+    * k+1), and every ordered pair within a bucket is an init edge —
+    * the standard random-blocking seed. Per-node init degree is
+    * ~Poisson(k) rather than exactly k; the local-join rounds repair
+    * the tail exactly as they repair [[initEdges]]' dropped
+    * self-hits. Map + one groupBy — no rank densification, so it
+    * scales on any slice. */
+  def bucketInitEdges(emb: DataFrame, k: Int, n: Long,
+      salt: String): DataFrame = {
+    val nBuckets = math.max(1L, n / (k + 1))
+    val b = emb.select(col("vec_id").as("node"))
+      .withColumn("bkt",
+        TextOps.md5Hash64(concat_ws(":", lit(salt), col("node")))
+          % nBuckets)
+    b.as("x").join(b.as("y"),
+        col("x.bkt") === col("y.bkt")
+          && col("x.node") =!= col("y.node"))
+      .select(col("x.node").as("node"), col("y.node").as("nbr"))
+      .distinct()
+  }
+
+  /** [[build]] over an arbitrary corpus SLICE (sparse ids allowed —
+    * the HNSW-style layer builder): [[bucketInitEdges]] init, then
+    * the same local-join rounds. `salt` keys the bucket hash so
+    * different layers draw independent blockings. */
+  def buildSubset(emb: DataFrame, k: Int, rounds: Int,
+      salt: String): DataFrame = {
+    val n = emb.count()
+    val vecs = vecsOf(emb)
+    var knn = topK(score(scrubbed(bucketInitEdges(emb, k, n, salt)),
+        vecs), k)
+      .select("node", "nbr", "cos_sim").localCheckpoint()
+    for (_ <- 1 to rounds) knn = refineRound(knn, vecs, k)
     topK(knn, k)
   }
 
@@ -127,10 +211,20 @@ object NnDescent {
   def serve(emb: DataFrame, graph: DataFrame, queryPred: Column,
       k: Int, beam: Int, hops: Int): DataFrame = {
     val n = emb.count()
-    val vecs = emb.select(col("vec_id"),
-        Similarity.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-      .localCheckpoint()
+    requireDenseIds(emb, n)
+    serveImpl(emb, graph, queryPred, k, beam, hops, entryMod = n,
+      salt = "sv", vecsIn = None)
+  }
+
+  /** [[serve]] internals with the entry rule parameterized: entry
+    * nodes are md5(salt:qid:j) mod `entryMod` — the flat serve draws
+    * from the whole corpus (salt "sv", mod n); the incremental seeder
+    * draws from the FROZEN index slice (salt "iv", mod base) so a new
+    * node never enters through another graph-less new node. */
+  private def serveImpl(emb: DataFrame, graph: DataFrame,
+      queryPred: Column, k: Int, beam: Int, hops: Int, entryMod: Long,
+      salt: String, vecsIn: Option[DataFrame]): DataFrame = {
+    val vecs = vecsIn.getOrElse(vecsOf(emb))
     val q = vecs.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm")).localCheckpoint()
@@ -152,8 +246,8 @@ object NnDescent {
       .select(col("qid"),
         explode(array((1 to beam).map(lit(_)): _*)).as("j"))
       .withColumn("node",
-        TextOps.md5Hash64(concat_ws(":", lit("sv"), col("qid"),
-          col("j"))) % n)
+        TextOps.md5Hash64(concat_ws(":", lit(salt), col("qid"),
+          col("j"))) % entryMod)
       .filter(col("node") =!= col("qid"))
       .select("qid", "node").distinct()
     val edges = graph.select(col("node"), col("nbr"))
@@ -171,6 +265,170 @@ object NnDescent {
       scoredSet = scoredSet.unionByName(cands).distinct()
         .localCheckpoint()
     }
+    val nScored = scoredSet.groupBy("qid")
+      .agg(count(lit(1)).as("n_scored"))
+    topB(state, k)
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("node"))))
+      .join(nScored, Seq("qid"))
+      .select(col("qid"), col("node").as("vid"), col("cos_sim"),
+        col("rnk"), col("n_scored"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental graph maintenance — the kNN-graph analog of the IVF
+  // index's add-without-retrain (q_e_index_incr): a new-doc batch is
+  // seeded by beam search over the FROZEN base graph, then local-join
+  // rounds confined to the affected neighborhoods repair edges —
+  // work proportional to the batch's blast radius, never a rebuild.
+  // ------------------------------------------------------------------
+
+  /** Insert the `vec_id >= base` batch into a base graph built on the
+    * dense `vec_id < base` slice:
+    *  1. SEED — each new node beam-searches the base graph (entries
+    *     md5("iv:" + qid + ":" + j) mod base — old nodes only) and its
+    *     final top-k become its out-edges.
+    *  2. REPAIR — `incrRounds` local-join rounds CONFINED to the
+    *     affected neighborhoods: round r's pivots are the touched set
+    *     (new nodes, then every node that received candidates last
+    *     round) plus nodes adjacent to it; candidate pairs come only
+    *     from pivot-local joins, so per-round work is bounded by the
+    *     batch's blast radius, not N. Old nodes outside the radius
+    *     keep their edges verbatim; new↔new edges form through shared
+    *     old neighbors exactly as in a full build.
+    * Returns (node, nbr, cos_sim, rnk) over ALL nodes. */
+  def incrInsert(emb: DataFrame, baseGraph: DataFrame, base: Long,
+      k: Int, beam: Int, hops: Int, incrRounds: Int): DataFrame = {
+    val vecs = vecsOf(emb)
+    val seeds = serveImpl(emb, baseGraph,
+        col("vec_id") >= base, k, beam, hops,
+        entryMod = base, salt = "iv", vecsIn = Some(vecs))
+      .select(col("qid").as("node"), col("vid").as("nbr"),
+        col("cos_sim"))
+    var knn = baseGraph.select("node", "nbr", "cos_sim")
+      .unionByName(seeds)
+      .localCheckpoint()
+    var touched = emb.filter(col("vec_id") >= base)
+      .select(col("vec_id").as("t")).localCheckpoint()
+    for (_ <- 1 to incrRounds) {
+      val b = knn.select("node", "nbr")
+        .unionByName(knn.select(col("nbr").as("node"),
+          col("node").as("nbr")))
+        .distinct()
+      val pivots = b.join(touched, b("nbr") === touched("t"))
+        .select("node")
+        .unionByName(touched.select(col("t").as("node")))
+        .distinct().localCheckpoint()
+      val bp = scrubbed(b.join(pivots, Seq("node"), "left_semi"))
+      val pairs = bp.as("x").join(bp.as("y"),
+          col("x.node") === col("y.node")
+            && col("x.nbr") =!= col("y.nbr"))
+        .select(col("x.nbr").as("node"), col("y.nbr").as("nbr"))
+      val cands = scrubbed(pairs.unionByName(bp).distinct())
+      knn = topK(knn.unionByName(score(cands, vecs)), k)
+        .select("node", "nbr", "cos_sim").localCheckpoint()
+      touched = cands.select(col("node").as("t")).distinct()
+        .localCheckpoint()
+    }
+    topK(knn, k)
+  }
+
+  // ------------------------------------------------------------------
+  // HNSW-style hierarchical serving (Malkov & Yashunin 2016, the
+  // layered search graph): the flat beam search's md5-random entries
+  // make hops grow with N; 2-3 coarse LAYERS — nested md5-sampled
+  // node subsets, each with its own NN-Descent graph — give the
+  // greedy layer-to-layer descent that makes entry cost O(log N).
+  // ------------------------------------------------------------------
+
+  /** Membership predicate of layer `l` (l ≥ 1): md5("hnsw:" + node)
+    * mod ratio^l == 0 — an expected N/ratio^l node sample, NESTED by
+    * construction (ratio^l divides ratio^(l+1), so layer l+1 ⊆ layer
+    * l ⊆ base), which is what lets a beam descend: every upper-layer
+    * node exists in every layer below it. */
+  def layerPred(idCol: Column, l: Int, ratio: Int): Column = {
+    val m = math.pow(ratio.toDouble, l.toDouble).toLong
+    TextOps.md5Hash64(concat_ws(":", lit("hnsw"), idCol)) % m === 0
+  }
+
+  /** Build the layer graphs for levels 1..levels (base layer 0 is the
+    * standing [[build]] graph): each layer's node subset gets its own
+    * [[buildSubset]] NND graph (bucket-pairing init — subset ids are
+    * sparse), salted per level so blockings are independent. */
+  def buildLayers(emb: DataFrame, k: Int, upRounds: Int, ratio: Int,
+      levels: Int): Seq[DataFrame] =
+    (1 to levels).map { l =>
+      buildSubset(emb.filter(layerPred(col("vec_id"), l, ratio)),
+        k, upRounds, salt = s"hnswb$l")
+    }
+
+  /** Hierarchical beam-search serving: enter at the TOP layer by
+    * scoring its ENTIRE node set per query (the coarse scan — N /
+    * ratio^levels nodes; `levels` is chosen so this is the IVF-style
+    * bounded entry cost, and at corpus scale more levels keep it
+    * constant), then per layer l = levels..1 run `upHops` beam-
+    * expansion rounds of width `upBeam` over that layer's graph, hand
+    * the surviving beam down as the next layer's entries, and finish
+    * with `hops` rounds of width `beam` over the BASE graph. Returns
+    * the final top-k per query plus `n_scored` — the count of
+    * DISTINCT candidates ever scored ACROSS ALL layers including the
+    * coarse scan (directly comparable to [[serve]]'s n_scored: the
+    * A/B is fewer scored candidates at equal recall, because entries
+    * arrive near the query instead of md5-random). */
+  def serveHier(emb: DataFrame, baseGraph: DataFrame,
+      layerGraphs: Seq[DataFrame], queryPred: Column, k: Int,
+      upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int)
+      : DataFrame = {
+    val levels = layerGraphs.length
+    val vecs = vecsOf(emb)
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).localCheckpoint()
+    def scoreQ(cands: DataFrame): DataFrame = cands
+      .join(broadcast(q), Seq("qid"))
+      .join(vecs.select(col("vec_id").as("node"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("node"))
+      .select(col("qid"), col("node"),
+        round(Similarity.cosinePre(col("qv"), col("nv"), col("qnrm"),
+          col("nn")), 6).as("cos_sim"))
+    def topB(scored: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("node"))
+      scored.distinct()
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= b)
+        .select("qid", "node", "cos_sim")
+    }
+    // coarse scan: every top-layer node is an entry candidate
+    // (scrubbed — see [[scrubbed]]: the cross join's constraints
+    // otherwise break the later unions with the hop candidate sets).
+    val top = emb.filter(layerPred(col("vec_id"), levels, ratio))
+      .select(col("vec_id").as("node"))
+    val entries = scrubbed(
+      q.select("qid").crossJoin(broadcast(top))
+        .filter(col("node") =!= col("qid")))
+    var state = topB(scoreQ(entries), upBeam).localCheckpoint()
+    var scoredSet = entries
+    // descend: layer `levels` down to 1, expanding in each layer's
+    // graph; the beam survives into the layer below because layers
+    // are nested
+    def expand(edges: DataFrame, b: Int, nHops: Int): Unit = {
+      for (_ <- 1 to nHops) {
+        val cands = state.select("qid", "node")
+          .join(edges, Seq("node"))
+          .select(col("qid"), col("nbr").as("node"))
+          .unionByName(state.select("qid", "node"))
+          .filter(col("node") =!= col("qid"))
+          .distinct()
+        state = topB(scoreQ(cands), b).localCheckpoint()
+        scoredSet = scoredSet.unionByName(cands).distinct()
+          .localCheckpoint()
+      }
+    }
+    for (l <- levels to 1 by -1)
+      expand(layerGraphs(l - 1).select("node", "nbr")
+        .localCheckpoint(), upBeam, upHops)
+    expand(baseGraph.select("node", "nbr").localCheckpoint(),
+      beam, hops)
     val nScored = scoredSet.groupBy("qid")
       .agg(count(lit(1)).as("n_scored"))
     topB(state, k)
@@ -208,6 +466,54 @@ object NnDescent {
     * top-k), per-round `ndb$r` (general neighbors), `ndc$r`
     * (local-join candidates), `nds$r` (scored), `ndk$r` (new top-k).
     * Ends at `ndk$rounds(node, nbr, cos_sim)`. */
+  /** Score-init-then-refine chain under prefix `pfx`: `${pfx}s0`
+    * (scored init), `${pfx}k0` (init top-k), per-round `${pfx}b$r` /
+    * `${pfx}c$r` / `${pfx}s$r` / `${pfx}k$r`, ending at
+    * `${pfx}k$rounds`. Requires `ndex`/`ndnrm` in the same WITH and
+    * an init edge CTE `initCte(node, nbr)`. The standing graph oracle
+    * is this chain at pfx = "nd"; the HNSW layer and incremental
+    * chains reuse it under their own prefixes. */
+  private def chainCtes(pfx: String, initCte: String, k: Int,
+      rounds: Int): Seq[String] = {
+    val pieces = Seq.newBuilder[String]
+    pieces += scoreBlock(initCte, s"${pfx}s0")
+    pieces += s"""
+      ${pfx}k0 AS MATERIALIZED (
+        SELECT node, nbr, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY node
+            ORDER BY cos_sim DESC, nbr) AS rnk
+          FROM ${pfx}s0) WHERE rnk <= $k)"""
+    for (r <- 1 to rounds) {
+      val prev = s"${pfx}k${r - 1}"
+      pieces += s"""
+      ${pfx}b$r AS MATERIALIZED (
+        SELECT DISTINCT node, nbr FROM (
+          SELECT node, nbr FROM $prev
+          UNION ALL
+          SELECT nbr AS node, node AS nbr FROM $prev))"""
+      pieces += s"""
+      ${pfx}c$r AS MATERIALIZED (
+        SELECT DISTINCT node, nbr FROM (
+          SELECT x.nbr AS node, y.nbr AS nbr
+          FROM ${pfx}b$r x JOIN ${pfx}b$r y
+            ON x.node = y.node AND x.nbr <> y.nbr
+          UNION ALL
+          SELECT node, nbr FROM ${pfx}b$r))"""
+      pieces += scoreBlock(s"${pfx}c$r", s"${pfx}s$r")
+      pieces += s"""
+      ${pfx}k$r AS MATERIALIZED (
+        SELECT node, nbr, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY node
+            ORDER BY cos_sim DESC, nbr) AS rnk
+          FROM (SELECT DISTINCT node, nbr, cos_sim FROM (
+            SELECT node, nbr, cos_sim FROM $prev
+            UNION ALL
+            SELECT node, nbr, cos_sim FROM ${pfx}s$r)))
+        WHERE rnk <= $k)"""
+    }
+    pieces.result()
+  }
+
   def oracleCtes(k: Int, rounds: Int): String = {
     val pieces = Seq.newBuilder[String]
     pieces += s"""
@@ -225,41 +531,244 @@ object NnDescent {
                    % nn.n AS nbr
           FROM embeddings e, range(1, $k + 1) r(j), ndnn nn)
         WHERE nbr <> node)"""
-    pieces += scoreBlock("nde0", "nds0")
+    pieces ++= chainCtes("nd", "nde0", k, rounds)
+    pieces.result().mkString(",")
+  }
+
+  /** Incremental-insert chain, self-contained over `embeddings`
+    * (shares the `ndex`/`ndnrm` names with [[oracleCtes]] — one chain
+    * per query): base build on the `vec_id < base` slice (`inb*`,
+    * ending `inbk$baseRounds`), the new-batch seed beam search over
+    * the frozen base graph (`is*`, entries md5("iv:qid:j") mod base),
+    * the seeded union `ing0`, `incrRounds` CONFINED repair rounds
+    * (`in*$r` — pivots = touched ∪ adjacent-to-touched, pairs from
+    * pivot-local joins only), ending at `ingf(node, nbr, cos_sim,
+    * rnk)` — the engine's incrInsert verbatim. */
+  def oracleIncrCtes(k: Int, baseRounds: Int, beam: Int, hops: Int,
+      incrRounds: Int, base: Long): String = {
+    val pieces = Seq.newBuilder[String]
     pieces += s"""
-      ndk0 AS MATERIALIZED (
-        SELECT node, nbr, cos_sim FROM (
-          SELECT *, row_number() OVER (PARTITION BY node
-            ORDER BY cos_sim DESC, nbr) AS rnk
-          FROM nds0) WHERE rnk <= $k)"""
-    for (r <- 1 to rounds) {
-      val prev = s"ndk${r - 1}"
+      ndex AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      ndnrm AS MATERIALIZED (
+        SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ndex GROUP BY 1),
+      inbnn AS (SELECT count(*) AS n FROM embeddings
+                WHERE vec_id < $base),
+      inbe0 AS (
+        SELECT DISTINCT node, nbr FROM (
+          SELECT e.vec_id AS node,
+                 ${hsql("e.vec_id::VARCHAR || ':' || r.j::VARCHAR")}
+                   % nn.n AS nbr
+          FROM embeddings e, range(1, $k + 1) r(j), inbnn nn
+          WHERE e.vec_id < $base)
+        WHERE nbr <> node)"""
+    pieces ++= chainCtes("inb", "inbe0", k, baseRounds)
+    // seed beam search for the new batch over the frozen base graph
+    def scoreBlockQ(src: String, out: String): String = s"""
+      ${out}_d AS (
+        SELECT c.qid, c.node, sum(qa.x * eb.x) AS dot
+        FROM $src c JOIN ndex qa ON qa.vec_id = c.qid
+                    JOIN ndex eb ON eb.vec_id = c.node
+                      AND eb.i = qa.i
+        GROUP BY 1, 2),
+      $out AS MATERIALIZED (
+        SELECT d.qid, d.node,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM ${out}_d d JOIN ndnrm na ON na.vec_id = d.qid
+                        JOIN ndnrm nb ON nb.vec_id = d.node)"""
+    def topBBlock(src: String, out: String, b: Int): String = s"""
+      $out AS MATERIALIZED (
+        SELECT qid, node, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, node) AS rnk
+          FROM (SELECT DISTINCT qid, node, cos_sim FROM $src))
+        WHERE rnk <= $b)"""
+    pieces += s"""
+      isq AS (SELECT vec_id AS qid FROM embeddings
+              WHERE vec_id >= $base),
+      ise0 AS (
+        SELECT DISTINCT qid, node FROM (
+          SELECT q.qid,
+                 ${hsql("'iv:' || q.qid::VARCHAR || ':' || r.j::VARCHAR")}
+                   % $base AS node
+          FROM isq q, range(1, $beam + 1) r(j))
+        WHERE node <> qid)"""
+    pieces += scoreBlockQ("ise0", "iss0")
+    pieces += topBBlock("iss0", "isb0", beam)
+    for (h <- 1 to hops) {
       pieces += s"""
-      ndb$r AS MATERIALIZED (
+      isc$h AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT s.qid, g.nbr AS node
+          FROM isb${h - 1} s JOIN inbk$baseRounds g ON g.node = s.node
+          UNION ALL
+          SELECT qid, node FROM isb${h - 1})
+        WHERE node <> qid)"""
+      pieces += scoreBlockQ(s"isc$h", s"iss$h")
+      pieces += topBBlock(s"iss$h", s"isb$h", beam)
+    }
+    pieces += topBBlock(s"isb$hops", "iseed", k)
+    pieces += s"""
+      ing0 AS MATERIALIZED (
+        SELECT node, nbr, cos_sim FROM inbk$baseRounds
+        UNION ALL
+        SELECT qid AS node, node AS nbr, cos_sim FROM iseed),
+      int0 AS (SELECT vec_id AS t FROM embeddings
+               WHERE vec_id >= $base)"""
+    for (r <- 1 to incrRounds) {
+      val prev = s"ing${r - 1}"
+      pieces += s"""
+      inb$r AS MATERIALIZED (
         SELECT DISTINCT node, nbr FROM (
           SELECT node, nbr FROM $prev
           UNION ALL
-          SELECT nbr AS node, node AS nbr FROM $prev))"""
-      pieces += s"""
-      ndc$r AS MATERIALIZED (
+          SELECT nbr AS node, node AS nbr FROM $prev)),
+      inpv$r AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT b.node FROM inb$r b JOIN int${r - 1} t
+            ON b.nbr = t.t
+          UNION ALL
+          SELECT t AS node FROM int${r - 1})),
+      inbp$r AS MATERIALIZED (
+        SELECT b.node, b.nbr FROM inb$r b
+        JOIN inpv$r p ON p.node = b.node),
+      inc$r AS MATERIALIZED (
         SELECT DISTINCT node, nbr FROM (
           SELECT x.nbr AS node, y.nbr AS nbr
-          FROM ndb$r x JOIN ndb$r y
+          FROM inbp$r x JOIN inbp$r y
             ON x.node = y.node AND x.nbr <> y.nbr
           UNION ALL
-          SELECT node, nbr FROM ndb$r))"""
-      pieces += scoreBlock(s"ndc$r", s"nds$r")
+          SELECT node, nbr FROM inbp$r))"""
+      pieces += scoreBlock(s"inc$r", s"ins$r")
       pieces += s"""
-      ndk$r AS MATERIALIZED (
+      ing$r AS MATERIALIZED (
         SELECT node, nbr, cos_sim FROM (
           SELECT *, row_number() OVER (PARTITION BY node
             ORDER BY cos_sim DESC, nbr) AS rnk
           FROM (SELECT DISTINCT node, nbr, cos_sim FROM (
             SELECT node, nbr, cos_sim FROM $prev
             UNION ALL
-            SELECT node, nbr, cos_sim FROM nds$r)))
-        WHERE rnk <= $k)"""
+            SELECT node, nbr, cos_sim FROM ins$r)))
+        WHERE rnk <= $k),
+      int$r AS (SELECT DISTINCT node AS t FROM inc$r)"""
     }
+    pieces += s"""
+      ingf AS MATERIALIZED (
+        SELECT node, nbr, cos_sim,
+               CAST(row_number() OVER (PARTITION BY node
+                 ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rnk
+        FROM ing$incrRounds)"""
+    pieces.result().mkString(",")
+  }
+
+  /** One HNSW layer's graph chain (requires `ndex`/`ndnrm`): node set
+    * `hl${l}nd` (md5 mod ratio^l — [[layerPred]]'s twin), bucket-
+    * pairing init `hl${l}e0` ([[bucketInitEdges]]' twin: nBuckets =
+    * max(1, n ÷ (k+1)), salt "hnswb$l"), then the standard refine
+    * chain ending at `hl${l}k$upRounds`. */
+  def oracleLayerCtes(l: Int, ratio: Int, k: Int, upRounds: Int)
+      : String = {
+    val m = math.pow(ratio.toDouble, l.toDouble).toLong
+    val pfx = s"hl$l"
+    val pieces = Seq.newBuilder[String]
+    pieces += s"""
+      ${pfx}nd AS MATERIALIZED (
+        SELECT vec_id FROM embeddings
+        WHERE ${hsql("'hnsw:' || vec_id::VARCHAR")} % $m = 0),
+      ${pfx}nn AS (SELECT count(*) AS n FROM ${pfx}nd),
+      ${pfx}bk AS (
+        SELECT vec_id AS node,
+               ${hsql(s"'hnswb$l:' || vec_id::VARCHAR")}
+                 % (SELECT greatest(1, n // ${k + 1}) FROM ${pfx}nn)
+                 AS bkt
+        FROM ${pfx}nd),
+      ${pfx}e0 AS (
+        SELECT DISTINCT x.node, y.node AS nbr
+        FROM ${pfx}bk x JOIN ${pfx}bk y
+          ON x.bkt = y.bkt AND x.node <> y.node)"""
+    pieces ++= chainCtes(pfx, s"${pfx}e0", k, upRounds)
+    pieces.result().mkString(",")
+  }
+
+  /** Hierarchical serving chain (requires `ndex`/`ndnrm`, the base
+    * `ndk$baseRounds`, and `oracleLayerCtes` chains for l =
+    * 1..levels in the same WITH): query set `hsq`, the top-layer
+    * COARSE SCAN `hse0` (every layer-`levels` node), then one
+    * candidate/score/beam block per hop — `upHops` hops of width
+    * `upBeam` per layer from `levels` down to 1, then `hops` hops of
+    * width `beam` over the base graph — the engine's serveHier
+    * verbatim. Ends at `hsall(qid, n_scored)` and `hsrv(qid, vid,
+    * cos_sim, rnk, n_scored)`. */
+  def oracleHierServeCtes(baseRounds: Int, k: Int, upBeam: Int,
+      upHops: Int, beam: Int, hops: Int, ratio: Int, levels: Int,
+      upRounds: Int, queryFilter: String = "vec_id < 8"): String = {
+    val pieces = Seq.newBuilder[String]
+    def scoreBlockQ(src: String, out: String): String = s"""
+      ${out}_d AS (
+        SELECT c.qid, c.node, sum(qa.x * eb.x) AS dot
+        FROM $src c JOIN ndex qa ON qa.vec_id = c.qid
+                    JOIN ndex eb ON eb.vec_id = c.node
+                      AND eb.i = qa.i
+        GROUP BY 1, 2),
+      $out AS MATERIALIZED (
+        SELECT d.qid, d.node,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM ${out}_d d JOIN ndnrm na ON na.vec_id = d.qid
+                        JOIN ndnrm nb ON nb.vec_id = d.node)"""
+    def topBBlock(src: String, out: String, b: Int): String = s"""
+      $out AS MATERIALIZED (
+        SELECT qid, node, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, node) AS rnk
+          FROM (SELECT DISTINCT qid, node, cos_sim FROM $src))
+        WHERE rnk <= $b)"""
+    pieces += s"""
+      hsq AS (SELECT vec_id AS qid FROM embeddings
+              WHERE $queryFilter),
+      hse0 AS MATERIALIZED (
+        SELECT q.qid, t.vec_id AS node
+        FROM hsq q, hl${levels}nd t
+        WHERE t.vec_id <> q.qid)"""
+    pieces += scoreBlockQ("hse0", "hss0")
+    pieces += topBBlock("hss0", "hsb0", upBeam)
+    var step = 0
+    def hopBlock(graphCte: String, b: Int): Unit = {
+      val prev = s"hsb$step"
+      step += 1
+      pieces += s"""
+      hsc$step AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT s.qid, g.nbr AS node
+          FROM $prev s JOIN $graphCte g ON g.node = s.node
+          UNION ALL
+          SELECT qid, node FROM $prev)
+        WHERE node <> qid)"""
+      pieces += scoreBlockQ(s"hsc$step", s"hss$step")
+      pieces += topBBlock(s"hss$step", s"hsb$step", b)
+    }
+    for (l <- levels to 1 by -1; _ <- 1 to upHops)
+      hopBlock(s"hl${l}k$upRounds", upBeam)
+    for (_ <- 1 to hops) hopBlock(s"ndk$baseRounds", beam)
+    val scoredUnion = (s"SELECT qid, node FROM hse0" +:
+      (1 to step).map(h => s"SELECT qid, node FROM hsc$h"))
+      .mkString("\n          UNION ALL ")
+    pieces += s"""
+      hsall AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_scored FROM (
+          SELECT DISTINCT qid, node FROM (
+          $scoredUnion))
+        GROUP BY 1)"""
+    pieces += s"""
+      hsrv AS MATERIALIZED (
+        SELECT b.qid, b.node AS vid, b.cos_sim,
+               CAST(b.rnk AS BIGINT) AS rnk, a.n_scored
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, node) AS rnk
+              FROM hsb$step) b
+        JOIN hsall a ON a.qid = b.qid
+        WHERE b.rnk <= $k)"""
     pieces.result().mkString(",")
   }
 

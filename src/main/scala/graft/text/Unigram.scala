@@ -140,7 +140,8 @@ object Unigram {
   def learn(docs: DataFrame, seedK: Int, maxPieceLen: Int,
       emRounds: Int, pruneKeep: Int, unkLp: Double, maxWordLen: Int)
       : Fit = {
-    val words = Bpe.wordTable(docs).coalesce(8).localCheckpoint()
+    val words = Bpe.wordTable(docs)
+      .coalesce(graft.Settings.tuning.smallFrameParts).localCheckpoint()
     val maxLen = words.agg(max(length(col("word")))).head().getInt(0)
     require(maxLen <= maxWordLen,
       s"unigram.max_word_len=$maxWordLen < corpus max word $maxLen — " +

@@ -166,7 +166,8 @@ object WordPiece {
     * `maxWordLen` (the greedy-unroll bound). */
   def learn(docs: DataFrame, nMerges: Int, maxPieceLen: Int,
       maxWordLen: Int): Fit = {
-    var words = Bpe.wordTable(docs).coalesce(8)
+    var words = Bpe.wordTable(docs)
+      .coalesce(graft.Settings.tuning.smallFrameParts)
       .withColumn("syms", charSyms(col("word")))
       .localCheckpoint()
     val maxLen = words.agg(max(length(col("word")))).head().getInt(0)
@@ -281,7 +282,12 @@ object WordPiece {
     * all-or-nothing unk flag. Candidate and pick blocks MATERIALIZED
     * (each referenced twice — the DuckDB CTE-inlining trap). Ends at
     * `${tag}_fin(word, freq, segs, is_unk)` with `['[UNK]']` segs for
-    * unk words. */
+    * unk words. The refusal contract lives INSIDE the oracle too: a
+    * word still in progress after `maxWordLen` steps (possible only
+    * if a caller skipped the engine-side max_word_len require) emits
+    * the `['[GREEDY_UNROLL_EXHAUSTED]']` sentinel instead of its
+    * partial segs, so the hash compare fails loudly rather than
+    * passing a silently truncated segmentation. */
   def greedyCtes(tag: String, wordsCte: String, maxPieceLen: Int,
       maxWordLen: Int): String = {
     val pieces = Seq.newBuilder[String]
@@ -330,7 +336,10 @@ object WordPiece {
     pieces += s"""
       ${tag}_fin AS MATERIALIZED (
         SELECT word, freq,
-               CASE WHEN unk THEN ['[UNK]'] ELSE segs END AS segs,
+               CASE WHEN NOT unk AND pos <= len(word)
+                      THEN ['[GREEDY_UNROLL_EXHAUSTED]']
+                    WHEN unk THEN ['[UNK]']
+                    ELSE segs END AS segs,
                unk AS is_unk
         FROM ${tag}_$maxWordLen)"""
     pieces.result().mkString(",")

@@ -171,4 +171,51 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(vs("aab") == Seq("aab") && vs("abq") == Seq("abq"))
   }
+
+  test("byte-level remap is the GPT-2 table: printables identity, " +
+      "the rest chr(256 + byte-order rank)") {
+    // printable ASCII maps to itself
+    assert(Bpe.ByteRemap('a'.toInt) == "a")
+    assert(Bpe.ByteRemap('!'.toInt) == "!")
+    assert(Bpe.ByteRemap('~'.toInt) == "~")
+    // non-printables rank in byte order: 0x00 → chr(256), space
+    // (0x20) → chr(256+32), DEL (0x7F) → chr(256+33)
+    assert(Bpe.ByteRemap(0) == 256.toChar.toString)
+    assert(Bpe.ByteRemap(32) == (256 + 32).toChar.toString)
+    assert(Bpe.ByteRemap(127) == (256 + 33).toChar.toString)
+    // beyond ASCII the table keeps GPT-2's full-range ranks (the
+    // engine prefix-consumes ≤ 0x7F; the full table documents the
+    // production byte domain): 0x80 is the 35th remapped byte
+    assert(Bpe.ByteRemap(128) == (256 + 34).toChar.toString)
+    assert(Bpe.ByteRemap(161) == 161.toChar.toString)
+  }
+
+  test("byte-level learn equals char-level on a printable-ASCII " +
+      "corpus; control bytes still encode (no unk path exists)") {
+    val d = docs(1L -> "abab abab cd cd ab")
+    val (mc, _) = Bpe.learn(d, 2)
+    val (mb, vb) = Bpe.learnBytes(d, 2)
+    // identity remap on printables ⇒ identical merge tables
+    assert(mc.map(m => (m.rank, m.left, m.right, m.count)) ==
+      mb.map(m => (m.rank, m.left, m.right, m.count)))
+    // EVERY byte string encodes under the byte alphabet: a word with
+    // a control byte (0x01) the training corpus never saw still
+    // segments — the control byte rides as its remapped symbol
+    // chr(257), the learned (a,b) merge still applies — no
+    // throw, no [UNK] (contrast: WordPiece's all-or-nothing rule)
+    val unseen = Seq("\u0001ab").toDF("word")
+    val segs = Bpe.applyMergesBytes(unseen, mb)
+      .collect().head.getSeq[String](1)
+    assert(segs == Seq(257.toChar.toString, "ab"),
+      s"control-byte word must encode: $segs")
+    assert(vb.select("word").count() == 3)
+  }
+
+  test("learnBytes refuses a corpus with code points above ASCII " +
+      "(char ≠ byte beyond 0x7F)") {
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learnBytes(docs(1L -> "café ab"), 1)
+    }
+    assert(e.getMessage.contains("127"))
+  }
 }

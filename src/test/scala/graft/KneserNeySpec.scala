@@ -104,4 +104,71 @@ class KneserNeySpec extends SparkSpec {
       .sum / bigrams1.size
     assert(math.abs(out(1L).getAs[Double]("avg_lp") - want) < 1e-9)
   }
+
+  // ---- trigram rung (scoreTrigrams) ---------------------------------
+
+  /** Independent driver recomputation of the interpolated KN trigram
+    * model from raw tokens — the spec's own math, sharing no code
+    * with the engine. */
+  private def triModel(texts: String*) = {
+    val toks = texts.map(_.split("\\s+").toSeq)
+    val tg = toks.flatMap(t => t.sliding(3).filter(_.size == 3)
+      .map(w => (w(0), w(1), w(2))))
+    val bg = toks.flatMap(t => t.sliding(2).filter(_.size == 2)
+      .map(w => (w(0), w(1))))
+    val c3 = tg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // .toSeq before mapping: keys is a SET, and mapping a set of
+    // keys to counts would dedup equal counts before the sum
+    val ctx3 = c3.keys.groupBy(k => (k._1, k._2)).view
+      .mapValues(ks => (ks.toSeq.map(c3).sum, ks.size.toLong)).toMap
+    val cc2 = c3.keys.groupBy(k => (k._2, k._3)).view
+      .mapValues(_.size.toLong).toMap
+    val g2 = cc2.keys.groupBy(_._1).view
+      .mapValues(ks => (ks.toSeq.map(cc2).sum, ks.size.toLong)).toMap
+    val cb = bg.distinct
+    val n1b = cb.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val types = cb.size.toLong
+    def p2(w2: String, w3: String): Double =
+      (math.max(cc2.getOrElse((w2, w3), 0L) - D, 0.0)
+        + D * g2(w2)._2 * (n1b.getOrElse(w3, 0L).toDouble / types)) /
+        g2(w2)._1
+    def p3(w1: String, w2: String, w3: String): Double =
+      (math.max(c3.getOrElse((w1, w2, w3), 0L) - D, 0.0)
+        + D * ctx3((w1, w2))._2 * p2(w2, w3)) / ctx3((w1, w2))._1
+    (ctx3.keys.toSeq, g2.keys.toSeq, n1b.keys.toSeq, p3 _)
+  }
+
+  test("trigram: Σ_w3 P₃(w3|w1w2) = 1 exactly per context — both " +
+      "interpolation levels telescope") {
+    val corpus = "the cat sat on the mat the dog sat on the cat " +
+      "a cat on a mat the end of the story of the cat sat on"
+    val (ctxs, _, vocab, p3) = triModel(corpus)
+    for ((w1, w2) <- ctxs) {
+      val total = vocab.map(w3 => p3(w1, w2, w3)).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"context '$w1 $w2' sums to $total")
+    }
+  }
+
+  test("scoreTrigrams matches the independent driver recomputation " +
+      "and skips sub-3-token docs") {
+    val t1 = "a b c a b c a b d"
+    val t3 = "x y z"
+    val docs = Seq((1L, t1), (2L, "two words"), (3L, t3))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = KneserNey.scoreTrigrams(docs, D).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(2L), "no trigrams → no row")
+    assert(out(1L).getAs[Long]("n_trigrams") == 7L)
+    assert(out(3L).getAs[Long]("n_trigrams") == 1L)
+    // NOTE: the corpus model includes doc 2's bigram in the bottom-
+    // order continuation tables (bigram types), exactly as the engine
+    // builds them
+    val (_, _, _, p3) = triModel(t1, "two words", t3)
+    val tris1 = t1.split(" ").toSeq.sliding(3).toSeq
+    val want = tris1.map(w => math.log(p3(w(0), w(1), w(2))))
+      .sum / tris1.size
+    assert(math.abs(out(1L).getAs[Double]("avg_lp") - want) < 1e-9,
+      s"avg_lp ${out(1L).getAs[Double]("avg_lp")} vs $want")
+  }
 }

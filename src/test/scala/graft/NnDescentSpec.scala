@@ -91,4 +91,102 @@ class NnDescentSpec extends SparkSpec {
     assert(served(3).sortBy(r => (r._1, r._2))
       .sameElements(h3.sortBy(r => (r._1, r._2))))
   }
+
+  test("dense-id precondition: build/serve refuse a sparse id slice") {
+    val sparse = emb.filter(col("vec_id") % 2 === 0)
+    val e = intercept[IllegalArgumentException] {
+      NnDescent.build(sparse, 5, 1)
+    }
+    assert(e.getMessage.contains("dense"))
+  }
+
+  test("hnsw layers: nested by construction, deterministic subset " +
+      "builds, bucket init has no self loops") {
+    val l1 = emb.filter(NnDescent.layerPred(col("vec_id"), 1, 4))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val l2 = emb.filter(NnDescent.layerPred(col("vec_id"), 2, 4))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(l2.nonEmpty && l2.subsetOf(l1),
+      s"layer 2 (${l2.size}) must nest inside layer 1 (${l1.size})")
+    assert(l1.size < 120, "layer 1 must be a strict sample")
+    val sub = emb.filter(NnDescent.layerPred(col("vec_id"), 1, 4))
+    val init = NnDescent.bucketInitEdges(sub, 5, l1.size, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(init.forall { case (n, b) => n != b }, "no self loops")
+    assert(init.forall { case (n, b) => l1(n) && l1(b) },
+      "bucket init must stay inside the subset")
+    val g1 = NnDescent.buildSubset(sub, 5, 1, "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val g2 = NnDescent.buildSubset(sub, 5, 1, "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(g1.sameElements(g2), "subset build must be deterministic")
+    assert(g1.forall { case (n, b, _) => l1(n) && l1(b) })
+  }
+
+  test("hierarchical serving: deterministic, cost-bounded, and base " +
+      "hops monotone in recall") {
+    val base = NnDescent.build(emb, k = 5, rounds = 2)
+    val layers = NnDescent.buildLayers(emb, 5, 1, 4, 2)
+    val truth = Similarity.cosineTopK(emb, col("vec_id") < 8, 3)
+      .select(col("qid"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def served(hops: Int) = NnDescent
+      .serveHier(emb, base, layers, col("vec_id") < 8, k = 3,
+        upBeam = 4, upHops = 1, beam = 6, hops = hops, ratio = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val h0 = served(0)
+    val h2 = served(2)
+    def rec(rows: Array[(Long, Long, Long)]) =
+      rows.count { case (q, v, _) => truth((q, v)) }.toDouble /
+        truth.size
+    assert(rec(h2) >= rec(h0),
+      s"base hops must not hurt recall: ${rec(h0)} vs ${rec(h2)}")
+    // cost bound: coarse scan (≤ |layer 2|) + per-layer upHops rounds
+    // of ≤ upBeam·(k+1) + base hops of ≤ beam·(k+1)
+    val l2n = emb.filter(NnDescent.layerPred(col("vec_id"), 2, 4))
+      .count()
+    val bound = l2n + 2 * 1 * 4 * (5 + 1) + 2 * 6 * (5 + 1)
+    assert(h2.forall(_._3 <= bound),
+      s"n_scored exceeded the layered bound $bound: " +
+        h2.map(_._3).max)
+    assert(served(2).sortBy(r => (r._1, r._2))
+      .sameElements(h2.sortBy(r => (r._1, r._2))),
+      "hierarchical serving must be deterministic")
+  }
+
+  test("incremental insert: deterministic, old nodes outside the " +
+      "blast radius keep their edges, recall within 0.15 of a full " +
+      "rebuild") {
+    val base = 96L
+    val baseGraph = NnDescent.build(
+      emb.filter(col("vec_id") < base), k = 5, rounds = 2)
+    val incr = NnDescent.incrInsert(emb, baseGraph, base, k = 5,
+      beam = 6, hops = 2, incrRounds = 2)
+    val incr2 = NnDescent.incrInsert(emb, baseGraph, base, k = 5,
+      beam = 6, hops = 2, incrRounds = 2)
+    val g1 = incr.select("node", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(g1.sameElements(incr2.select("node", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted),
+      "incremental insert must be deterministic")
+    // every node (old and new) carries ≤ k edges; new nodes have
+    // edges at all (the seed path worked)
+    val byNode = g1.groupBy(_._1)
+    assert(byNode.size == 120, "all nodes must appear")
+    assert(byNode.values.forall(_.length <= 5))
+    // recall vs the full rebuild within a stated bound: the repair
+    // rounds are CONFINED, so some old-node improvements a rebuild
+    // would find are deliberately skipped — bounded, not free
+    val truth = Similarity.cosineTopK(emb, lit(true), 5)
+      .select(col("qid"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuild = NnDescent.build(emb, k = 5, rounds = 2)
+      .select("node", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIncr = g1.count(truth.contains).toDouble / truth.size
+    val rReb = rebuild.count(truth.contains).toDouble / truth.size
+    assert(rIncr >= rReb - 0.15,
+      s"incremental recall $rIncr must stay within 0.15 of the " +
+        s"rebuild's $rReb")
+  }
 }

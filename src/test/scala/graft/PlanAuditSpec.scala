@@ -724,4 +724,25 @@ class PlanAuditSpec extends SparkSpec {
     // graph-vs-truth compare itself is an equi-join on (node, nbr).
     graft.queries.Stage.clear()
   }
+
+  test("PowerPca fit pass partition width scales with input (no " +
+      "fixed coalesce on the corpus-sized exploded frame)") {
+    import graft.ml.PowerPca
+    // fitPartitions is the ONLY width source fit() coalesces the N×d
+    // exploded frame to: fixture-sized input keeps the measured
+    // 8-task knee (at the driver's local[32]), corpus-sized input
+    // saturates defaultParallelism — the r12 verdict's scale-killer
+    // (a pinned coalesce(8) would serialize a 100 TB fit onto 8
+    // tasks) is structurally gone
+    assert(PowerPca.fitPartitions(500L, 64, 32) == 8)
+    assert(PowerPca.fitPartitions(500000000L, 64, 32) == 32)
+    assert(PowerPca.fitPartitions(1L, 64, 32) == 1)
+    // and the clamp respects a SMALLER cluster too
+    assert(PowerPca.fitPartitions(500L, 64,
+      spark.sparkContext.defaultParallelism)
+      == math.min(8, spark.sparkContext.defaultParallelism))
+    // and the width really reaches the plan: a fit over a widened
+    // fixture must request more partitions than the 8-knee
+    assert(PowerPca.fitPartitions(500L * 100, 64, 2048) == 782)
+  }
 }

@@ -487,6 +487,83 @@ class SettingsSpec extends SparkSpec {
     }
   }
 
+  test("hnsw / incremental-nnd knob overrides re-interpolate engine " +
+      "and oracle") {
+    assert(Settings.nndescent.hnswRatio == 4)
+    assert(Settings.nndescent.hnswLevels == 2)
+    assert(Settings.nndescent.hnswUpRounds == 2)
+    assert(Settings.nndescent.hnswUpBeam == 4
+      && Settings.nndescent.hnswUpHops == 1)
+    assert(Settings.nndescent.hnswBeam == 12
+      && Settings.nndescent.hnswHops == 4)
+    // levels flow: the coarse scan reads layer <levels>'s node set;
+    // each layer chain ends at hl<l>k<up_rounds>
+    val sql = SparkEntry.oracleSql("q_e_hnsw_serve")
+    assert(sql.contains("hl2nd") && sql.contains("hl1k2")
+      && sql.contains("hl2k2"))
+    withProp("graft.nndescent.hnsw_levels", "1") {
+      val s1 = SparkEntry.oracleSql("q_e_hnsw_serve")
+      assert(s1.contains("hl1nd") && !s1.contains("hl2nd"),
+        "coarse scan did not follow hnsw_levels")
+    }
+    withProp("graft.nndescent.hnsw_ratio", "8") {
+      assert(SparkEntry.oracleSql("q_e_hnsw_serve").contains("% 64"),
+        "layer-2 modulus must be ratio^2")
+    }
+    withProp("graft.nndescent.hnsw_ratio", "1") {
+      intercept[IllegalArgumentException] {
+        Settings.nndescent.hnswRatio
+      }
+    }
+    // hop budget flow: total hop blocks = levels·up_hops + hnsw_hops
+    withProp("graft.nndescent.hnsw_hops", "1") {
+      val s2 = SparkEntry.oracleSql("q_e_hnsw_serve")
+      assert(s2.contains("hsb3") && !s2.contains("hsb4"),
+        "hop chain depth must follow levels*up_hops + hnsw_hops")
+    }
+    // incremental repair rounds flow: the chain ends at ing<r>
+    assert(Settings.nndescent.incrRounds == 2)
+    assert(SparkEntry.oracleSql("q_e_nnd_incr").contains("ing2"))
+    withProp("graft.nndescent.incr_rounds", "1") {
+      val s3 = SparkEntry.oracleSql("q_e_nnd_incr")
+      assert(s3.contains("FROM ing1") && !s3.contains("ing2"),
+        "repair-round unroll did not follow nndescent.incr_rounds")
+    }
+    // the seed entry modulus is the frozen-index size (ann.incr_base)
+    assert(SparkEntry.oracleSql("q_e_nnd_incr").contains("% 400"))
+    withProp("graft.ann.incr_base", "300") {
+      assert(SparkEntry.oracleSql("q_e_nnd_incr").contains("% 300"))
+    }
+  }
+
+  test("tuning.small_frame_parts / pca.rows_per_task validate and " +
+      "size the fit passes") {
+    // the shared small-frame width: one knob behind the five former
+    // coalesce(8) sites (Bpe×2 / Unigram / WordPiece / NnDescent.topK)
+    assert(Settings.tuning.smallFrameParts == 8)
+    withProp("graft.tuning.small_frame_parts", "3") {
+      assert(Settings.tuning.smallFrameParts == 3)
+    }
+    withProp("graft.tuning.small_frame_parts", "0") {
+      intercept[IllegalArgumentException] {
+        Settings.tuning.smallFrameParts
+      }
+    }
+    // the pca fit pass sizes ADAPTIVELY (corpus-sized frame): fixture
+    // stays at its measured 8-task knee, a 10⁹-row corpus saturates
+    // the cluster, and the clamp floor is 1
+    assert(Settings.pca.rowsPerTask == 4096)
+    assert(graft.ml.PowerPca.fitPartitions(500L, 64, 32) == 8)
+    assert(graft.ml.PowerPca.fitPartitions(1000000000L, 64, 32) == 32)
+    assert(graft.ml.PowerPca.fitPartitions(0L, 64, 32) == 1)
+    withProp("graft.pca.rows_per_task", "1024") {
+      assert(graft.ml.PowerPca.fitPartitions(500L, 64, 32) == 32)
+    }
+    withProp("graft.pca.rows_per_task", "0") {
+      intercept[IllegalArgumentException] { Settings.pca.rowsPerTask }
+    }
+  }
+
   test("cluster_qa / validation_walkforward sections mirror the yaml " +
       "and reach their consumers") {
     val Q = Settings.clusterQa
