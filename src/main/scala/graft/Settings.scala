@@ -378,6 +378,26 @@ object Settings {
       * later ids are append-encoded against those FROZEN artifacts
       * (faiss add-without-train). Fixture default 400 of 500. */
     def incrBase: Int = int("ann.incr_base", 400)
+    /** `ann.dimred:` — the dimension-reduction-CONSUMED ANN A/B
+      * (q_e_dimred_ab): the IVF ladder runs UNDER each reduced
+      * representation (RP / PCA / MRL prefix) at ONE matched
+      * dimension, pricing index-cost-vs-recall per reduction — the
+      * consume-what-you-measured discipline the RP/PCA/MRL recall
+      * rows individually lack. `dim` is the shared target dimension;
+      * `pca_iters` the power rounds of the A/B's own PCA fit (its
+      * oracle unrolls dim × iters blocks, so both stay
+      * fixture-scale). */
+    def dimredDim: Int = {
+      val d = int("ann.dimred.dim", 8)
+      require(d >= 1 && d <= embeddingDim,
+        s"ann.dimred.dim $d outside 1..$embeddingDim")
+      d
+    }
+    def dimredPcaIters: Int = {
+      val v = int("ann.dimred.pca_iters", 4)
+      require(v >= 1, s"ann.dimred.pca_iters must be >= 1, got $v")
+      v
+    }
   }
 
   /** `dedup:` block — near-duplicate-detection knobs (engine

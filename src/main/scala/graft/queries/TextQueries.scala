@@ -448,6 +448,140 @@ object TextQueries extends QueryModule {
     graft.ml.PowerPca.oracleCtes(PcaComps, PcaIters,
       dims = graft.Settings.ann.embeddingDim)
 
+  // ---- dimred-consumed ANN A/B: live knobs, per-arm reduced frames,
+  // staged IVF-flat results over each reduction
+
+  private[queries] def DimredDim = graft.Settings.ann.dimredDim
+  private[queries] def DimredPcaIters =
+    graft.Settings.ann.dimredPcaIters
+
+  /** PCA fit at the A/B's matched dimension (dimred.dim components ×
+    * dimred.pca_iters rounds), memoized per sf dir. */
+  private val pcaDrMemo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ml.PowerPca.Fit]
+  private[queries] def pcaDrFitted(s: SparkSession, dir: String)
+      : graft.ml.PowerPca.Fit =
+    pcaDrMemo.getOrElseUpdate(dir,
+      graft.ml.PowerPca.fit(t(s, dir, "embeddings"), DimredDim,
+        DimredPcaIters,
+        expectDims = Some(graft.Settings.ann.embeddingDim)))
+
+  /** The reduced (vec_id, rv) frame of one A/B arm at the matched
+    * dimension — mrl: raw prefix slice; rp: md5-sign J-L projection,
+    * round-6 seam; pca: fitted projections, round-6 seam. */
+  private[queries] def dimredReduced(s: SparkSession, dir: String,
+      method: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dIn = graft.Settings.ann.embeddingDim
+    method match {
+      case "mrl" => emb.select(col("vec_id"),
+        slice(col("embedding"), 1, DimredDim).cast("array<double>")
+          .as("rv"))
+      case "rp" => emb.select(col("vec_id"),
+        transform(graft.text.RandomProjection.project(
+          col("embedding").cast("array<double>"), dIn, DimredDim),
+          y => round(y, 6)).as("rv"))
+      case "pca" =>
+        val fit = pcaDrFitted(s, dir)
+        val proj = graft.ml.PowerPca.projectRowwise(emb, fit)
+        proj.select(col("vec_id"),
+          array((0 until DimredDim).map(c => col(s"p$c")): _*)
+            .as("rv"))
+    }
+  }
+
+  /** One A/B arm's IVF-flat serving over its reduced frame: Lloyd
+    * coarse cells fitted IN the reduced space (seed-slice init,
+    * hash-checkable), queries probe their n_probe nearest cells by
+    * round-6 exact L2, exact reduced-space cosine inside probed
+    * cells only, top-k — plus `n_cands`, the probed-candidate count
+    * (the arm's serving cost). */
+  private[queries] def dimredArm(s: SparkSession, dir: String,
+      method: String): DataFrame =
+    Stage.cached(s, dir, s"dimred_$method") {
+      val spark = s
+      import spark.implicits._
+      val red = dimredReduced(s, dir, method).localCheckpoint()
+      val (assign, cents) = graft.ml.LloydKmeans.fit(red, "vec_id",
+        "rv", IvfNCells, CoarseIters)
+      val centDf = cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "cv")
+      val nr = red.withColumn("nrm",
+        Similarity.norm(col("rv"))).localCheckpoint()
+      val q = nr.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("rv").as("qrv"),
+          col("nrm").as("qnrm"))
+      val probe = q.crossJoin(broadcast(centDf))
+        .withColumn("d2", graft.functions.VecOps.sqDist18(col("qrv"),
+          col("cv")))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(round(col("d2"), 6), col("cell"))))
+        .filter(col("rn") <= IvfNProbe)
+        .select("qid", "qrv", "qnrm", "cell")
+      val cands = probe.join(
+          assign.select(col("pid").as("vid"),
+            col("cluster").as("cell")), Seq("cell"))
+        .filter(col("vid") =!= col("qid"))
+        .join(nr.select(col("vec_id").as("vid"), col("rv").as("vrv"),
+          col("nrm").as("vnrm")), Seq("vid"))
+      val scored = cands.select(col("qid"), col("vid"),
+        round(Similarity.cosinePre(col("qrv"), col("vrv"),
+          col("qnrm"), col("vnrm")), 6).as("cos_sim"))
+      val nc = scored.groupBy("qid")
+        .agg(count(lit(1)).as("n_cands"))
+      scored.withColumn("rnk", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("cos_sim").desc, col("vid"))))
+        .filter(col("rnk") <= AnnK)
+        .join(nc, Seq("qid"))
+        .select(col("qid"), col("vid"), col("cos_sim"), col("rnk"),
+          col("n_cands"))
+    }
+
+  /** One arm's oracle chain over a reduced source CTE `src(pid, j,
+    * x)`: norms, the unrolled Lloyd coarse fit (seed-slice init — the
+    * engine's LloydKmeans verbatim via oracleSqlFrom), the query
+    * probe (n_probe nearest cells by round-6 exact L2), probed-cell
+    * candidates, reduced-space cosine, top-k and the candidate-count
+    * cost. Ends at `${pfx}tk(qid, vid)` and `${pfx}nc(qid,
+    * n_cands)`. */
+  private def dimredArmCtes(pfx: String, src: String): String =
+    s"""
+      ${pfx}nr AS MATERIALIZED (
+        SELECT pid, sqrt(sum(x*x)) AS nrm FROM $src GROUP BY 1),""" +
+    graft.ml.LloydKmeans.oracleSqlFrom(src, IvfNCells, CoarseIters,
+      pfx) +
+    graft.ml.LloydKmeans.finalAssignSql(src, CoarseIters, pfx) + s""",
+      ${pfx}pb AS (
+        SELECT pid AS qid, c AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY pid
+            ORDER BY round(d2, 6), c) AS rn
+          FROM ${pfx}kd_fin WHERE pid < 8) WHERE rn <= $IvfNProbe),
+      ${pfx}cd AS MATERIALIZED (
+        SELECT p.qid, a.pid AS vid
+        FROM ${pfx}pb p JOIN ${pfx}kassign a
+          ON a.cluster = p.cell AND a.pid <> p.qid),
+      ${pfx}nc AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_cands
+        FROM ${pfx}cd GROUP BY 1),
+      ${pfx}dt AS (
+        SELECT c.qid, c.vid, sum(qa.x * eb.x) AS dot
+        FROM ${pfx}cd c JOIN $src qa ON qa.pid = c.qid
+                        JOIN $src eb ON eb.pid = c.vid
+                          AND eb.j = qa.j
+        GROUP BY 1, 2),
+      ${pfx}sc AS MATERIALIZED (
+        SELECT d.qid, d.vid,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM ${pfx}dt d JOIN ${pfx}nr na ON na.pid = d.qid
+                        JOIN ${pfx}nr nb ON nb.pid = d.vid),
+      ${pfx}tk AS MATERIALIZED (
+        SELECT qid, vid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, vid) AS rn FROM ${pfx}sc)
+        WHERE rn <= $AnnK)"""
+
   /** Served beam-search results over the built graph (qid, vid,
     * cos_sim, rnk, n_scored) — read by the serve row and the
     * recall-vs-cost row. */
@@ -3539,6 +3673,143 @@ object TextQueries extends QueryModule {
         .orderBy("bucket_kn2", "bucket_kn3")
     },
 
+    // UNIFIED CURATION GATE — the four MEASURED signals composed into
+    // one sequential corpus-yield pipeline with per-stage accounting:
+    // exact dedup keeper → trained classifier at the CALIBRATION-
+    // CHOSEN threshold (q_t_quality_clf_threshold's operating point)
+    // → Kneser-Ney perplexity bucket ≠ tail (the production CCNet
+    // rung, per-language terciles) → DSIR importance weight > 0 (the
+    // target-distribution gate). Every signal is an already-hash-
+    // checked shared artifact (the q_t_filter_agreement stages, KN
+    // instead of add-one); this row is their consumption — what the
+    // corpus actually yields when the gates stack, in docs and
+    // tokens, stage by stage. Stream ≡ batch is spec-locked via
+    // CurationGate.gate (StreamingSpec): the same three signal gates
+    // run on a streaming frame against the frozen artifacts.
+    Q("q_t_curation_gate", Some(s"""
+      WITH ${CurationQueries.qclfCtes},
+      ${graft.text.QualityClf.oracleThresholdCtes(
+        CurationQueries.QcIters, CurationQueries.QcTarget).trim},
+      ${graft.text.KneserNey.oracleCtes(KnDiscount).trim},
+      ${CurationQueries.dsirCtes.trim},
+      cgtok AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '[[:space:]]+'))
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      cg1 AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+          FROM documents) WHERE doc_id = keep),
+      cg2 AS (
+        SELECT c.doc_id FROM cg1 c JOIN qcpt m ON c.doc_id = m.doc_id
+        WHERE m.p >= (SELECT thr FROM qcpick)),
+      cgk AS (
+        SELECT doc_id, lang, round(exp(-avg_lp), 6) AS ppl FROM knd),
+      cgr AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM cgk),
+      cgcut AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut1,
+               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut2
+        FROM cgr GROUP BY 1),
+      cgb AS (
+        SELECT d.doc_id,
+               CASE WHEN d.ppl <= c.cut1 THEN 'head'
+                    WHEN d.ppl <= c.cut2 THEN 'middle'
+                    ELSE 'tail' END AS b
+        FROM cgk d JOIN cgcut c USING (lang)),
+      cg3 AS (
+        SELECT c.doc_id FROM cg2 c
+        LEFT JOIN cgb ON c.doc_id = cgb.doc_id
+        WHERE cgb.b IS NULL OR cgb.b <> 'tail'),
+      cg4 AS (
+        SELECT c.doc_id FROM cg3 c JOIN dlw ON c.doc_id = dlw.doc_id
+        WHERE round(dlw.logw, 6) > 0),
+      cga0 AS (SELECT CAST(count(*) AS BIGINT) AS d0 FROM documents),
+      cga1 AS (SELECT CAST(count(*) AS BIGINT) AS d1,
+                      CAST(sum(t.n_tokens) AS BIGINT) AS t1
+               FROM cg1 JOIN cgtok t USING (doc_id)),
+      cga2 AS (SELECT CAST(count(*) AS BIGINT) AS d2,
+                      CAST(sum(t.n_tokens) AS BIGINT) AS t2
+               FROM cg2 JOIN cgtok t USING (doc_id)),
+      cga3 AS (SELECT CAST(count(*) AS BIGINT) AS d3,
+                      CAST(sum(t.n_tokens) AS BIGINT) AS t3
+               FROM cg3 JOIN cgtok t USING (doc_id)),
+      cga4 AS (SELECT CAST(count(*) AS BIGINT) AS d4,
+                      CAST(sum(t.n_tokens) AS BIGINT) AS t4
+               FROM cg4 JOIN cgtok t USING (doc_id))
+      SELECT * FROM (
+        SELECT '1_exact_dedup' AS stage, d0 AS docs_in,
+               d0 - d1 AS docs_removed, d1 AS docs_out,
+               t1 AS tokens_out
+        FROM cga0, cga1
+        UNION ALL
+        SELECT '2_quality_clf', d1, d1 - d2, d2, t2 FROM cga1, cga2
+        UNION ALL
+        SELECT '3_ppl_kn', d2, d2 - d3, d3, t3 FROM cga2, cga3
+        UNION ALL
+        SELECT '4_dsir', d3, d3 - d4, d4, t4 FROM cga3, cga4)
+      ORDER BY stage""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val nTok = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val s1 = Dedup.exactDups(docs).filter(!col("is_dup"))
+        .select("doc_id")
+      val thr = CurationQueries.qclfThreshold(s, dir)
+      val clfP = graft.text.QualityClf.score(
+          CurationQueries.qclfFeatY(s, dir),
+          CurationQueries.qclfWeights(s, dir))
+        .select(col("doc_id"), round(col("prob"), 9).as("p"))
+      val s2 = s1.join(clfP, "doc_id").filter(col("p") >= thr)
+        .select("doc_id")
+      val knD = knLp(s, dir).select(col("doc_id"), col("lang"),
+        round(exp(-col("avg_lp")), 6).as("ppl"))
+      val cuts = knD.groupBy("lang").agg(
+        percentile_approx(col("ppl"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
+      val knB = knD.join(broadcast(cuts), "lang")
+        .select(col("doc_id"),
+          when(col("ppl") <= element_at(col("qs"), 1), "head")
+            .when(col("ppl") <= element_at(col("qs"), 2), "middle")
+            .otherwise("tail").as("b"))
+      val s3 = s2.join(knB, Seq("doc_id"), "left")
+        .filter(col("b").isNull || col("b") =!= "tail")
+        .select("doc_id")
+      val s4 = s3.join(CurationQueries.dsirWeights(s, dir)
+          .select(col("doc_id"), col("logw")), "doc_id")
+        .filter(round(col("logw"), 6) > 0)
+        .select("doc_id")
+      def acc(df: DataFrame, dn: String, tn: String) =
+        df.join(nTok, "doc_id")
+          .agg(count(lit(1)).as(dn),
+            sum("n_tokens").cast("long").as(tn))
+      val a0 = docs.agg(count(lit(1)).as("d0"))
+      val one = a0.crossJoin(acc(s1, "d1", "t1"))
+        .crossJoin(acc(s2, "d2", "t2"))
+        .crossJoin(acc(s3, "d3", "t3"))
+        .crossJoin(acc(s4, "d4", "t4"))
+        .localCheckpoint()
+      def row(stage: String, din: org.apache.spark.sql.Column,
+          dout: org.apache.spark.sql.Column,
+          tout: org.apache.spark.sql.Column) =
+        one.select(lit(stage).as("stage"), din.as("docs_in"),
+          (din - dout).as("docs_removed"), dout.as("docs_out"),
+          tout.as("tokens_out"))
+      row("1_exact_dedup", col("d0"), col("d1"), col("t1"))
+        .unionByName(row("2_quality_clf", col("d1"), col("d2"),
+          col("t2")))
+        .unionByName(row("3_ppl_kn", col("d2"), col("d3"), col("t3")))
+        .unionByName(row("4_dsir", col("d3"), col("d4"), col("t4")))
+        .orderBy("stage")
+    },
+
     // Document chunking for context windows: 64-token chunks with
     // 8-token overlap (stride 56). Pure per-doc arithmetic + explode —
     // embarrassingly parallel at corpus scale; spans are emitted as
@@ -4053,6 +4324,103 @@ object TextQueries extends QueryModule {
             round(col("n_hits").cast("double") / col("n_true"), 9)
               .as("recall"))
       }.reduce(_ unionByName _).orderBy("dim", "qid")
+    },
+
+    // Dimension-reduction CONSUMED by the ANN ladder — RP vs PCA vs
+    // MRL prefix at ONE matched dimension (ann.dimred.dim), each
+    // arm running the SAME IVF-flat index in its reduced space:
+    // Lloyd coarse cells fitted on the reduced vectors (the
+    // hash-checkable seed-slice fit), n_probe-cell probing, exact
+    // reduced-space cosine inside probed cells. Per (arm, query):
+    // recall@k against the FULL-dim exact truth + the probed-
+    // candidate cost. The consume-what-you-measured discipline (the
+    // calibration threshold's r12 pattern) applied to the dim-
+    // reduction family: the RP/PCA/MRL recall rows each price the
+    // reduction alone — this row prices the reduction UNDER the
+    // index a production deployment would actually serve from.
+    Q("q_e_dimred_ab", Some {
+      val dIn = graft.Settings.ann.embeddingDim
+      val scale = 1.0 / math.sqrt(DimredDim.toDouble)
+      val pcaChain = graft.ml.PowerPca.oracleCtes(DimredDim,
+        DimredPcaIters, dims = dIn)
+      val srcs = s"""
+      drex AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      drm AS MATERIALIZED (
+        SELECT vec_id AS pid, i AS j, x FROM drex
+        WHERE i < $DimredDim),
+      drrm AS (
+        SELECT j, i,
+               CASE WHEN ${hsql("'rp_' || j || '_' || i")} % 2 = 0
+                 THEN $scale ELSE -$scale END AS r
+        FROM range($DimredDim) t1(j) CROSS JOIN range($dIn) t2(i)),
+      drr AS MATERIALIZED (
+        SELECT e.vec_id AS pid, m.j,
+               round(CAST(sum(CAST(e.x * m.r AS DECIMAL(38,18)))
+                 AS DOUBLE), 6) AS x
+        FROM drex e JOIN drrm m ON e.i = m.i GROUP BY 1, 2),
+      drp AS MATERIALIZED (
+        SELECT vec_id AS pid, component AS j, proj AS x FROM pprj),
+      drnf AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM drex
+               GROUP BY 1),
+      drtt AS MATERIALIZED (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid, row_number() OVER (PARTITION BY d.qid
+            ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC, d.vid)
+            AS rnk
+          FROM (SELECT q.vec_id AS qid, e.vec_id AS vid,
+                       sum(q.x * e.x) AS dot
+                FROM drex q JOIN drex e ON q.i = e.i
+                  AND q.vec_id <> e.vec_id
+                WHERE q.vec_id < 8 GROUP BY 1, 2) d
+          JOIN drnf na ON na.vec_id = d.qid
+          JOIN drnf nb ON nb.vec_id = d.vid)
+        WHERE rnk <= $AnnK)"""
+      val arms = Seq(("mrl", "dm", "drm"), ("pca", "dp", "drp"),
+        ("rp", "dr", "drr"))
+      val armCtes = arms.map { case (_, pfx, src) =>
+        dimredArmCtes(pfx, src).trim }.mkString(",\n      ")
+      val union = arms.map { case (m, pfx, _) => s"""
+        SELECT '$m' AS method, t.qid,
+               CAST(count(s.vid) AS BIGINT) AS n_hits,
+               CAST(count(*) AS BIGINT) AS n_true,
+               round(CAST(count(s.vid) AS DOUBLE) / count(*), 9)
+                 AS recall,
+               any_value(c.n_cands) AS n_cands
+        FROM drtt t
+        LEFT JOIN ${pfx}tk s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN ${pfx}nc c ON c.qid = t.qid
+        GROUP BY 2"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $pcaChain,$srcs,
+      $armCtes
+      $union
+      ORDER BY method, qid"""
+    }) { (s, dir) =>
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid"))
+      def armOut(m: String): DataFrame = {
+        val served = dimredArm(s, dir, m)
+        val hits = served.select(col("qid"), col("vid"))
+          .withColumn("hit", lit(1L))
+        val nc = served.groupBy("qid")
+          .agg(first(col("n_cands")).as("n_cands"))
+        truth.join(hits, Seq("qid", "vid"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+            count(lit(1)).as("n_true"))
+          .join(nc, Seq("qid"))
+          .select(lit(m).as("method"), col("qid"), col("n_hits"),
+            col("n_true"),
+            round(col("n_hits").cast("double") / col("n_true"), 9)
+              .as("recall"), col("n_cands"))
+      }
+      armOut("mrl").unionByName(armOut("pca")).unionByName(armOut("rp"))
+        .orderBy("method", "qid")
     },
 
     // NN-Descent kNN GRAPH (NnDescent scaladoc — Dong et al. 2011):

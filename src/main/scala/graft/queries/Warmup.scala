@@ -99,6 +99,9 @@ object Warmup {
       // Kneser-Ney per-doc scores (KN report + KN perplexity buckets)
       // — the same two-count-shuffle root shape as bigramLp
       "knLp" -> (() => TextQueries.knLp(spark, dir).count()),
+      // KN TRIGRAM per-doc scores (kn3 report + order-movement
+      // matrix) — one more count shuffle than the bigram rung
+      "kn3Lp" -> (() => TextQueries.kn3Lp(spark, dir).count()),
       // Stupid-Backoff per-doc scores (SB report + backoff mix) —
       // three count shuffles over the index slice + the scoring joins
       "sbLp" -> (() => TextQueries.sbLp(spark, dir).count()),
@@ -172,6 +175,22 @@ object Warmup {
           // (iterative hop chain — the serve + serve-recall rows)
           "nndServed" ->
             (() => TextQueries.nndServed(spark, dir).count()),
+          // HNSW layer graphs + hierarchical serve (reads the phase-1
+          // base graph; layer builds are bucket-init NND chains)
+          "hnswServed" ->
+            (() => TextQueries.hnswServed(spark, dir).count()),
+          // frozen-base incremental graph (base build + seed beam
+          // search + confined repair rounds)
+          "nndIncrGraph" ->
+            (() => TextQueries.nndIncrGraph(spark, dir).count()),
+          // the three dimred-A/B arms (Lloyd fit per reduced space;
+          // the pca arm fits its own matched-dim PowerPca first)
+          "dimredMrl" ->
+            (() => TextQueries.dimredArm(spark, dir, "mrl").count()),
+          "dimredPca" ->
+            (() => TextQueries.dimredArm(spark, dir, "pca").count()),
+          "dimredRp" ->
+            (() => TextQueries.dimredArm(spark, dir, "rp").count()),
           // the all-nodes exact truth (the recall denominator — one
           // broadcast brute-force pass, stored once)
           "nndTruth" ->

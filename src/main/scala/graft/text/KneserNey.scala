@@ -70,7 +70,7 @@ object KneserNey {
   /** ln P_KN of one scored bigram row (c2, ctx, n1f, n1b, n_types
     * in scope) — the ONE formula both engines evaluate, identical
     * parenthesization (see [[oracleLpSql]]). */
-  private def lpCol(d: Double) =
+  private[text] def lpCol(d: Double) =
     log((greatest(col("c2") - lit(d), lit(0.0))
       + lit(d) * col("n1f") * (col("n1b") / col("n_types")))
       / col("ctx"))

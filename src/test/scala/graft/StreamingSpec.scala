@@ -905,4 +905,64 @@ class StreamingSpec extends SparkSpec {
       cmsBatch.exceptAll(cmsGot).isEmpty,
       "streamed CMS counters diverge from the batch build")
   }
+
+  test("unified curation gate: streamed micro-batches pass the three " +
+      "signal gates exactly like batch (CurationGate.gate)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 120)
+      .select("doc_id", "lang", "text")
+    // freeze every artifact on the standing corpus — classifier
+    // weights, KN count tables + per-language tercile cuts, DSIR
+    // bucket model (the batch query's stage artifacts)
+    val B = 64
+    val featY = graft.text.QualityClf.features(docs, B)
+      .join(graft.text.QualityClf.labels(docs, 0.75), "doc_id")
+      .select("doc_id", "y", "bk", "x").cache()
+    val n = featY.filter(col("bk") === -1L).count().toDouble
+    // the production iteration count: a 6-iter fit underfits this
+    // 120-doc slice to all-below-0.5 probs and the gate degenerates
+    val w = graft.text.QualityClf.fit(featY, B, lr = 10.0, iters = 24,
+      nDocs = n)
+    featY.unpersist()
+    val (c2, ctx, back, nTypes) = graft.text.KneserNey.model(docs, 0.75)
+    val knD = graft.text.KneserNey.scoreBigrams(docs, 0.75)
+      .select(col("doc_id"), col("lang"),
+        round(exp(-col("avg_lp")), 6).as("ppl"))
+    val cuts = knD.groupBy("lang")
+      .agg(percentile_approx(col("ppl"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1)(0), r.getSeq[Double](1)(1))).toMap
+    val (dsirM, dsirD) = graft.text.Dsir.fitModel(docs, B, "en")
+    def gated(in: org.apache.spark.sql.DataFrame) =
+      graft.text.CurationGate.gate(in, B, w, probThreshold = 0.5,
+        c2, ctx, back, nTypes.toDouble, 0.75, cuts, B, dsirM, dsirD)
+        .select(col("doc_id"), round(col("clf_prob"), 9).as("p"),
+          col("kn_bucket"), round(col("dsir_logw"), 6).as("lw"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String, String)],
+        spark.sqlContext)
+    val q = gated(mem.toDF.toDF("doc_id", "lang", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("curation_gate_test").start()
+    val rows = docs.as[(Long, String, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curation_gate_test")
+      .as[(Long, Double, Option[String], Double)].collect().toSet
+    val want = gated(docs)
+      .as[(Long, Double, Option[String], Double)].collect().toSet
+    assert(got == want, "streamed curation gate must equal batch")
+    // the gate is selective but not degenerate on the fixture
+    assert(want.nonEmpty && want.size < 120,
+      s"gate must filter something: ${want.size} of 120 survive")
+  }
 }
