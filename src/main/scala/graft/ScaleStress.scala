@@ -113,7 +113,19 @@ object ScaleStress {
     // in N), and the PCA fit (two exploded-frame passes per round
     // with d-double driver state, ~linear in N)
     "q_t_wordpiece_learn", "q_t_sb_lp", "q_e_nnd_graph",
-    "q_e_pca_fit")
+    "q_e_pca_fit",
+    // r13 additions: byte-level BPE (distinct-words-bounded, ~flat),
+    // the KN trigram scorer (one more count shuffle than bigram KN,
+    // ~linear), the HNSW flat-vs-hier A/B (layer builds are subset
+    // NND chains; serving is query-local — the row where the
+    // hierarchy's constant entry cost should SHOW at 10×), the
+    // incremental graph insert (seed beam + blast-radius-confined
+    // repair — must stay ~flat in N for a fixed batch share), the
+    // dimred A/B (three Lloyd fits over reduced frames + probed-cell
+    // scoring), and the composed curation gate (all four signal
+    // artifacts + four doc-keyed joins)
+    "q_t_bpe_bytes_learn", "q_t_kn3_lp", "q_e_hnsw_ab",
+    "q_e_nnd_incr", "q_e_dimred_ab", "q_t_curation_gate")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -148,7 +160,17 @@ object ScaleStress {
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(String, String), (Double, Double, Boolean)]
     val extraLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    // hold the incremental-insert BATCH SHARE fixed across scales
+    // (the scaling experiment is "the corpus grew N×, a 20% batch
+    // arrives", not "a fixed 400-vector base absorbs whatever is
+    // left"): ann.incr_base = 80% of EACH dir's embedding count
+    val nVecByDir = Seq(base, out).map(d =>
+      d -> spark.read.parquet(s"$d/embeddings.parquet").count()).toMap
     for (name <- Measured; dir <- Seq(base, out)) {
+      val incrOverride = name == "q_e_nnd_incr"
+      if (incrOverride)
+        sys.props("graft.ann.incr_base") =
+          ((nVecByDir(dir) * 4) / 5).toString
       var err = false
       val t1 = time { try qs(name)(spark, dir).count()
         catch { case e: Throwable => err = true
@@ -156,6 +178,7 @@ object ScaleStress {
       val t2 = time { try qs(name)(spark, dir).count()
         catch { case e: Throwable => err = true
           System.err.println(s"[scale] $name@$dir run2: ${e.getMessage}") } }
+      if (incrOverride) sys.props.remove("graft.ann.incr_base")
       results((name, dir)) = (t1, t2, err)
       println(s"""{"scale_q":"$name","dir":"$dir","run1":${r2(t1)},"run2":${r2(t2)},"err":$err}""")
     }
