@@ -629,14 +629,16 @@ object Settings {
       * size the upper-layer graphs and descent; `hnsw_beam`/
       * `hnsw_hops` the base-layer finish. Defaults are the measured
       * Pareto point (see q_e_hnsw_ab): at the driver gate scale
-      * (sf0.01) recall@5 0.775 at 186 distinct scored vs the flat
-      * serve's 0.775 at 228 — EQUAL recall at 18% fewer scored; on
-      * the sf0.001 embeddings the same point reads 0.65 @ 190 vs
-      * 0.75 @ 216 (that draw is closer to i.i.d. — the
-      * non-navigable case where concentrated entries lose to entry
-      * diversity; 8 knob combos measured). The structural claim is
-      * vs N — the coarse entry cost is a knob (N/ratio^levels)
-      * where the flat serve's hop count must grow. */
+      * (sf0.01) recall@5 0.875 at ~183 distinct scored vs the flat
+      * serve's 0.775 at 228 — BETTER recall at 20% fewer scored
+      * (measured after the double-blocking init fix; 12 knob combos
+      * swept across both fixes). On the sf0.001 embeddings the same
+      * point reads 0.65 @ 181 vs 0.75 @ 216 — that draw is closer
+      * to i.i.d., the non-navigable case where concentrated entries
+      * lose to entry diversity; both readings ride in the A/B row.
+      * The structural claim is vs N — the coarse entry cost is a
+      * knob (N/ratio^levels) where the flat serve's hop count must
+      * grow. */
     def hnswRatio: Int = {
       val v = int("nndescent.hnsw_ratio", 4)
       require(v >= 2, s"nndescent.hnsw_ratio must be >= 2, got $v"); v
@@ -647,7 +649,7 @@ object Settings {
       require(v >= 0,
         s"nndescent.hnsw_up_rounds must be >= 0, got $v"); v
     }
-    def hnswUpBeam: Int = pos("nndescent.hnsw_up_beam", 4)
+    def hnswUpBeam: Int = pos("nndescent.hnsw_up_beam", 6)
     def hnswUpHops: Int = {
       val v = int("nndescent.hnsw_up_hops", 1)
       require(v >= 0,

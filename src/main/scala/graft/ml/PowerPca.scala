@@ -110,16 +110,26 @@ object PowerPca {
   def fit(emb: DataFrame, nComponents: Int, iters: Int,
       expectDims: Option[Int] = None): Fit = {
     val n = emb.count()
-    val probeDims = exploded(emb).agg(max("i")).head().getInt(0) + 1
+    // dimension from ONE row (the Similarity.embDim convention — no
+    // corpus-wide explode just to probe a schema-level fact)
+    val probeDims = emb.select(size(col("embedding"))).head().getInt(0)
     expectDims.foreach(d => require(probeDims == d,
       s"pca oracle dimension $d (ann.embedding_dim) != corpus " +
         s"dimension $probeDims — the unrolled oracle's init vectors " +
         "would silently diverge; fix the knob"))
     val dims = probeDims
-    val px = exploded(emb)
-      .coalesce(fitPartitions(n, dims,
-        emb.sparkSession.sparkContext.defaultParallelism))
-      .localCheckpoint()
+    // widen OR narrow to the adaptive width: coalesce alone can only
+    // reduce, so a corpus read as a few large splits would silently
+    // run every power round at the scan's width — repartition when
+    // the target exceeds the input's partitioning (values are
+    // partitioning-independent: all sums are exact decimal)
+    val target = fitPartitions(n, dims,
+      emb.sparkSession.sparkContext.defaultParallelism)
+    val raw = exploded(emb)
+    val cur = raw.rdd.getNumPartitions
+    val px = (if (cur > target) raw.coalesce(target)
+      else if (cur < target) raw.repartition(target)
+      else raw).localCheckpoint()
     // per-dim decimal sums -> double means (u/n in IEEE doubles)
     val u = px.groupBy("i")
       .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("u"))

@@ -221,6 +221,25 @@ object TextQueries extends QueryModule {
         KnDiscount)
     }
 
+  /** Per-doc KN perplexity buckets `(doc_id, lang, n_bigrams, ppl,
+    * ppl_bucket)` over the shared KN stage (per-language ceil-rank
+    * terciles — the pplBucketed contract applied to the KN scorer) —
+    * read by the KN bucket report, BOTH agreement matrices, and the
+    * curation gate, so the four can never drift. */
+  private[queries] def knBucketed(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = knLp(s, dir).select(col("doc_id"), col("lang"),
+      col("n_bigrams"), round(exp(-col("avg_lp")), 6).as("ppl"))
+    val cuts = d.groupBy("lang").agg(
+      percentile_approx(col("ppl"), array(lit(1.0 / 3), lit(2.0 / 3)),
+        lit(1000000)).as("qs"))
+    d.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl"),
+        when(col("ppl") <= element_at(col("qs"), 1), "head")
+          .when(col("ppl") <= element_at(col("qs"), 2), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Shared interpolated-KN TRIGRAM scoring stage (the KenLM order
     * family above the bigram rung) — read by the kn3 report and the
     * bigram-vs-trigram bucket-movement row. */
@@ -442,7 +461,10 @@ object TextQueries extends QueryModule {
       : graft.ml.PowerPca.Fit =
     pcaMemo.getOrElseUpdate(dir,
       graft.ml.PowerPca.fit(t(s, dir, "embeddings"), PcaComps,
-        PcaIters))
+        PcaIters,
+        // pcaCtes unrolls the oracle for exactly this dimension —
+        // the same silent-divergence coupling the dimred arm guards
+        expectDims = Some(graft.Settings.ann.embeddingDim)))
 
   private[queries] def pcaCtes: String =
     graft.ml.PowerPca.oracleCtes(PcaComps, PcaIters,
@@ -2232,16 +2254,8 @@ object TextQueries extends QueryModule {
       ORDER BY bucket_addone, bucket_kn""")) { (s, dir) =>
       val a1 = pplBucketed(s, dir)
         .select(col("doc_id"), col("ppl_bucket").as("bucket_addone"))
-      val d = knLp(s, dir).select(col("doc_id"), col("lang"),
-        round(exp(-col("avg_lp")), 6).as("ppl"))
-      val cuts = d.groupBy("lang").agg(
-        percentile_approx(col("ppl"),
-          array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
-      val a2 = d.join(broadcast(cuts), "lang")
-        .select(col("doc_id"),
-          when(col("ppl") <= element_at(col("qs"), 1), "head")
-            .when(col("ppl") <= element_at(col("qs"), 2), "middle")
-            .otherwise("tail").as("bucket_kn"))
+      val a2 = knBucketed(s, dir)
+        .select(col("doc_id"), col("ppl_bucket").as("bucket_kn"))
       val am = a1.join(a2, "doc_id")
         .groupBy("bucket_addone", "bucket_kn")
         .agg(count(lit(1)).as("n_docs"))
@@ -3552,18 +3566,7 @@ object TextQueries extends QueryModule {
                   ELSE 'tail' END AS ppl_bucket
       FROM knd2 d JOIN kncut c USING (lang)
       ORDER BY doc_id""")) { (s, dir) =>
-      val d = knLp(s, dir).select(col("doc_id"), col("lang"),
-        col("n_bigrams"), round(exp(-col("avg_lp")), 6).as("ppl"))
-      val cuts = d.groupBy("lang").agg(
-        percentile_approx(col("ppl"),
-          array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
-      d.join(broadcast(cuts), "lang")
-        .select(col("doc_id"), col("lang"), col("n_bigrams"),
-          col("ppl"),
-          when(col("ppl") <= element_at(col("qs"), 1), "head")
-            .when(col("ppl") <= element_at(col("qs"), 2), "middle")
-            .otherwise("tail").as("ppl_bucket"))
-        .orderBy("doc_id")
+      knBucketed(s, dir).orderBy("doc_id")
     },
 
     // Interpolated Kneser-Ney TRIGRAM scoring (KneserNey.scoreTrigrams
@@ -3658,8 +3661,8 @@ object TextQueries extends QueryModule {
               .when(col("ppl") <= element_at(col("qs"), 2), "middle")
               .otherwise("tail").as(out))
       }
-      val a2 = bucketed(knLp(s, dir).select(col("doc_id"), col("lang"),
-        round(exp(-col("avg_lp")), 6).as("ppl")), "bucket_kn2")
+      val a2 = knBucketed(s, dir)
+        .select(col("doc_id"), col("ppl_bucket").as("bucket_kn2"))
       val a3 = bucketed(kn3Lp(s, dir).select(col("doc_id"),
         col("lang"), round(exp(-col("avg_lp")), 6).as("ppl")),
         "bucket_kn3")
@@ -3769,16 +3772,8 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), round(col("prob"), 9).as("p"))
       val s2 = s1.join(clfP, "doc_id").filter(col("p") >= thr)
         .select("doc_id")
-      val knD = knLp(s, dir).select(col("doc_id"), col("lang"),
-        round(exp(-col("avg_lp")), 6).as("ppl"))
-      val cuts = knD.groupBy("lang").agg(
-        percentile_approx(col("ppl"),
-          array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
-      val knB = knD.join(broadcast(cuts), "lang")
-        .select(col("doc_id"),
-          when(col("ppl") <= element_at(col("qs"), 1), "head")
-            .when(col("ppl") <= element_at(col("qs"), 2), "middle")
-            .otherwise("tail").as("b"))
+      val knB = knBucketed(s, dir)
+        .select(col("doc_id"), col("ppl_bucket").as("b"))
       val s3 = s2.join(knB, Seq("doc_id"), "left")
         .filter(col("b").isNull || col("b") =!= "tail")
         .select("doc_id")
@@ -4692,15 +4687,16 @@ object TextQueries extends QueryModule {
     // hierarchy exists for: per arm, average recall@k against the
     // exact truth and the average/total DISTINCT candidates scored,
     // same k, same corpus, same shared artifacts. Measured at the
-    // committed knee: at the sf0.01 gate scale the hierarchy reaches
-    // EQUAL recall at fewer scored candidates (0.775 @ 186 vs flat
-    // 0.775 @ 228 — 18% less), because descent entries land near the
-    // query; on the sf0.001 draw (closer to i.i.d. — the
-    // non-navigable case) it reads 0.65 @ 190 vs 0.75 @ 216:
-    // concentrated entries there lose more to reduced exploration
-    // diversity than they gain in proximity (8 knob combos measured
-    // before pinning). The structural claim is vs N — coarse entry
-    // cost is a knob (N/ratio^levels) where flat hops must grow.
+    // committed knee: at the sf0.01 gate scale the hierarchy
+    // DOMINATES — recall 0.875 @ ~183 scored vs flat 0.775 @ 228
+    // (better recall at 20% fewer candidates), because descent
+    // entries land near the query; on the sf0.001 draw (closer to
+    // i.i.d. — the non-navigable case) it reads 0.65 @ 181 vs 0.75
+    // @ 216: concentrated entries there lose more to reduced
+    // exploration diversity than they gain in proximity (12 knob
+    // combos measured before pinning). The structural claim is vs N
+    // — coarse entry cost is a knob (N/ratio^levels) where flat
+    // hops must grow.
     Q("q_e_hnsw_ab", Some(s"""
       WITH $nndCtes,
       $nndServeCtes,

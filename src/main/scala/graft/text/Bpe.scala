@@ -161,8 +161,13 @@ object Bpe {
     * path and the no-unk guarantee). */
   def learnBytes(docs: DataFrame, nMerges: Int)
       : (Seq[Merge], DataFrame) = {
+    // checkpoint the word table FIRST, probe the checkpointed frame
+    // (the Unigram/WordPiece maxLen pattern) — probing before the
+    // checkpoint would re-run the corpus tokenize + distinct-word
+    // shuffle twice
     val words0 = wordTable(docs)
       .coalesce(graft.Settings.tuning.smallFrameParts)
+      .localCheckpoint()
     val maxCp = words0
       .select(explode(charSyms(col("word"))).as("c"))
       .agg(max(ascii(col("c")))).head().getInt(0)

@@ -122,16 +122,17 @@ object NnDescent {
   /** One NND local-join ROUND over the current (node, nbr, cos_sim)
     * edge list: general neighborhood B = edges ∪ reverse edges,
     * pivot-local candidate pairs, score, top-k of old ∪ new. Shared
-    * by [[build]], the subset-layer builds, and the incremental
-    * insert's confined rounds (which pre-filter the pivot set). */
-  private def refineRound(knn: DataFrame, vecs: DataFrame, k: Int,
-      pivotFilter: DataFrame => DataFrame = identity): DataFrame = {
+    * by [[build]] and the subset-layer builds; [[incrInsert]]'s
+    * confined rounds inline the same body because they additionally
+    * need the candidate set (to carry the touched frontier) — keep
+    * the two in sync when changing the candidate rule. */
+  private def refineRound(knn: DataFrame, vecs: DataFrame, k: Int)
+      : DataFrame = {
     val b = knn.select("node", "nbr")
       .unionByName(knn.select(col("nbr").as("node"),
         col("node").as("nbr")))
       .distinct()
-    val bp = pivotFilter(b)
-    val pairs = bp.as("x").join(bp.as("y"),
+    val pairs = b.as("x").join(b.as("y"),
         col("x.node") === col("y.node")
           && col("x.nbr") =!= col("y.nbr"))
       .select(col("x.nbr").as("node"), col("y.nbr").as("nbr"))
@@ -158,26 +159,32 @@ object NnDescent {
 
   /** Deterministic bucket-pairing init for an ARBITRARY id slice (no
     * dense-id assumption — the subset-layer counterpart of
-    * [[initEdges]]): each node lands in bucket md5(salt:node) mod
-    * nBuckets with nBuckets = max(1, ⌊n/(k+1)⌋) (expected occupancy
-    * k+1), and every ordered pair within a bucket is an init edge —
-    * the standard random-blocking seed. Per-node init degree is
-    * ~Poisson(k) rather than exactly k; the local-join rounds repair
-    * the tail exactly as they repair [[initEdges]]' dropped
-    * self-hits. Map + one groupBy — no rank densification, so it
-    * scales on any slice. */
+    * [[initEdges]]): TWO independent blockings (salts `<salt>a` /
+    * `<salt>b`), each dropping every node into bucket
+    * md5(salt:node) mod nBuckets with nBuckets = max(1, ⌊n/(k+1)⌋)
+    * (expected occupancy k+1); every ordered in-bucket pair is an
+    * init edge. One blocking alone leaves a node ISOLATED when its
+    * bucket holds no other member (P ≈ e^−(k+1) ≈ 1.7·10⁻⁵ at
+    * k = 10) — and a degree-0 node never enters the general
+    * neighborhood, so the refine rounds could never attach it; two
+    * independent blockings square that probability (~3·10⁻¹⁰) while
+    * the top-k trim keeps the per-node state at k either way. Map +
+    * one groupBy per blocking — no rank densification, so it scales
+    * on any slice. */
   def bucketInitEdges(emb: DataFrame, k: Int, n: Long,
       salt: String): DataFrame = {
     val nBuckets = math.max(1L, n / (k + 1))
-    val b = emb.select(col("vec_id").as("node"))
-      .withColumn("bkt",
-        TextOps.md5Hash64(concat_ws(":", lit(salt), col("node")))
-          % nBuckets)
-    b.as("x").join(b.as("y"),
-        col("x.bkt") === col("y.bkt")
-          && col("x.node") =!= col("y.node"))
-      .select(col("x.node").as("node"), col("y.node").as("nbr"))
-      .distinct()
+    def blocking(s: String): DataFrame = {
+      val b = emb.select(col("vec_id").as("node"))
+        .withColumn("bkt",
+          TextOps.md5Hash64(concat_ws(":", lit(s), col("node")))
+            % nBuckets)
+      b.as("x").join(b.as("y"),
+          col("x.bkt") === col("y.bkt")
+            && col("x.node") =!= col("y.node"))
+        .select(col("x.node").as("node"), col("y.node").as("nbr"))
+    }
+    blocking(salt + "a").unionByName(blocking(salt + "b")).distinct()
   }
 
   /** [[build]] over an arbitrary corpus SLICE (sparse ids allowed —
@@ -664,30 +671,37 @@ object NnDescent {
   }
 
   /** One HNSW layer's graph chain (requires `ndex`/`ndnrm`): node set
-    * `hl${l}nd` (md5 mod ratio^l — [[layerPred]]'s twin), bucket-
-    * pairing init `hl${l}e0` ([[bucketInitEdges]]' twin: nBuckets =
-    * max(1, n ÷ (k+1)), salt "hnswb$l"), then the standard refine
-    * chain ending at `hl${l}k$upRounds`. */
+    * `hl${l}nd` (md5 mod ratio^l — [[layerPred]]'s twin), the TWO
+    * bucket-pairing blockings `hl${l}e0` ([[bucketInitEdges]]' twin:
+    * nBuckets = max(1, n ÷ (k+1)), salts "hnswb${l}a"/"hnswb${l}b"),
+    * then the standard refine chain ending at `hl${l}k$upRounds`. */
   def oracleLayerCtes(l: Int, ratio: Int, k: Int, upRounds: Int)
       : String = {
     val m = math.pow(ratio.toDouble, l.toDouble).toLong
     val pfx = s"hl$l"
     val pieces = Seq.newBuilder[String]
+    def blockSel(tag: String): String = s"""
+          SELECT x.node, y.node AS nbr FROM (
+            SELECT vec_id AS node,
+                   ${hsql(s"'hnswb$l$tag:' || vec_id::VARCHAR")}
+                     % (SELECT greatest(1, n // ${k + 1})
+                        FROM ${pfx}nn) AS bkt
+            FROM ${pfx}nd) x
+          JOIN (
+            SELECT vec_id AS node,
+                   ${hsql(s"'hnswb$l$tag:' || vec_id::VARCHAR")}
+                     % (SELECT greatest(1, n // ${k + 1})
+                        FROM ${pfx}nn) AS bkt
+            FROM ${pfx}nd) y
+            ON x.bkt = y.bkt AND x.node <> y.node"""
     pieces += s"""
       ${pfx}nd AS MATERIALIZED (
         SELECT vec_id FROM embeddings
         WHERE ${hsql("'hnsw:' || vec_id::VARCHAR")} % $m = 0),
       ${pfx}nn AS (SELECT count(*) AS n FROM ${pfx}nd),
-      ${pfx}bk AS (
-        SELECT vec_id AS node,
-               ${hsql(s"'hnswb$l:' || vec_id::VARCHAR")}
-                 % (SELECT greatest(1, n // ${k + 1}) FROM ${pfx}nn)
-                 AS bkt
-        FROM ${pfx}nd),
       ${pfx}e0 AS (
-        SELECT DISTINCT x.node, y.node AS nbr
-        FROM ${pfx}bk x JOIN ${pfx}bk y
-          ON x.bkt = y.bkt AND x.node <> y.node)"""
+        SELECT DISTINCT node, nbr FROM (${blockSel("a")}
+          UNION ALL ${blockSel("b")}))"""
     pieces ++= chainCtes(pfx, s"${pfx}e0", k, upRounds)
     pieces.result().mkString(",")
   }

@@ -492,7 +492,7 @@ class SettingsSpec extends SparkSpec {
     assert(Settings.nndescent.hnswRatio == 4)
     assert(Settings.nndescent.hnswLevels == 2)
     assert(Settings.nndescent.hnswUpRounds == 2)
-    assert(Settings.nndescent.hnswUpBeam == 4
+    assert(Settings.nndescent.hnswUpBeam == 6
       && Settings.nndescent.hnswUpHops == 1)
     assert(Settings.nndescent.hnswBeam == 12
       && Settings.nndescent.hnswHops == 4)
