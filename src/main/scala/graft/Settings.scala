@@ -660,6 +660,21 @@ object Settings {
       val v = int("nndescent.hnsw_hops", 4)
       require(v >= 0, s"nndescent.hnsw_hops must be >= 0, got $v"); v
     }
+    /** (up_beam, up_hops) rungs of the hierarchical-serving frontier
+      * sweep (q_e_hnsw_frontier), as `ub:uh` pairs — the measured
+      * table the hnsw_up_* defaults are promoted from (the
+      * ann.frontier.rungs discipline applied to the graph index).
+      * Base-layer knobs stay at hnsw_beam/hnsw_hops per rung. */
+    def hnswFrontierRungs: Seq[(Int, Int)] =
+      graft.Settings.strs("nndescent.hnsw_frontier_rungs",
+        Seq("4:1", "6:1", "8:2"))
+        .map { s =>
+          val Array(ub, uh) = s.split(":").map(_.trim.toInt)
+          require(ub >= 1, s"frontier rung up_beam $ub must be >= 1")
+          require(uh >= 0, s"frontier rung up_hops $uh must be >= 0")
+          (ub, uh)
+        }
+
     /** Confined repair rounds after an incremental batch insert
       * (NnDescent.incrInsert — the graph index's add-without-retrain
       * rung): per-round work is bounded by the batch's blast radius

@@ -644,16 +644,25 @@ object TextQueries extends QueryModule {
       }
     }
 
-  /** Hierarchically-served results (qid, vid, cos_sim, rnk, n_scored)
-    * — read by the serve row, the recall row, and the flat-vs-hier
-    * A/B. */
-  private[queries] def hnswServed(s: SparkSession, dir: String)
-      : DataFrame =
-    Stage.cached(s, dir, "hnsw_served") {
+  /** Hierarchically-served results at explicit descent knobs (qid,
+    * vid, cos_sim, rnk, n_scored), staged per rung — the frontier
+    * rungs and the default serve share the layer graphs and, when a
+    * rung equals the defaults, the same stage. */
+  private[queries] def hnswServedAt(s: SparkSession, dir: String,
+      ub: Int, uh: Int): DataFrame =
+    Stage.cached(s, dir, s"hnsw_served_${ub}_$uh") {
       graft.text.NnDescent.serveHier(t(s, dir, "embeddings"),
         nndGraph(s, dir), hnswLayers(s, dir), col("vec_id") < 8,
-        AnnK, HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio)
+        AnnK, ub, uh, HnswBeam, HnswHops, HnswRatio)
     }
+
+  /** Hierarchically-served results at the LIVE knobs — read by the
+    * serve row, the recall row, and the flat-vs-hier A/B. */
+  private[queries] def hnswServed(s: SparkSession, dir: String)
+      : DataFrame = hnswServedAt(s, dir, HnswUpBeam, HnswUpHops)
+
+  private[queries] def HnswFrontierRungs =
+    graft.Settings.nndescent.hnswFrontierRungs
 
   // ---- incremental NND graph maintenance: live knob, staged base
   // graph + incrementally-repaired graph
@@ -4764,6 +4773,94 @@ object TextQueries extends QueryModule {
             .as("avg_scored"),
           sum("n_scored").cast("long").as("total_scored"))
         .orderBy("arm")
+    },
+
+    // Hierarchical-serving FRONTIER — the measured (up_beam, up_hops)
+    // table the hnsw_up_* defaults are promoted from (the
+    // q_e_ann_frontier discipline applied to the graph index): per
+    // rung, average recall@k against the exact truth and the
+    // average/total distinct candidates scored, with the flat serve
+    // as the baseline arm. All rungs share the layer graphs; the
+    // default rung shares the standing hnsw_served stage.
+    Q("q_e_hnsw_frontier", Some {
+      val rungChains = HnswFrontierRungs.map { case (ub, uh) =>
+        graft.text.NnDescent.oracleHierServeCtes(NndRounds, AnnK,
+          ub, uh, HnswBeam, HnswHops, HnswRatio, HnswLevels,
+          HnswUpRounds, pfx = s"hf${ub}x$uh").trim
+      }.mkString(",\n      ")
+      val armRows = (s"""
+        SELECT 'flat' AS variant, t.qid,
+               CAST(count(s.vid) AS DOUBLE) / count(*) AS recall,
+               any_value(a.n_scored) AS n_scored
+        FROM hftt t
+        LEFT JOIN nsrv s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN nsall a ON a.qid = t.qid
+        GROUP BY 2""" +: HnswFrontierRungs.map { case (ub, uh) =>
+        val p = s"hf${ub}x$uh"
+        s"""
+        SELECT 'ub${ub}_uh$uh', t.qid,
+               CAST(count(s.vid) AS DOUBLE) / count(*),
+               any_value(a.n_scored)
+        FROM hftt t
+        LEFT JOIN ${p}rv s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN ${p}all a ON a.qid = t.qid
+        GROUP BY 2"""
+      }).mkString("\n        UNION ALL ")
+      s"""
+      WITH $nndCtes,
+      $nndServeCtes,
+      $hnswLayerCtes,
+      $rungChains,
+      hftr AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+               sum(a.x * b.x) AS dot
+        FROM ndex a JOIN ndex b ON a.i = b.i
+          AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+        GROUP BY 1, 2),
+      hftt AS (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                     d.vid) AS rnk
+          FROM hftr d JOIN ndnrm na ON na.vec_id = d.qid
+                      JOIN ndnrm nb ON nb.vec_id = d.vid)
+        WHERE rnk <= $AnnK)
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_queries,
+             round(avg(recall), 9) AS avg_recall,
+             round(avg(CAST(n_scored AS DOUBLE)), 9) AS avg_scored,
+             CAST(sum(n_scored) AS BIGINT) AS total_scored
+      FROM ($armRows)
+      GROUP BY 1 ORDER BY variant"""
+    }) { (s, dir) =>
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid"))
+      def arm(name: String, served: DataFrame): DataFrame = {
+        val hits = served.select(col("qid"), col("vid"))
+          .withColumn("hit", lit(1L))
+        val nsc = served.groupBy("qid")
+          .agg(first(col("n_scored")).as("n_scored"))
+        truth.join(hits, Seq("qid", "vid"), "left")
+          .groupBy("qid")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+            / count(lit(1))).as("recall"))
+          .join(nsc, Seq("qid"))
+          .select(lit(name).as("variant"), col("qid"), col("recall"),
+            col("n_scored"))
+      }
+      (arm("flat", nndServed(s, dir)) +:
+        HnswFrontierRungs.map { case (ub, uh) =>
+          arm(s"ub${ub}_uh$uh", hnswServedAt(s, dir, ub, uh))
+        }).reduce(_ unionByName _)
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg("recall"), 9).as("avg_recall"),
+          round(avg(col("n_scored").cast("double")), 9)
+            .as("avg_scored"),
+          sum("n_scored").cast("long").as("total_scored"))
+        .orderBy("variant")
     },
 
     // Per-label centroid geometry (posexplode → per-dim means → norms)

@@ -717,7 +717,8 @@ object NnDescent {
     * cos_sim, rnk, n_scored)`. */
   def oracleHierServeCtes(baseRounds: Int, k: Int, upBeam: Int,
       upHops: Int, beam: Int, hops: Int, ratio: Int, levels: Int,
-      upRounds: Int, queryFilter: String = "vec_id < 8"): String = {
+      upRounds: Int, queryFilter: String = "vec_id < 8",
+      pfx: String = "hs"): String = {
     val pieces = Seq.newBuilder[String]
     def scoreBlockQ(src: String, out: String): String = s"""
       ${out}_d AS (
@@ -739,49 +740,49 @@ object NnDescent {
           FROM (SELECT DISTINCT qid, node, cos_sim FROM $src))
         WHERE rnk <= $b)"""
     pieces += s"""
-      hsq AS (SELECT vec_id AS qid FROM embeddings
+      ${pfx}q AS (SELECT vec_id AS qid FROM embeddings
               WHERE $queryFilter),
-      hse0 AS MATERIALIZED (
+      ${pfx}e0 AS MATERIALIZED (
         SELECT q.qid, t.vec_id AS node
-        FROM hsq q, hl${levels}nd t
+        FROM ${pfx}q q, hl${levels}nd t
         WHERE t.vec_id <> q.qid)"""
-    pieces += scoreBlockQ("hse0", "hss0")
-    pieces += topBBlock("hss0", "hsb0", upBeam)
+    pieces += scoreBlockQ(s"${pfx}e0", s"${pfx}s0")
+    pieces += topBBlock(s"${pfx}s0", s"${pfx}b0", upBeam)
     var step = 0
     def hopBlock(graphCte: String, b: Int): Unit = {
-      val prev = s"hsb$step"
+      val prev = s"${pfx}b$step"
       step += 1
       pieces += s"""
-      hsc$step AS MATERIALIZED (
+      ${pfx}c$step AS MATERIALIZED (
         SELECT DISTINCT qid, node FROM (
           SELECT s.qid, g.nbr AS node
           FROM $prev s JOIN $graphCte g ON g.node = s.node
           UNION ALL
           SELECT qid, node FROM $prev)
         WHERE node <> qid)"""
-      pieces += scoreBlockQ(s"hsc$step", s"hss$step")
-      pieces += topBBlock(s"hss$step", s"hsb$step", b)
+      pieces += scoreBlockQ(s"${pfx}c$step", s"${pfx}s$step")
+      pieces += topBBlock(s"${pfx}s$step", s"${pfx}b$step", b)
     }
     for (l <- levels to 1 by -1; _ <- 1 to upHops)
       hopBlock(s"hl${l}k$upRounds", upBeam)
     for (_ <- 1 to hops) hopBlock(s"ndk$baseRounds", beam)
-    val scoredUnion = (s"SELECT qid, node FROM hse0" +:
-      (1 to step).map(h => s"SELECT qid, node FROM hsc$h"))
+    val scoredUnion = (s"SELECT qid, node FROM ${pfx}e0" +:
+      (1 to step).map(h => s"SELECT qid, node FROM ${pfx}c$h"))
       .mkString("\n          UNION ALL ")
     pieces += s"""
-      hsall AS (
+      ${pfx}all AS (
         SELECT qid, CAST(count(*) AS BIGINT) AS n_scored FROM (
           SELECT DISTINCT qid, node FROM (
           $scoredUnion))
         GROUP BY 1)"""
     pieces += s"""
-      hsrv AS MATERIALIZED (
+      ${pfx}rv AS MATERIALIZED (
         SELECT b.qid, b.node AS vid, b.cos_sim,
                CAST(b.rnk AS BIGINT) AS rnk, a.n_scored
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY cos_sim DESC, node) AS rnk
-              FROM hsb$step) b
-        JOIN hsall a ON a.qid = b.qid
+              FROM ${pfx}b$step) b
+        JOIN ${pfx}all a ON a.qid = b.qid
         WHERE b.rnk <= $k)"""
     pieces.result().mkString(",")
   }

@@ -521,6 +521,23 @@ class SettingsSpec extends SparkSpec {
       assert(s2.contains("hsb3") && !s2.contains("hsb4"),
         "hop chain depth must follow levels*up_hops + hnsw_hops")
     }
+    // frontier rungs: default table parses, the oracle carries one
+    // serve chain per rung, and malformed rungs fail loudly
+    assert(Settings.nndescent.hnswFrontierRungs ==
+      Seq((4, 1), (6, 1), (8, 2)))
+    val fsql = SparkEntry.oracleSql("q_e_hnsw_frontier")
+    assert(fsql.contains("hf4x1rv") && fsql.contains("hf6x1rv")
+      && fsql.contains("hf8x2rv"))
+    withProp("graft.nndescent.hnsw_frontier_rungs", "3:1") {
+      val f1 = SparkEntry.oracleSql("q_e_hnsw_frontier")
+      assert(f1.contains("hf3x1rv") && !f1.contains("hf6x1rv"),
+        "rung chains did not follow hnsw_frontier_rungs")
+    }
+    withProp("graft.nndescent.hnsw_frontier_rungs", "0:1") {
+      intercept[IllegalArgumentException] {
+        Settings.nndescent.hnswFrontierRungs
+      }
+    }
     // incremental repair rounds flow: the chain ends at ing<r>
     assert(Settings.nndescent.incrRounds == 2)
     assert(SparkEntry.oracleSql("q_e_nnd_incr").contains("ing2"))
