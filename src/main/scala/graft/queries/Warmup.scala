@@ -176,9 +176,15 @@ object Warmup {
           "nndServed" ->
             (() => TextQueries.nndServed(spark, dir).count()),
           // HNSW layer graphs + hierarchical serve (reads the phase-1
-          // base graph; layer builds are bucket-init NND chains)
+          // base graph; layer builds are bucket-init NND chains) and
+          // the frontier's non-default rungs (share the layers)
           "hnswServed" ->
             (() => TextQueries.hnswServed(spark, dir).count()),
+          "hnswFrontier" ->
+            (() => TextQueries.HnswFrontierRungs.foreach {
+              case (ub, uh) =>
+                TextQueries.hnswServedAt(spark, dir, ub, uh).count()
+            }),
           // frozen-base incremental graph (base build + seed beam
           // search + confined repair rounds)
           "nndIncrGraph" ->
