@@ -725,6 +725,31 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("r13 additions keep their scale shapes: no cartesian products; " +
+      "the only nested-loop joins are the documented bounded " +
+      "broadcasts") {
+    // hnsw serve: the coarse scan is a broadcast cross of the
+    // N/ratio^levels top-layer node set (the bounded entry cost —
+    // documented knob); everything else is equi-joins over k-bounded
+    // edge lists. incr insert: seed entries + confined repair are
+    // equi-joins throughout. dimred A/B: the probe crosses 8 queries
+    // with the ≤ n_cells broadcast centroid table per arm. curation
+    // gate: only 1-row total attaches. None may degenerate to a
+    // CartesianProduct.
+    for ((q, bnljBound) <- Seq(
+        "q_e_hnsw_serve" -> 1, // the coarse scan
+        "q_e_nnd_incr" -> 0,
+        "q_e_dimred_ab" -> 3, // one ≤n_cells centroid cross per arm
+        "q_t_curation_gate" -> 4)) { // 1-row aggregate attaches
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= bnljBound,
+        s"$q: $bnlj nested-loop joins > documented bound $bnljBound")
+    }
+    graft.queries.Stage.clear()
+  }
+
   test("PowerPca fit pass partition width scales with input (no " +
       "fixed coalesce on the corpus-sized exploded frame)") {
     import graft.ml.PowerPca
