@@ -365,14 +365,26 @@ object TextQueries extends QueryModule {
   private[queries] def bpeVocab(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "bpe_vocab") { bpeLearned(s, dir)._2 }
 
-  /** Byte-level BPE artifacts (GPT-2 alphabet — Bpe.learnBytes),
-    * memoized per sf dir like the char-level fit. */
+  /** The byte-level corpus: the ASCII documents text under the
+    * deterministic multilingual derivation (Bpe.multiText — vowels of
+    * a prefix become 2/3/4-byte UTF-8 code points), so the byte
+    * family actually exercises multi-byte input. Every original
+    * ASCII word remains present (the derivation APPENDS the mutated
+    * prefix). */
+  private[queries] def byteDocs(s: SparkSession, dir: String)
+      : DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.text.Bpe.multiText(col("text")).as("text"))
+
+  /** Byte-level BPE artifacts (GPT-2 alphabet — Bpe.learnBytes over
+    * real UTF-8 bytes of [[byteDocs]]), memoized per sf dir like the
+    * char-level fit. */
   private val bpeBytesMemo = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[graft.text.Bpe.Merge], DataFrame)]
   private[queries] def bpeBytesLearned(s: SparkSession, dir: String)
       : (Seq[graft.text.Bpe.Merge], DataFrame) =
     bpeBytesMemo.getOrElseUpdate(dir,
-      graft.text.Bpe.learnBytes(t(s, dir, "documents"), BpeMerges))
+      graft.text.Bpe.learnBytes(byteDocs(s, dir), BpeMerges))
 
   private[queries] def bpeBytesVocab(s: SparkSession, dir: String)
       : DataFrame =
@@ -1784,16 +1796,18 @@ object TextQueries extends QueryModule {
     },
 
     // BYTE-LEVEL BPE, learn phase (the GPT-2 production encoder —
-    // Radford et al. 2019: Sennrich's algorithm over the byte
-    // alphabet under the bytes_to_unicode remap, so the base
-    // vocabulary covers EVERY input and no [UNK] path exists by
+    // Radford et al. 2019: Sennrich's algorithm over REAL UTF-8
+    // BYTES under the full 256-entry bytes_to_unicode remap, so the
+    // base vocabulary covers EVERY input and no [UNK] path exists by
     // construction — the fourth tokenizer family arm). Same merge
     // loop, oracle-unrolled per round; the remap table itself is a
     // CTE the oracle derives from the same rank rule the engine
-    // compiles. On this printable-ASCII fixture the remap is the
-    // identity on every occurring byte, so the merge table equals
-    // q_t_bpe_learn's — the arm's value is the total alphabet
-    // (control-byte and no-unk paths are spec-locked in BpeSpec).
+    // compiles, and both engines read bytes through the same
+    // hex(encode(word)) seam. The corpus is the multilingual
+    // derivation (Bpe.multiText — 2/3/4-byte code points injected
+    // deterministically), so multi-byte symbols genuinely occur in
+    // the learned table (control-byte, multi-byte and no-unk paths
+    // are spec-locked in BpeSpec).
     Q("q_t_bpe_bytes_learn", Some(s"""
       WITH ${graft.text.Bpe.oracleBytesCtes(BpeMerges)}
       SELECT merge_rank, a AS left_sym, b AS right_sym,
@@ -1810,13 +1824,16 @@ object TextQueries extends QueryModule {
     // BYTE-LEVEL BPE, encode phase: per-doc piece accounting against
     // the byte-alphabet vocabulary (the q_t_bpe_encode shape — one
     // broadcast vocab join, megabytes of vocab vs a streaming
-    // corpus).
+    // corpus). Tokens come from the SAME multilingual derivation the
+    // vocabulary was trained on, so multi-byte words are encoded —
+    // and every one joins (the alphabet is total).
     Q("q_t_bpe_bytes_encode", Some(s"""
       WITH ${graft.text.Bpe.oracleBytesCtes(BpeMerges)},
       bytk AS (
         SELECT doc_id, word FROM (
           SELECT doc_id, unnest(${graft.text.Bpe.ToksSql}) AS word
-          FROM documents) WHERE word <> ''),
+          FROM (SELECT doc_id, ${graft.text.Bpe.multiTextSql} AS text
+                FROM documents)) WHERE word <> ''),
       byenc AS (
         SELECT t.doc_id, len(w.s) AS np
         FROM bytk t JOIN byw_$BpeMerges w ON t.word = w.word)
@@ -1825,7 +1842,7 @@ object TextQueries extends QueryModule {
              round(CAST(sum(np) AS DOUBLE) / count(*), 9)
                AS pieces_per_word
       FROM byenc GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
-      val tok = t(s, dir, "documents").select(col("doc_id"),
+      val tok = byteDocs(s, dir).select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
       val vocab = bpeBytesVocab(s, dir)
@@ -2051,11 +2068,14 @@ object TextQueries extends QueryModule {
     // fertility (pieces per word occurrence), and chars-per-piece
     // (compression). The row a tokenizer owner reads to pick the
     // family; all four tokenizations come from the SAME shared fitted
-    // artifacts the learn/encode rows already hash-check. On this
-    // printable-ASCII fixture the byte arm's stats equal the char
-    // arm's by construction (identity remap) — what the byte arm buys
-    // is the [UNK]-free total alphabet, visible against wordpiece's
-    // n_unk accounting, not against char BPE here.
+    // artifacts the learn/encode rows already hash-check. The byte
+    // arm is trained on the multilingual derivation (its raison
+    // d'être — the other three only see the ASCII corpus) while all
+    // four arms are EVALUATED on the same plain-corpus tokens, every
+    // one of which the byte vocabulary contains (the derivation
+    // appends, never removes) — what the byte arm buys is the
+    // [UNK]-free total alphabet, visible against wordpiece's n_unk
+    // accounting.
     Q("q_t_tokenizer_ab", Some(s"""
       WITH ${graft.text.Bpe.oracleCtes(BpeMerges)},
       ${graft.text.Bpe.oracleBytesCtes(BpeMerges).trim},

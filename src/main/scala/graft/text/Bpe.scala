@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   * (merges are within-word adjacent pairs either way; the marker only
   * distinguishes word-final subwords in the emitted vocabulary, which
   * the count/packing consumers here don't need), and characters are
-  * the initial symbols (the fixture is ASCII; a byte-level variant is
-  * the same algorithm over a different initial alphabet).
+  * the initial symbols for [[learn]] ([[learnBytes]] runs the same
+  * algorithm over real UTF-8 bytes — the GPT-2 alphabet).
   *
   * Every step is oracle-expressible: the pair counts are integer sums,
   * the winner tie-break is total, and the merge apply has an exact SQL
@@ -103,10 +103,8 @@ object Bpe {
     * other byte b maps to chr(256 + rank of b among the remapped, in
     * byte order) — so every byte has a visible single-character
     * symbol and the BPE alphabet covers ALL inputs ([UNK]-free by
-    * construction, unlike WordPiece's all-or-nothing rule). The
-    * engine consumes the ≤ 0x7F prefix (see [[byteSyms]]); the full
-    * table is kept so the prefix provably matches GPT-2's ranks
-    * (non-printables ≤ 127 come first in byte order). */
+    * construction, unlike WordPiece's all-or-nothing rule).
+    * [[byteSyms]] consumes the FULL table over real UTF-8 bytes. */
   val ByteRemap: IndexedSeq[String] = {
     val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
     var n = 0
@@ -117,22 +115,41 @@ object Bpe {
   }
 
   /** Byte symbols of a word under [[ByteRemap]] — the byte-level
-    * initial alphabet. CONTRACT (the winnow/phash byte ≡ code-point
-    * convention): callers must have refused any character above 0x7F
-    * ([[learnBytes]] does), because above ASCII a CHARACTER is not a
-    * BYTE (multi-byte UTF-8) and both engines iterate characters; a
-    * production byte-level variant iterates real UTF-8 bytes with the
-    * same remap, same algorithm. */
+    * initial alphabet over REAL UTF-8 BYTES: `encode(word, 'UTF-8')`
+    * is the char→byte seam, `hex` exposes each byte as a 2-char
+    * uppercase pair, and the full 256-entry remap is keyed by that
+    * pair (one map lookup per byte, no base conversion). A multi-byte
+    * code point therefore yields one symbol PER BYTE ('é' → "Ã©"
+    * under the GPT-2 remap) — the property that makes the alphabet
+    * total: every input byte string segments, no [UNK] path exists.
+    * All remap keys are present by construction; the sentinel
+    * coalesce mirrors the oracle's LEFT JOIN so an impossible miss
+    * would hash-fail loudly instead of silently mis-mapping. */
   def byteSyms(word: Column): Column = {
-    val remap = map((0 to 127)
-      .flatMap(b => Seq(lit(b), lit(ByteRemap(b)))): _*)
-    // out-of-domain code points surface as a LOUD sentinel (the
-    // oracle's coalesce(m.sym, '[NON_BYTE]') twin) — learnBytes
-    // refuses them up front; the map-only serving path can't afford
-    // an extra refusal action and fails by hash instead
-    transform(charSyms(word),
-      c => coalesce(element_at(remap, ascii(c)), lit("[NON_BYTE]")))
+    val remap = map((0 to 255)
+      .flatMap(b => Seq(lit(f"$b%02X"), lit(ByteRemap(b)))): _*)
+    val h = hex(encode(word, "UTF-8"))
+    transform(sequence(lit(1), (length(h) / 2).cast("int")),
+      j => coalesce(element_at(remap, h.substr(j * 2 - 1, lit(2))),
+        lit("[NON_BYTE]")))
   }
+
+  /** Deterministic multilingual derivation of an ASCII `text` column
+    * — the byte-level fixture seam: the original text plus a mutated
+    * prefix whose vowels become 2-byte (ä), 3-byte (€) and 4-byte
+    * (😀) UTF-8 code points, so the byte queries exercise every
+    * UTF-8 width while the original ASCII words all remain in the
+    * corpus. [[multiTextSql]] is the DuckDB twin (replace/substring
+    * are char-based and occurrence-total on both engines). */
+  def multiText(text: Column): Column =
+    concat(text, lit(" "),
+      replace(replace(replace(substring(text, 1, 48),
+        lit("a"), lit("ä")), lit("e"), lit("€")), lit("o"), lit("😀")))
+
+  /** DuckDB twin of [[multiText]]. */
+  val multiTextSql: String =
+    "text || ' ' || replace(replace(replace(substring(text, 1, 48)," +
+      " 'a', 'ä'), 'e', '€'), 'o', '😀')"
 
   /** Byte-level twin of [[applyMerges]]: frozen-merge apply over
     * [[byteSyms]] initial symbols — the serving path for unseen text
@@ -150,34 +167,19 @@ object Bpe {
 
   /** Learn `nMerges` merges over the BYTE-level alphabet — the GPT-2
     * production encoder's variant of [[learn]]: identical merge loop,
-    * different initial symbols ([[byteSyms]]). Refuses a corpus with
-    * any code point above 0x7F (the [[byteSyms]] contract — the
-    * oracle's remap join is defined on the byte domain only; it emits
-    * a loud `[NON_BYTE]` sentinel rather than a silent wrong symbol).
-    * On a printable-ASCII corpus (the fixture) the remap is the
-    * identity on every occurring byte, so the learned merges equal
-    * [[learn]]'s — the operator's value is the total alphabet:
-    * EVERY input byte string encodes (BpeSpec locks the control-byte
-    * path and the no-unk guarantee). */
+    * different initial symbols ([[byteSyms]] — real UTF-8 bytes under
+    * the full 256-entry remap, so ANY corpus passes: multilingual
+    * text, control bytes, every UTF-8 width). On a printable-ASCII
+    * corpus the remap is the identity on every occurring byte and
+    * the learned merges equal [[learn]]'s; on multi-byte input the
+    * alphabet is per-byte symbols — total, [UNK]-free (BpeSpec locks
+    * the control-byte, multi-byte and no-unk paths). */
   def learnBytes(docs: DataFrame, nMerges: Int)
-      : (Seq[Merge], DataFrame) = {
-    // checkpoint the word table FIRST, probe the checkpointed frame
-    // (the Unigram/WordPiece maxLen pattern) — probing before the
-    // checkpoint would re-run the corpus tokenize + distinct-word
-    // shuffle twice
-    val words0 = wordTable(docs)
+      : (Seq[Merge], DataFrame) =
+    learnLoop(wordTable(docs)
       .coalesce(graft.Settings.tuning.smallFrameParts)
-      .localCheckpoint()
-    val maxCp = words0
-      .select(explode(charSyms(col("word"))).as("c"))
-      .agg(max(ascii(col("c")))).head().getInt(0)
-    require(maxCp <= 127,
-      s"byte-level BPE requires a single-byte (ASCII) corpus here: " +
-        s"found code point $maxCp > 127 — char ≠ byte beyond ASCII " +
-        "(a production variant iterates real UTF-8 bytes)")
-    learnLoop(words0.withColumn("syms", byteSyms(col("word")))
+      .withColumn("syms", byteSyms(col("word")))
       .localCheckpoint(), nMerges)
-  }
 
   /** Learn `nMerges` merges over `docs`. Returns the merge table and
     * the final (word, freq, syms) vocabulary — the word → subword
@@ -452,37 +454,46 @@ object Bpe {
     vocabCte("bw_0", docFilter) + "," +
       learnRoundsCtes(nMerges, "bp", "bm", "bw", "", "bmerges")
 
-  /** Byte-alphabet vocabulary CTEs: the GPT-2 remap table `bymap`
-    * (the ≤ 0x7F prefix of [[ByteRemap]] — `keep` bytes map to their
-    * own chr, the rest to chr(256 + byte-order rank); the engine
-    * refused anything above ASCII), then `byw_0(word, freq, s)` with
-    * each character mapped through it. An out-of-domain code point
-    * LEFT-joins to the loud `[NON_BYTE]` sentinel so a contract
-    * violation hash-fails instead of silently mis-mapping. */
-  def byteVocabCtes(docFilter: String = ""): String = {
+  /** Byte-alphabet vocabulary CTEs: the FULL 256-entry GPT-2 remap
+    * table `bymap` keyed by the byte's 2-char uppercase hex pair
+    * (`keep` bytes — 33–126, 161–172, 174–255 — map to their own
+    * chr, the rest to chr(256 + byte-order rank among the remapped)),
+    * then `byw_0(word, freq, s)` with each REAL UTF-8 BYTE of the
+    * word (`hex(encode(word))` pair j — the engine's [[byteSyms]]
+    * seam verbatim) mapped through it. All 256 keys exist, so the
+    * LEFT JOIN's `[NON_BYTE]` sentinel is unreachable — kept so an
+    * impossible miss hash-fails instead of silently mis-mapping.
+    * `textSql` is the corpus text expression — defaults to the
+    * [[multiTextSql]] multilingual derivation so the byte chain
+    * exercises 2/3/4-byte UTF-8 on the ASCII fixture. */
+  def byteVocabCtes(docFilter: String = "",
+      textSql: String = multiTextSql): String = {
     val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
     s"""
       bymap AS MATERIALIZED (
-        SELECT b, CASE WHEN b BETWEEN 33 AND 126
-                       THEN chr(CAST(b AS INT))
-                       ELSE chr(CAST(256 + row_number() OVER (
-                         PARTITION BY b BETWEEN 33 AND 126
-                         ORDER BY b) - 1 AS INT)) END AS sym
-        FROM range(128) t(b)),
+        SELECT b, printf('%02X', b) AS hx,
+               CASE WHEN keep THEN chr(CAST(b AS INT))
+                    ELSE chr(CAST(256 + row_number() OVER (
+                      PARTITION BY keep ORDER BY b) - 1 AS INT))
+               END AS sym
+        FROM (SELECT b, (b BETWEEN 33 AND 126 OR b BETWEEN 161 AND 172
+                         OR b BETWEEN 174 AND 255) AS keep
+              FROM range(256) t(b))),
       bywt AS MATERIALIZED (
         SELECT word, count(*) AS freq
-        FROM (SELECT unnest($ToksSql) AS word FROM documents$where)
+        FROM (SELECT unnest($ToksSql) AS word FROM
+                (SELECT $textSql AS text FROM documents$where))
         WHERE word <> '' GROUP BY 1),
       bywc AS (
-        SELECT word,
-               generate_subscripts(string_split(word, ''), 1) AS j,
-               unicode(unnest(string_split(word, ''))) AS cp
-        FROM bywt),
+        SELECT word, j,
+               substring(hex(encode(word)), 2 * j - 1, 2) AS hx
+        FROM bywt,
+             unnest(range(1, octet_length(encode(word)) + 1)) t(j)),
       byw_0 AS MATERIALIZED (
         SELECT c.word, any_value(t.freq) AS freq,
                list(coalesce(m.sym, '[NON_BYTE]') ORDER BY c.j) AS s
         FROM bywc c
-        LEFT JOIN bymap m ON m.b = c.cp
+        LEFT JOIN bymap m ON m.hx = c.hx
         JOIN bywt t ON t.word = c.word
         GROUP BY c.word)"""
   }
@@ -490,8 +501,9 @@ object Bpe {
   /** Unrolled byte-level learn oracle — [[byteVocabCtes]] + the same
     * round chain as [[oracleCtes]] under `by*` names, ending at
     * `bymerges` and `byw_$nMerges`. */
-  def oracleBytesCtes(nMerges: Int, docFilter: String = ""): String =
-    byteVocabCtes(docFilter) + "," +
+  def oracleBytesCtes(nMerges: Int, docFilter: String = "",
+      textSql: String = multiTextSql): String =
+    byteVocabCtes(docFilter, textSql) + "," +
       learnRoundsCtes(nMerges, "byp", "bym", "byw", "by", "bymerges")
 
   /** Frozen-merge APPLY chain: run the already-learned bm1..bmN (from

@@ -184,10 +184,12 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.ByteRemap(32) == (256 + 32).toChar.toString)
     assert(Bpe.ByteRemap(127) == (256 + 33).toChar.toString)
     // beyond ASCII the table keeps GPT-2's full-range ranks (the
-    // engine prefix-consumes ≤ 0x7F; the full table documents the
-    // production byte domain): 0x80 is the 35th remapped byte
+    // engine consumes ALL 256 entries over real UTF-8 bytes):
+    // 0x80 is the 35th remapped byte
     assert(Bpe.ByteRemap(128) == (256 + 34).toChar.toString)
     assert(Bpe.ByteRemap(161) == 161.toChar.toString)
+    assert(Bpe.ByteRemap(173) == (256 + 67).toChar.toString)
+    assert(Bpe.ByteRemap(255) == 255.toChar.toString)
   }
 
   test("byte-level learn equals char-level on a printable-ASCII " +
@@ -211,11 +213,50 @@ class BpeSpec extends SparkSpec {
     assert(vb.select("word").count() == 3)
   }
 
-  test("learnBytes refuses a corpus with code points above ASCII " +
-      "(char ≠ byte beyond 0x7F)") {
-    val e = intercept[IllegalArgumentException] {
-      Bpe.learnBytes(docs(1L -> "café ab"), 1)
+  test("byteSyms iterates REAL UTF-8 bytes: one symbol per byte at " +
+      "every UTF-8 width, zero sentinels, GPT-2 remap applied") {
+    // 'é' = C3 A9 (2-byte), '€' = E2 82 AC (3-byte),
+    // '😀' = F0 9F 98 80 (4-byte)
+    val words = Seq("café", "€2", "a😀b").toDF("word")
+    val syms = words.select(col("word"),
+        Bpe.byteSyms(col("word")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def rm(b: Int) = Bpe.ByteRemap(b)
+    assert(syms("café") ==
+      Seq("c", "a", "f", rm(0xC3), rm(0xA9)), syms("café"))
+    assert(syms("€2") ==
+      Seq(rm(0xE2), rm(0x82), rm(0xAC), "2"), syms("€2"))
+    assert(syms("a😀b") ==
+      Seq("a", rm(0xF0), rm(0x9F), rm(0x98), rm(0x80), "b"),
+      syms("a😀b"))
+    // symbol count == UTF-8 byte count, and the alphabet is total —
+    // no [NON_BYTE] sentinel can ever fire
+    syms.foreach { case (w, s) =>
+      assert(s.length == w.getBytes("UTF-8").length, s"$w: $s")
+      assert(!s.contains("[NON_BYTE]"), s"$w: $s")
     }
-    assert(e.getMessage.contains("127"))
+  }
+
+  test("learnBytes accepts a multilingual corpus and learns " +
+      "multi-byte merges; every word encodes (no unk path)") {
+    // "éé" dominates: its byte symbols are C3 A9 C3 A9 → the top
+    // pair by weighted count is (remap(A9), remap(C3)) at freq 6 +
+    // boundary-interior counts; the point locked here is that a
+    // >0x7F corpus LEARNS (r13 refused it) and the merged symbols
+    // are multi-byte remap strings
+    val d = docs(1L -> "éé éé éé ab ab x")
+    val (mb, vb) = Bpe.learnBytes(d, 2)
+    assert(mb.length == 2)
+    val c3 = Bpe.ByteRemap(0xC3)
+    val a9 = Bpe.ByteRemap(0xA9)
+    // round 1: within "éé" pairs (C3,A9) appears 2×/word and
+    // (A9,C3) 1×/word → (c3,a9) wins at weighted count 6
+    assert(mb.head.left == c3 && mb.head.right == a9,
+      s"round-1 merge: ${mb.head}")
+    val vs = vb.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(vs.keySet == Set("éé", "ab", "x"))
+    assert(vs("éé").nonEmpty &&
+      vs.values.forall(s => !s.contains("[NON_BYTE]")))
   }
 }
