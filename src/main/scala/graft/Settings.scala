@@ -669,7 +669,16 @@ object Settings {
       graft.Settings.strs("nndescent.hnsw_frontier_rungs",
         Seq("4:1", "6:1", "8:2"))
         .map { s =>
-          val Array(ub, uh) = s.split(":").map(_.trim.toInt)
+          val parts = s.split(":").map(_.trim)
+          require(parts.length == 2,
+            s"nndescent.hnsw_frontier_rungs entry '$s' must be an " +
+              "'ub:uh' pair (up_beam:up_hops)")
+          val (ub, uh) = try (parts(0).toInt, parts(1).toInt)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"nndescent.hnsw_frontier_rungs entry '$s' must be an " +
+                "'ub:uh' pair of integers (up_beam:up_hops)")
+          }
           require(ub >= 1, s"frontier rung up_beam $ub must be >= 1")
           require(uh >= 0, s"frontier rung up_hops $uh must be >= 0")
           (ub, uh)

@@ -684,10 +684,14 @@ object TextQueries extends QueryModule {
 
   /** Base graph on the standing index slice (vec_id < ann.incr_base —
     * the IVF family's split convention): the FROZEN artifact the
-    * batch inserts against. */
+    * batch inserts against. The effective incr_base is part of the
+    * stage NAME: ScaleStress overrides the knob around its
+    * q_e_nnd_incr runs while Stage.cached keys only by
+    * (spark, dir, name), so baking the knob into the name makes a
+    * stale-stage reuse at a different base structurally impossible. */
   private[queries] def nndBaseGraph(s: SparkSession, dir: String)
       : DataFrame =
-    Stage.cached(s, dir, "nnd_base_graph") {
+    Stage.cached(s, dir, s"nnd_base_graph_$IncrBase") {
       graft.text.NnDescent.build(
         t(s, dir, "embeddings").filter(col("vec_id") < IncrBase),
         NndK, NndRounds)
@@ -695,10 +699,11 @@ object TextQueries extends QueryModule {
 
   /** Incrementally-maintained graph: vec_id >= incr_base seeded by
     * beam search over the frozen base graph, then confined repair
-    * rounds — read by the graph row and the drift row. */
+    * rounds — read by the graph row and the drift row. Knob-keyed
+    * name for the same reason as [[nndBaseGraph]]. */
   private[queries] def nndIncrGraph(s: SparkSession, dir: String)
       : DataFrame =
-    Stage.cached(s, dir, "nnd_incr_graph") {
+    Stage.cached(s, dir, s"nnd_incr_graph_$IncrBase") {
       graft.text.NnDescent.incrInsert(t(s, dir, "embeddings"),
         nndBaseGraph(s, dir), IncrBase, NndK, NndBeam, NndHops,
         NndIncrRounds)

@@ -121,25 +121,45 @@ object NnDescent {
 
   /** One NND local-join ROUND over the current (node, nbr, cos_sim)
     * edge list: general neighborhood B = edges ∪ reverse edges,
-    * pivot-local candidate pairs, score, top-k of old ∪ new. Shared
-    * by [[build]] and the subset-layer builds; [[incrInsert]]'s
-    * confined rounds inline the same body because they additionally
-    * need the candidate set (to carry the touched frontier) — keep
-    * the two in sync when changing the candidate rule. */
-  private def refineRound(knn: DataFrame, vecs: DataFrame, k: Int)
-      : DataFrame = {
+    * pivot-local candidate pairs, score, top-k of old ∪ new. The
+    * candidate RULE exists exactly once — [[build]], the subset-layer
+    * builds and [[incrInsert]] all run THIS body. When `touched` is
+    * given (the incremental repair path) the round is CONFINED:
+    * pivots are the touched set plus nodes adjacent to it, candidate
+    * pairs come only from pivot-local joins (work bounded by the
+    * batch's blast radius, not N), and the returned candidate set is
+    * the next round's touched frontier. touched = None is the full
+    * round (every node a pivot, candidate set not needed). The
+    * confined path scrubs its self-joined frames (see [[scrubbed]] —
+    * their constraints otherwise break the later unions). */
+  private def refineRoundImpl(knn: DataFrame, vecs: DataFrame, k: Int,
+      touched: Option[DataFrame]): (DataFrame, DataFrame) = {
     val b = knn.select("node", "nbr")
       .unionByName(knn.select(col("nbr").as("node"),
         col("node").as("nbr")))
       .distinct()
-    val pairs = b.as("x").join(b.as("y"),
+    val bp = touched match {
+      case Some(t) =>
+        val pivots = b.join(t, b("nbr") === t("t"))
+          .select("node")
+          .unionByName(t.select(col("t").as("node")))
+          .distinct().localCheckpoint()
+        scrubbed(b.join(pivots, Seq("node"), "left_semi"))
+      case None => b
+    }
+    val pairs = bp.as("x").join(bp.as("y"),
         col("x.node") === col("y.node")
           && col("x.nbr") =!= col("y.nbr"))
       .select(col("x.nbr").as("node"), col("y.nbr").as("nbr"))
-    val cands = pairs.unionByName(b).distinct()
-    topK(knn.unionByName(score(cands, vecs)), k)
+    val cands0 = pairs.unionByName(bp).distinct()
+    val cands = if (touched.isDefined) scrubbed(cands0) else cands0
+    val next = topK(knn.unionByName(score(cands, vecs)), k)
       .select("node", "nbr", "cos_sim").localCheckpoint()
+    (next, cands)
   }
+
+  private def refineRound(knn: DataFrame, vecs: DataFrame, k: Int)
+      : DataFrame = refineRoundImpl(knn, vecs, k, None)._1
 
   /** Build the approximate kNN graph: returns (node, nbr, cos_sim,
     * rnk) with rnk 1..≤k per node. One localCheckpoint per round
@@ -223,6 +243,61 @@ object NnDescent {
       salt = "sv", vecsIn = None)
   }
 
+  // --- shared serve plumbing: ONE definition each for the flat,
+  // hierarchical and incremental-seed beam searches ---
+
+  /** (qid, qv, qnrm) query frame of a vector frame's slice. */
+  private def queriesOf(vecs: DataFrame, queryPred: Column): DataFrame =
+    vecs.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).localCheckpoint()
+
+  /** Query-side scoring: broadcast the (bounded) query frame, join
+    * candidates to the vector table, 6-decimal cosine. */
+  private def scoreQ(cands: DataFrame, q: DataFrame,
+      vecs: DataFrame): DataFrame = cands
+    .join(broadcast(q), Seq("qid"))
+    .join(vecs.select(col("vec_id").as("node"), col("v").as("nv"),
+      col("nrm").as("nn")), Seq("node"))
+    .select(col("qid"), col("node"),
+      round(Similarity.cosinePre(col("qv"), col("nv"), col("qnrm"),
+        col("nn")), 6).as("cos_sim"))
+
+  /** Per-query top-b beam trim (cos_sim desc, node asc). */
+  private def topB(scored: DataFrame, b: Int): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("node"))
+    scored.distinct()
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= b)
+      .select("qid", "node", "cos_sim")
+  }
+
+  /** One hop's candidate set: beam ∪ out-neighbors of the beam,
+    * self-hits dropped (monotone — the beam is retained in its own
+    * candidate set, so quality never regresses). */
+  private def hopCands(state: DataFrame, edges: DataFrame): DataFrame =
+    state.select("qid", "node")
+      .join(edges, Seq("node"))
+      .select(col("qid"), col("nbr").as("node"))
+      .unionByName(state.select("qid", "node"))
+      .filter(col("node") =!= col("qid"))
+      .distinct()
+
+  /** Final serve assembly: top-k of the beam state, re-ranked, joined
+    * to the distinct scored-candidate count (the served-cost column).
+    * Returns (qid, vid, cos_sim, rnk, n_scored). */
+  private def finishServe(state: DataFrame, scoredSet: DataFrame,
+      k: Int): DataFrame = {
+    val nScored = scoredSet.groupBy("qid")
+      .agg(count(lit(1)).as("n_scored"))
+    topB(state, k)
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("node"))))
+      .join(nScored, Seq("qid"))
+      .select(col("qid"), col("node").as("vid"), col("cos_sim"),
+        col("rnk"), col("n_scored"))
+  }
+
   /** [[serve]] internals with the entry rule parameterized: entry
     * nodes are md5(salt:qid:j) mod `entryMod` — the flat serve draws
     * from the whole corpus (salt "sv", mod n); the incremental seeder
@@ -232,23 +307,7 @@ object NnDescent {
       queryPred: Column, k: Int, beam: Int, hops: Int, entryMod: Long,
       salt: String, vecsIn: Option[DataFrame]): DataFrame = {
     val vecs = vecsIn.getOrElse(vecsOf(emb))
-    val q = vecs.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm")).localCheckpoint()
-    def scoreQ(cands: DataFrame): DataFrame = cands
-      .join(broadcast(q), Seq("qid"))
-      .join(vecs.select(col("vec_id").as("node"), col("v").as("nv"),
-        col("nrm").as("nn")), Seq("node"))
-      .select(col("qid"), col("node"),
-        round(Similarity.cosinePre(col("qv"), col("nv"), col("qnrm"),
-          col("nn")), 6).as("cos_sim"))
-    def topB(scored: DataFrame, b: Int): DataFrame = {
-      val w = Window.partitionBy("qid")
-        .orderBy(col("cos_sim").desc, col("node"))
-      scored.distinct()
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= b)
-        .select("qid", "node", "cos_sim")
-    }
+    val q = queriesOf(vecs, queryPred)
     val entries = q.select(col("qid"))
       .select(col("qid"),
         explode(array((1 to beam).map(lit(_)): _*)).as("j"))
@@ -259,27 +318,15 @@ object NnDescent {
       .select("qid", "node").distinct()
     val edges = graph.select(col("node"), col("nbr"))
       .localCheckpoint()
-    var state = topB(scoreQ(entries), beam).localCheckpoint()
+    var state = topB(scoreQ(entries, q, vecs), beam).localCheckpoint()
     var scoredSet = entries.localCheckpoint()
     for (_ <- 1 to hops) {
-      val cands = state.select("qid", "node")
-        .join(edges, Seq("node"))
-        .select(col("qid"), col("nbr").as("node"))
-        .unionByName(state.select("qid", "node"))
-        .filter(col("node") =!= col("qid"))
-        .distinct()
-      state = topB(scoreQ(cands), beam).localCheckpoint()
+      val cands = hopCands(state, edges)
+      state = topB(scoreQ(cands, q, vecs), beam).localCheckpoint()
       scoredSet = scoredSet.unionByName(cands).distinct()
         .localCheckpoint()
     }
-    val nScored = scoredSet.groupBy("qid")
-      .agg(count(lit(1)).as("n_scored"))
-    topB(state, k)
-      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("cos_sim").desc, col("node"))))
-      .join(nScored, Seq("qid"))
-      .select(col("qid"), col("node").as("vid"), col("cos_sim"),
-        col("rnk"), col("n_scored"))
+    finishServe(state, scoredSet, k)
   }
 
   // ------------------------------------------------------------------
@@ -318,22 +365,8 @@ object NnDescent {
     var touched = emb.filter(col("vec_id") >= base)
       .select(col("vec_id").as("t")).localCheckpoint()
     for (_ <- 1 to incrRounds) {
-      val b = knn.select("node", "nbr")
-        .unionByName(knn.select(col("nbr").as("node"),
-          col("node").as("nbr")))
-        .distinct()
-      val pivots = b.join(touched, b("nbr") === touched("t"))
-        .select("node")
-        .unionByName(touched.select(col("t").as("node")))
-        .distinct().localCheckpoint()
-      val bp = scrubbed(b.join(pivots, Seq("node"), "left_semi"))
-      val pairs = bp.as("x").join(bp.as("y"),
-          col("x.node") === col("y.node")
-            && col("x.nbr") =!= col("y.nbr"))
-        .select(col("x.nbr").as("node"), col("y.nbr").as("nbr"))
-      val cands = scrubbed(pairs.unionByName(bp).distinct())
-      knn = topK(knn.unionByName(score(cands, vecs)), k)
-        .select("node", "nbr", "cos_sim").localCheckpoint()
+      val (next, cands) = refineRoundImpl(knn, vecs, k, Some(touched))
+      knn = next
       touched = cands.select(col("node").as("t")).distinct()
         .localCheckpoint()
     }
@@ -388,23 +421,7 @@ object NnDescent {
       : DataFrame = {
     val levels = layerGraphs.length
     val vecs = vecsOf(emb)
-    val q = vecs.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm")).localCheckpoint()
-    def scoreQ(cands: DataFrame): DataFrame = cands
-      .join(broadcast(q), Seq("qid"))
-      .join(vecs.select(col("vec_id").as("node"), col("v").as("nv"),
-        col("nrm").as("nn")), Seq("node"))
-      .select(col("qid"), col("node"),
-        round(Similarity.cosinePre(col("qv"), col("nv"), col("qnrm"),
-          col("nn")), 6).as("cos_sim"))
-    def topB(scored: DataFrame, b: Int): DataFrame = {
-      val w = Window.partitionBy("qid")
-        .orderBy(col("cos_sim").desc, col("node"))
-      scored.distinct()
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= b)
-        .select("qid", "node", "cos_sim")
-    }
+    val q = queriesOf(vecs, queryPred)
     // coarse scan: every top-layer node is an entry candidate
     // (scrubbed — see [[scrubbed]]: the cross join's constraints
     // otherwise break the later unions with the hop candidate sets).
@@ -413,20 +430,16 @@ object NnDescent {
     val entries = scrubbed(
       q.select("qid").crossJoin(broadcast(top))
         .filter(col("node") =!= col("qid")))
-    var state = topB(scoreQ(entries), upBeam).localCheckpoint()
+    var state = topB(scoreQ(entries, q, vecs), upBeam)
+      .localCheckpoint()
     var scoredSet = entries
     // descend: layer `levels` down to 1, expanding in each layer's
     // graph; the beam survives into the layer below because layers
     // are nested
     def expand(edges: DataFrame, b: Int, nHops: Int): Unit = {
       for (_ <- 1 to nHops) {
-        val cands = state.select("qid", "node")
-          .join(edges, Seq("node"))
-          .select(col("qid"), col("nbr").as("node"))
-          .unionByName(state.select("qid", "node"))
-          .filter(col("node") =!= col("qid"))
-          .distinct()
-        state = topB(scoreQ(cands), b).localCheckpoint()
+        val cands = hopCands(state, edges)
+        state = topB(scoreQ(cands, q, vecs), b).localCheckpoint()
         scoredSet = scoredSet.unionByName(cands).distinct()
           .localCheckpoint()
       }
@@ -436,14 +449,7 @@ object NnDescent {
         .localCheckpoint(), upBeam, upHops)
     expand(baseGraph.select("node", "nbr").localCheckpoint(),
       beam, hops)
-    val nScored = scoredSet.groupBy("qid")
-      .agg(count(lit(1)).as("n_scored"))
-    topB(state, k)
-      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("cos_sim").desc, col("node"))))
-      .join(nScored, Seq("qid"))
-      .select(col("qid"), col("node").as("vid"), col("cos_sim"),
-        col("rnk"), col("n_scored"))
+    finishServe(state, scoredSet, k)
   }
 
   // ------------------------------------------------------------------
@@ -452,6 +458,33 @@ object NnDescent {
   // ------------------------------------------------------------------
 
   private def hsql(e: String) = TextOps.hsqlRaw(e)
+
+  /** Query-side scoring block `$out(qid, node, cos_sim)` over the
+    * shared `ndex`/`ndnrm` CTEs — the oracle twin of [[scoreQ]], ONE
+    * definition for the flat, hierarchical and incremental-seed serve
+    * chains. */
+  private def scoreBlockQ(src: String, out: String): String = s"""
+      ${out}_d AS (
+        SELECT c.qid, c.node, sum(qa.x * eb.x) AS dot
+        FROM $src c JOIN ndex qa ON qa.vec_id = c.qid
+                    JOIN ndex eb ON eb.vec_id = c.node
+                      AND eb.i = qa.i
+        GROUP BY 1, 2),
+      $out AS MATERIALIZED (
+        SELECT d.qid, d.node,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM ${out}_d d JOIN ndnrm na ON na.vec_id = d.qid
+                        JOIN ndnrm nb ON nb.vec_id = d.node)"""
+
+  /** Per-query top-b trim block `$out(qid, node, cos_sim)` — the
+    * oracle twin of [[topB]]. */
+  private def topBBlock(src: String, out: String, b: Int): String = s"""
+      $out AS MATERIALIZED (
+        SELECT qid, node, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, node) AS rnk
+          FROM (SELECT DISTINCT qid, node, cos_sim FROM $src))
+        WHERE rnk <= $b)"""
 
   /** One edge-set scoring block `$out(node, nbr, cos_sim)` over the
     * shared `ndex`/`ndnrm` CTEs. */
@@ -573,25 +606,6 @@ object NnDescent {
         WHERE nbr <> node)"""
     pieces ++= chainCtes("inb", "inbe0", k, baseRounds)
     // seed beam search for the new batch over the frozen base graph
-    def scoreBlockQ(src: String, out: String): String = s"""
-      ${out}_d AS (
-        SELECT c.qid, c.node, sum(qa.x * eb.x) AS dot
-        FROM $src c JOIN ndex qa ON qa.vec_id = c.qid
-                    JOIN ndex eb ON eb.vec_id = c.node
-                      AND eb.i = qa.i
-        GROUP BY 1, 2),
-      $out AS MATERIALIZED (
-        SELECT d.qid, d.node,
-               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
-        FROM ${out}_d d JOIN ndnrm na ON na.vec_id = d.qid
-                        JOIN ndnrm nb ON nb.vec_id = d.node)"""
-    def topBBlock(src: String, out: String, b: Int): String = s"""
-      $out AS MATERIALIZED (
-        SELECT qid, node, cos_sim FROM (
-          SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY cos_sim DESC, node) AS rnk
-          FROM (SELECT DISTINCT qid, node, cos_sim FROM $src))
-        WHERE rnk <= $b)"""
     pieces += s"""
       isq AS (SELECT vec_id AS qid FROM embeddings
               WHERE vec_id >= $base),
@@ -720,25 +734,6 @@ object NnDescent {
       upRounds: Int, queryFilter: String = "vec_id < 8",
       pfx: String = "hs"): String = {
     val pieces = Seq.newBuilder[String]
-    def scoreBlockQ(src: String, out: String): String = s"""
-      ${out}_d AS (
-        SELECT c.qid, c.node, sum(qa.x * eb.x) AS dot
-        FROM $src c JOIN ndex qa ON qa.vec_id = c.qid
-                    JOIN ndex eb ON eb.vec_id = c.node
-                      AND eb.i = qa.i
-        GROUP BY 1, 2),
-      $out AS MATERIALIZED (
-        SELECT d.qid, d.node,
-               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
-        FROM ${out}_d d JOIN ndnrm na ON na.vec_id = d.qid
-                        JOIN ndnrm nb ON nb.vec_id = d.node)"""
-    def topBBlock(src: String, out: String, b: Int): String = s"""
-      $out AS MATERIALIZED (
-        SELECT qid, node, cos_sim FROM (
-          SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY cos_sim DESC, node) AS rnk
-          FROM (SELECT DISTINCT qid, node, cos_sim FROM $src))
-        WHERE rnk <= $b)"""
     pieces += s"""
       ${pfx}q AS (SELECT vec_id AS qid FROM embeddings
               WHERE $queryFilter),
@@ -795,25 +790,6 @@ object NnDescent {
   def oracleServeCtes(rounds: Int, k: Int, beam: Int, hops: Int,
       queryFilter: String = "vec_id < 8"): String = {
     val pieces = Seq.newBuilder[String]
-    def scoreBlockQ(src: String, out: String): String = s"""
-      ${out}_d AS (
-        SELECT c.qid, c.node, sum(qa.x * eb.x) AS dot
-        FROM $src c JOIN ndex qa ON qa.vec_id = c.qid
-                    JOIN ndex eb ON eb.vec_id = c.node
-                      AND eb.i = qa.i
-        GROUP BY 1, 2),
-      $out AS MATERIALIZED (
-        SELECT d.qid, d.node,
-               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
-        FROM ${out}_d d JOIN ndnrm na ON na.vec_id = d.qid
-                        JOIN ndnrm nb ON nb.vec_id = d.node)"""
-    def topBBlock(src: String, out: String, b: Int): String = s"""
-      $out AS MATERIALIZED (
-        SELECT qid, node, cos_sim FROM (
-          SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY cos_sim DESC, node) AS rnk
-          FROM (SELECT DISTINCT qid, node, cos_sim FROM $src))
-        WHERE rnk <= $b)"""
     pieces += s"""
       nsq AS (SELECT vec_id AS qid FROM embeddings
               WHERE $queryFilter),

@@ -538,6 +538,17 @@ class SettingsSpec extends SparkSpec {
         Settings.nndescent.hnswFrontierRungs
       }
     }
+    // malformed rungs name the knob and the expected shape rather
+    // than leaking a bare MatchError/NumberFormatException
+    for (bad <- Seq("4", "4:1:2", "a:b")) {
+      withProp("graft.nndescent.hnsw_frontier_rungs", bad) {
+        val e = intercept[IllegalArgumentException] {
+          Settings.nndescent.hnswFrontierRungs
+        }
+        assert(e.getMessage.contains("hnsw_frontier_rungs")
+          && e.getMessage.contains("ub:uh"), s"'$bad': ${e.getMessage}")
+      }
+    }
     // incremental repair rounds flow: the chain ends at ing<r>
     assert(Settings.nndescent.incrRounds == 2)
     assert(SparkEntry.oracleSql("q_e_nnd_incr").contains("ing2"))
