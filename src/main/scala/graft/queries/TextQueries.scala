@@ -713,6 +713,50 @@ object TextQueries extends QueryModule {
     graft.text.NnDescent.oracleIncrCtes(NndK, NndRounds, NndBeam,
       NndHops, NndIncrRounds, IncrBase)
 
+  /** FROZEN old-slice layer graphs — the hierarchy as it stood before
+    * the batch (vec_id < incr_base members of each level), one Stage
+    * artifact per level. Salted `hnswo$l`, independent of the
+    * standing `hnswb$l` layers; incr_base is part of the stage name
+    * (the [[nndBaseGraph]] knob-override rule). */
+  private[queries] def hnswOldLayers(s: SparkSession, dir: String)
+      : Seq[DataFrame] =
+    (1 to HnswLevels).map { l =>
+      Stage.cached(s, dir, s"hnsw_old_layer${l}_$IncrBase") {
+        graft.text.NnDescent.buildSubset(
+          t(s, dir, "embeddings").filter(col("vec_id") < IncrBase
+            && graft.text.NnDescent.layerPred(col("vec_id"), l,
+              HnswRatio)),
+          NndK, HnswUpRounds, salt = s"hnswo$l")
+      }
+    }
+
+  /** Incrementally-MAINTAINED layer graphs: each level's new members
+    * (layerPred ∧ vec_id >= incr_base) seeded by beam search over the
+    * frozen old layer graph (bucket-representative entries — sparse
+    * layer ids), then confined repair rounds — the hierarchy after
+    * the batch, read by the incr row, the drift row and the
+    * incremental-serve spec lock. */
+  private[queries] def hnswIncrLayers(s: SparkSession, dir: String)
+      : Seq[DataFrame] = {
+    val olds = hnswOldLayers(s, dir)
+    (1 to HnswLevels).map { l =>
+      Stage.cached(s, dir, s"hnsw_incr_layer${l}_$IncrBase") {
+        graft.text.NnDescent.incrInsertLayer(
+          t(s, dir, "embeddings").filter(
+            graft.text.NnDescent.layerPred(col("vec_id"), l,
+              HnswRatio)),
+          olds(l - 1), IncrBase, NndK, NndBeam, NndHops,
+          NndIncrRounds, salt = s"hnswi$l")
+      }
+    }
+  }
+
+  private[queries] def hnswIncrLayerCtes: String =
+    (1 to HnswLevels).map(l => graft.text.NnDescent
+      .oracleIncrLayerCtes(l, HnswRatio, NndK, HnswUpRounds, NndBeam,
+        NndHops, NndIncrRounds, IncrBase).trim)
+      .mkString(",\n      ")
+
   private[queries] def hnswLayerCtes: String =
     (1 to HnswLevels).map(l => graft.text.NnDescent
       .oracleLayerCtes(l, HnswRatio, NndK, HnswUpRounds).trim)
@@ -4886,6 +4930,101 @@ object TextQueries extends QueryModule {
             .as("avg_scored"),
           sum("n_scored").cast("long").as("total_scored"))
         .orderBy("variant")
+    },
+
+    // INCREMENTAL HNSW hierarchy maintenance (NnDescent
+    // .incrInsertLayer — the layered index's add-without-retrain,
+    // closing the r13 gap where only the BASE graph had it): each
+    // level's new members (layerPred ∧ vec_id >= incr_base — layer
+    // assignment is the same md5 rule as at build time, so new
+    // top-layer members become coarse-scan entries automatically)
+    // seed their edges by beam search over the FROZEN old layer
+    // graph, entering through bucket REPRESENTATIVES of the old
+    // members (sparse layer ids — md5-mod entries don't apply), then
+    // confined repair rounds bounded by the batch's blast radius.
+    // The oracle re-walks every old-layer build, every seed descent
+    // and every confined round, per level. Incremental ≡ rebuild
+    // hierarchical-serve recall is spec-locked in NnDescentSpec.
+    Q("q_e_hnsw_incr", Some(s"""
+      WITH ${graft.text.NnDescent.oracleVecCtes.trim},
+      $hnswIncrLayerCtes
+      SELECT layer, node, nbr, cos_sim, rnk FROM (${(1 to HnswLevels)
+        .map(l => s"SELECT $l AS layer, * FROM il${l}gf")
+        .mkString("\n        UNION ALL ")})
+      ORDER BY layer, node, rnk""")) { (s, dir) =>
+      hnswIncrLayers(s, dir).zipWithIndex
+        .map { case (g, i) => g.select(lit(i + 1).as("layer"),
+          col("node"), col("nbr"), col("cos_sim"),
+          col("rnk").cast("long").as("rnk")) }
+        .reduce(_ unionByName _)
+        .orderBy("layer", "node", "rnk")
+    },
+
+    // Layered drift accounting — the q_e_nnd_drift analog PER LEVEL:
+    // how far did the batch move the old layer members' neighborhoods
+    // (edge overlap vs the frozen layer graph), how many new members
+    // each level absorbed. The rebuild-due dial for the hierarchy: a
+    // level whose old-member churn spikes is reshaping and its layer
+    // graph should be rebuilt, while untouched levels keep serving.
+    Q("q_e_hnsw_incr_drift", Some(s"""
+      WITH ${graft.text.NnDescent.oracleVecCtes.trim},
+      $hnswIncrLayerCtes,
+      ${(1 to HnswLevels).map(l => s"""
+      hd${l}b AS (SELECT node, nbr FROM il${l}ok$HnswUpRounds),
+      hd${l}f AS (SELECT node, nbr FROM il${l}gf
+                  WHERE node < $IncrBase),
+      hd${l}o AS (
+        SELECT b.node,
+               CAST(count(*) AS BIGINT) AS n_base,
+               CAST(count(f.nbr) AS BIGINT) AS n_kept
+        FROM hd${l}b b LEFT JOIN hd${l}f f
+          ON f.node = b.node AND f.nbr = b.nbr
+        GROUP BY 1),
+      hd${l}r AS (
+        SELECT $l AS layer,
+               CAST((SELECT count(DISTINCT node) FROM hd${l}b)
+                 AS BIGINT) AS n_old,
+               CAST((SELECT count(*) FROM il${l}q) AS BIGINT)
+                 AS n_new,
+               CAST(sum(CASE WHEN n_kept < n_base THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_old_changed,
+               round(CAST(sum(CASE WHEN n_kept < n_base THEN 1
+                 ELSE 0 END) AS DOUBLE) / count(*), 9)
+                 AS changed_frac,
+               round(CAST(sum(CAST(n_kept AS DOUBLE) / n_base)
+                 AS DOUBLE) / count(*), 9) AS avg_edge_overlap
+        FROM hd${l}o)""").mkString(",")}
+      SELECT * FROM (${(1 to HnswLevels)
+        .map(l => s"SELECT * FROM hd${l}r")
+        .mkString("\n        UNION ALL ")})
+      ORDER BY layer""")) { (s, dir) =>
+      val olds = hnswOldLayers(s, dir)
+      val fins = hnswIncrLayers(s, dir)
+      (1 to HnswLevels).map { l =>
+        val base = olds(l - 1).select("node", "nbr")
+        val fin = fins(l - 1).filter(col("node") < IncrBase)
+          .select("node", "nbr").withColumn("kept", lit(1L))
+        val nNew = t(s, dir, "embeddings")
+          .filter(col("vec_id") >= IncrBase
+            && graft.text.NnDescent.layerPred(col("vec_id"), l,
+              HnswRatio))
+          .agg(count(lit(1)).as("n_new"))
+        base.join(fin, Seq("node", "nbr"), "left")
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_base"),
+            sum(coalesce(col("kept"), lit(0L))).as("n_kept"))
+          .agg(countDistinct("node").as("n_old"),
+            sum(when(col("n_kept") < col("n_base"), 1L)
+              .otherwise(0L)).as("n_old_changed"),
+            round(sum(when(col("n_kept") < col("n_base"), 1.0)
+              .otherwise(0.0)) / count(lit(1)), 9).as("changed_frac"),
+            round(sum(col("n_kept").cast("double") / col("n_base"))
+              / count(lit(1)), 9).as("avg_edge_overlap"))
+          .crossJoin(broadcast(nNew))
+          .select(lit(l).as("layer"), col("n_old"), col("n_new"),
+            col("n_old_changed"), col("changed_frac"),
+            col("avg_edge_overlap"))
+      }.reduce(_ unionByName _).orderBy("layer")
     },
 
     // Per-label centroid geometry (posexplode → per-dim means → norms)

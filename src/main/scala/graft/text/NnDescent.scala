@@ -373,6 +373,87 @@ object NnDescent {
     topK(knn, k)
   }
 
+  /** Insert the `vec_id >= base` batch into ONE frozen LAYER graph —
+    * the hierarchical index's add-without-retrain ([[incrInsert]]'s
+    * analog for a [[buildSubset]] graph on an arbitrary id slice).
+    * Layer membership is decided by [[layerPred]] exactly as at build
+    * time, so a new node that samples into the top layer becomes a
+    * coarse-scan entry candidate automatically ([[serveHier]] derives
+    * entries from the predicate, not from a stored list). The only
+    * piece [[incrInsert]] can't reuse is the ENTRY rule: old layer
+    * members are SPARSE ids, so md5-mod entries don't apply — instead
+    * old members hash into max(1, nOld/(k+1)) buckets (salt
+    * `${salt}r`) and each bucket's min-id member is its
+    * REPRESENTATIVE; a new node's j-th entry is the representative of
+    * bucket md5(`${salt}e`:qid:j) mod nBuckets. A hashed-to bucket
+    * may be empty (P ≈ e^−(k+1) per draw — the [[bucketInitEdges]]
+    * occupancy argument) and then contributes no entry; both engines
+    * drop it identically. One groupBy builds the representative
+    * table — no rank densification, no single-partition window, so
+    * the rule survives a corpus-sized layer 1. Seeds = the batch's
+    * beam-search top-k over the frozen layer graph; then the same
+    * confined repair rounds as the base insert ([[refineRoundImpl]]
+    * with the touched frontier — the candidate rule exists once). */
+  def incrInsertLayer(layerEmb: DataFrame, oldLayerGraph: DataFrame,
+      base: Long, k: Int, beam: Int, hops: Int, incrRounds: Int,
+      salt: String): DataFrame = {
+    val vecs = vecsOf(layerEmb)
+    val old = layerEmb.filter(col("vec_id") < base)
+    val nOld = old.count()
+    require(nOld >= 1,
+      s"incrInsertLayer: the frozen layer has no members below " +
+        s"base=$base — inserting into an empty layer is a rebuild")
+    val nBuckets = math.max(1L, nOld / (k + 1))
+    val reps = old.select(col("vec_id").as("node"))
+      .withColumn("bkt",
+        TextOps.md5Hash64(concat_ws(":", lit(salt + "r"),
+          col("node"))) % nBuckets)
+      .groupBy("bkt").agg(min("node").as("node"))
+    val q = queriesOf(vecs, col("vec_id") >= base)
+    val entries = scrubbed(q.select(col("qid"))
+      .select(col("qid"),
+        explode(array((1 to beam).map(lit(_)): _*)).as("j"))
+      .withColumn("bkt",
+        TextOps.md5Hash64(concat_ws(":", lit(salt + "e"), col("qid"),
+          col("j"))) % nBuckets)
+      .join(reps, Seq("bkt"))
+      .select("qid", "node").distinct())
+    val edges = oldLayerGraph.select(col("node"), col("nbr"))
+      .localCheckpoint()
+    var state = topB(scoreQ(entries, q, vecs), beam).localCheckpoint()
+    for (_ <- 1 to hops)
+      state = topB(scoreQ(hopCands(state, edges), q, vecs), beam)
+        .localCheckpoint()
+    val seeds = topB(state, k)
+      .select(col("qid").as("node"), col("node").as("nbr"),
+        col("cos_sim"))
+    var knn = oldLayerGraph.select("node", "nbr", "cos_sim")
+      .unionByName(seeds).localCheckpoint()
+    var touched = layerEmb.filter(col("vec_id") >= base)
+      .select(col("vec_id").as("t")).localCheckpoint()
+    for (_ <- 1 to incrRounds) {
+      val (next, cands) = refineRoundImpl(knn, vecs, k, Some(touched))
+      knn = next
+      touched = cands.select(col("node").as("t")).distinct()
+        .localCheckpoint()
+    }
+    topK(knn, k)
+  }
+
+  /** [[incrInsertLayer]] across the whole hierarchy: layer l's slice
+    * is [[layerPred]](l), its frozen graph `oldLayerGraphs(l - 1)`
+    * (built on the `vec_id < base` members), salts `hnswi$l` — the
+    * incremental twin of [[buildLayers]]. */
+  def incrInsertLayers(emb: DataFrame, oldLayerGraphs: Seq[DataFrame],
+      base: Long, ratio: Int, k: Int, beam: Int, hops: Int,
+      incrRounds: Int): Seq[DataFrame] =
+    oldLayerGraphs.zipWithIndex.map { case (g, i) =>
+      val l = i + 1
+      incrInsertLayer(
+        emb.filter(layerPred(col("vec_id"), l, ratio)), g, base, k,
+        beam, hops, incrRounds, salt = s"hnswi$l")
+    }
+
   // ------------------------------------------------------------------
   // HNSW-style hierarchical serving (Malkov & Yashunin 2016, the
   // layered search graph): the flat beam search's md5-random entries
@@ -554,15 +635,73 @@ object NnDescent {
     pieces.result()
   }
 
-  def oracleCtes(k: Int, rounds: Int): String = {
-    val pieces = Seq.newBuilder[String]
-    pieces += s"""
+  /** Shared exploded-vector + norm CTEs (`ndex`/`ndnrm`) every graph
+    * chain scores against — ONE definition; chains that can appear in
+    * the same WITH must include it exactly once. */
+  def oracleVecCtes: String = s"""
       ndex AS MATERIALIZED (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings),
       ndnrm AS MATERIALIZED (
-        SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ndex GROUP BY 1),
+        SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ndex GROUP BY 1)"""
+
+  /** `incrRounds` CONFINED repair rounds under prefix `pfx`: inputs
+    * `${pfx}g0(node, nbr, cos_sim)` (the seeded graph) and
+    * `${pfx}t0(t)` (the initial touched set); per round the reverse
+    * neighborhood `${pfx}rb$r`, pivots `${pfx}pv$r` (touched ∪
+    * adjacent-to-touched), pivot-local edges `${pfx}bp$r`, candidates
+    * `${pfx}c$r`, scores `${pfx}s$r`, merged top-k `${pfx}g$r`, next
+    * touched `${pfx}t$r` — [[refineRoundImpl]]'s confined path
+    * verbatim, shared by the base-graph and layer-graph insert
+    * chains. Ends at `${pfx}g$incrRounds`. */
+  private def confinedRoundsCtes(pfx: String, k: Int,
+      incrRounds: Int): Seq[String] = {
+    val pieces = Seq.newBuilder[String]
+    for (r <- 1 to incrRounds) {
+      val prev = s"${pfx}g${r - 1}"
+      pieces += s"""
+      ${pfx}rb$r AS MATERIALIZED (
+        SELECT DISTINCT node, nbr FROM (
+          SELECT node, nbr FROM $prev
+          UNION ALL
+          SELECT nbr AS node, node AS nbr FROM $prev)),
+      ${pfx}pv$r AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT b.node FROM ${pfx}rb$r b JOIN ${pfx}t${r - 1} t
+            ON b.nbr = t.t
+          UNION ALL
+          SELECT t AS node FROM ${pfx}t${r - 1})),
+      ${pfx}bp$r AS MATERIALIZED (
+        SELECT b.node, b.nbr FROM ${pfx}rb$r b
+        JOIN ${pfx}pv$r p ON p.node = b.node),
+      ${pfx}c$r AS MATERIALIZED (
+        SELECT DISTINCT node, nbr FROM (
+          SELECT x.nbr AS node, y.nbr AS nbr
+          FROM ${pfx}bp$r x JOIN ${pfx}bp$r y
+            ON x.node = y.node AND x.nbr <> y.nbr
+          UNION ALL
+          SELECT node, nbr FROM ${pfx}bp$r))"""
+      pieces += scoreBlock(s"${pfx}c$r", s"${pfx}s$r")
+      pieces += s"""
+      ${pfx}g$r AS MATERIALIZED (
+        SELECT node, nbr, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY node
+            ORDER BY cos_sim DESC, nbr) AS rnk
+          FROM (SELECT DISTINCT node, nbr, cos_sim FROM (
+            SELECT node, nbr, cos_sim FROM $prev
+            UNION ALL
+            SELECT node, nbr, cos_sim FROM ${pfx}s$r)))
+        WHERE rnk <= $k),
+      ${pfx}t$r AS (SELECT DISTINCT node AS t FROM ${pfx}c$r)"""
+    }
+    pieces.result()
+  }
+
+  def oracleCtes(k: Int, rounds: Int): String = {
+    val pieces = Seq.newBuilder[String]
+    pieces += oracleVecCtes
+    pieces += s"""
       ndnn AS (SELECT count(*) AS n FROM embeddings),
       nde0 AS (
         SELECT DISTINCT node, nbr FROM (
@@ -587,13 +726,8 @@ object NnDescent {
   def oracleIncrCtes(k: Int, baseRounds: Int, beam: Int, hops: Int,
       incrRounds: Int, base: Long): String = {
     val pieces = Seq.newBuilder[String]
+    pieces += oracleVecCtes
     pieces += s"""
-      ndex AS MATERIALIZED (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings),
-      ndnrm AS MATERIALIZED (
-        SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ndex GROUP BY 1),
       inbnn AS (SELECT count(*) AS n FROM embeddings
                 WHERE vec_id < $base),
       inbe0 AS (
@@ -638,43 +772,7 @@ object NnDescent {
         SELECT qid AS node, node AS nbr, cos_sim FROM iseed),
       int0 AS (SELECT vec_id AS t FROM embeddings
                WHERE vec_id >= $base)"""
-    for (r <- 1 to incrRounds) {
-      val prev = s"ing${r - 1}"
-      pieces += s"""
-      inb$r AS MATERIALIZED (
-        SELECT DISTINCT node, nbr FROM (
-          SELECT node, nbr FROM $prev
-          UNION ALL
-          SELECT nbr AS node, node AS nbr FROM $prev)),
-      inpv$r AS MATERIALIZED (
-        SELECT DISTINCT node FROM (
-          SELECT b.node FROM inb$r b JOIN int${r - 1} t
-            ON b.nbr = t.t
-          UNION ALL
-          SELECT t AS node FROM int${r - 1})),
-      inbp$r AS MATERIALIZED (
-        SELECT b.node, b.nbr FROM inb$r b
-        JOIN inpv$r p ON p.node = b.node),
-      inc$r AS MATERIALIZED (
-        SELECT DISTINCT node, nbr FROM (
-          SELECT x.nbr AS node, y.nbr AS nbr
-          FROM inbp$r x JOIN inbp$r y
-            ON x.node = y.node AND x.nbr <> y.nbr
-          UNION ALL
-          SELECT node, nbr FROM inbp$r))"""
-      pieces += scoreBlock(s"inc$r", s"ins$r")
-      pieces += s"""
-      ing$r AS MATERIALIZED (
-        SELECT node, nbr, cos_sim FROM (
-          SELECT *, row_number() OVER (PARTITION BY node
-            ORDER BY cos_sim DESC, nbr) AS rnk
-          FROM (SELECT DISTINCT node, nbr, cos_sim FROM (
-            SELECT node, nbr, cos_sim FROM $prev
-            UNION ALL
-            SELECT node, nbr, cos_sim FROM ins$r)))
-        WHERE rnk <= $k),
-      int$r AS (SELECT DISTINCT node AS t FROM inc$r)"""
-    }
+    pieces ++= confinedRoundsCtes("in", k, incrRounds)
     pieces += s"""
       ingf AS MATERIALIZED (
         SELECT node, nbr, cos_sim,
@@ -684,26 +782,30 @@ object NnDescent {
     pieces.result().mkString(",")
   }
 
-  /** One HNSW layer's graph chain (requires `ndex`/`ndnrm`): node set
-    * `hl${l}nd` (md5 mod ratio^l — [[layerPred]]'s twin), the TWO
-    * bucket-pairing blockings `hl${l}e0` ([[bucketInitEdges]]' twin:
-    * nBuckets = max(1, n ÷ (k+1)), salts "hnswb${l}a"/"hnswb${l}b"),
-    * then the standard refine chain ending at `hl${l}k$upRounds`. */
-  def oracleLayerCtes(l: Int, ratio: Int, k: Int, upRounds: Int)
-      : String = {
+  /** One [[buildSubset]] graph chain (requires `ndex`/`ndnrm`) under
+    * an explicit prefix/salt/member filter: node set `${pfx}nd` (md5
+    * mod ratio^l — [[layerPred]]'s twin, optionally AND
+    * `memberFilter`), the TWO bucket-pairing blockings `${pfx}e0`
+    * ([[bucketInitEdges]]' twin: nBuckets = max(1, n ÷ (k+1)), salts
+    * `${salt}a`/`${salt}b`), then the standard refine chain ending at
+    * `${pfx}k$upRounds`. The standing layer graphs are this at
+    * pfx = `hl$l` / salt = `hnswb$l`; the incremental chain's FROZEN
+    * old-slice layer graphs reuse it with a `vec_id < base` filter. */
+  def oracleLayerCtesAt(l: Int, ratio: Int, k: Int, upRounds: Int,
+      pfx: String, salt: String, memberFilter: String = ""): String = {
     val m = math.pow(ratio.toDouble, l.toDouble).toLong
-    val pfx = s"hl$l"
+    val and = if (memberFilter.isEmpty) "" else s" AND $memberFilter"
     val pieces = Seq.newBuilder[String]
     def blockSel(tag: String): String = s"""
           SELECT x.node, y.node AS nbr FROM (
             SELECT vec_id AS node,
-                   ${hsql(s"'hnswb$l$tag:' || vec_id::VARCHAR")}
+                   ${hsql(s"'$salt$tag:' || vec_id::VARCHAR")}
                      % (SELECT greatest(1, n // ${k + 1})
                         FROM ${pfx}nn) AS bkt
             FROM ${pfx}nd) x
           JOIN (
             SELECT vec_id AS node,
-                   ${hsql(s"'hnswb$l$tag:' || vec_id::VARCHAR")}
+                   ${hsql(s"'$salt$tag:' || vec_id::VARCHAR")}
                      % (SELECT greatest(1, n // ${k + 1})
                         FROM ${pfx}nn) AS bkt
             FROM ${pfx}nd) y
@@ -711,12 +813,89 @@ object NnDescent {
     pieces += s"""
       ${pfx}nd AS MATERIALIZED (
         SELECT vec_id FROM embeddings
-        WHERE ${hsql("'hnsw:' || vec_id::VARCHAR")} % $m = 0),
+        WHERE ${hsql("'hnsw:' || vec_id::VARCHAR")} % $m = 0$and),
       ${pfx}nn AS (SELECT count(*) AS n FROM ${pfx}nd),
       ${pfx}e0 AS (
         SELECT DISTINCT node, nbr FROM (${blockSel("a")}
           UNION ALL ${blockSel("b")}))"""
     pieces ++= chainCtes(pfx, s"${pfx}e0", k, upRounds)
+    pieces.result().mkString(",")
+  }
+
+  /** One HNSW layer's standing graph chain — [[oracleLayerCtesAt]] at
+    * the build-time prefix/salt, ending at `hl${l}k$upRounds`. */
+  def oracleLayerCtes(l: Int, ratio: Int, k: Int, upRounds: Int)
+      : String =
+    oracleLayerCtesAt(l, ratio, k, upRounds, s"hl$l", s"hnswb$l")
+
+  /** Incremental LAYER-insert chain for level `l` (requires
+    * `ndex`/`ndnrm`) — [[incrInsertLayer]]'s oracle twin, all under
+    * prefix `il$l`: the frozen OLD layer graph ([[oracleLayerCtesAt]]
+    * on the `vec_id < base` members, salt `hnswo$l`, ending
+    * `il${l}ok$upRounds`), the bucket-REPRESENTATIVE table
+    * `il${l}rp` (old members hashed into max(1, nOld ÷ (k+1)) buckets
+    * by salt `hnswi${l}r`, min id per bucket), the new-batch entries
+    * `il${l}e0` (bucket md5(`hnswi${l}e`:qid:j) mod nBuckets joined
+    * to the representatives), `hops` beam blocks over the frozen
+    * layer graph, the seed top-k, the seeded union `il${l}g0`, then
+    * `incrRounds` confined repair rounds ([[confinedRoundsCtes]]),
+    * ending at `il${l}gf(node, nbr, cos_sim, rnk)`. */
+  def oracleIncrLayerCtes(l: Int, ratio: Int, k: Int, upRounds: Int,
+      beam: Int, hops: Int, incrRounds: Int, base: Long): String = {
+    val pfx = s"il$l"
+    val opfx = s"${pfx}o"
+    val pieces = Seq.newBuilder[String]
+    pieces += oracleLayerCtesAt(l, ratio, k, upRounds, opfx,
+      s"hnswo$l", memberFilter = s"vec_id < $base")
+    pieces += s"""
+      ${pfx}nb AS (SELECT greatest(1, n // ${k + 1}) AS nb
+                   FROM ${opfx}nn),
+      ${pfx}rp AS MATERIALIZED (
+        SELECT ${hsql(s"'hnswi${l}r:' || vec_id::VARCHAR")}
+                 % (SELECT nb FROM ${pfx}nb) AS bkt,
+               min(vec_id) AS node
+        FROM ${opfx}nd GROUP BY 1),
+      ${pfx}q AS (
+        SELECT vec_id AS qid FROM embeddings
+        WHERE ${hsql("'hnsw:' || vec_id::VARCHAR")}
+                % ${math.pow(ratio.toDouble, l.toDouble).toLong} = 0
+          AND vec_id >= $base),
+      ${pfx}e0 AS MATERIALIZED (
+        SELECT DISTINCT e.qid, r.node FROM (
+          SELECT q.qid,
+                 ${hsql(s"'hnswi${l}e:' || q.qid::VARCHAR || ':' || j.j::VARCHAR")}
+                   % (SELECT nb FROM ${pfx}nb) AS bkt
+          FROM ${pfx}q q, range(1, $beam + 1) j(j)) e
+        JOIN ${pfx}rp r ON r.bkt = e.bkt)"""
+    pieces += scoreBlockQ(s"${pfx}e0", s"${pfx}xs0")
+    pieces += topBBlock(s"${pfx}xs0", s"${pfx}xb0", beam)
+    for (h <- 1 to hops) {
+      pieces += s"""
+      ${pfx}xc$h AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT s.qid, g.nbr AS node
+          FROM ${pfx}xb${h - 1} s JOIN ${opfx}k$upRounds g
+            ON g.node = s.node
+          UNION ALL
+          SELECT qid, node FROM ${pfx}xb${h - 1})
+        WHERE node <> qid)"""
+      pieces += scoreBlockQ(s"${pfx}xc$h", s"${pfx}xs$h")
+      pieces += topBBlock(s"${pfx}xs$h", s"${pfx}xb$h", beam)
+    }
+    pieces += topBBlock(s"${pfx}xb$hops", s"${pfx}sd", k)
+    pieces += s"""
+      ${pfx}g0 AS MATERIALIZED (
+        SELECT node, nbr, cos_sim FROM ${opfx}k$upRounds
+        UNION ALL
+        SELECT qid AS node, node AS nbr, cos_sim FROM ${pfx}sd),
+      ${pfx}t0 AS (SELECT qid AS t FROM ${pfx}q)"""
+    pieces ++= confinedRoundsCtes(pfx, k, incrRounds)
+    pieces += s"""
+      ${pfx}gf AS MATERIALIZED (
+        SELECT node, nbr, cos_sim,
+               CAST(row_number() OVER (PARTITION BY node
+                 ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rnk
+        FROM ${pfx}g$incrRounds)"""
     pieces.result().mkString(",")
   }
 

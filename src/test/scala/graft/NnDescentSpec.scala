@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.text.{NnDescent, Similarity}
 
@@ -188,5 +189,69 @@ class NnDescentSpec extends SparkSpec {
     assert(rIncr >= rReb - 0.15,
       s"incremental recall $rIncr must stay within 0.15 of the " +
         s"rebuild's $rReb")
+  }
+
+  test("incremental hierarchy maintenance: deterministic, every new " +
+      "layer member attaches, hierarchical-serve recall within 0.25 " +
+      "of a full rebuild") {
+    val base = 96L
+    val (k, ratio, levels) = (5, 3, 2)
+    def layerSlice(l: Int, old: Boolean) = {
+      val p = NnDescent.layerPred(col("vec_id"), l, ratio)
+      emb.filter(if (old) p && col("vec_id") < base else p)
+    }
+    val oldLayers = (1 to levels).map(l =>
+      NnDescent.buildSubset(layerSlice(l, old = true), k, 2,
+        salt = s"hnswo$l"))
+    val incrLayers = NnDescent.incrInsertLayers(emb, oldLayers, base,
+      ratio, k, beam = 6, hops = 2, incrRounds = 2)
+    val incrLayers2 = NnDescent.incrInsertLayers(emb, oldLayers, base,
+      ratio, k, beam = 6, hops = 2, incrRounds = 2)
+    for (l <- 1 to levels) {
+      val g1 = incrLayers(l - 1).select("node", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val g2 = incrLayers2(l - 1).select("node", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(g1.sameElements(g2),
+        s"layer $l incremental insert must be deterministic")
+      // every layer member — old and new — carries ≤ k edges, and
+      // every NEW member attached (the bucket-representative seed
+      // path worked: layer assignment is layerPred, so a detached
+      // new top-layer node would poison the coarse scan)
+      val members = layerSlice(l, old = false).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val byNode = g1.groupBy(_._1)
+      assert(byNode.keySet == members,
+        s"layer $l: all ${members.size} members must carry edges")
+      assert(byNode.values.forall(_.length <= k))
+      // old layer members outside the blast radius keep their edges:
+      // the maintained graph never DROPS an old node
+      assert(members.filter(_ < base).subsetOf(byNode.keySet))
+    }
+    // serve lock: the maintained hierarchy's recall stays within a
+    // stated bound of the full rebuild's (confined repairs skip some
+    // improvements a rebuild would find — bounded, not free)
+    val baseOld = NnDescent.build(
+      emb.filter(col("vec_id") < base), k, rounds = 2)
+    val baseIncr = NnDescent.incrInsert(emb, baseOld, base, k,
+      beam = 6, hops = 2, incrRounds = 2)
+    val baseFull = NnDescent.build(emb, k, rounds = 2)
+    val layersFull = NnDescent.buildLayers(emb, k, 2, ratio, levels)
+    val truth = Similarity.cosineTopK(emb, col("vec_id") < 8, 3)
+      .select(col("qid"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(b: DataFrame, ls: Seq[DataFrame]): Double = {
+      val got = NnDescent.serveHier(emb, b, ls, col("vec_id") < 8,
+          k = 3, upBeam = 4, upHops = 1, beam = 6, hops = 2,
+          ratio = ratio)
+        .select("qid", "vid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      got.count(truth.contains).toDouble / truth.size
+    }
+    val rIncr = recallOf(baseIncr, incrLayers)
+    val rReb = recallOf(baseFull, layersFull)
+    assert(rIncr >= rReb - 0.25,
+      s"maintained-hierarchy recall $rIncr must stay within 0.25 " +
+        s"of the rebuild's $rReb")
   }
 }
