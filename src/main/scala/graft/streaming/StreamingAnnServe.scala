@@ -235,6 +235,57 @@ object StreamingAnnServe {
     topKOf(scoreCandidatesResidual(queries, index, cells, codebook,
       nProbe), k)
 
+  /** Streaming GRAPH-ANN serving — the NN-Descent / HNSW twin of the
+    * IVF-PQ serving above, completing the serving parity surface for
+    * the graph index family.
+    *
+    * Shape: `foreachBatch`. Beam search trims the frontier to top-B
+    * per query AFTER EVERY HOP — a chain of `hops` aggregations —
+    * and chained aggregations over a streaming frame are unsupported
+    * (Structured Streaming allows one, plus narrow time-window
+    * cases), so the hop loop cannot run as an incremental query the
+    * way the stateless IVF scorers above do. `foreachBatch` is the
+    * engine's idiom for exactly this: each trigger's queries form a
+    * bounded BATCH frame served by the batch
+    * `NnDescent.serveFrame`/`serveHierFrame` against the FROZEN
+    * graph + vector frames. Parity with batch is by CONSTRUCTION —
+    * the same code runs — and holds per query because every chain
+    * (entries, hops, top-k, n_scored) is query-local, so micro-batch
+    * boundaries cannot change any query's answer (StreamingSpec
+    * locks batch ≡ stream across batchings). No state store: the
+    * graphs are static artifacts and nothing carries across
+    * triggers; at 100 TB each trigger's work is the documented
+    * serve shape (query-local equi-joins against the k-bounded edge
+    * lists, coarse scan bounded by the top layer). */
+  def serveGraphStream(queries: DataFrame, emb: DataFrame,
+      graph: DataFrame, k: Int, beam: Int, hops: Int)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        sink(graft.text.NnDescent.serveFrame(emb, graph, batch.toDF(),
+          k, beam, hops))
+      }
+      .start()
+
+  /** Hierarchical twin of [[serveGraphStream]]: each micro-batch
+    * descends the FROZEN layer graphs via the batch
+    * `NnDescent.serveHierFrame` — same foreachBatch rationale. */
+  def serveHierGraphStream(queries: DataFrame, emb: DataFrame,
+      baseGraph: DataFrame, layerGraphs: Seq[DataFrame], k: Int,
+      upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        sink(graft.text.NnDescent.serveHierFrame(emb, baseGraph,
+          layerGraphs, batch.toDF(), k, upBeam, upHops, beam, hops,
+          ratio))
+      }
+      .start()
+
   private def topKOf(cands: DataFrame, k: Int): Dataset[AnnHit] = {
     val spark = cands.sparkSession
     import spark.implicits._

@@ -236,10 +236,20 @@ object NnDescent {
     * query-local joins against the k-bounded edge list, never a pass
     * over the corpus. */
   def serve(emb: DataFrame, graph: DataFrame, queryPred: Column,
+      k: Int, beam: Int, hops: Int): DataFrame =
+    serveFrame(emb, graph, emb.filter(queryPred), k, beam, hops)
+
+  /** [[serve]] with an EXPLICIT (vec_id, embedding) query frame — the
+    * serving seam a stream plugs into ([[graft.streaming
+    * .StreamingAnnServe.serveGraphStream]] hands each micro-batch's
+    * queries here): every per-query chain (entries, hops, top-k,
+    * n_scored) is query-local, so serving queries in any batching
+    * yields identical per-query rows. */
+  def serveFrame(emb: DataFrame, graph: DataFrame, queries: DataFrame,
       k: Int, beam: Int, hops: Int): DataFrame = {
     val n = emb.count()
     requireDenseIds(emb, n)
-    serveImpl(emb, graph, queryPred, k, beam, hops, entryMod = n,
+    serveImpl(emb, graph, queries, k, beam, hops, entryMod = n,
       salt = "sv", vecsIn = None)
   }
 
@@ -302,12 +312,15 @@ object NnDescent {
     * nodes are md5(salt:qid:j) mod `entryMod` — the flat serve draws
     * from the whole corpus (salt "sv", mod n); the incremental seeder
     * draws from the FROZEN index slice (salt "iv", mod base) so a new
-    * node never enters through another graph-less new node. */
+    * node never enters through another graph-less new node. `queries`
+    * is a (vec_id, embedding) frame (corpus slice or external). */
   private def serveImpl(emb: DataFrame, graph: DataFrame,
-      queryPred: Column, k: Int, beam: Int, hops: Int, entryMod: Long,
+      queries: DataFrame, k: Int, beam: Int, hops: Int, entryMod: Long,
       salt: String, vecsIn: Option[DataFrame]): DataFrame = {
     val vecs = vecsIn.getOrElse(vecsOf(emb))
-    val q = queriesOf(vecs, queryPred)
+    val q = vecsOf(queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).localCheckpoint()
     val entries = q.select(col("qid"))
       .select(col("qid"),
         explode(array((1 to beam).map(lit(_)): _*)).as("j"))
@@ -355,7 +368,7 @@ object NnDescent {
       k: Int, beam: Int, hops: Int, incrRounds: Int): DataFrame = {
     val vecs = vecsOf(emb)
     val seeds = serveImpl(emb, baseGraph,
-        col("vec_id") >= base, k, beam, hops,
+        emb.filter(col("vec_id") >= base), k, beam, hops,
         entryMod = base, salt = "iv", vecsIn = Some(vecs))
       .select(col("qid").as("node"), col("vid").as("nbr"),
         col("cos_sim"))
@@ -499,10 +512,23 @@ object NnDescent {
   def serveHier(emb: DataFrame, baseGraph: DataFrame,
       layerGraphs: Seq[DataFrame], queryPred: Column, k: Int,
       upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int)
+      : DataFrame =
+    serveHierFrame(emb, baseGraph, layerGraphs, emb.filter(queryPred),
+      k, upBeam, upHops, beam, hops, ratio)
+
+  /** [[serveHier]] with an EXPLICIT (vec_id, embedding) query frame —
+    * the streaming seam ([[serveFrame]]'s hierarchical twin; per-query
+    * chains are query-local, so any batching of queries yields
+    * identical per-query rows). */
+  def serveHierFrame(emb: DataFrame, baseGraph: DataFrame,
+      layerGraphs: Seq[DataFrame], queries: DataFrame, k: Int,
+      upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int)
       : DataFrame = {
     val levels = layerGraphs.length
     val vecs = vecsOf(emb)
-    val q = queriesOf(vecs, queryPred)
+    val q = vecsOf(queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).localCheckpoint()
     // coarse scan: every top-layer node is an entry candidate
     // (scrubbed — see [[scrubbed]]: the cross join's constraints
     // otherwise break the later unions with the hop candidate sets).

@@ -965,4 +965,60 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty && want.size < 120,
       s"gate must filter something: ${want.size} of 120 survive")
   }
+
+  test("streaming graph-ANN serving: micro-batched queries equal the " +
+      "batch beam search, flat and hierarchical (foreachBatch over " +
+      "frozen graphs — no state store)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.NnDescent
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+    val graph = NnDescent.build(emb, k = 5, rounds = 2)
+    val layers = NnDescent.buildLayers(emb, k = 5, upRounds = 2,
+      ratio = 3, levels = 2)
+    val qRows = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    type Hit = (Long, Long, Double, Int, Long)
+    def run(hier: Boolean): Set[Hit] = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])](
+          org.apache.spark.sql.Encoders.product[(Long, Seq[Double])],
+          spark.sqlContext)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Hit]
+      val in = mem.toDF.toDF("vec_id", "embedding")
+      val sink = (df: org.apache.spark.sql.DataFrame) =>
+        buf.synchronized { buf ++= df.as[(Long, Long, Double, Int, Long)].collect() }: Unit
+      val q =
+        if (hier) graft.streaming.StreamingAnnServe
+          .serveHierGraphStream(in, emb, graph, layers, k = 3,
+            upBeam = 4, upHops = 1, beam = 6, hops = 2,
+            ratio = 3)(sink)
+        else graft.streaming.StreamingAnnServe
+          .serveGraphStream(in, emb, graph, k = 3, beam = 6,
+            hops = 2)(sink)
+      // two micro-batches: per-query chains are query-local, so the
+      // batching must not change any answer
+      mem.addData(qRows.take(3).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(qRows.drop(3).toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      buf.toSet
+    }
+    val wantFlat = NnDescent.serve(emb, graph, col("vec_id") < 6,
+      k = 3, beam = 6, hops = 2)
+      .as[(Long, Long, Double, Int, Long)].collect().toSet
+    assert(run(hier = false) == wantFlat,
+      "streamed flat graph serving must equal batch")
+    val wantHier = NnDescent.serveHier(emb, graph, layers,
+        col("vec_id") < 6, k = 3, upBeam = 4, upHops = 1, beam = 6,
+        hops = 2, ratio = 3)
+      .as[(Long, Long, Double, Int, Long)].collect().toSet
+    assert(run(hier = true) == wantHier,
+      "streamed hierarchical graph serving must equal batch")
+  }
 }
