@@ -673,6 +673,28 @@ object TextQueries extends QueryModule {
   private[queries] def hnswServed(s: SparkSession, dir: String)
       : DataFrame = hnswServedAt(s, dir, HnswUpBeam, HnswUpHops)
 
+  /** DiskANN-style graph+PQ served results (NnDescent.serveHierPq —
+    * the same hierarchical descent with every hop ADC-scored over the
+    * PQ codes, exact re-rank of the final beam), read by the serve
+    * row and the float-vs-PQ A/B. The traversal is guided by the
+    * Lloyd-FITTED codebook (the consume-what-you-fitted discipline —
+    * seed-slice ADC misguides the beam badly enough to halve
+    * recall). */
+  private[queries] def hnswPqServed(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "hnsw_pq_served") {
+      graft.text.NnDescent.serveHierPq(t(s, dir, "embeddings"),
+        nndGraph(s, dir), hnswLayers(s, dir), col("vec_id") < 8,
+        AnnK, HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio,
+        PqM, PqSubK, RerankR, codebook = Some(lloydCb(s, dir)))
+    }
+
+  private[queries] def hnswPqServeChainCtes: String =
+    graft.text.NnDescent.oracleHierServePqCtes(NndRounds, AnnK,
+      HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio,
+      HnswLevels, HnswUpRounds, PqM, PqSubK, PqSubDim, RerankR,
+      lloydIters = PqLloydIters)
+
   private[queries] def HnswFrontierRungs =
     graft.Settings.nndescent.hnswFrontierRungs
 
@@ -4930,6 +4952,118 @@ object TextQueries extends QueryModule {
             .as("avg_scored"),
           sum("n_scored").cast("long").as("total_scored"))
         .orderBy("variant")
+    },
+
+    // DiskANN-style GRAPH + PQ serving (NnDescent.serveHierPq —
+    // Subramanya et al. 2019: graph traversal over COMPRESSED
+    // vectors): the hierarchical descent with every hop ADC-scored
+    // against the m-byte PQ codes (Similarity.pqParts seed codebook —
+    // the chain the pq-topk rows already hash-check), then ONE exact
+    // cosine re-rank of the final beam. At 100 TB the traversal
+    // touches only the code table + k-bounded edge lists; full-dim
+    // floats are read for n_exact ≤ beam candidates per query instead
+    // of every scored candidate — the memory bill the DiskANN design
+    // pays for. The oracle re-walks the PQ encode, every ADC-scored
+    // hop and the exact re-rank.
+    Q("q_e_hnsw_pq_serve", Some(s"""
+      WITH $nndCtes,
+      $hnswLayerCtes,
+      ${hnswPqServeChainCtes.trim}
+      SELECT qid, vid, cos_sim, rnk, n_scored, n_exact FROM gprv
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      hnswPqServed(s, dir)
+        .select(col("qid"), col("vid"), col("cos_sim"),
+          col("rnk").cast("long").as("rnk"), col("n_scored"),
+          col("n_exact"))
+        .orderBy("qid", "rnk")
+    },
+
+    // Float-vs-PQ serving A/B at the SAME descent knobs: recall
+    // against the exact top-k, PQ-scored candidate counts, and the
+    // full-dimension float touches each arm pays (the float arm reads
+    // floats for EVERY scored candidate; the PQ arm only for the
+    // final beam) — the row that prices the DiskANN trade: how much
+    // recall the compressed traversal gives up for a ~beam-sized
+    // float budget.
+    Q("q_e_hnsw_pq_ab", Some(s"""
+      WITH $nndCtes,
+      $hnswLayerCtes,
+      $hnswServeChainCtes,
+      ${hnswPqServeChainCtes.trim},
+      pqtr AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+               sum(a.x * b.x) AS dot
+        FROM ndex a JOIN ndex b ON a.i = b.i
+          AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+        GROUP BY 1, 2),
+      pqtt AS (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                     d.vid) AS rnk
+          FROM pqtr d JOIN ndnrm na ON na.vec_id = d.qid
+                      JOIN ndnrm nb ON nb.vec_id = d.vid)
+        WHERE rnk <= $AnnK),
+      pqarm AS (
+        SELECT 'hier_float' AS arm, t.qid,
+               CAST(count(s.vid) AS DOUBLE) / count(*) AS recall,
+               any_value(a.n_scored) AS n_scored,
+               any_value(a.n_scored) AS n_exact
+        FROM pqtt t
+        LEFT JOIN hsrv s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN hsall a ON a.qid = t.qid
+        GROUP BY 2
+        UNION ALL
+        SELECT 'hier_pq', t.qid,
+               CAST(count(s.vid) AS DOUBLE) / count(*),
+               any_value(a.n_scored),
+               any_value(x.n_exact)
+        FROM pqtt t
+        LEFT JOIN gprv s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN gpall a ON a.qid = t.qid
+        JOIN gpnx x ON x.qid = t.qid
+        GROUP BY 2)
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_queries,
+             round(avg(recall), 9) AS avg_recall,
+             round(avg(CAST(n_scored AS DOUBLE)), 9) AS avg_scored,
+             CAST(sum(n_scored) AS BIGINT) AS total_scored,
+             round(avg(CAST(n_exact AS DOUBLE)), 9) AS avg_exact,
+             CAST(sum(n_exact) AS BIGINT) AS total_exact
+      FROM pqarm GROUP BY 1 ORDER BY arm""")) { (s, dir) =>
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid"))
+      def arm(name: String, served: DataFrame, hasExact: Boolean)
+          : DataFrame = {
+        val hits = served.select(col("qid"), col("vid"))
+          .withColumn("hit", lit(1L))
+        val nsc = served.groupBy("qid")
+          .agg(first(col("n_scored")).as("n_scored"),
+            (if (hasExact) first(col("n_exact"))
+             else first(col("n_scored"))).as("n_exact"))
+        truth.join(hits, Seq("qid", "vid"), "left")
+          .groupBy("qid")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+            / count(lit(1))).as("recall"))
+          .join(nsc, Seq("qid"))
+          .select(lit(name).as("arm"), col("qid"), col("recall"),
+            col("n_scored"), col("n_exact"))
+      }
+      arm("hier_float", hnswServed(s, dir), hasExact = false)
+        .unionByName(arm("hier_pq", hnswPqServed(s, dir),
+          hasExact = true))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg("recall"), 9).as("avg_recall"),
+          round(avg(col("n_scored").cast("double")), 9)
+            .as("avg_scored"),
+          sum("n_scored").cast("long").as("total_scored"),
+          round(avg(col("n_exact").cast("double")), 9)
+            .as("avg_exact"),
+          sum("n_exact").cast("long").as("total_exact"))
+        .orderBy("arm")
     },
 
     // INCREMENTAL HNSW hierarchy maintenance (NnDescent

@@ -559,6 +559,107 @@ object NnDescent {
     finishServe(state, scoredSet, k)
   }
 
+  /** DiskANN-style graph + PQ serving (Subramanya et al. 2019,
+    * "DiskANN: Fast Accurate Billion-point Nearest Neighbor Search on
+    * a Single Node" — graph traversal over COMPRESSED vectors, exact
+    * re-rank of the final candidates): the [[serveHier]] descent with
+    * every hop scored by ADC over the corpus's PQ codes
+    * ([[Similarity.pqParts]] — m bytes per vector) instead of
+    * full-dimension floats, then ONE exact cosine re-rank of the
+    * final beam. At 100 TB this is the memory bill: the traversal
+    * touches only the m-byte code table (+ the k-bounded edge lists),
+    * and full-dim vectors are read for ≤ `beam` candidates per query
+    * instead of every scored candidate. Beam hops rank by (round-6
+    * ADC asc, node asc) — ADC is a distance; the final output ranks
+    * by exact (cos_sim desc, vid asc). The re-rank pool is the
+    * ADC-best `rerankR` of ALL VISITED candidates (DiskANN's
+    * search-list re-rank — under an aggressive code budget the true
+    * neighbors are usually VISITED but mis-ranked by ADC, so
+    * re-ranking only the final beam throws recall away; the pool
+    * bound is the `ann.rerank_r` convention). Returns (qid, vid,
+    * cos_sim, rnk, n_scored, n_exact): n_scored = DISTINCT PQ-scored
+    * candidates across the coarse scan and all hops (comparable to
+    * [[serveHier]]'s n_scored), n_exact = pool rows that touched
+    * full floats (≤ rerankR) — the A/B's price column. */
+  def serveHierPq(emb: DataFrame, baseGraph: DataFrame,
+      layerGraphs: Seq[DataFrame], queryPred: Column, k: Int,
+      upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int,
+      m: Int, subK: Int, rerankR: Int,
+      codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None)
+      : DataFrame = {
+    val levels = layerGraphs.length
+    // a FITTED codebook (Lloyd per subspace) guides the traversal far
+    // better than the seed slices — DiskANN works because the
+    // compressed distances are good enough to steer the beam; None
+    // falls back to the seed-slice codebook (the pqTopK convention)
+    val (codes0, qd20) = codebook match {
+      case Some(cb) => Similarity.pqPartsCodebook(emb, queryPred, cb)
+      case None => Similarity.pqParts(emb, queryPred, m, subK)
+    }
+    val codes = codes0.withColumnRenamed("vid", "node")
+      .localCheckpoint()
+    val qd2 = qd20.localCheckpoint()
+    def scoreQPq(cands: DataFrame): DataFrame = cands
+      .join(codes, Seq("node"))
+      .join(qd2, Seq("qid", "m", "c"))
+      .groupBy("qid", "node")
+      .agg(round(sum(col("qd2").cast("decimal(38,18)"))
+        .cast("double"), 6).as("adc"))
+    def topBAsc(scored: DataFrame, b: Int): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("adc"), col("node"))
+      scored.distinct()
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= b)
+        .select("qid", "node", "adc")
+    }
+    // coarse scan over the top layer, ADC-scored (the [[serveHier]]
+    // entry rule — scrubbed for the same Union-constraints reason)
+    val top = emb.filter(layerPred(col("vec_id"), levels, ratio))
+      .select(col("vec_id").as("node"))
+    val qids = qd2.select("qid").distinct().localCheckpoint()
+    val entries = scrubbed(
+      qids.crossJoin(broadcast(top))
+        .filter(col("node") =!= col("qid")))
+    val scored0 = scoreQPq(entries).localCheckpoint()
+    var state = topBAsc(scored0, upBeam).localCheckpoint()
+    var scoredSet = entries
+    var visited = scored0
+    def expand(edges: DataFrame, b: Int, nHops: Int): Unit = {
+      for (_ <- 1 to nHops) {
+        val cands = hopCands(state, edges)
+        val scored = scoreQPq(cands).localCheckpoint()
+        state = topBAsc(scored, b).localCheckpoint()
+        scoredSet = scoredSet.unionByName(cands).distinct()
+          .localCheckpoint()
+        visited = visited.unionByName(scored).distinct()
+          .localCheckpoint()
+      }
+    }
+    for (l <- levels to 1 by -1)
+      expand(layerGraphs(l - 1).select("node", "nbr")
+        .localCheckpoint(), upBeam, upHops)
+    expand(baseGraph.select("node", "nbr").localCheckpoint(),
+      beam, hops)
+    // exact re-rank of the ADC-best rerankR VISITED candidates —
+    // only the pool touches full-dim floats
+    val pool = topBAsc(visited, rerankR).localCheckpoint()
+    val vecs = vecsOf(emb)
+    val q = queriesOf(vecs, queryPred)
+    val exact = scoreQ(pool.select("qid", "node"), q, vecs)
+    val nScored = scoredSet.groupBy("qid")
+      .agg(count(lit(1)).as("n_scored"))
+    val nExact = pool.groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"))
+    topB(exact, k)
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("node"))))
+      .join(nScored, Seq("qid"))
+      .join(nExact, Seq("qid"))
+      .select(col("qid"), col("node").as("vid"), col("cos_sim"),
+        col("rnk"), col("n_scored"), col("n_exact"))
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle: exploded vectors + norms, md5 init, one unrolled
   // local-join round per rank.
@@ -983,6 +1084,138 @@ object NnDescent {
                 ORDER BY cos_sim DESC, node) AS rnk
               FROM ${pfx}b$step) b
         JOIN ${pfx}all a ON a.qid = b.qid
+        WHERE b.rnk <= $k)"""
+    pieces.result().mkString(",")
+  }
+
+  /** DiskANN-style graph + PQ serving chain — [[serveHierPq]]'s
+    * oracle twin (requires `ndex`/`ndnrm`, the base `ndk$baseRounds`
+    * and the `hl*` layer chains in the same WITH), all under prefix
+    * `gp`: the PQ pieces (`gpsub`/`gpcent`/`gpd2`/`gpcodes`/`gpqd2` —
+    * the [[Similarity.pqParts]] seed-codebook chain verbatim), the
+    * coarse-scan entries, ADC-scored hop blocks ranked (adc asc, node
+    * asc), the exact cosine re-rank of the final beam, ending at
+    * `${pfx}rv(qid, vid, cos_sim, rnk, n_scored, n_exact)`. */
+  def oracleHierServePqCtes(baseRounds: Int, k: Int, upBeam: Int,
+      upHops: Int, beam: Int, hops: Int, ratio: Int, levels: Int,
+      upRounds: Int, m: Int, subK: Int, subDim: Int, rerankR: Int,
+      lloydIters: Int = 0, queryFilter: String = "vec_id < 8",
+      pfx: String = "gp"): String = {
+    val pieces = Seq.newBuilder[String]
+    // the codebook: lloydIters = 0 → the seed-slice centroids
+    // (pqTopK's convention); > 0 → one unrolled LloydKmeans chain per
+    // subspace from those seeds (the fitted codebook the engine's
+    // Similarity.lloydCodebook trains — bit-reproduced, iterative fit
+    // included, the q_e_pq_lloyd discipline)
+    val centCte =
+      if (lloydIters == 0) s"""
+      ${pfx}cent AS (
+        SELECT vec_id AS c, m, j, x AS y FROM ${pfx}sub
+        WHERE vec_id < $subK)"""
+      else {
+        val chains = (0 until m).map { mi =>
+          s"""
+      ${pfx}s${mi}pts AS MATERIALIZED (
+        SELECT vec_id AS pid, j, x FROM ${pfx}sub
+        WHERE m = $mi),""" +
+            graft.ml.LloydKmeans.oracleSqlFrom(s"${pfx}s${mi}pts",
+              subK, lloydIters, s"${pfx}s${mi}_")
+        }.mkString(",")
+        val union = (0 until m).map(mi =>
+          s"SELECT $mi AS m, c, j, y FROM ${pfx}s${mi}_cent_$lloydIters")
+          .mkString("\n        UNION ALL ")
+        s"""$chains,
+      ${pfx}cent AS (
+        $union)"""
+      }
+    pieces += s"""
+      ${pfx}sub AS (
+        SELECT vec_id, i // $subDim AS m, i % $subDim AS j, x
+        FROM ndex),$centCte,
+      ${pfx}d2 AS MATERIALIZED (
+        SELECT s.vec_id, s.m, c.c,
+               CAST(sum(CAST((s.x - c.y) * (s.x - c.y)
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM ${pfx}sub s JOIN ${pfx}cent c ON s.m = c.m AND s.j = c.j
+        GROUP BY 1, 2, 3),
+      ${pfx}codes AS MATERIALIZED (
+        SELECT vec_id AS node, m, c FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY round(d2, 6), c) AS rn FROM ${pfx}d2)
+        WHERE rn = 1),
+      ${pfx}qd2 AS MATERIALIZED (
+        SELECT vec_id AS qid, m, c, d2 AS qd2 FROM ${pfx}d2
+        WHERE $queryFilter),
+      ${pfx}q AS (SELECT DISTINCT qid FROM ${pfx}qd2),
+      ${pfx}e0 AS MATERIALIZED (
+        SELECT q.qid, t.vec_id AS node
+        FROM ${pfx}q q, hl${levels}nd t
+        WHERE t.vec_id <> q.qid)"""
+    def scoreBlockAdc(src: String, out: String): String = s"""
+      $out AS MATERIALIZED (
+        SELECT c.qid, c.node,
+               round(CAST(sum(CAST(q.qd2 AS DECIMAL(38,18)))
+                 AS DOUBLE), 6) AS adc
+        FROM $src c JOIN ${pfx}codes k ON k.node = c.node
+                    JOIN ${pfx}qd2 q ON q.qid = c.qid
+                      AND q.m = k.m AND q.c = k.c
+        GROUP BY 1, 2)"""
+    def topBAscBlock(src: String, out: String, b: Int): String = s"""
+      $out AS MATERIALIZED (
+        SELECT qid, node, adc FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY adc, node) AS rnk FROM $src)
+        WHERE rnk <= $b)"""
+    pieces += scoreBlockAdc(s"${pfx}e0", s"${pfx}as0")
+    pieces += topBAscBlock(s"${pfx}as0", s"${pfx}b0", upBeam)
+    var step = 0
+    def hopBlock(graphCte: String, b: Int): Unit = {
+      val prev = s"${pfx}b$step"
+      step += 1
+      pieces += s"""
+      ${pfx}c$step AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT s.qid, g.nbr AS node
+          FROM $prev s JOIN $graphCte g ON g.node = s.node
+          UNION ALL
+          SELECT qid, node FROM $prev)
+        WHERE node <> qid)"""
+      pieces += scoreBlockAdc(s"${pfx}c$step", s"${pfx}as$step")
+      pieces += topBAscBlock(s"${pfx}as$step", s"${pfx}b$step", b)
+    }
+    for (l <- levels to 1 by -1; _ <- 1 to upHops)
+      hopBlock(s"hl${l}k$upRounds", upBeam)
+    for (_ <- 1 to hops) hopBlock(s"ndk$baseRounds", beam)
+    val scoredUnion = (s"SELECT qid, node FROM ${pfx}e0" +:
+      (1 to step).map(h => s"SELECT qid, node FROM ${pfx}c$h"))
+      .mkString("\n          UNION ALL ")
+    val visitedUnion = (0 to step)
+      .map(h => s"SELECT qid, node, adc FROM ${pfx}as$h")
+      .mkString("\n          UNION ALL ")
+    pieces += s"""
+      ${pfx}all AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_scored FROM (
+          SELECT DISTINCT qid, node FROM (
+          $scoredUnion))
+        GROUP BY 1),
+      ${pfx}vis AS (
+        SELECT DISTINCT qid, node, adc FROM (
+          $visitedUnion))"""
+    pieces += topBAscBlock(s"${pfx}vis", s"${pfx}pool", rerankR)
+    pieces += s"""
+      ${pfx}nx AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+        FROM ${pfx}pool GROUP BY 1)"""
+    pieces += scoreBlockQ(s"${pfx}pool", s"${pfx}ex")
+    pieces += s"""
+      ${pfx}rv AS MATERIALIZED (
+        SELECT b.qid, b.node AS vid, b.cos_sim,
+               CAST(b.rnk AS BIGINT) AS rnk, a.n_scored, x.n_exact
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos_sim DESC, node) AS rnk
+              FROM ${pfx}ex) b
+        JOIN ${pfx}all a ON a.qid = b.qid
+        JOIN ${pfx}nx x ON x.qid = b.qid
         WHERE b.rnk <= $k)"""
     pieces.result().mkString(",")
   }

@@ -362,7 +362,7 @@ object Similarity {
       codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame =
     pqAdcRank(pqPartsCodebook(emb, queryPred, codebook), k)
 
-  private def pqPartsCodebook(emb: DataFrame, queryPred: Column,
+  private[text] def pqPartsCodebook(emb: DataFrame, queryPred: Column,
       codebook: IndexedSeq[IndexedSeq[Array[Double]]])
       : (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
@@ -389,8 +389,10 @@ object Similarity {
     pqParts(emb, lit(false), m, subK)._1
 
   /** Shared PQ machinery: `codes` (vid, m, c — the encoded corpus) and
-    * `qd2` (qid, m, c, qd2 — per-query subspace distance tables). */
-  private def pqParts(emb: DataFrame, queryPred: Column, m: Int,
+    * `qd2` (qid, m, c, qd2 — per-query subspace distance tables).
+    * Package-visible: the DiskANN-style graph+PQ serve
+    * ([[NnDescent.serveHierPq]]) scores its beam over these codes. */
+  private[text] def pqParts(emb: DataFrame, queryPred: Column, m: Int,
       subK: Int): (DataFrame, DataFrame) = {
     val dim = embDim(emb)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
