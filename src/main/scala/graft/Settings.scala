@@ -489,6 +489,26 @@ object Settings {
         s"lm.kn_discount must be in (0, 1], got $d")
       d
     }
+    /** Count thresholds of the trigram-pruning frontier
+      * (q_t_kn3_pruned_ab — the KenLM filter convention): each rung
+      * drops trigram types with c3 < θ and reroutes their mass
+      * through the backoff weight. θ = 1 (nothing pruned) is the
+      * baseline row, so rungs must be ≥ 2. */
+    def knPruneRungs: Seq[Long] =
+      graft.Settings.strs("lm.kn_prune_rungs", Seq("2", "4"))
+        .map { s =>
+          val v = try s.trim.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"lm.kn_prune_rungs entry '$s' must be an integer " +
+                "count threshold")
+          }
+          require(v >= 2,
+            s"lm.kn_prune_rungs threshold $v must be >= 2 " +
+              "(1 prunes nothing — that is the baseline row)")
+          v
+        }
+
     /** Stupid Backoff (Brants et al. 2007; text.StupidBackoff):
       * `sb_alpha` is the per-level backoff penalty (the paper's 0.4);
       * `sb_unk` is the raw SCORE floor for words the index counts

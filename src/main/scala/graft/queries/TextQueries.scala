@@ -249,6 +249,24 @@ object TextQueries extends QueryModule {
         KnDiscount)
     }
 
+  /** Pruned-table KN trigram scoring at count threshold θ (KenLM
+    * filter — KneserNey.scoreTrigramsPruned), one stage per frontier
+    * rung. */
+  private[queries] def KnPruneRungs = graft.Settings.lm.knPruneRungs
+  private[queries] def kn3PrunedLp(s: SparkSession, dir: String,
+      theta: Long): DataFrame =
+    Stage.cached(s, dir, s"kn3_pruned_$theta") {
+      graft.text.KneserNey.scoreTrigramsPruned(t(s, dir, "documents"),
+        KnDiscount, theta)
+    }
+
+  /** The trigram TYPE table — sized by the pruning frontier row. */
+  private[queries] def kn3Counts(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "kn3_counts") {
+      graft.text.KneserNey.trigramCounts(t(s, dir, "documents"))
+    }
+
   /** Live Stupid-Backoff knobs + shared scoring stage: counts from
     * the standing index slice (doc_id % 5 ≠ 0, the family's batch
     * convention), scores over the incoming slice — read by the SB
@@ -3774,6 +3792,147 @@ object TextQueries extends QueryModule {
         .select(col("bucket_kn2"), col("bucket_kn3"), col("n_docs"),
           round(col("n_docs") / col("tot"), 9).as("share"))
         .orderBy("bucket_kn2", "bucket_kn3")
+    },
+
+    // KN trigram table PRUNING frontier (the KenLM filter/--prune
+    // convention — KneserNey.scoreTrigramsPruned): per count
+    // threshold θ, drop trigram types with c3 < θ and reroute their
+    // mass through the context's backoff weight (Σ P = 1 still
+    // telescopes exactly — spec-locked), then price the trade the
+    // ann-frontier way: stored-table size vs corpus perplexity vs
+    // tercile-bucket movement against the unpruned model. The row an
+    // LM owner reads to bound the table on a 100 TB corpus: the top
+    // table is the one that grows with the data, and singleton
+    // trigrams are most of it. θ = 1 is the baseline row (nothing
+    // pruned, deltas zero by construction).
+    Q("q_t_kn3_pruned_ab", Some {
+      val rungChains = KnPruneRungs.zipWithIndex.map {
+        case (th, i) => graft.text.KneserNey
+          .oracleCtes3Pruned(KnDiscount, th, s"kp$i").trim
+      }.mkString(",\n      ")
+      def bucketSql(src: String, pfx: String, out: String) = s"""
+      ${pfx}r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ppl)
+                 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM $src),
+      ${pfx}cut AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil(${1.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut1,
+               max(CASE WHEN rn = CAST(ceil(${2.0 / 3} * n) AS BIGINT)
+                 THEN ppl END) AS cut2
+        FROM ${pfx}r GROUP BY 1),
+      ${pfx}a AS (
+        SELECT d.doc_id,
+               CASE WHEN d.ppl <= c.cut1 THEN 'head'
+                    WHEN d.ppl <= c.cut2 THEN 'middle'
+                    ELSE 'tail' END AS $out
+        FROM $src d JOIN ${pfx}cut c USING (lang))"""
+      val rungRows = KnPruneRungs.zipWithIndex.map { case (th, i) =>
+        s"""
+      kp${i}p AS (
+        SELECT doc_id, lang, round(exp(-avg_lp), 6) AS ppl
+        FROM kp${i}d),
+      kp${i}avg AS (SELECT round(avg(ppl), 6) AS avg_ppl
+                    FROM kp${i}p),
+      kp${i}sz AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_types_full,
+               CAST(count(CASE WHEN c3 >= $th THEN 1 END) AS BIGINT)
+                 AS n_types_kept
+        FROM k3c3),${bucketSql(s"kp${i}p", s"kp${i}b", "b1")},
+      kp${i}mv AS (
+        SELECT CAST(sum(CASE WHEN a.b0 <> p.b1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_moved,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM kb3ba a JOIN kp${i}ba p USING (doc_id)),
+      kp${i}row AS (
+        SELECT CAST($th AS BIGINT) AS threshold,
+               z.n_types_full, z.n_types_kept,
+               round(CAST(z.n_types_kept AS DOUBLE)
+                 / z.n_types_full, 9) AS kept_frac,
+               a.avg_ppl,
+               round(a.avg_ppl - b.base_avg, 6) AS ppl_delta,
+               m.n_moved,
+               round(CAST(m.n_moved AS DOUBLE) / m.n_docs, 9)
+                 AS moved_frac
+        FROM kp${i}sz z, kp${i}avg a, kbavg b, kp${i}mv m)"""
+      }.mkString(",")
+      val union = ("SELECT * FROM kbrow" +:
+        KnPruneRungs.indices.map(i => s"SELECT * FROM kp${i}row"))
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH ${graft.text.KneserNey.oracleCtes3(KnDiscount).trim},
+      $rungChains,
+      kb3p AS (
+        SELECT doc_id, lang, round(exp(-avg_lp), 6) AS ppl
+        FROM kn3d),
+      kbavg AS (SELECT round(avg(ppl), 6) AS base_avg FROM kb3p),
+      ${bucketSql("kb3p", "kb3b", "b0").trim},
+      kbrow AS (
+        SELECT CAST(1 AS BIGINT) AS threshold,
+               CAST(count(*) AS BIGINT) AS n_types_full,
+               CAST(count(*) AS BIGINT) AS n_types_kept,
+               CAST(1.0 AS DOUBLE) AS kept_frac,
+               (SELECT base_avg FROM kbavg) AS avg_ppl,
+               CAST(0.0 AS DOUBLE) AS ppl_delta,
+               CAST(0 AS BIGINT) AS n_moved,
+               CAST(0.0 AS DOUBLE) AS moved_frac
+        FROM k3c3),
+      $rungRows
+      SELECT * FROM ($union)
+      ORDER BY threshold"""
+    }) { (s, dir) =>
+      def pplOf(d: DataFrame): DataFrame =
+        d.select(col("doc_id"), col("lang"),
+          round(exp(-col("avg_lp")), 6).as("ppl"))
+      def bucketed(d: DataFrame, out: String): DataFrame = {
+        val cuts = d.groupBy("lang").agg(
+          percentile_approx(col("ppl"),
+            array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("qs"))
+        d.join(broadcast(cuts), "lang")
+          .select(col("doc_id"),
+            when(col("ppl") <= element_at(col("qs"), 1), "head")
+              .when(col("ppl") <= element_at(col("qs"), 2), "middle")
+              .otherwise("tail").as(out))
+      }
+      val c3 = kn3Counts(s, dir)
+      val basePpl = pplOf(kn3Lp(s, dir)).localCheckpoint()
+      val baseB = bucketed(basePpl, "b0").localCheckpoint()
+      val baseAvg = basePpl
+        .agg(round(avg("ppl"), 6).as("base_avg"))
+      val baseline = c3.agg(count(lit(1)).as("n_types_full"))
+        .crossJoin(broadcast(baseAvg))
+        .select(lit(1L).as("threshold"), col("n_types_full"),
+          col("n_types_full").as("n_types_kept"),
+          lit(1.0).as("kept_frac"),
+          col("base_avg").as("avg_ppl"),
+          lit(0.0).as("ppl_delta"), lit(0L).as("n_moved"),
+          lit(0.0).as("moved_frac"))
+      val rungs = KnPruneRungs.map { th =>
+        val pr = pplOf(kn3PrunedLp(s, dir, th)).localCheckpoint()
+        val sizes = c3.agg(count(lit(1)).as("n_types_full"),
+          count(when(col("c3") >= th, lit(1))).as("n_types_kept"))
+        val avgP = pr.agg(round(avg("ppl"), 6).as("avg_ppl"))
+        val moved = baseB.join(bucketed(pr, "b1"), "doc_id")
+          .agg(sum(when(col("b0") =!= col("b1"), 1L).otherwise(0L))
+            .as("n_moved"), count(lit(1)).as("n_docs"))
+        sizes.crossJoin(broadcast(avgP))
+          .crossJoin(broadcast(baseAvg))
+          .crossJoin(broadcast(moved))
+          .select(lit(th).as("threshold"), col("n_types_full"),
+            col("n_types_kept"),
+            round(col("n_types_kept").cast("double")
+              / col("n_types_full"), 9).as("kept_frac"),
+            col("avg_ppl"),
+            round(col("avg_ppl") - col("base_avg"), 6)
+              .as("ppl_delta"),
+            col("n_moved"),
+            round(col("n_moved").cast("double") / col("n_docs"), 9)
+              .as("moved_frac"))
+      }
+      (baseline +: rungs).reduce(_ unionByName _)
+        .orderBy("threshold")
     },
 
     // UNIFIED CURATION GATE — the four MEASURED signals composed into

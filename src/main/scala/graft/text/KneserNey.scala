@@ -128,6 +128,24 @@ object KneserNey {
     * table equi-joins — the bigram stage's shape with one more count
     * table. Docs with fewer than three tokens contribute no row. */
   def scoreTrigrams(docs: DataFrame, discount: Double): DataFrame = {
+    val (tg, c3, cc2, g2, back, types) = trigramFrames(docs)
+    val ctx3 = c3.groupBy("w1", "w2").agg(sum("c3").as("ctx3"),
+      count(lit(1)).as("n1f3"))
+    tg.join(c3, Seq("w1", "w2", "w3")).join(ctx3, Seq("w1", "w2"))
+      .join(cc2, Seq("w2", "w3")).join(g2, Seq("w2"))
+      .join(back, Seq("w3")).crossJoin(broadcast(types))
+      .groupBy("doc_id", "lang").agg(
+        count(lit(1)).as("n_trigrams"),
+        avg(lp3Col(discount)).as("avg_lp"),
+        min(lp3Col(discount)).as("min_lp"))
+  }
+
+  /** The shared trigram-model frames — (tg, c3, cc2, g2, back,
+    * types): the per-doc trigram stream, the top count table, the
+    * middle-order continuation tables and the bigram-level bottom
+    * tables. ONE construction for the unpruned and pruned scorers. */
+  private def trigramFrames(docs: DataFrame): (DataFrame, DataFrame,
+      DataFrame, DataFrame, DataFrame, DataFrame) = {
     val b = docs.select(col("doc_id"), col("lang"),
       TextOps.tokens(col("text")).as("t"))
     val tgArr = when(size(col("t")) >= 3,
@@ -142,8 +160,6 @@ object KneserNey {
       .select(col("doc_id"), col("lang"), col("x.w1").as("w1"),
         col("x.w2").as("w2"), col("x.w3").as("w3"))
     val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-    val ctx3 = c3.groupBy("w1", "w2").agg(sum("c3").as("ctx3"),
-      count(lit(1)).as("n1f3"))
     // middle order: continuation counts over TRIGRAM types
     val cc2 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("cc2"))
     val g2 = cc2.groupBy("w2").agg(sum("cc2").as("cctx2"),
@@ -160,14 +176,104 @@ object KneserNey {
     val back = bgc.groupBy(col("bw2").as("w3"))
       .agg(count(lit(1)).as("n1b"))
     val types = bgc.agg(count(lit(1)).cast("double").as("n_types"))
-    tg.join(c3, Seq("w1", "w2", "w3")).join(ctx3, Seq("w1", "w2"))
+    (tg, c3, cc2, g2, back, types)
+  }
+
+  /** The trigram TYPE table (w1, w2, w3, c3) — the frame whose size
+    * the pruning frontier prices. */
+  def trigramCounts(docs: DataFrame): DataFrame = trigramFrames(docs)._2
+
+  /** Per-doc scoring under a COUNT-THRESHOLD-PRUNED trigram table —
+    * the KenLM `filter`/`--prune` convention that keeps the LM
+    * bounded on a 100 TB corpus (the top table is the one that grows
+    * with the data; middle/bottom orders are vocabulary-bounded and
+    * stay unpruned — one-order pruning, stated): trigram types with
+    * c3 < `minCount` are DROPPED from the stored table and their
+    * occurrence mass rides the context's backoff weight instead,
+    *
+    *   λ(w1w2) = D·N1+kept(w1w2·) + prunedMass(w1w2)
+    *   P(w3|w1w2) = (1{c3 ≥ θ}·max(c3 − D, 0) + λ·P₂(w3|w2)) / c(w1w2·)
+    *
+    * so Σ_w3 P = 1 still telescopes EXACTLY (Σkept(c3 − D) + λ =
+    * ctx3 − pm − D·n1f3p + D·n1f3p + pm — KneserNeySpec locks it),
+    * and at minCount = 1 nothing prunes and the scorer degenerates to
+    * [[scoreTrigrams]] (also spec-locked). Returns (doc_id, lang,
+    * n_trigrams, n_pruned_hits, avg_lp, min_lp) — n_pruned_hits is
+    * the count of corpus trigrams that fell back to λ·P₂. */
+  def scoreTrigramsPruned(docs: DataFrame, discount: Double,
+      minCount: Long): DataFrame = {
+    val (tg, c3, cc2, g2, back, types) = trigramFrames(docs)
+    val ctx3p = c3.groupBy("w1", "w2").agg(
+      sum("c3").as("ctx3"),
+      count(when(col("c3") >= minCount, lit(1))).as("n1f3p"),
+      sum(when(col("c3") < minCount, col("c3")).otherwise(lit(0L)))
+        .as("pm"))
+    tg.join(c3, Seq("w1", "w2", "w3")).join(ctx3p, Seq("w1", "w2"))
       .join(cc2, Seq("w2", "w3")).join(g2, Seq("w2"))
       .join(back, Seq("w3")).crossJoin(broadcast(types))
       .groupBy("doc_id", "lang").agg(
         count(lit(1)).as("n_trigrams"),
-        avg(lp3Col(discount)).as("avg_lp"),
-        min(lp3Col(discount)).as("min_lp"))
+        sum(when(col("c3") < minCount, 1L).otherwise(0L))
+          .as("n_pruned_hits"),
+        avg(lp3pCol(discount, minCount)).as("avg_lp"),
+        min(lp3pCol(discount, minCount)).as("min_lp"))
   }
+
+  /** ln P of one PRUNED-model trigram row (c3, ctx3, n1f3p, pm, cc2,
+    * cctx2, n1f2, n1b, n_types in scope) — ONE formula, identical
+    * parenthesization to [[oracleLp3PrunedSql]]. */
+  private def lp3pCol(d: Double, theta: Long) =
+    log(((when(col("c3") >= theta,
+      greatest(col("c3") - lit(d), lit(0.0))).otherwise(lit(0.0)))
+      + (lit(d) * col("n1f3p") + col("pm"))
+        * ((greatest(col("cc2") - lit(d), lit(0.0))
+          + lit(d) * col("n1f2") * (col("n1b") / col("n_types")))
+          / col("cctx2")))
+      / col("ctx3"))
+
+  /** SQL twin of [[lp3pCol]] over aliases `c.c3, x.ctx3, x.n1f3p,
+    * x.pm, m.cc2, gg.cctx2, gg.n1f2, b.n1b, t.n_types`. */
+  def oracleLp3PrunedSql(d: Double, theta: Long): String =
+    s"""ln(((CASE WHEN c.c3 >= $theta
+             THEN greatest(c.c3 - CAST($d AS DOUBLE), 0.0)
+             ELSE 0.0 END)
+           + (CAST($d AS DOUBLE) * x.n1f3p + x.pm)
+             * ((greatest(m.cc2 - CAST($d AS DOUBLE), 0.0)
+               + CAST($d AS DOUBLE) * gg.n1f2 * (b.n1b / t.n_types))
+               / gg.cctx2))
+           / x.ctx3)"""
+
+  /** Pruned-model per-doc chain under prefix `pfx` — REQUIRES
+    * [[oracleCtes3]] in the same WITH (it reuses the shared `k3g`/
+    * `k3c3`/`k3m`/`k3g2`/`k3bt`/`k3ty` frames, so the two models can
+    * never drift): the pruned context stats `${pfx}cx` (full
+    * occurrence totals, KEPT type counts, pruned mass) and the scored
+    * per-doc roll-up `${pfx}d(doc_id, lang, n_trigrams,
+    * n_pruned_hits, avg_lp, min_lp)`. */
+  def oracleCtes3Pruned(discount: Double, theta: Long,
+      pfx: String): String = s"""
+      ${pfx}cx AS (
+        SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ctx3,
+               count(CASE WHEN c3 >= $theta THEN 1 END) AS n1f3p,
+               CAST(sum(CASE WHEN c3 < $theta THEN c3 ELSE 0 END)
+                 AS BIGINT) AS pm
+        FROM k3c3 GROUP BY 1, 2),
+      ${pfx}sc AS (
+        SELECT g.doc_id, g.lang, c.c3,
+               ${oracleLp3PrunedSql(discount, theta).trim} AS lp
+        FROM k3g g
+        JOIN k3c3 c ON g.w1 = c.w1 AND g.w2 = c.w2 AND g.w3 = c.w3
+        JOIN ${pfx}cx x ON g.w1 = x.w1 AND g.w2 = x.w2
+        JOIN k3m m ON g.w2 = m.w2 AND g.w3 = m.w3
+        JOIN k3g2 gg ON g.w2 = gg.w2
+        JOIN k3bt b ON g.w3 = b.w3
+        CROSS JOIN k3ty t),
+      ${pfx}d AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(sum(CASE WHEN c3 < $theta THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pruned_hits,
+               avg(lp) AS avg_lp, min(lp) AS min_lp
+        FROM ${pfx}sc GROUP BY 1, 2)"""
 
   /** ln P₃ of one scored trigram row (c3, ctx3, n1f3, cc2, cctx2,
     * n1f2, n1b, n_types in scope) — the ONE formula both engines

@@ -171,4 +171,100 @@ class KneserNeySpec extends SparkSpec {
     assert(math.abs(out(1L).getAs[Double]("avg_lp") - want) < 1e-9,
       s"avg_lp ${out(1L).getAs[Double]("avg_lp")} vs $want")
   }
+
+  // ---- pruned trigram table (scoreTrigramsPruned) --------------------
+
+  /** Driver recomputation of the PRUNED model's P: kept types score
+    * (c3 − D + λ·P₂)/ctx3, everything else λ·P₂/ctx3 with
+    * λ = D·|kept types| + prunedMass — the spec's own math. */
+  private def triModelPruned(theta: Long, texts: String*) = {
+    val toks = texts.map(_.split("\\s+").toSeq)
+    val tg = toks.flatMap(t => t.sliding(3).filter(_.size == 3)
+      .map(w => (w(0), w(1), w(2))))
+    val bg = toks.flatMap(t => t.sliding(2).filter(_.size == 2)
+      .map(w => (w(0), w(1))))
+    val c3 = tg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctxStats = c3.keys.groupBy(k => (k._1, k._2)).view
+      .mapValues { ks =>
+        val s = ks.toSeq
+        (s.map(c3).sum,                          // ctx3 (full mass)
+          s.count(k => c3(k) >= theta).toLong,   // kept types
+          s.map(c3).filter(_ < theta).sum)       // pruned mass
+      }.toMap
+    val cc2 = c3.keys.groupBy(k => (k._2, k._3)).view
+      .mapValues(_.size.toLong).toMap
+    val g2 = cc2.keys.groupBy(_._1).view
+      .mapValues(ks => (ks.toSeq.map(cc2).sum, ks.size.toLong)).toMap
+    val cb = bg.distinct
+    val n1b = cb.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val types = cb.size.toLong
+    def p2(w2: String, w3: String): Double =
+      (math.max(cc2.getOrElse((w2, w3), 0L) - D, 0.0)
+        + D * g2(w2)._2 * (n1b.getOrElse(w3, 0L).toDouble / types)) /
+        g2(w2)._1
+    def p3(w1: String, w2: String, w3: String): Double = {
+      val (ctx3, kept, pm) = ctxStats((w1, w2))
+      val c = c3.getOrElse((w1, w2, w3), 0L)
+      val top = if (c >= theta) math.max(c - D, 0.0) else 0.0
+      (top + (D * kept + pm) * p2(w2, w3)) / ctx3
+    }
+    (ctxStats.keys.toSeq, n1b.keys.toSeq, p3 _)
+  }
+
+  test("pruned trigram model: Σ_w3 P = 1 exactly per context (the " +
+      "pruned mass rides the backoff weight), and theta = 1 " +
+      "degenerates to the unpruned scorer") {
+    val corpus = "the cat sat on the mat the dog sat on the cat " +
+      "a cat on a mat the end of the story of the cat sat on"
+    val (ctxs, vocab, p3p) = triModelPruned(2L, corpus)
+    for ((w1, w2) <- ctxs) {
+      val total = vocab.map(w3 => p3p(w1, w2, w3)).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"pruned context '$w1 $w2' sums to $total")
+    }
+    // theta = 1: nothing prunes — engine output equals scoreTrigrams
+    val docs = Seq((1L, corpus), (2L, "x y z x y w"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val un = KneserNey.scoreTrigrams(docs, D).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_lp")))
+      .toMap
+    val pr1 = KneserNey.scoreTrigramsPruned(docs, D, 1L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_lp"),
+          r.getAs[Long]("n_pruned_hits"))).toMap
+    assert(pr1.keySet == un.keySet)
+    for ((id, (n, lp)) <- un) {
+      assert(pr1(id)._1 == n && pr1(id)._3 == 0L)
+      assert(math.abs(pr1(id)._2 - lp) < 1e-12,
+        s"doc $id: theta=1 avg_lp ${pr1(id)._2} != unpruned $lp")
+    }
+  }
+
+  test("scoreTrigramsPruned matches the independent driver " +
+      "recomputation; pruned hits are counted and score strictly " +
+      "below their unpruned value") {
+    val t1 = "a b c a b c a b d"
+    val docs = Seq((1L, t1)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    // c3: (a,b,c)=2, (b,c,a)=2, (c,a,b)=2, (a,b,d)=1 — theta 2
+    // prunes only (a,b,d): ONE corpus occurrence falls back to λ·P₂
+    val out = KneserNey.scoreTrigramsPruned(docs, D, 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_trigrams") == 7L)
+    assert(r.getAs[Long]("n_pruned_hits") == 1L)
+    val (_, _, p3p) = triModelPruned(2L, t1)
+    val tris = t1.split(" ").toSeq.sliding(3).toSeq
+    val want = tris.map(w => math.log(p3p(w(0), w(1), w(2))))
+      .sum / tris.size
+    assert(math.abs(r.getAs[Double]("avg_lp") - want) < 1e-9,
+      s"avg_lp ${r.getAs[Double]("avg_lp")} vs $want")
+    // pruning can only lose per-trigram probability mass on kept
+    // corpus trigrams' contexts: the pruned avg_lp is <= unpruned
+    val unLp = KneserNey.scoreTrigrams(docs, D).head()
+      .getAs[Double]("avg_lp")
+    assert(r.getAs[Double]("avg_lp") < unLp,
+      s"pruned avg_lp must drop: ${r.getAs[Double]("avg_lp")} vs $unLp")
+  }
 }
