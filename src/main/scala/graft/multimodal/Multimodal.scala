@@ -308,23 +308,28 @@ object Multimodal {
     * step) and exposed as its own operator (q_m_resize_grid). One
     * split pass per doc, grouped per (doc, cell): map-side combined,
     * never a per-doc window. */
-  def resizeGrid(media: DataFrame, nCells: Int): DataFrame = {
-    // ONE split pass per doc (then O(1) per element) — a per-position
-    // substr() would re-scan the string per character (O(len²)/doc);
-    // split can emit a trailing "" (limit -1), filtered to keep i at
-    // 0..n-1
-    val chars = media.select(col("doc_id"),
+  /** The decoded intensity/sample stream (doc_id, n, i, cv) — ONE
+    * split pass per doc (then O(1) per element; a per-position
+    * substr() would re-scan the string per character — O(len²)/doc);
+    * split can emit a trailing "" (limit -1), filtered to keep i at
+    * 0..n-1. Shared by the image resize/aHash path and the audio
+    * fingerprint (a real deployment feeds pixel grays / PCM samples
+    * through the [[MediaDecoder]] seam instead). */
+  private def intensities(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
         length(col("text")).as("n"),
         posexplode(split(col("text"), "")).as(Seq("i", "ch")))
       .filter(col("ch") =!= "")
-      .select(col("doc_id"), col("n"), col("i"), ascii(col("ch")).as("cv"))
-    chars
+      .select(col("doc_id"), col("n"), col("i"),
+        ascii(col("ch")).as("cv"))
+
+  def resizeGrid(media: DataFrame, nCells: Int): DataFrame =
+    intensities(media)
       .select(col("doc_id"),
         floor(col("i").cast("double") * nCells / col("n")).cast("int")
           .as("cell"), col("cv"))
       .groupBy("doc_id", "cell")
       .agg((sum(col("cv")).cast("double") / count(lit(1))).as("gv"))
-  }
 
   def aHashBands(media: DataFrame): DataFrame = {
     val cells = resizeGrid(media, 64)
@@ -361,8 +366,82 @@ object Multimodal {
     * observability form (same rationale as the ANN bucket stats): a
     * production run tunes the radius from this distribution instead of
     * discovering an empty result after the fact. */
-  def phashCandidates(media: DataFrame, maxHamming: Int): DataFrame = {
-    val sig = aHashBands(media)
+  def phashCandidates(media: DataFrame, maxHamming: Int): DataFrame =
+    bandPairs(aHashBands(media), maxHamming)
+
+  /** Chromaprint-style AUDIO fingerprint over the decode seam's
+    * sample stream — the audio member of the perceptual-dup family
+    * (the payload's code points stand in for PCM samples exactly as
+    * they stand in for pixel grays in [[aHashBands]]; a real
+    * deployment feeds decoded samples through the [[MediaDecoder]]
+    * seam):
+    *
+    *  - the stream splits into 17 time FRAMES (the resize-grid rule:
+    *    frame = ⌊i·17/n⌋);
+    *  - per frame, 4 BAND energies via a lag filterbank — band b's
+    *    energy is the mean |x[i] − x[i + 2^b]| over in-frame sample
+    *    pairs (a Haar-style time-frequency decomposition in place of
+    *    chromaprint's FFT: libm-free, exact integer sums, ONE IEEE
+    *    division — the engine-parity disciplines);
+    *  - bit(f, b) = energy(f, b) > energy(f+1, b) — chromaprint's
+    *    SPECTRAL-FLUX rule between consecutive frames, threshold-free
+    *    (empty frames read energy 0);
+    *  - 16 flux steps × 4 bands = 64 bits, packed so each 16-bit LSH
+    *    band is one spectral band's flux sequence (cell = b·16 + f),
+    *    feeding the same [[bandPairs]] blocking as the image hash.
+    *
+    * Returns (doc_id, b0, b1, b2, b3). */
+  def audioBands(media: DataFrame): DataFrame = {
+    val F = 17
+    val samples = intensities(media).localCheckpoint()
+    val lagged = (0 until 4).map { b =>
+      val lag = 1 << b
+      samples.as("x").join(samples.as("y"),
+          col("x.doc_id") === col("y.doc_id")
+            && col("y.i") === col("x.i") + lag)
+        .select(col("x.doc_id").as("doc_id"),
+          floor(col("x.i").cast("double") * F / col("x.n"))
+            .cast("int").as("f"),
+          lit(b).as("b"),
+          abs(col("x.cv") - col("y.cv")).as("d"))
+    }.reduce(_ unionByName _)
+    val energy = lagged.groupBy("doc_id", "f", "b")
+      .agg((sum(col("d")).cast("double") / count(lit(1))).as("e"))
+    val grid = media.select(col("doc_id"),
+        explode(sequence(lit(0), lit(F - 1))).as("f"))
+      .select(col("doc_id"), col("f"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+    val g = grid.join(energy, Seq("doc_id", "f", "b"), "left")
+      .select(col("doc_id"), col("f"), col("b"),
+        coalesce(col("e"), lit(0.0)).as("e"))
+    val flux = g.as("p").join(g.as("q"),
+        col("p.doc_id") === col("q.doc_id")
+          && col("p.b") === col("q.b")
+          && col("q.f") === col("p.f") + 1)
+      .select(col("p.doc_id").as("doc_id"),
+        (col("p.b") * 16 + col("p.f")).as("cell"),
+        (col("p.e") > col("q.e")).as("bit"))
+    val bitVal = expr("shiftleft(1L, cast(cell % 16 as int))")
+    val bandAggs = (0 until 4).map { c =>
+      coalesce(sum(when(col("bit")
+          && (col("cell") / 16).cast("int") === c, bitVal)
+        .otherwise(0L)), lit(0L)).as(s"b$c")
+    }
+    flux.groupBy("doc_id").agg(bandAggs.head, bandAggs.tail: _*)
+  }
+
+  /** Audio near-dup candidate pairs — [[audioBands]] through the same
+    * banded blocking + exact-hamming verify as the image hash
+    * (observability form: banded pairs + hamming + is_dup). */
+  def audioDupCandidates(media: DataFrame, maxHamming: Int): DataFrame =
+    bandPairs(audioBands(media), maxHamming)
+
+  /** Banded LSH blocking + exact hamming verify over ANY 4×16-bit
+    * signature frame (doc_id, b0..b3) — ONE definition shared by the
+    * image aHash and audio flux-hash dup paths (equi-join on any
+    * shared band, never a cross product; pigeonhole: any pair within
+    * hamming ≤ 3 shares a band). */
+  private def bandPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     val bandCols = (0 until 4).map(c => col(s"b$c"))
     val keyed = sig.select(col("doc_id") +: bandCols :+
       explode(array((0 until 4).map(c =>

@@ -118,6 +118,82 @@ object MultimodalQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // AUDIO near-dup fingerprint (Multimodal.audioDupCandidates —
+    // the chromaprint shape over the WAV decode seam's sample
+    // stream, completing the perceptual-dup family's audio
+    // modality): 17 time frames, 4 lag-filterbank band energies per
+    // frame (mean |x[i] − x[i+2^b]| — Haar-style time-frequency in
+    // place of the FFT: libm-free, exact integer sums, one IEEE
+    // division), chromaprint's spectral-FLUX bit rule between
+    // consecutive frames (empty frames read 0), 64 bits packed so
+    // each 16-bit LSH band is one spectral band's flux sequence,
+    // then the phash banding + exact-hamming verify. Observability
+    // form (pairs + hamming + is_dup); planted-dup recall is
+    // spec-locked in MultimodalSpec.
+    Q("q_m_audio_dup", Some {
+      val bandSums = (0 until 4).map(c =>
+        s"""coalesce(sum(CASE WHEN bit AND cell // 16 = $c
+               THEN (CAST(1 AS BIGINT) << (cell % 16)) ELSE 0 END), 0)
+               AS b$c""").mkString(",\n             ")
+      val bandCase = (0 until 4).map(c => s"WHEN $c THEN b$c")
+        .mkString("CASE c ", " ", " END")
+      val hamming = (0 until 4).map(c =>
+        s"bit_count(xor(a.b$c, b.b$c))").mkString(" + ")
+      s"""
+      WITH achars AS (
+        SELECT doc_id, len(text) AS n,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+               unicode(unnest(string_split(text, ''))) AS cv
+        FROM documents),
+      alagd AS (
+        SELECT x.doc_id,
+               CAST(floor(CAST(x.i AS DOUBLE) * 17 / x.n) AS INT) AS f,
+               bb.b AS b, abs(x.cv - y.cv) AS d
+        FROM achars x
+        CROSS JOIN range(4) bb(b)
+        JOIN achars y ON y.doc_id = x.doc_id
+          AND y.i = x.i + (1 << CAST(bb.b AS INT))),
+      aen AS (
+        SELECT doc_id, f, b,
+               CAST(sum(d) AS DOUBLE) / count(*) AS e
+        FROM alagd GROUP BY 1, 2, 3),
+      agrid AS (
+        SELECT d.doc_id, ff.f, bb.b
+        FROM (SELECT DISTINCT doc_id FROM documents) d,
+             range(17) ff(f), range(4) bb(b)),
+      ag AS (
+        SELECT g.doc_id, g.f, g.b, coalesce(e.e, 0.0) AS e
+        FROM agrid g LEFT JOIN aen e
+          ON e.doc_id = g.doc_id AND e.f = g.f AND e.b = g.b),
+      aflux AS (
+        SELECT p.doc_id, CAST(p.b * 16 + p.f AS INT) AS cell,
+               p.e > q.e AS bit
+        FROM ag p JOIN ag q ON q.doc_id = p.doc_id AND q.b = p.b
+          AND q.f = p.f + 1),
+      asig AS (
+        SELECT doc_id,
+             $bandSums
+        FROM aflux GROUP BY 1),
+      akeyed AS (
+        SELECT doc_id, b0, b1, b2, b3, c AS band_idx,
+               $bandCase AS band
+        FROM asig, range(4) r(c)),
+      apairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               CAST($hamming AS INT) AS hamming
+        FROM akeyed a JOIN akeyed b
+          ON a.band_idx = b.band_idx AND a.band = b.band
+          AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming,
+             hamming <= ${TextQueries.SimhashRadius} AS is_dup
+      FROM apairs
+      ORDER BY d1, d2"""
+    }) { (s, dir) =>
+      Multimodal.audioDupCandidates(t(s, dir, "documents"),
+          maxHamming = TextQueries.SimhashRadius)
+        .orderBy("d1", "d2")
+    },
+
     // Media RESIZE kernel (Multimodal.resizeGrid): block-mean
     // downsample of the decoded intensity stream to a fixed 64-cell
     // grid — the standalone form of the aHash's "8×8 resize" step

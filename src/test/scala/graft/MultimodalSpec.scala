@@ -236,4 +236,41 @@ class MultimodalSpec extends SparkSpec {
       maxHamming = 0).collect()
     assert(same.length == 1 && same.head.getInt(2) == 0)
   }
+
+  test("audio flux-hash: identical sample streams fingerprint to " +
+      "hamming 0; a planted local edit stays within the radius; " +
+      "unrelated audio does not pair as dup") {
+    import spark.implicits._
+    def synth(seed: Long, n: Int): String = {
+      var h = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((h >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }
+    val base = synth(7L, 512)
+    // a one-sample edit perturbs only the lag pairs crossing position
+    // 100 — at most one frame's energies per band, so at most a few
+    // of the 64 flux bits can flip
+    val edited = base.updated(100, if (base(100) == 'a') 'b' else 'a')
+    val other = synth(99L, 512)
+    val docs = Seq((1L, base), (2L, edited), (3L, other))
+      .toDF("doc_id", "text")
+    val cands = Multimodal.audioDupCandidates(docs, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getBoolean(3)))).toMap
+    assert(cands.contains((1L, 2L)) && cands((1L, 2L))._2,
+      s"planted audio near-duplicate not recovered: $cands")
+    assert(!cands.filter(_._2._2).keySet
+      .exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated audio spuriously marked dup: $cands")
+    // identical streams: one pair at hamming 0
+    val same = Multimodal.audioDupCandidates(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"),
+      maxHamming = 0).collect()
+    assert(same.length == 1 && same.head.getInt(2) == 0
+      && same.head.getBoolean(3))
+  }
 }
