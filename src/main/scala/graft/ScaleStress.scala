@@ -125,7 +125,16 @@ object ScaleStress {
     // scoring), and the composed curation gate (all four signal
     // artifacts + four doc-keyed joins)
     "q_t_bpe_bytes_learn", "q_t_kn3_lp", "q_e_hnsw_ab",
-    "q_e_nnd_incr", "q_e_dimred_ab", "q_t_curation_gate")
+    "q_e_nnd_incr", "q_e_dimred_ab", "q_t_curation_gate",
+    // r14 additions: the incremental HIERARCHY insert (per-layer
+    // blast-radius repair over N/ratio^l slices — must stay ~flat at
+    // a fixed batch share), the DiskANN-style graph+PQ serve (code
+    // tables are one pass; traversal query-local — near-constant),
+    // the KN pruning frontier (count-table aggregations per rung,
+    // ~linear), and the audio flux-hash dup (4 lag joins over the
+    // sample stream + banded pair join, ~linear)
+    "q_e_hnsw_incr", "q_e_hnsw_pq_serve", "q_t_kn3_pruned_ab",
+    "q_m_audio_dup")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -167,7 +176,12 @@ object ScaleStress {
     val nVecByDir = Seq(base, out).map(d =>
       d -> spark.read.parquet(s"$d/embeddings.parquet").count()).toMap
     for (name <- Measured; dir <- Seq(base, out)) {
-      val incrOverride = name == "q_e_nnd_incr"
+      // both graph-insert rows hold the batch share fixed across
+      // scales; the knob-keyed stage names (nnd_base_graph_<base>,
+      // hnsw_incr_layer<l>_<base>) make the override structurally
+      // safe against stale-stage reuse
+      val incrOverride = (name == "q_e_nnd_incr"
+        || name == "q_e_hnsw_incr")
       if (incrOverride)
         sys.props("graft.ann.incr_base") =
           ((nVecByDir(dir) * 4) / 5).toString

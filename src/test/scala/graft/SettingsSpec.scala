@@ -549,6 +549,26 @@ class SettingsSpec extends SparkSpec {
           && e.getMessage.contains("ub:uh"), s"'$bad': ${e.getMessage}")
       }
     }
+    // KN prune rungs: default table parses, the pruning oracle
+    // carries one chain per rung, and bad rungs fail loudly naming
+    // the knob (1 prunes nothing — that is the baseline row)
+    assert(Settings.lm.knPruneRungs == Seq(2L, 4L))
+    val prsql = SparkEntry.oracleSql("q_t_kn3_pruned_ab")
+    assert(prsql.contains("kp0cx") && prsql.contains("kp1cx"))
+    withProp("graft.lm.kn_prune_rungs", "3") {
+      val p1 = SparkEntry.oracleSql("q_t_kn3_pruned_ab")
+      assert(p1.contains("kp0cx") && !p1.contains("kp1cx"),
+        "pruning chains did not follow lm.kn_prune_rungs")
+    }
+    for (bad <- Seq("1", "x")) {
+      withProp("graft.lm.kn_prune_rungs", bad) {
+        val e = intercept[IllegalArgumentException] {
+          Settings.lm.knPruneRungs
+        }
+        assert(e.getMessage.contains("kn_prune_rungs"),
+          s"'$bad': ${e.getMessage}")
+      }
+    }
     // incremental repair rounds flow: the chain ends at ing<r>
     assert(Settings.nndescent.incrRounds == 2)
     assert(SparkEntry.oracleSql("q_e_nnd_incr").contains("ing2"))
