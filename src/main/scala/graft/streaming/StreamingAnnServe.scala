@@ -286,6 +286,26 @@ object StreamingAnnServe {
       }
       .start()
 
+  /** DiskANN twin of [[serveHierGraphStream]]: each micro-batch's
+    * queries traverse the frozen graphs over PQ codes with the exact
+    * re-rank, via the batch `NnDescent.serveHierPqFrame` — the
+    * codebook is a frozen fitted artifact (same foreachBatch
+    * rationale; batch ≡ stream per query by construction). */
+  def servePqGraphStream(queries: DataFrame, emb: DataFrame,
+      baseGraph: DataFrame, layerGraphs: Seq[DataFrame], k: Int,
+      upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int,
+      rerankR: Int, codebook: StreamingEncode.Codebook)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        sink(graft.text.NnDescent.serveHierPqFrame(emb, baseGraph,
+          layerGraphs, batch.toDF(), k, upBeam, upHops, beam, hops,
+          ratio, rerankR, codebook))
+      }
+      .start()
+
   private def topKOf(cands: DataFrame, k: Int): Dataset[AnnHit] = {
     val spark = cands.sparkSession
     import spark.implicits._

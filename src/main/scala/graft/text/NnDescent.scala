@@ -587,7 +587,6 @@ object NnDescent {
       m: Int, subK: Int, rerankR: Int,
       codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None)
       : DataFrame = {
-    val levels = layerGraphs.length
     // a FITTED codebook (Lloyd per subspace) guides the traversal far
     // better than the seed slices — DiskANN works because the
     // compressed distances are good enough to steer the beam; None
@@ -596,6 +595,40 @@ object NnDescent {
       case Some(cb) => Similarity.pqPartsCodebook(emb, queryPred, cb)
       case None => Similarity.pqParts(emb, queryPred, m, subK)
     }
+    serveHierPqImpl(emb, baseGraph, layerGraphs, codes0, qd20, k,
+      upBeam, upHops, beam, hops, ratio, rerankR, Left(queryPred))
+  }
+
+  /** [[serveHierPq]] with an EXPLICIT (vec_id, embedding) query frame
+    * — the streaming seam (the [[serveFrame]] convention). A codebook
+    * is REQUIRED here: corpus codes and query distance tables must
+    * quantize against the same centroids, and an external query frame
+    * cannot donate the seed slices the implicit codebook derives
+    * from. Per-query tables are row-local aggregations, so serving a
+    * corpus member through this path equals the predicate path
+    * bit-for-bit (StreamingSpec locks it). */
+  def serveHierPqFrame(emb: DataFrame, baseGraph: DataFrame,
+      layerGraphs: Seq[DataFrame], queries: DataFrame, k: Int,
+      upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int,
+      rerankR: Int,
+      codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val codes0 = Similarity
+      .pqPartsCodebook(emb, lit(false), codebook)._1
+    val qd20 = Similarity
+      .pqPartsCodebook(queries, lit(true), codebook)._2
+    // exact re-rank scores against the QUERY frame's vectors — for
+    // corpus members identical to the predicate path's slice
+    serveHierPqImpl(emb, baseGraph, layerGraphs, codes0, qd20, k,
+      upBeam, upHops, beam, hops, ratio, rerankR,
+      Right(queries))
+  }
+
+  private def serveHierPqImpl(emb: DataFrame, baseGraph: DataFrame,
+      layerGraphs: Seq[DataFrame], codes0: DataFrame, qd20: DataFrame,
+      k: Int, upBeam: Int, upHops: Int, beam: Int, hops: Int,
+      ratio: Int, rerankR: Int,
+      queryPredOrFrame: Either[Column, DataFrame]): DataFrame = {
+    val levels = layerGraphs.length
     val codes = codes0.withColumnRenamed("vid", "node")
       .localCheckpoint()
     val qd2 = qd20.localCheckpoint()
@@ -645,7 +678,12 @@ object NnDescent {
     // only the pool touches full-dim floats
     val pool = topBAsc(visited, rerankR).localCheckpoint()
     val vecs = vecsOf(emb)
-    val q = queriesOf(vecs, queryPred)
+    val q = queryPredOrFrame match {
+      case Left(pred) => queriesOf(vecs, pred)
+      case Right(qf) => vecsOf(qf)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm")).localCheckpoint()
+    }
     val exact = scoreQ(pool.select("qid", "node"), q, vecs)
     val nScored = scoredSet.groupBy("qid")
       .agg(count(lit(1)).as("n_scored"))

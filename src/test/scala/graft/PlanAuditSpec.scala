@@ -750,6 +750,32 @@ class PlanAuditSpec extends SparkSpec {
     graft.queries.Stage.clear()
   }
 
+  test("r14 additions keep their scale shapes: no cartesian products; " +
+      "the only nested-loop joins are the documented bounded " +
+      "broadcasts") {
+    // hnsw incr: representative table is a groupBy, entries/seed/
+    // repair are equi-joins throughout — zero nested loops. graph+PQ
+    // serve: ONE broadcast cross (the knob-bounded top-layer coarse
+    // scan); ADC scoring, exact re-rank and the count attaches are
+    // equi-joins. kn3 pruning frontier: per-variant single-row
+    // aggregate attaches only (sizes × avg × base × moved per rung +
+    // the baseline's) — bounded by the rung count, never data-sized.
+    // audio dup: lag joins and the band-pair join are equi-joins.
+    val rungAttaches = 1 + 3 * graft.Settings.lm.knPruneRungs.length
+    for ((q, bnljBound) <- Seq(
+        "q_e_hnsw_incr" -> 0,
+        "q_e_hnsw_pq_serve" -> 1, // the coarse scan
+        "q_t_kn3_pruned_ab" -> rungAttaches,
+        "q_m_audio_dup" -> 0)) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= bnljBound,
+        s"$q: $bnlj nested-loop joins > documented bound $bnljBound")
+    }
+    graft.queries.Stage.clear()
+  }
+
   test("PowerPca fit pass partition width scales with input (no " +
       "fixed coalesce on the corpus-sized exploded frame)") {
     import graft.ml.PowerPca

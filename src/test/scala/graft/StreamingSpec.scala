@@ -1021,4 +1021,50 @@ class StreamingSpec extends SparkSpec {
     assert(run(hier = true) == wantHier,
       "streamed hierarchical graph serving must equal batch")
   }
+
+  test("streaming graph+PQ serving: micro-batched queries equal the " +
+      "batch DiskANN-style serve (frozen codes + exact re-rank, " +
+      "foreachBatch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.{NnDescent, Similarity}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+    val graph = NnDescent.build(emb, k = 5, rounds = 2)
+    val layers = NnDescent.buildLayers(emb, k = 5, upRounds = 2,
+      ratio = 3, levels = 2)
+    val cb = Similarity.lloydCodebook(emb, m = 4, subK = 8, iters = 2)
+    type Hit = (Long, Long, Double, Int, Long, Long)
+    val qRows = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])](
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Double])],
+        spark.sqlContext)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Int, Long, Long)]
+    val q = graft.streaming.StreamingAnnServe.servePqGraphStream(
+      mem.toDF.toDF("vec_id", "embedding"), emb, graph, layers,
+      k = 3, upBeam = 4, upHops = 1, beam = 6, hops = 2, ratio = 3,
+      rerankR = 12, codebook = cb) { df =>
+      buf.synchronized {
+        buf ++= df.as[(Long, Long, Double, Int, Long, Long)].collect()
+      }: Unit
+    }
+    mem.addData(qRows.take(3).toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(qRows.drop(3).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val want = NnDescent.serveHierPq(emb, graph, layers,
+        col("vec_id") < 6, k = 3, upBeam = 4, upHops = 1, beam = 6,
+        hops = 2, ratio = 3, m = 4, subK = 8, rerankR = 12,
+        codebook = Some(cb))
+      .as[(Long, Long, Double, Int, Long, Long)].collect().toSet
+    assert(buf.toSet == want,
+      "streamed graph+PQ serving must equal the batch serve")
+  }
 }
