@@ -596,6 +596,23 @@ object Settings {
     * NnDescent.topK) so the 100×-scale story is a config change.
     * NOT for corpus-sized frames — those size adaptively
     * (`pca.rows_per_task`, Hmm's nPart). */
+  /** `multimodal:` block — perceptual-dup knobs. */
+  object multimodal {
+    /** Hot-bucket cap of the banded dup blocking
+      * (Multimodal.bandPairs — image aHash AND audio flux-hash): a
+      * band bucket larger than this is dropped before pairing, the
+      * annSelfJoinPairs guard — a k-copy viral asset is a k-clique
+      * whose pair output grows k², and one million-copy asset must
+      * not produce 10^12 rows at corpus scale. Recall on exactly
+      * those mega-cliques is the stated trade. */
+    def maxBandBucket: Int = {
+      val v = int("multimodal.max_band_bucket", 64)
+      require(v >= 2,
+        s"multimodal.max_band_bucket must be >= 2, got $v")
+      v
+    }
+  }
+
   object tuning {
     def smallFrameParts: Int = {
       val v = int("tuning.small_frame_parts", 8)

@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.text.TextOps
 
 /** Multimodal column plumbing: media payloads are opaque `binary` columns
@@ -440,15 +441,28 @@ object Multimodal {
     * signature frame (doc_id, b0..b3) — ONE definition shared by the
     * image aHash and audio flux-hash dup paths (equi-join on any
     * shared band, never a cross product; pigeonhole: any pair within
-    * hamming ≤ 3 shares a band). */
+    * hamming ≤ 3 shares a band). Band buckets larger than
+    * `multimodal.max_band_bucket` are DROPPED before pairing — the
+    * annSelfJoinPairs hot-bucket guard: a viral media asset with k
+    * copies is a k-clique whose pair set grows k² (the measured
+    * SCALE_r14 blow-up: every replica doc is a planted near-dup, so
+    * the OUTPUT is the quadratic object), and at 100 TB one
+    * million-copy asset must not produce 10¹² rows. The cap trades
+    * recall on exactly those mega-cliques, loudly documented; the
+    * fixture's buckets sit far below the default 64. */
   private def bandPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val maxBucket = graft.Settings.multimodal.maxBandBucket
     val bandCols = (0 until 4).map(c => col(s"b$c"))
-    val keyed = sig.select(col("doc_id") +: bandCols :+
+    val keyed0 = sig.select(col("doc_id") +: bandCols :+
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("band_idx"), col(s"b$c").as("band"))): _*))
         .as("bk"): _*)
       .select(col("doc_id") +: bandCols :+ col("bk.band_idx") :+
         col("bk.band"): _*)
+    val keyed = keyed0
+      .withColumn("bn", count(lit(1))
+        .over(Window.partitionBy("band_idx", "band")))
+      .filter(col("bn") <= maxBucket).drop("bn")
     val a = keyed.select(col("doc_id").as("d1") +:
       (0 until 4).map(c => col(s"b$c").as(s"a_b$c")) :+
       col("band_idx") :+ col("band"): _*)

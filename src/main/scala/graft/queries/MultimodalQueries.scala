@@ -98,10 +98,15 @@ object MultimodalQueries extends QueryModule {
         SELECT doc_id,
              $bandSums
         FROM bits GROUP BY 1),
-      keyed AS (
+      keyed0 AS (
         SELECT doc_id, b0, b1, b2, b3, c AS band_idx,
                $bandCase AS band
         FROM sig, range(4) r(c)),
+      keyed AS (
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY band_idx, band) AS bn
+          FROM keyed0)
+        WHERE bn <= ${graft.Settings.multimodal.maxBandBucket}),
       ppairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
                CAST($hamming AS INT) AS hamming
@@ -174,10 +179,15 @@ object MultimodalQueries extends QueryModule {
         SELECT doc_id,
              $bandSums
         FROM aflux GROUP BY 1),
-      akeyed AS (
+      akeyed0 AS (
         SELECT doc_id, b0, b1, b2, b3, c AS band_idx,
                $bandCase AS band
         FROM asig, range(4) r(c)),
+      akeyed AS (
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY band_idx, band) AS bn
+          FROM akeyed0)
+        WHERE bn <= ${graft.Settings.multimodal.maxBandBucket}),
       apairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
                CAST($hamming AS INT) AS hamming
