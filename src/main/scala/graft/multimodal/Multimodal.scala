@@ -394,18 +394,29 @@ object Multimodal {
     * Returns (doc_id, b0, b1, b2, b3). */
   def audioBands(media: DataFrame): DataFrame = {
     val F = 17
-    val samples = intensities(media).localCheckpoint()
-    val lagged = (0 until 4).map { b =>
-      val lag = 1 << b
-      samples.as("x").join(samples.as("y"),
-          col("x.doc_id") === col("y.doc_id")
-            && col("y.i") === col("x.i") + lag)
-        .select(col("x.doc_id").as("doc_id"),
-          floor(col("x.i").cast("double") * F / col("x.n"))
-            .cast("int").as("f"),
-          lit(b).as("b"),
-          abs(col("x.cv") - col("y.cv")).as("d"))
-    }.reduce(_ unionByName _)
+    // ONE window pass computes all four lags (lead(cv, 2^b) over the
+    // dense per-doc position — `i` is 0..n−1 from posexplode, so
+    // lead(k) IS the sample at i+k and a null lead is an absent
+    // pair): one shuffle on doc_id instead of four sample-stream
+    // self-joins (measured 4.8 s → the self-join formulation was the
+    // bench's second-heaviest steady row; the DuckDB oracle keeps
+    // the join formulation — two independent formulations of the
+    // same pair set, the StreamingEncode cross-check discipline)
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val samples = intensities(media)
+    val leads = samples.select(
+      Seq(col("doc_id"), col("n"), col("i"), col("cv")) ++
+        (0 until 4).map(b =>
+          lead(col("cv"), 1 << b).over(w).as(s"l$b")): _*)
+    val lagged = leads.select(col("doc_id"),
+        floor(col("i").cast("double") * F / col("n"))
+          .cast("int").as("f"),
+        col("cv"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"), col(s"l$b").as("y"))): _*)).as("p"))
+      .filter(col("p.y").isNotNull)
+      .select(col("doc_id"), col("f"), col("p.b").as("b"),
+        abs(col("cv") - col("p.y")).as("d"))
     val energy = lagged.groupBy("doc_id", "f", "b")
       .agg((sum(col("d")).cast("double") / count(lit(1))).as("e"))
     val grid = media.select(col("doc_id"),
