@@ -797,6 +797,20 @@ object TextQueries extends QueryModule {
         NndHops, NndIncrRounds, IncrBase).trim)
       .mkString(",\n      ")
 
+  /** Hierarchical serving over the MAINTAINED hierarchy (incr base
+    * graph + incr layer graphs) — the row that proves the
+    * add-without-retrain index actually SERVES: new top-layer members
+    * enter the coarse scan through the same layerPred rule the
+    * standing serve uses. */
+  private[queries] def hnswIncrServed(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, s"hnsw_incr_served_$IncrBase") {
+      graft.text.NnDescent.serveHier(t(s, dir, "embeddings"),
+        nndIncrGraph(s, dir), hnswIncrLayers(s, dir),
+        col("vec_id") < 8, AnnK, HnswUpBeam, HnswUpHops, HnswBeam,
+        HnswHops, HnswRatio)
+    }
+
   private[queries] def hnswLayerCtes: String =
     (1 to HnswLevels).map(l => graft.text.NnDescent
       .oracleLayerCtes(l, HnswRatio, NndK, HnswUpRounds).trim)
@@ -5251,6 +5265,38 @@ object TextQueries extends QueryModule {
           col("rnk").cast("long").as("rnk")) }
         .reduce(_ unionByName _)
         .orderBy("layer", "node", "rnk")
+    },
+
+    // Serving over the MAINTAINED hierarchy — the row that proves
+    // the add-without-retrain index actually SERVES: the same
+    // hierarchical descent as q_e_hnsw_serve, but over the
+    // incrementally-repaired base graph (ingf) and layer graphs
+    // (il*gf), with the coarse scan drawn from ALL top-level members
+    // (old AND new — layer assignment is the md5 layerPred rule, so
+    // a new node that samples into the top layer becomes an entry;
+    // this oracle row checks that claim end-to-end, the spec only
+    // bounds its recall). n_scored rides along as the served-cost
+    // column.
+    Q("q_e_hnsw_incr_serve", Some {
+      val m = math.pow(HnswRatio.toDouble, HnswLevels.toDouble).toLong
+      s"""
+      WITH ${nndIncrCtes.trim},
+      $hnswIncrLayerCtes,
+      ihnd AS (
+        SELECT vec_id FROM embeddings
+        WHERE ${graft.text.TextOps.hsqlRaw(
+          "'hnsw:' || vec_id::VARCHAR")} % $m = 0),
+      ${graft.text.NnDescent.oracleHierServeCtesFrom(AnnK,
+        HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswLevels,
+        coarseCte = "ihnd", layerCte = l => s"il${l}gf",
+        baseCte = "ingf", pfx = "ih").trim}
+      SELECT qid, vid, cos_sim, rnk, n_scored FROM ihrv
+      ORDER BY qid, rnk"""
+    }) { (s, dir) =>
+      hnswIncrServed(s, dir)
+        .select(col("qid"), col("vid"), col("cos_sim"),
+          col("rnk").cast("long").as("rnk"), col("n_scored"))
+        .orderBy("qid", "rnk")
     },
 
     // Layered drift accounting — the q_e_nnd_drift analog PER LEVEL:

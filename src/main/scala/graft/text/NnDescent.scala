@@ -1076,14 +1076,31 @@ object NnDescent {
   def oracleHierServeCtes(baseRounds: Int, k: Int, upBeam: Int,
       upHops: Int, beam: Int, hops: Int, ratio: Int, levels: Int,
       upRounds: Int, queryFilter: String = "vec_id < 8",
-      pfx: String = "hs"): String = {
+      pfx: String = "hs"): String =
+    oracleHierServeCtesFrom(k, upBeam, upHops, beam, hops, levels,
+      coarseCte = s"hl${levels}nd",
+      layerCte = l => s"hl${l}k$upRounds",
+      baseCte = s"ndk$baseRounds", queryFilter, pfx)
+
+  /** The hierarchical-serve chain with EXPLICIT graph sources — the
+    * standing serve is this over the `hl*` build chains; the
+    * incrementally-MAINTAINED serve reads the `il${l}gf` layer graphs
+    * and the `ingf` base graph instead (its coarse scan comes from a
+    * caller-provided ALL-members CTE of the top level, which is how
+    * "a new node that samples into the top layer becomes an entry"
+    * is oracle-checked, not just spec'd). */
+  def oracleHierServeCtesFrom(k: Int, upBeam: Int, upHops: Int,
+      beam: Int, hops: Int, levels: Int, coarseCte: String,
+      layerCte: Int => String, baseCte: String,
+      queryFilter: String = "vec_id < 8", pfx: String = "hs")
+      : String = {
     val pieces = Seq.newBuilder[String]
     pieces += s"""
       ${pfx}q AS (SELECT vec_id AS qid FROM embeddings
               WHERE $queryFilter),
       ${pfx}e0 AS MATERIALIZED (
         SELECT q.qid, t.vec_id AS node
-        FROM ${pfx}q q, hl${levels}nd t
+        FROM ${pfx}q q, $coarseCte t
         WHERE t.vec_id <> q.qid)"""
     pieces += scoreBlockQ(s"${pfx}e0", s"${pfx}s0")
     pieces += topBBlock(s"${pfx}s0", s"${pfx}b0", upBeam)
@@ -1103,8 +1120,8 @@ object NnDescent {
       pieces += topBBlock(s"${pfx}s$step", s"${pfx}b$step", b)
     }
     for (l <- levels to 1 by -1; _ <- 1 to upHops)
-      hopBlock(s"hl${l}k$upRounds", upBeam)
-    for (_ <- 1 to hops) hopBlock(s"ndk$baseRounds", beam)
+      hopBlock(layerCte(l), upBeam)
+    for (_ <- 1 to hops) hopBlock(baseCte, beam)
     val scoredUnion = (s"SELECT qid, node FROM ${pfx}e0" +:
       (1 to step).map(h => s"SELECT qid, node FROM ${pfx}c$h"))
       .mkString("\n          UNION ALL ")

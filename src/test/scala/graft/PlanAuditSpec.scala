@@ -764,6 +764,7 @@ class PlanAuditSpec extends SparkSpec {
     val rungAttaches = 1 + 3 * graft.Settings.lm.knPruneRungs.length
     for ((q, bnljBound) <- Seq(
         "q_e_hnsw_incr" -> 0,
+        "q_e_hnsw_incr_serve" -> 1, // the coarse scan
         "q_e_hnsw_pq_serve" -> 1, // the coarse scan
         "q_t_kn3_pruned_ab" -> rungAttaches,
         "q_m_audio_dup" -> 0)) {
