@@ -721,6 +721,18 @@ object Settings {
           (ub, uh)
         }
 
+    /** rerank_r rungs of the graph+PQ serving frontier
+      * (q_e_hnsw_pq_frontier) — the measured table the shared
+      * `ann.rerank_r` default is promoted from, applied to the
+      * DiskANN trade (recall bought per full-dim float touched). */
+    def hnswPqRerankRungs: Seq[Int] = {
+      val v = graft.Settings.ints("nndescent.hnsw_pq_rerank_rungs",
+        Seq(12, 24, 48, 96))
+      v.foreach(r => require(r >= 1,
+        s"nndescent.hnsw_pq_rerank_rungs rung $r must be >= 1"))
+      v
+    }
+
     /** Confined repair rounds after an incremental batch insert
       * (NnDescent.incrInsert — the graph index's add-without-retrain
       * rung): per-round work is bounded by the batch's blast radius

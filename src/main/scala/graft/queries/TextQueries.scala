@@ -713,6 +713,20 @@ object TextQueries extends QueryModule {
       HnswLevels, HnswUpRounds, PqM, PqSubK, PqSubDim, RerankR,
       lloydIters = PqLloydIters)
 
+  /** The rerank-budget rungs and the per-rung served frames (ONE
+    * shared ADC traversal — the rerank pool does not affect it). */
+  private[queries] def HnswPqRerankRungs =
+    graft.Settings.nndescent.hnswPqRerankRungs
+  private[queries] def hnswPqFrontierServed(s: SparkSession,
+      dir: String): DataFrame =
+    Stage.cached(s, dir, "hnsw_pq_frontier_served") {
+      graft.text.NnDescent.serveHierPqFrontier(t(s, dir, "embeddings"),
+        nndGraph(s, dir), hnswLayers(s, dir), col("vec_id") < 8,
+        AnnK, HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio,
+        PqM, PqSubK, HnswPqRerankRungs,
+        codebook = Some(lloydCb(s, dir)))
+    }
+
   private[queries] def HnswFrontierRungs =
     graft.Settings.nndescent.hnswFrontierRungs
 
@@ -5237,6 +5251,96 @@ object TextQueries extends QueryModule {
             .as("avg_exact"),
           sum("n_exact").cast("long").as("total_exact"))
         .orderBy("arm")
+    },
+
+    // The rerank-budget FRONTIER of the graph+PQ serve — the
+    // ann-frontier discipline applied to the DiskANN trade: ONE ADC
+    // traversal (the pool does not affect it), one exact re-rank per
+    // rerank_r rung, each rung priced by recall vs the exact top-k
+    // and by n_exact (full-dim float touches — the budget being
+    // bought). The table the shared ann.rerank_r default is promoted
+    // from on the compressed-graph side.
+    Q("q_e_hnsw_pq_frontier", Some {
+      val core = graft.text.NnDescent.oracleHierServePqCore(
+        NndRounds, HnswUpBeam, HnswUpHops, HnswBeam, HnswHops,
+        HnswRatio, HnswLevels, HnswUpRounds, PqM, PqSubK, PqSubDim,
+        lloydIters = PqLloydIters)
+      val tails = HnswPqRerankRungs.map(r => graft.text.NnDescent
+        .oracleHierServePqTail(AnnK, r, "gp", s"r$r").trim)
+        .mkString(",\n      ")
+      val armRows = HnswPqRerankRungs.map { r =>
+        s"""
+        SELECT $r AS rerank_r, t.qid,
+               CAST(count(s.vid) AS DOUBLE) / count(*) AS recall,
+               any_value(a.n_scored) AS n_scored,
+               any_value(x.n_exact) AS n_exact
+        FROM pftt t
+        LEFT JOIN gpr${r}rv s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN gpall a ON a.qid = t.qid
+        JOIN gpr${r}nx x ON x.qid = t.qid
+        GROUP BY 2"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $nndCtes,
+      $hnswLayerCtes,
+      ${core.trim},
+      $tails,
+      pftr AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+               sum(a.x * b.x) AS dot
+        FROM ndex a JOIN ndex b ON a.i = b.i
+          AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+        GROUP BY 1, 2),
+      pftt AS (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                     d.vid) AS rnk
+          FROM pftr d JOIN ndnrm na ON na.vec_id = d.qid
+                      JOIN ndnrm nb ON nb.vec_id = d.vid)
+        WHERE rnk <= $AnnK)
+      SELECT rerank_r, CAST(count(*) AS BIGINT) AS n_queries,
+             round(avg(recall), 9) AS avg_recall,
+             round(avg(CAST(n_scored AS DOUBLE)), 9) AS avg_scored,
+             round(avg(CAST(n_exact AS DOUBLE)), 9) AS avg_exact,
+             CAST(sum(n_exact) AS BIGINT) AS total_exact
+      FROM ($armRows)
+      GROUP BY 1 ORDER BY rerank_r"""
+    }) { (s, dir) =>
+      // checkpoint the (fixture-scale, 8-query) brute-force truth
+      // ONCE — each rung arm reads the materialized frame instead of
+      // re-planning the broadcast ≠-join per arm
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid")).localCheckpoint()
+      val served = hnswPqFrontierServed(s, dir)
+      val hits = served.select(col("rerank_r"), col("qid"),
+        col("vid")).withColumn("hit", lit(1L))
+      val costs = served.groupBy("rerank_r", "qid")
+        .agg(first(col("n_scored")).as("n_scored"),
+          first(col("n_exact")).as("n_exact"))
+      HnswPqRerankRungs.map { r =>
+        truth
+          .join(hits.filter(col("rerank_r") === r)
+            .drop("rerank_r"), Seq("qid", "vid"), "left")
+          .groupBy("qid")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+            / count(lit(1))).as("recall"))
+          .join(costs.filter(col("rerank_r") === r)
+            .drop("rerank_r"), Seq("qid"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(avg("recall"), 9).as("avg_recall"),
+            round(avg(col("n_scored").cast("double")), 9)
+              .as("avg_scored"),
+            round(avg(col("n_exact").cast("double")), 9)
+              .as("avg_exact"),
+            sum("n_exact").cast("long").as("total_exact"))
+          .select(lit(r).as("rerank_r"), col("n_queries"),
+            col("avg_recall"), col("avg_scored"), col("avg_exact"),
+            col("total_exact"))
+      }.reduce(_ unionByName _).orderBy("rerank_r")
     },
 
     // INCREMENTAL HNSW hierarchy maintenance (NnDescent

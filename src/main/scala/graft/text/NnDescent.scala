@@ -282,6 +282,18 @@ object NnDescent {
       .select("qid", "node", "cos_sim")
   }
 
+  /** Per-query ADC-ascending top-b trim (adc asc, node asc) — the
+    * distance-ordered twin of [[topB]], shared by the PQ traversal
+    * and its re-rank tails. */
+  private def topBAdcAsc(scored: DataFrame, b: Int): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc"), col("node"))
+    scored.distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= b)
+      .select("qid", "node", "adc")
+  }
+
   /** One hop's candidate set: beam ∪ out-neighbors of the beam,
     * self-hits dropped (monotone — the beam is retained in its own
     * candidate set, so quality never regresses). */
@@ -628,6 +640,23 @@ object NnDescent {
       k: Int, upBeam: Int, upHops: Int, beam: Int, hops: Int,
       ratio: Int, rerankR: Int,
       queryPredOrFrame: Either[Column, DataFrame]): DataFrame = {
+    val (visited, scoredSet) = pqTraverse(emb, baseGraph, layerGraphs,
+      codes0, qd20, upBeam, upHops, beam, hops, ratio)
+    pqRerankTail(emb, visited, scoredSet, k, rerankR,
+      queryPredOrFrame)
+  }
+
+  /** The ADC-guided traversal HALF of [[serveHierPq]] — coarse scan +
+    * layer descent + base hops, all over PQ codes. Returns (visited,
+    * scoredSet): the distinct ADC-scored candidates with their
+    * distances, and the distinct (qid, node) cost set. The re-rank
+    * budget does NOT touch the traversal, so the rerank_r frontier
+    * runs this ONCE and prices every rung from the same visited
+    * set. */
+  private def pqTraverse(emb: DataFrame, baseGraph: DataFrame,
+      layerGraphs: Seq[DataFrame], codes0: DataFrame, qd20: DataFrame,
+      upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int)
+      : (DataFrame, DataFrame) = {
     val levels = layerGraphs.length
     val codes = codes0.withColumnRenamed("vid", "node")
       .localCheckpoint()
@@ -638,14 +667,6 @@ object NnDescent {
       .groupBy("qid", "node")
       .agg(round(sum(col("qd2").cast("decimal(38,18)"))
         .cast("double"), 6).as("adc"))
-    def topBAsc(scored: DataFrame, b: Int): DataFrame = {
-      val w = Window.partitionBy("qid")
-        .orderBy(col("adc"), col("node"))
-      scored.distinct()
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= b)
-        .select("qid", "node", "adc")
-    }
     // coarse scan over the top layer, ADC-scored (the [[serveHier]]
     // entry rule — scrubbed for the same Union-constraints reason)
     val top = emb.filter(layerPred(col("vec_id"), levels, ratio))
@@ -655,14 +676,14 @@ object NnDescent {
       qids.crossJoin(broadcast(top))
         .filter(col("node") =!= col("qid")))
     val scored0 = scoreQPq(entries).localCheckpoint()
-    var state = topBAsc(scored0, upBeam).localCheckpoint()
+    var state = topBAdcAsc(scored0, upBeam).localCheckpoint()
     var scoredSet = entries
     var visited = scored0
     def expand(edges: DataFrame, b: Int, nHops: Int): Unit = {
       for (_ <- 1 to nHops) {
         val cands = hopCands(state, edges)
         val scored = scoreQPq(cands).localCheckpoint()
-        state = topBAsc(scored, b).localCheckpoint()
+        state = topBAdcAsc(scored, b).localCheckpoint()
         scoredSet = scoredSet.unionByName(cands).distinct()
           .localCheckpoint()
         visited = visited.unionByName(scored).distinct()
@@ -674,9 +695,17 @@ object NnDescent {
         .localCheckpoint(), upBeam, upHops)
     expand(baseGraph.select("node", "nbr").localCheckpoint(),
       beam, hops)
+    (visited, scoredSet)
+  }
+
+  /** Exact re-rank TAIL of [[serveHierPq]]: pool = ADC-best `rerankR`
+    * of the visited set, cosine re-rank, top-k + cost columns. */
+  private def pqRerankTail(emb: DataFrame, visited: DataFrame,
+      scoredSet: DataFrame, k: Int, rerankR: Int,
+      queryPredOrFrame: Either[Column, DataFrame]): DataFrame = {
     // exact re-rank of the ADC-best rerankR VISITED candidates —
     // only the pool touches full-dim floats
-    val pool = topBAsc(visited, rerankR).localCheckpoint()
+    val pool = topBAdcAsc(visited, rerankR).localCheckpoint()
     val vecs = vecsOf(emb)
     val q = queryPredOrFrame match {
       case Left(pred) => queriesOf(vecs, pred)
@@ -696,6 +725,31 @@ object NnDescent {
       .join(nExact, Seq("qid"))
       .select(col("qid"), col("node").as("vid"), col("cos_sim"),
         col("rnk"), col("n_scored"), col("n_exact"))
+  }
+
+  /** The rerank-budget FRONTIER of the graph+PQ serve: ONE traversal,
+    * one exact-re-rank tail per `rungs` entry — the measured table
+    * the `ann.rerank_r` default is promoted from, applied to the
+    * DiskANN trade (recall bought per full-dim float touched).
+    * Returns the per-rung serve rows tagged `rerank_r`. */
+  def serveHierPqFrontier(emb: DataFrame, baseGraph: DataFrame,
+      layerGraphs: Seq[DataFrame], queryPred: Column, k: Int,
+      upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int,
+      m: Int, subK: Int, rungs: Seq[Int],
+      codebook: Option[IndexedSeq[IndexedSeq[Array[Double]]]] = None)
+      : DataFrame = {
+    val (codes0, qd20) = codebook match {
+      case Some(cb) => Similarity.pqPartsCodebook(emb, queryPred, cb)
+      case None => Similarity.pqParts(emb, queryPred, m, subK)
+    }
+    val (visited, scoredSet) = pqTraverse(emb, baseGraph, layerGraphs,
+      codes0, qd20, upBeam, upHops, beam, hops, ratio)
+    rungs.map { r =>
+      pqRerankTail(emb, visited, scoredSet, k, r, Left(queryPred))
+        .select(lit(r).as("rerank_r"), col("qid"), col("vid"),
+          col("cos_sim"), col("rnk"), col("n_scored"),
+          col("n_exact"))
+    }.reduce(_ unionByName _)
   }
 
   // ------------------------------------------------------------------
@@ -1155,6 +1209,20 @@ object NnDescent {
       upHops: Int, beam: Int, hops: Int, ratio: Int, levels: Int,
       upRounds: Int, m: Int, subK: Int, subDim: Int, rerankR: Int,
       lloydIters: Int = 0, queryFilter: String = "vec_id < 8",
+      pfx: String = "gp"): String =
+    oracleHierServePqCore(baseRounds, upBeam, upHops, beam, hops,
+      ratio, levels, upRounds, m, subK, subDim, lloydIters,
+      queryFilter, pfx) + "," +
+      oracleHierServePqTail(k, rerankR, pfx, tailPfx = "")
+
+  /** The traversal CORE of the graph+PQ oracle chain — everything up
+    * to `${pfx}vis` (distinct ADC-scored candidates) and `${pfx}all`
+    * (the n_scored cost row); re-rank tails compose on top, one per
+    * rerank_r rung. */
+  def oracleHierServePqCore(baseRounds: Int, upBeam: Int,
+      upHops: Int, beam: Int, hops: Int, ratio: Int, levels: Int,
+      upRounds: Int, m: Int, subK: Int, subDim: Int,
+      lloydIters: Int = 0, queryFilter: String = "vec_id < 8",
       pfx: String = "gp"): String = {
     val pieces = Seq.newBuilder[String]
     // the codebook: lloydIters = 0 → the seed-slice centroids
@@ -1256,21 +1324,36 @@ object NnDescent {
       ${pfx}vis AS (
         SELECT DISTINCT qid, node, adc FROM (
           $visitedUnion))"""
-    pieces += topBAscBlock(s"${pfx}vis", s"${pfx}pool", rerankR)
+    pieces.result().mkString(",")
+  }
+
+  /** One exact-re-rank TAIL over the core's `${pfx}vis`/`${pfx}all`:
+    * pool = ADC-best `rerankR`, cosine re-rank, top-k + cost columns,
+    * ending at `${pfx}${tailPfx}rv`. The default serve is the tail at
+    * tailPfx = ""; the rerank frontier emits one tail per rung. */
+  def oracleHierServePqTail(k: Int, rerankR: Int, pfx: String,
+      tailPfx: String): String = {
+    val t = s"$pfx$tailPfx"
+    val pieces = Seq.newBuilder[String]
     pieces += s"""
-      ${pfx}nx AS (
+      ${t}pool AS MATERIALIZED (
+        SELECT qid, node, adc FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY adc, node) AS rnk FROM ${pfx}vis)
+        WHERE rnk <= $rerankR),
+      ${t}nx AS (
         SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
-        FROM ${pfx}pool GROUP BY 1)"""
-    pieces += scoreBlockQ(s"${pfx}pool", s"${pfx}ex")
+        FROM ${t}pool GROUP BY 1)"""
+    pieces += scoreBlockQ(s"${t}pool", s"${t}ex")
     pieces += s"""
-      ${pfx}rv AS MATERIALIZED (
+      ${t}rv AS MATERIALIZED (
         SELECT b.qid, b.node AS vid, b.cos_sim,
                CAST(b.rnk AS BIGINT) AS rnk, a.n_scored, x.n_exact
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY cos_sim DESC, node) AS rnk
-              FROM ${pfx}ex) b
+              FROM ${t}ex) b
         JOIN ${pfx}all a ON a.qid = b.qid
-        JOIN ${pfx}nx x ON x.qid = b.qid
+        JOIN ${t}nx x ON x.qid = b.qid
         WHERE b.rnk <= $k)"""
     pieces.result().mkString(",")
   }

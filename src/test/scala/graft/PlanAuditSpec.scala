@@ -766,6 +766,7 @@ class PlanAuditSpec extends SparkSpec {
         "q_e_hnsw_incr" -> 0,
         "q_e_hnsw_incr_serve" -> 1, // the coarse scan
         "q_e_hnsw_pq_serve" -> 1, // the coarse scan
+        "q_e_hnsw_pq_frontier" -> 1, // shared traversal's coarse scan
         "q_t_kn3_pruned_ab" -> rungAttaches,
         "q_m_audio_dup" -> 0)) {
       val p = planOf(q)

@@ -549,6 +549,16 @@ class SettingsSpec extends SparkSpec {
           && e.getMessage.contains("ub:uh"), s"'$bad': ${e.getMessage}")
       }
     }
+    // PQ rerank rungs: default table parses; one re-rank tail per
+    // rung in the frontier oracle, sharing ONE traversal core
+    assert(Settings.nndescent.hnswPqRerankRungs == Seq(12, 24, 48, 96))
+    val pfsql = SparkEntry.oracleSql("q_e_hnsw_pq_frontier")
+    assert(pfsql.contains("gpr12rv") && pfsql.contains("gpr96rv"))
+    withProp("graft.nndescent.hnsw_pq_rerank_rungs", "16") {
+      val f2 = SparkEntry.oracleSql("q_e_hnsw_pq_frontier")
+      assert(f2.contains("gpr16rv") && !f2.contains("gpr12rv"),
+        "rerank tails did not follow hnsw_pq_rerank_rungs")
+    }
     // KN prune rungs: default table parses, the pruning oracle
     // carries one chain per rung, and bad rungs fail loudly naming
     // the knob (1 prunes nothing — that is the baseline row)
