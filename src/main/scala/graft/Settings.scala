@@ -596,6 +596,15 @@ object Settings {
     * NnDescent.topK) so the 100×-scale story is a config change.
     * NOT for corpus-sized frames — those size adaptively
     * (`pca.rows_per_task`, Hmm's nPart). */
+  object tuning {
+    def smallFrameParts: Int = {
+      val v = int("tuning.small_frame_parts", 8)
+      require(v >= 1,
+        s"tuning.small_frame_parts must be >= 1, got $v")
+      v
+    }
+  }
+
   /** `multimodal:` block — perceptual-dup knobs. */
   object multimodal {
     /** Hot-bucket cap of the banded dup blocking
@@ -609,15 +618,6 @@ object Settings {
       val v = int("multimodal.max_band_bucket", 64)
       require(v >= 2,
         s"multimodal.max_band_bucket must be >= 2, got $v")
-      v
-    }
-  }
-
-  object tuning {
-    def smallFrameParts: Int = {
-      val v = int("tuning.small_frame_parts", 8)
-      require(v >= 1,
-        s"tuning.small_frame_parts must be >= 1, got $v")
       v
     }
   }

@@ -129,9 +129,14 @@ object Bpe {
     val remap = map((0 to 255)
       .flatMap(b => Seq(lit(f"$b%02X"), lit(ByteRemap(b)))): _*)
     val h = hex(encode(word, "UTF-8"))
-    transform(sequence(lit(1), (length(h) / 2).cast("int")),
-      j => coalesce(element_at(remap, h.substr(j * 2 - 1, lit(2))),
-        lit("[NON_BYTE]")))
+    // Degenerate guard: sequence(1, 0) defaults to step -1, so an
+    // empty word would yield two bogus [NON_BYTE] symbols instead of
+    // an empty array. Call sites currently filter empty words, but
+    // this is a public helper on serving paths — make '' → [] total.
+    when(length(h) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), (length(h) / 2).cast("int")),
+        j => coalesce(element_at(remap, h.substr(j * 2 - 1, lit(2))),
+          lit("[NON_BYTE]"))))
   }
 
   /** Deterministic multilingual derivation of an ASCII `text` column

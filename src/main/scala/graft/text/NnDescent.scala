@@ -90,6 +90,26 @@ object NnDescent {
     * reference nonexistent nodes and be silently dropped by the
     * scoring join (some nodes would start with far fewer than k
     * edges). Fail loudly instead: one cheap min/max agg. */
+  /** Per-frame memo of the (count, dense-id invariant) pair:
+    * [[serveFrame]] runs once per micro-batch in streaming against
+    * the SAME frozen corpus frame, and n + density are properties of
+    * that frame — without the memo each batch paid two full corpus
+    * passes just to re-check a frozen invariant. Weak-keyed so a
+    * dropped frame releases its entry. */
+  private val frameN = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+
+  private def denseCount(emb: DataFrame): Long = {
+    val cached = frameN.get(emb)
+    if (cached != null) cached.longValue()
+    else {
+      val n = emb.count()
+      requireDenseIds(emb, n)
+      frameN.put(emb, n)
+      n
+    }
+  }
+
   private def requireDenseIds(emb: DataFrame, n: Long): Unit = {
     val r = emb.agg(min(col("vec_id").cast("long")),
       max(col("vec_id").cast("long"))).head()
@@ -168,8 +188,7 @@ object NnDescent {
     * (see [[requireDenseIds]]); use [[buildSubset]] for an arbitrary
     * id slice. */
   def build(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val n = emb.count()
-    requireDenseIds(emb, n)
+    val n = denseCount(emb)
     val vecs = vecsOf(emb)
     var knn = topK(score(initEdges(emb, k, n), vecs), k)
       .select("node", "nbr", "cos_sim").localCheckpoint()
@@ -247,8 +266,7 @@ object NnDescent {
     * yields identical per-query rows. */
   def serveFrame(emb: DataFrame, graph: DataFrame, queries: DataFrame,
       k: Int, beam: Int, hops: Int): DataFrame = {
-    val n = emb.count()
-    requireDenseIds(emb, n)
+    val n = denseCount(emb)
     serveImpl(emb, graph, queries, k, beam, hops, entryMod = n,
       salt = "sv", vecsIn = None)
   }
