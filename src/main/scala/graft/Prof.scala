@@ -23,7 +23,16 @@ object Prof {
     // in this one JVM and record min(rep2, rep3) (true steady: JIT and
     // stage builds land in rep1). Run this in the same clean window as
     // the committed bench (the r9 verdict's profile-staleness item).
-    if (args.length == 2 && args(0) == "--profile-out") {
+    if (args.length == 1 && args(0) == "--warmup-only") {
+      // time ONLY the shared-stage prewarm (per-build wall times print
+      // with GRAFT_WARMUP_TIMES=1) — the warmup-cost feedback loop
+      val t0 = System.nanoTime()
+      val phases = graft.queries.Warmup.prewarm(spark, sfDir)
+      phases.foreach { case (n, s) => println(f"[prof] $n $s%.2f s") }
+      println(f"[prof] warmup total ${(System.nanoTime() - t0) / 1e9}%.2f s"
+        + s" artifact_hits=${graft.queries.Artifacts.hitNames.size}"
+        + s" artifact_builds=${graft.queries.Artifacts.buildNames.size}")
+    } else if (args.length == 2 && args(0) == "--profile-out") {
       try graft.queries.Warmup.prewarm(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[prof] prewarm failed: ${e.getMessage}") }

@@ -65,7 +65,17 @@ object SparkEntry {
     }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Every string passes through [[graft.ops.OracleSql.materializeCtes]]
+    * — a row-identical evaluation-strategy pin that keeps the driver's
+    * DuckDB compare from re-inlining shared CTE scaffolds (the gate's
+    * fixed cost, not the engine's). */
   def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(o =>
+      q.name -> graft.ops.OracleSql.materializeCtes(o))).toMap
+
+  /** The authored (untransformed) oracle text — spec seam for locking
+    * that the post-pass is insertion-only. */
+  private[graft] def rawOracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
