@@ -100,6 +100,51 @@ object Artifacts {
     f.delete(); ()
   }
 
+  // ---- text artifacts (driver-side fitted OBJECTS — PCA components,
+  // classifier weights — serialized by their own exact codecs) ----
+
+  private val textLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Store/load a serialized model object under the same key scheme as
+    * the parquet artifacts (`<name>-<fp16>.txt`, atomic tmp+rename,
+    * stale keys evicted). Returns the STORED text on hit and miss
+    * alike, so callers always deserialize the same bytes both rounds.
+    * Caller guards [[enabledFor]]. */
+  def persistedText(dir: String, name: String)(build: => String)
+      : String = {
+    val p = java.nio.file.Paths.get(path(dir, name) + ".txt")
+    val lock = textLocks.computeIfAbsent(p.toString, _ => new Object)
+    lock.synchronized {
+      if (java.nio.file.Files.isRegularFile(p)) {
+        noteHit(name)
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      } else {
+        evictTextSiblings(dir, name)
+        noteBuild(name)
+        val text = build
+        java.nio.file.Files.createDirectories(p.getParent)
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, text.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        text
+      }
+    }
+  }
+
+  private def evictTextSiblings(dir: String, name: String): Unit = {
+    val sf = new java.io.File(dir).getName
+    val sn = safeName(name)
+    val cur = s"$sn-${fingerprint(dir)}.txt"
+    val d = new java.io.File(s"$root/$sf")
+    Option(d.listFiles()).getOrElse(Array())
+      .filter(f => f.getName.startsWith(s"$sn-") && f.getName != cur
+        && f.getName.stripPrefix(s"$sn-").matches("[0-9a-f]{16}\\.txt"))
+      .foreach(_.delete())
+  }
+
   // ---- per-run hit/build ledger (reported by Bench so a reader can
   // tell a warm-cache warmup from a cold rebuild at a glance) ----
   private val hits = scala.collection.concurrent.TrieMap.empty[String, Unit]

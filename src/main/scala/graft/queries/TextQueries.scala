@@ -489,12 +489,21 @@ object TextQueries extends QueryModule {
     .empty[String, graft.ml.PowerPca.Fit]
   private[queries] def pcaFitted(s: SparkSession, dir: String)
       : graft.ml.PowerPca.Fit =
-    pcaMemo.getOrElseUpdate(dir,
-      graft.ml.PowerPca.fit(t(s, dir, "embeddings"), PcaComps,
-        PcaIters,
+    pcaMemo.getOrElseUpdate(dir, {
+      def fit() = graft.ml.PowerPca.fit(t(s, dir, "embeddings"),
+        PcaComps, PcaIters,
         // pcaCtes unrolls the oracle for exactly this dimension —
         // the same silent-divergence coupling the dimred arm guards
-        expectDims = Some(graft.Settings.ann.embeddingDim)))
+        expectDims = Some(graft.Settings.ann.embeddingDim))
+      // stored model artifact (exact text codec — hit and miss both
+      // deserialize the stored bytes; the fit is the second-largest
+      // warmup build, 35 s at sf0.1)
+      if (Artifacts.enabledFor(dir))
+        graft.ml.PowerPca.loadFit(
+          Artifacts.persistedText(dir, "pca_fit")(
+            graft.ml.PowerPca.saveFit(fit())))
+      else fit()
+    })
 
   private[queries] def pcaCtes: String =
     graft.ml.PowerPca.oracleCtes(PcaComps, PcaIters,
@@ -712,6 +721,62 @@ object TextQueries extends QueryModule {
       HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio,
       HnswLevels, HnswUpRounds, PqM, PqSubK, PqSubDim, RerankR,
       lloydIters = PqLloydIters)
+
+  // ---- OPQ levers for the graph+PQ serve: a structured rotation
+  // (Srht — energy-spreading before the subspace split, the Ge et al.
+  // 2013 lever in its deterministic Hadamard form) and a wider-m rung
+  // (2·pq.m subspaces = twice the bits/vector) ----
+
+  /** The corpus under the SRHT rotation — same vec_ids, rotated
+    * coordinates (round-6 seam). Only the PQ quantizer consumes this
+    * frame; graph, entries and exact re-rank stay on the original. */
+  private[queries] def opqRotated(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "opq_rotated") {
+      val d = graft.Settings.ann.embeddingDim
+      t(s, dir, "embeddings").select(col("vec_id"),
+        graft.text.Srht.rotate(
+          col("embedding").cast("array<double>"), d).as("embedding"))
+    }
+
+  private val lloydCbRotMemo = scala.collection.concurrent.TrieMap
+    .empty[String, IndexedSeq[IndexedSeq[Array[Double]]]]
+  private[queries] def lloydCbRot(s: SparkSession, dir: String)
+      : IndexedSeq[IndexedSeq[Array[Double]]] =
+    lloydCbRotMemo.getOrElseUpdate(dir,
+      Similarity.lloydCodebook(opqRotated(s, dir), m = PqM,
+        subK = PqSubK, iters = PqLloydIters))
+
+  private val lloydCbWideMemo = scala.collection.concurrent.TrieMap
+    .empty[String, IndexedSeq[IndexedSeq[Array[Double]]]]
+  private[queries] def lloydCbWide(s: SparkSession, dir: String)
+      : IndexedSeq[IndexedSeq[Array[Double]]] =
+    lloydCbWideMemo.getOrElseUpdate(dir,
+      Similarity.lloydCodebook(t(s, dir, "embeddings"), m = 2 * PqM,
+        subK = PqSubK, iters = PqLloydIters))
+
+  /** Graph+PQ serve with codes/ADC in the ROTATED space, exact
+    * re-rank in the original (NnDescent.serveHierPqCoded). */
+  private[queries] def hnswPqRotServed(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "hnsw_pq_rot_served") {
+      graft.text.NnDescent.serveHierPqCoded(t(s, dir, "embeddings"),
+        nndGraph(s, dir), hnswLayers(s, dir), opqRotated(s, dir),
+        col("vec_id") < 8, AnnK, HnswUpBeam, HnswUpHops, HnswBeam,
+        HnswHops, HnswRatio, RerankR, lloydCbRot(s, dir))
+    }
+
+  /** Graph+PQ serve at m = 2·pq.m (24 bits/vector at the defaults —
+    * the bits-vs-recall rung). */
+  private[queries] def hnswPqWideServed(s: SparkSession, dir: String)
+      : DataFrame =
+    Stage.cached(s, dir, "hnsw_pq_wide_served") {
+      graft.text.NnDescent.serveHierPq(t(s, dir, "embeddings"),
+        nndGraph(s, dir), hnswLayers(s, dir), col("vec_id") < 8,
+        AnnK, HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio,
+        2 * PqM, PqSubK, RerankR,
+        codebook = Some(lloydCbWide(s, dir)))
+    }
 
   /** The rerank-budget rungs and the per-rung served frames (ONE
     * shared ADC traversal — the rerank pool does not affect it). */
@@ -5341,6 +5406,105 @@ object TextQueries extends QueryModule {
             col("avg_recall"), col("avg_scored"), col("avg_exact"),
             col("total_exact"))
       }.reduce(_ unionByName _).orderBy("rerank_r")
+    },
+
+    // OPQ levers for the graph+PQ serve, priced at matched descent
+    // knobs: the 12-bit default arm vs (a) the SRHT-rotated codes
+    // (Srht — the Ge et al. 2013 OPQ rotation in its deterministic
+    // Hadamard form: spread coordinate energy uniformly across the
+    // subspace split before quantizing; codes and ADC tables live in
+    // the rotated space, the graph and the exact re-rank stay in the
+    // original — orthogonality preserves the cosine ranking) and (b)
+    // a wider-m rung (2·pq.m subspaces = 2× bits/vector — the
+    // bits-buy-recall lever the frontier showed 12 bits starving).
+    // The oracle re-walks all three chains: rotation, per-subspace
+    // Lloyd fits, ADC traversal, exact re-rank.
+    Q("q_e_hnsw_pq_opq_ab", Some {
+      val d = graft.Settings.ann.embeddingDim
+      val rotCtes = graft.text.Srht.oracleCtes(d, "ndex", "oq",
+        graft.text.TextOps.hsqlMod)
+      def core(pfx: String, m: Int, subDim: Int, src: String) =
+        graft.text.NnDescent.oracleHierServePqCore(NndRounds,
+          HnswUpBeam, HnswUpHops, HnswBeam, HnswHops, HnswRatio,
+          HnswLevels, HnswUpRounds, m, PqSubK, subDim,
+          lloydIters = PqLloydIters, pfx = pfx, srcCte = src).trim
+      def tail(pfx: String) = graft.text.NnDescent
+        .oracleHierServePqTail(AnnK, RerankR, pfx, "").trim
+      val armRows = Seq("pq_base" -> "gp", "pq_opq_rot" -> "gr",
+        "pq_m_wide" -> "gw").map { case (arm, pfx) =>
+        s"""
+        SELECT '$arm' AS arm, t.qid,
+               CAST(count(s.vid) AS DOUBLE) / count(*) AS recall,
+               any_value(a.n_scored) AS n_scored,
+               any_value(x.n_exact) AS n_exact
+        FROM obtt t
+        LEFT JOIN ${pfx}rv s ON s.qid = t.qid AND s.vid = t.vid
+        JOIN ${pfx}all a ON a.qid = t.qid
+        JOIN ${pfx}nx x ON x.qid = t.qid
+        GROUP BY 2"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $nndCtes,
+      $hnswLayerCtes,
+      ${hnswPqServeChainCtes.trim},
+      $rotCtes,
+      ${core("gr", PqM, PqSubDim, "oqrotex")},
+      ${tail("gr")},
+      ${core("gw", 2 * PqM, PqSubDim / 2, "ndex")},
+      ${tail("gw")},
+      obtr AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vid,
+               sum(a.x * b.x) AS dot
+        FROM ndex a JOIN ndex b ON a.i = b.i
+          AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+        GROUP BY 1, 2),
+      obtt AS (
+        SELECT qid, vid FROM (
+          SELECT d.qid, d.vid,
+                 row_number() OVER (PARTITION BY d.qid
+                   ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                     d.vid) AS rnk
+          FROM obtr d JOIN ndnrm na ON na.vec_id = d.qid
+                      JOIN ndnrm nb ON nb.vec_id = d.vid)
+        WHERE rnk <= $AnnK)
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_queries,
+             round(avg(recall), 9) AS avg_recall,
+             round(avg(CAST(n_scored AS DOUBLE)), 9) AS avg_scored,
+             round(avg(CAST(n_exact AS DOUBLE)), 9) AS avg_exact,
+             CAST(sum(n_exact) AS BIGINT) AS total_exact
+      FROM ($armRows)
+      GROUP BY 1 ORDER BY arm"""
+    }) { (s, dir) =>
+      val truth = Similarity.cosineTopK(t(s, dir, "embeddings"),
+          col("vec_id") < 8, AnnK)
+        .select(col("qid"), col("vid")).localCheckpoint()
+      def arm(name: String, served: DataFrame): DataFrame = {
+        val hits = served.select(col("qid"), col("vid"))
+          .withColumn("hit", lit(1L))
+        val nsc = served.groupBy("qid")
+          .agg(first(col("n_scored")).as("n_scored"),
+            first(col("n_exact")).as("n_exact"))
+        truth.join(hits, Seq("qid", "vid"), "left")
+          .groupBy("qid")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+            / count(lit(1))).as("recall"))
+          .join(nsc, Seq("qid"))
+          .select(lit(name).as("arm"), col("recall"),
+            col("n_scored"), col("n_exact"))
+      }
+      arm("pq_base", hnswPqServed(s, dir))
+        .unionByName(arm("pq_opq_rot", hnswPqRotServed(s, dir)))
+        .unionByName(arm("pq_m_wide", hnswPqWideServed(s, dir)))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg("recall"), 9).as("avg_recall"),
+          round(avg(col("n_scored").cast("double")), 9)
+            .as("avg_scored"),
+          round(avg(col("n_exact").cast("double")), 9)
+            .as("avg_exact"),
+          sum("n_exact").cast("long").as("total_exact"))
+        .orderBy("arm")
     },
 
     // INCREMENTAL HNSW hierarchy maintenance (NnDescent

@@ -629,6 +629,24 @@ object NnDescent {
       upBeam, upHops, beam, hops, ratio, rerankR, Left(queryPred))
   }
 
+  /** [[serveHierPq]] with a SEPARATE code-space frame: PQ codes and
+    * query distance tables quantize `codeEmb` (e.g. an OPQ-rotated
+    * copy of the corpus — same vec_ids, transformed coordinates)
+    * while the graph, the entry layers and the exact re-rank stay on
+    * `emb`'s ORIGINAL vectors. This is the OPQ serving split: rotate
+    * only what gets quantized; an orthogonal rotation preserves the
+    * cosine ranking the re-rank reports. */
+  def serveHierPqCoded(emb: DataFrame, baseGraph: DataFrame,
+      layerGraphs: Seq[DataFrame], codeEmb: DataFrame,
+      queryPred: Column, k: Int, upBeam: Int, upHops: Int, beam: Int,
+      hops: Int, ratio: Int, rerankR: Int,
+      codebook: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val (codes0, qd20) =
+      Similarity.pqPartsCodebook(codeEmb, queryPred, codebook)
+    serveHierPqImpl(emb, baseGraph, layerGraphs, codes0, qd20, k,
+      upBeam, upHops, beam, hops, ratio, rerankR, Left(queryPred))
+  }
+
   /** [[serveHierPq]] with an EXPLICIT (vec_id, embedding) query frame
     * — the streaming seam (the [[serveFrame]] convention). A codebook
     * is REQUIRED here: corpus codes and query distance tables must
@@ -1241,7 +1259,7 @@ object NnDescent {
       upHops: Int, beam: Int, hops: Int, ratio: Int, levels: Int,
       upRounds: Int, m: Int, subK: Int, subDim: Int,
       lloydIters: Int = 0, queryFilter: String = "vec_id < 8",
-      pfx: String = "gp"): String = {
+      pfx: String = "gp", srcCte: String = "ndex"): String = {
     val pieces = Seq.newBuilder[String]
     // the codebook: lloydIters = 0 → the seed-slice centroids
     // (pqTopK's convention); > 0 → one unrolled LloydKmeans chain per
@@ -1272,7 +1290,7 @@ object NnDescent {
     pieces += s"""
       ${pfx}sub AS (
         SELECT vec_id, i // $subDim AS m, i % $subDim AS j, x
-        FROM ndex),$centCte,
+        FROM $srcCte),$centCte,
       ${pfx}d2 AS MATERIALIZED (
         SELECT s.vec_id, s.m, c.c,
                CAST(sum(CAST((s.x - c.y) * (s.x - c.y)
