@@ -27,8 +27,8 @@ object Prof {
       // time ONLY the shared-stage prewarm (per-build wall times print
       // with GRAFT_WARMUP_TIMES=1) — the warmup-cost feedback loop
       val t0 = System.nanoTime()
-      val phases = graft.queries.Warmup.prewarm(spark, sfDir)
-      phases.foreach { case (n, s) => println(f"[prof] $n $s%.2f s") }
+      val rep = graft.queries.Warmup.prewarm(spark, sfDir)
+      rep.phases.foreach { case (n, s) => println(f"[prof] $n $s%.2f s") }
       println(f"[prof] warmup total ${(System.nanoTime() - t0) / 1e9}%.2f s"
         + s" artifact_hits=${graft.queries.Artifacts.hitNames.size}"
         + s" artifact_builds=${graft.queries.Artifacts.buildNames.size}")

@@ -134,7 +134,13 @@ object ScaleStress {
     // ~linear), and the audio flux-hash dup (4 lag joins over the
     // sample stream + banded pair join, ~linear)
     "q_e_hnsw_incr", "q_e_hnsw_pq_serve", "q_t_kn3_pruned_ab",
-    "q_m_audio_dup")
+    "q_m_audio_dup",
+    // r15 additions: the OPQ three-arm A/B (two extra Lloyd-chain
+    // codebooks + two extra ADC traversals over the same graph —
+    // query-local, ~flat like the pq serve) and the video keyframe
+    // dup (one (doc,frame) shuffle + the capped banding; the output
+    // is again the planted-dup quadratic object, cap-bounded)
+    "q_e_hnsw_pq_opq_ab", "q_m_video_dup")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -236,6 +242,39 @@ object ScaleStress {
         val lineB = s"""{"scale_q":"bpe_batched_r20m4_$rule","dir":"$dir","wall":${r2(tb)},"merges":$nMerges,"per_merge":${r2(tb / math.max(nMerges, 1))},"err":$batchErr}"""
         println(lineB); extraLines += lineB
       }
+    }
+    // Mega-clique cap rung (r15): at N× every base doc is an N-clique
+    // of planted near-dups — exactly the object the hot-bucket cap
+    // (multimodal.max_band_bucket) bounds. Run the audio dup on the
+    // N× corpus at the default cap and with the cap BELOW the replica
+    // count (8), so the capped wall and the dup-pair recall trade are
+    // measured numbers instead of prose. Capped pairs are a strict
+    // subset (the cap only DROPS buckets), so recall = capped/uncapped
+    // dup pairs.
+    if (factor > 8) {
+      def cappedRun(cap: Option[Int]): (Double, Long, Long, Boolean) = {
+        cap.foreach(c =>
+          sys.props("graft.multimodal.max_band_bucket") = c.toString)
+        try {
+          var n = 0L; var nd = 0L; var err = false
+          val t = time {
+            try {
+              val df = qs("q_m_audio_dup")(spark, out).cache()
+              n = df.count()
+              nd = df.filter(col("is_dup")).count()
+              df.unpersist()
+            } catch { case e: Throwable => err = true
+              System.err.println(s"[scale] audio_dup_cap: ${e.getMessage}") }
+          }
+          (t, n, nd, err)
+        } finally cap.foreach(_ =>
+          sys.props.remove("graft.multimodal.max_band_bucket"))
+      }
+      val (tU, nU, ndU, eU) = cappedRun(None)
+      val (tC, nC, ndC, eC) = cappedRun(Some(8))
+      val rec = ndC.toDouble / math.max(ndU, 1L).toDouble
+      val line = s"""{"scale_q":"audio_dup_cap8","dir":"$out","wall_uncapped":${r2(tU)},"wall_capped":${r2(tC)},"pairs_uncapped":$nU,"pairs_capped":$nC,"dup_pairs_uncapped":$ndU,"dup_pairs_capped":$ndC,"dup_recall_capped":${r2(rec)},"err":${eU || eC}}"""
+      println(line); extraLines += line
     }
     val summary = Measured.map { n =>
       val (_, s1, e1) = results((n, base))

@@ -620,6 +620,22 @@ object Settings {
         s"multimodal.max_band_bucket must be >= 2, got $v")
       v
     }
+    /** Video keyframe sampling stride (every step-th 256-byte frame
+      * is hashed — Multimodal.videoFrameBands). */
+    def videoFrameStep: Int = {
+      val v = int("multimodal.video.frame_step", 2)
+      require(v >= 1,
+        s"multimodal.video.frame_step must be >= 1, got $v")
+      v
+    }
+    /** Video dup verdict threshold: matched keyframes as a share of
+      * the smaller side's sampled keyframes. */
+    def videoMinShare: Double = {
+      val v = dbl("multimodal.video.min_frame_share", 0.5)
+      require(v > 0.0 && v <= 1.0,
+        s"multimodal.video.min_frame_share must be in (0,1], got $v")
+      v
+    }
   }
 
   /** `nndescent:` block — NN-Descent kNN-graph knobs (engine

@@ -22,7 +22,8 @@ object SparkEntry {
   }
 
   private val modules: Seq[QueryModule] = Seq(
-    Relational, Windows, TextQueries, MultimodalQueries, TimeSeriesQueries,
+    Relational, Windows, TextQueries, AnnQueries, DedupQueries,
+    MultimodalQueries, TimeSeriesQueries,
     BacktestQueries, IngestQueries, ResearchQueries, MlQueries,
     ValidationQueries, BacktestQueries2, CompareQueries,
     ProductionQueries, CalibrationQueries, HybridQueries, CurationQueries,

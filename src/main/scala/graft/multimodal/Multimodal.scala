@@ -442,6 +442,117 @@ object Multimodal {
     flux.groupBy("doc_id").agg(bandAggs.head, bandAggs.tail: _*)
   }
 
+  /** Per-KEYFRAME aHash signatures for the video member of the
+    * perceptual-dup family: a video's payload splits into 256-byte
+    * FRAMES (the [[nFrames]] stub rule — a real deployment feeds
+    * decoded frames through the [[MediaDecoder]] seam), every
+    * `step`-th frame is sampled (the keyframe convention —
+    * [[frameSample]]), and each sampled frame gets its own 64-cell
+    * aHash over the frame's code points exactly as [[aHashBands]]
+    * hashes a whole image: per-frame 64-cell mean grid, per-frame
+    * mean threshold, 64 bits packed into 4 LSH bands.
+    *
+    * Returns (doc_id, frame_idx, b0..b3) — one signature row per
+    * sampled keyframe. Scale shape: one shuffle on (doc, frame);
+    * row count = Σ sampled frames, never frames². */
+  def videoFrameBands(media: DataFrame, step: Int): DataFrame = {
+    val FrameBytes = 256
+    val sampled = frameSample(decodeMeta(withPayload(media)), step)
+      .select(col("doc_id"), col("frame_idx"))
+    val cells = intensities(media)
+      .withColumn("frame_idx",
+        floor(col("i").cast("double") / FrameBytes).cast("int"))
+      .join(sampled, Seq("doc_id", "frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        // grid position within the frame: the LAST frame may be
+        // short, so the 64-cell grid stretches over its actual length
+        floor((col("i") % FrameBytes).cast("double") * 64 /
+          least(lit(FrameBytes),
+            col("n") - col("frame_idx") * FrameBytes))
+          .cast("int").as("cell"),
+        col("cv"))
+    val grid = cells.groupBy("doc_id", "frame_idx", "cell")
+      .agg((sum(col("cv")).cast("double") / count(lit(1))).as("gv"))
+    val thr = grid.groupBy("doc_id", "frame_idx")
+      .agg((sum(col("gv").cast("decimal(38,18)")).cast("double")
+        / count(lit(1))).as("thr"))
+    val bits = grid.join(thr, Seq("doc_id", "frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("cell"),
+        (col("gv") > col("thr")).as("bit"))
+    val bitVal = expr("shiftleft(1L, cast(cell % 16 as int))")
+    val bandAggs = (0 until 4).map { c =>
+      coalesce(sum(when(col("bit")
+          && (col("cell") / 16).cast("int") === c, bitVal)
+        .otherwise(0L)), lit(0L)).as(s"b$c")
+    }
+    bits.groupBy("doc_id", "frame_idx")
+      .agg(bandAggs.head, bandAggs.tail: _*)
+  }
+
+  /** VIDEO near-dup candidates: keyframe-level banded blocking + exact
+    * hamming verify (the [[bandPairs]] rule at frame grain, same
+    * hot-bucket cap), aggregated to video pairs — the standard
+    * keyframe-matching form: a frame MATCH is a cross-video keyframe
+    * pair within `maxHamming`; a video pair's evidence is how many of
+    * each side's sampled keyframes found a match. Observability form:
+    * (d1, d2, n_pair_matches, n_f1_matched, n_f2_matched, n_frames_1,
+    * n_frames_2, match_share, is_dup) with match_share =
+    * matched/min(sampled) and is_dup = share ≥ `minShare`. */
+  def videoDupCandidates(media: DataFrame, step: Int, maxHamming: Int,
+      minShare: Double): DataFrame = {
+    val maxBucket = graft.Settings.multimodal.maxBandBucket
+    val sig = videoFrameBands(media, step)
+    val keyed0 = sig.select(col("doc_id"), col("frame_idx"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("band_idx"), col(s"b$c").as("band"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bk.band_idx").as("band_idx"), col("bk.band").as("band"))
+    val keyed = keyed0
+      .withColumn("bn", count(lit(1))
+        .over(Window.partitionBy("band_idx", "band")))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val a = keyed.select(col("doc_id").as("d1"),
+      col("frame_idx").as("f1"),
+      col("b0").as("a_b0"), col("b1").as("a_b1"),
+      col("b2").as("a_b2"), col("b3").as("a_b3"),
+      col("band_idx"), col("band"))
+    val b = keyed.select(col("doc_id").as("d2"),
+      col("frame_idx").as("f2"),
+      col("b0").as("b_b0"), col("b1").as("b_b1"),
+      col("b2").as("b_b2"), col("b3").as("b_b3"),
+      col("band_idx"), col("band"))
+    val hamming = (0 until 4).map(c =>
+      bit_count(col(s"a_b$c").bitwiseXOR(col(s"b_b$c"))))
+      .reduce(_ + _)
+    val framePairs = a.join(b, Seq("band_idx", "band"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("f1"), col("d2"), col("f2"),
+        hamming.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val nSampled = sig.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"))
+    framePairs.groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_pair_matches"),
+        countDistinct(col("f1")).as("n_f1_matched"),
+        countDistinct(col("f2")).as("n_f2_matched"))
+      .join(nSampled.select(col("doc_id").as("d1"),
+        col("n_frames").as("n_frames_1")), Seq("d1"))
+      .join(nSampled.select(col("doc_id").as("d2"),
+        col("n_frames").as("n_frames_2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_pair_matches"),
+        col("n_f1_matched"), col("n_f2_matched"),
+        col("n_frames_1"), col("n_frames_2"),
+        round(least(col("n_f1_matched"), col("n_f2_matched"))
+          .cast("double")
+          / least(col("n_frames_1"), col("n_frames_2")), 6)
+          .as("match_share"))
+      .withColumn("is_dup", col("match_share") >= minShare)
+  }
+
   /** Audio near-dup candidate pairs — [[audioBands]] through the same
     * banded blocking + exact-hamming verify as the image hash
     * (observability form: banded pairs + hamming + is_dup). */

@@ -123,6 +123,112 @@ object MultimodalQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // VIDEO keyframe near-dup (Multimodal.videoDupCandidates —
+    // completing the perceptual-dup modality set): the payload splits
+    // into 256-byte frames (the decode stub's n_frames rule), every
+    // step-th frame is sampled (the keyframe convention), each
+    // sampled keyframe gets its own 64-cell aHash (per-frame grid →
+    // per-frame mean threshold → 64 bits → 4 LSH bands), keyframes
+    // block through the SAME capped banding as the image/audio
+    // hashes, and frame matches (hamming ≤ radius) aggregate to
+    // video pairs: how many of each side's keyframes found a match,
+    // match_share = matched/min(sampled), is_dup at the
+    // video.min_frame_share knob. Scale shape: one shuffle on
+    // (doc, frame); banding is an equi-join; the hot-bucket cap
+    // bounds a viral clip's k² frame-pair blow-up.
+    Q("q_m_video_dup", Some {
+      val step = graft.Settings.multimodal.videoFrameStep
+      val minShare = graft.Settings.multimodal.videoMinShare
+      val bandSums = (0 until 4).map(c =>
+        s"""coalesce(sum(CASE WHEN bit AND cell // 16 = $c
+               THEN (CAST(1 AS BIGINT) << (cell % 16)) ELSE 0 END), 0)
+               AS b$c""").mkString(",\n             ")
+      val bandCase = (0 until 4).map(c => s"WHEN $c THEN b$c")
+        .mkString("CASE c ", " ", " END")
+      val hamming = (0 until 4).map(c =>
+        s"bit_count(xor(a.b$c, b.b$c))").mkString(" + ")
+      s"""
+      WITH vchars AS (
+        SELECT doc_id, len(text) AS n,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+               unicode(unnest(string_split(text, ''))) AS cv
+        FROM documents),
+      vsampled AS (
+        SELECT doc_id,
+               CAST(unnest(range(0, len(text) // 256 + 1, $step))
+                 AS INT) AS frame_idx
+        FROM documents),
+      vcells AS (
+        SELECT c.doc_id, s.frame_idx,
+               CAST(floor(CAST(c.i % 256 AS DOUBLE) * 64
+                 / least(256, c.n - s.frame_idx * 256)) AS INT)
+                 AS cell,
+               CAST(sum(c.cv) AS DOUBLE) / count(*) AS gv
+        FROM vchars c JOIN vsampled s ON s.doc_id = c.doc_id
+          AND c.i // 256 = s.frame_idx
+        GROUP BY 1, 2, 3),
+      vthr AS (
+        SELECT doc_id, frame_idx,
+               CAST(sum(CAST(gv AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS thr
+        FROM vcells GROUP BY 1, 2),
+      vbits AS (
+        SELECT c.doc_id, c.frame_idx, c.cell, c.gv > t.thr AS bit
+        FROM vcells c JOIN vthr t USING (doc_id, frame_idx)),
+      vsig AS (
+        SELECT doc_id, frame_idx,
+             $bandSums
+        FROM vbits GROUP BY 1, 2),
+      vkeyed0 AS (
+        SELECT doc_id, frame_idx, b0, b1, b2, b3, c AS band_idx,
+               $bandCase AS band
+        FROM vsig, range(4) r(c)),
+      vkeyed AS (
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY band_idx, band) AS bn
+          FROM vkeyed0)
+        WHERE bn <= ${graft.Settings.multimodal.maxBandBucket}),
+      vfpairs AS (
+        SELECT DISTINCT a.doc_id AS d1, a.frame_idx AS f1,
+               b.doc_id AS d2, b.frame_idx AS f2,
+               CAST($hamming AS INT) AS hamming
+        FROM vkeyed a JOIN vkeyed b
+          ON a.band_idx = b.band_idx AND a.band = b.band
+          AND a.doc_id < b.doc_id),
+      vmatch AS (
+        SELECT * FROM vfpairs
+        WHERE hamming <= ${TextQueries.SimhashRadius}),
+      vns AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+        FROM vsig GROUP BY 1),
+      vagg AS (
+        SELECT d1, d2,
+               CAST(count(*) AS BIGINT) AS n_pair_matches,
+               CAST(count(DISTINCT f1) AS BIGINT) AS n_f1_matched,
+               CAST(count(DISTINCT f2) AS BIGINT) AS n_f2_matched
+        FROM vmatch GROUP BY 1, 2)
+      SELECT g.d1, g.d2, g.n_pair_matches, g.n_f1_matched,
+             g.n_f2_matched, n1.n_frames AS n_frames_1,
+             n2.n_frames AS n_frames_2,
+             round(CAST(least(g.n_f1_matched, g.n_f2_matched)
+                 AS DOUBLE)
+               / least(n1.n_frames, n2.n_frames), 6) AS match_share,
+             round(CAST(least(g.n_f1_matched, g.n_f2_matched)
+                 AS DOUBLE)
+               / least(n1.n_frames, n2.n_frames), 6) >= $minShare
+               AS is_dup
+      FROM vagg g
+      JOIN vns n1 ON n1.doc_id = g.d1
+      JOIN vns n2 ON n2.doc_id = g.d2
+      ORDER BY d1, d2"""
+    }) { (s, dir) =>
+      Multimodal.videoDupCandidates(t(s, dir, "documents"),
+          step = graft.Settings.multimodal.videoFrameStep,
+          maxHamming = TextQueries.SimhashRadius,
+          minShare = graft.Settings.multimodal.videoMinShare)
+        .orderBy("d1", "d2")
+    },
+
     // AUDIO near-dup fingerprint (Multimodal.audioDupCandidates —
     // the chromaprint shape over the WAV decode seam's sample
     // stream, completing the perceptual-dup family's audio

@@ -273,4 +273,43 @@ class MultimodalSpec extends SparkSpec {
     assert(same.length == 1 && same.head.getInt(2) == 0
       && same.head.getBoolean(3))
   }
+
+  test("video keyframe dup: an identical clip pairs at full match " +
+      "share; a clip sharing only its first half matches partially; " +
+      "unrelated video does not pair as dup") {
+    import spark.implicits._
+    def synth(seed: Long, n: Int): String = {
+      var h = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((h >>> 33) % 26)).toChar)
+      }
+      sb.toString
+    }
+    // 4 frames of 256 bytes; step 1 samples every frame
+    val base = synth(11L, 1024)
+    val halfShared = base.take(512) + synth(77L, 512)
+    val other = synth(99L, 1024)
+    val docs = Seq((1L, base), (2L, base), (3L, halfShared),
+      (4L, other)).toDF("doc_id", "text")
+    val rows = Multimodal.videoDupCandidates(docs, step = 1,
+        maxHamming = 3, minShare = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(7), r.getBoolean(8)))).toMap
+    // identical clip: every keyframe matches, share 1.0, dup
+    assert(rows.contains((1L, 2L)) && rows((1L, 2L))._2 == 1.0
+      && rows((1L, 2L))._3,
+      s"identical clip not recovered as full-share dup: $rows")
+    // half-shared clip: the two shared frames match (share >= 0.5 of
+    // 4-5 sampled frames -> dup at the 0.5 threshold)
+    assert(rows.contains((1L, 3L)) && rows((1L, 3L))._3,
+      s"half-shared clip not recovered: $rows")
+    assert(rows((1L, 3L))._2 < 1.0,
+      s"half-shared clip should not read full share: $rows")
+    // unrelated clip never marked dup
+    assert(!rows.filter(_._2._3).keySet
+      .exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated video spuriously marked dup: $rows")
+  }
 }

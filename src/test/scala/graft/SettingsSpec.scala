@@ -699,4 +699,38 @@ class SettingsSpec extends SparkSpec {
     }
     assert(Settings.sensitivity.maxCombos == 500)
   }
+
+  test("multimodal knobs (band-bucket cap, video keyframe step/share) " +
+      "validate and re-interpolate the video-dup oracle") {
+    assert(Settings.multimodal.maxBandBucket == 64)
+    assert(Settings.multimodal.videoFrameStep == 2)
+    assert(Settings.multimodal.videoMinShare == 0.5)
+    withProp("graft.multimodal.max_band_bucket", "1") {
+      intercept[IllegalArgumentException] {
+        Settings.multimodal.maxBandBucket
+      }
+    }
+    withProp("graft.multimodal.video.frame_step", "0") {
+      intercept[IllegalArgumentException] {
+        Settings.multimodal.videoFrameStep
+      }
+    }
+    withProp("graft.multimodal.video.min_frame_share", "1.5") {
+      intercept[IllegalArgumentException] {
+        Settings.multimodal.videoMinShare
+      }
+    }
+    // oracle text follows the knobs (the desync-proof contract): the
+    // sampling stride and the verdict threshold are interpolated into
+    // the video-dup SQL
+    def videoSql = SparkEntry.oracleSql("q_m_video_dup")
+    assert(videoSql.contains("range(0, len(text) // 256 + 1, 2)"))
+    assert(videoSql.contains(">= 0.5"))
+    withProp("graft.multimodal.video.frame_step", "3") {
+      assert(videoSql.contains("range(0, len(text) // 256 + 1, 3)"))
+    }
+    withProp("graft.multimodal.video.min_frame_share", "0.75") {
+      assert(videoSql.contains(">= 0.75"))
+    }
+  }
 }
