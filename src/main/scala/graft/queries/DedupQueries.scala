@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.text.{Dedup, Similarity, TextOps}
 import TextQueries._
+import DedupStages._
 
 /** Deduplication operators over `documents` (SURVEY §2 D-family):
   * n-gram Jaccard, MinHash+LSH (tune/quality/e2e), SimHash, winnowing
@@ -861,6 +862,376 @@ object DedupQueries extends QueryModule {
             .when(dupBytes > 0, "partial")
             .otherwise("novel").as("status"))
         .orderBy("doc_id")
+    },
+
+
+
+    // End-to-end per-doc curation decision table: exact-dup keeper ∪
+    // MinHash near-dup ∪ quality gates folded into one keep/drop
+    // decision with a precedence-ordered reason — the operator a
+    // production corpus pipeline actually materializes per document.
+    Q("q_t_dedup_policy", Some(s"""
+      WITH $minhashCtes,
+      fp AS (
+        SELECT doc_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+                 AS exact_dup
+        FROM documents),
+      nd AS (SELECT DISTINCT d2 AS doc_id FROM mh_pairs),
+      qf AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               round(0.4 * (CAST(least(nc, 400) AS DOUBLE) / 400.0)
+                 + 0.4 * (1.0 - CAST(nc - length(regexp_replace(text,
+                     '[0-9]', '', 'g')) AS DOUBLE) / nc)
+                 + 0.2 * least((CAST(len(list_filter(t, x -> x IN $stop))
+                     AS DOUBLE) / len(t)) * 4.0, 1.0), 9) AS quality_score,
+               round(CAST(nc - length(regexp_replace(text, '[0-9]', '',
+                 'g')) AS DOUBLE) / nc, 9) AS digit_ratio
+        FROM (SELECT doc_id, text, regexp_split_to_array(text, '[[:space:]]+') AS t,
+                     length(text) AS nc FROM documents)),
+      dec AS (
+        SELECT f.doc_id, f.exact_dup,
+               nd.doc_id IS NOT NULL AS near_dup,
+               (q.n_tokens >= 10 AND q.quality_score >= 0.5
+                 AND q.digit_ratio <= 0.3) AS quality_pass
+        FROM fp f LEFT JOIN nd ON f.doc_id = nd.doc_id
+        JOIN qf q ON f.doc_id = q.doc_id)
+      SELECT doc_id, exact_dup, near_dup, quality_pass,
+             CASE WHEN exact_dup THEN 'drop_exact_dup'
+                  WHEN near_dup THEN 'drop_near_dup'
+                  WHEN NOT quality_pass THEN 'drop_quality'
+                  ELSE 'keep' END AS decision
+      FROM dec ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val fp = Dedup.exactDups(docs)
+        .select(col("doc_id"), col("is_dup").as("exact_dup"))
+      val nd = mhPairs(s, dir)
+        .select(col("d2").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      val qf = docs
+        .select(col("doc_id") +: TextOps.qualityFeatures(col("text")): _*)
+        .select("doc_id", "n_tokens", "quality_score", "digit_ratio")
+      fp.join(nd, Seq("doc_id"), "left")
+        .join(qf, "doc_id")
+        .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
+        .withColumn("quality_pass",
+          col("n_tokens") >= 10 && col("quality_score") >= 0.5
+            && col("digit_ratio") <= 0.3)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("quality_pass"),
+          when(col("exact_dup"), "drop_exact_dup")
+            .when(col("near_dup"), "drop_near_dup")
+            .when(!col("quality_pass"), "drop_quality")
+            .otherwise("keep").as("decision"))
+        .orderBy("doc_id")
+    },
+
+
+
+    // Content fingerprint + exact-dup flags (canonical keeper = min doc_id)
+    Q("q_t_fingerprint", Some("""
+      SELECT doc_id, md5(text) AS fp,
+             count(*) OVER (PARTITION BY md5(text)) AS dup_n,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Dedup.exactDups(t(s, dir, "documents")).orderBy("doc_id")
+    },
+
+
+
+    // Incremental (batch-vs-index) dedup: docs with doc_id % 5 = 0 play
+    // the newly-delivered batch, the rest the standing index; each
+    // batch doc is classified exact_dup / near_dup / novel with its
+    // best index match. The oracle mirrors the same fingerprint join,
+    // band-key join, and argmax-similarity tie-break.
+    Q("q_t_incr_dedup", Some {
+      val agree = (0 until 8).map(j =>
+        s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH $minhashCtes,
+      fpb AS (SELECT doc_id, md5(text) AS fp FROM documents
+              WHERE doc_id % 5 = 0),
+      fpi AS (SELECT md5(text) AS fp, min(doc_id) AS ex_id
+              FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      exact AS (SELECT fpb.doc_id, fpi.ex_id
+                FROM fpb LEFT JOIN fpi USING (fp)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM bx a JOIN bx b
+                 ON a.band_idx = b.band_idx AND a.key = b.key
+               WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+      sims AS (SELECT d1, d2, CAST(($agree) AS DOUBLE) / 8 AS est
+               FROM cand
+               JOIN sig sa ON d1 = sa.doc_id
+               JOIN sig sb ON d2 = sb.doc_id),
+      best AS (SELECT d1, d2, est, row_number() OVER (
+                 PARTITION BY d1 ORDER BY est DESC, d2) AS rn
+               FROM sims WHERE est >= 0.5)
+      SELECT b.doc_id,
+             CASE WHEN e.ex_id IS NOT NULL THEN 'exact_dup'
+                  WHEN n.d2 IS NOT NULL THEN 'near_dup'
+                  ELSE 'novel' END AS verdict,
+             CASE WHEN e.ex_id IS NOT NULL THEN e.ex_id
+                  ELSE n.d2 END AS match_id,
+             CASE WHEN e.ex_id IS NULL THEN n.est END AS est_sim
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) b
+      LEFT JOIN exact e ON e.doc_id = b.doc_id
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) n ON n.d1 = b.doc_id
+      ORDER BY b.doc_id"""
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigs = docSigs(s, dir)
+      Dedup.incrementalClassifyFromSigs(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          sigs.filter(col("doc_id") % 5 =!= 0),
+          sigs.filter(col("doc_id") % 5 === 0),
+          minSim = 0.5, rowsPerBand = LshLayout._2)
+        .orderBy("doc_id")
+    },
+
+
+
+    // Leakage-safe train/heldout split: assignment hashes the duplicate
+    // COMPONENT id, not the doc id, so every near-dup cluster lands
+    // wholly on one side — the split you must use before eval-set
+    // carve-out or memorization measurement (doc-hash splits leak
+    // near-identical docs across the boundary).
+    Q("q_t_split_leakfree", Some(s"""
+      WITH RECURSIVE $componentCtes,
+      sized AS (
+        SELECT doc_id, comp_id,
+               count(*) OVER (PARTITION BY comp_id) AS cluster_size
+        FROM comp)
+      SELECT doc_id, comp_id, cluster_size,
+             CASE WHEN ${hsql("'split_' || comp_id")} % 10 < 9
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM sized ORDER BY doc_id""")) { (s, dir) =>
+      docComponents(s, dir)
+        .select(col("doc_id"), col("comp_id"), col("cluster_size"),
+          when(TextOps.hashMod(
+              concat(lit("split_"), col("comp_id"))) % 10 < 9,
+            "train").otherwise("heldout").as("split"))
+        .orderBy("doc_id")
+    },
+
+
+
+    // Winnowing document fingerprints (Schleimer et al. 2003 — MOSS):
+    // polynomial rolling k-byte-gram hashes (ONE O(len) pass per doc
+    // via the codegen'd graft.functions.RollingHash — per-position
+    // direct hashing is the O(len·k) substr-trap shape), then each
+    // w-window selects its minimum hash (ties → rightmost, "robust
+    // winnowing"), distinct selections = the doc's fingerprints.
+    // Guarantee: any verbatim match ≥ w+k−1 bytes shares a
+    // fingerprint at ~2/(w+1) the density of the full gram set — the
+    // positional-match fingerprint family MinHash can't provide.
+    Q("q_t_winnow_fp", Some(s"""
+      WITH $winnowCtes
+      SELECT doc_id, fp_pos, h FROM wfp
+      ORDER BY doc_id, fp_pos""")) { (s, dir) =>
+      winnowFps(s, dir).orderBy("doc_id", "fp_pos")
+    },
+
+
+
+    // The end-to-end dedup PIPELINE a real curation run executes —
+    // exact → substring-strip → MinHash-component → semantic keeper,
+    // each stage applied to the previous stage's survivors, reported
+    // as per-stage removal counts with monotone corpus shrinkage.
+    // Stage policy (stated, and mirrored verbatim by the oracle):
+    // artifacts (fingerprints, covered positions, component maps) are
+    // computed ONCE on the full corpus — the shared stages every
+    // individual query reads — and each stage keeps, per duplicate
+    // group, the minimum SURVIVING doc. Full-corpus substring
+    // artifacts stay sound after stage 1 because an exact-dup
+    // non-keeper's grams occur identically (same positions) in its
+    // kept twin, so no first occurrence is lost. Docs without an
+    // embedding pass the semantic stage untouched. tokens_out counts
+    // post-strip whitespace tokens of the stage's survivors.
+    Q("q_t_dedup_pipeline", Some(s"""
+      WITH RECURSIVE $componentCtes,
+      $annPairCtes,
+      ${substrCovCtes.trim},
+      ${pplCtes.trim},
+      sem AS (
+        SELECT id_a AS d1, id_b AS d2
+        FROM dots JOIN norms na ON id_a = na.vec_id
+                  JOIN norms nb ON id_b = nb.vec_id
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= $SemMinCos),
+      edges2 AS (
+        SELECT d1 AS a, d2 AS b FROM sem UNION SELECT d2, d1 FROM sem),
+      reach2 (a, b) AS (
+        SELECT a, b FROM edges2
+        UNION
+        SELECT r.a, e.b FROM reach2 r JOIN edges2 e ON r.b = e.a),
+      comp2 AS (
+        SELECT v.vec_id,
+               least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS comp_id
+        FROM embeddings v LEFT JOIN reach2 r ON r.a = v.vec_id
+        GROUP BY v.vec_id),
+      ntok AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '[[:space:]]+'))
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      covn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov
+               FROM cov GROUP BY 1),
+      s1 AS (SELECT doc_id FROM fp_star WHERE doc_id = keep),
+      s1t AS (
+        SELECT s1.doc_id, n.n_tokens,
+               n.n_tokens - coalesce(c.n_cov, 0) AS kept
+        FROM s1 JOIN ntok n USING (doc_id)
+             LEFT JOIN covn c USING (doc_id)),
+      s2 AS (SELECT * FROM s1t WHERE kept > 0),
+      s2c AS (SELECT s2.*, comp.comp_id FROM s2
+              JOIN comp USING (doc_id)),
+      k3 AS (SELECT comp_id, min(doc_id) AS keep_id FROM s2c
+             GROUP BY 1),
+      s3 AS (SELECT s2c.doc_id, s2c.kept FROM s2c
+             JOIN k3 USING (comp_id) WHERE doc_id = keep_id),
+      s3s AS (SELECT s3.doc_id, s3.kept, c2.comp_id AS sem_comp
+              FROM s3 LEFT JOIN comp2 c2 ON s3.doc_id = c2.vec_id),
+      k4 AS (SELECT sem_comp, min(doc_id) AS skeep FROM s3s
+             WHERE sem_comp IS NOT NULL GROUP BY 1),
+      s4 AS (SELECT s3s.doc_id, s3s.kept FROM s3s
+             LEFT JOIN k4 USING (sem_comp)
+             WHERE sem_comp IS NULL OR doc_id = skeep),
+      a0 AS (SELECT CAST(count(*) AS BIGINT) AS d0 FROM documents),
+      a1 AS (SELECT CAST(count(*) AS BIGINT) AS d1,
+                    CAST(sum(n_tokens) AS BIGINT) AS t1 FROM s1t),
+      a2 AS (SELECT CAST(count(*) AS BIGINT) AS d2,
+                    CAST(sum(kept) AS BIGINT) AS t2 FROM s2),
+      a3 AS (SELECT CAST(count(*) AS BIGINT) AS d3,
+                    CAST(sum(kept) AS BIGINT) AS t3 FROM s3),
+      a4 AS (SELECT CAST(count(*) AS BIGINT) AS d4,
+                    CAST(sum(kept) AS BIGINT) AS t4 FROM s4),
+      pbk AS (
+        SELECT d.doc_id, $pplBucketCase AS b
+        FROM pb_d d JOIN pb_cut c USING (lang)),
+      s5 AS (
+        SELECT s4.doc_id, s4.kept FROM s4
+        LEFT JOIN pbk ON s4.doc_id = pbk.doc_id
+        WHERE pbk.b IS NULL OR pbk.b <> 'tail'),
+      a5 AS (SELECT CAST(count(*) AS BIGINT) AS d5,
+                    CAST(sum(kept) AS BIGINT) AS t5 FROM s5),
+      ${CurationQueries.qclfCtes.trim},
+      ${graft.text.QualityClf.oracleThresholdCtes(
+        CurationQueries.QcIters, CurationQueries.QcTarget).trim},
+      s6 AS (
+        SELECT s5.doc_id, s5.kept FROM s5
+        JOIN qcpt m ON s5.doc_id = m.doc_id
+        WHERE m.p >= (SELECT thr FROM qcpick)),
+      a6 AS (SELECT CAST(count(*) AS BIGINT) AS d6,
+                    CAST(sum(kept) AS BIGINT) AS t6 FROM s6)
+      SELECT * FROM (
+        SELECT '1_exact' AS stage, d0 AS docs_in, d0 - d1 AS docs_removed,
+               d1 AS docs_out, t1 AS tokens_out
+        FROM a0, a1
+        UNION ALL
+        SELECT '2_substr_strip', d1, d1 - d2, d2, t2 FROM a1, a2
+        UNION ALL
+        SELECT '3_near_dup_component', d2, d2 - d3, d3, t3 FROM a2, a3
+        UNION ALL
+        SELECT '4_semantic_keeper', d3, d3 - d4, d4, t4 FROM a3, a4
+        UNION ALL
+        SELECT '5_quality_ppl', d4, d4 - d5, d5, t5 FROM a4, a5
+        UNION ALL
+        SELECT '6_quality_clf', d5, d5 - d6, d6, t6 FROM a5, a6)
+      ORDER BY stage""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val nTok = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      // pipeline-variant note: stage 2 strips EXACT-substring spans;
+      // corpora dominated by boilerplate/license text swap in (or add)
+      // the winnow-driven stripper (q_d_winnow_strip / Winnow
+      // .stripSpans) at the same position — identical kept-token
+      // accounting contract (n_tokens − covered), fingerprint-localized
+      // spans instead of exact k-token grams, same shared-artifact
+      // shape (the wfp stage replaces the cov stage)
+      val s1 = Dedup.exactDups(docs).filter(!col("is_dup"))
+        .select("doc_id")
+      val covn = substrCovered(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_cov"))
+      val s1t = s1.join(nTok, "doc_id")
+        .join(covn, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_cov"), lit(0L))).as("kept"))
+      val s2 = s1t.filter(col("kept") > 0)
+      val s2c = s2.join(
+        docComponents(s, dir).select("doc_id", "comp_id"), "doc_id")
+      val k3 = s2c.groupBy("comp_id").agg(min("doc_id").as("keep_id"))
+      val s3 = s2c.join(k3, "comp_id")
+        .filter(col("doc_id") === col("keep_id"))
+        .select("doc_id", "kept")
+      val s3s = s3.join(
+        semComps(s, dir).select(col("vec_id").as("doc_id"),
+          col("comp_id").as("sem_comp")), Seq("doc_id"), "left")
+      val k4 = s3s.filter(col("sem_comp").isNotNull)
+        .groupBy("sem_comp").agg(min("doc_id").as("skeep"))
+      val s4 = s3s.join(k4, Seq("sem_comp"), "left")
+        .filter(col("sem_comp").isNull || col("doc_id") === col("skeep"))
+        .select("doc_id", "kept")
+      // stage 5 — CCNet quality gate: drop survivors whose bigram-LM
+      // perplexity sits in the per-language TAIL tercile (buckets
+      // computed on the FULL corpus — the family's stage-artifact
+      // convention; an exact dup has identical text hence identical
+      // ppl, so full-corpus buckets are sound after dedup). Docs with
+      // no bigrams have no score and pass (can't-score ≠ low-quality).
+      val s5 = s4.join(
+          pplBucketed(s, dir).select(col("doc_id"),
+            col("ppl_bucket").as("pb")), Seq("doc_id"), "left")
+        .filter(col("pb").isNull || col("pb") =!= "tail")
+        .select("doc_id", "kept")
+      // stage 6 — TRAINED quality gate: the fastText-style classifier
+      // (QualityClf, fitted once per run on the full corpus like the
+      // ppl buckets) keeps survivors whose round-9 probability clears
+      // the CALIBRATION-DRIVEN threshold (qclfThreshold — the decile
+      // operating point chosen for quality_clf.target_precision), the
+      // classifier-scored filter production stacks run AFTER the
+      // heuristic/perplexity gates (GPT-3/CCNet lineage); inner join:
+      // every doc has gram features, so no can't-score class here
+      val thr6 = CurationQueries.qclfThreshold(s, dir)
+      val s6 = s5.join(
+          graft.text.QualityClf.score(
+            CurationQueries.qclfFeatY(s, dir),
+            CurationQueries.qclfWeights(s, dir))
+            .select(col("doc_id"), round(col("prob"), 9).as("clf_p")),
+          "doc_id")
+        .filter(col("clf_p") >= thr6)
+        .select("doc_id", "kept")
+      val a0 = docs.agg(count(lit(1)).as("d0"))
+      val a1 = s1t.agg(count(lit(1)).as("d1"),
+        sum("n_tokens").cast("long").as("t1"))
+      val a2 = s2.agg(count(lit(1)).as("d2"),
+        sum("kept").cast("long").as("t2"))
+      val a3 = s3.agg(count(lit(1)).as("d3"),
+        sum("kept").cast("long").as("t3"))
+      val a4 = s4.agg(count(lit(1)).as("d4"),
+        sum("kept").cast("long").as("t4"))
+      val a5 = s5.agg(count(lit(1)).as("d5"),
+        sum("kept").cast("long").as("t5"))
+      val a6 = s6.agg(count(lit(1)).as("d6"),
+        sum("kept").cast("long").as("t6"))
+      // ONE row after the crossJoins — checkpoint it so the six stage
+      // rows below don't re-run the whole seven-aggregate chain each
+      // (union branches share no exchange)
+      val all = a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+        .crossJoin(broadcast(a3)).crossJoin(broadcast(a4))
+        .crossJoin(broadcast(a5)).crossJoin(broadcast(a6))
+        .localCheckpoint()
+      def row(stage: String, din: String, dout: String, tok: String) =
+        all.select(lit(stage).as("stage"), col(din).as("docs_in"),
+          (col(din) - col(dout)).as("docs_removed"),
+          col(dout).as("docs_out"), col(tok).as("tokens_out"))
+      row("1_exact", "d0", "d1", "t1")
+        .unionByName(row("2_substr_strip", "d1", "d2", "t2"))
+        .unionByName(row("3_near_dup_component", "d2", "d3", "t3"))
+        .unionByName(row("4_semantic_keeper", "d3", "d4", "t4"))
+        .unionByName(row("5_quality_ppl", "d4", "d5", "t5"))
+        .unionByName(row("6_quality_clf", "d5", "d6", "t6"))
+        .orderBy("stage")
     }
   )
 }

@@ -52,43 +52,6 @@ object TextQueries extends QueryModule {
 
   private[queries] def WinnowK = graft.Settings.dedup.winnowK
   private[queries] def WinnowW = graft.Settings.dedup.winnowWindow
-  private[queries] def WinnowMaxFreq = graft.Settings.dedup.winnowMaxFreq
-  private[queries] def WinnowStripMin =
-    graft.Settings.dedup.winnowStripMinMatches
-  private[queries] def WinnowMinShared =
-    graft.Settings.dedup.winnowMinShared
-
-  /** Shared winnowed-fingerprint stage (Winnow.fingerprints at the
-    * live `dedup.winnow.*` knobs) — the stored per-doc artifact both
-    * the fingerprint report and the overlap pairs read. */
-  private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame =
-    Stage.cached(s, dir, "winnow_fps") {
-      graft.text.Winnow.fingerprints(t(s, dir, "documents"),
-        k = WinnowK, w = WinnowW)
-    }
-
-  /** Shared fingerprint-overlap pair stage (prune + holder expansion
-    * at the live winnow knobs) — read by the pair report and the
-    * alignment report so the expansion runs once. */
-  private[queries] def winnowPairs(s: SparkSession, dir: String)
-      : DataFrame =
-    Stage.cached(s, dir, "winnow_pairs") {
-      graft.text.Winnow.fingerprintPairsFrom(winnowFps(s, dir),
-        maxFreq = WinnowMaxFreq, minShared = WinnowMinShared)
-    }
-
-  private[queries] def CdcK = graft.Settings.dedup.cdcK
-  private[queries] def CdcDivisor = graft.Settings.dedup.cdcDivisor
-
-  /** Shared CDC chunk stage (Cdc.chunks at the live `dedup.cdc.*`
-    * knobs) — the stored per-doc chunk-fingerprint artifact both the
-    * chunk report and the dedup accounting read. */
-  private[queries] def cdcChunks(s: SparkSession, dir: String): DataFrame =
-    Stage.cached(s, dir, "cdc_chunks") {
-      graft.text.Cdc.chunks(t(s, dir, "documents"),
-        k = CdcK, divisor = CdcDivisor)
-    }
-
   /** DuckDB CTE chain mirroring [[pplBucketed]]'s inputs (bigram-LM
     * per-doc perplexity + per-lang ceil-rank tercile cuts) — ends at
     * `pb_d(doc_id, lang, n_bigrams, ppl)` and `pb_cut(lang, cut1,
@@ -155,60 +118,6 @@ object TextQueries extends QueryModule {
         when(col("ppl") <= element_at(col("qs"), 1), "head")
           .when(col("ppl") <= element_at(col("qs"), 2), "middle")
           .otherwise("tail").as("ppl_bucket"))
-  }
-
-  /** DuckDB CTE chain mirroring Cdc.chunks at the live knobs: per-char
-    * code points (byte ≡ code point on the ASCII fixture — the
-    * winnow/phash contract), per-position polynomial k-gram hashes via
-    * the same coefficient table the O(len) rolling engine expression
-    * realizes (the oracle pays the O(len·k) direct form), content cuts
-    * where h % divisor = 0, spans via lead(), salted chunk-text
-    * fingerprints. Ends at `cdck(doc_id, chunk_idx, start_pos,
-    * chunk_len, chunk_fp)`. */
-  private[queries] def cdcCtes: String = {
-    val (k, d) = (CdcK, CdcDivisor)
-    val coefs = {
-      val out = new Array[Long](k)
-      out(k - 1) = 1L
-      for (j <- k - 2 to 0 by -1)
-        out(j) = out(j + 1) * graft.functions.RollingHashes.Base %
-          graft.functions.RollingHashes.Prime
-      out.mkString(", ")
-    }
-    s"""
-      cdch AS (
-        SELECT doc_id, len(text) AS n,
-               generate_subscripts(string_split(text, ''), 1) - 1 AS i,
-               unicode(unnest(string_split(text, ''))) AS cv
-        FROM documents),
-      cdrh AS (
-        SELECT a.doc_id, a.i AS pos,
-               CAST(sum(CAST(b.cv AS BIGINT) * ([$coefs])[b.i - a.i + 1])
-                 % 1000000007 AS BIGINT) AS h
-        FROM cdch a JOIN cdch b ON a.doc_id = b.doc_id
-          AND b.i BETWEEN a.i AND a.i + ${k - 1}
-        WHERE a.i <= a.n - $k
-        GROUP BY 1, 2),
-      cdbnd AS (
-        SELECT doc_id, 0 AS b FROM documents
-        UNION
-        SELECT doc_id, pos + $k AS b FROM cdrh WHERE h % $d = 0
-        UNION
-        SELECT doc_id, len(text) AS b FROM documents),
-      cdsp AS (
-        SELECT doc_id, b AS s,
-               lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS e
-        FROM cdbnd),
-      cdck AS (
-        SELECT c.doc_id,
-               CAST(row_number() OVER (PARTITION BY c.doc_id
-                 ORDER BY c.s) AS INT) AS chunk_idx,
-               CAST(c.s AS INT) AS start_pos,
-               CAST(c.e - c.s AS INT) AS chunk_len,
-               ${hsql(s"'cdc_' || substr(t.text, c.s + 1, c.e - c.s)")}
-                 AS chunk_fp
-        FROM cdsp c JOIN documents t USING (doc_id)
-        WHERE c.e IS NOT NULL)"""
   }
 
   /** Live KN discount knob + shared Kneser-Ney scoring stage — read
@@ -317,53 +226,6 @@ object TextQueries extends QueryModule {
           avg(lp).as("avg_lp"),
           min(lp).as("min_lp"))
     }
-
-  /** DuckDB CTE chain mirroring Winnow.fingerprints: per-char code
-    * points (byte ≡ code point on the ASCII fixture — the engine
-    * hashes UTF-8 bytes, the phash/simhash contract), per-position
-    * polynomial k-gram hashes via the same coefficient table the
-    * O(len) rolling engine expression uses (the oracle pays the
-    * O(len·k) direct form — fine at gate scale), robust-winnowing
-    * window minima (ties → rightmost), distinct selections. */
-  private[queries] def winnowCtes: String = {
-    val (k, w) = (WinnowK, WinnowW)
-    // B^(k-1-j) mod P for j = 0..k-1 — the exact coefficients the
-    // rolling recurrence realizes
-    val coefs = {
-      val out = new Array[Long](k)
-      out(k - 1) = 1L
-      for (j <- k - 2 to 0 by -1)
-        out(j) = out(j + 1) * graft.functions.RollingHashes.Base %
-          graft.functions.RollingHashes.Prime
-      out.mkString(", ")
-    }
-    s"""
-      wch AS (
-        SELECT doc_id, len(text) AS n,
-               generate_subscripts(string_split(text, ''), 1) - 1 AS i,
-               unicode(unnest(string_split(text, ''))) AS cv
-        FROM documents),
-      wrh AS (
-        SELECT a.doc_id, a.i AS pos,
-               CAST(sum(CAST(b.cv AS BIGINT)
-                   * ([$coefs])[b.i - a.i + 1])
-                 % 1000000007 AS BIGINT) AS h
-        FROM wch a JOIN wch b ON a.doc_id = b.doc_id
-          AND b.i BETWEEN a.i AND a.i + ${k - 1}
-        WHERE a.i <= a.n - $k
-        GROUP BY 1, 2),
-      wcand AS (
-        SELECT we.doc_id, we.e, r.h, r.pos
-        FROM (SELECT doc_id, pos AS e FROM wrh WHERE pos >= ${w - 1}) we
-        JOIN wrh r ON r.doc_id = we.doc_id
-          AND r.pos BETWEEN we.e - ${w - 1} AND we.e),
-      wfp AS (
-        SELECT DISTINCT doc_id, pos AS fp_pos, h FROM (
-          SELECT doc_id, e, h, pos,
-                 row_number() OVER (PARTITION BY doc_id, e
-                   ORDER BY h, pos DESC) AS rn
-          FROM wcand) WHERE rn = 1)"""
-  }
 
   private[queries] def BpeMerges = graft.Settings.bpe.nMerges
 
@@ -540,63 +402,6 @@ object TextQueries extends QueryModule {
         merges)
     }
 
-  /** Shared per-doc MinHash signature stage (word-n-gram shingles, 8
-    * components) — the stored artifact every dedup pass starts from:
-    * self-dedup banding, component clustering, the dedup policy, and
-    * the incremental batch classifier all read this one frame instead
-    * of re-exploding the corpus into shingles per query. One row per
-    * doc, so checkpointing it is bounded by corpus cardinality. */
-  private[queries] def docSigs(s: SparkSession, dir: String): DataFrame =
-    Stage.cached(s, dir, "doc_minhash_sigs") {
-      Dedup.minhashSignatures(t(s, dir, "documents"), n = JaccN)
-    }
-
-  /** Shared covered-token-position stage for exact-substring dedup
-    * (Dedup.duplicateCovered at the live `dedup.substr.k`): one row per
-    * duplicated (doc_id, token_position), read by both the span report
-    * and the strip query so the gram pass runs once. */
-  private[queries] def substrCovered(s: SparkSession, dir: String): DataFrame =
-    Stage.cached(s, dir, "doc_substr_covered") {
-      Dedup.duplicateCovered(t(s, dir, "documents"), k = SubstrK)
-    }
-
-  /** Shared covered-position stage for the INCREMENTAL substring
-    * dedup (standing gram index + delta batch at the %5 split): in
-    * production the index gram set is a stored artifact of the
-    * previous ingestion run, so the whole covered computation is
-    * staged like substrCovered. */
-  private[queries] def substrIncrCovered(s: SparkSession,
-      dir: String): DataFrame =
-    Stage.cached(s, dir, "doc_substr_incr_covered") {
-      val docs = t(s, dir, "documents")
-      Dedup.duplicateCoveredIncremental(
-        docs.filter(col("doc_id") % 5 =!= 0),
-        docs.filter(col("doc_id") % 5 === 0), k = SubstrK)
-    }
-
-  /** DuckDB CTE chain mirroring Dedup.duplicateCovered at the live
-    * `dedup.substr.k`: positional k-gram table → first-corpus-occurrence
-    * keeper per gram (row_number over (doc_id, pos) ≡ the engine's
-    * min(struct)) → k-wide expansion of every NON-first occurrence into
-    * distinct covered token positions. */
-  private[queries] def substrCovCtes: String = {
-    val k = SubstrK
-    val gram = (1 to k).map(i => s"t[pos+$i]").mkString(" || ' ' || ")
-    s"""
-      gp AS (
-        SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS pos
-        FROM (SELECT doc_id, regexp_split_to_array(text, '[[:space:]]+') AS t FROM documents)),
-      g AS (SELECT doc_id, pos, $gram AS gram FROM gp),
-      occ AS (
-        SELECT doc_id, pos,
-               row_number() OVER (PARTITION BY gram
-                 ORDER BY doc_id, pos) AS rn
-        FROM g),
-      cov AS (
-        SELECT DISTINCT doc_id, pos + j AS tp
-        FROM occ, range($k) r(j) WHERE rn > 1)"""
-  }
-
   /** DuckDB shingle CTE mirroring TextOps.shingles(text, n) at the
     * live `dedup.jaccard.ngram_n`. */
   private[queries] def shingleCte = {
@@ -655,92 +460,6 @@ object TextQueries extends QueryModule {
 
   private[queries] val stop = "('the', 'a', 'of', 'and', 'to', 'in')"
 
-  /** Exact-duplicate star edges (dup doc → md5-group keeper) for any doc
-    * frame — one window on the text fingerprint, shared by the full and
-    * index-side component builders. */
-  private[queries] def fpPairs(d: DataFrame): DataFrame = {
-    val w = Window.partitionBy(md5(col("text").cast("binary")))
-    d.select(col("doc_id"), min("doc_id").over(w).as("keep"))
-      .filter(col("doc_id") =!= col("keep"))
-      .select(col("keep").as("d1"), col("doc_id").as("d2"))
-  }
-
-  /** Shared Spark-side duplicate-component stage: connected components
-    * over exact-fingerprint star edges ∪ MinHash band candidate pairs —
-    * the cluster map both the dedup report and the leakage-safe split
-    * derive from. One row per doc. */
-  private[queries] def docComponents(s: SparkSession,
-      dir: String): DataFrame =
-    Stage.cached(s, dir, "doc_components") {
-      val docs = t(s, dir, "documents")
-      // EDGES are est-VERIFIED near-dups, not raw banding candidates:
-      // the derived recall-first banding would otherwise chain docs
-      // that share a single minhash into mega-components
-      val pairs = mhPairs(s, dir)
-        .filter(col("est_sim") >= CompMinEst)
-        .select("d1", "d2")
-        .unionByName(fpPairs(docs)).distinct()
-      Dedup.connectedComponents(docs, pairs)
-    }
-
-  /** Shared MinHash-LSH candidate-pair stage (band join over the
-    * stored signatures) — the family's candidate artifact, read by
-    * q_d_minhash / q_d_editdist / q_t_dedup_policy / q_d_lsh_quality
-    * and the component-map builder so the band self-join runs once
-    * per run. */
-  private[queries] def mhPairs(s: SparkSession, dir: String): DataFrame =
-    Stage.cached(s, dir, "minhash_lsh_pairs") {
-      Dedup.minhashLshPairsFromSigs(docSigs(s, dir),
-        rowsPerBand = LshLayout._2)
-    }
-
-  /** Shared exact (frequency-pruned) Jaccard pair stage at the live
-    * dedup settings — the truth table q_d_jaccard reports and
-    * q_d_lsh_quality grades the LSH candidates against. */
-  private[queries] def jaccTruth(s: SparkSession, dir: String)
-      : DataFrame =
-    Stage.cached(s, dir, "jaccard_pairs") {
-      Dedup.jaccardPairs(t(s, dir, "documents"), n = JaccN,
-        maxFreq = JaccMaxFreq, minJaccard = JaccMinSim)
-    }
-
-  /** Exact-Jaccard TRUTH components: connected components over the
-    * frequency-pruned exact-Jaccard pairs at the live threshold ∪ the
-    * same exact-fingerprint star edges docComponents uses — the
-    * ground-truth cluster map the q_d_lsh_e2e report grades the
-    * LSH-derived components against. */
-  private[queries] def truthComponents(s: SparkSession,
-      dir: String): DataFrame =
-    Stage.cached(s, dir, "truth_components") {
-      val docs = t(s, dir, "documents")
-      val pairs = jaccTruth(s, dir).select("d1", "d2")
-        .unionByName(fpPairs(docs)).distinct()
-      Dedup.connectedComponents(docs, pairs)
-    }
-
-  /** Standing dedup-index state for the incremental-merge query
-    * (q_d_components_incr): the index corpus's duplicate components
-    * collapsed to star edges doc → cluster keeper. In production this
-    * IS a stored artifact (the index's cluster map, written by the
-    * previous ingestion run) — modeled, like docSigs/docComponents, as
-    * a cached stage; the iterative index-side CC never reruns per
-    * query. */
-  private[queries] def idxStarEdges(s: SparkSession,
-      dir: String): DataFrame =
-    Stage.cached(s, dir, "idx_star_edges") {
-      val docs = t(s, dir, "documents")
-      val idx = docs.filter(col("doc_id") % 5 =!= 0)
-      val idxPairs = Dedup
-        .minhashLshPairsFromSigs(
-          docSigs(s, dir).filter(col("doc_id") % 5 =!= 0),
-          rowsPerBand = LshLayout._2)
-        .filter(col("est_sim") >= CompMinEst)
-        .select("d1", "d2").unionByName(fpPairs(idx)).distinct()
-      Dedup.connectedComponents(idx, idxPairs)
-        .filter(col("doc_id") =!= col("comp_id"))
-        .select(col("comp_id").as("d1"), col("doc_id").as("d2"))
-    }
-
   /** Shared ANN candidate-pair stage: the banded sign-LSH self-join at
     * maxBucket=256 / bits=8 / nBands=2 with NO similarity floor — built
     * once, consumed by q_e_ann_pairs (≥ 0 filter), q_e_sim_hist (full
@@ -773,73 +492,6 @@ object TextQueries extends QueryModule {
           col("cluster_size"), col("is_canonical"))
     }
 
-  /** CTE chain shingles → minhash signatures (`sig`) → LSH band keys →
-    * candidate pairs (`mh_pairs`); shared by q_d_minhash and
-    * q_d_components. */
-  private[queries] def minhashCtes: String = {
-    val minCols = TextOps.MinHashParams.zipWithIndex.map {
-      case ((a, b), k) => s"min((h2 * $a + $b) % 1000000007) AS m$k"
-    }.mkString(",\n               ")
-    // band keys follow the DERIVED (bands, rowsPerBand) layout — the
-    // same Dedup.deriveBanding the engine stages read, so a threshold
-    // override re-bands both sides together
-    val (nb, r) = LshLayout
-    val bandKeys = (0 until nb).map { bd =>
-      (bd * r until (bd + 1) * r).map(j => s"m$j")
-        .mkString(" || '_' || ") + s" AS b$bd"
-    }.mkString(", ")
-    val bandCase = (0 until nb).map(bd =>
-      s"WHEN $bd THEN b$bd").mkString("CASE band_idx ", " ", " END")
-    s"""$shingleCte,
-      h AS (SELECT doc_id, ${hsql("sh")} AS h2 FROM sh),
-      sig AS (SELECT doc_id,
-               $minCols
-              FROM h GROUP BY 1),
-      bands AS (SELECT doc_id, $bandKeys FROM sig),
-      bx AS (SELECT doc_id, band_idx, $bandCase AS key
-             FROM bands, range($nb) r(band_idx)),
-      mh_pairs AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.key = b.key
-          AND a.doc_id < b.doc_id)"""
-  }
-
-  /** Recursive transitive-closure CTEs on top of [[minhashCtes]]:
-    * exact-fingerprint star edges ∪ MinHash candidate pairs → `comp`
-    * (doc_id, comp_id) — the oracle twin of [[docComponents]], shared
-    * by q_d_components and q_t_split_leakfree so the two can't drift. */
-  private[queries] def componentCtes: String = {
-    val k = TextOps.MinHashParams.size
-    val agree = (0 until k).map(j =>
-      s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
-    s"""$minhashCtes,
-      fp_star AS (
-        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-        FROM documents),
-      fp_pairs AS (
-        SELECT keep AS d1, doc_id AS d2 FROM fp_star
-        WHERE doc_id <> keep),
-      mh_est AS (
-        SELECT p.d1, p.d2, CAST(($agree) AS DOUBLE) / $k AS est
-        FROM mh_pairs p JOIN sig sa ON p.d1 = sa.doc_id
-             JOIN sig sb ON p.d2 = sb.doc_id),
-      all_pairs AS (
-        SELECT d1, d2 FROM mh_est WHERE est >= $CompMinEst
-        UNION SELECT d1, d2 FROM fp_pairs),
-      edges AS (
-        SELECT d1 AS a, d2 AS b FROM all_pairs
-        UNION SELECT d2, d1 FROM all_pairs),
-      reach (a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS comp_id
-        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        GROUP BY d.doc_id)"""
-  }
-
   def all: Seq[Q] = Seq(
 
     // Token counting (whitespace + distinct + long-token regex-ish count)
@@ -859,6 +511,7 @@ object TextQueries extends QueryModule {
           length(col("text")).as("n_chars_calc"))
         .orderBy("doc_id")
     },
+
 
 
     // BPE-ish token accounting: GPT-2-style pre-tokenizer classes
@@ -891,6 +544,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // REAL BPE, learn phase (Sennrich 2016): V rounds of distributed
     // adjacent-pair counting over the (word, freq) vocabulary — one
     // pair-keyed aggregation per round, deterministic (count desc,
@@ -910,6 +564,7 @@ object TextQueries extends QueryModule {
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
         .orderBy("merge_rank")
     },
+
 
 
     // BATCHED BPE learning (Bpe.learnBatched scaladoc): the top-m
@@ -936,6 +591,7 @@ object TextQueries extends QueryModule {
         .toDF("round", "slot", "left_sym", "right_sym", "pair_count")
         .orderBy("round", "slot")
     },
+
 
 
     // REAL BPE, encode phase: per-doc subword token accounting by
@@ -972,6 +628,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // BYTE-LEVEL BPE, learn phase (the GPT-2 production encoder —
     // Radford et al. 2019: Sennrich's algorithm over REAL UTF-8
     // BYTES under the full 256-entry bytes_to_unicode remap, so the
@@ -997,6 +654,7 @@ object TextQueries extends QueryModule {
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
         .orderBy("merge_rank")
     },
+
 
 
     // BYTE-LEVEL BPE, encode phase: per-doc piece accounting against
@@ -1033,6 +691,7 @@ object TextQueries extends QueryModule {
             .as("pieces_per_word"))
         .orderBy("doc_id")
     },
+
 
 
     // Tokenizer fertility per language (the mT5/XLM-R tokenizer-
@@ -1074,6 +733,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // Unigram-LM tokenizer LEARNING (Unigram scaladoc — SentencePiece,
     // Kudo 2018): substring seeding, Viterbi-EM rounds (hard-EM
     // expected counts, add-one M-step, every libm output behind the
@@ -1095,6 +755,7 @@ object TextQueries extends QueryModule {
         .toDF("piece", "usage", "lp")
         .orderBy("piece")
     },
+
 
 
     // Unigram-LM ENCODE — the serving half: per-doc piece accounting
@@ -1133,6 +794,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // WordPiece tokenizer LEARNING (WordPiece scaladoc — Schuster &
     // Nakajima 2012, the BERT trainer): likelihood-ranked merges
     // score(a,b) = cnt(ab)/(cnt(a)·cnt(b)) over ##-prefixed symbols,
@@ -1156,6 +818,7 @@ object TextQueries extends QueryModule {
           "score")
         .orderBy("merge_rank")
     },
+
 
 
     // WordPiece ENCODE — greedy longest-match-first serving (the BERT
@@ -1197,6 +860,7 @@ object TextQueries extends QueryModule {
             .as("fertility"))
         .orderBy("doc_id")
     },
+
 
 
     // INCREMENTAL WordPiece encode — the wordpiece twin of
@@ -1245,6 +909,7 @@ object TextQueries extends QueryModule {
             .as("fertility"))
         .orderBy("doc_id")
     },
+
 
 
     // Tokenizer A/B/C/D — BPE vs byte-level BPE vs unigram-LM vs
@@ -1362,6 +1027,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // INCREMENTAL unigram encode — the unigram twin of
     // q_t_bpe_encode_incr (the add-without-retrain tokenizer
     // lifecycle): the vocabulary is fitted ONLY on the standing index
@@ -1425,6 +1091,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // Perplexity-bucket AGREEMENT — add-one vs Kneser-Ney: the 3×3
     // confusion matrix of the two bucketings plus each cell's share,
     // the row a filter owner reads to see how much the smoothing
@@ -1483,6 +1150,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // INCREMENTAL BPE encode — the tokenizer analogue of the
     // add-without-train index lifecycle: merges learned ONLY on the
     // standing index corpus (doc_id % 5 <> 0) are the frozen artifact;
@@ -1536,6 +1204,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // Quality scoring battery (length/stopword/digit ratios → score)
     Q("q_t_quality", Some(s"""
       WITH b AS (
@@ -1559,6 +1228,7 @@ object TextQueries extends QueryModule {
         .select(col("doc_id") +: TextOps.qualityFeatures(col("text")): _*)
         .orderBy("doc_id")
     },
+
 
 
     // Language-ID marker heuristic vs labeled lang
@@ -1590,6 +1260,7 @@ object TextQueries extends QueryModule {
         .withColumn("is_correct", col("predicted") === col("lang"))
         .orderBy("doc_id")
     },
+
 
 
     // Gopher-style repetition metrics: top-token share, distinct-token
@@ -1653,170 +1324,6 @@ object TextQueries extends QueryModule {
     },
 
 
-    // End-to-end per-doc curation decision table: exact-dup keeper ∪
-    // MinHash near-dup ∪ quality gates folded into one keep/drop
-    // decision with a precedence-ordered reason — the operator a
-    // production corpus pipeline actually materializes per document.
-    Q("q_t_dedup_policy", Some(s"""
-      WITH $minhashCtes,
-      fp AS (
-        SELECT doc_id,
-               doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
-                 AS exact_dup
-        FROM documents),
-      nd AS (SELECT DISTINCT d2 AS doc_id FROM mh_pairs),
-      qf AS (
-        SELECT doc_id,
-               len(t) AS n_tokens,
-               round(0.4 * (CAST(least(nc, 400) AS DOUBLE) / 400.0)
-                 + 0.4 * (1.0 - CAST(nc - length(regexp_replace(text,
-                     '[0-9]', '', 'g')) AS DOUBLE) / nc)
-                 + 0.2 * least((CAST(len(list_filter(t, x -> x IN $stop))
-                     AS DOUBLE) / len(t)) * 4.0, 1.0), 9) AS quality_score,
-               round(CAST(nc - length(regexp_replace(text, '[0-9]', '',
-                 'g')) AS DOUBLE) / nc, 9) AS digit_ratio
-        FROM (SELECT doc_id, text, regexp_split_to_array(text, '[[:space:]]+') AS t,
-                     length(text) AS nc FROM documents)),
-      dec AS (
-        SELECT f.doc_id, f.exact_dup,
-               nd.doc_id IS NOT NULL AS near_dup,
-               (q.n_tokens >= 10 AND q.quality_score >= 0.5
-                 AND q.digit_ratio <= 0.3) AS quality_pass
-        FROM fp f LEFT JOIN nd ON f.doc_id = nd.doc_id
-        JOIN qf q ON f.doc_id = q.doc_id)
-      SELECT doc_id, exact_dup, near_dup, quality_pass,
-             CASE WHEN exact_dup THEN 'drop_exact_dup'
-                  WHEN near_dup THEN 'drop_near_dup'
-                  WHEN NOT quality_pass THEN 'drop_quality'
-                  ELSE 'keep' END AS decision
-      FROM dec ORDER BY doc_id""")) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val fp = Dedup.exactDups(docs)
-        .select(col("doc_id"), col("is_dup").as("exact_dup"))
-      val nd = mhPairs(s, dir)
-        .select(col("d2").as("doc_id")).distinct()
-        .withColumn("near_dup", lit(true))
-      val qf = docs
-        .select(col("doc_id") +: TextOps.qualityFeatures(col("text")): _*)
-        .select("doc_id", "n_tokens", "quality_score", "digit_ratio")
-      fp.join(nd, Seq("doc_id"), "left")
-        .join(qf, "doc_id")
-        .withColumn("near_dup", coalesce(col("near_dup"), lit(false)))
-        .withColumn("quality_pass",
-          col("n_tokens") >= 10 && col("quality_score") >= 0.5
-            && col("digit_ratio") <= 0.3)
-        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
-          col("quality_pass"),
-          when(col("exact_dup"), "drop_exact_dup")
-            .when(col("near_dup"), "drop_near_dup")
-            .when(!col("quality_pass"), "drop_quality")
-            .otherwise("keep").as("decision"))
-        .orderBy("doc_id")
-    },
-
-
-    // Content fingerprint + exact-dup flags (canonical keeper = min doc_id)
-    Q("q_t_fingerprint", Some("""
-      SELECT doc_id, md5(text) AS fp,
-             count(*) OVER (PARTITION BY md5(text)) AS dup_n,
-             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
-             doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-      FROM documents ORDER BY doc_id""")) { (s, dir) =>
-      Dedup.exactDups(t(s, dir, "documents")).orderBy("doc_id")
-    },
-
-
-    // Incremental (batch-vs-index) dedup: docs with doc_id % 5 = 0 play
-    // the newly-delivered batch, the rest the standing index; each
-    // batch doc is classified exact_dup / near_dup / novel with its
-    // best index match. The oracle mirrors the same fingerprint join,
-    // band-key join, and argmax-similarity tie-break.
-    Q("q_t_incr_dedup", Some {
-      val agree = (0 until 8).map(j =>
-        s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
-      s"""
-      WITH $minhashCtes,
-      fpb AS (SELECT doc_id, md5(text) AS fp FROM documents
-              WHERE doc_id % 5 = 0),
-      fpi AS (SELECT md5(text) AS fp, min(doc_id) AS ex_id
-              FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
-      exact AS (SELECT fpb.doc_id, fpi.ex_id
-                FROM fpb LEFT JOIN fpi USING (fp)),
-      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               FROM bx a JOIN bx b
-                 ON a.band_idx = b.band_idx AND a.key = b.key
-               WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-      sims AS (SELECT d1, d2, CAST(($agree) AS DOUBLE) / 8 AS est
-               FROM cand
-               JOIN sig sa ON d1 = sa.doc_id
-               JOIN sig sb ON d2 = sb.doc_id),
-      best AS (SELECT d1, d2, est, row_number() OVER (
-                 PARTITION BY d1 ORDER BY est DESC, d2) AS rn
-               FROM sims WHERE est >= 0.5)
-      SELECT b.doc_id,
-             CASE WHEN e.ex_id IS NOT NULL THEN 'exact_dup'
-                  WHEN n.d2 IS NOT NULL THEN 'near_dup'
-                  ELSE 'novel' END AS verdict,
-             CASE WHEN e.ex_id IS NOT NULL THEN e.ex_id
-                  ELSE n.d2 END AS match_id,
-             CASE WHEN e.ex_id IS NULL THEN n.est END AS est_sim
-      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) b
-      LEFT JOIN exact e ON e.doc_id = b.doc_id
-      LEFT JOIN (SELECT * FROM best WHERE rn = 1) n ON n.d1 = b.doc_id
-      ORDER BY b.doc_id"""
-    }) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val sigs = docSigs(s, dir)
-      Dedup.incrementalClassifyFromSigs(
-          docs.filter(col("doc_id") % 5 =!= 0),
-          docs.filter(col("doc_id") % 5 === 0),
-          sigs.filter(col("doc_id") % 5 =!= 0),
-          sigs.filter(col("doc_id") % 5 === 0),
-          minSim = 0.5, rowsPerBand = LshLayout._2)
-        .orderBy("doc_id")
-    },
-
-
-    // Leakage-safe train/heldout split: assignment hashes the duplicate
-    // COMPONENT id, not the doc id, so every near-dup cluster lands
-    // wholly on one side — the split you must use before eval-set
-    // carve-out or memorization measurement (doc-hash splits leak
-    // near-identical docs across the boundary).
-    Q("q_t_split_leakfree", Some(s"""
-      WITH RECURSIVE $componentCtes,
-      sized AS (
-        SELECT doc_id, comp_id,
-               count(*) OVER (PARTITION BY comp_id) AS cluster_size
-        FROM comp)
-      SELECT doc_id, comp_id, cluster_size,
-             CASE WHEN ${hsql("'split_' || comp_id")} % 10 < 9
-                  THEN 'train' ELSE 'heldout' END AS split
-      FROM sized ORDER BY doc_id""")) { (s, dir) =>
-      docComponents(s, dir)
-        .select(col("doc_id"), col("comp_id"), col("cluster_size"),
-          when(TextOps.hashMod(
-              concat(lit("split_"), col("comp_id"))) % 10 < 9,
-            "train").otherwise("heldout").as("split"))
-        .orderBy("doc_id")
-    },
-
-
-    // Winnowing document fingerprints (Schleimer et al. 2003 — MOSS):
-    // polynomial rolling k-byte-gram hashes (ONE O(len) pass per doc
-    // via the codegen'd graft.functions.RollingHash — per-position
-    // direct hashing is the O(len·k) substr-trap shape), then each
-    // w-window selects its minimum hash (ties → rightmost, "robust
-    // winnowing"), distinct selections = the doc's fingerprints.
-    // Guarantee: any verbatim match ≥ w+k−1 bytes shares a
-    // fingerprint at ~2/(w+1) the density of the full gram set — the
-    // positional-match fingerprint family MinHash can't provide.
-    Q("q_t_winnow_fp", Some(s"""
-      WITH $winnowCtes
-      SELECT doc_id, fp_pos, h FROM wfp
-      ORDER BY doc_id, fp_pos""")) { (s, dir) =>
-      winnowFps(s, dir).orderBy("doc_id", "fp_pos")
-    },
-
 
     // Unigram log-probability scoring (the cheap stand-in for a
     // perplexity quality filter): corpus-level add-1-smoothed unigram
@@ -1851,6 +1358,7 @@ object TextQueries extends QueryModule {
           round(min(lp), 9).as("min_logprob"))
         .orderBy("doc_id")
     },
+
 
 
     // Bigram-LM scoring — the next rung of the perplexity-quality-filter
@@ -1889,6 +1397,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
     // bigram-LM perplexity exp(−avg log P(w2|w1)), cut into
     // head/middle/tail TERCILES PER LANGUAGE (CCNet's key design
@@ -1907,6 +1416,7 @@ object TextQueries extends QueryModule {
       ORDER BY doc_id""")) { (s, dir) =>
       pplBucketed(s, dir).orderBy("doc_id")
     },
+
 
 
     // Interpolated Kneser-Ney bigram scoring (KneserNey scaladoc) —
@@ -1931,6 +1441,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // Stupid-Backoff trigram scoring (StupidBackoff scaladoc — Brants
     // et al. 2007, the distributed-counts LM with NO normalization
     // pass): counts from the standing index slice, scores over the
@@ -1953,6 +1464,7 @@ object TextQueries extends QueryModule {
         round(col("min_lp"), 9).as("min_logscore_sb"))
         .orderBy("doc_id")
     },
+
 
 
     // Backoff-mix observability: per-language shares of trigram
@@ -1990,6 +1502,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // CCNet perplexity buckets over the KN scorer — the production
     // pairing (Wenzek 2020 buckets on a KN-smoothed KenLM): per-doc
     // KN perplexity exp(−avg lp), per-language ceil-rank terciles,
@@ -2023,6 +1536,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // Interpolated Kneser-Ney TRIGRAM scoring (KneserNey.scoreTrigrams
     // scaladoc — the actual KenLM order family: CCNet's filter is a
     // 5-gram KN model, and the trigram rung is where the
@@ -2044,6 +1558,7 @@ object TextQueries extends QueryModule {
         round(col("min_lp"), 9).as("min_logprob_kn3"))
         .orderBy("doc_id")
     },
+
 
 
     // KN bigram vs KN trigram bucket-movement matrix — the
@@ -2130,6 +1645,7 @@ object TextQueries extends QueryModule {
           round(col("n_docs") / col("tot"), 9).as("share"))
         .orderBy("bucket_kn2", "bucket_kn3")
     },
+
 
 
     // KN trigram table PRUNING frontier (the KenLM filter/--prune
@@ -2274,6 +1790,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // UNIFIED CURATION GATE — the four MEASURED signals composed into
     // one sequential corpus-yield pipeline with per-stage accounting:
     // exact dedup keeper → trained classifier at the CALIBRATION-
@@ -2404,6 +1921,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // Document chunking for context windows: 64-token chunks with
     // 8-token overlap (stride 56). Pure per-doc arithmetic + explode —
     // embarrassingly parallel at corpus scale; spans are emitted as
@@ -2444,6 +1962,7 @@ object TextQueries extends QueryModule {
           "n_chunk_tokens", "is_last")
         .orderBy("doc_id", "chunk_idx")
     },
+
 
 
     // Context-window packing: docs packed into fixed 2048-token bins by
@@ -2501,6 +2020,7 @@ object TextQueries extends QueryModule {
             .as("fill_rate"))
         .orderBy("bin_id")
     },
+
 
 
     // Corpus curation end-to-end: the C4-style selection pipeline —
@@ -2592,6 +2112,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     // TF-IDF keyword extraction: smoothed idf, length-normalized tf,
     // top-3 terms per doc (rounded-score + term tie-break so ranking is
     // reproducible across engines). One term-keyed shuffle for df, one
@@ -2642,6 +2163,7 @@ object TextQueries extends QueryModule {
     },
 
 
+
     Q("q_t_tfidf", Some("""
       WITH tk AS (
         SELECT doc_id, unnest(regexp_split_to_array(text, '[[:space:]]+')) AS term
@@ -2681,6 +2203,7 @@ object TextQueries extends QueryModule {
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     },
+
 
 
     // BM25 retrieval scoring — the ranking function data curation uses
@@ -2756,204 +2279,6 @@ object TextQueries extends QueryModule {
         .orderBy("rnk")
     },
 
-
-    // The end-to-end dedup PIPELINE a real curation run executes —
-    // exact → substring-strip → MinHash-component → semantic keeper,
-    // each stage applied to the previous stage's survivors, reported
-    // as per-stage removal counts with monotone corpus shrinkage.
-    // Stage policy (stated, and mirrored verbatim by the oracle):
-    // artifacts (fingerprints, covered positions, component maps) are
-    // computed ONCE on the full corpus — the shared stages every
-    // individual query reads — and each stage keeps, per duplicate
-    // group, the minimum SURVIVING doc. Full-corpus substring
-    // artifacts stay sound after stage 1 because an exact-dup
-    // non-keeper's grams occur identically (same positions) in its
-    // kept twin, so no first occurrence is lost. Docs without an
-    // embedding pass the semantic stage untouched. tokens_out counts
-    // post-strip whitespace tokens of the stage's survivors.
-    Q("q_t_dedup_pipeline", Some(s"""
-      WITH RECURSIVE $componentCtes,
-      $annPairCtes,
-      ${substrCovCtes.trim},
-      ${pplCtes.trim},
-      sem AS (
-        SELECT id_a AS d1, id_b AS d2
-        FROM dots JOIN norms na ON id_a = na.vec_id
-                  JOIN norms nb ON id_b = nb.vec_id
-        WHERE round(dot / (na.nrm * nb.nrm), 6) >= $SemMinCos),
-      edges2 AS (
-        SELECT d1 AS a, d2 AS b FROM sem UNION SELECT d2, d1 FROM sem),
-      reach2 (a, b) AS (
-        SELECT a, b FROM edges2
-        UNION
-        SELECT r.a, e.b FROM reach2 r JOIN edges2 e ON r.b = e.a),
-      comp2 AS (
-        SELECT v.vec_id,
-               least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS comp_id
-        FROM embeddings v LEFT JOIN reach2 r ON r.a = v.vec_id
-        GROUP BY v.vec_id),
-      ntok AS (
-        SELECT doc_id,
-               CAST(len(regexp_split_to_array(text, '[[:space:]]+'))
-                 AS BIGINT) AS n_tokens
-        FROM documents),
-      covn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov
-               FROM cov GROUP BY 1),
-      s1 AS (SELECT doc_id FROM fp_star WHERE doc_id = keep),
-      s1t AS (
-        SELECT s1.doc_id, n.n_tokens,
-               n.n_tokens - coalesce(c.n_cov, 0) AS kept
-        FROM s1 JOIN ntok n USING (doc_id)
-             LEFT JOIN covn c USING (doc_id)),
-      s2 AS (SELECT * FROM s1t WHERE kept > 0),
-      s2c AS (SELECT s2.*, comp.comp_id FROM s2
-              JOIN comp USING (doc_id)),
-      k3 AS (SELECT comp_id, min(doc_id) AS keep_id FROM s2c
-             GROUP BY 1),
-      s3 AS (SELECT s2c.doc_id, s2c.kept FROM s2c
-             JOIN k3 USING (comp_id) WHERE doc_id = keep_id),
-      s3s AS (SELECT s3.doc_id, s3.kept, c2.comp_id AS sem_comp
-              FROM s3 LEFT JOIN comp2 c2 ON s3.doc_id = c2.vec_id),
-      k4 AS (SELECT sem_comp, min(doc_id) AS skeep FROM s3s
-             WHERE sem_comp IS NOT NULL GROUP BY 1),
-      s4 AS (SELECT s3s.doc_id, s3s.kept FROM s3s
-             LEFT JOIN k4 USING (sem_comp)
-             WHERE sem_comp IS NULL OR doc_id = skeep),
-      a0 AS (SELECT CAST(count(*) AS BIGINT) AS d0 FROM documents),
-      a1 AS (SELECT CAST(count(*) AS BIGINT) AS d1,
-                    CAST(sum(n_tokens) AS BIGINT) AS t1 FROM s1t),
-      a2 AS (SELECT CAST(count(*) AS BIGINT) AS d2,
-                    CAST(sum(kept) AS BIGINT) AS t2 FROM s2),
-      a3 AS (SELECT CAST(count(*) AS BIGINT) AS d3,
-                    CAST(sum(kept) AS BIGINT) AS t3 FROM s3),
-      a4 AS (SELECT CAST(count(*) AS BIGINT) AS d4,
-                    CAST(sum(kept) AS BIGINT) AS t4 FROM s4),
-      pbk AS (
-        SELECT d.doc_id, $pplBucketCase AS b
-        FROM pb_d d JOIN pb_cut c USING (lang)),
-      s5 AS (
-        SELECT s4.doc_id, s4.kept FROM s4
-        LEFT JOIN pbk ON s4.doc_id = pbk.doc_id
-        WHERE pbk.b IS NULL OR pbk.b <> 'tail'),
-      a5 AS (SELECT CAST(count(*) AS BIGINT) AS d5,
-                    CAST(sum(kept) AS BIGINT) AS t5 FROM s5),
-      ${CurationQueries.qclfCtes.trim},
-      ${graft.text.QualityClf.oracleThresholdCtes(
-        CurationQueries.QcIters, CurationQueries.QcTarget).trim},
-      s6 AS (
-        SELECT s5.doc_id, s5.kept FROM s5
-        JOIN qcpt m ON s5.doc_id = m.doc_id
-        WHERE m.p >= (SELECT thr FROM qcpick)),
-      a6 AS (SELECT CAST(count(*) AS BIGINT) AS d6,
-                    CAST(sum(kept) AS BIGINT) AS t6 FROM s6)
-      SELECT * FROM (
-        SELECT '1_exact' AS stage, d0 AS docs_in, d0 - d1 AS docs_removed,
-               d1 AS docs_out, t1 AS tokens_out
-        FROM a0, a1
-        UNION ALL
-        SELECT '2_substr_strip', d1, d1 - d2, d2, t2 FROM a1, a2
-        UNION ALL
-        SELECT '3_near_dup_component', d2, d2 - d3, d3, t3 FROM a2, a3
-        UNION ALL
-        SELECT '4_semantic_keeper', d3, d3 - d4, d4, t4 FROM a3, a4
-        UNION ALL
-        SELECT '5_quality_ppl', d4, d4 - d5, d5, t5 FROM a4, a5
-        UNION ALL
-        SELECT '6_quality_clf', d5, d5 - d6, d6, t6 FROM a5, a6)
-      ORDER BY stage""")) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val nTok = docs.select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      // pipeline-variant note: stage 2 strips EXACT-substring spans;
-      // corpora dominated by boilerplate/license text swap in (or add)
-      // the winnow-driven stripper (q_d_winnow_strip / Winnow
-      // .stripSpans) at the same position — identical kept-token
-      // accounting contract (n_tokens − covered), fingerprint-localized
-      // spans instead of exact k-token grams, same shared-artifact
-      // shape (the wfp stage replaces the cov stage)
-      val s1 = Dedup.exactDups(docs).filter(!col("is_dup"))
-        .select("doc_id")
-      val covn = substrCovered(s, dir).groupBy("doc_id")
-        .agg(count(lit(1)).as("n_cov"))
-      val s1t = s1.join(nTok, "doc_id")
-        .join(covn, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - coalesce(col("n_cov"), lit(0L))).as("kept"))
-      val s2 = s1t.filter(col("kept") > 0)
-      val s2c = s2.join(
-        docComponents(s, dir).select("doc_id", "comp_id"), "doc_id")
-      val k3 = s2c.groupBy("comp_id").agg(min("doc_id").as("keep_id"))
-      val s3 = s2c.join(k3, "comp_id")
-        .filter(col("doc_id") === col("keep_id"))
-        .select("doc_id", "kept")
-      val s3s = s3.join(
-        semComps(s, dir).select(col("vec_id").as("doc_id"),
-          col("comp_id").as("sem_comp")), Seq("doc_id"), "left")
-      val k4 = s3s.filter(col("sem_comp").isNotNull)
-        .groupBy("sem_comp").agg(min("doc_id").as("skeep"))
-      val s4 = s3s.join(k4, Seq("sem_comp"), "left")
-        .filter(col("sem_comp").isNull || col("doc_id") === col("skeep"))
-        .select("doc_id", "kept")
-      // stage 5 — CCNet quality gate: drop survivors whose bigram-LM
-      // perplexity sits in the per-language TAIL tercile (buckets
-      // computed on the FULL corpus — the family's stage-artifact
-      // convention; an exact dup has identical text hence identical
-      // ppl, so full-corpus buckets are sound after dedup). Docs with
-      // no bigrams have no score and pass (can't-score ≠ low-quality).
-      val s5 = s4.join(
-          pplBucketed(s, dir).select(col("doc_id"),
-            col("ppl_bucket").as("pb")), Seq("doc_id"), "left")
-        .filter(col("pb").isNull || col("pb") =!= "tail")
-        .select("doc_id", "kept")
-      // stage 6 — TRAINED quality gate: the fastText-style classifier
-      // (QualityClf, fitted once per run on the full corpus like the
-      // ppl buckets) keeps survivors whose round-9 probability clears
-      // the CALIBRATION-DRIVEN threshold (qclfThreshold — the decile
-      // operating point chosen for quality_clf.target_precision), the
-      // classifier-scored filter production stacks run AFTER the
-      // heuristic/perplexity gates (GPT-3/CCNet lineage); inner join:
-      // every doc has gram features, so no can't-score class here
-      val thr6 = CurationQueries.qclfThreshold(s, dir)
-      val s6 = s5.join(
-          graft.text.QualityClf.score(
-            CurationQueries.qclfFeatY(s, dir),
-            CurationQueries.qclfWeights(s, dir))
-            .select(col("doc_id"), round(col("prob"), 9).as("clf_p")),
-          "doc_id")
-        .filter(col("clf_p") >= thr6)
-        .select("doc_id", "kept")
-      val a0 = docs.agg(count(lit(1)).as("d0"))
-      val a1 = s1t.agg(count(lit(1)).as("d1"),
-        sum("n_tokens").cast("long").as("t1"))
-      val a2 = s2.agg(count(lit(1)).as("d2"),
-        sum("kept").cast("long").as("t2"))
-      val a3 = s3.agg(count(lit(1)).as("d3"),
-        sum("kept").cast("long").as("t3"))
-      val a4 = s4.agg(count(lit(1)).as("d4"),
-        sum("kept").cast("long").as("t4"))
-      val a5 = s5.agg(count(lit(1)).as("d5"),
-        sum("kept").cast("long").as("t5"))
-      val a6 = s6.agg(count(lit(1)).as("d6"),
-        sum("kept").cast("long").as("t6"))
-      // ONE row after the crossJoins — checkpoint it so the six stage
-      // rows below don't re-run the whole seven-aggregate chain each
-      // (union branches share no exchange)
-      val all = a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
-        .crossJoin(broadcast(a3)).crossJoin(broadcast(a4))
-        .crossJoin(broadcast(a5)).crossJoin(broadcast(a6))
-        .localCheckpoint()
-      def row(stage: String, din: String, dout: String, tok: String) =
-        all.select(lit(stage).as("stage"), col(din).as("docs_in"),
-          (col(din) - col(dout)).as("docs_removed"),
-          col(dout).as("docs_out"), col(tok).as("tokens_out"))
-      row("1_exact", "d0", "d1", "t1")
-        .unionByName(row("2_substr_strip", "d1", "d2", "t2"))
-        .unionByName(row("3_near_dup_component", "d2", "d3", "t3"))
-        .unionByName(row("4_semantic_keeper", "d3", "d4", "t4"))
-        .unionByName(row("5_quality_ppl", "d4", "d5", "t5"))
-        .unionByName(row("6_quality_clf", "d5", "d6", "t6"))
-        .orderBy("stage")
-    },
 
 
     // Filter-AGREEMENT matrix: pairwise agreement between the four

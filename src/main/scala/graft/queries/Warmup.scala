@@ -63,7 +63,7 @@ object Warmup {
       "slimGrammar" -> (() => Stage.slimGrammar(spark, dir).count()),
       "slimFwd" -> (() => Stage.slimFwd(spark, dir).count()),
       "gramSlim" -> (() => BacktestQueries2.gramSlim(spark, dir).count()),
-      "docSigs" -> (() => TextQueries.docSigs(spark, dir).count()),
+      "docSigs" -> (() => DedupStages.docSigs(spark, dir).count()),
       "annPairs" -> (() => TextQueries.annPairs(spark, dir).count()),
       "pqTop5" -> (() => AnnStages.pqTop5(spark, dir).count()),
       "exactTop5" -> (() => AnnStages.exactTop5(spark, dir).count()),
@@ -87,9 +87,9 @@ object Warmup {
       // the shard-export assignment (assign/manifest/balance) — both
       // single-exchange roots over documents
       "substrCovered" ->
-        (() => TextQueries.substrCovered(spark, dir).count()),
+        (() => DedupStages.substrCovered(spark, dir).count()),
       "substrIncrCovered" ->
-        (() => TextQueries.substrIncrCovered(spark, dir).count()),
+        (() => DedupStages.substrIncrCovered(spark, dir).count()),
       "shardStage" ->
         (() => CurationQueries.shardStage(spark, dir).count()),
       // DSIR importance-weight model + per-doc scores (weights and
@@ -125,7 +125,7 @@ object Warmup {
       "wpIncrSegs" -> (() => TextQueries.wpIncrSegs(spark, dir).count()),
       // CDC chunk fingerprints (one codegen'd rolling-hash pass,
       // shuffle-free — the stored block-dedup artifact)
-      "cdcChunks" -> (() => TextQueries.cdcChunks(spark, dir).count()),
+      "cdcChunks" -> (() => DedupStages.cdcChunks(spark, dir).count()),
       // J-L projected embeddings (map-only literal-matrix dots — the
       // stored reduced-dim artifact for the rp norm/distortion/recall
       // rows)
@@ -140,7 +140,7 @@ object Warmup {
       // a trained-model artifact read by the fit + variance rows
       "pcaFit" -> (() => AnnStages.pcaFitted(spark, dir)),
       // exact Jaccard pair truth (one shingle pass, self-join-free)
-      "jaccTruth" -> (() => TextQueries.jaccTruth(spark, dir).count()),
+      "jaccTruth" -> (() => DedupStages.jaccTruth(spark, dir).count()),
       // BPE merge-table learn (12 iterative rounds over the word-freq
       // vocabulary) — a tokenizer-training artifact, built once here
       // so its round chain overlaps the other roots
@@ -152,7 +152,7 @@ object Warmup {
         (() => TextQueries.bpeIncrVocab(spark, dir).count()),
       // winnowed document fingerprints (one rolling-hash pass + a
       // per-doc window — the stored MOSS artifact)
-      "winnowFps" -> (() => TextQueries.winnowFps(spark, dir).count()),
+      "winnowFps" -> (() => DedupStages.winnowFps(spark, dir).count()),
       // trade-graph edges (the stored PageRank input)
       "tradeEdges" -> (() => Relational.tradeEdges(spark, dir).count())))
 
@@ -176,7 +176,7 @@ object Warmup {
           // its own builder call — no separate entry, no intra-phase
           // double-build race
           "docComponents" ->
-            (() => TextQueries.docComponents(spark, dir).count()),
+            (() => DedupStages.docComponents(spark, dir).count()),
           // semantic component map (reads the phase-1 annPairs stage)
           "semComps" -> (() => TextQueries.semComps(spark, dir).count()),
           // beam-search serving over the phase-1 NN-Descent graph
@@ -214,7 +214,7 @@ object Warmup {
             spark, dir, TextQueries.bpeIncrLearned(spark, dir)._1)
             .count()),
           "idxStarEdges" ->
-            (() => TextQueries.idxStarEdges(spark, dir).count()),
+            (() => DedupStages.idxStarEdges(spark, dir).count()),
           "kmTop5" -> (() => AnnStages.kmTop5(spark, dir).count()),
           "rerankTop5" ->
             (() => AnnStages.rerankTop5(spark, dir).count()),
