@@ -28,12 +28,18 @@ def main():
             n_fail += 1
             continue
         try:
-            con.execute(f"CREATE OR REPLACE VIEW spark_out AS SELECT * FROM "
+            # TEMP TABLES, not views: the compare below reads each side
+            # three times (row count + both EXCEPT ALL directions); as a
+            # view the oracle SQL re-EXECUTED per read, tripling the
+            # gate's dominant cost (measured ~3x on the heavy unrolled
+            # oracles). Materializing once keeps results identical.
+            con.execute(f"CREATE OR REPLACE TEMP TABLE spark_out AS "
+                        f"SELECT * FROM "
                         f"read_parquet('{out_dir}/{name}/*.parquet')")
             cols = [r[0] for r in con.execute(
                 "DESCRIBE spark_out").fetchall()]
             csel = ", ".join(f'"{c}"' for c in sorted(cols))
-            con.execute(f"CREATE OR REPLACE VIEW duck_out AS ({sql})")
+            con.execute(f"CREATE OR REPLACE TEMP TABLE duck_out AS ({sql})")
             dcols = [r[0] for r in con.execute(
                 "DESCRIBE duck_out").fetchall()]
             if sorted(cols) != sorted(dcols):
