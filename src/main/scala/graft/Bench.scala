@@ -190,21 +190,17 @@ object Bench {
     val wp = phases.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // per-build warmup times (top 12 by wall — the ranking signal for
-    // the next prewarm/persist decision) + the artifact-store ledger:
-    // a warm-cache warmup is all hits, a cold rebuild all builds —
-    // the reader should never have to infer which this run was
+    // the next prewarm decision)
     val wb = warmRep.builds.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val af = graft.queries.Artifacts
-    val artJson = s""""artifact_hits":${af.hitNames.size},"artifact_builds":${af.buildNames.size}"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // rerun_secs = the rerun pass's own wall-clock, directly checkable
     // against the budget (the jit_rerun_overhead ROW additionally
     // carries cold-minus-steady inflation, so it can legitimately
     // exceed the budget; this field cannot)
     val extras = s""""steady_sum":${r3(steadySum)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"quiet_wait_secs":${r3(quietWaited)},"contended":$contended,"rerun_secs":${r3(rerunSecs)},"rerun_overhead_budget":$rerunBudget"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$extras,$artJson,"warmup":$wp,"warmup_builds":$wb,"jit_suspect":$jitJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$extras,"warmup":$wp,"warmup_builds":$wb,"jit_suspect":$jitJson,"queries":$qs,"sf":"$sfDir"}""")
     // The harness capturing this output keeps only the last ~2000 chars;
     // the full line above (~4k chars for 200+ queries) loses its head —
     // and with it the total — in that window. Repeat the headline as a
@@ -214,7 +210,7 @@ object Bench {
     // queries map is filled only while the whole line stays under
     // 1,800 chars (r10 lesson: the full 45-name jit list pushed both
     // lines past the window and the graded artifact lost its headline).
-    val head = s"""{"metric":"total","value":${r3(total)},"n_queries":${steady.size},$extras,$artJson,"jit_suspect_count":${jitSuspect.size},"unit":"sec","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"n_queries":${steady.size},$extras,"jit_suspect_count":${jitSuspect.size},"unit":"sec","sf":"$sfDir","queries":{"""
     val tail = "}}"
     val budgetChars = 1800 - head.length - tail.length
     val topEntries = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -29,9 +29,7 @@ object Prof {
       val t0 = System.nanoTime()
       val rep = graft.queries.Warmup.prewarm(spark, sfDir)
       rep.phases.foreach { case (n, s) => println(f"[prof] $n $s%.2f s") }
-      println(f"[prof] warmup total ${(System.nanoTime() - t0) / 1e9}%.2f s"
-        + s" artifact_hits=${graft.queries.Artifacts.hitNames.size}"
-        + s" artifact_builds=${graft.queries.Artifacts.buildNames.size}")
+      println(f"[prof] warmup total ${(System.nanoTime() - t0) / 1e9}%.2f s")
     } else if (args.length == 2 && args(0) == "--profile-out") {
       try graft.queries.Warmup.prewarm(spark, sfDir)
       catch { case e: Throwable =>

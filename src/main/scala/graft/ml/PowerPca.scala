@@ -56,36 +56,6 @@ object PowerPca {
   final case class Fit(n: Long, dims: Int, mean: IndexedSeq[Double],
     totalVar: Double, components: Seq[Component])
 
-  /** Model save/load — the production fit-once/serve-many seam (and
-    * the [[graft.queries.Artifacts]] store's codec). Tab-separated
-    * lines; doubles via toString/toDouble, Java's shortest-round-trip
-    * pair, so load(save(fit)) == fit bit-for-bit. */
-  def saveFit(f: Fit): String = {
-    val sb = new StringBuilder
-    sb.append("n\t").append(f.n).append('\n')
-    sb.append("dims\t").append(f.dims).append('\n')
-    sb.append("totalVar\t").append(f.totalVar).append('\n')
-    sb.append("mean\t").append(f.mean.mkString("\t")).append('\n')
-    f.components.foreach { c =>
-      sb.append("comp\t").append(c.c).append('\t').append(c.lambda)
-        .append('\t').append(c.v.mkString("\t")).append('\n')
-    }
-    sb.toString
-  }
-
-  def loadFit(s: String): Fit = {
-    val lines = s.split("\n").filter(_.nonEmpty).map(_.split("\t"))
-    def one(tag: String) = lines.find(_.head == tag)
-      .getOrElse(sys.error(s"PowerPca.loadFit: missing $tag"))
-    val comps = lines.toIndexedSeq.filter(_.head == "comp").map { p =>
-      Component(p(1).toInt, p(2).toDouble,
-        p.drop(3).map(_.toDouble).toIndexedSeq)
-    }
-    Fit(one("n")(1).toLong, one("dims")(1).toInt,
-      one("mean").drop(1).map(_.toDouble).toIndexedSeq,
-      one("totalVar")(1).toDouble, comps)
-  }
-
   /** Deterministic md5 init vector for component `c` (pre-normalize):
     * ((h % 2000001) − 1000000) / 1e6 ∈ [−1, 1]. */
   private def initRaw(c: Int, dims: Int): IndexedSeq[Double] = {

@@ -65,21 +65,12 @@ object AnnStages {
     .empty[String, graft.ml.PowerPca.Fit]
   private[queries] def pcaFitted(s: SparkSession, dir: String)
       : graft.ml.PowerPca.Fit =
-    pcaMemo.getOrElseUpdate(dir, {
-      def fit() = graft.ml.PowerPca.fit(t(s, dir, "embeddings"),
+    pcaMemo.getOrElseUpdate(dir,
+      graft.ml.PowerPca.fit(t(s, dir, "embeddings"),
         PcaComps, PcaIters,
         // pcaCtes unrolls the oracle for exactly this dimension —
         // the same silent-divergence coupling the dimred arm guards
-        expectDims = Some(graft.Settings.ann.embeddingDim))
-      // stored model artifact (exact text codec — hit and miss both
-      // deserialize the stored bytes; the fit is the second-largest
-      // warmup build, 35 s at sf0.1)
-      if (Artifacts.enabledFor(dir))
-        graft.ml.PowerPca.loadFit(
-          Artifacts.persistedText(dir, "pca_fit")(
-            graft.ml.PowerPca.saveFit(fit())))
-      else fit()
-    })
+        expectDims = Some(graft.Settings.ann.embeddingDim)))
 
   private[queries] def pcaCtes: String =
     graft.ml.PowerPca.oracleCtes(PcaComps, PcaIters,

@@ -1194,23 +1194,11 @@ object CurationQueries extends QueryModule {
   private[queries] def qclfWeights(s: SparkSession, dir: String)
       : graft.text.QualityClf.Weights =
     qclfMemo.getOrElseUpdate(dir, {
-      def fit() = {
-        val featY = qclfFeatY(s, dir)
-        // one bias row per labeled doc → the GD normalizer, off the
-        // cached stage (no second pass over documents)
-        val n = featY.filter(col("bk") === -1L).count().toDouble
-        graft.text.QualityClf.fit(featY, QcB, QcLr, QcIters, n)
-      }
-      // stored model artifact (bucket→weight lines, exact toString/
-      // toDouble round-trip; the GD chain is a 26 s warmup build)
-      if (Artifacts.enabledFor(dir))
-        Artifacts.persistedText(dir, "qclf_weights")(
-          fit().toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k\t$v" }.mkString("\n"))
-          .split("\n").filter(_.nonEmpty).map { l =>
-            val p = l.split("\t"); p(0).toLong -> p(1).toDouble
-          }.toMap
-      else fit()
+      val featY = qclfFeatY(s, dir)
+      // one bias row per labeled doc → the GD normalizer, off the
+      // cached stage (no second pass over documents)
+      val n = featY.filter(col("bk") === -1L).count().toDouble
+      graft.text.QualityClf.fit(featY, QcB, QcLr, QcIters, n)
     })
 
   private[queries] def qclfCtes: String = graft.text.QualityClf.oracleSql(

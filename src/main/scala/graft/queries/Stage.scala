@@ -31,59 +31,14 @@ object Stage {
     * leaf — consumers plan against an O(1) tree, and CacheManager
     * plan-matching cost disappears with it.
     *
-    * When the sf dir is a recognized dataset root (basename `sf*` —
-    * test tmp-fixtures skip disk), the stage additionally routes
-    * through [[persisted]]: fitted artifacts are stored once on disk
-    * and reloaded content-addressed on later runs instead of re-fit
-    * (see [[Artifacts]]). */
+    * Strictly per-session: every run (bench, verify, oracle) recomputes
+    * all stages from the parquet inputs — nothing is persisted across
+    * JVM invocations. */
   def cached(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
-    if (Artifacts.enabledFor(dir)) persisted(spark, dir, name)(build)
-    else cache.getOrElseUpdate(
+    cache.getOrElseUpdate(
       (System.identityHashCode(spark), dir, name),
       build.localCheckpoint())
-
-  /** Disk-persisted fitted-artifact layer under the session memo — the
-    * production pattern for expensive TRAINED artifacts (Lloyd
-    * codebooks, tokenizer vocabs, kNN/HNSW graphs): fit once, store,
-    * serve many runs. Keyed by (sf dir, stage name, fingerprint) where
-    * the fingerprint hashes the input parquet BYTES, every value-
-    * affecting GRAFT_* knob, and a code epoch — any of those changing
-    * recomputes; identical inputs reload in parquet-scan time instead
-    * of re-running the iterative fit chain (the r14 warmup was 712 s,
-    * ~all of it re-fitting unchanged artifacts). The build path also
-    * serves the READ-BACK frame, so hit and miss rounds consume
-    * byte-identical artifacts. GRAFT_ARTIFACT_CACHE=0 disables. */
-  /** Per-artifact-path write locks: TrieMap.getOrElseUpdate may run a
-    * contended default twice (atomic insert, non-exclusive compute) —
-    * harmless when both results were in-memory frames, corrupting when
-    * both are Spark writers on ONE directory. Stage dependencies form
-    * a DAG, so nested builds acquire locks in topological order —
-    * no deadlock. */
-  private val diskLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  def persisted(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, "disk:" + name), {
-        if (!Artifacts.enabled) build.localCheckpoint()
-        else {
-          val path = Artifacts.path(dir, name)
-          val lock = diskLocks.computeIfAbsent(path, _ => new Object)
-          lock.synchronized {
-            if (new java.io.File(path, "_SUCCESS").isFile)
-              Artifacts.noteHit(name)
-            else {
-              Artifacts.evictSiblings(dir, name)
-              Artifacts.noteBuild(name)
-              build.write.mode("overwrite")
-                .option("compression", "zstd").parquet(path)
-            }
-            spark.read.parquet(path).localCheckpoint()
-          }
-        }
-      })
 
   /** Drop every memoized stage (end-of-run eviction). Checkpointed
     * block storage is released by the ContextCleaner once the dropped

@@ -190,10 +190,8 @@ object Warmup {
           // (hnswServedAt(ub, uh)) and the three dimred arms were
           // dropped from prewarm — each is consumed by exactly ONE
           // registered query (q_e_hnsw_frontier / q_e_dimred_ab), so
-          // that query pays its own build (and the Artifacts store
-          // makes even that a one-time cost per fixture+knob key).
-          // 52 s (dimred) + 38 s (frontier rungs) off the cold
-          // warmup wall.
+          // that query pays its own build. 52 s (dimred) + 38 s
+          // (frontier rungs) off the cold warmup wall.
           "hnswServed" ->
             (() => AnnStages.hnswServed(spark, dir).count()),
           // frozen-base incremental graph (base build + seed beam
