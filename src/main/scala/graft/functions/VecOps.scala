@@ -143,6 +143,50 @@ object VecDecimal {
     }
     java.lang.Double.valueOf(acc.doubleValue)
   }
+
+  /** [[sqDist18]] over plain JVM arrays (boxed side may carry nulls —
+    * the RDD twin of an `array<double>` column with containsNull) —
+    * same null/overflow contract as the ArrayData form. Used by the
+    * driver-iterated fit loops (LloydKmeans) whose per-round math must
+    * stay bit-identical to the column program. */
+  def sqDist18(x: Array[java.lang.Double], y: Array[Double])
+      : java.lang.Double = {
+    if (x == null || y == null || x.length != y.length) return null
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < x.length) {
+      if (x(i) == null) return null
+      val d = x(i).doubleValue - y(i)
+      val dd = d * d
+      if (!(dd < 1e6)) return null // NaN / Inf / (24,18) overflow
+      acc = acc.add(new java.math.BigDecimal(
+          java.lang.Double.toString(dd))
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    java.lang.Double.valueOf(acc.doubleValue)
+  }
+
+  /** JVM twin of Spark's `CAST(double AS DECIMAL(38,18))`: canonical
+    * Double.toString → BigDecimal, setScale(18, HALF_UP), null on
+    * NaN/Inf or precision overflow (> 38 digits) — exactly
+    * Cast.changePrecision under ANSI off. */
+  def dec18(d: Double): java.math.BigDecimal = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      return null
+    val b = new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+    if (b.precision > 38) null else b
+  }
+
+  /** JVM twin of Spark's `round(double, scale)` (RoundBase, HALF_UP):
+    * NaN/Inf pass through, otherwise decimal-string BigDecimal setScale
+    * — the tiebreak/emit rounding the fit loops share with the column
+    * program. */
+  def roundD(d: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
 }
 
 /** Exact scale-18 Σ (aᵢ−bᵢ)² as a native expression — the PQ/Lloyd

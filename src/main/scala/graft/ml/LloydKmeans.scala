@@ -67,46 +67,167 @@ object LloydKmeans {
   def fitWithDist(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): (DataFrame, IndexedSeq[Array[Double]]) = {
     val v = col(vecCol).cast("array<double>")
-    // cache the (pid, v) frame for the iteration loop: every Lloyd
-    // round re-reads it (assignment + update), and without the cache
-    // each round re-runs the full upstream chain (parquet scan,
-    // residual derivation, …). Bounded: one id + one vector per row.
-    val pts = df.select(col(idCol).cast("long").as("pid"), v.as("v"))
-      .cache()
+    // cache the (pid, v) rows ONCE as a plain RDD for the iteration
+    // loop: every Lloyd round re-reads them (assignment + update), and
+    // the previous DataFrame formulation paid a Catalyst plan + a
+    // groupBy((cluster, dim)) exchange PER ROUND — pure fixed cost for
+    // a loop whose input never changes (the Hmm.fitSweepDistributed
+    // lesson; measured ~0.4 s/round at the fixture scale, ×m subspaces
+    // ×arms in the PQ codebook builds). The RDD round is the same
+    // distributed shape (map-side partial k×dim sums, one tiny merge)
+    // with zero per-round planning. Bounded: one id + one vector/row.
+    val ptsRdd = df
+      .select(col(idCol).cast("long").as("pid"), v.as("v"))
+      .rdd.map { r =>
+        val s = r.getSeq[Any](1)
+        val arr = new Array[java.lang.Double](if (s == null) 0 else s.size)
+        if (s != null) {
+          var i = 0
+          s.foreach { x =>
+            arr(i) = x.asInstanceOf[java.lang.Double]; i += 1 }
+        }
+        (r.getLong(0), arr)
+      }.cache()
     try {
       // init: seed slice (first k ids)
-      var cents: IndexedSeq[Array[Double]] = pts.filter(col("pid") < k)
-        .collect().sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toArray).toIndexedSeq
+      var cents: IndexedSeq[Array[Double]] = ptsRdd
+        .filter(_._1 < k).collect().sortBy(_._1)
+        .map(_._2.map(_.doubleValue)).toIndexedSeq
       require(cents.length == k, s"need $k seed vectors with pid < $k")
       val dim = cents.head.length
-      for (_ <- 1 to iters) {
-        val assigned = pts.withColumn("cluster",
-          assignCol(col("v"), cents))
-        // update: one groupBy((cluster, dim)) shuffle; exact decimal
-        // sums
-        val sums = assigned
-          .select(col("cluster"), posexplode(col("v")).as(Seq("j", "x")))
-          .groupBy("cluster", "j")
-          .agg((sum(col("x").cast("decimal(38,18)")).cast("double")
-            / count(lit(1))).as("y"))
-          .collect()
-        val next = Array.tabulate(k)(c => cents(c).clone()) // empty keeps prev
-        sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-        }
-        cents = next.toIndexedSeq.map(identity)
-        require(cents.head.length == dim)
-      }
+      for (_ <- 1 to iters)
+        cents = lloydRound(ptsRdd, cents)
+      require(cents.head.length == dim)
       // the returned assignment frame re-derives from the UNCACHED
-      // input (df), so it stays valid after the loop cache unpersists
+      // input (df), so it stays valid after the loop cache unpersists;
+      // consumers keep planning against the same column program as
+      // before (the RDD loop only replaced the per-round actions)
       val finalAssign = df
         .select(col(idCol).cast("long").as("pid"), v.as("v"))
         .withColumn("best", assignStruct(col("v"), cents))
         .select(col("pid"), col("best.cluster").as("cluster"),
           col("best.d").as("d2"))
       (finalAssign, cents)
-    } finally pts.unpersist()
+    } finally { ptsRdd.unpersist(blocking = false); () }
+  }
+
+  /** One Lloyd round over the cached point RDD — the JVM twin of the
+    * retired per-round column program, bit-identical by construction
+    * (LloydKmeansSpec locks the full fit against the unrolled oracle
+    * and the legacy DataFrame round):
+    *  - assignment: argmin over clusters of round-6
+    *    [[graft.functions.VecDecimal.sqDist18]] with the
+    *    array_sort struct convention — a NULL distance (overflow /
+    *    null element / length mismatch) sorts FIRST (InterpretedOrdering
+    *    nulls-first within struct fields), ties break on lowest
+    *    cluster id;
+    *  - update: per (cluster, dim) mean = CAST(Σ CAST(x AS
+    *    DECIMAL(38,18)) AS DOUBLE) / count — decimal sums are exact and
+    *    order-free, so map-side partials merge without drift; a group's
+    *    count includes null elements (they just add nothing), and an
+    *    all-null or precision-overflowed sum leaves the previous
+    *    centroid coordinate in place;
+    *  - empty clusters keep their previous centroid. */
+  private[graft] def lloydRound(
+      pts: org.apache.spark.rdd.RDD[(Long, Array[java.lang.Double])],
+      cents: IndexedSeq[Array[Double]]): IndexedSeq[Array[Double]] = {
+    val k = cents.length
+    val dim = cents.head.length
+    val cArr = cents.map(_.clone).toArray
+    val (sums, counts) = pts.mapPartitions { it =>
+      val s = Array.fill[java.math.BigDecimal](k, dim)(null)
+      val n = Array.ofDim[Long](k, dim)
+      it.foreach { case (_, v) =>
+        val c = assignJvm(v, cArr)
+        var j = 0
+        val len = math.min(v.length, dim)
+        while (j < len) {
+          n(c)(j) += 1
+          if (v(j) != null) {
+            val b = graft.functions.VecDecimal.dec18(v(j).doubleValue)
+            if (b != null)
+              s(c)(j) = if (s(c)(j) == null) b else s(c)(j).add(b)
+          }
+          j += 1
+        }
+      }
+      Iterator.single((s, n))
+    }.reduce { case ((s1, n1), (s2, n2)) =>
+      var c = 0
+      while (c < k) {
+        var j = 0
+        while (j < dim) {
+          n1(c)(j) += n2(c)(j)
+          if (s2(c)(j) != null)
+            s1(c)(j) =
+              if (s1(c)(j) == null) s2(c)(j) else s1(c)(j).add(s2(c)(j))
+          j += 1
+        }
+        c += 1
+      }
+      (s1, n1)
+    }
+    IndexedSeq.tabulate(k) { c =>
+      val next = cents(c).clone() // empty clusters keep prev coordinate
+      var j = 0
+      while (j < dim) {
+        // the column program's sum(decimal(38,18)) nulls on precision
+        // overflow (non-ANSI); mirror it before the double cast
+        if (counts(c)(j) > 0 && sums(c)(j) != null
+            && sums(c)(j).precision <= 38)
+          next(j) = sums(c)(j).doubleValue / counts(c)(j).toDouble
+        j += 1
+      }
+      next
+    }
+  }
+
+  /** Nearest-centroid index under the column program's exact tiebreak
+    * (see [[lloydRound]]). */
+  private[ml] def assignJvm(v: Array[java.lang.Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD: java.lang.Double = distJvm(v, cents(0))
+    var c = 1
+    while (c < cents.length) {
+      val d = distJvm(v, cents(c))
+      val better =
+        if (d == null) bestD != null // null distance sorts first
+        else bestD != null && d.doubleValue < bestD.doubleValue
+      if (better) { best = c; bestD = d }
+      c += 1
+    }
+    best
+  }
+
+  /** round-6 exact-decimal squared distance (the struct's `d` field):
+    * null propagates. */
+  private[ml] def distJvm(v: Array[java.lang.Double],
+      cent: Array[Double]): java.lang.Double = {
+    val sq = graft.functions.VecDecimal.sqDist18(v, cent)
+    if (sq == null) null
+    else java.lang.Double.valueOf(
+      graft.functions.VecDecimal.roundD(sq.doubleValue, 6))
+  }
+
+  /** The retired per-round COLUMN program (assignment expression +
+    * groupBy((cluster, dim)) exchange) — kept as the parity reference:
+    * LloydKmeansSpec asserts [[lloydRound]] reproduces it bit-for-bit
+    * on fixture data, which is what licenses the RDD loop to replace
+    * it in [[fitWithDist]]. */
+  private[graft] def lloydRoundDf(pts: DataFrame,
+      cents: IndexedSeq[Array[Double]]): IndexedSeq[Array[Double]] = {
+    val k = cents.length
+    val assigned = pts.withColumn("cluster", assignCol(col("v"), cents))
+    val sums = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy("cluster", "j")
+      .agg((sum(col("x").cast("decimal(38,18)")).cast("double")
+        / count(lit(1))).as("y"))
+      .collect()
+    val next = Array.tabulate(k)(c => cents(c).clone())
+    sums.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+    next.toIndexedSeq.map(identity)
   }
 
   /** Unrolled DuckDB oracle for [[fit]] over the `embeddings` table:

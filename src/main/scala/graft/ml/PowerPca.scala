@@ -125,20 +125,63 @@ object PowerPca {
     // partitioning-independent: all sums are exact decimal)
     val target = fitPartitions(n, dims,
       emb.sparkSession.sparkContext.defaultParallelism)
-    val raw = exploded(emb)
-    val cur = raw.rdd.getNumPartitions
-    val px = (if (cur > target) raw.coalesce(target)
-      else if (cur < target) raw.repartition(target)
-      else raw).localCheckpoint()
-    // per-dim decimal sums -> double means (u/n in IEEE doubles)
-    val u = px.groupBy("i")
-      .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("u"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val mean = (0 until dims).map(i => u(i) / n)
-    // total variance: (Σx² − n·Σm²) / (n−1), big sum in decimal
-    val sumSq = px.agg(sum((col("x") * col("x"))
-      .cast("decimal(38,18)")).cast("double")).head().getDouble(0)
-    val totalVar = r9((sumSq - n * dotD(mean, mean)) / (n - 1.0))
+    // cache the per-row vectors ONCE as a plain RDD: every power
+    // round re-reads them (matvec + roll-up), and the previous
+    // DataFrame formulation paid a Catalyst plan + a vec_id join +
+    // two exchanges PER ROUND — pure fixed cost for a loop whose
+    // input never changes (the LloydKmeans/QualityClf round lesson).
+    // The RDD round is the same distributed shape (map-side partial
+    // per-dim decimal sums, one tiny merge) with zero per-round
+    // planning; [[matvecRoundDf]] is kept as the parity reference.
+    val rdd0 = emb
+      .select(col("embedding").cast("array<double>").as("v"))
+      .rdd.map { r =>
+        val sq = r.getSeq[Any](0)
+        val arr =
+          new Array[java.lang.Double](if (sq == null) 0 else sq.size)
+        if (sq != null) {
+          var i = 0
+          sq.foreach { x =>
+            arr(i) = x.asInstanceOf[java.lang.Double]; i += 1 }
+        }
+        arr
+      }
+    val cur = rdd0.getNumPartitions
+    val pts = (if (cur > target) rdd0.coalesce(target)
+      else if (cur < target) rdd0.repartition(target)
+      else rdd0).cache()
+    try {
+    // ONE setup pass: per-dim decimal sums (u) + Σx² — the retired
+    // program's two setup actions, same exact order-free decimals
+    val (uAcc, sqAcc) = pts.mapPartitions { it =>
+      val ub = new Array[java.math.BigDecimal](dims)
+      var sq: java.math.BigDecimal = null
+      it.foreach { xs =>
+        var i = 0
+        val len = math.min(xs.length, dims)
+        while (i < len) {
+          if (xs(i) != null) {
+            val x = xs(i).doubleValue
+            val t = graft.functions.VecDecimal.dec18(x)
+            if (t != null) ub(i) = if (ub(i) == null) t else ub(i).add(t)
+            val t2 = graft.functions.VecDecimal.dec18(x * x)
+            if (t2 != null) sq = if (sq == null) t2 else sq.add(t2)
+          }
+          i += 1
+        }
+      }
+      Iterator.single((ub, sq))
+    }.reduce { case ((u1, s1), (u2, s2)) =>
+      var i = 0
+      while (i < dims) {
+        if (u2(i) != null)
+          u1(i) = if (u1(i) == null) u2(i) else u1(i).add(u2(i))
+        i += 1
+      }
+      (u1, if (s1 == null) s2 else if (s2 == null) s1 else s1.add(s2))
+    }
+    val mean = (0 until dims).map(i => decToD(uAcc(i)) / n)
+    val totalVar = r9((decToD(sqAcc) - n * dotD(mean, mean)) / (n - 1.0))
     var comps = Vector.empty[Component]
     for (c <- 0 until nComponents) {
       val raw = initRaw(c, dims)
@@ -146,22 +189,7 @@ object PowerPca {
       var v = raw.map(x => r9(x / nrm0))
       var lambda = 0.0
       for (_ <- 1 to iters) {
-        val vmap = map((0 until dims)
-          .flatMap(i => Seq(lit(i), lit(v(i)))): _*)
-        val y = px
-          .withColumn("xv",
-            (col("x") * element_at(vmap, col("i")))
-              .cast("decimal(38,18)"))
-          .groupBy("vec_id")
-          .agg(sum("xv").cast("double").as("y"))
-        // ONE action: w per dim (slots 0..dims−1) + Σy (slot −1)
-        val rows = px.join(y, Seq("vec_id"))
-          .select(col("i"), (col("x") * col("y"))
-            .cast("decimal(38,18)").as("p"))
-          .unionAll(y.select(lit(-1).as("i"),
-            col("y").cast("decimal(38,18)").as("p")))
-          .groupBy("i").agg(sum("p").cast("double").as("w"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val rows = matvecRound(pts, v, dims)
         val sy = rows(-1)
         // centered matvec, then operator-space deflation — subtracted
         // LEFT-TO-RIGHT per prior component, the oracle's expression
@@ -185,6 +213,97 @@ object PowerPca {
       comps :+= Component(c, lambda, v)
     }
     Fit(n, dims, mean, totalVar, comps)
+    } finally { pts.unpersist(blocking = false); () }
+  }
+
+  /** CAST(decimal-sum AS DOUBLE) driver twin: a null or
+    * precision-overflowed sum reads 0.0 (Row.getDouble's null
+    * unboxing in the retired collect path). */
+  private def decToD(b: java.math.BigDecimal): Double =
+    if (b == null || b.precision > 38) 0.0 else b.doubleValue
+
+  /** One power round over the cached vector RDD — the JVM twin of the
+    * retired per-round column program ([[matvecRoundDf]], locked
+    * bit-identical in PowerPcaSpec): per row y = CAST(Σ_i CAST(x_i·v_i
+    * AS DECIMAL(38,18)) AS DOUBLE), then per dim w_i = CAST(Σ_rows
+    * CAST(x_i·y AS DECIMAL(38,18)) AS DOUBLE) with Σy riding slot −1
+    * (the QualityClf bias-slot trick). Decimal sums are exact and
+    * order-free, so map-side partials merge without drift; null terms
+    * (NaN/Inf casts, null elements) are skipped exactly like the
+    * column program's non-ANSI decimal cast. */
+  private[graft] def matvecRound(
+      pts: org.apache.spark.rdd.RDD[Array[java.lang.Double]],
+      v: IndexedSeq[Double], dims: Int): Map[Int, Double] = {
+    val vArr = v.toArray
+    val (wAcc, syAcc) = pts.mapPartitions { it =>
+      val w = new Array[java.math.BigDecimal](dims)
+      var sy: java.math.BigDecimal = null
+      it.foreach { xs =>
+        var yB: java.math.BigDecimal = null
+        var i = 0
+        val len = math.min(xs.length, dims)
+        while (i < len) {
+          if (xs(i) != null) {
+            val t = graft.functions.VecDecimal.dec18(
+              xs(i).doubleValue * vArr(i))
+            if (t != null) yB = if (yB == null) t else yB.add(t)
+          }
+          i += 1
+        }
+        // sum(decimal(38,18)) nulls on precision overflow (non-ANSI);
+        // a null y drops the row from the roll-up AND from Σy —
+        // exactly the retired join's null-propagation
+        if (yB != null && yB.precision <= 38) {
+          val y = yB.doubleValue
+          val yD = graft.functions.VecDecimal.dec18(y)
+          if (yD != null) sy = if (sy == null) yD else sy.add(yD)
+          i = 0
+          while (i < len) {
+            if (xs(i) != null) {
+              val t = graft.functions.VecDecimal.dec18(
+                xs(i).doubleValue * y)
+              if (t != null) w(i) = if (w(i) == null) t else w(i).add(t)
+            }
+            i += 1
+          }
+        }
+      }
+      Iterator.single((w, sy))
+    }.reduce { case ((w1, s1), (w2, s2)) =>
+      var i = 0
+      while (i < dims) {
+        if (w2(i) != null)
+          w1(i) = if (w1(i) == null) w2(i) else w1(i).add(w2(i))
+        i += 1
+      }
+      (w1, if (s1 == null) s2 else if (s2 == null) s1 else s1.add(s2))
+    }
+    ((0 until dims).map(i => i -> decToD(wAcc(i))) :+
+      (-1 -> decToD(syAcc))).toMap
+  }
+
+  /** The retired per-round COLUMN program (vec_id-keyed matvec + join
+    * + dim-keyed roll-up, two exchanges) — kept as the parity
+    * reference: PowerPcaSpec asserts [[matvecRound]] reproduces it
+    * bit-for-bit over the exploded frame, which is what licenses the
+    * RDD loop to replace it in [[fit]]. */
+  private[graft] def matvecRoundDf(px: DataFrame, v: IndexedSeq[Double],
+      dims: Int): Map[Int, Double] = {
+    val vmap = map((0 until dims)
+      .flatMap(i => Seq(lit(i), lit(v(i)))): _*)
+    val y = px
+      .withColumn("xv",
+        (col("x") * element_at(vmap, col("i")))
+          .cast("decimal(38,18)"))
+      .groupBy("vec_id")
+      .agg(sum("xv").cast("double").as("y"))
+    px.join(y, Seq("vec_id"))
+      .select(col("i"), (col("x") * col("y"))
+        .cast("decimal(38,18)").as("p"))
+      .unionAll(y.select(lit(-1).as("i"),
+        col("y").cast("decimal(38,18)").as("p")))
+      .groupBy("i").agg(sum("p").cast("double").as("w"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
 
   /** Project a frame's embeddings onto the fitted components —

@@ -130,25 +130,126 @@ object QualityClf {
 
   /** `iters` full-batch logistic GD rounds over `featY(doc_id, y, bk,
     * x)` (callers cache it — every round re-reads it). `nDocs` is the
-    * labeled doc count (the gradient normalizer). One Spark action per
-    * round, collecting ≤ nBuckets+1 rows. */
+    * labeled doc count (the gradient normalizer).
+    *
+    * The round loop runs over a per-doc-grouped RDD cached ONCE: the
+    * previous formulation paid a Catalyst plan + TWO exchanges of the
+    * slim frame (doc_id window + bucket aggregation) PER ROUND — pure
+    * fixed cost for a loop whose input never changes (the LloydKmeans
+    * round lesson). One setup shuffle groups each doc's feature rows
+    * together; each round is then a single map-side pass producing
+    * ≤ B+2 partial decimal sums per partition and one tiny merge —
+    * the same distributed shape with zero per-round planning.
+    * Bit-identical to the retired column program by construction
+    * ([[fitRoundDf]] kept as the parity reference, locked in
+    * QualityClfSpec). */
   def fit(featY: DataFrame, nBuckets: Int, lr: Double, iters: Int,
       nDocs: Double): Weights = {
-    // slots −1 (bias) .. nBuckets (dense length feature), inclusive
-    var w: Weights = (-1L to nBuckets.toLong).map(_ -> 0.0).toMap
-    for (_ <- 1 to iters) {
-      val err = round(lit(1.0) / (lit(1.0) + exp(-marginCol(w)))
-        - col("y"), 9)
-      val g = featY.withColumn("err", err)
-        .groupBy("bk")
-        .agg(sum((col("err") * col("x")).cast("decimal(38,18)"))
-          .cast("double").as("g"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      w = w.map { case (bk, wv) =>
-        bk -> (wv - lr * (g.getOrElse(bk, 0.0) / nDocs))
+    val grouped = groupedRdd(featY).cache()
+    try {
+      // slots −1 (bias) .. nBuckets (dense length feature), inclusive
+      var w: Weights = (-1L to nBuckets.toLong).map(_ -> 0.0).toMap
+      for (_ <- 1 to iters)
+        w = fitRound(grouped, lr, nDocs, w)
+      w
+    } finally { grouped.unpersist(blocking = false); () }
+  }
+
+  /** The per-doc-grouped `(y, bks, xs)` rows of a feature frame — one
+    * groupBy shuffle at setup, amortized over every GD round. Row
+    * order within a doc is free: every per-doc and per-bucket sum in
+    * the round is an exact DECIMAL(38,18) accumulation. */
+  private[graft] def groupedRdd(featY: DataFrame)
+      : org.apache.spark.rdd.RDD[(Double, Array[Long], Array[Double])] =
+    featY.groupBy("doc_id", "y")
+      .agg(collect_list(struct(col("bk"), col("x"))).as("fs"))
+      .select(col("y"), col("fs"))
+      .rdd.map { r =>
+        val fs = r.getSeq[org.apache.spark.sql.Row](1)
+        val bks = new Array[Long](fs.size)
+        val xs = new Array[Double](fs.size)
+        var i = 0
+        fs.foreach { f =>
+          bks(i) = f.getLong(0); xs(i) = f.getDouble(1); i += 1 }
+        (r.getDouble(0), bks, xs)
       }
+
+  /** One GD round over the grouped RDD — the JVM twin of the retired
+    * column program ([[fitRoundDf]]), bit-identical by construction:
+    *  - margin: CAST(Σ_doc CAST(x·w(bk) AS DECIMAL(38,18)) AS DOUBLE)
+    *    — order-free exact decimal terms (graft.functions.VecDecimal
+    *    cast contract: NaN/Inf/precision-overflow terms are null and
+    *    skipped, an all-null doc has a null margin);
+    *  - err: round(1/(1+exp(−margin)) − y, 9) — same JVM libm exp,
+    *    same decimal-string HALF_UP round;
+    *  - gradient: per-bucket CAST(Σ CAST(err·x AS DECIMAL(38,18)) AS
+    *    DOUBLE), map-side partials merged by exact decimal adds;
+    *  - update: w − lr·(g/nDocs) in IEEE doubles, buckets with no
+    *    (non-null) terms contribute 0. */
+  private[graft] def fitRound(
+      grouped: org.apache.spark.rdd.RDD[(Double, Array[Long], Array[Double])],
+      lr: Double, nDocs: Double, w: Weights): Weights = {
+    val wArr = w
+    val g = grouped.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[Long, java.math.BigDecimal]
+      it.foreach { case (y, bks, xs) =>
+        var m: java.math.BigDecimal = null
+        var i = 0
+        while (i < bks.length) {
+          val b = graft.functions.VecDecimal.dec18(xs(i) * wArr(bks(i)))
+          if (b != null) m = if (m == null) b else m.add(b)
+          i += 1
+        }
+        // sum(decimal(38,18)) nulls on precision overflow (non-ANSI)
+        if (m != null && m.precision <= 38) {
+          val err = graft.functions.VecDecimal.roundD(
+            1.0 / (1.0 + math.exp(-m.doubleValue)) - y, 9)
+          i = 0
+          while (i < bks.length) {
+            val t = graft.functions.VecDecimal.dec18(err * xs(i))
+            if (t != null) {
+              val prev = acc.getOrElse(bks(i), null)
+              acc(bks(i)) = if (prev == null) t else prev.add(t)
+            }
+            i += 1
+          }
+        }
+      }
+      Iterator.single(acc)
+    }.reduce { (a, b) =>
+      b.foreach { case (k, v) =>
+        val prev = a.getOrElse(k, null)
+        a(k) = if (prev == null) v else prev.add(v)
+      }
+      a
     }
-    w
+    w.map { case (bk, wv) =>
+      val gv = g.get(bk) match {
+        case Some(s) if s.precision <= 38 => s.doubleValue
+        case _ => 0.0
+      }
+      bk -> (wv - lr * (gv / nDocs))
+    }
+  }
+
+  /** The retired per-round COLUMN program (doc-window margin + bucket
+    * aggregation exchange) — kept as the parity reference:
+    * QualityClfSpec asserts [[fitRound]] reproduces it bit-for-bit on
+    * fixture data, which is what licenses the RDD loop to replace it
+    * in [[fit]]. */
+  private[graft] def fitRoundDf(featY: DataFrame, lr: Double,
+      nDocs: Double, w: Weights): Weights = {
+    val err = round(lit(1.0) / (lit(1.0) + exp(-marginCol(w)))
+      - col("y"), 9)
+    val g = featY.withColumn("err", err)
+      .groupBy("bk")
+      .agg(sum((col("err") * col("x")).cast("decimal(38,18)"))
+        .cast("double").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    w.map { case (bk, wv) =>
+      bk -> (wv - lr * (g.getOrElse(bk, 0.0) / nDocs))
+    }
   }
 
   /** Per-doc scoring under a fitted model via the batch (exact-decimal

@@ -57,6 +57,57 @@ class LloydKmeansSpec extends SparkSpec {
     }
   }
 
+  test("the RDD round is bit-identical to the retired column-program " +
+      "round across chained iterations (incl. the decimal cast, the " +
+      "round-6 tiebreak and empty-cluster carry)") {
+    val pts = emb.select(col("vec_id").cast("long").as("pid"),
+      col("embedding").cast("array<double>").as("v"))
+    val ptsRdd = pts.rdd.map { r =>
+      val s = r.getSeq[Any](1)
+      val arr = new Array[java.lang.Double](s.size)
+      var i = 0
+      s.foreach { x => arr(i) = x.asInstanceOf[java.lang.Double]; i += 1 }
+      (r.getLong(0), arr)
+    }.cache()
+    var cents: IndexedSeq[Array[Double]] = ptsRdd.filter(_._1 < 4)
+      .collect().sortBy(_._1).map(_._2.map(_.doubleValue)).toIndexedSeq
+    // k > points in some cluster on later rounds exercises the
+    // empty-cluster carry; chain 4 rounds so drift would compound
+    for (round <- 1 to 4) {
+      val viaDf = LloydKmeans.lloydRoundDf(pts, cents)
+      val viaRdd = LloydKmeans.lloydRound(ptsRdd, cents)
+      assert(viaRdd.map(_.toSeq) == viaDf.map(_.toSeq),
+        s"round $round diverged")
+      cents = viaRdd
+    }
+    ptsRdd.unpersist()
+  }
+
+  test("JVM round/cast twins match the Spark expressions bit-for-bit") {
+    // adversarial doubles: halfway cases, subnormals, many digits
+    val vals = Seq(0.5e-6, 1.5e-6, 2.5e-6, 0.1234565, 0.1234575,
+      1.0 / 3.0, math.Pi, 1e-300, 4.9e-324, 123456.1234565,
+      -0.1234565, -2.5e-6, 0.49999999999999994, 1e19, -1e19)
+    val df = vals.toDF("x")
+      .select(col("x"), round(col("x"), 6).as("r6"),
+        round(col("x"), 9).as("r9"),
+        col("x").cast("decimal(38,18)").cast("string").as("d18"))
+    df.collect().foreach { r =>
+      val x = r.getDouble(0)
+      assert(graft.functions.VecDecimal.roundD(x, 6) == r.getDouble(1),
+        s"round6($x)")
+      assert(graft.functions.VecDecimal.roundD(x, 9) == r.getDouble(2),
+        s"round9($x)")
+      val jvm = graft.functions.VecDecimal.dec18(x)
+      val sparkD =
+        if (r.isNullAt(3)) null
+        else new java.math.BigDecimal(r.getString(3))
+      assert((jvm == null) == (sparkD == null)
+        && (jvm == null || jvm.compareTo(sparkD) == 0
+          && jvm.scale == sparkD.scale), s"dec18($x)")
+    }
+  }
+
   test("the fit is deterministic run-to-run") {
     val a = LloydKmeans.fit(emb, "vec_id", "embedding", 4, 5)
     val b = LloydKmeans.fit(emb, "vec_id", "embedding", 4, 5)

@@ -50,6 +50,38 @@ class PowerPcaSpec extends SparkSpec {
       s"planted 2-dim data must be fully explained: $explained")
   }
 
+  test("the RDD matvec round is bit-identical to the retired column-" +
+      "program round across chained iterations (incl. the decimal " +
+      "casts and the null-y drop), and the setup sums match") {
+    import org.apache.spark.sql.functions._
+    val dims = 8
+    val px = PowerPca.exploded(emb).localCheckpoint()
+    val pts = emb.select(col("embedding").cast("array<double>"))
+      .rdd.map { r =>
+        val sq = r.getSeq[Any](0)
+        val arr = new Array[java.lang.Double](sq.size)
+        var i = 0
+        sq.foreach { x =>
+          arr(i) = x.asInstanceOf[java.lang.Double]; i += 1 }
+        arr
+      }.cache()
+    // chain 4 rounds through the round-9 normalize seam so any
+    // divergence would compound
+    var v: IndexedSeq[Double] =
+      (0 until dims).map(i => if (i % 2 == 0) 0.25 else -0.125)
+    for (round <- 1 to 4) {
+      val viaDf = PowerPca.matvecRoundDf(px, v, dims)
+      val viaRdd = PowerPca.matvecRound(pts, v, dims)
+      assert(viaRdd == viaDf, s"round $round diverged")
+      val nw = math.sqrt((0 until dims)
+        .map(i => viaRdd(i) * viaRdd(i)).sum)
+      v = (0 until dims).map(i =>
+        BigDecimal(viaRdd(i) / nw)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    pts.unpersist()
+  }
+
   test("fit is bit-deterministic") {
     val f1 = PowerPca.fit(emb, 2, 6)
     val f2 = PowerPca.fit(emb, 2, 6)

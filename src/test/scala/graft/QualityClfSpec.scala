@@ -69,6 +69,21 @@ class QualityClfSpec extends SparkSpec {
     assert(w1.keySet == (-1L to B.toLong).toSet)
   }
 
+  test("the RDD GD round is bit-identical to the retired column-" +
+      "program round across chained iterations (incl. the decimal " +
+      "margin/gradient casts and the round-9 err seam)") {
+    val grouped = QualityClf.groupedRdd(featY).cache()
+    var w: QualityClf.Weights =
+      (-1L to B.toLong).map(_ -> 0.0).toMap
+    for (round <- 1 to 4) {
+      val viaDf = QualityClf.fitRoundDf(featY, 10.0, nDocs, w)
+      val viaRdd = QualityClf.fitRound(grouped, 10.0, nDocs, w)
+      assert(viaRdd == viaDf, s"round $round diverged")
+      w = viaRdd
+    }
+    grouped.unpersist()
+  }
+
   test("training moves the model off the all-positive base rate and " +
       "beats it on train accuracy") {
     val w = QualityClf.fit(featY, B, 10.0, 24, nDocs)
