@@ -457,12 +457,18 @@ object Multimodal {
     * row count = Σ sampled frames, never frames². */
   def videoFrameBands(media: DataFrame, step: Int): DataFrame = {
     val FrameBytes = 256
-    val sampled = frameSample(decodeMeta(withPayload(media)), step)
-      .select(col("doc_id"), col("frame_idx"))
+    // keyframe membership is a pure function of the char position:
+    // frameSample emits exactly the indices 0, step, 2·step, … ≤
+    // n_frames−1, and every char's frame_idx = floor(i/256) ≤
+    // floor((len(text)−1)/256) ≤ n_frames−1 (UTF-8 bytes ≥ chars), so
+    // the former (doc_id, frame_idx) equi-join of the corpus-sized
+    // exploded char stream against the sampled-frame list reduces to
+    // this FILTER — one full exchange of the char stream removed
+    // (guide §2.4), row-identical by construction
     val cells = intensities(media)
       .withColumn("frame_idx",
         floor(col("i").cast("double") / FrameBytes).cast("int"))
-      .join(sampled, Seq("doc_id", "frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(step)) === 0)
       .select(col("doc_id"), col("frame_idx"),
         // grid position within the frame: the LAST frame may be
         // short, so the 64-cell grid stretches over its actual length
@@ -501,7 +507,11 @@ object Multimodal {
   def videoDupCandidates(media: DataFrame, step: Int, maxHamming: Int,
       minShare: Double): DataFrame = {
     val maxBucket = graft.Settings.multimodal.maxBandBucket
-    val sig = videoFrameBands(media, step)
+    // the signature frame feeds BOTH the banding side and the
+    // per-video sampled-frame denominators; materialize it once per
+    // invocation instead of re-running the char-explode chain twice
+    // (Catalyst does not collapse the duplicated subtree)
+    val sig = videoFrameBands(media, step).localCheckpoint()
     val keyed0 = sig.select(col("doc_id"), col("frame_idx"),
       col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 until 4).map(c =>
@@ -581,10 +591,15 @@ object Multimodal {
         .as("bk"): _*)
       .select(col("doc_id") +: bandCols :+ col("bk.band_idx") :+
         col("bk.band"): _*)
+    // both sides of the banded self-join read `keyed`: materialize it
+    // once per invocation, or the whole signature chain (the audio
+    // filterbank window pass / the image hash grid) runs twice —
+    // Catalyst does not collapse the duplicated subtree
     val keyed = keyed0
       .withColumn("bn", count(lit(1))
         .over(Window.partitionBy("band_idx", "band")))
       .filter(col("bn") <= maxBucket).drop("bn")
+      .localCheckpoint()
     val a = keyed.select(col("doc_id").as("d1") +:
       (0 until 4).map(c => col(s"b$c").as(s"a_b$c")) :+
       col("band_idx") :+ col("band"): _*)

@@ -491,17 +491,21 @@ object AnnStages {
     * scan per recall probe would defeat the point of the index). */
   private[queries] def exactTop5(s: SparkSession, dir: String): DataFrame =
     Stage.cached(s, dir, "exact_l2_top5") {
-      val ex = t(s, dir, "embeddings").select(col("vec_id"),
-        posexplode(Similarity.asDouble(col("embedding")))
-          .as(Seq("i", "x")))
-      val q = ex.filter(col("vec_id") < AnnQ)
-        .select(col("vec_id").as("qid"), col("i").as("qi"),
-          col("x").as("qx"))
-      val d2full = ex.join(broadcast(q),
-          col("i") === col("qi") && col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("vec_id").as("vid"))
-        .agg(round(sum(((col("x") - col("qx")) * (col("x") - col("qx")))
-          .cast("decimal(38,18)")).cast("double"), 6).as("d2"))
+      // the cosineTopK shape: broadcast the bounded query slice and
+      // fold each pair with the native exact-decimal VecSqDist18
+      // expression — N×AnnQ codegen'd rows instead of exploding to
+      // N×d×AnnQ rows through a per-dim join + hash aggregate. The
+      // per-pair d2 is the same Σ CAST((x−qx)² AS DECIMAL(38,18))
+      // (the VecDecimal contract the Lloyd/PQ encode chains already
+      // hash-match), so every rounded value is bit-identical.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < AnnQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val d2full = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          round(graft.functions.VecOps.sqDist18(col("v"), col("qv")),
+            6).as("d2"))
       d2full.withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("d2"), col("vid"))))
         .filter(col("rn") <= AnnK).select("qid", "vid")

@@ -36,7 +36,14 @@ object Stage {
     * JVM invocations. */
   def cached(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(
+    // GRAFT_STAGE_LAZY=1 (PlanDump only): skip the checkpoint so a
+    // dumped query plan INLINES its stage subtrees instead of showing
+    // LogicalRDD leaves — plan-evidence mode, never set by the
+    // bench/verify/driver paths (still memoized, under a disjoint key)
+    if (sys.env.get("GRAFT_STAGE_LAZY").contains("1"))
+      cache.getOrElseUpdate(
+        (System.identityHashCode(spark), dir, "lazy:" + name), build)
+    else cache.getOrElseUpdate(
       (System.identityHashCode(spark), dir, name),
       build.localCheckpoint())
 

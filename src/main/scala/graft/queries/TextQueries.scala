@@ -217,14 +217,22 @@ object TextQueries extends QueryModule {
       val bg = b.select(col("doc_id"), col("lang"), explode(bgArr).as("x"))
         .select(col("doc_id"), col("lang"), col("x.w1").as("w1"),
           col("x.bg").as("bg"))
-      val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      // a bg string determines its w1 prefix (tokens are whitespace-
+      // split, no spaces inside), so grouping by (bg, w1) is the same
+      // partition of rows as by bg alone — carrying w1 lets the c1
+      // join run at TYPE level and the corpus-sized occurrence stream
+      // rekey ONCE against the scored type table instead of twice
+      // (the KneserNey.scoreBigrams restructure; bit-identical lp)
+      val c2 = bg.groupBy("bg", "w1").agg(count(lit(1)).as("c2"))
       val lp = log((col("c2") + 1.0) / (col("c1") + col("v")))
-      bg.join(c2, "bg").join(c1, col("w1") === col("tok"))
+      val typeLp = c2.join(c1, col("w1") === col("tok"))
         .crossJoin(broadcast(voc))
+        .select(col("bg"), lp.as("lp"))
+      bg.join(typeLp, "bg")
         .groupBy("doc_id", "lang").agg(
           count(lit(1)).as("n_bigrams"),
-          avg(lp).as("avg_lp"),
-          min(lp).as("min_lp"))
+          avg(col("lp")).as("avg_lp"),
+          min(col("lp")).as("min_lp"))
     }
 
   private[queries] def BpeMerges = graft.Settings.bpe.nMerges

@@ -328,15 +328,19 @@ object Dedup {
     * position expansion is bounded by duplicate occurrences. No
     * frequency cap is needed because nothing here is quadratic. */
   def duplicateCovered(docs: DataFrame, k: Int): DataFrame = {
+    // keeper + occurrence count via ONE gram-partitioned window pass:
+    // the former groupBy(gram) + join-back shuffled the heavy gram-
+    // string stream twice (once into the aggregate, once into the
+    // join); the window computes min(struct) and count on the same
+    // single exchange (guide §2.4) — identical keeper rule, identical
+    // rows
     val g = gramTable(docs, k)
-    val keep = g.groupBy("gram")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
-        count(lit(1)).as("occ"))
-      .filter(col("occ") > 1)
-      .select("gram", "keep")
-    g.join(keep, Seq("gram"))
-      .filter(!(col("doc_id") === col("keep.doc_id")
-        && col("pos") === col("keep.pos")))
+    val w = Window.partitionBy("gram")
+    g.withColumn("keep", min(struct(col("doc_id"), col("pos"))).over(w))
+      .withColumn("occ", count(lit(1)).over(w))
+      .filter(col("occ") > 1
+        && !(col("doc_id") === col("keep.doc_id")
+          && col("pos") === col("keep.pos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
       .distinct()

@@ -59,12 +59,20 @@ object KneserNey {
       count(lit(1)).as("n1f"))
     val back = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
     val types = c2.agg(count(lit(1)).cast("double").as("n_types"))
-    bg.join(c2, Seq("w1", "w2")).join(ctx, Seq("w1"))
-      .join(back, Seq("w2")).crossJoin(broadcast(types))
+    // score at TYPE level first: the count-table joins run over the
+    // vocabulary-bounded c2 frame, and the CORPUS-sized occurrence
+    // stream is shuffled exactly once (against the scored type table)
+    // instead of once per count table — same lp expression over the
+    // same count columns, so every per-row double is bit-identical
+    // (guide §2.3: aggregate/join small before rekeying the big side)
+    val typeLp = c2.join(ctx, Seq("w1")).join(back, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), lpCol(discount).as("lp"))
+    bg.join(typeLp, Seq("w1", "w2"))
       .groupBy("doc_id", "lang").agg(
         count(lit(1)).as("n_bigrams"),
-        avg(lpCol(discount)).as("avg_lp"),
-        min(lpCol(discount)).as("min_lp"))
+        avg(col("lp")).as("avg_lp"),
+        min(col("lp")).as("min_lp"))
   }
 
   /** ln P_KN of one scored bigram row (c2, ctx, n1f, n1b, n_types
@@ -131,13 +139,19 @@ object KneserNey {
     val (tg, c3, cc2, g2, back, types) = trigramFrames(docs)
     val ctx3 = c3.groupBy("w1", "w2").agg(sum("c3").as("ctx3"),
       count(lit(1)).as("n1f3"))
-    tg.join(c3, Seq("w1", "w2", "w3")).join(ctx3, Seq("w1", "w2"))
+    // type-level scoring (the scoreBigrams restructure): five count
+    // tables join over the vocabulary-bounded c3 type frame, the
+    // corpus-sized trigram stream rekeys ONCE — bit-identical lp
+    val typeLp = c3.join(ctx3, Seq("w1", "w2"))
       .join(cc2, Seq("w2", "w3")).join(g2, Seq("w2"))
       .join(back, Seq("w3")).crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("w3"),
+        lp3Col(discount).as("lp"))
+    tg.join(typeLp, Seq("w1", "w2", "w3"))
       .groupBy("doc_id", "lang").agg(
         count(lit(1)).as("n_trigrams"),
-        avg(lp3Col(discount)).as("avg_lp"),
-        min(lp3Col(discount)).as("min_lp"))
+        avg(col("lp")).as("avg_lp"),
+        min(col("lp")).as("min_lp"))
   }
 
   /** The shared trigram-model frames — (tg, c3, cc2, g2, back,
@@ -208,15 +222,20 @@ object KneserNey {
       count(when(col("c3") >= minCount, lit(1))).as("n1f3p"),
       sum(when(col("c3") < minCount, col("c3")).otherwise(lit(0L)))
         .as("pm"))
-    tg.join(c3, Seq("w1", "w2", "w3")).join(ctx3p, Seq("w1", "w2"))
+    // type-level scoring (the scoreBigrams restructure) — c3 rides
+    // along so the pruned-hit flag stays a type-level property
+    val typeLp = c3.join(ctx3p, Seq("w1", "w2"))
       .join(cc2, Seq("w2", "w3")).join(g2, Seq("w2"))
       .join(back, Seq("w3")).crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("w3"), col("c3"),
+        lp3pCol(discount, minCount).as("lp"))
+    tg.join(typeLp, Seq("w1", "w2", "w3"))
       .groupBy("doc_id", "lang").agg(
         count(lit(1)).as("n_trigrams"),
         sum(when(col("c3") < minCount, 1L).otherwise(0L))
           .as("n_pruned_hits"),
-        avg(lp3pCol(discount, minCount)).as("avg_lp"),
-        min(lp3pCol(discount, minCount)).as("min_lp"))
+        avg(col("lp")).as("avg_lp"),
+        min(col("lp")).as("min_lp"))
   }
 
   /** ln P of one PRUNED-model trigram row (c3, ctx3, n1f3p, pm, cc2,

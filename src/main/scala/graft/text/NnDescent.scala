@@ -362,14 +362,18 @@ object NnDescent {
     val edges = graph.select(col("node"), col("nbr"))
       .localCheckpoint()
     var state = topB(scoreQ(entries, q, vecs), beam).localCheckpoint()
-    var scoredSet = entries.localCheckpoint()
+    // the cost set is only READ once, after the loop: accumulate it
+    // lazily (distinct(distinct(A) ∪ B) ≡ distinct(A ∪ B)) instead of
+    // paying a distinct exchange + an eager materialization per hop —
+    // each hop's cands derive from that hop's CHECKPOINTED state, so
+    // the deferred union stays shallow
+    var scoredSet = entries
     for (_ <- 1 to hops) {
       val cands = hopCands(state, edges)
       state = topB(scoreQ(cands, q, vecs), beam).localCheckpoint()
-      scoredSet = scoredSet.unionByName(cands).distinct()
-        .localCheckpoint()
+      scoredSet = scoredSet.unionByName(cands)
     }
-    finishServe(state, scoredSet, k)
+    finishServe(state, scoredSet.distinct(), k)
   }
 
   // ------------------------------------------------------------------
@@ -569,6 +573,9 @@ object NnDescent {
         .filter(col("node") =!= col("qid")))
     var state = topB(scoreQ(entries, q, vecs), upBeam)
       .localCheckpoint()
+    // lazily-accumulated cost set (the serveImpl rule: one distinct
+    // at the end instead of a distinct exchange + materialization per
+    // hop — each hop's cands hang off that hop's checkpointed state)
     var scoredSet = entries
     // descend: layer `levels` down to 1, expanding in each layer's
     // graph; the beam survives into the layer below because layers
@@ -577,8 +584,7 @@ object NnDescent {
       for (_ <- 1 to nHops) {
         val cands = hopCands(state, edges)
         state = topB(scoreQ(cands, q, vecs), b).localCheckpoint()
-        scoredSet = scoredSet.unionByName(cands).distinct()
-          .localCheckpoint()
+        scoredSet = scoredSet.unionByName(cands)
       }
     }
     for (l <- levels to 1 by -1)
@@ -586,7 +592,7 @@ object NnDescent {
         .localCheckpoint(), upBeam, upHops)
     expand(baseGraph.select("node", "nbr").localCheckpoint(),
       beam, hops)
-    finishServe(state, scoredSet, k)
+    finishServe(state, scoredSet.distinct(), k)
   }
 
   /** DiskANN-style graph + PQ serving (Subramanya et al. 2019,
@@ -713,17 +719,23 @@ object NnDescent {
         .filter(col("node") =!= col("qid")))
     val scored0 = scoreQPq(entries).localCheckpoint()
     var state = topBAdcAsc(scored0, upBeam).localCheckpoint()
+    // lazily-accumulated visited/cost sets (the serveImpl rule —
+    // distinct(distinct(A) ∪ B) ≡ distinct(A ∪ B)): the loop used to
+    // pay TWO distinct exchanges + two eager materializations per
+    // hop for frames only read after the traversal; per-hop scored
+    // frames stay checkpointed (the sequential beam needs them), so
+    // the deferred unions hang off checkpoints and stay shallow. The
+    // final sets ARE checkpointed — the frontier prices every
+    // rerank rung from the same visited frame
     var scoredSet = entries
-    var visited = scored0
+    var visited: DataFrame = scored0
     def expand(edges: DataFrame, b: Int, nHops: Int): Unit = {
       for (_ <- 1 to nHops) {
         val cands = hopCands(state, edges)
         val scored = scoreQPq(cands).localCheckpoint()
         state = topBAdcAsc(scored, b).localCheckpoint()
-        scoredSet = scoredSet.unionByName(cands).distinct()
-          .localCheckpoint()
-        visited = visited.unionByName(scored).distinct()
-          .localCheckpoint()
+        scoredSet = scoredSet.unionByName(cands)
+        visited = visited.unionByName(scored)
       }
     }
     for (l <- levels to 1 by -1)
@@ -731,7 +743,8 @@ object NnDescent {
         .localCheckpoint(), upBeam, upHops)
     expand(baseGraph.select("node", "nbr").localCheckpoint(),
       beam, hops)
-    (visited, scoredSet)
+    (visited.distinct().localCheckpoint(),
+      scoredSet.distinct().localCheckpoint())
   }
 
   /** Exact re-rank TAIL of [[serveHierPq]]: pool = ADC-best `rerankR`

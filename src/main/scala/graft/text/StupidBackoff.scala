@@ -102,26 +102,57 @@ object StupidBackoff {
         explode(ngramArr(3)).as("g"))
       .select(col("doc_id"), col("lang"), col("g.w1").as("w1"),
         col("g.w2").as("w2"), col("g.w3").as("w3"))
-    val joined = tg
-      .join(c3, Seq("w1", "w2", "w3"), "left")
-      .join(c2.select(col("w1"), col("w2"), col("c2").as("c2ctx")),
-        Seq("w1", "w2"), "left")
-      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("c2").as("c2b")), Seq("w2", "w3"), "left")
-      .join(c1.select(col("w1").as("w2"), col("c1").as("c1w2")),
-        Seq("w2"), "left")
-      .join(c1.select(col("w1").as("w3"), col("c1").as("c1w3")),
-        Seq("w3"), "left")
-      .crossJoin(broadcast(n))
-    val lp = log(scoreCol(alpha, unk))
-    joined.groupBy("doc_id", "lang").agg(
+    // score at TYPE level: the five tier joins (each a fresh rekey)
+    // run over the batch's DISTINCT trigram types — vocabulary-
+    // bounded — and the corpus-sized occurrence stream rekeys ONCE
+    // against the scored type table (the KneserNey.scoreBigrams
+    // restructure; left-join misses survive because every batch type
+    // is in the distinct frame by construction). Same score/tier
+    // expressions over the same count columns → bit-identical rows.
+    // A STREAMING batch keeps the per-occurrence stream-static join
+    // shape (a distinct + stream-stream rejoin is not expressible);
+    // both shapes evaluate the same expressions over the same count
+    // columns, so batch ≡ stream stays bit-exact (StreamingSpec).
+    val scored =
+      if (batch.isStreaming)
+        tg.join(c3, Seq("w1", "w2", "w3"), "left")
+          .join(c2.select(col("w1"), col("w2"), col("c2").as("c2ctx")),
+            Seq("w1", "w2"), "left")
+          .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+            col("c2").as("c2b")), Seq("w2", "w3"), "left")
+          .join(c1.select(col("w1").as("w2"), col("c1").as("c1w2")),
+            Seq("w2"), "left")
+          .join(c1.select(col("w1").as("w3"), col("c1").as("c1w3")),
+            Seq("w3"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("lang"),
+            log(scoreCol(alpha, unk)).as("lp"), tierCol.as("tier"))
+      else {
+        val btypes = tg.select("w1", "w2", "w3").distinct()
+        val typeScored = btypes
+          .join(c3, Seq("w1", "w2", "w3"), "left")
+          .join(c2.select(col("w1"), col("w2"), col("c2").as("c2ctx")),
+            Seq("w1", "w2"), "left")
+          .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+            col("c2").as("c2b")), Seq("w2", "w3"), "left")
+          .join(c1.select(col("w1").as("w2"), col("c1").as("c1w2")),
+            Seq("w2"), "left")
+          .join(c1.select(col("w1").as("w3"), col("c1").as("c1w3")),
+            Seq("w3"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("w3"),
+            log(scoreCol(alpha, unk)).as("lp"), tierCol.as("tier"))
+        tg.join(typeScored, Seq("w1", "w2", "w3"))
+          .select(col("doc_id"), col("lang"), col("lp"), col("tier"))
+      }
+    scored.groupBy("doc_id", "lang").agg(
       count(lit(1)).as("n_trigrams"),
-      sum((tierCol === "tri").cast("long")).as("n_tri_hits"),
-      sum((tierCol === "bi").cast("long")).as("n_bi_hits"),
-      sum((tierCol === "uni").cast("long")).as("n_uni_hits"),
-      sum((tierCol === "unk").cast("long")).as("n_unk"),
-      avg(lp).as("avg_lp"),
-      min(lp).as("min_lp"))
+      sum((col("tier") === "tri").cast("long")).as("n_tri_hits"),
+      sum((col("tier") === "bi").cast("long")).as("n_bi_hits"),
+      sum((col("tier") === "uni").cast("long")).as("n_uni_hits"),
+      sum((col("tier") === "unk").cast("long")).as("n_unk"),
+      avg(col("lp")).as("avg_lp"),
+      min(col("lp")).as("min_lp"))
   }
 
   /** The SQL twin of the score + ln (aliases `c3`, `c2ctx`, `c2b`,
