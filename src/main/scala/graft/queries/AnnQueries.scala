@@ -287,7 +287,12 @@ object AnnQueries extends QueryModule {
             round(col("n_hits").cast("double") / col("n_true"), 9)
               .as("recall"), col("n_cands"))
       }
-      armOut("mrl").unionByName(armOut("pca")).unionByName(armOut("rp"))
+      // the three arms are independent stage builds (guide §2.6 —
+      // overlap independent jobs): build them concurrently so one
+      // arm's stragglers backfill with the next arm's tasks
+      graft.ops.Pools.awaitAll(Seq(
+          () => armOut("mrl"), () => armOut("pca"), () => armOut("rp")))
+        .reduce(_ unionByName _)
         .orderBy("method", "qid")
     },
 
@@ -724,10 +729,16 @@ object AnnQueries extends QueryModule {
           .select(lit(name).as("variant"), col("qid"), col("recall"),
             col("n_scored"))
       }
-      (arm("flat", nndServed(s, dir)) +:
-        HnswFrontierRungs.map { case (ub, uh) =>
-          arm(s"ub${ub}_uh$uh", hnswServedAt(s, dir, ub, uh))
-        }).reduce(_ unionByName _)
+      // pre-touch the SHARED stages once (base graph + layers), then
+      // build the independent rung serves concurrently (guide §2.6;
+      // pre-touching avoids a racy double-build of the shared deps)
+      nndGraph(s, dir); hnswLayers(s, dir)
+      graft.ops.Pools.awaitAll(
+        (() => arm("flat", nndServed(s, dir))) +:
+          HnswFrontierRungs.map { case (ub, uh) =>
+            () => arm(s"ub${ub}_uh$uh", hnswServedAt(s, dir, ub, uh))
+          })
+        .reduce(_ unionByName _)
         .groupBy("variant")
         .agg(count(lit(1)).as("n_queries"),
           round(avg("recall"), 9).as("avg_recall"),
@@ -1028,9 +1039,14 @@ object AnnQueries extends QueryModule {
           .select(lit(name).as("arm"), col("recall"),
             col("n_scored"), col("n_exact"))
       }
-      arm("pq_base", hnswPqServed(s, dir))
-        .unionByName(arm("pq_opq_rot", hnswPqRotServed(s, dir)))
-        .unionByName(arm("pq_m_wide", hnswPqWideServed(s, dir)))
+      // pre-touch the SHARED stages once (base graph + layers), then
+      // run the three arm serves concurrently (guide §2.6)
+      nndGraph(s, dir); hnswLayers(s, dir)
+      graft.ops.Pools.awaitAll(Seq(
+          () => arm("pq_base", hnswPqServed(s, dir)),
+          () => arm("pq_opq_rot", hnswPqRotServed(s, dir)),
+          () => arm("pq_m_wide", hnswPqWideServed(s, dir))))
+        .reduce(_ unionByName _)
         .groupBy("arm")
         .agg(count(lit(1)).as("n_queries"),
           round(avg("recall"), 9).as("avg_recall"),

@@ -240,7 +240,9 @@ object AnnStages {
     * artifact per level. */
   private[queries] def hnswLayers(s: SparkSession, dir: String)
       : Seq[DataFrame] =
-    (1 to HnswLevels).map { l =>
+    // level builds are independent (nesting is by PREDICATE, not by
+    // reading the level below): build them concurrently (guide §2.6)
+    graft.ops.Pools.awaitAll((1 to HnswLevels).map { l => () =>
       Stage.cached(s, dir, s"hnsw_layer$l") {
         graft.text.NnDescent.buildSubset(
           t(s, dir, "embeddings").filter(
@@ -248,7 +250,7 @@ object AnnStages {
               HnswRatio)),
           NndK, HnswUpRounds, salt = s"hnswb$l")
       }
-    }
+    })
 
   /** Hierarchically-served results at explicit descent knobs (qid,
     * vid, cos_sim, rnk, n_scored), staged per rung — the frontier
@@ -406,7 +408,8 @@ object AnnStages {
     * (the [[nndBaseGraph]] knob-override rule). */
   private[queries] def hnswOldLayers(s: SparkSession, dir: String)
       : Seq[DataFrame] =
-    (1 to HnswLevels).map { l =>
+    // independent per-level builds — concurrent (the hnswLayers rule)
+    graft.ops.Pools.awaitAll((1 to HnswLevels).map { l => () =>
       Stage.cached(s, dir, s"hnsw_old_layer${l}_$IncrBase") {
         graft.text.NnDescent.buildSubset(
           t(s, dir, "embeddings").filter(col("vec_id") < IncrBase
@@ -414,7 +417,7 @@ object AnnStages {
               HnswRatio)),
           NndK, HnswUpRounds, salt = s"hnswo$l")
       }
-    }
+    })
 
   /** Incrementally-MAINTAINED layer graphs: each level's new members
     * (layerPred ∧ vec_id >= incr_base) seeded by beam search over the
@@ -425,7 +428,9 @@ object AnnStages {
   private[queries] def hnswIncrLayers(s: SparkSession, dir: String)
       : Seq[DataFrame] = {
     val olds = hnswOldLayers(s, dir)
-    (1 to HnswLevels).map { l =>
+    // level l depends ONLY on the already-built olds(l-1): the incr
+    // inserts are mutually independent — concurrent (guide §2.6)
+    graft.ops.Pools.awaitAll((1 to HnswLevels).map { l => () =>
       Stage.cached(s, dir, s"hnsw_incr_layer${l}_$IncrBase") {
         graft.text.NnDescent.incrInsertLayer(
           t(s, dir, "embeddings").filter(
@@ -434,7 +439,7 @@ object AnnStages {
           olds(l - 1), IncrBase, NndK, NndBeam, NndHops,
           NndIncrRounds, salt = s"hnswi$l")
       }
-    }
+    })
   }
 
   private[queries] def hnswIncrLayerCtes: String =

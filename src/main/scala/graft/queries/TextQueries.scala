@@ -1771,7 +1771,9 @@ object TextQueries extends QueryModule {
           col("base_avg").as("avg_ppl"),
           lit(0.0).as("ppl_delta"), lit(0L).as("n_moved"),
           lit(0.0).as("moved_frac"))
-      val rungs = KnPruneRungs.map { th =>
+      // rung stages are independent pruned-table builds — concurrent
+      // (guide §2.6; kn3Lp/kn3Counts are already built above)
+      val rungs = graft.ops.Pools.awaitAll(KnPruneRungs.map { th => () =>
         val pr = pplOf(kn3PrunedLp(s, dir, th)).localCheckpoint()
         val sizes = c3.agg(count(lit(1)).as("n_types_full"),
           count(when(col("c3") >= th, lit(1))).as("n_types_kept"))
@@ -1792,7 +1794,7 @@ object TextQueries extends QueryModule {
             col("n_moved"),
             round(col("n_moved").cast("double") / col("n_docs"), 9)
               .as("moved_frac"))
-      }
+      })
       (baseline +: rungs).reduce(_ unionByName _)
         .orderBy("threshold")
     },
