@@ -48,17 +48,28 @@ object Graphs {
     require(math.abs(base - (1.0 - damping)) < 1e-9,
       s"base ($base) must be the literal counterpart of 1 - damping " +
         s"(${1.0 - damping}); override both together")
+    // hoist the loop-INVARIANT frames out of the iteration: the node
+    // set (union + distinct — a shuffle), and the out-weight-
+    // normalized edge fractions (edges ⋈ outw — another shuffle) were
+    // re-derived EVERY round; materialized once, each round is one
+    // fraction⋈rank join + one groupBy(dst) + the node left-join.
+    // frac = w/ow is the same IEEE division the loop computed per
+    // round, and pr·frac the same product — bit-identical ranks.
     val nodes = edges.select(col("src").as("v"))
-      .union(edges.select(col("dst"))).distinct()
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
     val n = nodes.count()
-    val outw = edges.groupBy("src")
-      .agg(sum(col("w")).cast("long").as("ow"))
+    val fracs = edges
+      .join(edges.groupBy("src")
+        .agg(sum(col("w")).cast("long").as("ow")), Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow")).as("frac"))
+      .localCheckpoint()
     var pr = nodes.select(col("v"), (lit(1.0) / n).as("pr"))
     for (i <- 1 to iters) {
-      val contrib = edges.join(outw, Seq("src"))
+      val contrib = fracs
         .join(pr.withColumnRenamed("v", "src"), Seq("src"))
         .select(col("dst").as("v"),
-          (col("pr") * (col("w").cast("double") / col("ow")))
+          (col("pr") * col("frac"))
             .cast("decimal(38,18)").as("c"))
         .groupBy("v").agg(sum(col("c")).cast("double").as("insum"))
       pr = nodes.join(contrib, Seq("v"), "left")

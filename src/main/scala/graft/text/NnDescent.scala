@@ -99,6 +99,25 @@ object NnDescent {
   private val frameN = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, java.lang.Long]())
 
+  /** Per-frame memo of the materialized (vec_id, v, nrm) vector frame
+    * — the [[frameN]] rationale applied to [[vecsOf]]: the streaming
+    * serves call [[serveFrame]]/[[serveHierFrame]]/[[serveHierPqFrame]]
+    * once per micro-batch against the SAME frozen corpus frame, and
+    * without the memo every batch re-materialized the corpus
+    * checkpoint. Weak-keyed so a dropped frame releases its entry. */
+  private val frameVecs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, DataFrame]())
+
+  private def vecsMemo(emb: DataFrame): DataFrame = {
+    val cached = frameVecs.get(emb)
+    if (cached != null) cached
+    else {
+      val v = vecsOf(emb)
+      frameVecs.put(emb, v)
+      v
+    }
+  }
+
   private def denseCount(emb: DataFrame): Long = {
     val cached = frameN.get(emb)
     if (cached != null) cached.longValue()
@@ -268,7 +287,7 @@ object NnDescent {
       k: Int, beam: Int, hops: Int): DataFrame = {
     val n = denseCount(emb)
     serveImpl(emb, graph, queries, k, beam, hops, entryMod = n,
-      salt = "sv", vecsIn = None)
+      salt = "sv", vecsIn = Some(vecsMemo(emb)))
   }
 
   // --- shared serve plumbing: ONE definition each for the flat,
@@ -400,7 +419,7 @@ object NnDescent {
     * Returns (node, nbr, cos_sim, rnk) over ALL nodes. */
   def incrInsert(emb: DataFrame, baseGraph: DataFrame, base: Long,
       k: Int, beam: Int, hops: Int, incrRounds: Int): DataFrame = {
-    val vecs = vecsOf(emb)
+    val vecs = vecsMemo(emb)
     val seeds = serveImpl(emb, baseGraph,
         emb.filter(col("vec_id") >= base), k, beam, hops,
         entryMod = base, salt = "iv", vecsIn = Some(vecs))
@@ -559,7 +578,7 @@ object NnDescent {
       upBeam: Int, upHops: Int, beam: Int, hops: Int, ratio: Int)
       : DataFrame = {
     val levels = layerGraphs.length
-    val vecs = vecsOf(emb)
+    val vecs = vecsMemo(emb)
     val q = vecsOf(queries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm")).localCheckpoint()
@@ -755,7 +774,7 @@ object NnDescent {
     // exact re-rank of the ADC-best rerankR VISITED candidates —
     // only the pool touches full-dim floats
     val pool = topBAdcAsc(visited, rerankR).localCheckpoint()
-    val vecs = vecsOf(emb)
+    val vecs = vecsMemo(emb)
     val q = queryPredOrFrame match {
       case Left(pred) => queriesOf(vecs, pred)
       case Right(qf) => vecsOf(qf)
